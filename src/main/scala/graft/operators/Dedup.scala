@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup / upsert-merge operators.
+  *
+  * Re-expresses the reference's two merge semantics (SURVEY §2.4):
+  *  - A1 `distinctUnion`: full-row dedup on union — the odds upsert
+  *    (reference `odds_data_collector.py:31-45`): history-preserving,
+  *    idempotent under re-runs.
+  *  - A2 `keepLatest`: keyed dedup, newest-wins — the team-rankings
+  *    upsert (reference `team_rankings_data_collector.py:34-46`).
+  *    Deliberately a `row_number` window, NOT `dropDuplicates(subset)`:
+  *    Spark's dropDuplicates keeps an *arbitrary* row per key, which is
+  *    not "keep latest". The window shuffles once on the key columns and
+  *    is deterministic given a total tiebreak ordering.
+  *  - W2 `asOfLatest`: newest row per key with ordering column <= cutoff
+  *    (the "stats as of date D" read, reference `README.md:63-67`).
+  *
+  * Scale notes (100 TB): all three are single-shuffle on the dedup keys.
+  * With heavily skewed keys, salt the key or enable AQE skew handling;
+  * for the upsert use-case the shuffle is bounded by the merged
+  * partition, not the full table, when combined with
+  * PartitionedParquetStore's dynamic partition overwrite.
+  */
+object Dedup {
+
+  /** A1: union by name (pandas-concat alignment semantics) + full-row
+    * distinct. `allowMissingColumns` matches pandas' null-fill of
+    * missing columns. */
+  def distinctUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true).distinct()
+
+  /** A2: keep exactly one row per `keys`, the first under `order`
+    * (pass e.g. Seq($"ts".desc, $"id".desc) for newest-wins with a
+    * deterministic tiebreak). */
+  def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2: as-of selection — newest row per key among rows with
+    * `ordering <= cutoff`. */
+  def asOfLatest(df: DataFrame, keys: Seq[String], ordering: Column,
+                 cutoff: Column, tiebreak: Seq[Column] = Nil): DataFrame =
+    keepLatest(df.filter(ordering <= cutoff), keys, ordering.desc +: tiebreak)
+
+  /** K2-shaped merge: upsert `updates` into `existing` keyed by `keys`,
+    * newest `version` wins (ties broken by extra `order` columns). */
+  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+            order: Seq[Column]): DataFrame =
+    keepLatest(existing.unionByName(updates, allowMissingColumns = true), keys, order)
+}

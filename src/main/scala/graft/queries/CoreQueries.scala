@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.operators.{Dedup, Windows}
+import graft.util.Exact.exactSum
+
+/** Core relational operator queries (SURVEY §2.3-§2.6) over the driver
+  * testdata, each with a DuckDB oracle. Conventions for oracle parity:
+  *  - double SUMs go through DECIMAL(30,10) (see util.Exact) so they are
+  *    order-independent and bit-identical across engines;
+  *  - small windowed double aggregates are rounded to 4 decimals;
+  *  - every window/limit has a total deterministic ordering via unique
+  *    tiebreak keys;
+  *  - raw timestamps are never output directly (formatted instead).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A-agg baseline (TPC-H Q1 shape): group + multiple exact sums.
+    // At 100 TB: partial (map-side) aggregation + single shuffle on the
+    // low-cardinality group keys.
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Dimension joins (J1 shape): both dims are tiny → explicit broadcast,
+    // zero shuffle for the joins, one shuffle for the final group.
+    "q2_join_dim" -> ((s, d) => {
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             exactSum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Large fact-fact equi-join: shuffle join on orderkey (AQE picks
+    // broadcast at small SF; sort-merge at scale — both correct).
+    "q3_join_fact" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+             exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // O1: multi-key mixed-direction sort + top-k. Unique (orderkey,
+    // linenumber) tiebreak makes the selected set deterministic. TakeOrdered
+    // physical op — no full sort materialization.
+    "q4_topk" -> ((s, d) => {
+      lineitem(s, d)
+        .orderBy(col("l_quantity").desc, col("l_extendedprice").desc,
+                 col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"))
+    }),
+
+    // O2 + A1: name-aligned union + full-row distinct (odds-upsert
+    // semantics: re-running a collection is a no-op).
+    "q5_union_dedup" -> ((s, d) => {
+      val li = lineitem(s, d)
+      // second branch with shuffled column order: unionByName must align
+      val li2 = li.select(li.columns.reverse.map(col): _*)
+      Dedup.distinctUnion(li, li2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // A2/W1: keyed dedup keep-latest (newest ts wins, event_id tiebreak).
+    "q6_keep_latest" -> ((s, d) => {
+      Dedup.keepLatest(events(s, d), Seq("user_id", "event_type"),
+                       Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+
+    // W2: as-of latest snapshot per key at a cutoff.
+    "q7_asof" -> ((s, d) => {
+      Dedup.asOfLatest(events(s, d), Seq("user_id"), col("ts"),
+                       lit("2024-06-01").cast("timestamp"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // A3/W3: exp-weighted mean, decay 0.88 over last 16 per key
+    // (reference config.py:3-5 semantics on the events table).
+    "q8_ewm" -> ((s, d) => {
+      Windows.expWeightedMean(events(s, d), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc), col("value"), 0.88, 16)
+        .select(col("user_id"), round(col("ewm"), 4).as("ewm"))
+    }),
+
+    // W3: rolling mean over a ROWS frame.
+    "q9_rolling" -> ((s, d) => {
+      events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(Windows.rollingAvg(Seq("user_id"), Seq(col("ts"), col("event_id")),
+                                 col("value"), 2), 4).as("roll_avg"))
+    }),
+
+    // Ranking window (reproduces the reference's scraped rank tables).
+    "q10_rank" -> ((s, d) => {
+      supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"),
+        Windows.rankBy(Seq("s_nationkey"), Seq(col("s_acctbal").desc)).as("rnk"))
+    }),
+
+    // J1 reformulated: long→wide pivot with a static value list — ONE
+    // shuffle instead of 221 chained joins (SURVEY §2.3 J1 caution).
+    "q11_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(exactSum(col("value")))
+    }),
+
+    // J3 shape: join per-key aggregates to both sides, difference them
+    // (the matchup-differential feature pattern).
+    "q12_matchup_diff" -> ((s, d) => {
+      val c = customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(exactSum(col("c_acctbal")).as("c_sum"), count(lit(1)).as("c_n"))
+      val sp = supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(exactSum(col("s_acctbal")).as("s_sum"), count(lit(1)).as("s_n"))
+      nation(s, d)
+        .join(broadcast(c), col("n_nationkey") === c("nationkey"), "left")
+        .drop(c("nationkey"))
+        .join(broadcast(sp), col("n_nationkey") === sp("nationkey"), "left")
+        .drop(sp("nationkey"))
+        .select(col("n_name"),
+                round(col("c_sum") / col("c_n") - col("s_sum") / col("s_n"), 4)
+                  .as("bal_differential"))
+    }),
+
+    // P4 + partition-friendly month rollup: predicate pushed to parquet
+    // row-group stats; month string keeps the output timestamp-free.
+    "q13_month_filter" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"), exactSum(col("l_quantity")).as("sum_qty"))
+    })
+  )
+
+  // Scale 6: see util.Exact — DuckDB's double→decimal cast is lossy at
+  // scale 10 for 1e5-magnitude values.
+  private val dsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsum("l_quantity")} AS sum_qty,
+         |${dsum("l_extendedprice")} AS sum_base_price,
+         |${dsum("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_dim" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers, ${dsum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+
+    "q3_join_fact" ->
+      s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+         |${dsum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q4_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_quantity DESC, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q5_union_dedup" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
+         |FROM (SELECT DISTINCT * FROM
+         |  (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem))
+         |GROUP BY l_returnflag""".stripMargin,
+
+    "q6_keep_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q7_asof" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-06-01')
+        |WHERE rn = 1""".stripMargin,
+
+    "q8_ewm" ->
+      """SELECT user_id, ROUND(SUM(w*value)/SUM(w), 4) AS ewm FROM (
+        |  SELECT user_id, value, POWER(0.88, rn-1) AS w FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn <= 16)
+        |GROUP BY user_id""".stripMargin,
+
+    "q9_rolling" ->
+      """SELECT user_id, event_id,
+        |ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+        |FROM events""".stripMargin,
+
+    "q10_rank" ->
+      """SELECT s_suppkey, s_nationkey,
+        |rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk
+        |FROM supplier""".stripMargin,
+
+    "q11_pivot" ->
+      s"""SELECT user_id,
+         |${dsum("CASE WHEN event_type='click' THEN value END")} AS click,
+         |${dsum("CASE WHEN event_type='error' THEN value END")} AS error,
+         |${dsum("CASE WHEN event_type='purchase' THEN value END")} AS purchase,
+         |${dsum("CASE WHEN event_type='signup' THEN value END")} AS signup,
+         |${dsum("CASE WHEN event_type='view' THEN value END")} AS view
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q12_matchup_diff" ->
+      s"""SELECT n_name, ROUND(c_sum/c_n - s_sum/s_n, 4) AS bal_differential
+         |FROM nation
+         |LEFT JOIN (SELECT c_nationkey AS cnk, ${dsum("c_acctbal")} AS c_sum,
+         |  COUNT(*) AS c_n FROM customer GROUP BY c_nationkey) c ON n_nationkey = cnk
+         |LEFT JOIN (SELECT s_nationkey AS snk, ${dsum("s_acctbal")} AS s_sum,
+         |  COUNT(*) AS s_n FROM supplier GROUP BY s_nationkey) s ON n_nationkey = snk""".stripMargin,
+
+    "q13_month_filter" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |COUNT(*) AS n_items, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |GROUP BY 1""".stripMargin
+  )
+}
