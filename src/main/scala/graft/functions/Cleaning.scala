@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Column-level cleaning/normalization functions (SURVEY §2.7).
+  * All are native Catalyst expressions — no UDFs — so they stay inside
+  * whole-stage codegen and push through the optimizer.
+  */
+object Cleaning {
+
+  /** F1: strip a trailing " (W-L-T)" record suffix from a team name.
+    * Reference: team_rankings_scraper.py:20-32. */
+  def stripRecordSuffix(c: Column): Column =
+    regexp_replace(c, "\\s\\(.*\\)", "")
+
+  private val recordRe = "^(\\d+)-(\\d+)(?:-(\\d+))?$"
+
+  /** F3: split a "W-L[-T]" record string column into four int columns
+    * `{name}_wins/_losses/_ties/_games_played` and drop the source.
+    * Missing ties → 0. Reference: team_rankings_scraper.py:48-82.
+    * try_cast keeps this ANSI-safe for unparseable cells. */
+  def recordSplit(df: DataFrame, name: String): DataFrame = {
+    def part(group: Int): Column =
+      coalesce(regexp_extract(col(name), recordRe, group).try_cast("int"), lit(0))
+    df.withColumn(s"${name}_wins", part(1))
+      .withColumn(s"${name}_losses", part(2))
+      .withColumn(s"${name}_ties", part(3))
+      .withColumn(s"${name}_games_played",
+        col(s"${name}_wins") + col(s"${name}_losses") + col(s"${name}_ties"))
+      .drop(name)
+  }
+
+  /** F9: "75.5%" → 0.755; non-percent cells pass through try_cast.
+    * The reference's only element-wise "UDF" (team_rankings_scraper.py:
+    * 133-141), re-expressed as a codegen-friendly native expression. */
+  def percentParse(c: Column): Column =
+    when(c.rlike("%$"),
+         regexp_replace(c, "%$", "").try_cast("double") / 100)
+      .otherwise(c.try_cast("double"))
+
+  /** F8: scrub "--" and "+" symbols (team_rankings_scraper.py:127-131). */
+  def scrubSymbols(c: Column): Column =
+    regexp_replace(regexp_replace(c, "--", ""), "\\+", "")
+
+  /** P6: empty string → null (team_rankings_data_collector.py:26). */
+  def emptyToNull(c: Column): Column =
+    when(c === "", lit(null).cast("string")).otherwise(c)
+
+  /** F11 tail: pandas stringified-missing markers → null (s3_client.py:96-98). */
+  def nullOutMarkers(c: Column): Column =
+    when(c.isin("None", "nan", "<NA>", "NaN"), lit(null).cast("string")).otherwise(c)
+
+  /** F4: lowercase all column names (schema transform). */
+  def lowercaseCols(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** F6: strip spaces from column names. */
+  def despaceCols(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.replace(" ", "")): _*)
+
+  /** F5: prefix every column except `except` — namespaces the wide stats
+    * table ({category}_{table}_{stat}, team_rankings_scraper.py:96-113). */
+  def prefixCols(df: DataFrame, prefix: String, except: Set[String]): DataFrame =
+    df.toDF(df.columns.map(c => if (except(c)) c else s"$prefix$c"): _*)
+
+  /** F7: rename year-named columns positionally — first "2000".."2100"
+    * column → this_yr, second → last_yr (team_rankings_scraper.py:143-150). */
+  def renameYearCols(df: DataFrame): DataFrame = {
+    val yearRe = "^2[01]\\d\\d$".r
+    var seen = 0
+    val renamed = df.columns.map { c =>
+      if (yearRe.matches(c)) {
+        seen += 1
+        if (seen == 1) "this_yr" else if (seen == 2) "last_yr" else c
+      } else c
+    }
+    df.toDF(renamed: _*)
+  }
+
+  /** Apply f to every string-typed column, keeping names/positions. */
+  def mapStringCols(df: DataFrame, f: Column => Column): DataFrame = {
+    val cols = df.schema.fields.map { fld =>
+      if (fld.dataType == StringType) f(col(fld.name)).as(fld.name)
+      else col(fld.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
