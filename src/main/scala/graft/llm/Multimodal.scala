@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The Spark-side contract (schema, partitioning, batch shape,
+  * encoders) is real and tested; the actual codec step is STUBBED
+  * behind `MediaDecoder` because this container has no image/audio
+  * libraries — production would drop in a JNI/FFM-backed decoder with
+  * the same interface. `mapPartitions` + `grouped(batchSize)` is the
+  * Scala analogue of a vectorized (pandas-UDF-style) batch boundary:
+  * a real decoder amortizes model/codec init once per batch.
+  */
+object Multimodal {
+
+  /** One media object: opaque bytes + kind ("image"|"audio"|"video"). */
+  case class MediaRow(id: Long, media: Array[Byte], kind: String)
+
+  case class MediaFeatures(id: Long, kind: String, nBytes: Int,
+                           features: Array[Float])
+
+  trait MediaDecoder extends Serializable {
+    /** bytes → fixed-width feature vector (e.g. decoded+pooled pixels). */
+    def decode(bytes: Array[Byte], kind: String): Array[Float]
+  }
+
+  /** Deterministic fake decoder: 8 features from a rolling hash of the
+    * bytes — stands in for the real codec so the pipeline is testable. */
+  object FakeDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte], kind: String): Array[Float] = {
+      var h = 1125899906842597L
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 31 + bytes(i)
+        out(i % 8) += (h % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode/feature-extract in partition-local batches. Narrow (no
+    * shuffle); batch size bounds decoder memory. */
+  def extractFeatures(ds: Dataset[MediaRow], decoder: MediaDecoder,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: one vectorized decode call per batch
+        batch.map(r => MediaFeatures(r.id, r.kind, r.media.length,
+                                     decoder.decode(r.media, r.kind)))
+      }
+    }
+  }
+
+  /** Frame sampling stub for video kinds: every `stride`-th fixed-size
+    * chunk of the byte stream stands in for a decoded frame. */
+  def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % stride == 0 => frame }
+      .toSeq
+}

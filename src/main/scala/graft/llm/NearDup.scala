@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact: hash-groupBy (one shuffle on the content hash — at 100 TB the
+  * hash is 16 bytes/row vs the full text, so the shuffle is tiny).
+  *
+  * Near-dup, the scale path: MinHash + LSH banding. Signatures are
+  * computed per-row with higher-order array expressions (no shuffle,
+  * no UDF); banding turns the O(n²) pair problem into a groupBy on
+  * (band, bandHash) — only docs sharing a band bucket are paired, then
+  * exact Jaccard verifies candidates. SimHash gives the complementary
+  * Hamming-space variant. All pair generation is bucket-local, so the
+  * worst case is bounded by bucket skew (salt or cap giant buckets at
+  * scale — see `lshCandidatePairs(maxBucket)`).
+  */
+object NearDup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct whitespace tokens per document. */
+  def tokenSet(c: Column): Column = array_distinct(TextStats.tokens(c))
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextStats.tokens(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature: array of `numPerm` minima of per-permutation
+    * hashes. Permutation j is xxhash64(shingle, j) — computed in one
+    * nested higher-order expression per row, inside codegen. */
+  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** Explode a signature into (band, bandHash) rows for LSH bucketing. */
+  def bands(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+                  xxhash64(concat_ws(",",
+                    slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("band_hash")))
+
+  /** Candidate pairs from LSH banding: docs sharing any (band, bandHash)
+    * bucket. `maxBucket` caps pathological buckets (skew guard at scale:
+    * a bucket of m docs yields m² pairs). Returns (id_a, id_b) distinct
+    * with id_a < id_b. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: Column,
+                        numBands: Int = 16, rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignature(shingleCol, numBands * rowsPerBand)
+    val banded = df
+      .select(col(idCol).as("doc"), explode(bands(sig, numBands, rowsPerBand)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.band_hash"))
+    val pruned = banded
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
+    * exact-Jaccard verification at `threshold`. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.7,
+                   numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val cands = lshCandidatePairs(sh, "id", col("sh"), numBands, rowsPerBand)
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over a token-array column: per-token xxhash64, then
+    * per-doc sum of ±1 per bit position, sign → bit. ONE shuffle on the
+    * doc id with 64 partial sums (map-side combined) — no bit explosion. */
+  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val perTok = df
+      .select(col(idCol).as("doc"), explode(tokensCol).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    perTok.groupBy(col("doc"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+              (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+                .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

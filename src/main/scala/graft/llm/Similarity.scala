@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a crossJoin with the (small,
+  * broadcast) query set; dot products via zip_with + aggregate in
+  * DOUBLE, sequential in index order (deterministic and
+  * oracle-mirrorable). Scale path: sign-random-projection LSH — a
+  * deterministic hash-derived hyperplane signature bucket-joins
+  * candidates so the crossJoin shrinks from |Q|×N to |Q|×bucket.
+  */
+object Similarity {
+
+  /** Index-order dot product of two array<float/double> columns,
+    * computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries` (id, vec),
+    * the k nearest rows of `corpus` (id, vec) by cosine, excluding
+    * self-id matches. Queries side is broadcast. */
+  def cosineTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos_sim"))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic sign-random-projection signature: bit b is the sign
+    * of <v, h_b> where hyperplane h_b has ±1 components derived from
+    * xxhash64(b * dim + i). No randomness at plan time (reproducible
+    * across runs/engines that share xxhash64). */
+  def srpSignature(vec: Column, dim: Int, bits: Int): Column =
+    transform(sequence(lit(0), lit(bits - 1)), b => {
+      val proj = aggregate(
+        zip_with(vec.cast("array<double>"),
+                 transform(sequence(lit(0), lit(dim - 1)),
+                   i => when(pmod(xxhash64(b * dim + i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+                 (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1)).otherwise(lit(0))
+    })
+
+  /** Bucketed ANN: group corpus by SRP signature prefix, join queries to
+    * their bucket only, exact-cosine rerank within bucket. Recall is
+    * tunable via `bits` (fewer bits → bigger buckets → higher recall). */
+  def annTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, dim: Int, bits: Int = 8): DataFrame = {
+    val cSig = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+      concat_ws("", srpSignature(col(corpusVec), dim, bits)).as("bucket"))
+    val qSig = broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv"),
+      concat_ws("", srpSignature(col(queryVec), dim, bits)).as("bucket")))
+    qSig.join(cSig, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

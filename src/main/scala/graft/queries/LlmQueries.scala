@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.llm.{NearDup, Similarity, TextStats}
+import graft.util.Exact.exactSum
+
+/** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
+  * documents/embeddings tables. Oracle-matched where DuckDB can express
+  * the same computation; hash-based ops (MinHash/SimHash/SRP use
+  * xxhash64, absent in DuckDB) are rows-only with golden ScalaTest
+  * coverage instead.
+  *
+  * Expensive pair-generating demos are bounded by doc_id so Bench stays
+  * proportional at sf0.1 — the unbounded scale path is the LSH variant.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on content hash.
+    "q23_exact_dedup" -> ((s, d) => {
+      NearDup.exactDupGroups(documents(s, d), "text", "doc_id")
+    }),
+
+    // Token counts / stopword-ratio quality stats per language.
+    "q24_text_stats" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"),
+                TextStats.tokenCount(col("text")).as("n_tok"),
+                TextStats.stopwordRatio(col("text"), Seq("the", "a", "of")).as("swr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("sum_tokens"),
+             round(sum(col("swr")) / count(lit(1)), 4).as("avg_stopword_ratio"))
+    }),
+
+    // Marker-word language ID vs the labeled lang column.
+    "q25_langid" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Normalized-text fingerprint cardinality.
+    "q26_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(TextStats.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fp"))
+    }),
+
+    // Exact n-gram (token-set) Jaccard over bounded same-lang pairs —
+    // the verification kernel of near-dup; LSH (q28) is the scale path
+    // that avoids this O(n^2) shape.
+    "q27_jaccard_pairs" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 500)
+      val tok = docs.select(col("doc_id"), col("lang"),
+                            explode(NearDup.tokenSet(col("text"))).as("t"))
+      val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") <= col("a.doc_id") + 25)
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("ni"))
+      val j = col("ni").cast("double") /
+        (col("ca.n") + col("cb.n") - col("ni")).cast("double")
+      inter
+        .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+        .filter(j >= 0.5)
+        .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+    }),
+
+    // MinHash + LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
+    // mirror). Unigram shingles make overlap visible in the synthetic
+    // small-vocab corpus.
+    "q28_minhash_pairs" -> ((s, d) => {
+      NearDup.nearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
+                           "doc_id", "text", shingleSize = 1, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // SimHash signatures (rows-only).
+    "q29_simhash" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 500)
+      NearDup.simhash64(
+        docs.select(col("doc_id"), NearDup.tokenSet(col("text")).as("toks")),
+        "doc_id", col("toks"))
+    }),
+
+    // Brute-force cosine top-k (the ANN baseline).
+    "q30_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.cosineTopK(e, "vec_id", "embedding",
+                            e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+
+    // Per-label embedding norm stats.
+    "q31_embed_norms" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("nrm")) / count(lit(1)), 4).as("avg_norm"))
+    }),
+
+    // SRP-bucketed ANN (rows-only; scale path for q30).
+    "q32_ann_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.annTopK(e, "vec_id", "embedding",
+                         e.filter(col("vec_id") < 10), "vec_id", "embedding",
+                         k = 10, dim = 64, bits = 4)
+        .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+
+    // Multimodal plumbing surface: opaque binary column + metadata.
+    "q33_binary_meta" -> ((s, d) => {
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+                length(col("text").cast("binary")).as("n_bytes"),
+                md5(col("text")).as("content_md5"))
+    })
+  )
+
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+        |COUNT(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+
+    "q24_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(len($toks)) AS BIGINT) AS sum_tokens,
+         |ROUND(SUM(CAST(len(list_filter($toks, t -> t IN ('the','a','of'))) AS DOUBLE)
+         |  / GREATEST(len($toks), 1)) / COUNT(*), 4) AS avg_stopword_ratio
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q25_langid" ->
+      s"""WITH scored AS (SELECT lang,
+         |  len(list_filter($toks, t -> t IN ('the','a','of','and'))) AS en_n,
+         |  len(list_filter($toks, t -> t IN ('der','die','das','und'))) AS de_n,
+         |  len(list_filter($toks, t -> t IN ('le','la','et','les'))) AS fr_n
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN en_n + de_n + fr_n = 0 THEN 'und'
+         |       WHEN en_n >= de_n AND en_n >= fr_n THEN 'en'
+         |       WHEN de_n >= fr_n THEN 'de' ELSE 'fr' END AS lang_pred,
+         |  COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT COUNT(*) AS n_docs,
+        |COUNT(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16)) AS n_fp
+        |FROM documents""".stripMargin,
+
+    "q27_jaccard_pairs" ->
+      s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 500),
+         |tok AS (SELECT DISTINCT doc_id, lang, unnest($toks) AS t FROM docs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(ni AS DOUBLE)/(ca.n + cb.n - ni), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE CAST(ni AS DOUBLE)/(ca.n + cb.n - ni) >= 0.5""".stripMargin,
+
+    "q30_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT qid, cid,
+        |  list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid, cid, ROUND(cos, 4) AS cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q31_embed_norms" ->
+      """SELECT label, COUNT(*) AS n,
+        |ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |  CAST(embedding AS DOUBLE[])))) / COUNT(*), 4) AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q33_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |md5(text) AS content_md5 FROM documents WHERE doc_id < 100""".stripMargin
+  )
+}
