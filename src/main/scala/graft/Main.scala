@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.sources.{OddsJsonFlattener, PartitionedParquetStore}
+
+/** Handler-equivalent dispatcher (SURVEY §3.1, reference main.py:25-40).
+  *
+  * The reference's Lambda handler takes {collectors_to_run, date?},
+  * resolves the collection timestamp (explicit date localized to
+  * US/Central, else now), and dispatches to collector objects. Here the
+  * collectors are pipeline functions over a pluggable fetch shim (the
+  * HTTP boundary is driver-side and injected so tests/offline runs pass
+  * fixture payloads — SURVEY §2.1 S1/S2).
+  */
+object Main {
+
+  /** The handler event (events/sample.json shape). */
+  case class EventSpec(collectorsToRun: Seq[String], date: Option[String])
+
+  /** One collection pipeline: payloads in, upserted table out. */
+  type Collector = (SparkSession, Seq[String], java.sql.Timestamp) => Unit
+
+  /** Odds collection (§3.2): flatten fixture/API payloads, stamp the
+    * collection timestamp, history-preserving upsert. */
+  def oddsCollector(storeRoot: String): Collector =
+    (spark, payloads, ts) => {
+      import spark.implicits._
+      val flat = OddsJsonFlattener.flatten(payloads.toDF("json"))
+      val stamped = OddsJsonFlattener.withCollectionTimestamp(flat, lit(ts))
+      new PartitionedParquetStore(spark, storeRoot)
+        .upsertDistinct(stamped, "timestamp")
+    }
+
+  /** Team-rankings collection (§3.3): normalized payload frames are
+    * stacked+pivoted upstream (WideStats); here the store step — keyed
+    * keep-latest upsert on all non-timestamp columns. */
+  def rankingsUpsert(spark: SparkSession, storeRoot: String,
+                     wide: DataFrame, ts: java.sql.Timestamp): Unit = {
+    val stamped = wide.withColumn("timestamp", lit(ts))
+    new PartitionedParquetStore(spark, storeRoot)
+      .upsertKeepLatest(stamped, wide.columns.toSeq, "timestamp")
+  }
+
+  /** Resolve the collection instant: explicit date is interpreted as
+    * US/Central wall-clock (main.py:31-32), else now. */
+  def resolveTimestamp(date: Option[String]): java.sql.Timestamp =
+    date match {
+      case Some(d) =>
+        val local = java.time.LocalDate.parse(d).atStartOfDay(
+          java.time.ZoneId.of(TimeFns.CentralTz))
+        java.sql.Timestamp.from(local.toInstant)
+      case None => java.sql.Timestamp.from(java.time.Instant.now())
+    }
+}

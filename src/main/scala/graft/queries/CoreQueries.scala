@@ -142,6 +142,40 @@ object CoreQueries {
                   .as("bal_differential"))
     }),
 
+    // K2-shaped MERGE semantics as a pure query: updates (version 2)
+    // overwrite matching keys of existing (version 1), newest wins.
+    "q34_upsert_merge" -> ((s, d) => {
+      val existing = lineitem(s, d).withColumn("version", lit(1))
+      val updates = lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 100)
+        .withColumn("version", lit(2))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // a full tiebreak ordering makes the kept row deterministic.
+      Dedup.merge(existing, updates, Seq("l_orderkey", "l_linenumber"),
+                  Seq(col("version").desc, col("l_quantity").desc,
+                      col("l_extendedprice").desc, col("l_discount").desc,
+                      col("l_partkey").asc, col("l_suppkey").asc,
+                      col("l_shipdate").asc, col("l_returnflag").asc,
+                      col("l_linestatus").asc, col("l_tax").asc))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // A4-adjacent distinct counting (exact — the oracle-checkable form).
+    "q35_distinct_stats" -> ((s, d) => {
+      orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+    }),
+
+    // Cardinality-at-scale surface: HLL approx vs exact (approx values
+    // are engine-specific → rows-only check).
+    "q36_approx_distinct" -> ((s, d) => {
+      orders(s, d).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+    }),
+
     // P4 + partition-friendly month rollup: predicate pushed to parquet
     // row-group stats; month string keeps the output timestamp-free.
     "q13_month_filter" -> ((s, d) => {
@@ -237,6 +271,22 @@ object CoreQueries {
          |  COUNT(*) AS c_n FROM customer GROUP BY c_nationkey) c ON n_nationkey = cnk
          |LEFT JOIN (SELECT s_nationkey AS snk, ${dsum("s_acctbal")} AS s_sum,
          |  COUNT(*) AS s_n FROM supplier GROUP BY s_nationkey) s ON n_nationkey = snk""".stripMargin,
+
+    "q34_upsert_merge" ->
+      s"""WITH existing AS (SELECT *, 1 AS version FROM lineitem),
+         |updates AS (SELECT * REPLACE (l_quantity+100 AS l_quantity), 2 AS version
+         |  FROM lineitem WHERE l_orderkey%10=0),
+         |u AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+         |  ORDER BY version DESC, l_quantity DESC, l_extendedprice DESC,
+         |  l_discount DESC, l_partkey, l_suppkey, l_shipdate, l_returnflag,
+         |  l_linestatus, l_tax) AS rn FROM u)
+         |SELECT l_returnflag, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM r WHERE rn = 1 GROUP BY l_returnflag""".stripMargin,
+
+    "q35_distinct_stats" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q13_month_filter" ->
       s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "a", 10, 100.0), (1L, "a", 20, 200.0), // key (1,a): ts 20 wins
+    (1L, "b", 15, 150.0),
+    (2L, "a", 5, 50.0), (2L, "a", 5, 60.0)      // ts tie → larger value? no: tiebreak col
+  ).toDF("user", "typ", "ts", "value")
+
+  test("keepLatest keeps exactly the newest row per key (A2/W1)") {
+    val out = Dedup.keepLatest(events, Seq("user", "typ"),
+      Seq($"ts".desc, $"value".desc))
+      .orderBy("user", "typ").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, "a", 20, 200.0), (1L, "b", 15, 150.0),
+                             (2L, "a", 5, 60.0)))
+  }
+
+  test("distinctUnion is idempotent (A1 upsert re-run safety)") {
+    val once = Dedup.distinctUnion(events, events)
+    assert(once.count() === events.count())
+    val twice = Dedup.distinctUnion(once, events)
+    assert(twice.count() === events.count())
+  }
+
+  test("distinctUnion aligns columns by name with null-fill (O2)") {
+    val extra = Seq((3L, "c", 1, 1.0, "x")).toDF("user", "typ", "ts", "value", "note")
+    val out = Dedup.distinctUnion(events, extra)
+    assert(out.columns.contains("note"))
+    assert(out.count() === events.count() + 1)
+    assert(out.filter($"user" === 1L).select("note").collect().forall(_.isNullAt(0)))
+  }
+
+  test("asOfLatest picks newest row at or before cutoff (W2)") {
+    val out = Dedup.asOfLatest(events, Seq("user"), $"ts", lit(15), Seq($"value".desc))
+      .orderBy("user").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 15), (2L, 5)))
+  }
+
+  test("merge: updates overwrite matching keys, newest version wins (K2)") {
+    val existing = Seq((1L, "x", 1), (2L, "y", 1)).toDF("id", "v", "version")
+    val updates = Seq((2L, "y2", 2), (3L, "z", 2)).toDF("id", "v", "version")
+    val out = Dedup.merge(existing, updates, Seq("id"), Seq($"version".desc))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "x"), (2L, "y2"), (3L, "z")))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Multimodal, NearDup, Similarity, TextStats}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docB = "the quick brown fox jumps over the lazy dog near the river bank tonight" // near-dup of A
+  private val docC = "completely different words about spark engines and columnar execution plans"
+
+  test("minhash-LSH near-dup pipeline finds the planted pair and only it") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = NearDup.nearDupPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val sh = NearDup.simhash64(
+      docs.select($"doc_id", NearDup.tokenSet($"text").as("t")), "doc_id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 12)
+  }
+
+  test("cosineTopK: exact neighbors on known vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+        vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy($"cos_sim".desc).collect().map(_.getLong(1))
+    assert(out.toSeq === Seq(1L, 2L)) // closest first, anti-parallel excluded
+  }
+
+  test("annTopK returns exact-cosine-scored rows from its bucket") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, dim = 8, bits = 2)
+    assert(ann.count() > 0)
+    assert(ann.columns.toSet === Set("qid", "cid", "cos_sim"))
+  }
+
+  test("langId marker heuristic") {
+    val out = Seq(
+      "the cat and the hat of a house",
+      "der hund und die katze und das haus",
+      "le chien et la maison et les chats",
+      "xyzzy plugh").toDF("text")
+      .select(TextStats.langId($"text")).as[String].collect()
+    assert(out.toSeq === Seq("en", "de", "fr", "und"))
+  }
+
+  test("text stats: tokens, punct ratio, stopword ratio") {
+    val df = Seq("the quick fox!").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount($"text").as("n"),
+      TextStats.punctRatio($"text").as("p"),
+      TextStats.stopwordRatio($"text", Seq("the")).as("s")).collect().head
+    assert(r.getInt(0) === 3)
+    assert(math.abs(r.getDouble(1) - 1.0 / 14) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12)
+  }
+
+  test("fingerprint is whitespace/case-insensitive, rollingHash64 deterministic") {
+    val fp = Seq("Hello  World", "hello world").toDF("t")
+      .select(TextStats.fingerprint($"t")).as[String].collect()
+    assert(fp(0) === fp(1) && fp(0).length === 16)
+    val rh = Seq("abc", "abc", "abd").toDF("t")
+      .select(TextStats.rollingHash64($"t")).as[Long].collect()
+    assert(rh(0) === rh(1) && rh(0) != rh(2))
+  }
+
+  test("multimodal: batched feature extraction over binary media (stubbed decode)") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4), "image"),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9), "audio")).toDS()
+    val feats = Multimodal.extractFeatures(rows, Multimodal.FakeDecoder, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(feats.map(_.nBytes).toSeq === Seq(4, 3))
+    assert(feats.forall(_.features.length === 8))
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(rows, Multimodal.FakeDecoder)
+      .collect().sortBy(_.id)
+    assert(feats.head.features.toSeq === again.head.features.toSeq)
+  }
+
+  test("frame sampling stub strides the byte stream") {
+    val frames = Multimodal.sampleFrames(Array.tabulate[Byte](100)(_.toByte), 10, 2)
+    assert(frames.length === 5)
+    assert(frames.head.toSeq === (0 until 10).map(_.toByte))
+  }
+}
