@@ -36,19 +36,36 @@ object NearDup {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
-  /** MinHash signature: array of `numPerm` minima of per-permutation
-    * hashes. Permutation j is xxhash64(shingle, j) — computed in one
-    * nested higher-order expression per row, inside codegen. */
-  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+  /** xxhash64 each shingle string ONCE; the per-permutation work then
+    * operates on longs. Must live in its own projection (see
+    * lshCandidatePairs) so the string hashing isn't re-inlined into
+    * every permutation lambda. */
+  def hashedShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
 
-  /** Explode a signature into (band, bandHash) rows for LSH bucketing. */
-  def bands(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-                  xxhash64(concat_ws(",",
-                    slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))), b).as("band_hash")))
+  /** Minimum of permutation j over a hashed-shingle (long array)
+    * column. Permutation = xxhash64 over the 8-byte hash with seed j —
+    * far cheaper than re-hashing the shingle STRING per permutation,
+    * and ANSI-safe (a mul-add wrap would throw under ANSI mode). */
+  def minOfPerm(hashedCol: Column, j: Int): Column =
+    array_min(transform(hashedCol, h => xxhash64(h, lit(j))))
+
+  /** MinHash signature: array of `numPerm` minima over the hashed
+    * shingles (hash strings once, permute longs). */
+  def minhashSignature(hashedCol: Column, numPerm: Int): Column =
+    array((0 until numPerm).map(j => minOfPerm(hashedCol, j)): _*)
+
+  /** Per-band LSH bucket hashes, unrolled at plan-build time so band b
+    * computes exactly its own `rowsPerBand` minima — no shared
+    * signature subtree that Catalyst would re-evaluate per band. */
+  def bandHashes(hashedCol: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+             xxhash64(concat_ws(",",
+               (0 until rowsPerBand).map(r =>
+                 minOfPerm(hashedCol, b * rowsPerBand + r)): _*), lit(b))
+               .as("band_hash"))
+    }: _*)
 
   /** Candidate pairs from LSH banding: docs sharing any (band, bandHash)
     * bucket. `maxBucket` caps pathological buckets (skew guard at scale:
@@ -57,9 +74,10 @@ object NearDup {
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: Column,
                         numBands: Int = 16, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignature(shingleCol, numBands * rowsPerBand)
     val banded = df
-      .select(col(idCol).as("doc"), explode(bands(sig, numBands, rowsPerBand)).as("b"))
+      .select(col(idCol).as("doc"), hashedShingles(shingleCol).as("hs"))
+      .select(col("doc"),
+              explode(bandHashes(col("hs"), numBands, rowsPerBand)).as("b"))
       .select(col("doc"), col("b.band"), col("b.band_hash"))
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(

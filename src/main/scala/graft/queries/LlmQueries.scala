@@ -80,7 +80,8 @@ object LlmQueries {
     // small-vocab corpus.
     "q28_minhash_pairs" -> ((s, d) => {
       NearDup.nearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
-                           "doc_id", "text", shingleSize = 1, threshold = 0.8)
+                           "doc_id", "text", shingleSize = 1, threshold = 0.8,
+                           numBands = 8, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
