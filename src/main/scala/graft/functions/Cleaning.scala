@@ -32,10 +32,20 @@ object Cleaning {
       .drop(name)
   }
 
-  /** F9: "75.5%" → 0.755; non-percent cells pass through try_cast.
-    * The reference's only element-wise "UDF" (team_rankings_scraper.py:
-    * 133-141), re-expressed as a codegen-friendly native expression. */
+  /** F9: "75.5%" → "0.755"; NON-percent cells pass through UNCHANGED —
+    * reference parity (team_rankings_scraper.py:133-141 returns x
+    * untouched unless it's a string ending in '%'), which matters when
+    * the pass runs over mixed columns like team names. The reference's
+    * only element-wise "UDF", re-expressed as a codegen-friendly native
+    * expression. */
   def percentParse(c: Column): Column =
+    when(c.rlike("%$"),
+         (regexp_replace(c, "%$", "").try_cast("double") / 100).cast("string"))
+      .otherwise(c)
+
+  /** Numeric variant of F9 for all-numeric columns: percent → fraction,
+    * plain numerics parsed, anything else null. */
+  def percentToDouble(c: Column): Column =
     when(c.rlike("%$"),
          regexp_replace(c, "%$", "").try_cast("double") / 100)
       .otherwise(c.try_cast("double"))

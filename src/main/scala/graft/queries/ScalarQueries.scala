@@ -62,7 +62,7 @@ object ScalarQueries {
     "q16_percent_parse" -> ((s, d) => {
       val pct = concat(col("l_quantity").cast("int").cast("string"), lit("%"))
       lineitem(s, d)
-        .select(col("l_returnflag"), Cleaning.percentParse(pct).as("frac"))
+        .select(col("l_returnflag"), Cleaning.percentToDouble(pct).as("frac"))
         .groupBy(col("l_returnflag"))
         .agg(count(col("frac")).as("n"), exactSum(col("frac")).as("sum_frac"))
     }),

@@ -16,14 +16,18 @@ class CleaningSpec extends SparkSpec {
     assert(!Cleaning.recordSplit(df, "rec").columns.contains("rec"))
   }
 
-  test("percentParse: percent and plain numerics (F9)") {
+  test("percentParse: percent → fraction string, others untouched (F9)") {
     val out = Seq("75.5%", "100%", "0.5", "junk").toDF("v")
       .select(Cleaning.percentParse($"v").as("p")).collect()
       .map(r => Option(r.get(0)))
-    assert(out(0) === Some(0.755))
-    assert(out(1) === Some(1.0))
-    assert(out(2) === Some(0.5))
-    assert(out(3) === None)
+    assert(out.toSeq === Seq(Some("0.755"), Some("1.0"), Some("0.5"), Some("junk")))
+  }
+
+  test("percentToDouble: numeric coercion variant") {
+    val out = Seq("75.5%", "100%", "0.5", "junk").toDF("v")
+      .select(Cleaning.percentToDouble($"v").as("p")).collect()
+      .map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(Some(0.755), Some(1.0), Some(0.5), None))
   }
 
   test("scrubSymbols + emptyToNull (F8/P6)") {

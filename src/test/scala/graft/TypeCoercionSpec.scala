@@ -35,7 +35,7 @@ class TypeCoercionSpec extends SparkSpec {
        "(test_s3_data_type_handling.py:128-146)") {
     // reference order: scrub symbols (F8) → percent parse (F9) → ladder
     val scrubbed = Cleaning.mapStringCols(frame,
-      c => Cleaning.percentParse(Cleaning.scrubSymbols(c)).cast("string"))
+      c => Cleaning.percentParse(Cleaning.scrubSymbols(c)))
     val out = TypeCoercion.normalizeTypes(scrubbed)
     val pct = out.orderBy("team")
       .select("offense_scoring_ep_pcnt_last3").collect().map(r => Option(r.get(0)))
