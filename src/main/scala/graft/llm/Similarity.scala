@@ -43,6 +43,25 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Brute-force top-k scored by the codegen'd native expression
+    * (graft.plans.CosineSimilarity) — the fused-loop fast path; same
+    * semantics as cosineTopK up to float-associativity in the norm. */
+  def cosineTopKNative(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+    q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+              graft.plans.NativeFunctions.cosineNative(spark, col("qv"), col("cv"))
+                .as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from
     * xxhash64(b * dim + i). No randomness at plan time (reproducible

@@ -101,6 +101,15 @@ object LlmQueries {
         .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
     }),
 
+    // Same as q30 but scored by the codegen'd native Catalyst
+    // expression (rows-only: float-path differs from DuckDB at the ulp).
+    "q37_cosine_native" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.cosineTopKNative(e, "vec_id", "embedding",
+                                  e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+
     // Per-label embedding norm stats.
     "q31_embed_norms" -> ((s, d) => {
       embeddings(s, d)

@@ -50,6 +50,20 @@ class LlmSpec extends SparkSpec {
     assert(ann.columns.toSet === Set("qid", "cid", "cos_sim"))
   }
 
+  test("native codegen cosine agrees with the HOF formulation") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(16)(j => math.cos(i * 16 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val fold = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val native = Similarity.cosineTopKNative(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(native.keySet === fold.keySet)
+    native.foreach { case (k, v) => assert(math.abs(v - fold(k)) < 1e-12) }
+  }
+
   test("langId marker heuristic") {
     val out = Seq(
       "the cat and the hat of a house",
