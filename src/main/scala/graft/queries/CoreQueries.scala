@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
-import graft.operators.{Dedup, Windows}
+import graft.operators.{AsOfJoin, Dedup, Windows}
 import graft.util.Exact.exactSum
 
 /** Core relational operator queries (SURVEY §2.3-§2.6) over the driver
@@ -142,6 +142,20 @@ object CoreQueries {
                   .as("bal_differential"))
     }),
 
+    // As-of backward join (union-window formulation, one shuffle): each
+    // purchase gets the newest signup at-or-before it per user. Oracle
+    // is DuckDB's native ASOF JOIN.
+    "q38_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+      AsOfJoin.asOfBackward(purchases, signups, Seq("user_id"), "ts", "ts",
+                            Seq("signup_event_id"))
+        .select(col("event_id"), col("user_id"), col("signup_event_id"))
+    }),
+
     // K2-shaped MERGE semantics as a pure query: updates (version 2)
     // overwrite matching keys of existing (version 1), newest wins.
     "q34_upsert_merge" -> ((s, d) => {
@@ -271,6 +285,12 @@ object CoreQueries {
          |  COUNT(*) AS c_n FROM customer GROUP BY c_nationkey) c ON n_nationkey = cnk
          |LEFT JOIN (SELECT s_nationkey AS snk, ${dsum("s_acctbal")} AS s_sum,
          |  COUNT(*) AS s_n FROM supplier GROUP BY s_nationkey) s ON n_nationkey = snk""".stripMargin,
+
+    "q38_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q34_upsert_merge" ->
       s"""WITH existing AS (SELECT *, 1 AS version FROM lineitem),
