@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, Dedup, Windows}
+import graft.operators.{AsOfJoin, Dedup, Skew, Windows}
 import graft.util.Exact.exactSum
 
 /** Core relational operator queries (SURVEY §2.3-§2.6) over the driver
@@ -140,6 +140,17 @@ object CoreQueries {
         .select(col("n_name"),
                 round(col("c_sum") / col("c_n") - col("s_sum") / col("s_n"), 4)
                   .as("bal_differential"))
+    }),
+
+    // Skew-resistant two-phase aggregation: identical results to a
+    // plain groupBy (the oracle IS the plain groupBy), hot keys spread
+    // over 32 salt buckets. Decimal-routed sums keep it order-exact.
+    "q39_salted_agg" -> ((s, d) => {
+      Skew.saltedSumCount(events(s, d), Seq("event_type"),
+          Map("sum_value" -> col("value").cast(
+            org.apache.spark.sql.types.DecimalType(30, 6))), 32)
+        .select(col("event_type"), col("cnt"),
+                col("sum_value").cast("double").as("sum_value"))
     }),
 
     // As-of backward join (union-window formulation, one shuffle): each
@@ -285,6 +296,10 @@ object CoreQueries {
          |  COUNT(*) AS c_n FROM customer GROUP BY c_nationkey) c ON n_nationkey = cnk
          |LEFT JOIN (SELECT s_nationkey AS snk, ${dsum("s_acctbal")} AS s_sum,
          |  COUNT(*) AS s_n FROM supplier GROUP BY s_nationkey) s ON n_nationkey = snk""".stripMargin,
+
+    "q39_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS cnt, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "q38_asof_join" ->
       """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id

@@ -55,6 +55,19 @@ object OddsJsonFlattener {
       .orderBy(col("game_time").asc_nulls_last, col("game_id").asc_nulls_last,
                col("outcome").asc_nulls_last, col("point").desc, col("price").desc)
 
+  /** The fixed odds row — the reference's one stable schema, exposed
+    * typed for compile-time field checks (SURVEY §1.1). */
+  case class OddsRow(game_id: String, game_time: String, home_team: String,
+                     away_team: String, book: String, market: String,
+                     outcome: String, price: Double, point: Double)
+
+  /** Typed variant of flatten. */
+  def flattenTyped(raw: DataFrame, jsonCol: String = "json"): org.apache.spark.sql.Dataset[OddsRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    flatten(raw, jsonCol).as[OddsRow]
+  }
+
   /** P5: stamp the collection timestamp (odds_data_collector.py:25). */
   def withCollectionTimestamp(df: DataFrame, ts: Column): DataFrame =
     df.withColumn("timestamp", ts)

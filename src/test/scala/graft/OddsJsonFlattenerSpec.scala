@@ -41,6 +41,16 @@ class OddsJsonFlattenerSpec extends SparkSpec {
     assert(spreads.head._1 === "Kansas City Chiefs")
   }
 
+  test("typed Dataset surface: flattenTyped round-trips the fixed schema") {
+    val ds = OddsJsonFlattener.flattenTyped(
+      Seq(ScalarQueries.oddsFixtureJson).toDF("json"))
+    val rows = ds.collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.game_id == "test_game_1"))
+    assert(rows.filter(_.market == "spreads").map(_.point).sorted.toSeq
+      === Seq(-7.5, 7.5))
+  }
+
   test("market-coverage check flags missing markets (A4)") {
     assert(OddsJsonFlattener.missingMarkets(flat) === Set.empty)
     assert(OddsJsonFlattener.missingMarkets(flat.filter($"market" =!= "h2h"))
