@@ -60,8 +60,15 @@ class PartitionedParquetStore(spark: SparkSession, root: String) {
     if (columns.isEmpty) pruned else pruned.select(columns.map(col): _*)
   }
 
+  /** Reference layout contract: ONE file per month partition
+    * (odds_data_collector.py:28 — a single S3 object per month).
+    * `repartition(year, month)` routes each month to exactly one task,
+    * so each partition directory gets one file; a month is bounded by
+    * the collection cadence, so this holds at scale (unlike a global
+    * coalesce(1)). */
   private def writeDynamic(df: DataFrame): Unit =
-    df.write
+    df.repartition(col("year"), col("month"))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month")

@@ -58,6 +58,17 @@ class PartitionedParquetStoreSpec extends SparkSpec {
     assert(store.read().count() === 4)
   }
 
+  test("one-file-per-month-partition layout contract (K1)") {
+    val root = tmpDir("store-onefile")
+    val store = new PartitionedParquetStore(spark, root)
+    store.upsertDistinct(batch1, "timestamp")
+    for (m <- Seq(1, 2)) {
+      val files = new java.io.File(s"$root/year=2024/month=$m")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"month $m should hold exactly one file")
+    }
+  }
+
   test("month-pruned, column-projected read shows partition filters (S5/P3/P4)") {
     val root = tmpDir("store-prune")
     val store = new PartitionedParquetStore(spark, root)
