@@ -62,6 +62,49 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells
+    * (centroid set = a deterministic sample of the corpus itself — a
+    * stand-in for a k-means fit, which would be trained offline at
+    * scale), assign each vector to its nearest centroid once, then
+    * answer queries by exact-reranking only the `nProbe` cells nearest
+    * the query. Shrinks the scored candidate set from N to
+    * ~N*nProbe/nCentroids per query; the inverted index (cell → rows)
+    * is exactly a partitioned/bucketed layout at 100 TB. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(corpusId)).limit(nCentroids)
+        .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec")))
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int,
+               outCol: String): DataFrame =
+      df.join(cents, df(id).isNotNull)
+        .select(df("*"), col("cent_id"),
+                cosine(col(vec), col("cent_vec")).as("__cd"))
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(id).orderBy(col("__cd").desc, col("cent_id"))))
+        .filter(col("__cr") <= probes)
+        .withColumnRenamed("cent_id", outCol)
+        .drop("__cd", "__cr")
+
+    val assigned = assign(
+      corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv")),
+      "cid", "cv", 1, "cell")
+    val probed = assign(
+      broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))),
+      "qid", "qv", nProbe, "cell")
+
+    probed.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .groupBy(col("qid"), col("cid")).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from
     * xxhash64(b * dim + i). No randomness at plan time (reproducible

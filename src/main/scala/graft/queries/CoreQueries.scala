@@ -142,6 +142,15 @@ object CoreQueries {
                   .as("bal_differential"))
     }),
 
+    // W3 analytic: lag-based deltas (the reference's *_delta training
+    // columns, config.py:100-adjacent).
+    "q41_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"))
+    }),
+
     // Skew-resistant two-phase aggregation: identical results to a
     // plain groupBy (the oracle IS the plain groupBy), hot keys spread
     // over 32 salt buckets. Decimal-routed sums keep it order-exact.
@@ -300,6 +309,12 @@ object CoreQueries {
     "q39_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${dsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q41_lag_delta" ->
+      """SELECT user_id, event_id,
+        |ROUND(value - lag(value, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id), 4) AS value_delta
+        |FROM events""".stripMargin,
 
     "q38_asof_join" ->
       """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id

@@ -128,6 +128,16 @@ object LlmQueries {
         .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
     }),
 
+    // IVF-flat ANN (rows-only): nProbe-cell rerank, the
+    // partitioned-index scale path complementary to SRP-LSH (q32).
+    "q40_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+                         e.filter(col("vec_id") < 10), "vec_id", "embedding",
+                         k = 10, nCentroids = 16, nProbe = 4)
+        .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+
     // Multimodal plumbing surface: opaque binary column + metadata.
     "q33_binary_meta" -> ((s, d) => {
       documents(s, d).filter(col("doc_id") < 100)

@@ -64,6 +64,25 @@ class LlmSpec extends SparkSpec {
     native.foreach { case (k, v) => assert(math.abs(v - fold(k)) < 1e-12) }
   }
 
+  test("ivfTopK: high recall on clustered vectors") {
+    // 4 well-separated clusters of 25 vectors each
+    val vecs = (0L until 100L).map { i =>
+      val cluster = (i % 4).toInt
+      val base = Array.tabulate(8)(j => if (j == cluster * 2) 10.0f else 0.0f)
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + math.sin(i * 8 + j).toFloat * 0.1f })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
   test("langId marker heuristic") {
     val out = Seq(
       "the cat and the hat of a house",
