@@ -26,15 +26,24 @@ object TypeCoercion {
 
     def numericCand(c: String): Column =
       when(col(c) === "", lit(null)).otherwise(col(c)).try_cast("double")
+    def intCand(c: String): Column =
+      when(col(c) === "", lit(null)).otherwise(col(c)).try_cast("bigint")
 
-    val countsRow = df.agg(
-      count(numericCand(strCols.head)).as(strCols.head),
-      strCols.tail.map(c => count(numericCand(c)).as(c)).toIndexedSeq: _*).head()
-    val parseCount = strCols.zipWithIndex.map { case (c, i) => c -> countsRow.getLong(i) }.toMap
+    // One aggregate pass: per column, how many cells parse as double /
+    // as integer, plus the row count. Pandas parity: int64 only when
+    // EVERY row parses as an integer (any NaN forces float64 in
+    // pandas); double when anything parses; else string.
+    val aggs = strCols.flatMap(c => Seq(
+      count(numericCand(c)).as(s"d_$c"), count(intCand(c)).as(s"l_$c")))
+    val countsRow = df.agg(count(lit(1)).as("__n"), aggs.toIndexedSeq: _*).head()
+    val nRows = countsRow.getLong(0)
+    val dCount = strCols.zipWithIndex.map { case (c, i) => c -> countsRow.getLong(1 + 2 * i) }.toMap
+    val lCount = strCols.zipWithIndex.map { case (c, i) => c -> countsRow.getLong(2 + 2 * i) }.toMap
 
     val out = df.schema.fields.map { f =>
       if (f.dataType != StringType) col(f.name)
-      else if (parseCount(f.name) > 0) numericCand(f.name).as(f.name)
+      else if (nRows > 0 && lCount(f.name) == nRows) intCand(f.name).as(f.name)
+      else if (dCount(f.name) > 0) numericCand(f.name).as(f.name)
       else Cleaning.nullOutMarkers(Cleaning.emptyToNull(col(f.name))).as(f.name)
     }
     df.select(out.toIndexedSeq: _*)

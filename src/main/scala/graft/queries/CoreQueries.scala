@@ -142,6 +142,54 @@ object CoreQueries {
                   .as("bal_differential"))
     }),
 
+    // Hierarchical totals: ROLLUP (engine-completeness beyond the
+    // reference's flat groupBys).
+    "q42_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS shapes).
+    "q43_semi_anti" -> ((s, d) => {
+      val o = orders(s, d)
+      val li = lineitem(s, d).select(col("l_orderkey"))
+      val semi = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("semi"))
+      val anti = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("anti"))
+      semi.unionByName(anti)
+    }),
+
+    // Sessionization: 30-min-gap session ids per user (lag + running
+    // sum), aggregated per session. Millisecond epoch arithmetic keeps
+    // both engines integer-exact.
+    "q44_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapMs = unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+      events(s, d)
+        .withColumn("new_sess",
+          when(gapMs.isNull || gapMs > 30L * 60 * 1000, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("event_id")).as("first_event"),
+             max(col("event_id")).as("last_event"),
+             exactSum(col("value")).as("sum_value"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q45_percentiles" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"),
+             count(lit(1)).as("n"))
+    }),
+
     // W3 analytic: lag-based deltas (the reference's *_delta training
     // columns, config.py:100-adjacent).
     "q41_lag_delta" -> ((s, d) => {
@@ -309,6 +357,44 @@ object CoreQueries {
     "q39_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${dsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q42_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q43_semi_anti" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, 'semi' AS kind FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*) AS n, 'anti' AS kind FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q44_sessionize" ->
+      s"""WITH g AS (SELECT user_id, event_id, value,
+         |  CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |   OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+         |  THEN 1 ELSE 0 END AS new_sess,
+         |  ts FROM events),
+         |s AS (SELECT user_id, event_id, value,
+         |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+         |  ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q45_percentiles" ->
+      """SELECT event_type,
+        |ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q41_lag_delta" ->
       """SELECT user_id, event_id,

@@ -92,13 +92,15 @@ object ScalarQueries {
           .otherwise((col("event_id") % 100).cast("string")).as("mixed"),
         when(col("event_id") % 2 === 0, lit("None"))
           .otherwise(col("event_type")).as("junk"),
-        lit("").as("allnull"))
+        lit("").as("allnull"),
+        (col("event_id") % 50).cast("string").as("allint"))
       TypeCoercion.normalizeTypes(base)
         .groupBy(col("team"))
         .agg(count(col("mixed")).as("n_mixed"),
              exactSum(col("mixed")).as("sum_mixed"),
              count(col("junk")).as("n_junk"),
-             count(col("allnull")).as("n_allnull"))
+             count(col("allnull")).as("n_allnull"),
+             sum(col("allint")).as("sum_allint"))
     }),
 
     // F13: haversine on key-derived coordinates.
@@ -190,11 +192,13 @@ object ScalarQueries {
 
     "q18_coercion" ->
       s"""SELECT team, COUNT(mixed) AS n_mixed, ${dsum("mixed")} AS sum_mixed,
-         |  COUNT(junk) AS n_junk, COUNT(allnull) AS n_allnull FROM (
+         |  COUNT(junk) AS n_junk, COUNT(allnull) AS n_allnull,
+         |  CAST(SUM(allint) AS BIGINT) AS sum_allint FROM (
          |  SELECT event_type AS team,
          |    TRY_CAST(NULLIF(CASE WHEN event_id%7=0 THEN '' ELSE CAST(event_id%100 AS VARCHAR) END,'') AS DOUBLE) AS mixed,
          |    CASE WHEN event_id%2=0 THEN NULL ELSE event_type END AS junk,
-         |    CAST(NULL AS VARCHAR) AS allnull
+         |    CAST(NULL AS VARCHAR) AS allnull,
+         |    TRY_CAST(CAST(event_id%50 AS VARCHAR) AS BIGINT) AS allint
          |  FROM events)
          |GROUP BY team""".stripMargin,
 

@@ -11,20 +11,21 @@ class TypeCoercionSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val frame = Seq(
-    ("Team A", "1",   "",      "1.0",  "--",  "50%"),
-    ("Team B", "2",   "value", "None", "++",  ""),
-    ("Team C", "3.0", "",      "3.0",  "10",  "75.5%")
+    ("Team A", "1",   "",      "1.0",  "--",  "50%",   "12"),
+    ("Team B", "2",   "value", "None", "++",  "",      "7"),
+    ("Team C", "3.0", "",      "3.0",  "10",  "75.5%", "3")
   ).toDF("team", "mixed_type", "empty_strings", "none_values",
-         "special_chars", "offense_scoring_ep_pcnt_last3")
+         "special_chars", "offense_scoring_ep_pcnt_last3", "games")
 
   test("coercion ladder adopts numeric only when something parses (F11)") {
     val out = TypeCoercion.normalizeTypes(frame)
     val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("team") === StringType)
-    assert(types("mixed_type") === DoubleType)
+    assert(types("mixed_type") === DoubleType)       // "3.0" blocks int64
     assert(types("empty_strings") === StringType)    // nothing parses
     assert(types("none_values") === DoubleType)      // 1.0/3.0 parse
-    assert(types("special_chars") === DoubleType)    // "10" parses
+    assert(types("special_chars") === DoubleType)    // "10" parses, NaNs force double
+    assert(types("games") === org.apache.spark.sql.types.LongType) // every row int
     val rows = out.orderBy("team").collect()
     assert(rows.map(_.getAs[Any]("mixed_type")).toSeq === Seq(1.0, 2.0, 3.0))
     assert(Option(rows(1).getAs[Any]("none_values")).isEmpty) // 'None' → null
