@@ -142,6 +142,17 @@ object CoreQueries {
                   .as("bal_differential"))
     }),
 
+    // Tumbling event-time window aggregation (the batch face of the
+    // streaming `window()` operator; ↔ the reference's monthly
+    // partition boundary, SURVEY §2.9).
+    "q46_tumbling_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+                col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // Hierarchical totals: ROLLUP (engine-completeness beyond the
     // reference's flat groupBys).
     "q42_rollup" -> ((s, d) => {
@@ -357,6 +368,11 @@ object CoreQueries {
     "q39_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${dsum("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+
+    "q46_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q42_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

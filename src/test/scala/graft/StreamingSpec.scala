@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSpec {
     assert(store.read(months = Seq((2024, 2))).count() === 2)
   }
 
+  test("mapGroupsWithState: keyed state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StatefulAggregate
+    import graft.streaming.StatefulAggregate.Ev
+    val mem = MemoryStream[Ev]
+    val q = StatefulAggregate.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("update").start()
+    mem.addData(Ev(1L, 10.0), Ev(1L, 20.0), Ev(2L, 5.0))
+    q.processAllAvailable()
+    val b1 = spark.table("stateful_out").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(b1(1L) === ((2, 30.0)) && b1(2L) === ((1, 5.0)))
+    mem.addData(Ev(1L, 5.0)) // second batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val b2 = spark.table("stateful_out").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(b2.contains((3, 35.0)), s"state did not accumulate: $b2")
+  }
+
   test("watermarked streaming dedup drops in-stream duplicates") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
