@@ -100,9 +100,10 @@ object NearDup {
     * exact-Jaccard verification at `threshold`. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.7,
-                   numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                   numBands: Int = 16, rowsPerBand: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-    val cands = lshCandidatePairs(sh, "id", col("sh"), numBands, rowsPerBand)
+    val cands = lshCandidatePairs(sh, "id", col("sh"), numBands, rowsPerBand, maxBucket)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

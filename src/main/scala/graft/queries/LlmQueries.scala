@@ -77,11 +77,14 @@ object LlmQueries {
 
     // MinHash + LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
     // mirror). Unigram shingles make overlap visible in the synthetic
-    // small-vocab corpus.
+    // small-vocab corpus. maxBucket=300 is the skew guard: band buckets
+    // larger than that are degenerate whole-vocabulary clusters — at
+    // scale those are exact-dup mega-groups handled by q23's exact
+    // dedup, and pairing them is O(bucket²) for no near-dup signal.
     "q28_minhash_pairs" -> ((s, d) => {
       NearDup.nearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
                            "doc_id", "text", shingleSize = 1, threshold = 0.8,
-                           numBands = 8, rowsPerBand = 4)
+                           numBands = 8, rowsPerBand = 4, maxBucket = 300)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
