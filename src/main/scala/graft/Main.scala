@@ -20,6 +20,34 @@ object Main {
   /** The handler event (events/sample.json shape). */
   case class EventSpec(collectorsToRun: Seq[String], date: Option[String])
 
+  /** Handler-equivalent CLI: `run <storeRoot> <collector,...> [date]`.
+    * Offline mode: the odds collector runs on the embedded canonical
+    * fixture payload (the HTTP boundary is injected in production). */
+  def main(args: Array[String]): Unit = {
+    val storeRoot = if (args.length > 0) args(0) else "/tmp/graft-store"
+    val collectors = if (args.length > 1) args(1).split(",").toSeq else Seq("odds")
+    val date = if (args.length > 2) Some(args(2)) else None
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ts = resolveTimestamp(date)
+    collectors.foreach {
+      case "odds" =>
+        oddsCollector(s"$storeRoot/odds")(spark,
+          Seq(graft.queries.ScalarQueries.oddsFixtureJson), ts)
+        println(s"[main] odds collected -> $storeRoot/odds (ts=$ts)")
+      case other =>
+        System.err.println(s"[main] unknown collector: $other (have: odds)")
+    }
+    spark.stop()
+  }
+
   /** One collection pipeline: payloads in, upserted table out. */
   type Collector = (SparkSession, Seq[String], java.sql.Timestamp) => Unit
 

@@ -43,6 +43,18 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 15), (2L, 5)))
   }
 
+  test("box scores: per-year union aligns by name, CSV sink round-trips (S8/K4)") {
+    import graft.sources.BoxScores
+    val y2023 = Seq((1L, "KC", 27)).toDF("game_id", "team", "pts")
+    val y2024 = Seq((2L, "BUF", 24, "dome")).toDF("game_id", "team", "pts", "venue")
+    val all = BoxScores.perYearUnion(Seq(y2023, y2024))
+    assert(all.count() === 2 && all.columns.contains("venue"))
+    val dir = tmpDir("boxcsv")
+    BoxScores.writeCsv(all, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() === 2 && back.columns.toSet === all.columns.toSet)
+  }
+
   test("merge: updates overwrite matching keys, newest version wins (K2)") {
     val existing = Seq((1L, "x", 1), (2L, "y", 1)).toDF("id", "v", "version")
     val updates = Seq((2L, "y2", 2), (3L, "z", 2)).toDF("id", "v", "version")
