@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 15), (2L, 5)))
   }
 
+  test("keepLatest groups null keys together (pandas NaN-equality parity)") {
+    // pandas drop_duplicates treats NaN keys as equal; Spark's window
+    // partitionBy also groups nulls — semantics must match (SURVEY A2).
+    val df = Seq[(Option[String], Int)](
+      (None, 1), (None, 5), (Some("k"), 2)).toDF("key", "ts")
+    val out = Dedup.keepLatest(df, Seq("key"), Seq($"ts".desc))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1))).toSet
+    assert(out === Set((None, 5), (Some("k"), 2)))
+  }
+
   test("box scores: per-year union aligns by name, CSV sink round-trips (S8/K4)") {
     import graft.sources.BoxScores
     val y2023 = Seq((1L, "KC", 27)).toDF("game_id", "team", "pts")
