@@ -40,8 +40,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
+    // sqrt(nx)*sqrt(ny), NOT sqrt(nx*ny): keeps the float path
+    // bit-identical to the composable zip_with+aggregate formulation
+    // (and the DuckDB oracle), so both code paths share one oracle.
     if (nx == 0.0 || ny == 0.0) null
-    else java.lang.Double.valueOf(dot / math.sqrt(nx * ny))
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,7 +60,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |if (nx == 0.0 || ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / java.lang.Math.sqrt(nx * ny);
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
          |}
        """.stripMargin
     })

@@ -105,7 +105,7 @@ object LlmQueries {
     }),
 
     // Same as q30 but scored by the codegen'd native Catalyst
-    // expression (rows-only: float-path differs from DuckDB at the ulp).
+    // expression — bit-identical float path, so it shares q30's oracle.
     "q37_cosine_native" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.cosineTopKNative(e, "vec_id", "embedding",
@@ -196,6 +196,19 @@ object LlmQueries {
          |WHERE CAST(ni AS DOUBLE)/(ca.n + cb.n - ni) >= 0.5""".stripMargin,
 
     "q30_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT qid, cid,
+        |  list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid, cid, ROUND(cos, 4) AS cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q37_cosine_native" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -61,7 +61,9 @@ class LlmSpec extends SparkSpec {
       vecs.filter($"vec_id" < 3), "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(native.keySet === fold.keySet)
-    native.foreach { case (k, v) => assert(math.abs(v - fold(k)) < 1e-12) }
+    // bit-identical: same dot/norm accumulation order and same
+    // sqrt(nx)*sqrt(ny) formulation as the HOF fold
+    native.foreach { case (k, v) => assert(v === fold(k)) }
   }
 
   test("ivfTopK: high recall on clustered vectors") {
