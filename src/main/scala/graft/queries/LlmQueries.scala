@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{NearDup, Similarity, TextStats}
+import graft.llm.{Chunking, NearDup, Quantize, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -141,6 +141,22 @@ object LlmQueries {
         .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
     }),
 
+    // Overlapping token-window chunking (20-token windows, stride 10).
+    "q47_chunking" -> ((s, d) => {
+      Chunking.chunkTokens(documents(s, d).filter(col("doc_id") < 200),
+                           "doc_id", "text", size = 20, stride = 10)
+    }),
+
+    // Symmetric int8 quantization of embeddings; per-vector quantized
+    // checksum keeps the output small while pinning every element.
+    "q48_quantize" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("mx", Quantize.maxAbs(col("embedding")))
+      e.select(col("vec_id"),
+               aggregate(Quantize.quantizeInt8(col("embedding"), col("mx")),
+                         lit(0L), (a, x) => a + x).as("sum_q"))
+    }),
+
     // Multimodal plumbing surface: opaque binary column + metadata.
     "q33_binary_meta" -> ((s, d) => {
       documents(s, d).filter(col("doc_id") < 100)
@@ -226,6 +242,21 @@ object LlmQueries {
         |ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |  CAST(embedding AS DOUBLE[])))) / COUNT(*), 4) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q47_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 200),
+         |s AS (SELECT doc_id, unnest(generate_series(0, len(tk)-1, 10)) AS chunk_start, tk FROM t)
+         |SELECT doc_id, chunk_start,
+         |  array_to_string(list_slice(tk, chunk_start+1, chunk_start+20), ' ') AS chunk_text,
+         |  len(list_slice(tk, chunk_start+1, chunk_start+20)) AS n_tokens
+         |FROM s""".stripMargin,
+
+    "q48_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v)
+        |SELECT vec_id, CAST(list_sum(list_transform(e,
+        |  x -> CAST(round(x * 127.0 / mx, 0) AS BIGINT))) AS BIGINT) AS sum_q
+        |FROM m""".stripMargin,
 
     "q33_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
