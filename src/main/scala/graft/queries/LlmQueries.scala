@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{Chunking, NearDup, Quantize, Similarity, TextStats}
+import graft.llm.{Chunking, NearDup, Quantize, Redact, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -141,6 +141,20 @@ object LlmQueries {
         .select(col("qid"), col("cid"), round(col("cos_sim"), 4).as("cos_sim"))
     }),
 
+    // PII redaction over deterministically injected spans (the corpus
+    // has no natural PII): redacted text + per-doc PII counts.
+    "q49_redact" -> ((s, d) => {
+      val pii = when(col("doc_id") % 3 === 0,
+          concat(lit("mail bob"), col("doc_id").cast("string"),
+                 lit("@example.com or 10.0.0.1 ok")))
+        .when(col("doc_id") % 3 === 1, lit("call 555-123-4567 now"))
+        .otherwise(lit("clean text here"))
+      documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+                Redact.redactPII(pii).as("redacted"),
+                Redact.piiCount(pii).as("n_pii"))
+    }),
+
     // Overlapping token-window chunking (20-token windows, stride 10).
     "q47_chunking" -> ((s, d) => {
       Chunking.chunkTokens(documents(s, d).filter(col("doc_id") < 200),
@@ -242,6 +256,22 @@ object LlmQueries {
         |ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |  CAST(embedding AS DOUBLE[])))) / COUNT(*), 4) AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q49_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id%3=0 THEN 'mail bob' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.1 ok'
+        |       WHEN doc_id%3=1 THEN 'call 555-123-4567 now'
+        |       ELSE 'clean text here' END AS pii
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(pii, '\d{3}-\d{3}-\d{4}'))
+        |  + len(regexp_extract_all(pii, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
+        |FROM p""".stripMargin,
 
     "q47_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 200),
