@@ -32,6 +32,16 @@ class TypeCoercionSpec extends SparkSpec {
     assert(Option(rows(0).getAs[Any]("empty_strings")).isEmpty) // '' → null
   }
 
+  test("'NaN' marker strings do NOT trigger numeric adoption (pandas parity)") {
+    // pandas: to_numeric('NaN') -> NaN, which doesn't count as converted
+    // (notna().sum()==0) -> column stays object/string. A try_cast-based
+    // decide pass would wrongly adopt double here.
+    val df = Seq(("a", "NaN"), ("b", "nan")).toDF("k", "marker")
+    val out = TypeCoercion.normalizeTypes(df)
+    assert(out.schema("marker").dataType === StringType)
+    assert(out.select("marker").collect().forall(_.isNullAt(0))) // markers nulled
+  }
+
   test("production repro: scrub + percent-parse upstream, then ladder " +
        "(test_s3_data_type_handling.py:128-146)") {
     // reference order: scrub symbols (F8) → percent parse (F9) → ladder
