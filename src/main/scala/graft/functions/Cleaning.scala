@@ -17,13 +17,22 @@ object Cleaning {
 
   private val recordRe = "^(\\d+)-(\\d+)(?:-(\\d+))?$"
 
+  // Codegen-friendly "try" casts: TryCast runs interpreted per row
+  // (see TypeCoercion), so guard a plain ANSI cast with an rlike on the
+  // numeric-literal grammar instead — null on no-match, cast otherwise.
+  private val numRe = "^\\s*[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?\\s*$"
+  private val intRe = "^\\s*[+-]?\\d+\\s*$"
+
+  def safeDouble(c: Column): Column = when(c.rlike(numRe), c.cast("double"))
+  def safeInt(c: Column): Column = when(c.rlike(intRe), c.cast("int"))
+
   /** F3: split a "W-L[-T]" record string column into four int columns
     * `{name}_wins/_losses/_ties/_games_played` and drop the source.
     * Missing ties → 0. Reference: team_rankings_scraper.py:48-82.
     * try_cast keeps this ANSI-safe for unparseable cells. */
   def recordSplit(df: DataFrame, name: String): DataFrame = {
     def part(group: Int): Column =
-      coalesce(regexp_extract(col(name), recordRe, group).try_cast("int"), lit(0))
+      coalesce(safeInt(regexp_extract(col(name), recordRe, group)), lit(0))
     df.withColumn(s"${name}_wins", part(1))
       .withColumn(s"${name}_losses", part(2))
       .withColumn(s"${name}_ties", part(3))
@@ -40,15 +49,15 @@ object Cleaning {
     * expression. */
   def percentParse(c: Column): Column =
     when(c.rlike("%$"),
-         (regexp_replace(c, "%$", "").try_cast("double") / 100).cast("string"))
+         (safeDouble(regexp_replace(c, "%$", "")) / 100).cast("string"))
       .otherwise(c)
 
   /** Numeric variant of F9 for all-numeric columns: percent → fraction,
     * plain numerics parsed, anything else null. */
   def percentToDouble(c: Column): Column =
     when(c.rlike("%$"),
-         regexp_replace(c, "%$", "").try_cast("double") / 100)
-      .otherwise(c.try_cast("double"))
+         safeDouble(regexp_replace(c, "%$", "")) / 100)
+      .otherwise(safeDouble(c))
 
   /** F8: scrub "--" and "+" symbols (team_rankings_scraper.py:127-131). */
   def scrubSymbols(c: Column): Column =

@@ -36,8 +36,9 @@ object ScalarQueries {
     // JSON field extraction from a string column (the events.props shape).
     "q14_json_extract" -> ((s, d) => {
       events(s, d)
-        .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-                  .try_cast("int").as("k"), col("value"))
+        .select(Cleaning.safeInt(
+                  regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)).as("k"),
+                col("value"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     }),
@@ -75,8 +76,8 @@ object ScalarQueries {
         .otherwise((col("o_custkey") % 1000).cast("string"))
       orders(s, d)
         .select(col("o_orderstatus"),
-                Cleaning.emptyToNull(Cleaning.scrubSymbols(raw))
-                  .try_cast("double").as("v"))
+                Cleaning.safeDouble(
+                  Cleaning.emptyToNull(Cleaning.scrubSymbols(raw))).as("v"))
         .groupBy(col("o_orderstatus"))
         .agg(count(col("v")).as("n_valid"), exactSum(col("v")).as("sum_v"))
     }),
