@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * that amortizes away in any long-lived engine) and then timed. The
   * reported number is the warm run; `warmup_sec` reports the total
   * first-run cost separately so cold-start is still visible.
+  *
+  * Evaluation is forced with the `noop` datasource writer, not
+  * `count()`: a count lets Catalyst prune every column the count
+  * doesn't need, so projection-heavy queries (regex redaction, chunk
+  * concat, quantization) would report optimistic fiction. The noop
+  * sink materializes every output column of every row and discards
+  * them — full work, zero I/O. A throwing query aborts the bench
+  * (exit != 0) rather than being silently reported as a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,14 +31,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def force(name: String)(run: => Unit): Unit =
+      try run catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: $e")
+          spark.stop()
+          throw e
+      }
+
     var warmupTotal = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      force(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
       warmupTotal += (System.nanoTime() - w0) / 1e9
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Full evaluation allocates heavily; without this an eventual
+      // full-GC pause (~15 s on this heap) lands inside whichever
+      // query happens to be running and poisons its number. Pay the
+      // GC in the untimed gap and report the min of two timed runs.
+      val secs = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        force(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -112,20 +112,26 @@ object NearDup {
   }
 
   /** 64-bit SimHash over a token-array column: per-token xxhash64, then
-    * per-doc sum of ±1 per bit position, sign → bit. ONE shuffle on the
-    * doc id with 64 partial sums (map-side combined) — no bit explosion. */
+    * per-doc sum of ±1 per bit position, sign → bit.
+    *
+    * ZERO shuffle: the whole signature is a per-row expression — tokens
+    * are hashed once into their own projection (`__hs`, so the hashing
+    * isn't re-inlined into every bit's lambda), then bit b is an
+    * `aggregate` fold over the hashed array. 64 narrow folds beat one
+    * explode + 64-column groupBy, which shuffles the entire tokenized
+    * corpus; at 100 TB this version never leaves the input partition.
+    * Docs with null/empty token arrays are dropped (parity with the
+    * explode formulation this replaces). */
   def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
-    val perTok = df
-      .select(col(idCol).as("doc"), explode(tokensCol).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    val bits = (0 until 64).map { b =>
+      when(aggregate(col("__hs"), lit(0),
+             (acc, h) => acc +
+               when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+           lit(1L << b)).otherwise(lit(0L))
     }
-    perTok.groupBy(col("doc"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"),
-              (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-                .reduce(_ + _).as("simhash"))
+    df.select(col(idCol).as("doc"), transform(tokensCol, t => xxhash64(t)).as("__hs"))
+      .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
+      .select(col("doc"), bits.reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

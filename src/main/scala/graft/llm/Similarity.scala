@@ -62,43 +62,81 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells
-    * (centroid set = a deterministic sample of the corpus itself — a
-    * stand-in for a k-means fit, which would be trained offline at
-    * scale), assign each vector to its nearest centroid once, then
-    * answer queries by exact-reranking only the `nProbe` cells nearest
-    * the query. Shrinks the scored candidate set from N to
+  /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells,
+    * assign each vector to its nearest centroid once, then answer
+    * queries by exact-reranking only the `nProbe` cells nearest the
+    * query. Shrinks the scored candidate set from N to
     * ~N*nProbe/nCentroids per query; the inverted index (cell → rows)
-    * is exactly a partitioned/bucketed layout at 100 TB. */
+    * is exactly a partitioned/bucketed layout at 100 TB.
+    *
+    * Centroid set: the `nCentroids` corpus rows with the smallest
+    * xxhash64(id) — a deterministic pseudo-random spread across the
+    * corpus, standing in for an offline k-means fit (at scale the
+    * fitted centroids arrive as exactly this kind of tiny table). They
+    * are collected once (bounded: nCentroids rows) and baked into the
+    * plan as an array literal, so nearest-cell assignment is a NARROW
+    * per-row argmax projection — zero joins, zero shuffles over the
+    * corpus. The only corpus-wide exchange left in the whole query is
+    * the final per-query top-k window over the pruned candidate set. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(corpusId)).limit(nCentroids)
-        .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec")))
+    val centRows = corpus
+      .select(col(corpusId).cast("long").as("cent_id"),
+              col(corpusVec).cast("array<double>").as("cent_vec"))
+      .orderBy(xxhash64(col("cent_id")), col("cent_id"))
+      .limit(nCentroids)
+      .collect()
 
-    def assign(df: DataFrame, id: String, vec: String, probes: Int,
-               outCol: String): DataFrame =
-      df.join(cents, df(id).isNotNull)
-        .select(df("*"), col("cent_id"),
-                cosine(col(vec), col("cent_vec")).as("__cd"))
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(id).orderBy(col("__cd").desc, col("cent_id"))))
-        .filter(col("__cr") <= probes)
-        .withColumnRenamed("cent_id", outCol)
-        .drop("__cd", "__cr")
+    // Per-centroid norm precomputed driver-side with the same
+    // sequential index-order accumulation as `dot`, so scores match
+    // the join formulation bit-for-bit.
+    val cents = array(centRows.map { r =>
+      val v = r.getSeq[Double](1)
+      var ss = 0.0; v.foreach(x => ss += x * x)
+      struct(lit(r.getLong(0)).as("cell"),
+             typedLit(v).as("cent_vec"),
+             lit(math.sqrt(ss)).as("cent_norm"))
+    }: _*)
 
-    val assigned = assign(
-      corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv")),
-      "cid", "cv", 1, "cell")
-    val probed = assign(
-      broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))),
-      "qid", "qv", nProbe, "cell")
+    // The `probes` nearest cells of one vector: score every centroid
+    // (each lambda does only its own dot; the row's own norm is hoisted
+    // to `vecNorm`, a real column, so it is computed once and not
+    // nCentroids times — Catalyst does not hoist across lambda
+    // boundaries), sort desc by (cos, cell asc), keep the head.
+    def nearestCells(vec: Column, vecNorm: Column, probes: Int): Column =
+      slice(
+        array_sort(
+          transform(cents, c => struct(
+            (dot(vec, c("cent_vec")) / (vecNorm * c("cent_norm"))).as("cd"),
+            c("cell").as("cell"))),
+          (l, r) =>
+            when(l("cd") > r("cd"), -1).when(l("cd") < r("cd"), 1)
+              .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
+              .otherwise(0)),
+        1, probes)
 
+    val assigned = corpus
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+      .withColumn("__vn", norm(col("cv")))
+      .withColumn("cell", element_at(nearestCells(col("cv"), col("__vn"), 1), 1)
+        .getField("cell"))
+      .drop("__vn")
+
+    val probed = broadcast(
+      queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
+        .withColumn("__vn", norm(col("qv")))
+        .withColumn("cell", explode(
+          nearestCells(col("qv"), col("__vn"), nProbe).getField("cell")))
+        .drop("__vn"))
+
+    // Broadcast hash join on cell: the corpus side streams through
+    // unshuffled. Each corpus row lives in exactly one cell and probe
+    // cells are distinct, so (qid, cid) pairs are already unique — no
+    // dedup aggregation needed.
     probed.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos_sim"))
-      .groupBy(col("qid"), col("cid")).agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
       .filter(col("__rn") <= k)

@@ -54,4 +54,25 @@ object Dedup {
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
             order: Seq[Column]): DataFrame =
     keepLatest(existing.unionByName(updates, allowMissingColumns = true), keys, order)
+
+  /** Aggregation-shaped merge: same semantics as [[merge]] when `ord`
+    * is a total order, but as `max_by(struct(*), ord)` — the winner
+    * per key is folded with a partial aggregate, so the shuffle
+    * carries one pre-combined row per (partition, key) instead of
+    * every input row, and no per-partition sort is paid. Preferred at
+    * scale for upserts, where groups are tiny (typically 2 rows) and
+    * numerous: map-side combine collapses them before the exchange.
+    *
+    * `ord` must be a struct whose lexicographic MAXIMUM identifies the
+    * winning row (encode "ascending" fields by negation); include
+    * enough fields to make it total or the kept row is
+    * nondeterministic under ties. */
+  def mergeAgg(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+               ord: Column): DataFrame = {
+    val u = existing.unionByName(updates, allowMissingColumns = true)
+    val all = struct(u.columns.map(col).toIndexedSeq: _*)
+    u.groupBy(keys.map(col): _*)
+      .agg(max_by(all, ord).as("__row"))
+      .select(col("__row.*"))
+  }
 }

@@ -244,13 +244,16 @@ object CoreQueries {
         .withColumn("l_quantity", col("l_quantity") + 100)
         .withColumn("version", lit(2))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-      // a full tiebreak ordering makes the kept row deterministic.
-      Dedup.merge(existing, updates, Seq("l_orderkey", "l_linenumber"),
-                  Seq(col("version").desc, col("l_quantity").desc,
-                      col("l_extendedprice").desc, col("l_discount").desc,
-                      col("l_partkey").asc, col("l_suppkey").asc,
-                      col("l_shipdate").asc, col("l_returnflag").asc,
-                      col("l_linestatus").asc, col("l_tax").asc))
+      // a full tiebreak ordering makes the kept row deterministic. The
+      // order is all-DESC so it is expressible as one lexicographic
+      // struct max: the merge folds with map-side combine (mergeAgg)
+      // instead of window-sorting ~600k 2-row groups.
+      Dedup.mergeAgg(existing, updates, Seq("l_orderkey", "l_linenumber"),
+                     struct(col("version"), col("l_quantity"),
+                            col("l_extendedprice"), col("l_discount"),
+                            col("l_partkey"), col("l_suppkey"),
+                            col("l_shipdate"), col("l_returnflag"),
+                            col("l_linestatus"), col("l_tax")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
@@ -397,8 +400,8 @@ object CoreQueries {
          |  THEN 1 ELSE 0 END AS new_sess,
          |  ts FROM events),
          |s AS (SELECT user_id, event_id, value,
-         |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM g)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
@@ -431,8 +434,8 @@ object CoreQueries {
          |u AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
          |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
          |  ORDER BY version DESC, l_quantity DESC, l_extendedprice DESC,
-         |  l_discount DESC, l_partkey, l_suppkey, l_shipdate, l_returnflag,
-         |  l_linestatus, l_tax) AS rn FROM u)
+         |  l_discount DESC, l_partkey DESC, l_suppkey DESC, l_shipdate DESC,
+         |  l_returnflag DESC, l_linestatus DESC, l_tax DESC) AS rn FROM u)
          |SELECT l_returnflag, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
          |FROM r WHERE rn = 1 GROUP BY l_returnflag""".stripMargin,
 
