@@ -42,8 +42,21 @@ object Main {
         oddsCollector(s"$storeRoot/odds")(spark,
           Seq(graft.queries.ScalarQueries.oddsFixtureJson), ts)
         println(s"[main] odds collected -> $storeRoot/odds (ts=$ts)")
+      case "rankings" =>
+        // collector_map parity (reference main.py:19-22): the full
+        // 221-spec registry drives the wide build; the fetch is the
+        // offline fixture shim.
+        import graft.sources.TeamRankingsNormalizer
+        val tables = TeamRankingsNormalizer.registry.map(spec =>
+          TeamRankingsNormalizer.normalizeTable(
+            TeamRankingsNormalizer.offlineFixture(spark, spec), spec))
+        val wide = TeamRankingsNormalizer.finalPass(
+          graft.operators.WideStats.wideFromTables(tables, "team"))
+        rankingsUpsert(spark, s"$storeRoot/rankings", wide, ts)
+        println(s"[main] rankings collected -> $storeRoot/rankings " +
+          s"(${wide.columns.length} cols, ts=$ts)")
       case other =>
-        System.err.println(s"[main] unknown collector: $other (have: odds)")
+        System.err.println(s"[main] unknown collector: $other (have: odds, rankings)")
     }
     spark.stop()
   }

@@ -70,9 +70,10 @@ object Similarity {
     * is exactly a partitioned/bucketed layout at 100 TB.
     *
     * Centroid set: the `nCentroids` corpus rows with the smallest
-    * xxhash64(id) — a deterministic pseudo-random spread across the
-    * corpus, standing in for an offline k-means fit (at scale the
-    * fitted centroids arrive as exactly this kind of tiny table). They
+    * lcg(id) — a deterministic pseudo-random spread across the corpus
+    * (and oracle-recomputable, see [[lcg]]), standing in for an offline
+    * k-means fit (at scale the fitted centroids arrive as exactly this
+    * kind of tiny table). They
     * are collected once (bounded: nCentroids rows) and baked into the
     * plan as an array literal, so nearest-cell assignment is a NARROW
     * per-row argmax projection — zero joins, zero shuffles over the
@@ -84,7 +85,7 @@ object Similarity {
     val centRows = corpus
       .select(col(corpusId).cast("long").as("cent_id"),
               col(corpusVec).cast("array<double>").as("cent_vec"))
-      .orderBy(xxhash64(col("cent_id")), col("cent_id"))
+      .orderBy(lcg(col("cent_id")), col("cent_id"))
       .limit(nCentroids)
       .collect()
 
@@ -143,16 +144,29 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
+    * AND expressible in any SQL engine — which is what lets the
+    * DuckDB oracle recompute the SRP buckets and IVF centroid choice
+    * exactly, turning both ANN paths into full hash-checked queries. */
+  def lcg(idx: Column): Column =
+    (lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)
+
+  /** ±1 hyperplane component for index `idx`: bit 16 of the LCG state
+    * (the low bit of an LCG alternates with idx — degenerate; the high
+    * bits are the classic well-mixed ones). */
+  private def lcgSign(idx: Column): Column =
+    when(shiftright(lcg(idx), 16).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
+
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from
-    * xxhash64(b * dim + i). No randomness at plan time (reproducible
-    * across runs/engines that share xxhash64). */
+    * lcg(b * dim + i). No randomness at plan time; reproducible in any
+    * engine with 64-bit integer arithmetic (see [[lcg]]). */
   def srpSignature(vec: Column, dim: Int, bits: Int): Column =
     transform(sequence(lit(0), lit(bits - 1)), b => {
       val proj = aggregate(
         zip_with(vec.cast("array<double>"),
                  transform(sequence(lit(0), lit(dim - 1)),
-                   i => when(pmod(xxhash64(b * dim + i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+                   i => lcgSign(b * dim + i)),
                  (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1)).otherwise(lit(0))

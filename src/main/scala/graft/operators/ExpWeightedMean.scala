@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-import scala.collection.mutable.ArrayBuffer
-
 /** A3 as a packaged typed aggregate: `expWeightedMean(decay, n)` over
   * (orderKey, value) pairs — newest (largest orderKey) first, weight
   * decay^i, truncated to the `n` newest. Reference semantics:
@@ -16,25 +14,31 @@ import scala.collection.mutable.ArrayBuffer
   * aggregation (map-side combine works; buffers merge by re-truncating).
   * For n=16 this is a 16-element insertion sort per row — cheap, and it
   * avoids materializing per-key sorted groups.
+  *
+  * The buffer is a product-encoded case class (array<struct<_1,_2>> in
+  * Tungsten), not Kryo blobs — serialized natively, no opaque byte[]
+  * round-trip per merge.
   */
+case class EwmBuf(items: Seq[(Long, Double)])
+
 class ExpWeightedMeanAgg(decay: Double, n: Int)
-    extends Aggregator[(Long, Double), ArrayBuffer[(Long, Double)], Double] {
+    extends Aggregator[(Long, Double), EwmBuf, Double] {
 
-  override def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
+  override def zero: EwmBuf = EwmBuf(Nil)
 
-  private def trim(b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
-    val sorted = b.sortBy(-_._1) // newest first
-    if (sorted.length > n) sorted.take(n) else sorted
+  private def trim(items: Seq[(Long, Double)]): EwmBuf = {
+    val sorted = items.sortBy(-_._1) // newest first
+    EwmBuf(if (sorted.length > n) sorted.take(n) else sorted)
   }
 
-  override def reduce(b: ArrayBuffer[(Long, Double)], a: (Long, Double)) =
-    trim(b += a)
+  override def reduce(b: EwmBuf, a: (Long, Double)): EwmBuf =
+    trim(b.items :+ a)
 
-  override def merge(b1: ArrayBuffer[(Long, Double)], b2: ArrayBuffer[(Long, Double)]) =
-    trim(b1 ++= b2)
+  override def merge(b1: EwmBuf, b2: EwmBuf): EwmBuf =
+    trim(b1.items ++ b2.items)
 
-  override def finish(b: ArrayBuffer[(Long, Double)]): Double = {
-    val sorted = b.sortBy(-_._1).take(n)
+  override def finish(b: EwmBuf): Double = {
+    val sorted = b.items.sortBy(-_._1).take(n)
     var sw = 0.0; var swx = 0.0; var i = 0
     while (i < sorted.length) {
       val w = math.pow(decay, i)
@@ -43,7 +47,6 @@ class ExpWeightedMeanAgg(decay: Double, n: Int)
     if (sw == 0.0) Double.NaN else swx / sw
   }
 
-  override def bufferEncoder: Encoder[ArrayBuffer[(Long, Double)]] =
-    Encoders.kryo[ArrayBuffer[(Long, Double)]]
+  override def bufferEncoder: Encoder[EwmBuf] = Encoders.product[EwmBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -37,6 +37,29 @@ object WideStats {
                 valueCol: String): DataFrame =
     pivotWide(stack(inputs, key, valueCol), key, inputs.map(_._1))
 
+  /** Melt every non-key column into (key, stat, value-as-string) rows —
+    * a narrow explode, no shuffle. String-typed so heterogeneous stat
+    * tables union cleanly; the wide frame is re-typed afterwards by the
+    * F11 coercion ladder, exactly like the reference's object→infer
+    * flow. */
+  def melt(df: DataFrame, key: String): DataFrame = {
+    val stats = df.columns.filterNot(_ == key)
+    df.select(col(key), explode(array(stats.map(c =>
+        struct(lit(c).as("stat"), col(c).cast("string").as("value"))): _*)).as("kv"))
+      .select(col(key), col("kv.stat").as("stat"), col("kv.value").as("value"))
+  }
+
+  /** Full J1 over already-normalized per-spec tables (each keyed by
+    * `key`, disjoint stat columns): melt each (narrow), union all
+    * (narrow), pivot ONCE against the statically-known stat list.
+    * Exactly one shuffle regardless of table count — vs the
+    * reference's 221 chained left-joins. */
+  def wideFromTables(tables: Seq[DataFrame], key: String): DataFrame = {
+    val stats = tables.flatMap(_.columns.filterNot(_ == key))
+    val long = tables.map(melt(_, key)).reduce(_.unionByName(_))
+    long.groupBy(col(key)).pivot("stat", stats).agg(first(col("value")))
+  }
+
   /** J3: join `stats` (keyed by `teamCol`) onto both sides of `games`
     * and emit home-/road-prefixed columns plus their differentials. */
   def matchupFeatures(games: DataFrame, stats: DataFrame, teamCol: String,

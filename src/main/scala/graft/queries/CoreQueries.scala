@@ -264,12 +264,18 @@ object CoreQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
     }),
 
-    // Cardinality-at-scale surface: HLL approx vs exact (approx values
-    // are engine-specific → rows-only check).
+    // Cardinality-at-scale surface: HLL approx vs exact. The estimate
+    // itself is engine-specific, so the oracle-checkable form is the
+    // invariant: exact count matches exactly, and the rsd=0.02 HLL
+    // estimate lands inside a 10% (5-sigma) envelope — a hash-red row
+    // here means the sketch actually broke, not that it wobbled.
     "q36_approx_distinct" -> ((s, d) => {
       orders(s, d).agg(
-        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
         countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")) <=
+            col("exact_cust") * 0.10).as("approx_within_10pct"))
     }),
 
     // P4 + partition-friendly month rollup: predicate pushed to parquet
@@ -442,6 +448,12 @@ object CoreQueries {
     "q35_distinct_stats" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the HLL estimate is engine-specific; the checkable invariant is
+    // the exact count plus the estimate landing inside a 10% envelope.
+    "q36_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_cust,
+        |TRUE AS approx_within_10pct FROM orders""".stripMargin,
 
     "q13_month_filter" ->
       s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -182,7 +182,57 @@ object LlmQueries {
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // The deterministic LCG shared with graft.llm.Similarity.lcg — plain
+  // 64-bit integer arithmetic, so the ORACLE can recompute SRP buckets
+  // and IVF centroid selection and both ANN paths hash-match.
+  private def lcgSql(k: String) = s"(1103515245*($k)+12345)%2147483648"
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
   val oracles: Map[String, String] = Map(
+
+    // SRP-LSH: signature bit b = sign of <v, h_b>, h_b[i] = +-1 from
+    // bit 16 of lcg(b*64+i); bucket = 4-bit prefix; exact rerank
+    // within bucket. Mirrors Similarity.annTopK(bits=4, dim=64).
+    "q32_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |  list_aggregate(list_transform(range(0, 4), b -> CAST(CASE WHEN
+         |    list_sum(list_transform(range(0, 64), i ->
+         |      CASE WHEN ((${lcgSql("b*64+i")})>>16)&1 = 0 THEN v[i+1] ELSE -v[i+1] END)) > 0
+         |    THEN 1 ELSE 0 END AS VARCHAR)), 'string_agg', '') AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sig),
+         |scored AS (SELECT qid, cid, $cosSql AS cos
+         |  FROM q JOIN c USING (bucket) WHERE qid <> cid)
+         |SELECT qid, cid, ROUND(cos, 4) AS cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    // IVF-flat: centroids = 16 smallest lcg(vec_id); every vector joins
+    // its argmax-cosine cell; queries probe their 4 nearest cells and
+    // exact-rerank. Mirrors Similarity.ivfTopK(nCentroids=16, nProbe=4).
+    "q40_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+         |  ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 16),
+         |ca AS (SELECT e.vec_id, e.v, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(v, cent_v)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))
+         |    DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT vec_id AS cid, v AS cv, cent_id AS cell FROM ca WHERE cr = 1),
+         |probed AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM ca
+         |  WHERE vec_id < 10 AND cr <= 4),
+         |scored AS (SELECT qid, cid, $cosSql AS cos
+         |  FROM probed JOIN assigned USING (cell) WHERE qid <> cid)
+         |SELECT qid, cid, ROUND(cos, 4) AS cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10""".stripMargin,
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         |COUNT(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,

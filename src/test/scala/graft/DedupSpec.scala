@@ -72,4 +72,23 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((1L, "x"), (2L, "y2"), (3L, "z")))
   }
+
+  test("mergeAgg agrees with the window merge under a total order") {
+    // duplicate keys within a version + updates overlapping existing:
+    // both formulations must keep the same winner per key.
+    val existing = Seq((1L, "a", 5, 1), (1L, "b", 7, 1), (2L, "c", 3, 1))
+      .toDF("id", "v", "score", "version")
+    val updates = Seq((1L, "d", 6, 2), (3L, "e", 9, 2))
+      .toDF("id", "v", "score", "version")
+    val windowed = Dedup.merge(existing, updates, Seq("id"),
+      Seq($"version".desc, $"score".desc, $"v".desc))
+    val agged = Dedup.mergeAgg(existing, updates, Seq("id"),
+      struct($"version", $"score", $"v"))
+    val w = windowed.orderBy("id").collect().map(_.toSeq).toSeq
+    val a = agged.select(windowed.columns.map(col): _*)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === w)
+    // version has priority: the v2 update beats the higher-score v1 row
+    assert(a.map(r => (r.head, r(1))) === Seq((1L, "d"), (2L, "c"), (3L, "e")))
+  }
 }
