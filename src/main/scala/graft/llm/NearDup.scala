@@ -136,4 +136,21 @@ object NearDup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup: SRP-bucket the corpus (per-row
+    * signature, no shuffle), self-join bucket-locally, keep pairs with
+    * exact cosine >= `threshold`. The candidate space is |bucket|², not
+    * N² — the embedding-space sibling of MinHash-LSH banding; at scale,
+    * raise `bits` to shrink buckets (each extra bit halves them). */
+  def embedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bits: Int, threshold: Double): DataFrame = {
+    val sig = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      concat_ws("", Similarity.srpSignature(col(vecCol), dim, bits)).as("bucket"))
+    sig.as("x").join(sig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              Similarity.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

@@ -74,14 +74,16 @@ object TextStats {
   def fingerprint(c: Column): Column =
     substring(md5(lower(trim(regexp_replace(c, "\\s+", " ")))), 1, 16)
 
-  /** 64-bit rolling (polynomial) hash over the normalized text — the
-    * non-cryptographic fast path; Spark-only (no oracle mirror). */
+  /** Rolling (polynomial) hash over the normalized text, reduced mod
+    * 2^31 at every step: never overflows a long (ANSI mode throws on
+    * long overflow, so the classic wrapping h*31+c is a trap here),
+    * and plain modular arithmetic keeps it SQL-mirrorable. */
   def rollingHash64(c: Column): Column = {
     val norm = lower(trim(regexp_replace(c, "\\s+", " ")))
-    // fold chars: h = h*31 + code(char), on longs (wraps — intended)
     aggregate(
       split(norm, ""),
       lit(0L),
-      (acc, ch) => acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)))
+      (acc, ch) => (acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)))
+        % 2147483648L)
   }
 }

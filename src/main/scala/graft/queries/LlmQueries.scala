@@ -177,6 +177,26 @@ object LlmQueries {
         .select(col("doc_id"),
                 length(col("text").cast("binary")).as("n_bytes"),
                 md5(col("text")).as("content_md5"))
+    }),
+
+    // Embedding-cosine near-dup: SRP buckets (LCG-derived, so the
+    // oracle recomputes them) + exact-cosine verification — the
+    // embedding-space sibling of q28's MinHash-LSH.
+    "q51_embed_neardup" -> ((s, d) => {
+      NearDup.embedNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+                                dim = 64, bits = 4, threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+
+    // Quality scoring per document: BPE-ish token estimate,
+    // punctuation ratio, mean token length — all codegen'd regex/HOF
+    // expressions, zero shuffle.
+    "q52_quality" -> ((s, d) => {
+      documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+                TextStats.bpeishTokens(col("text")).cast("bigint").as("n_bpeish"),
+                round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
+                round(TextStats.avgTokenLen(col("text")), 4).as("avg_token_len"))
     })
   )
 
@@ -210,6 +230,32 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+
+    // same LCG-derived buckets as q32; pairs bucket-locally, exact
+    // cosine gate at 0.35.
+    "q51_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |  list_aggregate(list_transform(range(0, 4), b -> CAST(CASE WHEN
+         |    list_sum(list_transform(range(0, 64), i ->
+         |      CASE WHEN ((${lcgSql("b*64+i")})>>16)&1 = 0 THEN v[i+1] ELSE -v[i+1] END)) > 0
+         |    THEN 1 ELSE 0 END AS VARCHAR)), 'string_agg', '') AS bucket
+         |  FROM e),
+         |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  list_dot_product(x.v, y.v)
+         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+         |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM pairs
+         |WHERE cos >= 0.35""".stripMargin,
+
+    "q52_quality" ->
+      s"""SELECT doc_id,
+         |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+         |ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |  / GREATEST(length(text), 1), 4) AS punct_ratio,
+         |ROUND(CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+         |  / GREATEST(len($toks), 1), 4) AS avg_token_len
+         |FROM documents WHERE doc_id < 200""".stripMargin,
 
     // IVF-flat: centroids = 16 smallest lcg(vec_id); every vector joins
     // its argmax-cosine cell; queries probe their 4 nearest cells and

@@ -113,6 +113,30 @@ class LlmSpec extends SparkSpec {
     val rh = Seq("abc", "abc", "abd").toDF("t")
       .select(TextStats.rollingHash64($"t")).as[Long].collect()
     assert(rh(0) === rh(1) && rh(0) != rh(2))
+    // long inputs stay in [0, 2^31) — no ANSI overflow (the classic
+    // wrapping h*31+c formulation throws under ANSI mode)
+    val big = Seq("x" * 100000).toDF("t")
+      .select(TextStats.rollingHash64($"t")).as[Long].collect().head
+    assert(big >= 0L && big < 2147483648L)
+  }
+
+  test("bpeish token estimate splits words, digits, and punctuation runs") {
+    val n = Seq("don't count-me 42x!").toDF("t")
+      .select(TextStats.bpeishTokens($"t")).as[Int].collect().head
+    // don / ' / t / count / - / me / 42 / x / ! = 9
+    assert(n === 9)
+  }
+
+  test("embedding near-dup: identical vectors pair at cos 1, orthogonal don't") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))  // orthogonal
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = NearDup.embedNearDupPairs(df, "vec_id", "embedding",
+        dim = 4, bits = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
   test("multimodal: batched feature extraction over binary media (stubbed decode)") {
