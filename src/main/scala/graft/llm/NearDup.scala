@@ -68,14 +68,16 @@ object NearDup {
     }: _*)
 
   /** Candidate pairs from LSH banding: docs sharing any (band, bandHash)
-    * bucket. `maxBucket` caps pathological buckets (skew guard at scale:
-    * a bucket of m docs yields m² pairs). Returns (id_a, id_b) distinct
-    * with id_a < id_b. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: Column,
+    * bucket. `hashedCol` is an already-hashed shingle column (longs —
+    * see [[hashedShingles]]; hash strings once, upstream, in their own
+    * projection). `maxBucket` caps pathological buckets (skew guard at
+    * scale: a bucket of m docs yields m² pairs). Returns (id_a, id_b)
+    * distinct with id_a < id_b. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, hashedCol: Column,
                         numBands: Int = 16, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     val banded = df
-      .select(col(idCol).as("doc"), hashedShingles(shingleCol).as("hs"))
+      .select(col(idCol).as("doc"), hashedCol.as("hs"))
       .select(col("doc"),
               explode(bandHashes(col("hs"), numBands, rowsPerBand)).as("b"))
       .select(col("doc"), col("b.band"), col("b.band_hash"))
@@ -97,17 +99,22 @@ object NearDup {
       size(array_union(a, b)).cast("double")
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
-    * exact-Jaccard verification at `threshold`. */
+    * exact-Jaccard verification at `threshold`. Shingle strings are
+    * hashed ONCE; both the banding minima and the Jaccard verification
+    * run over the 8-byte hashes (set semantics are identical up to
+    * 64-bit collisions on distinct shingles — vanishing — and
+    * array_intersect on longs is far cheaper than on shingle text). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.7,
                    numBands: Int = 16, rowsPerBand: Int = 4,
                    maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-    val cands = lshCandidatePairs(sh, "id", col("sh"), numBands, rowsPerBand, maxBucket)
+    val hs = df.select(col(idCol).as("id"),
+      hashedShingles(shingles(col(textCol), shingleSize)).as("hs"))
+    val cands = lshCandidatePairs(hs, "id", col("hs"), numBands, rowsPerBand, maxBucket)
     cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -147,10 +154,16 @@ object NearDup {
     val sig = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       concat_ws("", Similarity.srpSignature(col(vecCol), dim, bits)).as("bucket"))
+    // pair scoring is the hot loop (|bucket|² pairs): the fused native
+    // codegen expression (one pass for dot + both norms, bit-identical
+    // to the HOF fold — see CosineSimilaritySpec/q37) instead of three
+    // interpreted HOF aggregates per pair.
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-              Similarity.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+              graft.plans.NativeFunctions
+                .cosineNative(corpus.sparkSession, col("x.v"), col("y.v"))
+                .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
