@@ -75,4 +75,24 @@ object Dedup {
       .agg(max_by(all, ord).as("__row"))
       .select(col("__row.*"))
   }
+
+  /** ZERO-shuffle merge for the common upsert shape — a small fresh
+    * batch into a large table, where the batch wins every key it
+    * touches (K2's newest-wins contract: the fresh collection IS the
+    * newest version). Rows of `existing` whose key appears in
+    * `updates` are dropped with a BROADCAST left-anti join, then the
+    * updates union on: the large side streams scan → anti → union with
+    * no exchange, no window, no aggregation. This is the merge to use
+    * at 100 TB when the batch is one collection cycle; [[mergeAgg]] /
+    * [[merge]] remain the general row-level newest-wins forms for
+    * comparable-size or out-of-order inputs.
+    *
+    * `updates` must already be key-deduped (one row per key) — which
+    * also means no distinct() here, so not even the broadcast side
+    * shuffles. */
+  def mergeSmallUpdates(existing: DataFrame, updates: DataFrame,
+                        keys: Seq[String]): DataFrame =
+    existing
+      .join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
 }

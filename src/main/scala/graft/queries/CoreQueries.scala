@@ -258,6 +258,23 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // K2 fast path: a SMALL fresh batch merged into the big table with
+    // a broadcast anti-join + union — zero shuffles before the final
+    // aggregate (vs q34's general aggregation merge). The upsert shape
+    // every collection cycle actually has.
+    "q53_small_upsert" -> ((s, d) => {
+      val existing = orders(s, d).withColumn("version", lit(1))
+      val updates = orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("version", lit(2))
+      Dedup.mergeSmallUpdates(existing, updates, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("version")).as("sum_version"),
+             exactSum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // A4-adjacent distinct counting (exact — the oracle-checkable form).
     "q35_distinct_stats" -> ((s, d) => {
       orders(s, d).groupBy(col("o_orderstatus"))
@@ -448,6 +465,19 @@ object CoreQueries {
     "q35_distinct_stats" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q53_small_upsert" ->
+      s"""WITH existing AS (SELECT *, 1 AS version FROM orders),
+         |updates AS (SELECT * REPLACE (o_totalprice+1000 AS o_totalprice), 2 AS version
+         |  FROM orders WHERE o_orderkey%100=0),
+         |merged AS (
+         |  SELECT * FROM existing e WHERE NOT EXISTS
+         |    (SELECT 1 FROM updates u WHERE u.o_orderkey = e.o_orderkey)
+         |  UNION ALL SELECT * FROM updates)
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(version) AS BIGINT) AS sum_version,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     // the HLL estimate is engine-specific; the checkable invariant is
     // the exact count plus the estimate landing inside a 10% envelope.

@@ -91,4 +91,24 @@ class DedupSpec extends SparkSpec {
     // version has priority: the v2 update beats the higher-score v1 row
     assert(a.map(r => (r.head, r(1))) === Seq((1L, "d"), (2L, "c"), (3L, "e")))
   }
+
+  test("mergeSmallUpdates: batch wins its keys, zero shuffle exchanges") {
+    val existing = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1))
+      .toDF("id", "v", "version")
+    val updates = Seq((2L, "b2", 2), (4L, "d", 2)).toDF("id", "v", "version")
+    val merged = Dedup.mergeSmallUpdates(existing, updates, Seq("id"))
+    val out = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1), (4L, "d", 2)))
+    // agrees with the general window merge when the batch is newest
+    val general = Dedup.merge(existing, updates, Seq("id"), Seq($"version".desc))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(general.toSeq === out.toSeq)
+    // the big side must not shuffle: broadcast exchanges only
+    merged.count()
+    val plan = merged.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles === 0, s"expected no shuffle exchange:\n$plan")
+  }
 }
