@@ -77,12 +77,14 @@ object Main {
 
   /** Team-rankings collection (§3.3): normalized payload frames are
     * stacked+pivoted upstream (WideStats); here the store step — keyed
-    * keep-latest upsert on all non-timestamp columns. */
+    * keep-latest upsert on all non-timestamp columns. The collection
+    * timestamp is stamped NOW, so the newest-batch fast path applies
+    * (zero shuffle of stored data). */
   def rankingsUpsert(spark: SparkSession, storeRoot: String,
                      wide: DataFrame, ts: java.sql.Timestamp): Unit = {
     val stamped = wide.withColumn("timestamp", lit(ts))
     new PartitionedParquetStore(spark, storeRoot)
-      .upsertKeepLatest(stamped, wide.columns.toSeq, "timestamp")
+      .upsertNewestBatch(stamped, wide.columns.toSeq, "timestamp")
   }
 
   /** Resolve the collection instant: explicit date is interpreted as

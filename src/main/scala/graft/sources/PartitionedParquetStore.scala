@@ -110,4 +110,25 @@ class PartitionedParquetStore(spark: SparkSession, root: String) {
     writeDynamic(
       Dedup.keepLatest(unioned, keys, col(tsCol).desc +: tiebreak))
   }
+
+  /** K2+A2 fast path for the live-collection contract: the fresh batch
+    * carries the NEWEST timestamp for every key it touches (true for
+    * every scheduled collection run — `tsCol` is stamped at collection
+    * time), so keep-latest degenerates to "batch wins its keys". The
+    * batch is key-deduped with a window over the batch alone (tiny),
+    * then merged with a broadcast anti-join: the existing table's plan
+    * is scan → anti → union — ZERO shuffle of stored data, vs
+    * [[upsertKeepLatest]]'s window over the whole touched partition.
+    * Result is identical to upsertKeepLatest whenever the
+    * newest-batch precondition holds. */
+  def upsertNewestBatch(freshRaw: DataFrame, keys: Seq[String], tsCol: String,
+                        tiebreak: Seq[Column] = Nil): Unit = {
+    val fresh = Dedup.keepLatest(
+      withPartitionCols(freshRaw, tsCol), keys, col(tsCol).desc +: tiebreak)
+    val merged = existingTouched(fresh) match {
+      case Some(existing) => Dedup.mergeSmallUpdates(existing, fresh, keys)
+      case None           => fresh
+    }
+    writeDynamic(merged)
+  }
 }

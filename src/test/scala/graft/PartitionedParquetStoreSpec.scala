@@ -42,6 +42,33 @@ class PartitionedParquetStoreSpec extends SparkSpec {
     assert(out.toSeq === Seq("a-new", "b", "c"))
   }
 
+  test("upsertNewestBatch matches upsertKeepLatest under the live-collection contract") {
+    val rootFast = tmpDir("store-fast")
+    val rootSlow = tmpDir("store-slow")
+    val fast = new PartitionedParquetStore(spark, rootFast)
+    val slow = new PartitionedParquetStore(spark, rootSlow)
+    // batch 2 is newer than batch 1 for every key it touches, and has
+    // an internal dup on id=1 (the batch-local dedup path)
+    val batch2 = Seq(
+      (1L, "a-new", ts("2024-01-20 10:00:00")),
+      (1L, "a-old", ts("2024-01-19 10:00:00")),
+      (4L, "d", ts("2024-02-10 10:00:00"))
+    ).toDF("id", "v", "timestamp")
+    for (store <- Seq(fast, slow)) {
+      if (store eq fast) { store.upsertNewestBatch(batch1, Seq("id"), "timestamp")
+                           store.upsertNewestBatch(batch2, Seq("id"), "timestamp") }
+      else               { store.upsertKeepLatest(batch1, Seq("id"), "timestamp")
+                           store.upsertKeepLatest(batch2, Seq("id"), "timestamp") }
+    }
+    val f = fast.read().orderBy("id").select("id", "v").collect().map(_.toSeq)
+    val s = slow.read().orderBy("id").select("id", "v").collect().map(_.toSeq)
+    assert(f.toSeq === s.toSeq)
+    assert(f.map(_(1)).toSeq === Seq("a-new", "b", "c", "d"))
+    // idempotent re-run
+    fast.upsertNewestBatch(batch2, Seq("id"), "timestamp")
+    assert(fast.read().count() === 4)
+  }
+
   test("dynamic overwrite leaves untouched partitions alone") {
     val root = tmpDir("store-dynamic")
     val store = new PartitionedParquetStore(spark, root)
