@@ -38,4 +38,15 @@ object MicroBatchUpsert {
   def dedupedStream(stream: DataFrame, tsCol: String, watermark: String,
                     keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(keys)
+
+  /** Streaming dedup, late-data-correct variant: two records with the
+    * same keys dedup as long as they arrive within the watermark delay
+    * of each other, even when the event-time column differs (classic
+    * dropDuplicates keys on exact values and keeps state forever if
+    * the ts column is in the keys; WithinWatermark keys on `keys`
+    * alone and expires state at the watermark). The streaming form of
+    * the exact content-hash dedup: keys = md5(text). */
+  def dedupedWithinWatermark(stream: DataFrame, tsCol: String,
+                             watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 }

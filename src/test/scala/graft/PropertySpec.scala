@@ -63,4 +63,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: all three merge formulations agree under a total order") {
+    // (k, v, t) with duplicate keys; total order = (t, v) all-desc so
+    // it is expressible as a lexicographic struct max for mergeAgg.
+    samples(Gen.zip(rowsGen, rowsGen)).foreach { case (a, b) =>
+      val existing = a.toDF("k", "v", "t")
+      // updates: one row per key (mergeSmallUpdates contract), newest t
+      val updates = b.groupBy(_._1).map { case (k, rs) =>
+        val (_, v, _) = rs.maxBy(r => (r._3, r._2)); (k, v, 99)
+      }.toSeq.toDF("k", "v", "t")
+      val order = Seq($"t".desc, $"v".desc)
+      val w = Dedup.merge(existing, updates, Seq("k"), order)
+        .collect().map(_.toSeq).toSet
+      val agg = Dedup.mergeAgg(existing, updates, Seq("k"), struct($"t", $"v"))
+        .select("k", "v", "t").collect().map(_.toSeq).toSet
+      val fast = Dedup.mergeSmallUpdates(existing, updates, Seq("k"))
+      // fast path keeps ALL existing rows for untouched keys; reduce
+      // them with keepLatest to compare per-key winners
+      val fastWinners = Dedup.keepLatest(fast, Seq("k"), order)
+        .collect().map(_.toSeq).toSet
+      assert(agg === w)
+      assert(fastWinners === w)
+    }
+  }
 }

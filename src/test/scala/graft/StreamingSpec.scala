@@ -71,4 +71,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("dedup_out").count() === 2)
   }
+
+  test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5($"text"))
+    val deduped = MicroBatchUpsert.dedupedWithinWatermark(
+      docs, "ts", "1 hour", Seq("content_hash"))
+    val q = deduped.writeStream.format("memory").queryName("doc_dedup_out")
+      .outputMode("append").start()
+    // same text at different event times within the watermark → one row
+    mem.addData(
+      (1L, "the quick fox", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "the quick fox", Timestamp.valueOf("2024-01-01 00:30:00")),
+      (3L, "a different doc", Timestamp.valueOf("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("doc_dedup_out").select("doc_id").collect().map(_.getLong(0))
+    assert(kept.length === 2 && kept.contains(3L))
+  }
 }
