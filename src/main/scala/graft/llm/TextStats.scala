@@ -68,6 +68,18 @@ object TextStats {
       .otherwise(lit("fr"))
   }
 
+  /** Vocabulary extraction: the k most frequent whitespace tokens with
+    * a deterministic (freq desc, token asc) tiebreak. Partial counts
+    * combine map-side; the final top-k is TakeOrdered (per-partition
+    * heaps + driver merge of k·partitions rows), never a full sort. */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase
     * text, truncated to 64 bits of hex — stable across engines (vs
     * xxhash64, which DuckDB lacks). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{Chunking, NearDup, Quantize, Redact, Similarity, TextStats}
+import graft.llm.{Chunking, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -197,7 +197,33 @@ object LlmQueries {
                 TextStats.bpeishTokens(col("text")).cast("bigint").as("n_bpeish"),
                 round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
                 round(TextStats.avgTokenLen(col("text")), 4).as("avg_token_len"))
-    })
+    }),
+
+    // Deterministic train/val/test split: assignment is a pure LCG
+    // function of doc_id — reproducible across runs/engines/
+    // partitionings, zero shuffle before the count.
+    "q54_split" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+    }),
+
+    // Sequence packing: greedy token-budget bins per deterministic
+    // shard (one window cumsum per shard — the shard bounds the
+    // window so nothing serializes globally).
+    "q55_packing" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBins(docs, "doc_id", "n_tokens", budget = 512, nShards = 8,
+                       Seq(col("doc_id").asc))
+    }),
+
+    // Vocabulary: top-20 tokens, deterministic tiebreak, TakeOrdered
+    // (no full sort).
+    "q56_vocab" -> ((s, d) =>
+      TextStats.topTokens(documents(s, d), "text", 20))
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -247,6 +273,32 @@ object LlmQueries {
          |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM pairs
          |WHERE cos >= 0.35""".stripMargin,
+
+    "q54_split" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST((${lcgSql("doc_id")})>>8 AS DOUBLE)/8388608.0 AS frac
+         |    FROM documents))
+         |SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM s GROUP BY split""".stripMargin,
+
+    "q55_packing" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  (${lcgSql("doc_id")})%8 AS shard FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+         |  FROM d)
+         |SELECT shard, CAST(FLOOR(CAST(cum AS DOUBLE)/512) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q56_vocab" ->
+      s"""SELECT t AS token, COUNT(*) AS freq
+         |FROM (SELECT unnest($toks) AS t FROM documents)
+         |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
 
     "q52_quality" ->
       s"""SELECT doc_id,

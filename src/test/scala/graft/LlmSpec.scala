@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Multimodal, NearDup, Similarity, TextStats}
+import graft.llm.{Multimodal, NearDup, Packing, Sampling, Similarity, TextStats}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -125,6 +125,31 @@ class LlmSpec extends SparkSpec {
       .select(TextStats.bpeishTokens($"t")).as[Int].collect().head
     // don / ' / t / count / - / me / 42 / x / ! = 9
     assert(n === 9)
+  }
+
+  test("deterministic splits: full coverage, ~declared proportions, stable") {
+    val ids = (0L until 1000L).toDF("id")
+    val split = Sampling.assignSplit($"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // pure function of id: same assignment on re-evaluation
+    val a = ids.select($"id", split.as("s")).collect().toSeq
+    val b = ids.select($"id", split.as("s")).collect().toSeq
+    assert(a === b)
+  }
+
+  test("packing: greedy sequential fill starts a bin at the budget boundary") {
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)).toDF("doc_id", "n_tokens")
+    val bins = Packing.packBins(docs, "doc_id", "n_tokens",
+        budget = 10, nShards = 1, Seq($"doc_id".asc))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exclusive cumsums 0,4,8,12 -> bins 0,0,0,1
+    assert(bins.toSeq === Seq((0L, 3L, 12L), (1L, 1L, 4L)))
   }
 
   test("embedding near-dup: identical vectors pair at cos 1, orthogonal don't") {
