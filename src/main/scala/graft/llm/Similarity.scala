@@ -82,6 +82,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
     val centRows = corpus
       .select(col(corpusId).cast("long").as("cent_id"),
               col(corpusVec).cast("array<double>").as("cent_vec"))
@@ -89,28 +90,23 @@ object Similarity {
       .limit(nCentroids)
       .collect()
 
-    // Per-centroid norm precomputed driver-side with the same
-    // sequential index-order accumulation as `dot`, so scores match
-    // the join formulation bit-for-bit.
-    val cents = array(centRows.map { r =>
-      val v = r.getSeq[Double](1)
-      var ss = 0.0; v.foreach(x => ss += x * x)
-      struct(lit(r.getLong(0)).as("cell"),
-             typedLit(v).as("cent_vec"),
-             lit(math.sqrt(ss)).as("cent_norm"))
-    }: _*)
-
-    // The `probes` nearest cells of one vector: score every centroid
-    // (each lambda does only its own dot; the row's own norm is hoisted
-    // to `vecNorm`, a real column, so it is computed once and not
-    // nCentroids times — Catalyst does not hoist across lambda
-    // boundaries), sort desc by (cos, cell asc), keep the head.
-    def nearestCells(vec: Column, vecNorm: Column, probes: Int): Column =
+    // The `probes` nearest cells of one vector: one fused codegen
+    // cosine per centroid (each centroid vector is a plan literal, so
+    // the whole scoring is straight-line generated code — no
+    // interpreted HOF lambdas in the per-row hot path), then a 16-
+    // element sort desc by (cos, cell asc). The native expression's
+    // accumulation order is identical to the HOF fold and the oracle's
+    // list_dot_product (see q37), so cell choice is bit-stable.
+    def nearestCells(vec: Column, probes: Int): Column =
       slice(
         array_sort(
-          transform(cents, c => struct(
-            (dot(vec, c("cent_vec")) / (vecNorm * c("cent_norm"))).as("cd"),
-            c("cell").as("cell"))),
+          array(centRows.map { r =>
+            val v: Seq[Double] = r.getSeq[Double](1)
+            struct(
+              graft.plans.NativeFunctions.cosineNative(spark, vec, typedLit(v))
+                .as("cd"),
+              lit(r.getLong(0)).as("cell"))
+          }: _*),
           (l, r) =>
             when(l("cd") > r("cd"), -1).when(l("cd") < r("cd"), 1)
               .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
@@ -119,17 +115,13 @@ object Similarity {
 
     val assigned = corpus
       .select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
-      .withColumn("__vn", norm(col("cv")))
-      .withColumn("cell", element_at(nearestCells(col("cv"), col("__vn"), 1), 1)
+      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1)
         .getField("cell"))
-      .drop("__vn")
 
     val probed = broadcast(
       queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
-        .withColumn("__vn", norm(col("qv")))
         .withColumn("cell", explode(
-          nearestCells(col("qv"), col("__vn"), nProbe).getField("cell")))
-        .drop("__vn"))
+          nearestCells(col("qv"), nProbe).getField("cell"))))
 
     // Broadcast hash join on cell: the corpus side streams through
     // unshuffled. Each corpus row lives in exactly one cell and probe
@@ -137,7 +129,9 @@ object Similarity {
     // dedup aggregation needed.
     probed.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .select(col("qid"), col("cid"),
+              graft.plans.NativeFunctions.cosineNative(spark, col("qv"), col("cv"))
+                .as("cos_sim"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid").asc)))
       .filter(col("__rn") <= k)
