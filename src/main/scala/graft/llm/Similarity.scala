@@ -154,17 +154,27 @@ object Similarity {
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from
     * lcg(b * dim + i). No randomness at plan time; reproducible in any
-    * engine with 64-bit integer arithmetic (see [[lcg]]). */
-  def srpSignature(vec: Column, dim: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(bits - 1)), b => {
-      val proj = aggregate(
-        zip_with(vec.cast("array<double>"),
-                 transform(sequence(lit(0), lit(dim - 1)),
-                   i => lcgSign(b * dim + i)),
-                 (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1)).otherwise(lit(0))
-    })
+    * engine with 64-bit integer arithmetic (see [[lcg]]).
+    *
+    * The hyperplanes are plan-time CONSTANTS, so each bit is one fused
+    * native cosine against a literal ±1 array (sign(cos) == sign(dot):
+    * the norms are positive, and the oracle checks the raw projection's
+    * sign, which is identical) — straight-line generated code per row,
+    * no interpreted HOF lambdas. */
+  def srpSignature(vec: Column, dim: Int, bits: Int): Column = {
+    def hyperplane(b: Int): Seq[Double] =
+      (0 until dim).map { i =>
+        val k = b.toLong * dim + i
+        val state = (1103515245L * k + 12345L) % 2147483648L
+        if (((state >> 16) & 1L) == 0L) 1.0 else -1.0
+      }
+    val spark = org.apache.spark.sql.SparkSession.active
+    array((0 until bits).map { b =>
+      when(graft.plans.NativeFunctions
+             .cosineNative(spark, vec, typedLit(hyperplane(b))) > 0,
+           lit(1)).otherwise(lit(0))
+    }: _*)
+  }
 
   /** Bucketed ANN: group corpus by SRP signature prefix, join queries to
     * their bucket only, exact-cosine rerank within bucket. Recall is
