@@ -43,27 +43,25 @@ object NearDup {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
-  /** Minimum of permutation j over a hashed-shingle (long array)
-    * column. Permutation = xxhash64 over the 8-byte hash with seed j —
-    * far cheaper than re-hashing the shingle STRING per permutation,
-    * and ANSI-safe (a mul-add wrap would throw under ANSI mode). */
-  def minOfPerm(hashedCol: Column, j: Int): Column =
-    array_min(transform(hashedCol, h => xxhash64(h, lit(j))))
+  /** MinHash signature: array of `numPerm` permutation minima over the
+    * hashed shingles — the fused native expression (one pass, long[]
+    * accumulator, whole-stage codegen; see
+    * graft.plans.MinHashSignature). Permutation j of hash h is
+    * XXH64(h, seed=j): permute 8-byte longs, never re-hash the shingle
+    * STRING per permutation, and ANSI-safe (a mul-add wrap would throw
+    * under ANSI mode). */
+  def minhashSignature(spark: org.apache.spark.sql.SparkSession,
+                       hashedCol: Column, numPerm: Int): Column =
+    graft.plans.MinHashNative.minhashNative(spark, hashedCol, numPerm)
 
-  /** MinHash signature: array of `numPerm` minima over the hashed
-    * shingles (hash strings once, permute longs). */
-  def minhashSignature(hashedCol: Column, numPerm: Int): Column =
-    array((0 until numPerm).map(j => minOfPerm(hashedCol, j)): _*)
-
-  /** Per-band LSH bucket hashes, unrolled at plan-build time so band b
-    * computes exactly its own `rowsPerBand` minima — no shared
-    * signature subtree that Catalyst would re-evaluate per band. */
-  def bandHashes(hashedCol: Column, numBands: Int, rowsPerBand: Int): Column =
+  /** Per-band LSH bucket hashes over a signature column: band b hashes
+    * its own `rowsPerBand` slice of the minima (the signature is a
+    * materialized column, computed once per row — not a shared subtree
+    * Catalyst would re-evaluate per band). */
+  def bandHashes(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
-             xxhash64(concat_ws(",",
-               (0 until rowsPerBand).map(r =>
-                 minOfPerm(hashedCol, b * rowsPerBand + r)): _*), lit(b))
+             xxhash64(slice(sigCol, b * rowsPerBand + 1, rowsPerBand), lit(b))
                .as("band_hash"))
     }: _*)
 
@@ -79,7 +77,10 @@ object NearDup {
     val banded = df
       .select(col(idCol).as("doc"), hashedCol.as("hs"))
       .select(col("doc"),
-              explode(bandHashes(col("hs"), numBands, rowsPerBand)).as("b"))
+              minhashSignature(df.sparkSession, col("hs"),
+                               numBands * rowsPerBand).as("sig"))
+      .select(col("doc"),
+              explode(bandHashes(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("doc"), col("b.band"), col("b.band_hash"))
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(

@@ -19,6 +19,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("native minhash signature: fused minima match a direct computation") {
+    val hs = Seq((1L, Seq(11L, 22L, 33L, 44L)), (2L, Seq.empty[Long]))
+      .toDF("id", "hs")
+    val out = hs.select($"id",
+        graft.plans.MinHashNative.minhashNative(spark, $"hs", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val expected = (0 until 8).map { j =>
+      Seq(11L, 22L, 33L, 44L)
+        .map(h => org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, j.toLong))
+        .min
+    }
+    assert(out(1L).get.toSeq === expected)
+    assert(out(2L).isEmpty) // empty shingle set -> null signature
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
     val sh = NearDup.simhash64(
