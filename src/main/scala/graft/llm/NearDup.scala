@@ -82,6 +82,13 @@ object NearDup {
       .select(col("doc"),
               explode(bandHashes(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("doc"), col("b.band"), col("b.band_hash"))
+    pairsFromBanded(banded, maxBucket)
+  }
+
+  /** Bucket-local pairing shared by the XXH64 and portable pipelines:
+    * cap pathological buckets, self-join within (band, band_hash),
+    * distinct (id_a < id_b) pairs. */
+  private def pairsFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
@@ -116,6 +123,48 @@ object NearDup {
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Portable-arithmetic MinHash-LSH over single-token shingles: the
+    * hash-VERIFIED twin of [[nearDupPairs]]. Every hash is md5 +
+    * modular arithmetic that any SQL engine reproduces exactly —
+    * token hash = first 14 hex chars of md5 mod P (P = 2^31-1),
+    * permutation j = (h*(2j+1)+j) mod P, band hash = base-8191
+    * polynomial fold of the band's minima mod P — so a DuckDB oracle
+    * recomputes buckets, candidates, and verified pairs bit-for-bit.
+    * The XXH64 native path stays the scale default (one fused pass);
+    * this one buys end-to-end external verification of the algorithm.
+    * All arithmetic bounded: h < P ≈ 2^31, acc*8191 < 2^44 — no ANSI
+    * overflow. */
+  def portableNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, numBands: Int = 8,
+                           rowsPerBand: Int = 4, maxBucket: Int = 300): DataFrame = {
+    val P = 2147483647L
+    val base = df
+      .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        transform(col("toks"),
+          t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P).as("hs"))
+    val nPerm = numBands * rowsPerBand
+    val sigCols = (0 until nPerm).map(j =>
+      array_min(transform(col("hs"), h => (h * (2 * j + 1) + j) % P)).as(s"m$j"))
+    val sig = base.select((col("id") +: sigCols).toIndexedSeq: _*)
+    val bandRows = (0 until numBands).map { b =>
+      val fold = (1 until rowsPerBand).foldLeft(col(s"m${b * rowsPerBand}"): Column) {
+        (acc, r) => (acc * 8191 + col(s"m${b * rowsPerBand + r}")) % P
+      }
+      struct(lit(b).as("band"), fold.as("band_hash"))
+    }
+    val banded = sig
+      .select(col("id").as("doc"), explode(array(bandRows: _*)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.band_hash"))
+    val cands = pairsFromBanded(banded, maxBucket)
+    val toks = base.select(col("id"), col("toks"))
+    cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -223,7 +223,17 @@ object LlmQueries {
     // Vocabulary: top-20 tokens, deterministic tiebreak, TakeOrdered
     // (no full sort).
     "q56_vocab" -> ((s, d) =>
-      TextStats.topTokens(documents(s, d), "text", 20))
+      TextStats.topTokens(documents(s, d), "text", 20)),
+
+    // Hash-VERIFIED MinHash-LSH: the portable-arithmetic twin of q28 —
+    // md5/modular hashes the oracle recomputes exactly, so banding,
+    // bucketing, candidate generation and Jaccard verification are all
+    // externally checked (q28 keeps the XXH64 native scale path).
+    "q57_minhash_portable" -> ((s, d) => {
+      NearDup.portableNearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
+                                   "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    })
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -273,6 +283,39 @@ object LlmQueries {
          |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM pairs
          |WHERE cos >= 0.35""".stripMargin,
+
+    "q57_minhash_portable" -> {
+      val P = "2147483647"
+      val nBands = 8; val rowsPerBand = 4
+      val minCols = (0 until nBands * rowsPerBand).map(j =>
+        s"list_min(list_transform(hs, x -> (x*${2 * j + 1}+$j)%$P)) AS m$j")
+        .mkString(", ")
+      val bandSelects = (0 until nBands).map { b =>
+        val fold = (1 until rowsPerBand)
+          .foldLeft(s"m${b * rowsPerBand}")((acc, r) =>
+            s"(($acc*8191+m${b * rowsPerBand + r})%$P)")
+        s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         |  FROM documents WHERE doc_id < 1000),
+         |h AS (SELECT doc_id, list_transform(toks, t ->
+         |  CAST(CONCAT('0x', substr(md5(t), 1, 14)) AS BIGINT) % $P) AS hs FROM d),
+         |sig AS (SELECT doc_id, $minCols FROM h),
+         |bands AS ($bandSelects),
+         |pruned AS (SELECT doc_id, band, band_hash FROM (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM bands)
+         |  WHERE bn <= 300),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM pruned x JOIN pruned y
+         |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |scored AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+         |  FROM cand JOIN d a ON id_a = a.doc_id JOIN d b ON id_b = b.doc_id)
+         |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM scored
+         |WHERE jac >= 0.8""".stripMargin
+    },
 
     "q54_split" ->
       s"""WITH s AS (SELECT doc_id,
