@@ -73,16 +73,16 @@ object Cleaning {
 
   /** F4: lowercase all column names (schema transform). */
   def lowercaseCols(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
 
   /** F6: strip spaces from column names. */
   def despaceCols(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(" ", "")): _*)
+    df.toDF(df.columns.map(_.replace(" ", "")).toIndexedSeq: _*)
 
   /** F5: prefix every column except `except` — namespaces the wide stats
     * table ({category}_{table}_{stat}, team_rankings_scraper.py:96-113). */
   def prefixCols(df: DataFrame, prefix: String, except: Set[String]): DataFrame =
-    df.toDF(df.columns.map(c => if (except(c)) c else s"$prefix$c"): _*)
+    df.toDF(df.columns.map(c => if (except(c)) c else s"$prefix$c").toIndexedSeq: _*)
 
   /** F7: rename year-named columns positionally — first "2000".."2100"
     * column → this_yr, second → last_yr (team_rankings_scraper.py:143-150). */
@@ -95,7 +95,7 @@ object Cleaning {
         if (seen == 1) "this_yr" else if (seen == 2) "last_yr" else c
       } else c
     }
-    df.toDF(renamed: _*)
+    df.toDF(renamed.toIndexedSeq: _*)
   }
 
   /** Apply f to every string-typed column, keeping names/positions. */

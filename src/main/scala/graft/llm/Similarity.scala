@@ -100,7 +100,7 @@ object Similarity {
     def nearestCells(vec: Column, probes: Int): Column =
       slice(
         array_sort(
-          array(centRows.map { r =>
+          array(centRows.toIndexedSeq.map { r =>
             val v: Seq[Double] = r.getSeq[Double](1)
             struct(
               graft.plans.NativeFunctions.cosineNative(spark, vec, typedLit(v))

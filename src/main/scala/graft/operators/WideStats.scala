@@ -44,7 +44,7 @@ object WideStats {
     * flow. */
   def melt(df: DataFrame, key: String): DataFrame = {
     val stats = df.columns.filterNot(_ == key)
-    df.select(col(key), explode(array(stats.map(c =>
+    df.select(col(key), explode(array(stats.toIndexedSeq.map(c =>
         struct(lit(c).as("stat"), col(c).cast("string").as("value"))): _*)).as("kv"))
       .select(col(key), col("kv.stat").as("stat"), col("kv.value").as("value"))
   }
