@@ -59,9 +59,12 @@ object Dedup {
     * is a total order, but as `max_by(struct(*), ord)` — the winner
     * per key is folded with a partial aggregate, so the shuffle
     * carries one pre-combined row per (partition, key) instead of
-    * every input row, and no per-partition sort is paid. Preferred at
-    * scale for upserts, where groups are tiny (typically 2 rows) and
-    * numerous: map-side combine collapses them before the exchange.
+    * every input row. (Spark plans the struct-buffer max_by as a
+    * SortAggregate, so a per-partition sort is still paid — the win
+    * over the window form is the map-side combine before the exchange
+    * and skipping the post-shuffle row_number projection; measured
+    * ~2.5x on the q34 shape.) Preferred at scale for upserts, where
+    * groups are tiny (typically 2 rows) and numerous.
     *
     * `ord` must be a struct whose lexicographic MAXIMUM identifies the
     * winning row (encode "ascending" fields by negation); include
