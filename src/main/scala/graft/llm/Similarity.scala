@@ -145,12 +145,6 @@ object Similarity {
   def lcg(idx: Column): Column =
     (lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)
 
-  /** ±1 hyperplane component for index `idx`: bit 16 of the LCG state
-    * (the low bit of an LCG alternates with idx — degenerate; the high
-    * bits are the classic well-mixed ones). */
-  private def lcgSign(idx: Column): Column =
-    when(shiftright(lcg(idx), 16).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)
-
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from
     * lcg(b * dim + i). No randomness at plan time; reproducible in any
