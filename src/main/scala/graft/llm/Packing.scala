@@ -1,18 +1,26 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Sequence packing: batch documents into fixed token-budget bins for
+/** Sequence packing: batch documents into token-budget bins for
   * training (each bin feeds one packed training sequence).
   *
-  * Deterministic contract: within a shard, documents are taken in
-  * `order`; a document's bin is floor(exclusive-running-token-sum /
-  * budget) — the greedy sequential fill, expressible as ONE window
-  * cumulative sum (and mirrored 1:1 in the SQL oracle). Sharding
-  * bounds the window: a global order would serialize to one task, so
-  * the corpus is split into `nShards` deterministic shards
+  * Deterministic contract — contiguous chunking by cumulative tokens:
+  * within a shard, documents are taken in `order`, and a document's
+  * bin is floor(exclusive-running-token-sum / budget). This is ONE
+  * window cumulative sum (mirrored 1:1 in the SQL oracle), but it is
+  * NOT first-fit: a document whose tokens straddle a budget boundary
+  * stays in the earlier bin, so a bin's token total can exceed
+  * `budget` by up to one document's length (downstream packing must
+  * truncate or spill the overhang — the usual choice when sequences
+  * are cut to fixed length anyway). [[assignBinsFirstFit]] is the
+  * strict variant that closes a bin instead of overflowing it.
+  *
+  * Sharding bounds the window: a global order would serialize to one
+  * task, so the corpus is split into `nShards` deterministic shards
   * (Sampling.shardOf) packed independently — exactly how a 100 TB
   * corpus is packed in practice (per output file / per worker).
   */
@@ -34,6 +42,48 @@ object Packing {
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
                budget: Int, nShards: Int, order: Seq[Column]): DataFrame =
     assignBins(df, idCol, tokenCol, budget, nShards, order)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col(tokenCol)).as("sum_tokens"),
+           min(col(idCol)).as("first_doc"),
+           max(col(idCol)).as("last_doc"))
+
+  /** Strict greedy first-fit: a bin CLOSES when the next document
+    * would overflow it, so sum_tokens <= budget always holds (except a
+    * single document larger than the whole budget, which gets a bin of
+    * its own). This needs a running fill that RESETS — not expressible
+    * as a window cumsum — so each shard is folded sequentially with
+    * `flatMapSortedGroups` (the sort arrives via the group-sort
+    * machinery; the fold itself is a streaming iterator, nothing
+    * materializes per group). Sequential-per-shard is inherent to
+    * first-fit semantics, and the shard count is the parallelism knob
+    * — same scale story as [[assignBins]]. */
+  def assignBinsFirstFit(df: DataFrame, idCol: String, tokenCol: String,
+                         budget: Int, nShards: Int,
+                         order: Seq[Column]): DataFrame = {
+    val sharded = df
+      .withColumn(tokenCol, col(tokenCol).cast("long"))
+      .withColumn("shard", Sampling.shardOf(col(idCol), nShards))
+    val tokIdx = sharded.schema.fieldIndex(tokenCol)
+    val shardIdx = sharded.schema.fieldIndex("shard")
+    val outEnc = Encoders.row(sharded.schema.add("bin", LongType, nullable = false))
+    sharded
+      .groupByKey(_.getLong(shardIdx))(Encoders.scalaLong)
+      .flatMapSortedGroups(order: _*) { (_, rows) =>
+        var bin = 0L; var fill = 0L
+        rows.map { r =>
+          val t = r.getLong(tokIdx)
+          if (fill > 0L && fill + t > budget) { bin += 1L; fill = 0L }
+          fill += t
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(outEnc)
+  }
+
+  /** [[packBins]] over the strict first-fit assignment. */
+  def packBinsFirstFit(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Int, nShards: Int, order: Seq[Column]): DataFrame =
+    assignBinsFirstFit(df, idCol, tokenCol, budget, nShards, order)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col(tokenCol)).as("sum_tokens"),

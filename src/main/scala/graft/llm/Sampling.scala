@@ -12,10 +12,11 @@ object Sampling {
 
   /** Uniform-ish fraction in [0, 1) from a numeric id via the shared
     * plain-arithmetic LCG (see Similarity.lcg — recomputable by any
-    * SQL engine). Bit 16 and up are the well-mixed ones, so the
-    * fraction uses the state's high bits. */
+    * SQL engine). The glibc LCG's low bits have short periods, so the
+    * fraction keeps only bits 16..30 — the well-mixed high half of the
+    * 31-bit state. */
   def idFraction(id: Column): Column =
-    shiftright(Similarity.lcg(id), 8).cast("double") / lit(8388608.0) // 2^23
+    shiftright(Similarity.lcg(id), 16).cast("double") / lit(32768.0) // 2^15
 
   /** Assign each row to a named split by cumulative weight over
     * [[idFraction]]. `splits` e.g. Seq("train" -> 0.8, "val" -> 0.1,

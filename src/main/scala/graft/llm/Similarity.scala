@@ -141,9 +141,18 @@ object Similarity {
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
     * AND expressible in any SQL engine — which is what lets the
     * DuckDB oracle recompute the SRP buckets and IVF centroid choice
-    * exactly, turning both ANN paths into full hash-checked queries. */
+    * exactly, turning both ANN paths into full hash-checked queries.
+    *
+    * The input is reduced into [0, 2^31) FIRST (pmod): it preserves
+    * the LCG value mod 2^31, keeps the multiply < 2^62 so ANSI mode
+    * never overflows for any long id (snowflake-scale included), and
+    * makes negative ids well-defined (Spark's % follows the dividend's
+    * sign, which would otherwise leak a negative state into every
+    * consumer — splits, shards, centroid ranks). The SQL oracles
+    * mirror the same reduction (LlmQueries.lcgSql). */
   def lcg(idx: Column): Column =
-    (lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)
+    (lit(1103515245L) * pmod(idx, lit(2147483648L)) + lit(12345L)) %
+      lit(2147483648L)
 
   /** Deterministic sign-random-projection signature: bit b is the sign
     * of <v, h_b> where hyperplane h_b has ±1 components derived from

@@ -50,34 +50,24 @@ object Dedup {
     keepLatest(df.filter(ordering <= cutoff), keys, ordering.desc +: tiebreak)
 
   /** K2-shaped merge: upsert `updates` into `existing` keyed by `keys`,
-    * newest `version` wins (ties broken by extra `order` columns). */
+    * newest `version` wins (ties broken by extra `order` columns).
+    *
+    * Deliberately the row_number-window form: ONE exchange on the keys,
+    * then a streaming per-group pick. An aggregation-shaped variant
+    * (`max_by(struct(*), ord)`) was built in round 2 and removed in
+    * round 3: Spark plans any aggregate whose buffer carries a struct
+    * as SortAggregate — HashAggregate requires mutable fixed-width
+    * buffer fields, and the full-row payload struct rides in max_by's
+    * buffer no matter how the ordering key is packed — so it paid
+    * per-partition sorts plus per-row struct copies on both sides of
+    * the exchange and lost to this window form under the forked bench
+    * (BENCH_r02 q34: 32.5 s aggregation vs ~2 s window on the same
+    * shape). For the small-fresh-batch upsert every collection cycle
+    * actually has, use [[mergeSmallUpdates]] — zero shuffle of the
+    * stored side. */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
             order: Seq[Column]): DataFrame =
     keepLatest(existing.unionByName(updates, allowMissingColumns = true), keys, order)
-
-  /** Aggregation-shaped merge: same semantics as [[merge]] when `ord`
-    * is a total order, but as `max_by(struct(*), ord)` — the winner
-    * per key is folded with a partial aggregate, so the shuffle
-    * carries one pre-combined row per (partition, key) instead of
-    * every input row. (Spark plans the struct-buffer max_by as a
-    * SortAggregate, so a per-partition sort is still paid — the win
-    * over the window form is the map-side combine before the exchange
-    * and skipping the post-shuffle row_number projection; measured
-    * ~2.5x on the q34 shape.) Preferred at scale for upserts, where
-    * groups are tiny (typically 2 rows) and numerous.
-    *
-    * `ord` must be a struct whose lexicographic MAXIMUM identifies the
-    * winning row (encode "ascending" fields by negation); include
-    * enough fields to make it total or the kept row is
-    * nondeterministic under ties. */
-  def mergeAgg(existing: DataFrame, updates: DataFrame, keys: Seq[String],
-               ord: Column): DataFrame = {
-    val u = existing.unionByName(updates, allowMissingColumns = true)
-    val all = struct(u.columns.map(col).toIndexedSeq: _*)
-    u.groupBy(keys.map(col): _*)
-      .agg(max_by(all, ord).as("__row"))
-      .select(col("__row.*"))
-  }
 
   /** ZERO-shuffle merge for the common upsert shape — a small fresh
     * batch into a large table, where the batch wins every key it
@@ -86,16 +76,27 @@ object Dedup {
     * `updates` are dropped with a BROADCAST left-anti join, then the
     * updates union on: the large side streams scan → anti → union with
     * no exchange, no window, no aggregation. This is the merge to use
-    * at 100 TB when the batch is one collection cycle; [[mergeAgg]] /
-    * [[merge]] remain the general row-level newest-wins forms for
+    * at 100 TB when the batch is one collection cycle; [[merge]]
+    * remains the general row-level newest-wins form for
     * comparable-size or out-of-order inputs.
     *
     * `updates` must already be key-deduped (one row per key) — which
     * also means no distinct() here, so not even the broadcast side
-    * shuffles. */
+    * shuffles.
+    *
+    * The anti-join uses null-safe equality (`<=>`): a null key column
+    * must match a null key column, the same grouping the window forms
+    * use (partitionBy groups nulls; pandas NaN-equality parity). Plain
+    * equality would never match rows with a null in any key column, so
+    * re-collections would silently accumulate duplicates for them —
+    * the rankings upsert keys on ALL stat columns and the pivoted wide
+    * frame is nullable, so this is a real shape, not a corner case. */
   def mergeSmallUpdates(existing: DataFrame, updates: DataFrame,
-                        keys: Seq[String]): DataFrame =
+                        keys: Seq[String]): DataFrame = {
+    val batchKeys = updates.select(keys.map(k => col(k).as(s"__u_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
     existing
-      .join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
+      .join(broadcast(batchKeys), cond, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
+  }
 }

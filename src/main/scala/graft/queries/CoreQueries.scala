@@ -245,15 +245,15 @@ object CoreQueries {
         .withColumn("version", lit(2))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
       // a full tiebreak ordering makes the kept row deterministic. The
-      // order is all-DESC so it is expressible as one lexicographic
-      // struct max: the merge folds with map-side combine (mergeAgg)
-      // instead of window-sorting ~600k 2-row groups.
-      Dedup.mergeAgg(existing, updates, Seq("l_orderkey", "l_linenumber"),
-                     struct(col("version"), col("l_quantity"),
-                            col("l_extendedprice"), col("l_discount"),
-                            col("l_partkey"), col("l_suppkey"),
-                            col("l_shipdate"), col("l_returnflag"),
-                            col("l_linestatus"), col("l_tax")))
+      // window merge is the general default (one exchange + streaming
+      // per-group pick; see Dedup.merge scaladoc for why the
+      // aggregation-shaped variant was removed in round 3).
+      Dedup.merge(existing, updates, Seq("l_orderkey", "l_linenumber"),
+                  Seq(col("version").desc, col("l_quantity").desc,
+                      col("l_extendedprice").desc, col("l_discount").desc,
+                      col("l_partkey").desc, col("l_suppkey").desc,
+                      col("l_shipdate").desc, col("l_returnflag").desc,
+                      col("l_linestatus").desc, col("l_tax").desc))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),

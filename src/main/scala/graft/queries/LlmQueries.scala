@@ -210,14 +210,26 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
     }),
 
-    // Sequence packing: greedy token-budget bins per deterministic
-    // shard (one window cumsum per shard — the shard bounds the
-    // window so nothing serializes globally).
+    // Sequence packing, contiguous-chunking contract: bin =
+    // floor(exclusive cumsum / budget), one window cumsum per
+    // deterministic shard (the shard bounds the window so nothing
+    // serializes globally); bins may overflow by one doc's tokens.
     "q55_packing" -> ((s, d) => {
       val docs = documents(s, d).select(
         col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
       Packing.packBins(docs, "doc_id", "n_tokens", budget = 512, nShards = 8,
                        Seq(col("doc_id").asc))
+    }),
+
+    // Sequence packing, STRICT first-fit: a bin closes when the next
+    // doc would overflow it (needs a running reset — a sequential
+    // per-shard fold, not a window; the oracle recomputes it with a
+    // recursive CTE advancing all shards in lockstep).
+    "q59_firstfit_packing" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBinsFirstFit(docs, "doc_id", "n_tokens", budget = 512,
+                               nShards = 8, Seq(col("doc_id").asc))
     }),
 
     // Vocabulary: top-20 tokens, deterministic tiebreak, TakeOrdered
@@ -240,8 +252,11 @@ object LlmQueries {
 
   // The deterministic LCG shared with graft.llm.Similarity.lcg — plain
   // 64-bit integer arithmetic, so the ORACLE can recompute SRP buckets
-  // and IVF centroid selection and both ANN paths hash-match.
-  private def lcgSql(k: String) = s"(1103515245*($k)+12345)%2147483648"
+  // and IVF centroid selection and both ANN paths hash-match. Mirrors
+  // lcg's pmod input reduction (ANSI-overflow guard + negative-id
+  // handling): (k mod 2^31 + 2^31) mod 2^31 == Spark's pmod.
+  private def lcgSql(k: String) =
+    s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 
@@ -322,7 +337,7 @@ object LlmQueries {
          |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
          |       ELSE 'test' END AS split
          |  FROM (SELECT doc_id,
-         |    CAST((${lcgSql("doc_id")})>>8 AS DOUBLE)/8388608.0 AS frac
+         |    CAST((${lcgSql("doc_id")})>>16 AS DOUBLE)/32768.0 AS frac
          |    FROM documents))
          |SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          |FROM s GROUP BY split""".stripMargin,
@@ -337,6 +352,32 @@ object LlmQueries {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // First-fit is a sequential fold: the recursive CTE carries
+    // (bin, fill) per shard, advancing every shard one document per
+    // iteration (rn joins rn+1) — the exact mirror of the Scala
+    // per-shard iterator fold.
+    "q59_firstfit_packing" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    (${lcgSql("doc_id")})%8 AS shard FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM d),
+         |f AS (
+         |  SELECT shard, rn, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tokens > 512
+         |         THEN f.bin + 1 ELSE f.bin END,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tokens > 512
+         |         THEN r.n_tokens ELSE f.fill + r.n_tokens END
+         |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         |SELECT shard, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM f GROUP BY 1, 2""".stripMargin,
 
     "q56_vocab" ->
       s"""SELECT t AS token, COUNT(*) AS freq

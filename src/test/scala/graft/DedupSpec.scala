@@ -73,23 +73,40 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "x"), (2L, "y2"), (3L, "z")))
   }
 
-  test("mergeAgg agrees with the window merge under a total order") {
-    // duplicate keys within a version + updates overlapping existing:
-    // both formulations must keep the same winner per key.
+  test("merge picks the version-priority winner among duplicate keys") {
+    // duplicate keys within a version + updates overlapping existing.
     val existing = Seq((1L, "a", 5, 1), (1L, "b", 7, 1), (2L, "c", 3, 1))
       .toDF("id", "v", "score", "version")
     val updates = Seq((1L, "d", 6, 2), (3L, "e", 9, 2))
       .toDF("id", "v", "score", "version")
-    val windowed = Dedup.merge(existing, updates, Seq("id"),
+    val w = Dedup.merge(existing, updates, Seq("id"),
       Seq($"version".desc, $"score".desc, $"v".desc))
-    val agged = Dedup.mergeAgg(existing, updates, Seq("id"),
-      struct($"version", $"score", $"v"))
-    val w = windowed.orderBy("id").collect().map(_.toSeq).toSeq
-    val a = agged.select(windowed.columns.map(col): _*)
-      .orderBy("id").collect().map(_.toSeq).toSeq
-    assert(a === w)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     // version has priority: the v2 update beats the higher-score v1 row
-    assert(a.map(r => (r.head, r(1))) === Seq((1L, "d"), (2L, "c"), (3L, "e")))
+    assert(w.toSeq === Seq((1L, "d"), (2L, "c"), (3L, "e")))
+  }
+
+  test("mergeSmallUpdates replaces rows with null key columns (null-safe anti-join)") {
+    // the rankings upsert keys on ALL stat columns of a nullable wide
+    // frame — an existing row with a null key must still be replaced
+    // when the batch carries the same (null-equal) key.
+    val existing = Seq[(Option[String], Option[Int], Int)](
+      (Some("kc"), None, 1), (None, Some(7), 1), (Some("buf"), Some(3), 1))
+      .toDF("team", "stat", "version")
+    val updates = Seq[(Option[String], Option[Int], Int)](
+      (Some("kc"), None, 2), (None, Some(7), 2))
+      .toDF("team", "stat", "version")
+    val out = Dedup.mergeSmallUpdates(existing, updates, Seq("team", "stat"))
+      .collect().map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getInt(2))).toSet
+    // no duplicate (team, stat) survivors: batch rows won their keys
+    assert(out === Set((Some("kc"), None, 2), (None, Some(7), 2),
+                       (Some("buf"), Some(3), 1)))
+    // idempotent: re-merging the same batch changes nothing
+    val again = Dedup.mergeSmallUpdates(
+      Dedup.mergeSmallUpdates(existing, updates, Seq("team", "stat")),
+      updates, Seq("team", "stat"))
+    assert(again.count() === 3)
   }
 
   test("mergeSmallUpdates: batch wins its keys, zero shuffle exchanges") {

@@ -157,14 +157,49 @@ class LlmSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("packing: greedy sequential fill starts a bin at the budget boundary") {
+  test("packing: contiguous chunking bins by exclusive cumsum (may overflow budget)") {
     val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)).toDF("doc_id", "n_tokens")
     val bins = Packing.packBins(docs, "doc_id", "n_tokens",
         budget = 10, nShards = 1, Seq($"doc_id".asc))
       .orderBy("bin").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-    // exclusive cumsums 0,4,8,12 -> bins 0,0,0,1
+    // exclusive cumsums 0,4,8,12 -> bins 0,0,0,1: bin 0 holds 12 > 10
+    // tokens — the documented straddle, NOT first-fit.
     assert(bins.toSeq === Seq((0L, 3L, 12L), (1L, 1L, 4L)))
+  }
+
+  test("packing: strict first-fit closes a bin instead of overflowing it") {
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L), (5L, 11L), (6L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.assignBinsFirstFit(docs, "doc_id", "n_tokens",
+        budget = 10, nShards = 1, Seq($"doc_id".asc))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // 4+4=8 fits; +4 would be 12 -> close; 4+? next is 11 > 10 alone ->
+    // closes bin 1 after doc 4; doc 5 (11 > budget) gets its own bin;
+    // doc 6 starts fresh after the oversized bin.
+    assert(out.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+                             (5L, 2L), (6L, 3L)))
+    // invariant: no bin exceeds budget unless it is a single oversized doc
+    val sums = Packing.packBinsFirstFit(docs, "doc_id", "n_tokens",
+        budget = 10, nShards = 1, Seq($"doc_id".asc))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    sums.foreach { case (nDocs, sumTok) =>
+      assert(sumTok <= 10 || nDocs === 1L)
+    }
+  }
+
+  test("lcg: ANSI-safe for snowflake-scale and negative ids, stays in [0, 2^31)") {
+    val ids = Seq(0L, 1L, Long.MaxValue, Long.MinValue, -1L, 1234567890123456789L)
+      .toDF("id")
+    val out = ids.select(Similarity.lcg($"id").as("h")).as[Long].collect()
+    assert(out.forall(h => h >= 0L && h < 2147483648L))
+    // negative ids must not all collapse into the first split
+    val splits = Seq(-1L, -999999999999L, -5L, -12345678901L).toDF("id")
+      .select(Sampling.assignSplit($"id",
+        Seq("train" -> 0.5, "val" -> 0.5)).as("s"))
+      .as[String].collect().toSet
+    assert(splits.size > 1, s"negative ids all routed to $splits")
   }
 
   test("embedding near-dup: identical vectors pair at cos 1, orthogonal don't") {
