@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   * sink materializes every output column of every row and discards
   * them — full work, zero I/O. A throwing query aborts the bench
   * (exit != 0) rather than being silently reported as a fast success.
+  *
+  * Per-query JVM GC time (delta over the reported run, from the
+  * collector MXBeans) is emitted as `gc_sec`: an environment-induced
+  * outlier — a heap-pressure collapse under the forked -Xmx — shows
+  * up as gc_sec ≈ its wall time and is self-diagnosing rather than
+  * masquerading as a plan regression.
+  *
+  * The session runs with `graft.plans.GraftExtensions` installed, so
+  * FuseCosineRule is exercised by every bench run as it would be in a
+  * production session (the HOF-cosine queries get the fused native
+  * expression through the RULE, not hand-rewritten plans).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,6 +38,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +51,10 @@ object Bench {
           throw e
       }
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     var warmupTotal = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
@@ -47,19 +63,24 @@ object Bench {
       // Full evaluation allocates heavily; without this an eventual
       // full-GC pause (~15 s on this heap) lands inside whichever
       // query happens to be running and poisons its number. Pay the
-      // GC in the untimed gap and report the min of two timed runs.
-      val secs = (1 to 2).map { _ =>
+      // GC in the untimed gap and report the min of two timed runs
+      // (with the GC time that run actually paid).
+      val timed = (1 to 2).map { _ =>
         System.gc()
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         force(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
       }
-      name -> secs.min
+      name -> timed.minBy(_._1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupTotal,"sf":"$sfDir"}""")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, (t, _)) => k -> t })
+    val gcs = jmap(results.map { case (k, (_, g)) => k -> g })
+    val total = results.map(_._2._1).sum
+    val gcTotal = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the optimizer rule runs under the ORACLE gate: every
+      // HOF-cosine query is fused by FuseCosineRule and still must
+      // hash-match DuckDB — continuous proof the rewrite preserves
+      // semantics.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

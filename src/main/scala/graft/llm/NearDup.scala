@@ -194,6 +194,33 @@ object NearDup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Portable-arithmetic SimHash: the hash-VERIFIED twin of
+    * [[simhash64]] (mirroring how portableNearDupPairs twins
+    * nearDupPairs). Token hash = first 14 hex chars of md5 mod
+    * P = 2^31-1 — the exact q57 token hash — and bit b of the
+    * signature is the sign of the ±1 fold over bit b of those hashes,
+    * so a DuckDB oracle recomputes every signature bit-for-bit and
+    * externally verifies the SimHash algorithm end-to-end. `bits` ≤ 31
+    * (the hash width); the xxhash64 path stays the 64-bit scale
+    * default. Same zero-shuffle shape: hashes computed once into their
+    * own projection, then `bits` narrow per-row folds. */
+  def portableSimhash(df: DataFrame, idCol: String, tokensCol: Column,
+                      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val P = 2147483647L
+    val bitCols = (0 until bits).map { b =>
+      when(aggregate(col("__hs"), lit(0),
+             (acc, h) => acc +
+               when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+           lit(1L << b)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("doc"),
+        transform(tokensCol,
+          t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P).as("__hs"))
+      .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
+      .select(col("doc"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
   /** Embedding-cosine near-dup: SRP-bucket the corpus (per-row
     * signature, no shuffle), self-join bucket-locally, keep pairs with
     * exact cosine >= `threshold`. The candidate space is |bucket|², not

@@ -47,20 +47,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
+  // Every local is ctx.freshName'd: with non-nullable inputs (e.g. a
+  // literal hyperplane/centroid vector) nullSafeCodeGen inlines the
+  // fragment with no guarding block, so N instances of this expression
+  // in one projection (IVF scores 16 centroids at once) share a scope —
+  // fixed names made Janino fail with "Redefinition of local variable"
+  // and the whole projection fell back to interpreted evaluation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getFloat(i);
-         |  double yi = $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getFloat($i);
+         |  double $yi = $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
        """.stripMargin
     })

@@ -25,26 +25,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Conservative structural match: only the exact HOF cosine tree over
   * float-array inputs is rewritten (a double-native input is left
   * alone — the fused expression reads floats, and rewriting would
-  * change precision). Semantics note: on a zero-norm vector the HOF
-  * tree yields NaN (0.0/0.0) while the native expression yields null;
-  * both mean "cosine undefined" and neither survives a comparison or
-  * top-k filter, which is where this pattern appears.
+  * change precision). The lambda bodies are matched down to ExprIds:
+  * the zip_with lambda must be exactly `x * y` over its own two lambda
+  * variables and the aggregate merge exactly `acc + v` over its own
+  * accumulator and element variables — a tree like `(x,y) => x*x` or
+  * `(acc,v) => acc + abs(v)` has the same node TYPES but different
+  * semantics and must not fuse.
+  *
+  * The rewrite preserves the HOF tree's edge semantics: null input →
+  * null; length-mismatched arrays → null (zip_with pads with nulls,
+  * which poisons the dot); zero-norm vector → null, matching Spark's
+  * Divide exactly — Spark division returns NULL on a zero divisor in
+  * LEGACY and TRY modes even for doubles (it never produces IEEE NaN
+  * from x/0), which is also what the native expression returns, so
+  * top-k orderings are unchanged (null sorts last under desc either
+  * way; NaN inputs still propagate as NaN through both forms). The
+  * one documented divergence: an ANSI-mode divide RAISES
+  * DIVIDE_BY_ZERO on a zero-norm vector, while the fused form returns
+  * null — values never differ on inputs where the unfused query would
+  * have succeeded. (Out of contract: null ELEMENTS inside a float
+  * array — the HOF yields null, the fused loop reads the slot as 0;
+  * embedding columns don't carry element nulls.)
   */
 object FuseCosineRule extends Rule[LogicalPlan] {
 
+  /** The two lambda variables of `lf`, iff it takes exactly two. */
+  private def lambdaArgIds(lf: LambdaFunction): Option[Set[ExprId]] =
+    lf.arguments match {
+      case Seq(x: NamedLambdaVariable, y: NamedLambdaVariable) if x.exprId != y.exprId =>
+        Some(Set(x.exprId, y.exprId))
+      case _ => None
+    }
+
+  /** Both children are NamedLambdaVariables covering exactly `ids`
+    * (order-free: * and + are commutative). */
+  private def childrenAreExactly(l: Expression, r: Expression,
+                                 ids: Set[ExprId]): Boolean =
+    (l, r) match {
+      case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+        Set(lv.exprId, rv.exprId) == ids
+      case _ => false
+    }
+
   /** aggregate(zip_with(x, y, (p,q) => p*q), 0.0, (acc,v) => acc+v)
-    * — the Similarity.dot tree. Returns the zip_with inputs. */
+    * — the Similarity.dot tree, verified down to lambda-variable
+    * ExprIds. Returns the zip_with inputs. */
   private object DotAgg {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case aa: ArrayAggregate =>
         (aa.argument, aa.zero, aa.merge, aa.finish) match {
           case (zw: ZipWith, Literal(0.0, DoubleType),
-                mergeFn: LambdaFunction, finishFn: LambdaFunction)
-              if zw.function.isInstanceOf[LambdaFunction] &&
-                 zw.function.asInstanceOf[LambdaFunction].function.isInstanceOf[Multiply] &&
-                 mergeFn.function.isInstanceOf[Add] &&
-                 finishFn.function.isInstanceOf[NamedLambdaVariable] =>
-            Some((zw.left, zw.right))
+                mergeFn: LambdaFunction, finishFn: LambdaFunction) =>
+            val productOk = zw.function match {
+              case prodFn: LambdaFunction =>
+                (prodFn.function, lambdaArgIds(prodFn)) match {
+                  case (m: Multiply, Some(ids)) =>
+                    childrenAreExactly(m.left, m.right, ids)
+                  case _ => false
+                }
+              case _ => false
+            }
+            val mergeOk = (mergeFn.function, lambdaArgIds(mergeFn)) match {
+              case (ad: Add, Some(ids)) =>
+                childrenAreExactly(ad.left, ad.right, ids)
+              case _ => false
+            }
+            val finishOk = (finishFn.function, finishFn.arguments) match {
+              case (v: NamedLambdaVariable, Seq(acc: NamedLambdaVariable)) =>
+                v.exprId == acc.exprId
+              case _ => false
+            }
+            if (productOk && mergeOk && finishOk) Some((zw.left, zw.right))
+            else None
           case _ => None
         }
       case _ => None
@@ -77,7 +129,15 @@ object FuseCosineRule extends Rule[LogicalPlan] {
         x1.semanticEquals(x2) && y1.semanticEquals(y2)
       a <- floatInput(x1)
       b <- floatInput(y1)
-    } yield CosineSimilarity(a, b)
+    } yield {
+      // Restore the HOF tree's edge semantics around the fused loop:
+      // null/length-mismatch → null; zero-norm → null is already the
+      // native expression's behavior (see scaladoc).
+      val nullD = Literal.create(null, DoubleType)
+      If(Or(IsNull(a), IsNull(b)), nullD,
+        If(Not(EqualTo(Size(a), Size(b))), nullD,
+          CosineSimilarity(a, b)))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

@@ -47,23 +47,29 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     new GenericArrayData(mins)
   }
 
+  // Locals are ctx.freshName'd: with a non-nullable input the fragment
+  // is inlined with no enclosing block, so two instances in one
+  // projection would collide on fixed names (see CosineSimilarity).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
       s"""
-         |int n = $a.numElements();
-         |if (n == 0) {
+         |int $n = $a.numElements();
+         |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] mins = new long[$numPerm];
-         |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
-         |  for (int i = 0; i < n; i++) {
-         |    long h = $a.getLong(i);
-         |    for (int j = 0; j < $numPerm; j++) {
-         |      long p = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, (long) j);
-         |      if (p < mins[j]) mins[j] = p;
+         |  long[] $mins = new long[$numPerm];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $numPerm; $j++) {
+         |      long $p = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $j);
+         |      if ($p < $mins[$j]) $mins[$j] = $p;
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
        """.stripMargin
     })

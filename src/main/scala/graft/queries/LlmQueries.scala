@@ -88,12 +88,23 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // SimHash signatures (rows-only).
+    // SimHash signatures (rows-only: xxhash64 — but the algorithm is
+    // externally verified end-to-end by its portable twin q58).
     "q29_simhash" -> ((s, d) => {
       val docs = documents(s, d).filter(col("doc_id") < 500)
       NearDup.simhash64(
         docs.select(col("doc_id"), NearDup.tokenSet(col("text")).as("toks")),
         "doc_id", col("toks"))
+    }),
+
+    // Hash-VERIFIED SimHash: md5-mod-P token hashes (the q57 hash) and
+    // per-bit ±1 folds the DuckDB oracle recomputes bit-for-bit —
+    // cross-validating q29's xxhash64 native path.
+    "q58_simhash_portable" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 500)
+      NearDup.portableSimhash(
+        docs.select(col("doc_id"), NearDup.tokenSet(col("text")).as("toks")),
+        "doc_id", col("toks"), bits = 16)
     }),
 
     // Brute-force cosine top-k (the ANN baseline).
@@ -352,6 +363,22 @@ object LlmQueries {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Per-bit ±1 folds over the q57 md5-mod-P token hashes — the
+    // oracle recomputes every signature bit.
+    "q58_simhash_portable" -> {
+      val bitTerms = (0 until 16).map(b =>
+        s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x>>$b)&1=1 " +
+          s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id, list_transform(toks, t ->
+         |  CAST(CONCAT('0x', substr(md5(t), 1, 14)) AS BIGINT) % 2147483647) AS hs
+         |  FROM d WHERE len(toks) > 0)
+         |SELECT doc_id AS doc, CAST($bitTerms AS BIGINT) AS simhash FROM h""".stripMargin
+    },
 
     // First-fit is a sequential fold: the recursive CTE carries
     // (bin, fill) per shard, advancing every shard one document per

@@ -139,8 +139,10 @@ object ScalarQueries {
     }),
 
     // P1/P2/O1: the odds 4-level JSON flatten on the canonical fixture.
-    // Not SQL-over-testdata-expressible → rows-only driver check; exact
-    // golden assertions live in OddsJsonFlattenerSpec.
+    // The fixture is static and the output is 9 fixed columns, so the
+    // oracle is the expected row set as a DuckDB VALUES table — full
+    // rows/schema/hash check (golden per-field assertions also live in
+    // OddsJsonFlattenerSpec).
     "q22_odds_flatten" -> ((s, d) => {
       import s.implicits._
       OddsJsonFlattener.flatten(Seq(oddsFixtureJson).toDF("json"))
@@ -222,6 +224,20 @@ object ScalarQueries {
          |  COALESCE(e.n, 0) AS n_events, COALESCE(e.sumv, 0.0) AS sum_value
          |FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-03-01', INTERVAL 1 HOUR) g(ts)
          |LEFT JOIN (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
-         |  ${dsum("value")} AS sumv FROM events GROUP BY 1) e ON g.ts = e.h""".stripMargin
+         |  ${dsum("value")} AS sumv FROM events GROUP BY 1) e ON g.ts = e.h""".stripMargin,
+
+    // The fixture is static, so the oracle is the expected flatten
+    // output as literal rows (schema + every value checked).
+    "q22_odds_flatten" ->
+      """SELECT game_id, game_time, home_team, away_team, book, market,
+        |  outcome, CAST(price AS DOUBLE) AS price, CAST(point AS DOUBLE) AS point
+        |FROM (VALUES
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','h2h','Kansas City Chiefs',-200,0.0),
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','h2h','Las Vegas Raiders',180,0.0),
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','spreads','Kansas City Chiefs',-110,-7.5),
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','spreads','Las Vegas Raiders',-110,7.5),
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','totals','Over',-110,45.5),
+        |  ('test_game_1','2025-10-30T20:00:00Z','Kansas City Chiefs','Las Vegas Raiders','fanduel','totals','Under',-110,45.5)
+        |) AS t(game_id, game_time, home_team, away_team, book, market, outcome, price, point)""".stripMargin
   )
 }

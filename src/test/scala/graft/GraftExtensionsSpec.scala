@@ -43,6 +43,82 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("structurally-similar but different lambdas do NOT fuse (ExprId match)") {
+    // same node TYPES as the cosine tree (Multiply inside zip_with,
+    // Add inside aggregate) but different semantics: x*x, acc+abs(v).
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, -4.0f))).toDF("id", "v")
+    def notDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+                  (p, _) => p * p),  // p*p, not p*q
+        lit(0.0), (acc, e) => acc + e)
+    def absSum(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+                  (p, q) => p * q),
+        lit(0.0), (acc, e) => acc + abs(e))  // acc+abs(e), not acc+e
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseCosineRule
+    try {
+      for (bad <- Seq(notDot _, absSum _)) {
+        val q = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+          .select((bad($"x.v", $"y.v") /
+                   (sqrt(bad($"x.v", $"x.v")) * sqrt(bad($"y.v", $"y.v")))).as("r"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("cosine_native"),
+          s"near-miss tree must not fuse:\n$plan")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
+  test("fused zero-norm keeps the HOF's null (top-k ordering parity, legacy divide)") {
+    // Spark's Divide returns NULL on a zero divisor even for doubles
+    // in LEGACY mode (never IEEE NaN), which is exactly the native
+    // expression's zero-norm result — null sorts last under desc in
+    // both forms, so top-k membership can't flip.
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+                 (3L, Array(0.5f, 0.5f))).toDF("id", "v")
+    def q = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b"),
+              Similarity.cosine($"x.v", $"y.v").as("cos"))
+    def snapshot(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val before = snapshot(q.collect())
+      assert(before.values.exists(_.isEmpty),
+        "fixture must exercise the zero-norm null case")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosineRule
+      val fused = q
+      assert(fused.queryExecution.optimizedPlan.toString.contains("cosine_native"))
+      assert(snapshot(fused.collect()) === before) // null-for-null, value-for-value
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
+  test("fused ANSI zero-norm returns null where unfused raises (documented rescue)") {
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f))).toDF("id", "v")
+    def q = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+      .select(Similarity.cosine($"x.v", $"y.v").as("cos"))
+    intercept[Exception] { q.collect() } // ANSI DIVIDE_BY_ZERO
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseCosineRule
+    try {
+      val got = q.collect()
+      assert(got.length === 1 && got.head.isNullAt(0))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
   test("rule leaves double-native arrays alone (precision guard)") {
     val df = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0))).toDF("id", "v")
     val q = df.as("x").join(df.as("y"), $"x.id" < $"y.id")

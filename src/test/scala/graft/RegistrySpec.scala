@@ -35,9 +35,15 @@ class RegistrySpec extends SparkSpec {
     val rows = (0 until 32).map { i =>
       Row.fromSeq(s"team_$i (3-2)" +: spec.colsToKeep.map(valueFor(spec, _, i)))
     }
+    // ONE partition per 32-row fixture: the pivot's partial aggregate
+    // pays a per-TASK setup cost (canonicalize + generate the
+    // 1,367-wide mutable projection, ~0.5 s) that dwarfs the data here
+    // — 4 partitions × 221 tables was ~900 near-empty tasks and ~4 min
+    // of pure projection setup. At scale the same cost amortizes over
+    // real 128 MB partitions; in the fixture it must not multiply.
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      schema)
+      schema).coalesce(1)
   }
 
   test("registry loads all 221 specs across 15 categories") {
@@ -74,7 +80,11 @@ class RegistrySpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"expected one pivot exchange (<=2 with AQE), got $exchanges")
 
-    val r5 = wide.filter($"team" === "team_5").collect().head
+    // ONE execution of the 1,367-col build (each collect re-runs the
+    // whole DAG — per-team filters here used to triple the suite time);
+    // all value assertions read from the single materialized result.
+    val byTeam = wide.collect().map(r => r.getAs[String]("team") -> r).toMap
+    val r5 = byTeam("team_5")
     // plain stat comes through the melt/pivot as its fixture string
     assert(r5.getAs[String]("rankings_predictive_rating") ===
       valueFor(reg.head, "Rating", 5))
@@ -84,11 +94,10 @@ class RegistrySpec extends SparkSpec {
     // F8: leading '+' scrubbed by the final pass
     assert(!r5.getAs[String]("rankings_sos_hi").contains("+"))
     // F9: percent converted to fraction by the final pass
-    val pct = wide.filter($"team" === "team_4").collect().head
-      .getAs[String]("offense_scoring_points_per_game_last3")
+    val pct = byTeam("team_4").getAs[String]("offense_scoring_points_per_game_last3")
     assert(pct.toDouble === ((4 * 7) % 100 + 0.5) / 100.0)
 
-    val r6 = wide.filter($"team" === "team_6").collect().head
+    val r6 = byTeam("team_6")
     assert(r6.getAs[String]("rankings_predictive_v1-5_ties") === "1") // 6%3==0 -> 2-1-1
     assert(r6.getAs[String]("rankings_predictive_v1-5_games_played") === "4")
   }
