@@ -172,14 +172,27 @@ object NearDup {
     * per-doc sum of ±1 per bit position, sign → bit.
     *
     * ZERO shuffle: the whole signature is a per-row expression — tokens
-    * are hashed once into their own projection (`__hs`, so the hashing
-    * isn't re-inlined into every bit's lambda), then bit b is an
-    * `aggregate` fold over the hashed array. 64 narrow folds beat one
-    * explode + 64-column groupBy, which shuffles the entire tokenized
-    * corpus; at 100 TB this version never leaves the input partition.
-    * Docs with null/empty token arrays are dropped (parity with the
-    * explode formulation this replaces). */
-  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    * are hashed once into their own projection (`__hs`), then the
+    * signature is ONE fused pass of the native codegen'd
+    * [[graft.plans.SimHash64]] expression (int[64] vote accumulator;
+    * the round-2 formulation re-walked the hash array 64 times through
+    * interpreted `aggregate` lambdas — see [[simhash64Hof]], kept as
+    * the engine-portable reference the spec cross-checks). At 100 TB
+    * this never leaves the input partition. Docs with null/empty token
+    * arrays are dropped (parity with the explode formulation this
+    * replaced). */
+  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol).as("doc"), transform(tokensCol, t => xxhash64(t)).as("__hs"))
+      .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
+      .select(col("doc"),
+              graft.plans.SimHashNative.simhashNative(df.sparkSession, col("__hs"))
+                .as("simhash"))
+
+  /** The composable HOF formulation of [[simhash64]] — 64 `aggregate`
+    * folds, one per bit — retained as the portable reference
+    * implementation; the spec asserts bit-identity with the native
+    * expression. */
+  def simhash64Hof(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val bits = (0 until 64).map { b =>
       when(aggregate(col("__hs"), lit(0),
              (acc, h) => acc +

@@ -44,6 +44,18 @@ class LlmSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= 12)
   }
 
+  test("native simhash expression is bit-identical to the 64-fold HOF form") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, ""), (5L, "one two"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", NearDup.tokenSet($"text").as("t"))
+    val native = NearDup.simhash64(docs, "doc_id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = NearDup.simhash64Hof(docs, "doc_id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("cosineTopK: exact neighbors on known vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
