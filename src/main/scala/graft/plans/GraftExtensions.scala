@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -18,8 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * portable HOF API gets the codegen'd single-pass loop for free.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseCosineRule)
+    // The native expressions as first-class SQL functions: a session
+    // built with these extensions can call cosine_native(a, b) etc.
+    // from SQL text, not just the Column API.
+    ext.injectFunction((FunctionIdentifier(NativeFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, NativeFunctions.CosineName),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier(MinHashNative.Name),
+      new ExpressionInfo(classOf[MinHashSignature].getName, MinHashNative.Name),
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier(SimHashNative.Name),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHashNative.Name),
+      exprs => SimHash64(exprs(0))))
+  }
 }
 
 /** Conservative structural match: only the exact HOF cosine tree over

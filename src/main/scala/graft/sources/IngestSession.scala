@@ -52,3 +52,32 @@ class IngestSession[K, V](
 
   def cachedKeys: Set[K] = synchronized(cache.keySet.toSet)
 }
+
+object IngestSession {
+
+  /** The odds-API quota accounting (reference `get_odds.py:21-24`):
+    * render the rate-limit headers of one response as the reference's
+    * three log lines (header names matched case-insensitively; absent
+    * headers print as "unknown" rather than crashing the collection). */
+  def quotaLines(headers: Map[String, String]): Seq[String] = {
+    def h(name: String): String = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }.getOrElse("unknown")
+    Seq(
+      s"Requests Used This Query: ${h("Requests")}",
+      s"Requests Used this Month: ${h("X-Requests-Used")}",
+      s"Requests Remaining: ${h("X-Requests-Remaining")}")
+  }
+
+  /** Wrap a headers-producing transport into a plain one that logs the
+    * quota lines per REAL call — composed under an [[IngestSession]],
+    * cache hits never re-log (the reference only logs on actual HTTP
+    * responses). */
+  def withQuotaLogging[K, V](transport: K => (V, Map[String, String]),
+                             log: String => Unit = println): K => V =
+    key => {
+      val (value, headers) = transport(key)
+      quotaLines(headers).foreach(log)
+      value
+    }
+}

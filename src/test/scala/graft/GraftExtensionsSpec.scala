@@ -119,6 +119,30 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("Graft.init exposes the native expressions to SQL and installs the rule") {
+    graft.Graft.init(spark)
+    try {
+      val one = spark.sql(
+        "SELECT cosine_native(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect().head.getDouble(0)
+      assert(math.abs(one - 1.0) < 1e-12)
+      val sh = spark.sql(
+        "SELECT simhash64_native(array(CAST(5 AS BIGINT))) AS s").collect().head.getLong(0)
+      assert(sh === 5L) // single token: signature = its own bits
+      val mh = spark.sql(
+        "SELECT size(minhash_native(array(CAST(7 AS BIGINT)), 4)) AS n")
+        .collect().head.getInt(0)
+      assert(mh === 4)
+      assert(spark.experimental.extraOptimizations.contains(FuseCosineRule))
+      // idempotent: no duplicate rule entries
+      graft.Graft.init(spark)
+      assert(spark.experimental.extraOptimizations.count(_ == FuseCosineRule) === 1)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseCosineRule)
+    }
+  }
+
   test("rule leaves double-native arrays alone (precision guard)") {
     val df = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0))).toDF("id", "v")
     val q = df.as("x").join(df.as("y"), $"x.id" < $"y.id")

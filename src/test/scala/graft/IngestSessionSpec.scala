@@ -42,4 +42,24 @@ class IngestSessionSpec extends AnyFunSuite {
     val ok = new IngestSession[String, String](_ => "up", sleep = _ => ())
     assert(ok.fetch("x") === "up")
   }
+
+  test("quota logging: reference's three lines per real call, none on cache hit") {
+    val logged = scala.collection.mutable.Buffer.empty[String]
+    val transport = IngestSession.withQuotaLogging[String, String](
+      k => (s"payload:$k", Map(
+        "x-requests-used" -> "120", "X-Requests-Remaining" -> "380",
+        "Requests" -> "1")),
+      logged += _)
+    val s = new IngestSession[String, String](transport, sleep = _ => ())
+    assert(s.fetch("odds") === "payload:odds")
+    assert(logged.toSeq === Seq(
+      "Requests Used This Query: 1",
+      "Requests Used this Month: 120",
+      "Requests Remaining: 380"))
+    s.fetch("odds") // cache hit: no new quota lines
+    assert(logged.size === 3)
+    // absent headers degrade to "unknown" instead of crashing
+    assert(IngestSession.quotaLines(Map.empty).head ===
+      "Requests Used This Query: unknown")
+  }
 }
