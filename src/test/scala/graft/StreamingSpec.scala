@@ -72,6 +72,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch and timeout closure (§2.9)") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.Click
+    val mem = MemoryStream[Click]
+    val q = StreamingSessionize.closedSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // batch 1: two close events then a >30min jump — the jump closes
+    // the first session IN BATCH
+    mem.addData(
+      Click(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Click(1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+      Click(1L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessions_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
+    assert(afterB1.toSeq === Seq((1L, "2024-01-01 10:00:00.0", 2)))
+    // batches 2-3: another user's events push the watermark past
+    // user 1's open-session timeout (12:00 + 30min) → TIMEOUT closure
+    mem.addData(Click(2L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    mem.addData(Click(2L, Timestamp.valueOf("2024-01-01 14:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_out").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+    assert(u1.toSet === Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2),
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1)),
+      s"got $u1")
+  }
+
   test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
