@@ -147,13 +147,17 @@ object NearDup {
         transform(col("toks"),
           t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P).as("hs"))
     val nPerm = numBands * rowsPerBand
-    val sigCols = (0 until nPerm).map(j =>
-      array_min(transform(col("hs"), h => (h * (2 * j + 1) + j) % P)).as(s"m$j"))
-    val sig = base.select((col("id") +: sigCols).toIndexedSeq: _*)
+    // ONE fused native pass for all permutation minima (AffineMinHash
+    // — same modular arithmetic the oracle recomputes, vs nPerm
+    // interpreted transform+array_min trees re-walking the hash array)
+    val sig = base.select(col("id"),
+      graft.plans.AffineMinHashNative
+        .affineMinhash(df.sparkSession, col("hs"), nPerm).as("sig"))
     val bandRows = (0 until numBands).map { b =>
-      val fold = (1 until rowsPerBand).foldLeft(col(s"m${b * rowsPerBand}"): Column) {
-        (acc, r) => (acc * 8191 + col(s"m${b * rowsPerBand + r}")) % P
-      }
+      val fold = (1 until rowsPerBand)
+        .foldLeft(element_at(col("sig"), b * rowsPerBand + 1): Column) {
+          (acc, r) => (acc * 8191 + element_at(col("sig"), b * rowsPerBand + r + 1)) % P
+        }
       struct(lit(b).as("band"), fold.as("band_hash"))
     }
     val banded = sig

@@ -44,6 +44,22 @@ class LlmSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= 12)
   }
 
+  test("affine minhash expression matches the portable modular arithmetic") {
+    val P = 2147483647L
+    val hs = Seq(5L, 1234567L, P - 1)
+    val expected = (0 until 8).map(j => hs.map(h => (h * (2 * j + 1) + j) % P).min)
+    val got = Seq(Tuple1(hs.toArray)).toDF("hs")
+      .select(graft.plans.AffineMinHashNative
+        .affineMinhash(spark, $"hs", 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(got === expected)
+    // empty -> null (no signature)
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("hs")
+      .select(graft.plans.AffineMinHashNative.affineMinhash(spark, $"hs", 8))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("native simhash expression is bit-identical to the 64-fold HOF form") {
     val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, ""), (5L, "one two"))
       .toDF("doc_id", "text")
