@@ -16,6 +16,7 @@ object Graft {
     plans.NativeFunctions.register(spark)
     plans.MinHashNative.register(spark)
     plans.SimHashNative.register(spark)
+    plans.AffineMinHashNative.register(spark)
     if (!spark.experimental.extraOptimizations.contains(plans.FuseCosineRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.FuseCosineRule

@@ -192,21 +192,30 @@ object NearDup {
               graft.plans.SimHashNative.simhashNative(df.sparkSession, col("__hs"))
                 .as("simhash"))
 
-  /** The composable HOF formulation of [[simhash64]] — 64 `aggregate`
-    * folds, one per bit — retained as the portable reference
-    * implementation; the spec asserts bit-identity with the native
-    * expression. */
-  def simhash64Hof(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
-    val bits = (0 until 64).map { b =>
+  /** Shared HOF SimHash fold: hash the tokens once into their own
+    * projection, drop empty docs, then bit b of the signature is the
+    * sign of the ±1 vote fold over bit b of the hashes (ties → 0,
+    * mirrored exactly by the q58 oracle). One definition serves both
+    * hash families so the vote/tie semantics can't drift apart. */
+  private def simhashFold(df: DataFrame, idCol: String,
+                          hashedCol: Column, bits: Int): DataFrame = {
+    val bitCols = (0 until bits).map { b =>
       when(aggregate(col("__hs"), lit(0),
              (acc, h) => acc +
                when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
            lit(1L << b)).otherwise(lit(0L))
     }
-    df.select(col(idCol).as("doc"), transform(tokensCol, t => xxhash64(t)).as("__hs"))
+    df.select(col(idCol).as("doc"), hashedCol.as("__hs"))
       .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
-      .select(col("doc"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc"), bitCols.reduce(_ + _).as("simhash"))
   }
+
+  /** The composable HOF formulation of [[simhash64]] — 64 `aggregate`
+    * folds, one per bit — retained as the portable reference
+    * implementation; the spec asserts bit-identity with the native
+    * expression. */
+  def simhash64Hof(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    simhashFold(df, idCol, transform(tokensCol, t => xxhash64(t)), 64)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -225,17 +234,10 @@ object NearDup {
                       bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val P = 2147483647L
-    val bitCols = (0 until bits).map { b =>
-      when(aggregate(col("__hs"), lit(0),
-             (acc, h) => acc +
-               when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-           lit(1L << b)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("doc"),
-        transform(tokensCol,
-          t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P).as("__hs"))
-      .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
-      .select(col("doc"), bitCols.reduce(_ + _).as("simhash"))
+    simhashFold(df, idCol,
+      transform(tokensCol,
+        t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P),
+      bits)
   }
 
   /** Embedding-cosine near-dup: SRP-bucket the corpus (per-row

@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(SimHashNative.Name),
       new ExpressionInfo(classOf[SimHash64].getName, SimHashNative.Name),
       exprs => SimHash64(exprs(0))))
+    ext.injectFunction((FunctionIdentifier(AffineMinHashNative.Name),
+      new ExpressionInfo(classOf[AffineMinHash].getName, AffineMinHashNative.Name),
+      exprs => AffineMinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 

@@ -176,7 +176,12 @@ object ExcelStatsDb {
       require(parsed.nonEmpty, s"empty worksheet in $path")
 
       val header = parsed.head
-      val width = header.keys.max + 1
+      // width spans ALL rows, not just the header — a trailing column
+      // whose header cell is blank (unnamed columns happen in legacy
+      // sheets) must not silently drop its data; it surfaces as _cN
+      // and survives the read-modify-write append.
+      val width = parsed.iterator.flatMap(_.keys).foldLeft(-1)(math.max) + 1
+      require(width > 0, s"no addressable cells in $path")
       val names = (0 until width).map(i => header.getOrElse(i, s"_c$i"))
       val schema = StructType(names.map(StructField(_, StringType)))
       val data = parsed.tail.map { m =>

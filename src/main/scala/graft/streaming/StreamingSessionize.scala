@@ -48,23 +48,40 @@ object StreamingSessionize {
             state.remove()
             Iterator.single(close(s))
           } else {
-            val closed = Seq.newBuilder[Session]
-            var open = state.getOption
-            events.map(_.ts.getTime).toArray.sorted.foreach { t =>
-              open match {
-                case None => open = Some(OpenSession(t, t, 1))
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += close(s)
-                  open = Some(OpenSession(t, t, 1))
+            // Full interval merge of (open-session span) + (this batch's
+            // points): out-of-order events admitted behind the open
+            // session must LOWER its start (and an intermediate point
+            // may bridge two runs), so a last-interval-only fold over
+            // raw arrival order is not enough — q44's batch semantics
+            // are "gap over the sorted sequence" and this reproduces
+            // them over what streaming retains (the span + new points).
+            val intervals =
+              (state.getOption.toSeq ++
+                events.map(c => OpenSession(c.ts.getTime, c.ts.getTime, 1)).toSeq)
+                .sortBy(_.startMs)
+            if (intervals.isEmpty) Iterator.empty
+            else {
+              val merged = scala.collection.mutable.ArrayBuffer(intervals.head)
+              intervals.tail.foreach { iv =>
+                val last = merged.last
+                if (iv.startMs - last.endMs <= gapMs)
+                  merged(merged.length - 1) = OpenSession(last.startMs,
+                    math.max(last.endMs, iv.endMs), last.n + iv.n)
+                else merged += iv
+              }
+              val open = merged.last
+              // a session whose close time the watermark already passed
+              // can never be extended — close it now instead of setting
+              // an in-the-past timeout (which Spark rejects)
+              if (open.endMs + gapMs > state.getCurrentWatermarkMs) {
+                state.update(open)
+                state.setTimeoutTimestamp(open.endMs + gapMs)
+                merged.init.iterator.map(close)
+              } else {
+                state.remove()
+                merged.iterator.map(close)
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.result().iterator
           }
       }
   }

@@ -106,6 +106,33 @@ class StreamingSpec extends SparkSpec {
       s"got $u1")
   }
 
+  test("sessionization merges admitted out-of-order events, lowering session start") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.Click
+    val mem = MemoryStream[Click]
+    val q = StreamingSessionize.closedSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    mem.addData(Click(1L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable() // watermark after batch: 11:30
+    // late-but-admitted event BEFORE the open session start must extend
+    // the span backwards, exactly as q44's sorted batch semantics would
+    mem.addData(Click(1L, Timestamp.valueOf("2024-01-01 11:35:00")))
+    q.processAllAvailable()
+    // advance the watermark past 12:30 with another user → timeout close
+    mem.addData(Click(2L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    mem.addData(Click(2L, Timestamp.valueOf("2024-01-01 14:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_ooo").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+    assert(u1.toSeq === Seq(("2024-01-01 11:35:00.0", "2024-01-01 12:00:00.0", 2)),
+      s"got ${u1.toSeq}")
+  }
+
   test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
