@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental exact-dedup of a document stream against the WHOLE
+  * corpus seen so far — the crawl-ingest shape of an LLM training-data
+  * pipeline: a new batch of documents is kept only where its content
+  * hash is (a) unique within the batch and (b) absent from the
+  * persisted hash store of everything previously accepted; accepted
+  * hashes are appended to the store so the next batch (or the next
+  * scheduled run — the checkpoint makes re-runs exactly-once) dedups
+  * against them.
+  *
+  * This complements the in-stream variants in [[MicroBatchUpsert]]:
+  * `dedupedWithinWatermark` bounds its state by the watermark, so it
+  * can only dedup documents that arrive close together; a training
+  * corpus needs dedup against ALL history, which no streaming state
+  * store should hold — so history lives as a parquet hash table
+  * (16 bytes + id per accepted doc, ~1000× smaller than the text) and
+  * each micro-batch does one anti-join against it.
+  *
+  * Scale notes (100 TB corpus ≈ 10^10 hashes ≈ 300 GB store): the
+  * per-batch anti-join shuffles the store on content_hash unless the
+  * store is laid out for it — at scale, keep the store as a table
+  * BUCKETED by content_hash (the BucketedJoinSpec pattern: both sides
+  * cluster into the same buckets, the join is co-located and only the
+  * small batch sorts), or prune by hash-prefix partitions. The logic
+  * here is layout-agnostic; the layout is the deployment's knob.
+  */
+object StreamingCorpusDedup {
+
+  /** Accepted-hash store reader: empty frame when absent. */
+  private def storedHashes(spark: SparkSession, storeDir: String): DataFrame =
+    try spark.read.parquet(storeDir).select(col("content_hash"))
+    catch {
+      case e: AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.emptyDataFrame.select(lit("").as("content_hash")).limit(0)
+    }
+
+  /** One available-now pass: dedup each micro-batch against the store,
+    * hand the survivors to `accept` (write to the corpus, forward
+    * downstream, ...), then append their hashes to the store. */
+  def run(docs: DataFrame, textCol: String, storeDir: String,
+          checkpoint: String)(accept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+        // (a) unique within the batch: first arrival wins — an
+        // arbitrary-but-deterministic pick via min over the batch's
+        // own hash group would need an ordering column; batches are
+        // unordered sets here, so full-row distinct then one-per-hash.
+        val inBatch = hashed.dropDuplicates("content_hash")
+        // (b) absent from the persisted corpus
+        val fresh = inBatch.join(storedHashes(spark, storeDir),
+                                 Seq("content_hash"), "left_anti")
+        // materialize ONCE: accept() and the store append must see the
+        // same row set even though `fresh` is lazily planned twice
+        fresh.persist()
+        try {
+          accept(fresh)
+          fresh.select(col("content_hash"))
+            .write.mode("append").parquet(storeDir)
+        } finally fresh.unpersist()
+      }
+      .start()
+}

@@ -133,6 +133,34 @@ class StreamingSpec extends SparkSpec {
       s"got ${u1.toSeq}")
   }
 
+  test("corpus dedup: micro-batches dedup against ALL accepted history") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingCorpusDedup
+    val store = tmpDir("corpus-hashes") + "/hashes"
+    val ckpt = tmpDir("corpus-ckpt")
+    val accepted = scala.collection.mutable.Buffer.empty[String]
+    def acceptInto(batch: org.apache.spark.sql.DataFrame): Unit =
+      accepted ++= batch.select("text").collect().map(_.getString(0))
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the quick fox"), (2L, "the quick fox"), (3L, "doc two"))
+    val q1 = StreamingCorpusDedup.run(
+      mem.toDF().toDF("doc_id", "text"), "text", store, ckpt)(acceptInto)
+    q1.awaitTermination(60000)
+    assert(accepted.sorted === Seq("doc two", "the quick fox")) // in-batch dup dropped
+
+    // a LATER run (fresh trigger, same checkpoint+store): the repeat of
+    // batch-1 content is rejected against the persisted history, far
+    // outside any watermark window
+    mem.addData((4L, "the quick fox"), (5L, "doc three"))
+    val q2 = StreamingCorpusDedup.run(
+      mem.toDF().toDF("doc_id", "text"), "text", store, ckpt)(acceptInto)
+    q2.awaitTermination(60000)
+    assert(accepted.sorted === Seq("doc three", "doc two", "the quick fox"))
+    // the store carries exactly the accepted hashes
+    assert(spark.read.parquet(store).distinct().count() === 3)
+  }
+
   test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
