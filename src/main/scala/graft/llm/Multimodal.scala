@@ -63,4 +63,33 @@ object Multimodal {
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
+
+  /** Resize stub: nearest-neighbor resample of a decoded 1-D pixel /
+    * feature array to `targetLen` — stands in for the image-resize
+    * step (a real impl swaps in bilinear over the decoded plane with
+    * the same signature). Deterministic and length-exact, so the
+    * downstream fixed-width feature contract is testable. */
+  def resizeNearest(pixels: Array[Float], targetLen: Int): Array[Float] = {
+    require(targetLen > 0, s"targetLen must be positive, got $targetLen")
+    require(pixels.nonEmpty, "cannot resize an empty pixel array")
+    Array.tabulate(targetLen)(i =>
+      pixels((i.toLong * pixels.length / targetLen).toInt))
+  }
+
+  /** Decode + resize to a fixed feature width, batched like
+    * [[extractFeatures]] — the full image-pipeline plumbing shape
+    * (decode → resize → features) in one narrow pass. */
+  def extractResized(ds: Dataset[MediaRow], decoder: MediaDecoder,
+                     targetLen: Int, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.id, r.kind, r.media.length,
+            resizeNearest(decoder.decode(r.media, r.kind), targetLen))
+        }
+      }
+    }
+  }
 }

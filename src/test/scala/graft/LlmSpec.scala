@@ -256,6 +256,22 @@ class LlmSpec extends SparkSpec {
     assert(feats.head.features.toSeq === again.head.features.toSeq)
   }
 
+  test("resize stub: nearest-neighbor to exact target length, batched pipeline") {
+    val px = Array(0f, 1f, 2f, 3f, 4f, 5f, 6f, 7f)
+    // downsample 8 -> 4: picks 0,2,4,6
+    assert(Multimodal.resizeNearest(px, 4).toSeq === Seq(0f, 2f, 4f, 6f))
+    // upsample 8 -> 16: each source pixel exactly twice, order kept
+    val up = Multimodal.resizeNearest(px, 16)
+    assert(up.length === 16 && up.toSeq === px.toSeq.flatMap(p => Seq(p, p)))
+    // same-size resize is identity
+    assert(Multimodal.resizeNearest(px, 8).toSeq === px.toSeq)
+    // full decode -> resize -> features plumbing at a fixed width
+    val rows = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4), "image")).toDS()
+    val out = Multimodal.extractResized(rows, Multimodal.FakeDecoder,
+      targetLen = 4, batchSize = 2).collect().head
+    assert(out.features.length === 4)
+  }
+
   test("frame sampling stub strides the byte stream") {
     val frames = Multimodal.sampleFrames(Array.tabulate[Byte](100)(_.toByte), 10, 2)
     assert(frames.length === 5)
