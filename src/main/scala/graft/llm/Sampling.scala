@@ -32,4 +32,20 @@ object Sampling {
   /** Deterministic shard id in [0, nShards). */
   def shardOf(id: Column, nShards: Int): Column =
     pmod(Similarity.lcg(id), lit(nShards.toLong))
+
+  /** Mixture (per-domain) sampling: keep a row iff [[idFraction]] of
+    * its id falls below its domain's rate — how a training corpus is
+    * re-weighted across sources (up/down-sample web vs books vs code)
+    * without a shuffle or an rng. Domains absent from `rates` fall
+    * back to `defaultRate`; rates are deterministic per row, so the
+    * sample is stable under re-runs and re-partitionings and two
+    * pipelines sampling at nested rates produce nested subsets
+    * (idFraction < 0.1 implies idFraction < 0.5). */
+  def mixtureKeep(id: Column, domain: Column, rates: Seq[(String, Double)],
+                  defaultRate: Double): Column = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (dom, r)) => when(domain === lit(dom), lit(r)).otherwise(acc)
+    }
+    idFraction(id) < rate
+  }
 }

@@ -248,6 +248,20 @@ object LlmQueries {
     "q56_vocab" -> ((s, d) =>
       TextStats.topTokens(documents(s, d), "text", 20)),
 
+    // Mixture sampling: per-source deterministic keep rates (corpus
+    // re-weighting across domains) — a pure LCG function of doc_id,
+    // zero shuffle before the audit aggregation.
+    "q62_mixture_sample" -> ((s, d) => {
+      val keep = Sampling.mixtureKeep(
+        col("doc_id"), col("source"),
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      documents(s, d)
+        .select(col("source"), keep.cast("long").as("keep"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+             sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
+    }),
+
     // Hash-VERIFIED MinHash-LSH: the portable-arithmetic twin of q28 —
     // md5/modular hashes the oracle recomputes exactly, so banding,
     // bucketing, candidate generation and Jaccard verification are all
@@ -410,6 +424,17 @@ object LlmQueries {
       s"""SELECT t AS token, COUNT(*) AS freq
          |FROM (SELECT unnest($toks) AS t FROM documents)
          |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q62_mixture_sample" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CASE WHEN CAST((${lcgSql("doc_id")})>>16 AS DOUBLE)/32768.0 <
+         |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |                WHEN 'src2' THEN 0.25 ELSE 0.1 END
+         |  THEN 1 ELSE 0 END AS keep FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
+         |    AS kept_id_checksum
+         |FROM t GROUP BY source""".stripMargin,
 
     "q52_quality" ->
       s"""SELECT doc_id,
