@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair graph — the step that turns
+  * near-duplicate PAIRS (NearDup.lshCandidatePairs et al.) into dedup
+  * GROUPS so a pipeline can keep one canonical document per group.
+  * Pairs alone don't dedup: if a~b and b~c, dropping "the second of
+  * each pair" would drop b and c even though a~c may not hold; the
+  * group representative must be chosen per component.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round does (1) propagate: label(x) := min(label(x), min over
+  * neighbors y of label(y)) — one join + one aggregation on the edge
+  * list; (2) jump: label(x) := label(label(x)) — a self-join that
+  * halves chain depth, so rounds are O(log diameter) rather than
+  * O(diameter). Labels only ever decrease and are node ids, so the
+  * fixpoint assigns every node the MINIMUM id in its component —
+  * deterministic, no rng, engine-portable.
+  *
+  * Scale notes (100 TB): each round is two shuffles bounded by the
+  * EDGE list, not the corpus — near-dup graphs are tiny relative to
+  * the input (most docs are singletons and never enter this operator).
+  * LSH-banded components are near-cliques (diameter 1–3), so 2–3
+  * rounds close them; the per-round convergence check is one count on
+  * the changed-label set. For adversarial long-chain graphs the
+  * pointer jump bounds rounds at log₂(diameter); beyond that the
+  * two-phase large-star/small-star formulation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) is the
+  * same joins with a different grouping and the same O(log) bound.
+  * The edge list is cached across rounds; each round's labels are
+  * localCheckpoint'ed to truncate lineage (iterative plans otherwise
+  * grow a round's plan depth per iteration and re-execute history).
+  */
+object Components {
+
+  /** Labels every node of the undirected pair graph `edges` with the
+    * minimum node id reachable from it. Returns (node, label) for
+    * nodes that appear in at least one edge (singletons never enter
+    * the graph; their "component" is themselves by definition).
+    * `maxIter` is a safety bound — with pointer jumping it allows
+    * components of diameter 2^maxIter. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 16): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val sym = edges.select(a.as("node"), b.as("nbr"))
+      .union(edges.select(b.as("node"), a.as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Round 0: label(x) = min(x, min neighbor).
+    var labels = sym.groupBy(col("node"))
+      .agg(min(col("nbr")).as("__mn"))
+      .select(col("node"), least(col("node"), col("__mn")).as("label"))
+      .localCheckpoint()
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // Propagate the neighbor minimum one hop along every edge.
+      val prop = sym
+        .join(labels.withColumnRenamed("node", "__n"), col("nbr") === col("__n"))
+        .groupBy(col("node")).agg(min(col("label")).as("nbr_label"))
+      val stepped = labels.join(prop, Seq("node"))
+        .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
+      // Pointer jump: follow the label's own label (labels are node
+      // ids and only decrease, so label(label(x)) <= label(x)).
+      val next = stepped.as("x")
+        .join(stepped.as("y"), col("x.label") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+                least(col("x.label"), coalesce(col("y.label"), col("x.label")))
+                  .as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup-group summary over [[connectedComponents]]: one row per
+    * group with its representative (the minimum doc id — the row a
+    * dedup keeps), member count and id checksum. */
+  def dedupGroups(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("label").as("group_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("node")).as("id_checksum"),
+           max(col("node")).as("max_id"))
+}

@@ -270,6 +270,19 @@ object LlmQueries {
       NearDup.portableNearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
                                    "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // Dedup GROUPS: connected components over the q57 near-dup pair
+    // graph (min-label propagation + pointer jumping), one row per
+    // group with the surviving representative — the step that turns
+    // verified pairs into an actual dedup decision. Oracle recomputes
+    // the components with a recursive reachability CTE over the SAME
+    // edge SQL q57 hash-matches.
+    "q60_dedup_groups" -> ((s, d) => {
+      val pairs = NearDup.portableNearDupPairs(
+        documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+        threshold = 0.8)
+      graft.llm.Components.dedupGroups(pairs, "id_a", "id_b")
     })
   )
 
@@ -284,6 +297,42 @@ object LlmQueries {
     s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  // Full portable MinHash-LSH pair SQL, shared by two oracles: q57
+  // hash-checks the pairs themselves; q60 builds its component closure
+  // over the same verified edge set.
+  private val q57Sql: String = {
+    val P = "2147483647"
+    val nBands = 8; val rowsPerBand = 4
+    val minCols = (0 until nBands * rowsPerBand).map(j =>
+      s"list_min(list_transform(hs, x -> (x*${2 * j + 1}+$j)%$P)) AS m$j")
+      .mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val fold = (1 until rowsPerBand)
+        .foldLeft(s"m${b * rowsPerBand}")((acc, r) =>
+          s"(($acc*8191+m${b * rowsPerBand + r})%$P)")
+      s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM documents WHERE doc_id < 1000),
+       |h AS (SELECT doc_id, list_transform(toks, t ->
+       |  CAST(CONCAT('0x', substr(md5(t), 1, 14)) AS BIGINT) % $P) AS hs FROM d),
+       |sig AS (SELECT doc_id, $minCols FROM h),
+       |bands AS ($bandSelects),
+       |pruned AS (SELECT doc_id, band, band_hash FROM (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM bands)
+       |  WHERE bn <= 300),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM pruned x JOIN pruned y
+       |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |scored AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+       |  FROM cand JOIN d a ON id_a = a.doc_id JOIN d b ON id_b = b.doc_id)
+       |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM scored
+       |WHERE jac >= 0.8""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -324,38 +373,24 @@ object LlmQueries {
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM pairs
          |WHERE cos >= 0.35""".stripMargin,
 
-    "q57_minhash_portable" -> {
-      val P = "2147483647"
-      val nBands = 8; val rowsPerBand = 4
-      val minCols = (0 until nBands * rowsPerBand).map(j =>
-        s"list_min(list_transform(hs, x -> (x*${2 * j + 1}+$j)%$P)) AS m$j")
-        .mkString(", ")
-      val bandSelects = (0 until nBands).map { b =>
-        val fold = (1 until rowsPerBand)
-          .foldLeft(s"m${b * rowsPerBand}")((acc, r) =>
-            s"(($acc*8191+m${b * rowsPerBand + r})%$P)")
-        s"SELECT doc_id, $b AS band, $fold AS band_hash FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH d AS (SELECT doc_id,
-         |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-         |  FROM documents WHERE doc_id < 1000),
-         |h AS (SELECT doc_id, list_transform(toks, t ->
-         |  CAST(CONCAT('0x', substr(md5(t), 1, 14)) AS BIGINT) % $P) AS hs FROM d),
-         |sig AS (SELECT doc_id, $minCols FROM h),
-         |bands AS ($bandSelects),
-         |pruned AS (SELECT doc_id, band, band_hash FROM (
-         |  SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM bands)
-         |  WHERE bn <= 300),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM pruned x JOIN pruned y
-         |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |scored AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
-         |  FROM cand JOIN d a ON id_a = a.doc_id JOIN d b ON id_b = b.doc_id)
-         |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM scored
-         |WHERE jac >= 0.8""".stripMargin
-    },
+    "q57_minhash_portable" -> q57Sql,
+
+    // Recursive reachability closure over the q57 edge set: walk(node,
+    // reach) grows one hop per iteration with UNION dedup until the
+    // fixpoint, then label = MIN(reach) — the same minimum-id-per-
+    // component contract as Components.connectedComponents.
+    "q60_dedup_groups" ->
+      s"""WITH RECURSIVE edges AS ($q57Sql),
+         |sym AS (SELECT id_a AS node, id_b AS nbr FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |walk AS (
+         |  SELECT node, node AS reach FROM (SELECT DISTINCT node FROM sym)
+         |  UNION
+         |  SELECT w.node, s.nbr AS reach FROM walk w JOIN sym s ON s.node = w.reach),
+         |lab AS (SELECT node, MIN(reach) AS label FROM walk GROUP BY node)
+         |SELECT label AS group_rep, COUNT(*) AS n_docs,
+         |  CAST(SUM(node) AS BIGINT) AS id_checksum, MAX(node) AS max_id
+         |FROM lab GROUP BY label""".stripMargin,
 
     "q54_split" ->
       s"""WITH s AS (SELECT doc_id,

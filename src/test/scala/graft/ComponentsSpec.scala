@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label every node with its component minimum") {
+    // Two components: a 5-node chain 1-2-3-4-5 (worst case for pure
+    // propagation — exercises the pointer jump) and a triangle 10-11-12.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                          10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dedup groups summarize each component under its representative") {
+    val edges = Seq((7L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val groups = Components.dedupGroups(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(groups.toSeq === Seq((3L, 3L, 19L, 9L), (20L, 2L, 41L, 21L)))
+  }
+
+  test("a long path converges within the pointer-jump round bound") {
+    // Path 0-1-2-...-40: diameter 40, log2 bound ~6 rounds of
+    // propagate+jump. maxIter=16 default must be ample.
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(edges, "id_a", "id_b")
+      .agg(countDistinct($"label").as("n"), max($"label").as("mx"))
+      .collect().head
+    assert(labels.getLong(0) === 1L && labels.getLong(1) === 0L)
+  }
+}
