@@ -302,6 +302,24 @@ object CoreQueries {
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
         .agg(count(lit(1)).as("n_items"), exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Range (interval) join with NO equi key — bucketized into an
+    // equi-join (see operators.RangeJoin: naive Spark plans this shape
+    // as a broadcast nested loop). Price intervals around a sample of
+    // orders, matched against every lineitem price.
+    "q61_range_join" -> ((s, d) => {
+      val iv = orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+                (col("o_totalprice") - 1000.0).as("lo"),
+                (col("o_totalprice") + 1000.0).as("hi"))
+      val pts = lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, col("l_extendedprice"), iv, col("lo"), col("hi"),
+                         bucketWidth = 1000.0)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"),
+             sum(col("l_orderkey")).as("key_checksum"))
     })
   )
 
@@ -489,6 +507,16 @@ object CoreQueries {
       s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          |COUNT(*) AS n_items, ${dsum("l_quantity")} AS sum_qty
          |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q61_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS interval_id,
+        |  o_totalprice - 1000.0 AS lo, o_totalprice + 1000.0 AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT interval_id, COUNT(*) AS n_points,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+        |FROM iv JOIN lineitem
+        |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+        |GROUP BY interval_id""".stripMargin
   )
 }
