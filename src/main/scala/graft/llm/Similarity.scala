@@ -138,6 +138,80 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the COMPRESSED scale path. Each vector is encoded once
+    * into `nSub` byte-sized codes (its nearest codeword per subspace),
+    * so a 64-dim float corpus shrinks 32× (256 B → 8 B/row); queries
+    * never decode — each query precomputes a tiny distance table
+    * (L2² of its subvector to every codeword) and a candidate's
+    * approximate distance is just `nSub` table lookups. This is the
+    * standard IVFADC building block (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): compose
+    * with [[ivfTopK]]'s cell pruning for candidate reduction AND code
+    * compression.
+    *
+    * Codebooks: sub-slices of the `nCodes` LCG-selected corpus vectors
+    * — the same deterministic stand-in for an offline k-means fit as
+    * [[ivfTopK]] (and oracle-recomputable). They are collected once
+    * (bounded) and baked into the plan as literals, so ENCODING is a
+    * narrow per-row projection — straight-line codegen, zero joins,
+    * zero corpus shuffle. The ADC scan is a broadcast of the (tiny)
+    * query distance tables over the codes table; the only corpus-wide
+    * exchange is the final per-query top-k window. All distance terms
+    * are added in fixed index order, so the oracle reproduces every
+    * code and distance bit-for-bit. */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, dim: Int = 64, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val subDim = dim / nSub
+    require(nSub * subDim == dim, "nSub must divide dim")
+    val centRows = corpus
+      .select(col(corpusId).cast("long").as("cent_id"),
+              col(corpusVec).cast("array<double>").as("cent_vec"))
+      .orderBy(lcg(col("cent_id")), col("cent_id"))
+      .limit(nCodes)
+      .collect()
+    // codebook(s)(c) = subvector s of the rank-c selected vector.
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nSub).map(s => centRows.toIndexedSeq.map(r =>
+        r.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim)))
+
+    // L2² of sub-slice `s` of `vec` against a literal codeword; terms
+    // added left-to-right in dimension order (oracle parity).
+    def l2(vec: Column, s: Int, cw: Seq[Double]): Column =
+      (0 until subDim).map { i =>
+        val d = element_at(vec, s * subDim + i + 1).cast("double") - lit(cw(i))
+        d * d
+      }.reduce(_ + _)
+
+    // Per-subspace argmin code, ties to the lowest code index
+    // (array_position returns the FIRST position of the minimum).
+    def codesOf(vec: Column): Column =
+      array((0 until nSub).map { s =>
+        val dists = array(codebook(s).map(cw => l2(vec, s, cw)): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }: _*)
+
+    // Flattened query distance table: entry s*nCodes + c.
+    def distTable(vec: Column): Column =
+      array((0 until nSub).flatMap(s => codebook(s).map(cw => l2(vec, s, cw))): _*)
+
+    val enc = corpus.select(col(corpusId).as("cid"),
+                            codesOf(col(corpusVec)).as("codes"))
+    val q = broadcast(queries.select(col(queryId).as("qid"),
+                                     distTable(col(queryVec)).as("dt")))
+    q.join(enc, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("dt"),
+            (s * nCodes + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("adc_dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
     * AND expressible in any SQL engine — which is what lets the
     * DuckDB oracle recompute the SRP buckets and IVF centroid choice

@@ -283,6 +283,19 @@ object LlmQueries {
         documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
         threshold = 0.8)
       graft.llm.Components.dedupGroups(pairs, "id_a", "id_b")
+    }),
+
+    // Product-quantization ANN (ADC): corpus encoded to 8 one-byte
+    // codes (32x compression), queries scan codes via per-query
+    // distance-table lookups — codebooks are the LCG-selected vectors
+    // the oracle recomputes, so codes, distances and ranking are all
+    // hash-checked.
+    "q63_pq_ann" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+                        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+                        k = 10)
+        .select(col("qid"), col("cid"), round(col("adc_dist"), 4).as("adc_dist"))
     })
   )
 
@@ -391,6 +404,38 @@ object LlmQueries {
          |SELECT label AS group_rep, COUNT(*) AS n_docs,
          |  CAST(SUM(node) AS BIGINT) AS id_checksum, MAX(node) AS max_id
          |FROM lab GROUP BY label""".stripMargin,
+
+    // PQ-ADC: codebook c of subspace s = slice of the rank-c vector
+    // under the (lcg, id) order (same centroid choice as q40 IVF);
+    // code = first-minimum argmin; adc = 8 ordered table lookups.
+    // Every double sum folds in the same index order as the Spark
+    // expressions, so distances are bit-identical.
+    "q63_pq_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cidx AS (SELECT row_number() OVER (ORDER BY ${lcgSql("vec_id")}, vec_id) - 1
+         |    AS c, v AS cv
+         |  FROM e ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 16),
+         |cb AS (SELECT c, s, list_slice(cv, s*8+1, s*8+8) AS cw
+         |  FROM cidx, range(0, 8) t(s)),
+         |dist AS (SELECT vec_id, s, c,
+         |  list_sum(list_transform(range(1, 9), i ->
+         |    (v[s*8+i]-cw[i])*(v[s*8+i]-cw[i]))) AS dd
+         |  FROM e CROSS JOIN cb),
+         |code AS (SELECT vec_id, s, c AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |codesl AS (SELECT vec_id AS cid, list(code ORDER BY s) AS codes
+         |  FROM code GROUP BY vec_id),
+         |dt AS (SELECT vec_id AS qid, list(dd ORDER BY s, c) AS dt
+         |  FROM dist WHERE vec_id < 10 GROUP BY vec_id),
+         |pairs AS (SELECT qid, cid,
+         |  list_sum(list_transform(range(0, 8), s -> dt[s*16 + codes[s+1] + 1]))
+         |    AS dist
+         |  FROM dt CROSS JOIN codesl WHERE qid <> cid)
+         |SELECT qid, cid, ROUND(dist, 4) AS adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 10""".stripMargin,
 
     "q54_split" ->
       s"""WITH s AS (SELECT doc_id,

@@ -277,4 +277,26 @@ class LlmSpec extends SparkSpec {
     assert(frames.length === 5)
     assert(frames.head.toSeq === (0 until 10).map(_.toByte))
   }
+
+  test("PQ-ADC: a duplicated vector attains the minimum ADC distance") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    // vec 17 is an exact copy of vec 5 → identical codes, so its ADC
+    // distance to query 5 is the smallest any candidate can score.
+    val corpus = base.map { case (id, v) =>
+      if (id == 17L) (id, base(5)._2) else (id, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(corpus, "vec_id", "embedding",
+        corpus.filter($"vec_id" === 5), "vec_id", "embedding",
+        k = 20, dim = 16, nSub = 4, nCodes = 8)
+      .orderBy($"adc_dist".asc, $"cid".asc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length === 19) // all candidates except the query itself
+    val minDist = out.map(_._2).min
+    assert(out.find(_._1 == 17L).get._2 === minDist)
+    // distances are non-negative and the result is sorted
+    assert(out.forall(_._2 >= 0.0))
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
 }
