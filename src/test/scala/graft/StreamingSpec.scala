@@ -57,6 +57,47 @@ class StreamingSpec extends SparkSpec {
     assert(b2.contains((3, 35.0)), s"state did not accumulate: $b2")
   }
 
+  test("transformWithState: per-source token budget persists across batches") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.BudgetedIntake
+    import graft.streaming.BudgetedIntake.Doc
+    // The new arbitrary-state API requires the RocksDB state store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Doc]
+      val q = BudgetedIntake.budgetedIntake(mem.toDS(), budget = 100L)
+        .writeStream.format("memory").queryName("budget_out")
+        .outputMode("append").start()
+      // Batch 1: src_a consumes 90 of its 100-token budget.
+      mem.addData(Doc("src_a", 1L, 60L), Doc("src_b", 2L, 10L))
+      q.processAllAvailable()
+      mem.addData(Doc("src_a", 3L, 30L))
+      q.processAllAvailable()
+      // Batch 3: src_a is at 90 < 100 → doc 4 still accepted (greedy,
+      // crosses the line); src_b is far under budget and keeps going.
+      mem.addData(Doc("src_a", 4L, 50L), Doc("src_b", 6L, 20L))
+      q.processAllAvailable()
+      // Batch 4: src_a is now at 140 >= 100 → doc 5 must be rejected.
+      mem.addData(Doc("src_a", 5L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("budget_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("src_a", 1L, 60L), ("src_b", 2L, 10L),
+        ("src_a", 3L, 90L),
+        ("src_a", 4L, 140L), ("src_b", 6L, 30L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermarked streaming dedup drops in-stream duplicates") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
