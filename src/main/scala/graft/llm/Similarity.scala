@@ -171,40 +171,29 @@ object Similarity {
       .orderBy(lcg(col("cent_id")), col("cent_id"))
       .limit(nCodes)
       .collect()
-    // codebook(s)(c) = subvector s of the rank-c selected vector.
-    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until nSub).map(s => centRows.toIndexedSeq.map(r =>
-        r.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim)))
-
-    // L2² of sub-slice `s` of `vec` against a literal codeword; terms
-    // added left-to-right in dimension order (oracle parity).
-    def l2(vec: Column, s: Int, cw: Seq[Double]): Column =
-      (0 until subDim).map { i =>
-        val d = element_at(vec, s * subDim + i + 1).cast("double") - lit(cw(i))
-        d * d
-      }.reduce(_ + _)
-
-    // Per-subspace argmin code, ties to the lowest code index
-    // (array_position returns the FIRST position of the minimum).
-    def codesOf(vec: Column): Column =
-      array((0 until nSub).map { s =>
-        val dists = array(codebook(s).map(cw => l2(vec, s, cw)): _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }: _*)
-
-    // Flattened query distance table: entry s*nCodes + c.
-    def distTable(vec: Column): Column =
-      array((0 until nSub).flatMap(s => codebook(s).map(cw => l2(vec, s, cw))): _*)
+    // Flattened codebook, entry (s, c) at (s*nCodes + c)*subDim: a
+    // plan-time constant shared by the three native PQ kernels
+    // (graft.plans.Pq). A composable column formulation of the same
+    // argmin (arrays of per-codeword L2 expressions + array_position)
+    // is ~2,000 expression nodes and fell out of whole-stage codegen
+    // past Janino's 64 KB method limit — the fused loops keep encode
+    // AND the corpus-wide ADC scan codegen'd with identical
+    // accumulation order (see Pq scaladoc; BENCH q63 6.6 s → sub-s).
+    val spark = corpus.sparkSession
+    val cbFlat: Seq[Double] =
+      for {
+        s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until subDim
+      } yield centRows(c).getSeq[Double](1)(s * subDim + i)
 
     val enc = corpus.select(col(corpusId).as("cid"),
-                            codesOf(col(corpusVec)).as("codes"))
+      graft.plans.PqNative
+        .pqCodes(spark, col(corpusVec), cbFlat, nSub, nCodes).as("codes"))
     val q = broadcast(queries.select(col(queryId).as("qid"),
-                                     distTable(col(queryVec)).as("dt")))
+      graft.plans.PqNative
+        .pqDistTable(spark, col(queryVec), cbFlat, nSub, nCodes).as("dt")))
     q.join(enc, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
-          (acc, s) => acc + element_at(col("dt"),
-            (s * nCodes + element_at(col("codes"), s + 1) + 1).cast("int")))
+        graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodes)
           .as("adc_dist"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))
