@@ -320,6 +320,22 @@ object CoreQueries {
         .groupBy(col("interval_id"))
         .agg(count(lit(1)).as("n_points"),
              sum(col("l_orderkey")).as("key_checksum"))
+    }),
+
+    // Z-order layout stats: Morton-interleave (part, supp) and verify
+    // the min-max rectangle per fixed-width z-bucket — the stats parquet
+    // pruning would use after a ZORDER BY layout (operators.ZOrder).
+    "q64_zorder" -> ((s, d) => {
+      val x = col("l_partkey").bitwiseAND(lit(4095L))
+      val y = col("l_suppkey").bitwiseAND(lit(4095L))
+      lineitem(s, d)
+        .select(col("l_orderkey"), x.as("x"), y.as("y"),
+                graft.operators.ZOrder.zValue(x, y, bits = 12).as("zv"))
+        .groupBy(shiftright(col("zv"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+             min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+             sum(col("l_orderkey")).as("key_checksum"))
     })
   )
 
@@ -517,6 +533,20 @@ object CoreQueries {
         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
         |FROM iv JOIN lineitem
         |  ON l_extendedprice >= lo AND l_extendedprice <= hi
-        |GROUP BY interval_id""".stripMargin
+        |GROUP BY interval_id""".stripMargin,
+
+    "q64_zorder" -> {
+      val zbits = (0 until 12).map(b =>
+        s"((((x>>$b)&1)<<${2 * b}) | (((y>>$b)&1)<<${2 * b + 1}))")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT l_orderkey, l_partkey & 4095 AS x,
+         |  l_suppkey & 4095 AS y FROM lineitem),
+         |z AS (SELECT *, ($zbits) AS zv FROM t)
+         |SELECT zv >> 12 AS zbucket, COUNT(*) AS n,
+         |  MIN(x) AS min_x, MAX(x) AS max_x,
+         |  MIN(y) AS min_y, MAX(y) AS max_y,
+         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+         |FROM z GROUP BY 1""".stripMargin
+    }
   )
 }
