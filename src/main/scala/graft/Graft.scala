@@ -17,6 +17,7 @@ object Graft {
     plans.MinHashNative.register(spark)
     plans.SimHashNative.register(spark)
     plans.AffineMinHashNative.register(spark)
+    plans.PqNative.register(spark)
     if (!spark.experimental.extraOptimizations.contains(plans.FuseCosineRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.FuseCosineRule

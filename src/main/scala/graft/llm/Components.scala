@@ -46,8 +46,13 @@ object Components {
                           maxIter: Int = 16): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    val sym = edges.select(a.as("node"), b.as("nbr"))
-      .union(edges.select(b.as("node"), a.as("nbr")))
+    // Symmetrize with ONE pass over `edges` (an explode, not a
+    // self-union — a union would evaluate the upstream pair pipeline
+    // once per branch when first materialized into the cache).
+    val sym = edges
+      .select(explode(array(struct(a.as("node"), b.as("nbr")),
+                            struct(b.as("node"), a.as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Round 0: label(x) = min(x, min neighbor).

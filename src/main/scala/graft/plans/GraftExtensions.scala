@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AffineMinHash].getName, AffineMinHashNative.Name),
       exprs => AffineMinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    ext.injectFunction((FunctionIdentifier(PqNative.CodesName),
+      new ExpressionInfo(classOf[PqCodes].getName, PqNative.CodesName),
+      exprs => PqCodes(exprs(0), exprs(1), intArg(exprs(2)), intArg(exprs(3)))))
+    ext.injectFunction((FunctionIdentifier(PqNative.DistTableName),
+      new ExpressionInfo(classOf[PqDistTable].getName, PqNative.DistTableName),
+      exprs => PqDistTable(exprs(0), exprs(1), intArg(exprs(2)), intArg(exprs(3)))))
+    ext.injectFunction((FunctionIdentifier(PqNative.AdcName),
+      new ExpressionInfo(classOf[PqAdc].getName, PqNative.AdcName),
+      exprs => PqAdc(exprs(0), exprs(1), intArg(exprs(2)))))
   }
 }
 

@@ -133,6 +133,13 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT size(minhash_native(array(CAST(7 AS BIGINT)), 4)) AS n")
         .collect().head.getInt(0)
       assert(mh === 4)
+      // PQ kernels: 1 subspace x 2 codewords of dim 2; vector (3,4) is
+      // nearer codeword 1 at (3,3) than codeword 0 at (0,0).
+      val pq = spark.sql(
+        "SELECT pq_adc(pq_codes(array(3.0D, 4.0D), array(0.0D, 0.0D, 3.0D, 3.0D), 1, 2), " +
+          "pq_dist_table(array(3.0D, 4.0D), array(0.0D, 0.0D, 3.0D, 3.0D), 1, 2), 2) AS d")
+        .collect().head.getDouble(0)
+      assert(pq === 1.0) // (3-3)^2 + (4-3)^2
       assert(spark.experimental.extraOptimizations.contains(FuseCosineRule))
       // idempotent: no duplicate rule entries
       graft.Graft.init(spark)
