@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and shard assignment for training
@@ -47,5 +48,21 @@ object Sampling {
       case (acc, (dom, r)) => when(domain === lit(dom), lit(r)).otherwise(acc)
     }
     idFraction(id) < rate
+  }
+
+  /** Fixed-COUNT deterministic per-group sample: the `n` rows with the
+    * smallest (lcg(id), id) rank in each group — "exactly 25 eval docs
+    * per language" where [[mixtureKeep]] gives a RATE. One exchange on
+    * the group keys with map-side WindowGroupLimit (only candidate
+    * winners cross the shuffle); no rand(), so the sample is stable
+    * across runs, engines and partitionings, and growing `n` only adds
+    * rows (prefixes of a fixed priority order are nested). */
+  def prioritySample(df: DataFrame, groups: Seq[String], id: Column,
+                     n: Int): DataFrame = {
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(Similarity.lcg(id), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
   }
 }

@@ -62,6 +62,58 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** The `nCentroids` corpus rows with the smallest (lcg(id), id) —
+    * the deterministic, oracle-recomputable stand-in for an offline
+    * k-means fit shared by the IVF and PQ paths. Bounded collect. */
+  private def selectCentroids(corpus: DataFrame, corpusId: String,
+                              corpusVec: String,
+                              nCentroids: Int): Array[org.apache.spark.sql.Row] =
+    corpus
+      .select(col(corpusId).cast("long").as("cent_id"),
+              col(corpusVec).cast("array<double>").as("cent_vec"))
+      .orderBy(lcg(col("cent_id")), col("cent_id"))
+      .limit(nCentroids)
+      .collect()
+
+  // The `probes` nearest cells of one vector: one fused codegen
+  // cosine per centroid (each centroid vector is a plan literal, so
+  // the whole scoring is straight-line generated code — no
+  // interpreted HOF lambdas in the per-row hot path), then a 16-
+  // element sort desc by (cos, cell asc). The native expression's
+  // accumulation order is identical to the HOF fold and the oracle's
+  // list_dot_product (see q37), so cell choice is bit-stable.
+  private def nearestCells(spark: org.apache.spark.sql.SparkSession,
+                           centRows: Array[org.apache.spark.sql.Row],
+                           vec: Column, probes: Int): Column =
+    slice(
+      array_sort(
+        array(centRows.toIndexedSeq.map { r =>
+          val v: Seq[Double] = r.getSeq[Double](1)
+          struct(
+            graft.plans.NativeFunctions.cosineNative(spark, vec, typedLit(v))
+              .as("cd"),
+            lit(r.getLong(0)).as("cell"))
+        }: _*),
+        (l, r) =>
+          when(l("cd") > r("cd"), -1).when(l("cd") < r("cd"), 1)
+            .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
+            .otherwise(0)),
+      1, probes)
+
+  /** Flattened PQ codebook over the selected centroid vectors: entry
+    * (s, c) at (s*nCodes + c)*subDim (see plans.Pq layout). */
+  private def pqCodebook(centRows: Array[org.apache.spark.sql.Row],
+                         nSub: Int): (Seq[Double], Int) = {
+    val dim = centRows.head.getSeq[Double](1).length
+    val subDim = dim / nSub
+    require(nSub * subDim == dim, "nSub must divide dim")
+    val nCodes = centRows.length
+    val flat = for {
+      s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until subDim
+    } yield centRows(c).getSeq[Double](1)(s * subDim + i)
+    (flat, nCodes)
+  }
+
   /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells,
     * assign each vector to its nearest centroid once, then answer
     * queries by exact-reranking only the `nProbe` cells nearest the
@@ -69,49 +121,19 @@ object Similarity {
     * ~N*nProbe/nCentroids per query; the inverted index (cell → rows)
     * is exactly a partitioned/bucketed layout at 100 TB.
     *
-    * Centroid set: the `nCentroids` corpus rows with the smallest
-    * lcg(id) — a deterministic pseudo-random spread across the corpus
-    * (and oracle-recomputable, see [[lcg]]), standing in for an offline
-    * k-means fit (at scale the fitted centroids arrive as exactly this
-    * kind of tiny table). They
-    * are collected once (bounded: nCentroids rows) and baked into the
-    * plan as an array literal, so nearest-cell assignment is a NARROW
-    * per-row argmax projection — zero joins, zero shuffles over the
-    * corpus. The only corpus-wide exchange left in the whole query is
-    * the final per-query top-k window over the pruned candidate set. */
+    * Centroid set: [[selectCentroids]] — collected once (bounded) and
+    * baked into the plan as an array literal, so nearest-cell
+    * assignment is a NARROW per-row argmax projection — zero joins,
+    * zero shuffles over the corpus. The only corpus-wide exchange left
+    * in the whole query is the final per-query top-k window over the
+    * pruned candidate set. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val centRows = corpus
-      .select(col(corpusId).cast("long").as("cent_id"),
-              col(corpusVec).cast("array<double>").as("cent_vec"))
-      .orderBy(lcg(col("cent_id")), col("cent_id"))
-      .limit(nCentroids)
-      .collect()
-
-    // The `probes` nearest cells of one vector: one fused codegen
-    // cosine per centroid (each centroid vector is a plan literal, so
-    // the whole scoring is straight-line generated code — no
-    // interpreted HOF lambdas in the per-row hot path), then a 16-
-    // element sort desc by (cos, cell asc). The native expression's
-    // accumulation order is identical to the HOF fold and the oracle's
-    // list_dot_product (see q37), so cell choice is bit-stable.
+    val centRows = selectCentroids(corpus, corpusId, corpusVec, nCentroids)
     def nearestCells(vec: Column, probes: Int): Column =
-      slice(
-        array_sort(
-          array(centRows.toIndexedSeq.map { r =>
-            val v: Seq[Double] = r.getSeq[Double](1)
-            struct(
-              graft.plans.NativeFunctions.cosineNative(spark, vec, typedLit(v))
-                .as("cd"),
-              lit(r.getLong(0)).as("cell"))
-          }: _*),
-          (l, r) =>
-            when(l("cd") > r("cd"), -1).when(l("cd") < r("cd"), 1)
-              .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
-              .otherwise(0)),
-        1, probes)
+      Similarity.nearestCells(spark, centRows, vec, probes)
 
     val assigned = corpus
       .select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
@@ -163,27 +185,18 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
              k: Int, dim: Int = 64, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
-    val subDim = dim / nSub
-    require(nSub * subDim == dim, "nSub must divide dim")
-    val centRows = corpus
-      .select(col(corpusId).cast("long").as("cent_id"),
-              col(corpusVec).cast("array<double>").as("cent_vec"))
-      .orderBy(lcg(col("cent_id")), col("cent_id"))
-      .limit(nCodes)
-      .collect()
-    // Flattened codebook, entry (s, c) at (s*nCodes + c)*subDim: a
-    // plan-time constant shared by the three native PQ kernels
-    // (graft.plans.Pq). A composable column formulation of the same
-    // argmin (arrays of per-codeword L2 expressions + array_position)
-    // is ~2,000 expression nodes and fell out of whole-stage codegen
-    // past Janino's 64 KB method limit — the fused loops keep encode
-    // AND the corpus-wide ADC scan codegen'd with identical
-    // accumulation order (see Pq scaladoc; BENCH q63 6.6 s → sub-s).
+    require(nSub * (dim / nSub) == dim, "nSub must divide dim")
+    // Flattened codebook as a plan-time constant shared by the three
+    // native PQ kernels (graft.plans.Pq). A composable column
+    // formulation of the same argmin (arrays of per-codeword L2
+    // expressions + array_position) is ~2,000 expression nodes and
+    // fell out of whole-stage codegen past Janino's 64 KB method
+    // limit — the fused loops keep encode AND the corpus-wide ADC scan
+    // codegen'd with identical accumulation order (see Pq scaladoc;
+    // BENCH q63 6.6 s → sub-s).
     val spark = corpus.sparkSession
-    val cbFlat: Seq[Double] =
-      for {
-        s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until subDim
-      } yield centRows(c).getSeq[Double](1)(s * subDim + i)
+    val centRows = selectCentroids(corpus, corpusId, corpusVec, nCodes)
+    val (cbFlat, _) = pqCodebook(centRows, nSub)
 
     val enc = corpus.select(col(corpusId).as("cid"),
       graft.plans.PqNative
@@ -192,6 +205,45 @@ object Similarity {
       graft.plans.PqNative
         .pqDistTable(spark, col(queryVec), cbFlat, nSub, nCodes).as("dt")))
     q.join(enc, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodes)
+          .as("adc_dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** IVFADC — the composition that actually runs at 100 TB (Jégou et
+    * al., TPAMI'11): IVF cell pruning shrinks the candidate set to
+    * ~N·nProbe/nCentroids per query, AND every candidate is scored
+    * from its `nSub`-byte PQ code (32× less I/O than raw vectors) via
+    * the query's broadcast distance table. One shared centroid
+    * collect; cell assignment and PQ encoding are both narrow fused
+    * projections over the corpus — the only corpus exchange is the
+    * final per-query top-k window. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                nSub: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val centRows = selectCentroids(corpus, corpusId, corpusVec, nCentroids)
+    val (cbFlat, nCodes) = pqCodebook(centRows, nSub)
+
+    val enc = corpus.select(
+      col(corpusId).as("cid"),
+      element_at(nearestCells(spark, centRows, col(corpusVec), 1), 1)
+        .getField("cell").as("cell"),
+      graft.plans.PqNative
+        .pqCodes(spark, col(corpusVec), cbFlat, nSub, nCodes).as("codes"))
+    val probed = broadcast(
+      queries.select(col(queryId).as("qid"),
+        graft.plans.PqNative
+          .pqDistTable(spark, col(queryVec), cbFlat, nSub, nCodes).as("dt"),
+        explode(nearestCells(spark, centRows, col(queryVec), nProbe)
+          .getField("cell")).as("cell")))
+    probed.join(enc, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodes)
           .as("adc_dist"))

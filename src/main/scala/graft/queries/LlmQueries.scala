@@ -296,6 +296,26 @@ object LlmQueries {
                         e.filter(col("vec_id") < 10), "vec_id", "embedding",
                         k = 10)
         .select(col("qid"), col("cid"), round(col("adc_dist"), 4).as("adc_dist"))
+    }),
+
+    // IVFADC: IVF cell pruning (q40's machinery) composed with PQ
+    // codes (q63's) — candidates come only from probed cells AND are
+    // scored from their 8-byte codes. The composition the two
+    // building blocks exist for; every stage oracle-recomputed.
+    "q65_ivfadc" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding",
+                           e.filter(col("vec_id") < 10), "vec_id", "embedding",
+                           k = 10)
+        .select(col("qid"), col("cid"), round(col("adc_dist"), 4).as("adc_dist"))
+    }),
+
+    // Fixed-count per-group sampling: exactly 5 docs per language by
+    // deterministic LCG priority (the eval-set construction knob; q62
+    // is the rate-based form).
+    "q66_priority_sample" -> ((s, d) => {
+      Sampling.prioritySample(documents(s, d), Seq("lang"), col("doc_id"), 5)
+        .select(col("lang"), col("doc_id"))
     })
   )
 
@@ -410,6 +430,54 @@ object LlmQueries {
     // code = first-minimum argmin; adc = 8 ordered table lookups.
     // Every double sum folds in the same index order as the Spark
     // expressions, so distances are bit-identical.
+    // IVFADC = q40's cell CTEs ∘ q63's code CTEs, joined on cell.
+    "q65_ivfadc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+         |  ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 16),
+         |ca AS (SELECT e.vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(v, cent_v)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))
+         |    DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT vec_id AS cid, cent_id AS cell FROM ca WHERE cr = 1),
+         |probed AS (SELECT vec_id AS qid, cent_id AS cell FROM ca
+         |  WHERE vec_id < 10 AND cr <= 4),
+         |cidx AS (SELECT row_number() OVER (ORDER BY ${lcgSql("vec_id")}, vec_id) - 1
+         |    AS c, v AS cv
+         |  FROM e ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 16),
+         |cb AS (SELECT c, s, list_slice(cv, s*8+1, s*8+8) AS cw
+         |  FROM cidx, range(0, 8) t(s)),
+         |dist AS (SELECT vec_id, s, c,
+         |  list_sum(list_transform(range(1, 9), i ->
+         |    (v[s*8+i]-cw[i])*(v[s*8+i]-cw[i]))) AS dd
+         |  FROM e CROSS JOIN cb),
+         |code AS (SELECT vec_id, s, c AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |codesl AS (SELECT vec_id AS ccid, list(code ORDER BY s) AS codes
+         |  FROM code GROUP BY vec_id),
+         |dtq AS (SELECT vec_id AS dqid, list(dd ORDER BY s, c) AS dt
+         |  FROM dist WHERE vec_id < 10 GROUP BY vec_id),
+         |pairs AS (SELECT qid, cid,
+         |  list_sum(list_transform(range(0, 8), s -> dt[s*16 + codes[s+1] + 1]))
+         |    AS dist
+         |  FROM probed JOIN assigned USING (cell)
+         |    JOIN codesl ON cid = ccid JOIN dtq ON qid = dqid
+         |  WHERE qid <> cid)
+         |SELECT qid, cid, ROUND(dist, 4) AS adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q66_priority_sample" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin,
+
     "q63_pq_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cidx AS (SELECT row_number() OVER (ORDER BY ${lcgSql("vec_id")}, vec_id) - 1
