@@ -29,7 +29,10 @@ object RangeJoin {
   /** Join `points` to every interval of `intervals` whose
     * [lo, hi] (inclusive) contains the point value. Column names of
     * the two frames must be disjoint; the helper bucket columns are
-    * dropped from the result. */
+    * dropped from the result. Degenerate rows are safe: an inverted
+    * interval (lo > hi) replicates to a descending bucket sequence but
+    * matches nothing (the residual filter rejects every point), and a
+    * null bound or point never equi-joins. */
   def pointInInterval(points: DataFrame, pointCol: Column,
                       intervals: DataFrame, loCol: Column, hiCol: Column,
                       bucketWidth: Double): DataFrame = {

@@ -322,6 +322,25 @@ object CoreQueries {
              sum(col("l_orderkey")).as("key_checksum"))
     }),
 
+    // Cohort retention: cohort = Monday-aligned week of a user's FIRST
+    // event (one window pass, no self-join), offset = whole weeks
+    // between truncated weeks, distinct active users per (cohort,
+    // offset) — the classic event-analytics triangle.
+    "q67_retention" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"),
+                min(col("ts")).over(w).as("first_ts"))
+        .select(col("user_id"),
+                date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
+                  .as("cohort_week"),
+                (datediff(date_trunc("week", col("ts")),
+                          date_trunc("week", col("first_ts"))) / 7)
+                  .cast("bigint").as("weeks_since"))
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Z-order layout stats: Morton-interleave (part, supp) and verify
     // the min-max rectangle per fixed-width z-bucket — the stats parquet
     // pruning would use after a ZORDER BY layout (operators.ZOrder).
@@ -534,6 +553,18 @@ object CoreQueries {
         |FROM iv JOIN lineitem
         |  ON l_extendedprice >= lo AND l_extendedprice <= hi
         |GROUP BY interval_id""".stripMargin,
+
+    "q67_retention" ->
+      """WITH f AS (SELECT user_id, ts,
+        |  MIN(ts) OVER (PARTITION BY user_id) AS first_ts FROM events),
+        |r AS (SELECT user_id,
+        |  strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', date_trunc('week', first_ts),
+        |                 date_trunc('week', ts)) / 7 AS BIGINT) AS weeks_since
+        |  FROM f)
+        |SELECT cohort_week, weeks_since,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q64_zorder" -> {
       val zbits = (0 until 12).map(b =>
