@@ -36,4 +36,36 @@ class ComponentsSpec extends SparkSpec {
       .collect().head
     assert(labels.getLong(0) === 1L && labels.getLong(1) === 0L)
   }
+
+  test("property: random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 40
+      val nEdges = nNodes + rnd.nextInt(nNodes)
+      val edgeList = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b } // self-loops carry no information
+      // Reference: plain union-find with path compression.
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edgeList.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inGraph.map { n =>
+        // root under min-union IS the component minimum
+        n -> find(n.toInt).toLong
+      }.toMap
+      val got = Components
+        .connectedComponents(edgeList.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial ($nNodes nodes, $nEdges edges)")
+    }
+  }
 }

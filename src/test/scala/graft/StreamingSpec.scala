@@ -98,6 +98,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: budget state survives a query restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.BudgetedIntake
+    import graft.streaming.BudgetedIntake.Doc
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = tmpDir("budget-ckpt")
+      val mem = MemoryStream[Doc]
+      // The memory sink can't recover from a checkpoint; foreachBatch
+      // is the recoverable sink shape (same as MicroBatchUpsert).
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      def start() = BudgetedIntake.budgetedIntake(mem.toDS(), budget = 100L)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[BudgetedIntake.Accepted], _: Long) =>
+            val rows = batch.collect()
+            acc.synchronized {
+              acc ++= rows.map(a => (a.source, a.docId, a.cumTokens))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(Doc("s", 1L, 95L))
+      q1.processAllAvailable()
+      q1.stop()
+      // Restart from the checkpoint: the RocksDB counter (95) must be
+      // recovered, so doc 2 is accepted AT 105 (not at 10) and doc 3
+      // is rejected.
+      val q2 = start()
+      mem.addData(Doc("s", 2L, 10L))
+      q2.processAllAvailable()
+      mem.addData(Doc("s", 3L, 1L))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = acc.synchronized(acc.toSet)
+      assert(rows === Set(("s", 1L, 95L), ("s", 2L, 105L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermarked streaming dedup drops in-stream duplicates") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
