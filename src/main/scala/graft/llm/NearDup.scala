@@ -73,22 +73,29 @@ object NearDup {
     * distinct with id_a < id_b. */
   def lshCandidatePairs(df: DataFrame, idCol: String, hashedCol: Column,
                         numBands: Int = 16, rowsPerBand: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val banded = df
-      .select(col(idCol).as("doc"), hashedCol.as("hs"))
+                        maxBucket: Int = 1000): DataFrame =
+    pairsFromBanded(bandedBuckets(df, idCol, hashedCol, numBands, rowsPerBand),
+                    maxBucket)
+
+  /** LSH bucket rows (doc, band, band_hash) of every document — the
+    * unit both the batch pair-join and the streaming history filter
+    * operate on (a stored bucket row is how an accepted doc is
+    * "findable" by future near-duplicates). */
+  def bandedBuckets(df: DataFrame, idCol: String, hashedCol: Column,
+                    numBands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc"), hashedCol.as("hs"))
       .select(col("doc"),
               minhashSignature(df.sparkSession, col("hs"),
                                numBands * rowsPerBand).as("sig"))
       .select(col("doc"),
               explode(bandHashes(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("doc"), col("b.band"), col("b.band_hash"))
-    pairsFromBanded(banded, maxBucket)
-  }
 
-  /** Bucket-local pairing shared by the XXH64 and portable pipelines:
-    * cap pathological buckets, self-join within (band, band_hash),
-    * distinct (id_a < id_b) pairs. */
-  private def pairsFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
+  /** Bucket-local pairing shared by the XXH64 and portable pipelines
+    * (and the streaming in-batch step): cap pathological buckets,
+    * self-join within (band, band_hash), distinct (id_a < id_b)
+    * pairs. */
+  private[graft] def pairsFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
     val pruned = banded
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))

@@ -42,6 +42,82 @@ object StreamingCorpusDedup {
         spark.emptyDataFrame.select(lit("").as("content_hash")).limit(0)
     }
 
+  /** NEAR-dup variant: incremental MinHash-LSH dedup of a document
+    * stream against all accepted history. Each micro-batch:
+    *  1. bands every doc (NearDup.bandedBuckets — the XXH64 scale
+    *     path);
+    *  2. dedups WITHIN the batch: bucket-collision pairs → connected
+    *     components → only each component's minimum-id representative
+    *     survives (same survivor contract as q60);
+    *  3. drops survivors whose ANY band bucket collides with the
+    *     persisted store of accepted docs' buckets;
+    *  4. hands the fresh docs to `accept`, then appends their bucket
+    *     rows to the store.
+    *
+    * Bucket collision is the LSH candidate test, used here as the
+    * drop decision directly — recall-oriented (dropping a
+    * false-positive candidate loses a doc; letting one through is
+    * what batch near-dup sweeps (q57/q60) exist for). Store size is
+    * numBands rows × 20 bytes per accepted doc — still ~100× smaller
+    * than text. Scale layout: bucket the store table by
+    * (band, band_hash) so the per-batch semi-join co-locates (see
+    * class scaladoc).
+    */
+  def runNearDup(docs: DataFrame, idCol: String, textCol: String,
+                 storeDir: String, checkpoint: String,
+                 shingleSize: Int = 3, numBands: Int = 16,
+                 rowsPerBand: Int = 4, maxBucket: Int = 1000)
+                (accept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.llm.{Components, NearDup}
+        val hashed = batch.withColumn("__hs",
+          NearDup.hashedShingles(NearDup.shingles(col(textCol), shingleSize)))
+        val banded = NearDup
+          .bandedBuckets(hashed, idCol, col("__hs"), numBands, rowsPerBand)
+          .persist()
+        try {
+          // (2) in-batch: non-representative members of collision
+          // components are dropped (component rep = min id).
+          val dropped = Components
+            .connectedComponents(
+              NearDup.pairsFromBanded(banded, maxBucket), "id_a", "id_b")
+            .filter(col("node") =!= col("label"))
+            .select(col("node").as(idCol))
+          val inBatch = batch.join(dropped, Seq(idCol), "left_anti")
+          // (3) vs history: any shared (band, band_hash) bucket is a hit.
+          val hitIds = banded
+            .join(storedBuckets(spark, storeDir), Seq("band", "band_hash"),
+                  "left_semi")
+            .select(col("doc").as(idCol)).distinct()
+          val fresh = inBatch.join(hitIds, Seq(idCol), "left_anti")
+          fresh.persist()
+          try {
+            accept(fresh)
+            banded.join(fresh.select(col(idCol).as("__fid")),
+                        col("doc") === col("__fid"), "left_semi")
+              .select(col("doc"), col("band"), col("band_hash"))
+              .write.mode("append").parquet(storeDir)
+          } finally fresh.unpersist()
+        } finally banded.unpersist()
+      }
+      .start()
+
+  /** Accepted-bucket store reader: empty frame when absent. */
+  private def storedBuckets(spark: SparkSession, storeDir: String): DataFrame =
+    try spark.read.parquet(storeDir).select(col("band"), col("band_hash"))
+    catch {
+      case e: AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.emptyDataFrame
+          .select(lit(0).as("band"), lit(0L).as("band_hash")).limit(0)
+    }
+
   /** One available-now pass: dedup each micro-batch against the store,
     * hand the survivors to `accept` (write to the corpus, forward
     * downstream, ...), then append their hashes to the store. */

@@ -251,6 +251,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).distinct().count() === 3)
   }
 
+  test("streaming NEAR-dup dedup: in-batch components + bucket history") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingCorpusDedup
+    val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docB = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val docC = "completely different words about spark engines and columnar execution plans"
+    val docD = "another entirely unrelated document describing weather and travel patterns"
+    val store = tmpDir("neardup-store") + "/buckets"
+    val ckpt = tmpDir("neardup-ckpt")
+    val accepted = scala.collection.mutable.Buffer.empty[Long]
+    def acceptInto(batch: org.apache.spark.sql.DataFrame): Unit =
+      accepted ++= batch.select("doc_id").collect().map(_.getLong(0))
+
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: A and its near-dup collide in-batch → only min id (1)
+    // survives; C is distinct.
+    mem.addData((1L, docA), (2L, docB), (3L, docC))
+    val q1 = StreamingCorpusDedup.runNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store, ckpt)(acceptInto)
+    q1.awaitTermination(60000)
+    assert(accepted.sorted === Seq(1L, 3L))
+
+    // batch 2 (later run, same store): another near-dup of A is caught
+    // by the persisted bucket history; D is fresh.
+    mem.addData((4L, docB), (5L, docD))
+    val q2 = StreamingCorpusDedup.runNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store, ckpt)(acceptInto)
+    q2.awaitTermination(60000)
+    assert(accepted.sorted === Seq(1L, 3L, 5L))
+    // store holds bucket rows only for accepted docs
+    assert(spark.read.parquet(store).select("doc").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
