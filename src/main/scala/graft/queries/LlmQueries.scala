@@ -316,6 +316,33 @@ object LlmQueries {
     "q66_priority_sample" -> ((s, d) => {
       Sampling.prioritySample(documents(s, d), Seq("lang"), col("doc_id"), 5)
         .select(col("lang"), col("doc_id"))
+    }),
+
+    // Decontamination: training docs near-duplicating a benchmark/eval
+    // doc (the q66 sample standing in for a held-out benchmark) must
+    // be dropped before training. Composes the verified q57 pair SQL
+    // with the benchmark membership — a pair with exactly one endpoint
+    // in the benchmark marks its other endpoint contaminated.
+    "q68_contamination" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 1000)
+      val bench = Sampling.prioritySample(docs, Seq("lang"), col("doc_id"), 5)
+        .select(col("doc_id").as("bench_id"))
+      val pairs = NearDup.portableNearDupPairs(docs, "doc_id", "text",
+                                               threshold = 0.8)
+      val flagged = pairs
+        .join(broadcast(bench.withColumnRenamed("bench_id", "__ba")),
+              col("id_a") === col("__ba"), "left")
+        .join(broadcast(bench.withColumnRenamed("bench_id", "__bb")),
+              col("id_b") === col("__bb"), "left")
+        .filter(col("__ba").isNotNull =!= col("__bb").isNotNull)
+        .select(
+          when(col("__ba").isNotNull, col("id_b")).otherwise(col("id_a"))
+            .as("train_id"),
+          when(col("__ba").isNotNull, col("id_a")).otherwise(col("id_b"))
+            .as("bench_id"))
+      flagged.groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+             min(col("bench_id")).as("first_bench_id"))
     })
   )
 
@@ -477,6 +504,23 @@ object LlmQueries {
          |    PARTITION BY lang ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    "q68_contamination" ->
+      s"""WITH pairs AS ($q57Sql),
+         |bench AS (SELECT doc_id AS bench_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
+         |  FROM documents WHERE doc_id < 1000) WHERE rn <= 5),
+         |f AS (SELECT id_a, id_b,
+         |  id_a IN (SELECT bench_id FROM bench) AS a_in,
+         |  id_b IN (SELECT bench_id FROM bench) AS b_in FROM pairs),
+         |c AS (SELECT
+         |  CASE WHEN a_in THEN id_b ELSE id_a END AS train_id,
+         |  CASE WHEN a_in THEN id_a ELSE id_b END AS bench_id
+         |  FROM f WHERE a_in <> b_in)
+         |SELECT train_id, COUNT(*) AS n_bench_hits,
+         |  MIN(bench_id) AS first_bench_id
+         |FROM c GROUP BY train_id""".stripMargin,
 
     "q63_pq_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
