@@ -48,6 +48,32 @@ object Packing {
            min(col(idCol)).as("first_doc"),
            max(col(idCol)).as("last_doc"))
 
+  /** Length-bucketed INFERENCE batching: within each deterministic
+    * shard, order documents by (length, id) and cut fixed-COUNT
+    * batches of `batchSize` — consecutive lengths per batch is what
+    * keeps padding waste low, since a batch's cost is
+    * n_docs × max-length. Returns per-batch stats including `padding`
+    * (wasted token slots) so the layout's efficiency is itself a
+    * queryable metric. Same shard-bounds-the-window scale story as
+    * [[assignBins]]; training-side token-budget packing is
+    * [[packBins]]/[[packBinsFirstFit]], this is the serving-side
+    * complement. */
+  def lengthBatches(df: DataFrame, idCol: String, tokenCol: String,
+                    batchSize: Int, nShards: Int): DataFrame = {
+    val sharded = df.withColumn("shard", Sampling.shardOf(col(idCol), nShards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(tokenCol).asc, col(idCol).asc)
+    sharded
+      .withColumn("batch",
+        floor((row_number().over(w) - 1).cast("long") / batchSize))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(col(tokenCol)).as("max_len"),
+           sum(col(tokenCol)).as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("max_len") - col("sum_tokens"))
+  }
+
   /** Strict greedy first-fit: a bin CLOSES when the next document
     * would overflow it, so sum_tokens <= budget always holds (except a
     * single document larger than the whole budget, which gets a bin of

@@ -248,6 +248,16 @@ object LlmQueries {
     "q56_vocab" -> ((s, d) =>
       TextStats.topTokens(documents(s, d), "text", 20)),
 
+    // Length-bucketed inference batching: fixed-count batches over
+    // length-sorted docs per shard, with padding waste as a queryable
+    // metric (the serving-side complement of q55/q59 packing).
+    "q69_length_batches" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.lengthBatches(docs, "doc_id", "n_tokens",
+                            batchSize = 32, nShards = 8)
+    }),
+
     // Mixture sampling: per-source deterministic keep rates (corpus
     // re-weighting across domains) — a pure LCG function of doc_id,
     // zero shuffle before the audit aggregation.
@@ -616,6 +626,17 @@ object LlmQueries {
       s"""SELECT t AS token, COUNT(*) AS freq
          |FROM (SELECT unnest($toks) AS t FROM documents)
          |GROUP BY t ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q69_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  (${lcgSql("doc_id")})%8 AS shard FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard
+         |  ORDER BY n_tokens, doc_id) AS rn FROM d)
+         |SELECT shard, CAST(FLOOR(CAST(rn - 1 AS DOUBLE) / 32) AS BIGINT) AS batch,
+         |  COUNT(*) AS n_docs, MAX(n_tokens) AS max_len,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q62_mixture_sample" ->
       s"""WITH t AS (SELECT source, doc_id,
