@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
-  /** Per-document bin assignment: (shard, bin) columns appended. */
+  /** Per-document bin assignment: (shard, bin) columns appended.
+    * `extraKeys` partition the packing further (e.g. pack each
+    * train/val/test split independently — a bin never mixes splits). */
   def assignBins(df: DataFrame, idCol: String, tokenCol: String,
-                 budget: Int, nShards: Int, order: Seq[Column]): DataFrame = {
+                 budget: Int, nShards: Int, order: Seq[Column],
+                 extraKeys: Seq[Column] = Nil): DataFrame = {
     val sharded = df.withColumn("shard", Sampling.shardOf(col(idCol), nShards))
-    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+    val w = Window.partitionBy(extraKeys :+ col("shard"): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sharded
       .withColumn("__cum", sum(col(tokenCol)).over(w) - col(tokenCol))

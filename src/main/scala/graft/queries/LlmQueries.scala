@@ -353,6 +353,55 @@ object LlmQueries {
       flagged.groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_bench_hits"),
              min(col("bench_id")).as("first_bench_id"))
+    }),
+
+    // CAPSTONE — the full corpus build as one verified pipeline:
+    // quality gate → near-dup groups (keep each component's
+    // representative) → hold out a benchmark sample and drop both it
+    // and everything contaminated by it → per-source mixture sampling
+    // → train/val/test split → token-budget packing per (split,
+    // shard). Every stage is an operator verified on its own query
+    // (q52/q57/q60/q66/q68/q62/q54/q55); this proves they COMPOSE,
+    // hash-exact end to end.
+    "q70_corpus_build" -> ((s, d) => {
+      val base = documents(s, d).filter(col("doc_id") < 1000)
+        .withColumn("n_tok", TextStats.tokenCount(col("text")).cast("long"))
+      val quality = base.filter(col("n_tok") >= 5)
+      val pairs = NearDup.portableNearDupPairs(quality, "doc_id", "text",
+                                               threshold = 0.8)
+      val nonRep = graft.llm.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      val deduped = quality.join(nonRep, Seq("doc_id"), "left_anti")
+      val bench = Sampling.prioritySample(quality, Seq("lang"), col("doc_id"), 5)
+        .select(col("doc_id"))
+      val contaminated = pairs
+        .join(broadcast(bench.withColumnRenamed("doc_id", "__b1")),
+              col("id_b") === col("__b1"), "left_semi")
+        .select(col("id_a").as("doc_id"))
+        .union(pairs
+          .join(broadcast(bench.withColumnRenamed("doc_id", "__b2")),
+                col("id_a") === col("__b2"), "left_semi")
+          .select(col("id_b").as("doc_id")))
+        .distinct()
+      val clean = deduped
+        .join(bench, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = clean.filter(Sampling.mixtureKeep(
+        col("doc_id"), col("source"), Seq("src0" -> 1.0, "src1" -> 0.25),
+        defaultRate = 0.5))
+      val withSplit = sampled.withColumn("split",
+        Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      Packing
+        .assignBins(withSplit, "doc_id", "n_tok", budget = 512, nShards = 8,
+                    order = Seq(col("doc_id").asc),
+                    extraKeys = Seq(col("split")))
+        .groupBy(col("split"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("sum_tokens"),
+             sum(col("doc_id")).as("id_checksum"))
     })
   )
 
@@ -368,10 +417,12 @@ object LlmQueries {
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 
-  // Full portable MinHash-LSH pair SQL, shared by two oracles: q57
+  // Full portable MinHash-LSH pair SQL, shared by several oracles: q57
   // hash-checks the pairs themselves; q60 builds its component closure
-  // over the same verified edge set.
-  private val q57Sql: String = {
+  // over the same verified edge set; q68/q70 reuse it against the
+  // benchmark sample. `extraWhere` narrows the input corpus (q70 runs
+  // the pipeline on the quality-filtered subset).
+  private def portablePairsSql(extraWhere: String): String = {
     val P = "2147483647"
     val nBands = 8; val rowsPerBand = 4
     val minCols = (0 until nBands * rowsPerBand).map(j =>
@@ -385,7 +436,7 @@ object LlmQueries {
     }.mkString(" UNION ALL ")
     s"""WITH d AS (SELECT doc_id,
        |  list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-       |  FROM documents WHERE doc_id < 1000),
+       |  FROM documents WHERE doc_id < 1000$extraWhere),
        |h AS (SELECT doc_id, list_transform(toks, t ->
        |  CAST(CONCAT('0x', substr(md5(t), 1, 14)) AS BIGINT) % $P) AS hs FROM d),
        |sig AS (SELECT doc_id, $minCols FROM h),
@@ -403,6 +454,8 @@ object LlmQueries {
        |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM scored
        |WHERE jac >= 0.8""".stripMargin
   }
+
+  private val q57Sql: String = portablePairsSql("")
 
   val oracles: Map[String, String] = Map(
 
@@ -514,6 +567,58 @@ object LlmQueries {
          |    PARTITION BY lang ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    // One WITH-RECURSIVE chain mirroring every pipeline stage: the
+    // parameterized pair SQL runs on the quality-filtered corpus, the
+    // reachability closure picks survivors, bench/contamination/
+    // mixture/split/packing reuse the per-stage oracle fragments.
+    "q70_corpus_build" -> {
+      val qualWhere = s" AND len($toks) >= 5"
+      s"""WITH RECURSIVE pairs AS (${portablePairsSql(qualWhere)}),
+         |q AS (SELECT doc_id, lang, source,
+         |  CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents WHERE doc_id < 1000$qualWhere),
+         |sym AS (SELECT id_a AS node, id_b AS nbr FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk AS (
+         |  SELECT node, node AS reach FROM (SELECT DISTINCT node FROM sym)
+         |  UNION
+         |  SELECT w.node, s.nbr AS reach FROM walk w JOIN sym s ON s.node = w.reach),
+         |lab AS (SELECT node, MIN(reach) AS label FROM walk GROUP BY node),
+         |nonrep AS (SELECT node AS doc_id FROM lab WHERE node <> label),
+         |bench AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
+         |  FROM q) WHERE rn <= 5),
+         |cont AS (
+         |  SELECT id_a AS doc_id FROM pairs
+         |    WHERE id_b IN (SELECT doc_id FROM bench)
+         |  UNION
+         |  SELECT id_b AS doc_id FROM pairs
+         |    WHERE id_a IN (SELECT doc_id FROM bench)),
+         |clean AS (SELECT * FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
+         |    AND doc_id NOT IN (SELECT doc_id FROM bench)
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |sampled AS (SELECT * FROM clean
+         |  WHERE CAST((${lcgSql("doc_id")})>>16 AS DOUBLE)/32768.0 <
+         |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+         |                ELSE 0.5 END),
+         |sp AS (SELECT doc_id, n_tok,
+         |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  (${lcgSql("doc_id")})%8 AS shard FROM (
+         |  SELECT *, CAST((${lcgSql("doc_id")})>>16 AS DOUBLE)/32768.0 AS frac
+         |  FROM sampled)),
+         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY split, shard
+         |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  - n_tok AS cum FROM sp)
+         |SELECT split, shard,
+         |  CAST(FLOOR(CAST(cum AS DOUBLE)/512) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM c GROUP BY 1, 2, 3""".stripMargin
+    },
 
     "q68_contamination" ->
       s"""WITH pairs AS ($q57Sql),
