@@ -61,6 +61,17 @@ object Components {
       .select(col("node"), least(col("node"), col("__mn")).as("label"))
       .localCheckpoint()
 
+    // Labels only ever DECREASE, so the exact label sum is a monotone
+    // convergence witness: an unchanged sum means no label moved.
+    // Checking it is one tiny aggregation over the just-checkpointed
+    // table instead of a self-join against the previous round.
+    // DECIMAL(38,0) keeps the sum exact at any node count (a long sum
+    // would overflow under ANSI at ~10^10 snowflake-scale ids).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge set
+
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -78,12 +89,10 @@ object Components {
                 least(col("x.label"), coalesce(col("y.label"), col("x.label")))
                   .as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       round += 1
     }
     sym.unpersist()
