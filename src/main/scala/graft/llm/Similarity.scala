@@ -184,8 +184,7 @@ object Similarity {
     * code and distance bit-for-bit. */
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
-             k: Int, dim: Int = 64, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
-    require(nSub * (dim / nSub) == dim, "nSub must divide dim")
+             k: Int, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
     // Flattened codebook as a plan-time constant shared by the three
     // native PQ kernels (graft.plans.Pq). A composable column
     // formulation of the same argmin (arrays of per-codeword L2
@@ -194,19 +193,25 @@ object Similarity {
     // limit — the fused loops keep encode AND the corpus-wide ADC scan
     // codegen'd with identical accumulation order (see Pq scaladoc;
     // BENCH q63 6.6 s → sub-s).
+    //
+    // The code count passed to the kernels is the codebook's ACTUAL
+    // row count (a corpus smaller than `nCodes` yields fewer
+    // codewords) — the kernels derive subDim from cb.length/(nSub*
+    // nCodes), so passing the requested count against a short
+    // codebook would silently misalign every slice.
     val spark = corpus.sparkSession
     val centRows = selectCentroids(corpus, corpusId, corpusVec, nCodes)
-    val (cbFlat, _) = pqCodebook(centRows, nSub)
+    val (cbFlat, nCodesActual) = pqCodebook(centRows, nSub)
 
     val enc = corpus.select(col(corpusId).as("cid"),
       graft.plans.PqNative
-        .pqCodes(spark, col(corpusVec), cbFlat, nSub, nCodes).as("codes"))
+        .pqCodes(spark, col(corpusVec), cbFlat, nSub, nCodesActual).as("codes"))
     val q = broadcast(queries.select(col(queryId).as("qid"),
       graft.plans.PqNative
-        .pqDistTable(spark, col(queryVec), cbFlat, nSub, nCodes).as("dt")))
+        .pqDistTable(spark, col(queryVec), cbFlat, nSub, nCodesActual).as("dt")))
     q.join(enc, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodes)
+        graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodesActual)
           .as("adc_dist"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))

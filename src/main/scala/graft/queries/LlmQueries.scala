@@ -376,14 +376,18 @@ object LlmQueries {
       val deduped = quality.join(nonRep, Seq("doc_id"), "left_anti")
       val bench = Sampling.prioritySample(quality, Seq("lang"), col("doc_id"), 5)
         .select(col("doc_id"))
+      // Both orientations of every pair in ONE pass over the (costly)
+      // LSH pipeline — a union of two semi-joins would evaluate the
+      // whole pair subtree once per branch (the Components explode
+      // lesson).
       val contaminated = pairs
-        .join(broadcast(bench.withColumnRenamed("doc_id", "__b1")),
-              col("id_b") === col("__b1"), "left_semi")
-        .select(col("id_a").as("doc_id"))
-        .union(pairs
-          .join(broadcast(bench.withColumnRenamed("doc_id", "__b2")),
-                col("id_a") === col("__b2"), "left_semi")
-          .select(col("id_b").as("doc_id")))
+        .select(explode(array(
+          struct(col("id_a").as("tid"), col("id_b").as("other")),
+          struct(col("id_b").as("tid"), col("id_a").as("other")))).as("e"))
+        .select(col("e.tid"), col("e.other"))
+        .join(broadcast(bench.withColumnRenamed("doc_id", "__b")),
+              col("other") === col("__b"), "left_semi")
+        .select(col("tid").as("doc_id"))
         .distinct()
       val clean = deduped
         .join(bench, Seq("doc_id"), "left_anti")

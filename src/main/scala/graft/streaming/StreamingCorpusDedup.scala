@@ -80,20 +80,37 @@ object StreamingCorpusDedup {
           .bandedBuckets(hashed, idCol, col("__hs"), numBands, rowsPerBand)
           .persist()
         try {
-          // (2) in-batch: non-representative members of collision
-          // components are dropped (component rep = min id).
-          val dropped = Components
-            .connectedComponents(
-              NearDup.pairsFromBanded(banded, maxBucket), "id_a", "id_b")
-            .filter(col("node") =!= col("label"))
-            .select(col("node").as(idCol))
-          val inBatch = batch.join(dropped, Seq(idCol), "left_anti")
-          // (3) vs history: any shared (band, band_hash) bucket is a hit.
+          // (2) history hits for EVERY batch doc (not just survivors):
+          // any shared (band, band_hash) bucket is a hit, and a hit on
+          // a non-representative member must still poison its whole
+          // component below.
           val hitIds = banded
             .join(storedBuckets(spark, storeDir), Seq("band", "band_hash"),
                   "left_semi")
-            .select(col("doc").as(idCol)).distinct()
-          val fresh = inBatch.join(hitIds, Seq(idCol), "left_anti")
+            .select(col("doc")).distinct().persist()
+          // (3) in-batch components. A doc is dropped when it is a
+          // non-representative member (component rep = min id, the
+          // q60 contract) OR its component touches history ANYWHERE —
+          // the accepted historical doc is the component's true
+          // canonical representative, so even members that don't
+          // collide with the store directly (9~X, 5~9, 5!~X) must not
+          // be re-accepted. Plus direct hits (singleton components
+          // never enter the pair graph).
+          val comps = Components.connectedComponents(
+            NearDup.pairsFromBanded(banded, maxBucket), "id_a", "id_b")
+          val poisonedLabels = comps
+            .join(hitIds, comps("node") === hitIds("doc"), "left_semi")
+            .select(col("label")).distinct()
+          val dropped = comps
+            .join(poisonedLabels.withColumnRenamed("label", "__pl"),
+                  col("label") === col("__pl"), "left_semi")
+            .select(col("node"))
+            .union(comps.filter(col("node") =!= col("label"))
+              .select(col("node")))
+            .union(hitIds.select(col("doc").as("node")))
+            .distinct()
+            .withColumnRenamed("node", idCol)
+          val fresh = batch.join(dropped, Seq(idCol), "left_anti")
           fresh.persist()
           try {
             accept(fresh)
@@ -101,7 +118,9 @@ object StreamingCorpusDedup {
                         col("doc") === col("__fid"), "left_semi")
               .select(col("doc"), col("band"), col("band_hash"))
               .write.mode("append").parquet(storeDir)
-          } finally fresh.unpersist()
+          } finally {
+            fresh.unpersist(); hitIds.unpersist()
+          }
         } finally banded.unpersist()
       }
       .start()

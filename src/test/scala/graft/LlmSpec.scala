@@ -289,7 +289,7 @@ class LlmSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     val out = Similarity.pqTopK(corpus, "vec_id", "embedding",
         corpus.filter($"vec_id" === 5), "vec_id", "embedding",
-        k = 20, dim = 16, nSub = 4, nCodes = 8)
+        k = 20, nSub = 4, nCodes = 8)
       .orderBy($"adc_dist".asc, $"cid".asc)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(out.length === 19) // all candidates except the query itself
