@@ -285,6 +285,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("stream-stream interval join: clicks attribute within the window") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamJoins
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "1 hour")
+    val clkDf = clks.toDF().toDF("ad_id", "clk_ts")
+      .withWatermark("clk_ts", "1 hour")
+    val q = StreamJoins
+      .joinWithin(impDf, clkDf, "ad_id", "imp_ts", "clk_ts", "30 MINUTES")
+      .select(col("ad_id"), col("imp_ts"), col("clk_ts"))
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    imps.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+                 (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    clks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00")), // inside window
+      (2L, Timestamp.valueOf("2024-01-01 11:30:00")), // outside window
+      (3L, Timestamp.valueOf("2024-01-01 10:10:00"))) // no impression
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_out").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L))
+  }
+
   test("streaming content-hash dedup within watermark (LLM exact-dedup, streamed)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
