@@ -258,6 +258,45 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** One Lloyd refinement step of k-means over the embedding corpus —
+    * the operator that turns [[selectCentroids]]' deterministic seed
+    * into FITTED centroids (and, iterated, into the offline k-means
+    * the IVF/PQ scaladocs assume exists). Assignment is spherical
+    * (argmax cosine, matching how [[ivfTopK]] buckets vectors);
+    * the refreshed centroid is the per-dimension mean of each cell's
+    * members.
+    *
+    * Output is the flat (cell, dim, centroid_val, n_members) frame —
+    * k·dim rows — rather than reassembled arrays: it is the natural
+    * shape for both the SQL oracle and a next-iteration literal
+    * rebuild.
+    *
+    * Scale: seed centroids are one bounded collect (k rows) baked
+    * into the plan; assignment is a NARROW per-row argmax projection
+    * (zero corpus shuffle); the mean is ONE hash aggregation of
+    * k·dim partial sums with map-side combine — the canonical
+    * distributed Lloyd step. Sums are exact: each element is
+    * quantized to 1e-6 (round half-up, ties impossible — (n+0.5)/1e6
+    * is never exactly representable in binary floating point) and
+    * summed as DECIMAL(38,0), so the mean is order-independent and
+    * engine-portable at any row count (a long sum would overflow
+    * ANSI around 1e12 rows × 1e7 quanta). */
+  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val centRows = selectCentroids(corpus, idCol, vecCol, nCentroids)
+    corpus
+      .select(
+        element_at(nearestCells(spark, centRows, col(vecCol), 1), 1)
+          .getField("cell").as("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("decimal(38,0)"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(sum(col("xq")).cast("double") / (lit(1e6) * count(lit(1))), 4)
+             .as("centroid_val"),
+           count(lit(1)).as("n_members"))
+  }
+
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
     * AND expressible in any SQL engine — which is what lets the
     * DuckDB oracle recompute the SRP buckets and IVF centroid choice

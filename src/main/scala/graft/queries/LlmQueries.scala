@@ -367,8 +367,15 @@ object LlmQueries {
       val base = documents(s, d).filter(col("doc_id") < 1000)
         .withColumn("n_tok", TextStats.tokenCount(col("text")).cast("long"))
       val quality = base.filter(col("n_tok") >= 5)
+      // The LSH pair pipeline feeds TWO consumers (the dedup-group
+      // components and the contamination sweep); materialize it once
+      // (eager local checkpoint, same lineage-truncation Components
+      // uses internally) instead of re-running shingling + banding +
+      // bucket join per consumer. The pair set is bounded by near-dup
+      // density, tiny relative to the corpus, so checkpoint storage is
+      // negligible at any scale.
       val pairs = NearDup.portableNearDupPairs(quality, "doc_id", "text",
-                                               threshold = 0.8)
+                                               threshold = 0.8).localCheckpoint()
       val nonRep = graft.llm.Components
         .connectedComponents(pairs, "id_a", "id_b")
         .filter(col("node") =!= col("label"))
@@ -406,6 +413,16 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tok")).as("sum_tokens"),
              sum(col("doc_id")).as("id_checksum"))
+    }),
+
+    // One Lloyd k-means refinement over the embeddings: spherical
+    // assignment to the 8 LCG-seeded centroids (q40's cells), then
+    // exact per-dimension means — the step that turns the
+    // deterministic seed into FITTED centroids. Every assignment and
+    // every mean is oracle-recomputed.
+    "q71_kmeans_step" -> ((s, d) => {
+      Similarity.lloydStep(embeddings(s, d), "vec_id", "embedding",
+                           nCentroids = 8)
     })
   )
 
@@ -789,6 +806,29 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // One Lloyd step: same centroid seed + argmax-cosine assignment as
+    // q40 (k=8), then exact per-dim means over 1e-6-quantized elements
+    // (HUGEINT sum in DuckDB ↔ DECIMAL(38,0) sum in Spark — both
+    // exact, so the mean is order-independent in both engines).
+    "q71_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+         |  ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 8),
+         |ca AS (SELECT e.vec_id, e.v, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(v, cent_v)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))
+         |    DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, cent_id AS cell FROM ca WHERE cr = 1),
+         |ex AS (SELECT cell, i AS dim,
+         |  CAST(round(v[i + 1] * 1e6) AS BIGINT) AS xq
+         |  FROM assigned CROSS JOIN range(64) t(i))
+         |SELECT cell, dim,
+         |  ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 4) AS centroid_val,
+         |  COUNT(*) AS n_members
+         |FROM ex GROUP BY cell, dim""".stripMargin,
+
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         |COUNT(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,

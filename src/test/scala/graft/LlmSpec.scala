@@ -299,4 +299,51 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(_._2 >= 0.0))
     assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
+
+  test("lloydStep matches an independent driver-side reimplementation") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = corpus.toDF("vec_id", "embedding")
+
+    val k = 3
+    val got = Similarity.lloydStep(df, "vec_id", "embedding", nCentroids = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+
+    // Independent reimplementation: same LCG seed selection, spherical
+    // assignment (sequential index-order double dot), exact 1e-6
+    // quantized means.
+    def lcg(id: Long): Long = (1103515245L * (id % 2147483648L) + 12345L) % 2147483648L
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = corpus.sortBy { case (id, _) => (lcg(id), id) }.take(k)
+    val assigned = corpus.map { case (id, v) =>
+      val cell = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+      (cell, v)
+    }
+    val expected = assigned.groupBy(_._1).flatMap { case (cell, members) =>
+      (0 until 8).map { dim =>
+        val quanta = members.map { case (_, v) =>
+          BigDecimal(v(dim).toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        val mean = quanta.sum.toDouble / (1e6 * members.length)
+        (cell, dim) -> (BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, members.length.toLong)
+      }
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (key, (mean, n)) =>
+      val (gm, gn) = got(key)
+      assert(gn === n, s"n_members mismatch at $key")
+      assert(gm === mean, s"centroid_val mismatch at $key")
+    }
+    // every corpus row lands in exactly one cell
+    assert(got.values.collect { case (_, n) => n }.sum === 30L * 8)
+  }
 }
