@@ -355,6 +355,25 @@ object CoreQueries {
              min(col("x")).as("min_x"), max(col("x")).as("max_x"),
              min(col("y")).as("min_y"), max(col("y")).as("max_y"),
              sum(col("l_orderkey")).as("key_checksum"))
+    }),
+
+    // Incremental aggregate maintenance: history and a fresh batch are
+    // aggregated into mergeable (count, exact-sum) STATES and merged
+    // key-wise — the 100 TB rollup pattern that never rescans history.
+    // The oracle recomputes the aggregate monolithically over ALL rows,
+    // so the hash match proves state-merge ≡ from-scratch aggregation.
+    "q72_incremental_agg" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("l_quantity", "l_extendedprice")
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val history = graft.operators.IncrementalAgg
+        .state(li.filter(col("l_shipdate") < cutoff), keys, sums)
+      val batch = graft.operators.IncrementalAgg
+        .state(li.filter(col("l_shipdate") >= cutoff), keys, sums)
+      graft.operators.IncrementalAgg.readout(
+        graft.operators.IncrementalAgg.merge(Seq(history, batch), keys, sums),
+        keys, sums)
     })
   )
 
@@ -363,6 +382,16 @@ object CoreQueries {
   private val dsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // Monolithic recompute over ALL lineitem rows — must hash-equal the
+    // engine's history⊕batch state merge (IncrementalAgg).
+    "q72_incremental_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |${dsum("l_quantity")} AS sum_l_quantity,
+         |ROUND(${dsum("l_quantity")} / COUNT(*), 4) AS avg_l_quantity,
+         |${dsum("l_extendedprice")} AS sum_l_extendedprice,
+         |ROUND(${dsum("l_extendedprice")} / COUNT(*), 4) AS avg_l_extendedprice
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsum("l_quantity")} AS sum_qty,
