@@ -65,4 +65,21 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Reproducible corpus shuffle for training order: every row gets a
+    * (shard, pos) coordinate where shard is [[shardOf]] and pos
+    * numbers the shard's rows in (lcg(id), id) order. The LCG
+    * decorrelates position from id order (documents ingested together
+    * land apart), yet the permutation is a pure function of ids —
+    * identical across runs, engines, and repartitionings, which is
+    * what makes training order auditable and resumable. Sharding
+    * bounds the sort: each shard sorts independently (the training
+    * loader reads shards round-robin), so nothing serializes globally
+    * — the same scale story as Packing. */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(Similarity.lcg(col(idCol)), col(idCol))
+    df.withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("pos", row_number().over(w))
+  }
 }

@@ -423,6 +423,14 @@ object LlmQueries {
     "q71_kmeans_step" -> ((s, d) => {
       Similarity.lloydStep(embeddings(s, d), "vec_id", "embedding",
                            nCentroids = 8)
+    }),
+
+    // Reproducible corpus shuffle: every document's (shard, pos)
+    // training-order coordinate, a pure function of doc_id — the
+    // decorrelated-but-auditable read order a trainer consumes.
+    "q73_corpus_shuffle" -> ((s, d) => {
+      Sampling.shuffleOrder(documents(s, d), "doc_id", nShards = 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
     })
   )
 
@@ -684,6 +692,14 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
          |  FROM pairs)
          |WHERE rn <= 10""".stripMargin,
+
+    // Same LCG shard + in-shard (lcg, id) rank as Sampling.shuffleOrder.
+    "q73_corpus_shuffle" ->
+      s"""SELECT (${lcgSql("doc_id")}) % 8 AS shard,
+         |row_number() OVER (PARTITION BY (${lcgSql("doc_id")}) % 8
+         |  ORDER BY ${lcgSql("doc_id")}, doc_id) AS pos,
+         |doc_id
+         |FROM documents""".stripMargin,
 
     "q54_split" ->
       s"""WITH s AS (SELECT doc_id,

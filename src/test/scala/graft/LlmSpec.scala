@@ -300,6 +300,23 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
 
+  test("shuffleOrder: contiguous per-shard positions, stable under repartition") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = Sampling.shuffleOrder(docs, "doc_id", nShards = 4)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    // positions are 1..n contiguous within each shard, rows cover all ids
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq === (1 to rows.length))
+    }
+    assert(a.map(_._3).sorted.toSeq === (0L until 200L))
+    // pure function of ids: identical under a different partitioning
+    val b = Sampling.shuffleOrder(docs.repartition(7), "doc_id", nShards = 4)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("lloydStep matches an independent driver-side reimplementation") {
     val rnd = new scala.util.Random(11)
     val corpus = (0 until 30).map(i =>
