@@ -80,6 +80,86 @@ object TextStats {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Word n-grams over a PRE-SPLIT token array column, as space-joined
+    * strings. Empty array below n tokens: `sequence(0, size-n)` with
+    * size < n would otherwise produce a DESCENDING range (Spark
+    * defaults step to -1 when start > stop) and fabricate grams from
+    * out-of-range indices.
+    *
+    * Takes the token array, not the text: callers stage `tokens(text)`
+    * as a named column in its own projection so the regex split runs
+    * once per row. (Passing `tokens(c)` inline duplicates the split
+    * into every consumer after CollapseProject — measured as an 18×
+    * slowdown on the q74 shape: 27.8 s vs 1.5 s at sf0.1.) */
+  def ngramsOfTokens(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+         transform(sequence(lit(0), size(ws) - n),
+                   i => concat_ws(" ", (1 to n).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Gopher-style repetition signal: fraction of n-grams that are
+    * repeats of an earlier gram in the same document, over a pre-built
+    * gram array column. Per-row, no shuffle, no UDF; linear in document
+    * length, so it holds at 100 TB (each doc is scored where it is
+    * scanned). */
+  def duplicateFractionOfGrams(g: Column): Column =
+    (size(g) - size(array_distinct(g))).cast("double") /
+      greatest(size(g), lit(1)).cast("double")
+
+  def duplicateNgramFraction(c: Column, n: Int): Column =
+    duplicateFractionOfGrams(ngramsOfTokens(tokens(c), n))
+
+  /** Fraction of tokens equal to the document's most frequent token
+    * (the "all the same word" degenerate-text signal), over a pre-split
+    * token array. O(tokens × distinct tokens) per row — bounded by
+    * document length, still scan-local; the same shape the oracle can
+    * recompute exactly. */
+  def topTokenFractionOfTokens(ws: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w)))),
+      lit(0)).cast("double") / greatest(size(ws), lit(1)).cast("double")
+
+  def topTokenFraction(c: Column): Column = topTokenFractionOfTokens(tokens(c))
+
+  /** Per-document top-k terms by TF-IDF. Shape at scale: one
+    * map-side-combinable groupBy for term frequencies; document
+    * frequency is an aggregate over that (vocabulary-sized, so it
+    * broadcast-joins back); the final top-k is a bounded per-document
+    * window. The ORDER key is the score rounded to 6 decimals:
+    * mathematically-equal scores reached by different float routes
+    * (tf=2,df=50 vs tf=1,df=2500/N scale to the same 2·ln(N/50)) must
+    * tie identically on every engine, with the token as the portable
+    * tiebreak. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One corpus-sized exchange total: repartition documents by id up
+    // front — HashPartitioning(id) satisfies both the (id, token) tf
+    // aggregation and the final per-document window (a partitioning on
+    // a SUBSET of the clustering keys co-locates the groups), so text
+    // moves once and the token triples never shuffle at all.
+    val docs = df.repartition(col(idCol))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // Doc-freq from the raw scan (each doc's distinct tokens, counted
+    // once): partial counts combine map-side into vocabulary-sized
+    // state, so this branch re-reads the corpus but never shuffles it —
+    // and the tf subtree above isn't recomputed to feed it.
+    val docFreq = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(docFreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+              col("tfidf"), col("rn"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase
     * text, truncated to 64 bits of hex — stable across engines (vs
     * xxhash64, which DuckDB lacks). */

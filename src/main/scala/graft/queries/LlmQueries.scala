@@ -210,6 +210,42 @@ object LlmQueries {
                 round(TextStats.avgTokenLen(col("text")), 4).as("avg_token_len"))
     }),
 
+    // Gopher-style repetition quality filter: duplicate bigram/trigram
+    // fractions + most-frequent-token share, per document. All per-row
+    // HOFs over the once-split token array — scan-local, zero shuffle;
+    // the keep flag applies fixed thresholds the oracle re-evaluates.
+    // Staged projections: the token and gram arrays are named columns
+    // used more than once downstream, so CollapseProject keeps each
+    // stage separate and the regex split + gram builds run ONCE per
+    // row (inlining them into every metric measured 27.8 s vs 1.5 s on
+    // this query at sf0.1 — same results, 18× the work).
+    "q74_repetition" -> ((s, d) => {
+      val withTokens = documents(s, d)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("ws"))
+      val withGrams = withTokens.select(
+        col("doc_id"), col("ws"),
+        TextStats.ngramsOfTokens(col("ws"), 2).as("g2"),
+        TextStats.ngramsOfTokens(col("ws"), 3).as("g3"))
+      val metrics = withGrams.select(
+        col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_tokens"),
+        TextStats.duplicateFractionOfGrams(col("g2")).as("dup2"),
+        TextStats.duplicateFractionOfGrams(col("g3")).as("dup3"),
+        TextStats.topTokenFractionOfTokens(col("ws")).as("top"))
+      metrics.select(
+        col("doc_id"), col("n_tokens"),
+        round(col("dup2"), 4).as("dup_bigram_frac"),
+        round(col("dup3"), 4).as("dup_trigram_frac"),
+        round(col("top"), 4).as("top_token_frac"),
+        (col("dup2") <= 0.6 && col("top") <= 0.2).cast("bigint").as("keep"))
+    }),
+
+    // Per-document top-3 TF-IDF terms: map-side-combinable tf groupBy,
+    // vocabulary-sized doc-freq aggregate broadcast back, bounded
+    // per-doc window — the canonical distributed tf-idf shape.
+    "q75_tfidf" -> ((s, d) =>
+      TextStats.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)),
+
     // Deterministic train/val/test split: assignment is a pure LCG
     // function of doc_id — reproducible across runs/engines/
     // partitionings, zero shuffle before the count.
@@ -799,6 +835,54 @@ object LlmQueries {
          |ROUND(CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
          |  / GREATEST(len($toks), 1), 4) AS avg_token_len
          |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // Repetition filter: n-gram lists rebuilt with list_transform over
+    // generate_series (empty below n tokens, matching wordNgrams' guard);
+    // top-token share via the same O(tokens × distinct) count-per-
+    // distinct-token shape the Spark HOF uses.
+    "q74_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (SELECT doc_id, ws,
+         |  list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS g2,
+         |  list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3,
+         |  CAST(COALESCE(list_max(list_transform(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)))), 0) AS DOUBLE)
+         |    / GREATEST(len(ws), 1) AS top_frac,
+         |  CAST(len(list_transform(generate_series(1, len(ws)-1),
+         |      i -> ws[i] || ' ' || ws[i+1]))
+         |    - len(list_distinct(list_transform(generate_series(1, len(ws)-1),
+         |      i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+         |    / GREATEST(len(ws)-1, 1) AS dup2_frac
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  ROUND(dup2_frac, 4) AS dup_bigram_frac,
+         |  ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |    / GREATEST(len(g3), 1), 4) AS dup_trigram_frac,
+         |  ROUND(top_frac, 4) AS top_token_frac,
+         |  CAST(dup2_frac <= 0.6 AND top_frac <= 0.2 AS BIGINT) AS keep
+         |FROM g""".stripMargin,
+
+    // TF-IDF: same two-phase aggregation; the score is rounded to 6
+    // decimals BEFORE ranking so mathematically-equal scores reached by
+    // different float routes tie identically on both engines.
+    "q75_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.token AS token, tf, doc_freq,
+         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (
+         |  PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+         |SELECT doc_id, token, tf, doc_freq, tfidf, rn FROM ranked
+         |WHERE rn <= 3""".stripMargin,
 
     // IVF-flat: centroids = 16 smallest lcg(vec_id); every vector joins
     // its argmax-cosine cell; queries probe their 4 nearest cells and

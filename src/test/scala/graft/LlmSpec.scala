@@ -363,4 +363,50 @@ class LlmSpec extends SparkSpec {
     // every corpus row lands in exactly one cell
     assert(got.values.collect { case (_, n) => n }.sum === 30L * 8)
   }
+
+  test("repetition metrics: duplicate n-gram fractions and top-token share") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // bigrams ab,ba,ab,bc -> 1 dup of 4
+      (2L, "x y z"),      // all distinct
+      (3L, "w"),          // below n=2: no grams, whole doc is one token
+      (4L, "r r r r")     // degenerate: one repeated token
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextStats.duplicateNgramFraction($"text", 2).as("d2"),
+        TextStats.duplicateNgramFraction($"text", 3).as("d3"),
+        TextStats.topTokenFraction($"text").as("top"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((0.25, 0.0, 0.4)))
+    assert(out(2L) === ((0.0, 0.0, 1.0 / 3)))
+    assert(out(3L) === ((0.0, 0.0, 1.0)))
+    assert(out(4L) === ((2.0 / 3, 0.5, 1.0)))
+  }
+
+  test("tf-idf top terms: hand-computed scores, deterministic tie-break") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._6))
+      .toSeq
+    // N=3; df: a=2, b=1, c=2. Scores: ln3=1.098612, ln1.5=0.405465.
+    assert(out === Seq(
+      (1L, "b", 1L, 1L, 1.098612, 1), (1L, "a", 2L, 2L, 0.81093, 2),
+      (2L, "a", 1L, 2L, 0.405465, 1), (2L, "c", 1L, 2L, 0.405465, 2), // exact tie -> token asc
+      (3L, "c", 3L, 2L, 1.216395, 1)))
+  }
+
+  test("tf-idf plan: tf aggregation and top-k window share one corpus exchange") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    // exactly 2 shuffles: the corpus repartition by doc_id (which the
+    // (doc_id, token) aggregation AND the per-doc window both satisfy
+    // via subset clustering) + the vocabulary-sized doc-freq aggregate.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 2, s"expected 2 shuffle exchanges, plan:\n$plan")
+  }
 }
