@@ -161,6 +161,30 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Full grouping-sets lattice: CUBE + grouping_id (disambiguates a
+    // real NULL key from a subtotal row). Same single-exchange shape as
+    // the rollup — Spark expands the sets map-side and partially
+    // aggregates before the shuffle.
+    "q76_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+             count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Distribution windows: ntile quartiles + percent_rank + cume_dist
+    // per nation, with a unique tiebreak so every engine ranks
+    // identically. One exchange shared by all three functions.
+    "q77_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS shapes).
     "q43_semi_anti" -> ((s, d) => {
       val o = orders(s, d)
@@ -486,6 +510,21 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q76_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+         |${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q77_ntile" ->
+      """SELECT s_suppkey, s_nationkey,
+        |ntile(4) OVER w AS quartile,
+        |ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |ROUND(cume_dist() OVER w, 6) AS cum_dist
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |             ORDER BY s_acctbal DESC, s_suppkey ASC)""".stripMargin,
 
     "q43_semi_anti" ->
       """SELECT o_orderstatus, COUNT(*) AS n, 'semi' AS kind FROM orders
