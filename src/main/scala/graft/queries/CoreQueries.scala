@@ -161,6 +161,19 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Sliding (overlapping) windows: 1-day width, 12-hour slide — every
+    // event lands in exactly two windows {floor_12h(ts), floor_12h(ts)
+    // - 12h}. Spark's window() generator replicates rows map-side, then
+    // the same partial-agg + single exchange as the tumbling q46.
+    "q78_sliding_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+                col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // Full grouping-sets lattice: CUBE + grouping_id (disambiguates a
     // real NULL key from a subtotal row). Same single-exchange shape as
     // the rollup — Spark expands the sets map-side and partially
@@ -510,6 +523,20 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // every event belongs to windows starting at floor_12h(ts) and
+    // floor_12h(ts) - 12h (always both: ts < start + 24h holds for
+    // each); make_timestamp keeps the arithmetic in plain-UTC µs so
+    // no session-timezone conversion can skew the window labels.
+    "q78_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |  (epoch_ms(ts) // 1000 // 43200) * 43200 AS w0 FROM events),
+         |x AS (SELECT event_type, value,
+         |  unnest([w0, w0 - 43200]) AS ws FROM e)
+         |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M')
+         |  AS w_start, event_type, COUNT(*) AS n,
+         |${dsum("value")} AS sum_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q76_cube" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -162,6 +162,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("sliding-window streaming aggregation: events count into overlapping windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("w_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 13:00:00")),
+                (2L, Timestamp.valueOf("2024-01-01 23:00:00")),
+                (3L, Timestamp.valueOf("2024-01-02 01:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 13:00 + 23:00 -> windows starting 01-01 00:00 and 12:00;
+    // 01-02 01:00 -> windows starting 01-01 12:00 and 01-02 00:00.
+    assert(got === Map(
+      "2024-01-01 00:00" -> 2L, "2024-01-01 12:00" -> 3L,
+      "2024-01-02 00:00" -> 1L))
+  }
+
   test("flatMapGroupsWithState sessionization: in-batch and timeout closure (§2.9)") {
     implicit val sq = spark.sqlContext
     import graft.streaming.StreamingSessionize
