@@ -50,6 +50,18 @@ object Sampling {
     idFraction(id) < rate
   }
 
+  /** Quality-weighted (importance) sampling: keep a row iff
+    * [[idFraction]] of its id falls below its own per-row `score` in
+    * [0, 1] — keep probability proportional to quality, the
+    * curriculum-style generalization of [[mixtureKeep]]'s per-domain
+    * constant rate. Same properties: pure function of (id, score),
+    * zero shuffle, stable under re-runs/re-partitionings, and nested
+    * across monotone score transforms (raising every score only adds
+    * rows). The score expression must be engine-portable arithmetic if
+    * an external oracle recomputes the sample. */
+  def importanceKeep(id: Column, score: Column): Column =
+    idFraction(id) < score
+
   /** Fixed-COUNT deterministic per-group sample: the `n` rows with the
     * smallest (lcg(id), id) rank in each group — "exactly 25 eval docs
     * per language" where [[mixtureKeep]] gives a RATE. One exchange on

@@ -240,6 +240,27 @@ object LlmQueries {
         (col("dup2") <= 0.6 && col("top") <= 0.2).cast("bigint").as("keep"))
     }),
 
+    // Quality-weighted importance sampling: keep probability = the
+    // document's (1 - duplicate-bigram-fraction) quality score — the
+    // per-row generalization of q62's per-domain rates. Score and keep
+    // are scan-local expressions; the only exchange is the audit
+    // aggregation.
+    "q79_importance_sample" -> ((s, d) => {
+      val withGrams = documents(s, d)
+        .select(col("doc_id"), col("source"),
+                TextStats.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+                TextStats.ngramsOfTokens(col("ws"), 2).as("g2"))
+      val keep = Sampling.importanceKeep(
+        col("doc_id"),
+        lit(1.0) - TextStats.duplicateFractionOfGrams(col("g2")))
+      withGrams
+        .select(col("source"), col("doc_id"), keep.cast("long").as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+             sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
+    }),
+
     // Per-document top-3 TF-IDF terms: map-side-combinable tf groupBy,
     // vocabulary-sized doc-freq aggregate broadcast back, bounded
     // per-doc window — the canonical distributed tf-idf shape.
@@ -864,6 +885,26 @@ object LlmQueries {
          |  ROUND(top_frac, 4) AS top_token_frac,
          |  CAST(dup2_frac <= 0.6 AND top_frac <= 0.2 AS BIGINT) AS keep
          |FROM g""".stripMargin,
+
+    // Importance sampling: the oracle recomputes the LCG fraction
+    // (bits 16..30 / 2^15 — exact dyadic arithmetic on both engines)
+    // and the duplicate-bigram score, then the same strict-< keep.
+    "q79_importance_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, $toks AS ws FROM documents),
+         |g AS (SELECT doc_id, source,
+         |  list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS g2 FROM d),
+         |s AS (SELECT doc_id, source,
+         |  1.0 - CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |    / GREATEST(len(g2), 1) AS score FROM g),
+         |k AS (SELECT source, doc_id,
+         |  CASE WHEN CAST((${lcgSql("doc_id")}) >> 16 AS DOUBLE) / 32768.0
+         |       < score THEN 1 ELSE 0 END AS keep FROM s)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
+         |    AS kept_id_checksum
+         |FROM k GROUP BY source""".stripMargin,
 
     // TF-IDF: same two-phase aggregation; the score is rounded to 6
     // decimals BEFORE ranking so mathematically-equal scores reached by
