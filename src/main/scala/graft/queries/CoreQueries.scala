@@ -161,6 +161,39 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Set operators (engine completeness — the reference has none):
+    // INTERSECT / EXCEPT over distinct key sets. Both plan as
+    // left-semi/left-anti joins after a distinct — one exchange per
+    // side on the compared key.
+    "q80_setops" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+      val c = customer(s, d).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("custkey"))
+      val inter = o.intersect(c)
+        .agg(count(lit(1)).as("n"), sum(col("custkey")).as("key_checksum"))
+        .withColumn("kind", lit("intersect"))
+      val exc = o.except(c)
+        .agg(count(lit(1)).as("n"), sum(col("custkey")).as("key_checksum"))
+        .withColumn("kind", lit("except"))
+      inter.unionByName(exc)
+    }),
+
+    // Approximate percentile sketch (KLL/GK-family) next to the exact
+    // value, q36's envelope pattern: the estimate is engine-specific,
+    // so the hash contract is the EXACT percentile plus the sketch
+    // landing within 5% — a red row means the sketch broke, not
+    // wobbled. At 100 TB the sketch is the only viable path (exact
+    // percentile is a full sort); this query keeps it honest.
+    "q81_approx_percentile" -> ((s, d) => {
+      events(s, d).groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        percentile_approx(col("value"), lit(0.5), lit(2000)).as("__approx"),
+        count(lit(1)).as("n"))
+        .select(col("event_type"), col("p50_exact"), col("n"),
+          (abs(col("__approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05 + lit(0.05)).as("approx_within_5pct"))
+    }),
+
     // Sliding (overlapping) windows: 1-day width, 12-hour slide — every
     // event lands in exactly two windows {floor_12h(ts), floor_12h(ts)
     // - 12h}. Spark's window() generator replicates rows map-side, then
@@ -523,6 +556,23 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q80_setops" ->
+      """WITH o AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |c AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |SELECT COUNT(*) AS n, CAST(SUM(custkey) AS BIGINT) AS key_checksum,
+        |  'intersect' AS kind
+        |FROM (SELECT * FROM o INTERSECT SELECT * FROM c)
+        |UNION ALL
+        |SELECT COUNT(*), CAST(SUM(custkey) AS BIGINT), 'except'
+        |FROM (SELECT * FROM o EXCEPT SELECT * FROM c)""".stripMargin,
+
+    // the sketch estimate is engine-specific; the hash contract is the
+    // exact percentile + the within-envelope flag (cf. q36).
+    "q81_approx_percentile" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |COUNT(*) AS n, TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // every event belongs to windows starting at floor_12h(ts) and
     // floor_12h(ts) - 12h (always both: ts < start + 24h holds for
