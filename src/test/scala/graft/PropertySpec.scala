@@ -83,4 +83,43 @@ class PropertySpec extends SparkSpec {
       assert(fastWinners === w)
     }
   }
+
+  private val textGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(20, for {
+      id <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee"))
+    } yield (id, ws.mkString(" ")))
+
+  test("property: repetition metrics are fractions in [0,1]; top-token >= 1/n") {
+    import graft.llm.TextStats
+    samples(textGen).foreach { rows =>
+      val out = rows.toDF("id", "text")
+        .select(TextStats.tokens($"text").as("ws"))
+        .select(TextStats.duplicateFractionOfGrams(
+                  TextStats.ngramsOfTokens($"ws", 2)).as("d2"),
+                TextStats.topTokenFractionOfTokens($"ws").as("top"),
+                size($"ws").as("n"))
+        .collect()
+      out.foreach { r =>
+        val (d2, top, n) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+        assert(d2 >= 0.0 && d2 <= 1.0)
+        assert(top >= 1.0 / n && top <= 1.0)
+      }
+    }
+  }
+
+  test("property: importance-sampled sets nest under pointwise score increases") {
+    import graft.llm.Sampling
+    samples(textGen).foreach { rows =>
+      val df = rows.toDF("id", "text")
+        .withColumn("score", (col("id") % 100).cast("double") / 100.0)
+      def kept(s: org.apache.spark.sql.Column) =
+        df.filter(Sampling.importanceKeep(col("id"), s))
+          .select("id").collect().map(_.getLong(0)).toSet
+      val low = kept(col("score"))
+      val high = kept(least(col("score") + 0.3, lit(1.0)))
+      assert(low.subsetOf(high))
+    }
+  }
 }
