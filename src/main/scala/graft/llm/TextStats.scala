@@ -160,6 +160,24 @@ object TextStats {
               col("tfidf"), col("rn"))
   }
 
+  /** Corpus-wide adjacent character-pair frequencies — the statistic a
+    * BPE tokenizer trainer maximizes at each merge step (the top pair
+    * IS the next merge). Each word contributes its length-1 pairs;
+    * counts combine map-side and only vocabulary-of-pairs-sized
+    * partials shuffle; the top-k is TakeOrdered, never a full sort.
+    * One iteration only: full BPE training re-tokenizes per merge,
+    * which is a driver loop over this query with the merge table as a
+    * broadcast literal. */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+                                i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase
     * text, truncated to 64 bits of hex — stable across engines (vs
     * xxhash64, which DuckDB lacks). */

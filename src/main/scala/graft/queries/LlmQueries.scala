@@ -261,6 +261,12 @@ object LlmQueries {
              sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
     }),
 
+    // BPE merge-selection statistic: top-10 adjacent character pairs
+    // across the corpus (the argmax pair is the next BPE merge).
+    // Map-side-combined pair counts; TakeOrdered top-k.
+    "q82_bpe_pairs" -> ((s, d) =>
+      TextStats.bpePairCounts(documents(s, d), "text", k = 10)),
+
     // Per-document top-3 TF-IDF terms: map-side-combinable tf groupBy,
     // vocabulary-sized doc-freq aggregate broadcast back, bounded
     // per-doc window — the canonical distributed tf-idf shape.
@@ -905,6 +911,13 @@ object LlmQueries {
          |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
          |    AS kept_id_checksum
          |FROM k GROUP BY source""".stripMargin,
+
+    "q82_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(w)-1),
+         |  i -> substr(w, i, 2))) AS pair FROM w WHERE length(w) >= 2)
+         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair ASC LIMIT 10""".stripMargin,
 
     // TF-IDF: same two-phase aggregation; the score is rounded to 6
     // decimals BEFORE ranking so mathematically-equal scores reached by
