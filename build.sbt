@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Timestamp.valueOf in specs parses wall-clock strings in the JVM
+  // default timezone; pin it so absolute window-label assertions
+  // (e.g. the sliding-window spec) hold on any machine.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -131,7 +131,8 @@ object TextStats {
     * tie identically on every engine, with the token as the portable
     * tiebreak. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+                    textCol: String, k: Int,
+                    broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One corpus-sized exchange total: repartition documents by id up
     // front — HashPartitioning(id) satisfies both the (id, token) tf
@@ -149,7 +150,14 @@ object TextStats {
       .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(docFreq), "token")
+    // broadcastVocab (default): the vocab join never re-shuffles the
+    // tf side, so the doc_id partitioning survives into the window —
+    // right whenever the distinct-token table fits the 8 GB broadcast
+    // ceiling. For a web-scale vocabulary that exceeds it, pass false:
+    // the join shuffles on token and the window re-exchanges on doc id
+    // (one extra corpus-triple exchange instead of a driver OOM).
+    val vocab = if (broadcastVocab) broadcast(docFreq) else docFreq
+    val scored = tf.join(vocab, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))

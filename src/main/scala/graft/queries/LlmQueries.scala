@@ -876,13 +876,11 @@ object LlmQueries {
          |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3,
          |  CAST(COALESCE(list_max(list_transform(list_distinct(ws),
          |    w -> len(list_filter(ws, x -> x = w)))), 0) AS DOUBLE)
-         |    / GREATEST(len(ws), 1) AS top_frac,
-         |  CAST(len(list_transform(generate_series(1, len(ws)-1),
-         |      i -> ws[i] || ' ' || ws[i+1]))
-         |    - len(list_distinct(list_transform(generate_series(1, len(ws)-1),
-         |      i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
-         |    / GREATEST(len(ws)-1, 1) AS dup2_frac
-         |  FROM d)
+         |    / GREATEST(len(ws), 1) AS top_frac
+         |  FROM d),
+         |m AS (SELECT *,
+         |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |    / GREATEST(len(g2), 1) AS dup2_frac FROM g)
          |SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_tokens,
          |  ROUND(dup2_frac, 4) AS dup_bigram_frac,
@@ -890,7 +888,7 @@ object LlmQueries {
          |    / GREATEST(len(g3), 1), 4) AS dup_trigram_frac,
          |  ROUND(top_frac, 4) AS top_token_frac,
          |  CAST(dup2_frac <= 0.6 AND top_frac <= 0.2 AS BIGINT) AS keep
-         |FROM g""".stripMargin,
+         |FROM m""".stripMargin,
 
     // Importance sampling: the oracle recomputes the LCG fraction
     // (bits 16..30 / 2^15 — exact dyadic arithmetic on both engines)
