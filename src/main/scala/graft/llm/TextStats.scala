@@ -168,6 +168,31 @@ object TextStats {
               col("tfidf"), col("rn"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * mean negative log-likelihood under the corpus's own unigram
+    * distribution (low = fluent/common text, high = rare-token noise —
+    * the classic perplexity quality filter, scored here with the
+    * corpus itself as the LM). Shape at scale: one corpus exchange
+    * (repartition by doc id; the per-doc aggregation reuses it), a
+    * vocabulary-sized count aggregate broadcast back, and a 1-row
+    * total. The per-token log terms sum through DECIMAL(30,6)
+    * (order-independent, oracle-exact). */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val docs = df.repartition(col(idCol))
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = df.select(
+      sum(size(tokens(col(textCol)))).cast("double").as("corpus_n"))
+    toks.join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(graft.util.Exact.exactSum(-log(col("c") / col("corpus_n")))
+                   / count(lit(1)), 4).as("nll"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

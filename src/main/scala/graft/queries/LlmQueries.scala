@@ -261,6 +261,11 @@ object LlmQueries {
              sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
     }),
 
+    // CCNet-style unigram LM quality score: per-doc mean NLL under the
+    // corpus unigram distribution — the perplexity quality filter.
+    "q83_unigram_nll" -> ((s, d) =>
+      TextStats.unigramNll(documents(s, d), "doc_id", "text")),
+
     // BPE merge-selection statistic: top-10 adjacent character pairs
     // across the corpus (the argmax pair is the next BPE merge).
     // Map-side-combined pair counts; TakeOrdered top-k.
@@ -909,6 +914,18 @@ object LlmQueries {
          |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
          |    AS kept_id_checksum
          |FROM k GROUP BY source""".stripMargin,
+
+    // unigram NLL: identical -ln(c/N) per token on both engines, summed
+    // through DECIMAL(30,6) so partition order can't move the hash.
+    "q83_unigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |v AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM t)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(-ln(c / corpus_n) AS DECIMAL(30,6)))
+         |    AS DOUBLE) / COUNT(*), 4) AS nll
+         |FROM t JOIN v USING (token) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
 
     "q82_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),

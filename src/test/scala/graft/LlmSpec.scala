@@ -399,6 +399,16 @@ class LlmSpec extends SparkSpec {
       (3L, "c", 3L, 2L, 1.216395, 1)))
   }
 
+  test("unigram NLL: hand-computed scores under the corpus distribution") {
+    // corpus tokens a,a,b,c -> N=4, c(a)=2, c(b)=c(c)=1
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextStats.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: (2*(-ln .5) + -ln .25)/3 = 0.924196 -> 0.9242; doc2: -ln .25 -> 1.3863
+    assert(out(1L) === ((3L, 0.9242)))
+    assert(out(2L) === ((1L, 1.3863)))
+  }
+
   test("tf-idf plan: tf aggregation and top-k window share one corpus exchange") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val plan = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
