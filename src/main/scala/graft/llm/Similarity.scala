@@ -85,14 +85,20 @@ object Similarity {
   private def nearestCells(spark: org.apache.spark.sql.SparkSession,
                            centRows: Array[org.apache.spark.sql.Row],
                            vec: Column, probes: Int): Column =
+    nearestCellsOf(spark,
+      centRows.toIndexedSeq.map(r => r.getLong(0) -> r.getSeq[Double](1)),
+      vec, probes)
+
+  private def nearestCellsOf(spark: org.apache.spark.sql.SparkSession,
+                             cents: Seq[(Long, Seq[Double])],
+                             vec: Column, probes: Int): Column =
     slice(
       array_sort(
-        array(centRows.toIndexedSeq.map { r =>
-          val v: Seq[Double] = r.getSeq[Double](1)
+        array(cents.toIndexedSeq.map { case (cell, v) =>
           struct(
             graft.plans.NativeFunctions.cosineNative(spark, vec, typedLit(v))
               .as("cd"),
-            lit(r.getLong(0)).as("cell"))
+            lit(cell).as("cell"))
         }: _*),
         (l, r) =>
           when(l("cd") > r("cd"), -1).when(l("cd") < r("cd"), 1)
@@ -295,6 +301,76 @@ object Similarity {
       .agg(round(sum(col("xq")).cast("double") / (lit(1e6) * count(lit(1))), 4)
              .as("centroid_val"),
            count(lit(1)).as("n_members"))
+  }
+
+  /** Full Lloyd k-means fit: iterates [[lloydStep]]-shaped refinements
+    * from the deterministic LCG seed until no centroid's squared-L2
+    * movement exceeds `tol`, or `maxIter`. Per iteration the
+    * assignment is the same narrow plan-literal argmax projection as
+    * [[ivfTopK]] (spherical assignment, arithmetic mean update — the
+    * corpus never shuffles for it); the refreshed means reduce to
+    * k·dim rows collected on the driver (bounded by CONFIG, not data
+    * — the same budget as the seed collect). Cells that lose all
+    * members retain their previous centroid. Deterministic end to
+    * end: LCG seed, cosine ties broken by cell id, exact decimal
+    * means — the fit is reproducible across runs and partitionings.
+    * Returns the final (cell, dim, centroid_val, n_members) frame,
+    * [[lloydStep]]'s shape, plus the iteration that converged. */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int = 8, maxIter: Int = 10,
+                tol: Double = 1e-8): (DataFrame, Int) = {
+    val spark = corpus.sparkSession
+    val prepared = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Map[Long, IndexedSeq[Double]] =
+      selectCentroids(corpus, idCol, vecCol, nCentroids)
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    var iter = 0
+    var moved = Double.MaxValue
+    var lastStats: Array[org.apache.spark.sql.Row] = Array.empty
+    while (iter < maxIter && moved > tol) {
+      val centSeq = cents.toIndexedSeq.sortBy(_._1)
+      val assigned = prepared.withColumn("cell",
+        element_at(nearestCellsOf(spark, centSeq, col("v"), 1), 1)
+          .getField("cell"))
+      lastStats = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xq", round(col("x") * lit(1e6), 0).cast("decimal(38,0)"))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("xq")).cast("double") / (lit(1e6) * count(lit(1))))
+               .as("centroid_val"),
+             count(lit(1)).as("n_members"))
+        .collect()
+      val refreshed = lastStats.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+      moved = cents.map { case (cell, old) =>
+        refreshed.get(cell).fold(0.0)(nw =>
+          old.zip(nw).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.max
+      cents = cents.map { case (cell, old) =>
+        cell -> refreshed.getOrElse(cell, old)
+      }
+      iter += 1
+    }
+    prepared.unpersist()
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(
+      lastStats.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        r.getLong(3))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid_val",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_members",
+          org.apache.spark.sql.types.LongType))))
+    (out, iter)
   }
 
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic

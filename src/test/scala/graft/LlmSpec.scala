@@ -399,6 +399,39 @@ class LlmSpec extends SparkSpec {
       (3L, "c", 3L, 2L, 1.216395, 1)))
   }
 
+  test("kmeansFit: planted direction clusters converge to their means") {
+    // three well-separated direction clusters in 4-d. Lloyd is
+    // seed-dependent (two seeds in one cluster can never split a
+    // missed cluster), so ids are laid out as cluster = id % 3: the
+    // three smallest (lcg(id), id) among 0..29 are 0, 2, 4, which
+    // span all three clusters.
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      (dir, ci) <- base.zipWithIndex
+      j <- 0 until 10
+    } yield (3L * j + ci,
+             dir.zipWithIndex.map { case (x, d) =>
+               (x * 10 + (if (d == ci) j * 0.01 else 0.0)).toFloat }.toArray)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val (fit, iters) = Similarity.kmeansFit(corpus, "vec_id", "embedding",
+      nCentroids = 3, maxIter = 10, tol = 1e-10)
+    val got = fit.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(iters <= 10)
+    // every cell converged with 10 members; its dominant dimension's
+    // centroid is the cluster mean 10 + mean(j*0.01) = 10.045
+    val cells = got.keys.map(_._1).toSet
+    assert(cells.size === 3)
+    cells.foreach { c =>
+      val dims = (0 until 4).map(d => got((c, d)))
+      dims.foreach { case (_, n) => assert(n === 10L) }
+      val dominant = dims.map(_._1).max
+      assert(math.abs(dominant - 10.045) < 1e-9)
+    }
+  }
+
   test("unigram NLL: hand-computed scores under the corpus distribution") {
     // corpus tokens a,a,b,c -> N=4, c(a)=2, c(b)=c(c)=1
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
