@@ -108,4 +108,27 @@ object Components {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("node")).as("id_checksum"),
            max(col("node")).as("max_id"))
+
+  /** Dedup groups with a QUALITY-chosen survivor: per component, keep
+    * the member maximizing (quality desc, id asc) — the "keep the
+    * longest / cleanest copy" policy production dedup uses instead of
+    * min-id. `quality` maps ids to a per-row quality score; only
+    * graph members join it (singletons are their own survivors by
+    * definition and never enter). One extra key-partitioned window
+    * over the (tiny) member set on top of the component labels. */
+  def dedupSurvivors(pairs: DataFrame, aCol: String, bCol: String,
+                     quality: DataFrame, idCol: String,
+                     qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs, aCol, bCol)
+      .join(quality, col("node") === quality(idCol))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col(qualityCol).desc, col("node").asc)
+    members.withColumn("__rn", row_number().over(w))
+      .groupBy(col("label").as("group_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(when(col("__rn") === 1, col("node"))).as("survivor_id"),
+           max(when(col("__rn") === 1, col(qualityCol)))
+             .as("survivor_quality"))
+  }
 }

@@ -363,6 +363,20 @@ object LlmQueries {
       graft.llm.Components.dedupGroups(pairs, "id_a", "id_b")
     }),
 
+    // q60's groups with a QUALITY survivor: per component keep the
+    // longest member (token count desc, id asc) — the production
+    // dedup policy, over the same oracle-verified edge set.
+    "q84_dedup_survivors" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 1000)
+      val pairs = NearDup.portableNearDupPairs(docs, "doc_id", "text",
+                                               threshold = 0.8)
+      val quality = docs.select(
+        col("doc_id"), TextStats.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.llm.Components.dedupSurvivors(pairs, "id_a", "id_b",
+                                          quality, "doc_id", "n_tokens")
+    }),
+
     // Product-quantization ANN (ADC): corpus encoded to 8 one-byte
     // codes (32x compression), queries scan codes via per-query
     // distance-table lookups — codebooks are the LCG-selected vectors
@@ -611,6 +625,26 @@ object LlmQueries {
          |SELECT label AS group_rep, COUNT(*) AS n_docs,
          |  CAST(SUM(node) AS BIGINT) AS id_checksum, MAX(node) AS max_id
          |FROM lab GROUP BY label""".stripMargin,
+
+    // same component closure, survivor = argmax (n_tokens, node asc)
+    "q84_dedup_survivors" ->
+      s"""WITH RECURSIVE edges AS ($q57Sql),
+         |sym AS (SELECT id_a AS node, id_b AS nbr FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |walk AS (
+         |  SELECT node, node AS reach FROM (SELECT DISTINCT node FROM sym)
+         |  UNION
+         |  SELECT w.node, s.nbr AS reach FROM walk w JOIN sym s ON s.node = w.reach),
+         |lab AS (SELECT node, MIN(reach) AS label FROM walk GROUP BY node),
+         |t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         |      FROM documents WHERE doc_id < 1000),
+         |m AS (SELECT label, node, n_tokens, row_number() OVER (
+         |  PARTITION BY label ORDER BY n_tokens DESC, node ASC) AS rn
+         |  FROM lab JOIN t ON node = doc_id)
+         |SELECT label AS group_rep, COUNT(*) AS n_docs,
+         |  MAX(CASE WHEN rn = 1 THEN node END) AS survivor_id,
+         |  MAX(CASE WHEN rn = 1 THEN n_tokens END) AS survivor_quality
+         |FROM m GROUP BY label""".stripMargin,
 
     // PQ-ADC: codebook c of subspace s = slice of the rank-c vector
     // under the (lcg, id) order (same centroid choice as q40 IVF);
