@@ -186,6 +186,31 @@ class StreamingSpec extends SparkSpec {
       "2024-01-02 00:00" -> 1L))
   }
 
+  test("sliding-window append mode emits only watermark-closed windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("w_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("slide_append")
+      .outputMode("append").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 13:00:00")),
+                (2L, Timestamp.valueOf("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    // watermark 22:00 < earliest window end (01-02 00:00): nothing final
+    assert(spark.table("slide_append").count() === 0)
+    mem.addData((3L, Timestamp.valueOf("2024-01-03 12:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    // watermark 01-03 11:30 closes both day-1 windows; event 3's own
+    // windows end after it and stay open (append never emits them)
+    val got = spark.table("slide_append").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("2024-01-01 00:00" -> 2L, "2024-01-01 12:00" -> 2L))
+  }
+
   test("flatMapGroupsWithState sessionization: in-batch and timeout closure (§2.9)") {
     implicit val sq = spark.sqlContext
     import graft.streaming.StreamingSessionize
