@@ -83,6 +83,10 @@ object Bench {
       }
       name -> timed.minBy(_._1)
     }
+    // A typo'd SPARK_GRAFT_ONLY must not report an (impossibly fast)
+    // empty bench as success.
+    require(results.nonEmpty,
+      s"no queries matched SPARK_GRAFT_ONLY=${only.map(_.mkString(","))}")
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, (t, _)) => k -> t })

@@ -105,8 +105,15 @@ object Components {
   def dedupGroups(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(pairs, aCol, bCol)
       .groupBy(col("label").as("group_rep"))
+      // checksum accumulates in DECIMAL(38,0) — a long accumulator
+      // would throw ANSI overflow mid-aggregation for snowflake-scale
+      // ids (same guard as labelSum); the final bigint cast can only
+      // fail if the TRUE per-group sum exceeds a long, which is a
+      // contract limit of the output column, not an accumulation
+      // artifact.
       .agg(count(lit(1)).as("n_docs"),
-           sum(col("node")).as("id_checksum"),
+           sum(col("node").cast("decimal(38,0)")).cast("long")
+             .as("id_checksum"),
            max(col("node")).as("max_id"))
 
   /** Dedup groups with a QUALITY-chosen survivor: per component, keep

@@ -15,7 +15,11 @@ object Sampling {
     * plain-arithmetic LCG (see Similarity.lcg — recomputable by any
     * SQL engine). The glibc LCG's low bits have short periods, so the
     * fraction keeps only bits 16..30 — the well-mixed high half of the
-    * 31-bit state. */
+    * 31-bit state. Consequence: 15-bit resolution — fractions (and so
+    * mixtureKeep / importanceKeep rates) quantize to multiples of
+    * 2^-15 ≈ 3.05e-5; rates below that floor round to keeping the
+    * fraction==0 ids only. For rarer sampling, compose two draws
+    * (e.g. mixtureKeep at 1e-3 then prioritySample a fixed count). */
   def idFraction(id: Column): Column =
     shiftright(Similarity.lcg(id), 16).cast("double") / lit(32768.0) // 2^15
 

@@ -110,6 +110,9 @@ object Similarity {
     * (s, c) at (s*nCodes + c)*subDim (see plans.Pq layout). */
   private def pqCodebook(centRows: Array[org.apache.spark.sql.Row],
                          nSub: Int): (Seq[Double], Int) = {
+    require(centRows.nonEmpty,
+      "PQ codebook needs a non-empty corpus: no centroid rows were " +
+        "selected (is the corpus empty or fully filtered?)")
     val dim = centRows.head.getSeq[Double](1).length
     val subDim = dim / nSub
     require(nSub * subDim == dim, "nSub must divide dim")
@@ -220,7 +223,7 @@ object Similarity {
         graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodesActual)
           .as("adc_dist"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))
+        Window.partitionBy("qid").orderBy(col("adc_dist").asc_nulls_last, col("cid").asc)))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
@@ -259,7 +262,7 @@ object Similarity {
         graft.plans.PqNative.pqAdc(spark, col("codes"), col("dt"), nCodes)
           .as("adc_dist"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("cid").asc)))
+        Window.partitionBy("qid").orderBy(col("adc_dist").asc_nulls_last, col("cid").asc)))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }

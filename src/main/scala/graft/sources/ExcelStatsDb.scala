@@ -132,7 +132,16 @@ object ExcelStatsDb {
       def bytes(name: String): Option[Array[Byte]] =
         Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
       def parse(b: Array[Byte]) = {
+        // Hardened: workbooks come from outside this process
+        // (pandas/openpyxl artifacts), so DTDs and external entities
+        // are disabled — a crafted sheet XML must not be able to read
+        // local files (XXE) or blow up entity expansion.
         val dbf = DocumentBuilderFactory.newInstance()
+        dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        dbf.setXIncludeAware(false)
+        dbf.setExpandEntityReferences(false)
         dbf.newDocumentBuilder().parse(new ByteArrayInputStream(b))
       }
       // shared-strings table (pandas/openpyxl write strings this way)

@@ -58,7 +58,11 @@ object IngestSession {
   /** The odds-API quota accounting (reference `get_odds.py:21-24`):
     * render the rate-limit headers of one response as the reference's
     * three log lines (header names matched case-insensitively; absent
-    * headers print as "unknown" rather than crashing the collection). */
+    * headers print as "unknown" rather than crashing the collection).
+    * The literal "Requests" name mirrors the reference verbatim
+    * (`get_odds.py:21` reads `headers.get("Requests")`) — the live
+    * API may not send it, in which case both implementations log
+    * unknown/None; parity over correction. */
   def quotaLines(headers: Map[String, String]): Seq[String] = {
     def h(name: String): String = headers.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) => v

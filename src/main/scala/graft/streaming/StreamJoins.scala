@@ -18,13 +18,16 @@ object StreamJoins {
 
   /** Inner-join `left` and `right` streams on `key`, keeping pairs
     * where the right event lands within [leftTs, leftTs + window].
-    * Callers must have applied `withWatermark` to BOTH inputs. */
+    * Callers must have applied `withWatermark` to BOTH inputs. The
+    * timestamp columns are resolved against their own side, so both
+    * streams may carry the same ts column name (the natural
+    * withWatermark shape) without an ambiguous-reference failure. */
   def joinWithin(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String,
                  window: String): DataFrame =
     left.join(right,
       left(key) === right(key) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $window"))
       .drop(right(key))
 }

@@ -10,8 +10,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * hash is (a) unique within the batch and (b) absent from the
   * persisted hash store of everything previously accepted; accepted
   * hashes are appended to the store so the next batch (or the next
-  * scheduled run — the checkpoint makes re-runs exactly-once) dedups
+  * scheduled run — the checkpoint skips committed batches) dedups
   * against them.
+  *
+  * Delivery contract: foreachBatch is AT-LEAST-ONCE. A batch replayed
+  * after a crash between `accept` and the store append re-forwards
+  * the same fresh set, so `accept` must be idempotent (a keyed upsert
+  * like [[graft.sources.PartitionedParquetStore]], not a blind
+  * append); a replay after the store append forwards an empty set
+  * (the batch's own hashes now hit the store). Doc ids must be
+  * integral (they are cast to long for component labels — string ids
+  * need a stable id-assignment step upstream).
   *
   * This complements the in-stream variants in [[MicroBatchUpsert]]:
   * `dedupedWithinWatermark` bounds its state by the watermark, so it
