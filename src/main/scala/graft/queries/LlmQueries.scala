@@ -261,6 +261,12 @@ object LlmQueries {
              sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
     }),
 
+    // Character-entropy quality signal: gibberish / binary noise sits
+    // above the natural-language band, repeated filler below. Count-
+    // based (ln n − Σ c·ln c / n), one doc-partitioned exchange.
+    "q85_char_entropy" -> ((s, d) =>
+      TextStats.charEntropy(documents(s, d), "doc_id", "text")),
+
     // CCNet-style unigram LM quality score: per-doc mean NLL under the
     // corpus unigram distribution — the perplexity quality filter.
     "q83_unigram_nll" -> ((s, d) =>
@@ -960,6 +966,20 @@ object LlmQueries {
          |    AS DOUBLE) / COUNT(*), 4) AS nll
          |FROM t JOIN v USING (token) CROSS JOIN n
          |GROUP BY doc_id""".stripMargin,
+
+    // entropy from counts: identical c·ln(c) terms on both engines,
+    // summed through DECIMAL(30,6) (partition/order-independent).
+    "q85_char_entropy" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  unnest(list_filter(regexp_split_to_array(text, ''), x -> x <> ''))
+         |    AS ch FROM documents),
+         |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM u GROUP BY doc_id, ch)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+         |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+         |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |        AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4)
+         |    AS char_entropy
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "q82_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
