@@ -432,6 +432,15 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: hand-computed, uniform text scores zero") {
+    val docs = Seq((1L, "aab"), (2L, "zzzz")).toDF("doc_id", "text")
+    val out = TextStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: ln3 - (2 ln2)/3 = 0.636514; doc2: single symbol -> 0
+    assert(out(1L) === ((3L, 0.6365)))
+    assert(out(2L) === ((4L, 0.0)))
+  }
+
   test("unigram NLL: hand-computed scores under the corpus distribution") {
     // corpus tokens a,a,b,c -> N=4, c(a)=2, c(b)=c(c)=1
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
