@@ -186,6 +186,24 @@ class StreamingSpec extends SparkSpec {
       "2024-01-02 00:00" -> 1L))
   }
 
+  test("stream-static enrichment join: batch dim broadcast into each micro-batch") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val enriched = mem.toDF().toDF("uid", "amt")
+      .join(broadcast(dim), Seq("uid"), "left")
+      .select($"uid", $"amt", coalesce($"tier", lit("unknown")).as("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 10.0, "gold"), (2L, 5.0, "basic"),
+                       (3L, 1.0, "unknown")))
+  }
+
   test("sliding-window append mode emits only watermark-closed windows") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
