@@ -68,7 +68,7 @@ object Components {
     // DECIMAL(38,0) keeps the sum exact at any node count (a long sum
     // would overflow under ANSI at ~10^10 snowflake-scale ids).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty edge set
 
     var prevSum = labelSum(labels)

@@ -72,7 +72,7 @@ object CoreQueries {
     "q5_union_dedup" -> ((s, d) => {
       val li = lineitem(s, d)
       // second branch with shuffled column order: unionByName must align
-      val li2 = li.select(li.columns.reverse.map(col): _*)
+      val li2 = li.select(li.columns.reverse.toIndexedSeq.map(col): _*)
       Dedup.distinctUnion(li, li2)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),

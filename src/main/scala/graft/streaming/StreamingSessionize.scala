@@ -73,7 +73,7 @@ object StreamingSessionize {
               // a session whose close time the watermark already passed
               // can never be extended — close it now instead of setting
               // an in-the-past timeout (which Spark rejects)
-              if (open.endMs + gapMs > state.getCurrentWatermarkMs) {
+              if (open.endMs + gapMs > state.getCurrentWatermarkMs()) {
                 state.update(open)
                 state.setTimeoutTimestamp(open.endMs + gapMs)
                 merged.init.iterator.map(close)
