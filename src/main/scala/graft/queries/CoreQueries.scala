@@ -161,6 +161,21 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Unpivot / melt — the inverse of q11's pivot and the first step
+    // of the registry wide-table build, surfaced as its own operator
+    // via Spark's native Dataset.unpivot (one Expand, no shuffle until
+    // the audit aggregation).
+    "q86_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+                 Array(col("l_quantity"), col("l_extendedprice"),
+                       col("l_discount")),
+                 "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), exactSum(col("val")).as("sum_val"))
+    }),
+
     // Set operators (engine completeness — the reference has none):
     // INTERSECT / EXCEPT over distinct key sets. Both plan as
     // left-semi/left-anti joins after a distinct — one exchange per
@@ -556,6 +571,13 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q86_unpivot" ->
+      s"""SELECT metric, COUNT(*) AS n, ${dsum("val")} AS sum_val FROM (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+         |GROUP BY metric""".stripMargin,
 
     "q80_setops" ->
       """WITH o AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
