@@ -161,6 +161,20 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Dim-enriched fact rollup over the part table (TPC-H Q14 family):
+    // broadcast the 2k-row dim, shuffle only combined partials. Also
+    // the one query exercising `part`, completing testdata coverage.
+    "q87_part_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+             exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"),
+             round(exactSum(col("p_retailprice")) / count(lit(1)), 4)
+               .as("avg_retail"))
+    }),
+
     // Unpivot / melt — the inverse of q11's pivot and the first step
     // of the registry wide-table build, surfaced as its own operator
     // via Spark's native Dataset.unpivot (one Expand, no shuffle until
@@ -571,6 +585,13 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q87_part_revenue" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items,
+         |${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |ROUND(${dsum("p_retailprice")} / COUNT(*), 4) AS avg_retail
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
 
     "q86_unpivot" ->
       s"""SELECT metric, COUNT(*) AS n, ${dsum("val")} AS sum_val FROM (
