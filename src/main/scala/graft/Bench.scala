@@ -93,7 +93,14 @@ object Bench {
     val gcs = jmap(results.map { case (k, (_, g)) => k -> g })
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"sf":"$sfDir"}""")
+    // `cpus` rides along so runs at different local[N] settings can't
+    // be compared unknowingly (the r2→r3 local[4] lesson).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir"}""")
+    // The per-query map makes the line above ~2.5 KB and the driver's
+    // tail capture truncates its HEAD, losing the total. A compact
+    // trailer re-states the headline numbers so the tail always
+    // carries them.
+    println(s"""{"metric":"total_trailer","value":$total,"unit":"sec","gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"n_queries":${results.size},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

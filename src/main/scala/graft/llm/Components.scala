@@ -121,14 +121,19 @@ object Components {
     * longest / cleanest copy" policy production dedup uses instead of
     * min-id. `quality` maps ids to a per-row quality score; only
     * graph members join it (singletons are their own survivors by
-    * definition and never enter). One extra key-partitioned window
-    * over the (tiny) member set on top of the component labels. */
+    * definition and never enter). Members with NO quality row are
+    * kept, not dropped (left join): they still count toward n_docs,
+    * and rank after every scored member (desc ordering puts nulls
+    * last), so a coverage gap in `quality` surfaces as a null
+    * survivor_quality instead of a silently deflated — or vanished —
+    * component. One extra key-partitioned window over the (tiny)
+    * member set on top of the component labels. */
   def dedupSurvivors(pairs: DataFrame, aCol: String, bCol: String,
                      quality: DataFrame, idCol: String,
                      qualityCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val members = connectedComponents(pairs, aCol, bCol)
-      .join(quality, col("node") === quality(idCol))
+      .join(quality, col("node") === quality(idCol), "left")
     val w = Window.partitionBy(col("label"))
       .orderBy(col(qualityCol).desc, col("node").asc)
     members.withColumn("__rn", row_number().over(w))

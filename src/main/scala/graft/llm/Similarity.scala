@@ -328,10 +328,13 @@ object Similarity {
     var cents: Map[Long, IndexedSeq[Double]] =
       selectCentroids(corpus, idCol, vecCol, nCentroids)
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    require(cents.nonEmpty,
+      s"kmeansFit needs a non-empty corpus and nCentroids > 0 " +
+        s"(got nCentroids=$nCentroids, seeded ${cents.size} centroids)")
     var iter = 0
     var moved = Double.MaxValue
     var lastStats: Array[org.apache.spark.sql.Row] = Array.empty
-    while (iter < maxIter && moved > tol) {
+    try while (iter < maxIter && moved > tol) {
       val centSeq = cents.toIndexedSeq.sortBy(_._1)
       val assigned = prepared.withColumn("cell",
         element_at(nearestCellsOf(spark, centSeq, col("v"), 1), 1)
@@ -355,8 +358,7 @@ object Similarity {
         cell -> refreshed.getOrElse(cell, old)
       }
       iter += 1
-    }
-    prepared.unpersist()
+    } finally prepared.unpersist()
     import scala.jdk.CollectionConverters._
     val out = spark.createDataFrame(
       lastStats.map(r => org.apache.spark.sql.Row(

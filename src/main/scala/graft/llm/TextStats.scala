@@ -168,14 +168,9 @@ object TextStats {
               col("tfidf"), col("rn"))
   }
 
-  /** Shannon entropy (nats) of the document's CHARACTER distribution —
-    * the gibberish/binary-noise signal quality filters pair with
-    * repetition: natural language sits in a narrow entropy band,
-    * random bytes above it, repeated filler below. O(chars × distinct
-    * chars) per row, scan-local. Empty-string elements are filtered on
-    * both engines (split-by-'' edge behavior differs), and the sum is
-    * expressed as 0.0 - Σ so an empty document yields +0.0, not -0.0
-    * (hash-compare safe). */
+  /** Characters of a string column as an array, with the empty-string
+    * elements `split` emits at the boundaries filtered out (engines
+    * disagree on split-by-'' edge behavior). */
   def chars(c: Column): Column = filter(split(c, ""), ch => ch =!= "")
 
   /** Shannon entropy (nats) of each document's CHARACTER distribution

@@ -198,11 +198,17 @@ object CoreQueries {
       val o = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
       val c = customer(s, d).filter(col("c_acctbal") > 0)
         .select(col("c_custkey").as("custkey"))
+      // Checksums accumulate in DECIMAL(38,0) (same ANSI-overflow
+      // guard as Components.dedupGroups — a long accumulator throws
+      // mid-aggregation for snowflake-scale keys); DuckDB already
+      // sums in HUGEINT, so only the Spark side needs the cast.
+      val keySum =
+        sum(col("custkey").cast("decimal(38,0)")).cast("long")
       val inter = o.intersect(c)
-        .agg(count(lit(1)).as("n"), sum(col("custkey")).as("key_checksum"))
+        .agg(count(lit(1)).as("n"), keySum.as("key_checksum"))
         .withColumn("kind", lit("intersect"))
       val exc = o.except(c)
-        .agg(count(lit(1)).as("n"), sum(col("custkey")).as("key_checksum"))
+        .agg(count(lit(1)).as("n"), keySum.as("key_checksum"))
         .withColumn("kind", lit("except"))
       inter.unionByName(exc)
     }),

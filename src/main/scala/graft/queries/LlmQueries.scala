@@ -258,7 +258,9 @@ object LlmQueries {
         .select(col("source"), col("doc_id"), keep.cast("long").as("keep"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
-             sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
+             sum(when(col("keep") === 1, col("doc_id"))
+                   .cast("decimal(38,0)")).cast("long")
+               .as("kept_id_checksum"))
     }),
 
     // Character-entropy quality signal: gibberish / binary noise sits
@@ -343,7 +345,9 @@ object LlmQueries {
         .select(col("source"), keep.cast("long").as("keep"), col("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
-             sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_checksum"))
+             sum(when(col("keep") === 1, col("doc_id"))
+                   .cast("decimal(38,0)")).cast("long")
+               .as("kept_id_checksum"))
     }),
 
     // Hash-VERIFIED MinHash-LSH: the portable-arithmetic twin of q28 —
