@@ -75,26 +75,89 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
     }),
 
-    // MinHash + LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
-    // mirror). Unigram shingles make overlap visible in the synthetic
-    // small-vocab corpus. maxBucket=300 is the skew guard: band buckets
-    // larger than that are degenerate whole-vocabulary clusters — at
-    // scale those are exact-dup mega-groups handled by q23's exact
-    // dedup, and pairing them is O(bucket²) for no near-dup signal.
+    // MinHash + LSH near-dup via the native XXH64 scale path,
+    // oracle-checked through INVARIANTS (q36's envelope pattern).
+    // DuckDB can't recompute xxhash64, but it CAN recompute (1) the
+    // exact token-set Jaccard of any pair and (2) the portable
+    // pipeline (q57) at identical (bands, rows, maxBucket) — so the
+    // query runs the native pipeline and emits one row of checked
+    // claims: every native pair is >= threshold by TRUE Jaccard
+    // (min observed IS 0.8 — exact, not approximate); the native set
+    // recovers >= 95% of the portable pipeline's verified pairs
+    // (measured 99.4% at sf0.001 and sf0.01); and its size is within
+    // 5% of the portable count (measured <= 0.5%). A regression
+    // anywhere in the native path — shingle hashing, fused signature,
+    // banding, bucket join, Jaccard gate — flips a boolean and reds
+    // the row. Unigram shingles make overlap visible in the synthetic
+    // small-vocab corpus; maxBucket=300 is the skew guard (band
+    // buckets above it are degenerate whole-vocabulary clusters — at
+    // scale those are exact-dup mega-groups handled by q23, and
+    // pairing them is O(bucket²) for no near-dup signal).
     "q28_minhash_pairs" -> ((s, d) => {
-      NearDup.nearDupPairs(documents(s, d).filter(col("doc_id") < 1000),
-                           "doc_id", "text", shingleSize = 1, threshold = 0.8,
-                           numBands = 8, rowsPerBand = 4, maxBucket = 300)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      val docs = documents(s, d).filter(col("doc_id") < 1000)
+      val native = NearDup.nearDupPairs(docs, "doc_id", "text",
+        shingleSize = 1, threshold = 0.8, numBands = 8, rowsPerBand = 4,
+        maxBucket = 300)
+      val portable = NearDup.portableNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      val toks = docs.select(col("doc_id").as("id"),
+        NearDup.tokenSet(col("text")).as("toks"))
+      val trueJac = native
+        .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
+        .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          NearDup.jaccard(col("t_a"), col("t_b")).as("true_jac"))
+      val p = portable.select(col("id_a"), col("id_b"))
+      val nativeAgg = trueJac
+        .join(p.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_native"), sum(col("__hit")).as("n_hit"),
+             min(col("true_jac")).as("min_jac"))
+      nativeAgg.crossJoin(p.agg(count(lit(1)).as("n_portable_pairs")))
+        .select(
+          col("n_portable_pairs"),
+          (col("min_jac") >= 0.8).as("native_pairs_all_ge_threshold"),
+          (col("n_hit").cast("double") / col("n_portable_pairs") >= 0.95)
+            .as("native_recall_of_portable_ge_95pct"),
+          (abs(col("n_native") - col("n_portable_pairs")) <=
+             col("n_portable_pairs") * 0.05)
+            .as("native_count_within_5pct_of_portable"))
     }),
 
-    // SimHash signatures (rows-only: xxhash64 — but the algorithm is
-    // externally verified end-to-end by its portable twin q58).
+    // Native (xxhash64, 64-bit) SimHash, oracle-checked through
+    // INVARIANTS like q28: the fused codegen signature must be
+    // bit-identical to the interpreted HOF reference fold for EVERY
+    // doc; over the oracle-known near-dup pairs (portable pipeline,
+    // Jaccard >= 0.8) the native Hamming distance stays small (max
+    // measured 20 of 64, mean ~9 — bounds 26/13); and the signatures
+    // stay bit-balanced (mean popcount measured 26.0, window [22, 34]).
+    // The algorithm itself is additionally hash-verified bit-for-bit
+    // by its portable twin q58; this row pins the xxhash64 path that
+    // twin can't see.
     "q29_simhash" -> ((s, d) => {
-      val docs = documents(s, d).filter(col("doc_id") < 500)
-      NearDup.simhash64(
-        docs.select(col("doc_id"), NearDup.tokenSet(col("text")).as("toks")),
-        "doc_id", col("toks"))
+      val base = documents(s, d).filter(col("doc_id") < 500)
+      val docs = base.select(col("doc_id"),
+        NearDup.tokenSet(col("text")).as("toks"))
+      val nat = NearDup.simhash64(docs, "doc_id", col("toks"))
+      val ref = NearDup.simhash64Hof(docs, "doc_id", col("toks"))
+      val ham = NearDup.portableNearDupPairs(base, "doc_id", "text",
+          threshold = 0.8)
+        .join(nat.select(col("doc").as("id_a"), col("simhash").as("s_a")), "id_a")
+        .join(nat.select(col("doc").as("id_b"), col("simhash").as("s_b")), "id_b")
+        .select(NearDup.hamming64(col("s_a"), col("s_b")).as("h"))
+        .agg(max(col("h")).as("max_h"), avg(col("h")).as("mean_h"))
+      nat.as("n").join(ref.as("r"), "doc")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n.simhash") =!= col("r.simhash"), 1).otherwise(0))
+               .as("n_mismatch"),
+             avg(bit_count(col("n.simhash"))).as("mean_bits"))
+        .crossJoin(ham)
+        .select(
+          col("n_docs"),
+          (col("n_mismatch") === 0).as("native_matches_hof_reference"),
+          (col("max_h") <= 26).as("neardup_max_hamming_le_26"),
+          (col("mean_h") <= 13.0).as("neardup_mean_hamming_le_13"),
+          (col("mean_bits") >= 22.0 && col("mean_bits") <= 34.0)
+            .as("mean_bitcount_in_22_34"))
     }),
 
     // Hash-VERIFIED SimHash: md5-mod-P token hashes (the q57 hash) and
@@ -618,6 +681,30 @@ object LlmQueries {
          |WHERE cos >= 0.35""".stripMargin,
 
     "q57_minhash_portable" -> q57Sql,
+
+    // q28's invariant row: the pair count is the portable pipeline's
+    // (recomputed in full), the booleans are claims the Spark side
+    // CHECKS and the oracle expects to hold (q36's envelope pattern —
+    // a native-path regression flips one and reds the row).
+    "q28_minhash_pairs" ->
+      s"""WITH pairs AS ($q57Sql)
+         |SELECT COUNT(*) AS n_portable_pairs,
+         |  TRUE AS native_pairs_all_ge_threshold,
+         |  TRUE AS native_recall_of_portable_ge_95pct,
+         |  TRUE AS native_count_within_5pct_of_portable
+         |FROM pairs""".stripMargin,
+
+    // q29's invariant row: doc count recomputed exactly (the q58
+    // nonempty-token predicate), booleans expected TRUE as in q28.
+    "q29_simhash" ->
+      s"""SELECT COUNT(*) AS n_docs,
+         |  TRUE AS native_matches_hof_reference,
+         |  TRUE AS neardup_max_hamming_le_26,
+         |  TRUE AS neardup_mean_hamming_le_13,
+         |  TRUE AS mean_bitcount_in_22_34
+         |FROM documents
+         |WHERE doc_id < 500
+         |  AND len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) > 0""".stripMargin,
 
     // Recursive reachability closure over the q57 edge set: walk(node,
     // reach) grows one hop per iteration with UNION dedup until the
