@@ -1,0 +1,93 @@
+package graft.llm
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic minimal-but-valid image byte fixtures for the
+  * multimodal metadata path (q88 / ImageHeadersSpec). Each builder
+  * emits exactly the header structure [[graft.plans.ImageMeta]]
+  * parses — built from the public format specs (PNG: RFC 2083 §3/§4.1,
+  * GIF: GIF89a spec §17-18, JPEG: ITU T.81 §B.2) so the container
+  * needs no image library to stage known-dimension bytes. Pixel data
+  * is absent or fake: the fixtures exercise header parsing, not
+  * decoding (decode stays behind [[Multimodal.MediaDecoder]]).
+  */
+object ImageFixtures {
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  /** PNG signature + IHDR chunk (CRC zeroed — the parser reads
+    * dimensions, not checksums). */
+  def png(width: Int, height: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    out.write(be32(13)) // IHDR data length
+    out.write("IHDR".getBytes("US-ASCII"))
+    out.write(be32(width)); out.write(be32(height))
+    out.write(Array[Byte](8, 2, 0, 0, 0)) // bit depth, color, c/f/i
+    out.write(be32(0)) // CRC (unchecked)
+    out.toByteArray
+  }
+
+  /** Just the 8-byte PNG signature — a truncated file. */
+  def pngTruncated: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** GIF header + logical screen descriptor ("87a" or "89a"). */
+  def gif(width: Int, height: Int, version: String = "89a"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(("GIF" + version).getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(Array[Byte](0, 0, 0)) // flags, bg index, aspect
+    out.toByteArray
+  }
+
+  /** JPEG: SOI, APP0/JFIF, optional COM segment, SOFn frame header,
+    * EOI. `sofMarker` 0xC0 = baseline, 0xC2 = progressive. */
+  def jpeg(width: Int, height: Int, sofMarker: Int = 0xC0,
+           comment: Option[String] = None): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    out.write(Array(0xFF, 0xE0).map(_.toByte)) // APP0
+    out.write(be16(16))
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(Array[Byte](1, 2, 0)) // version, density units
+    out.write(be16(72)); out.write(be16(72)) // x/y density
+    out.write(0); out.write(0) // thumbnail w/h
+    comment.foreach { c =>
+      out.write(Array(0xFF, 0xFE).map(_.toByte)) // COM
+      out.write(be16(2 + c.length))
+      out.write(c.getBytes("US-ASCII"))
+    }
+    out.write(0xFF); out.write(sofMarker)
+    out.write(be16(17)) // 2 len + 1 precision + 2 h + 2 w + 1 nc + 3*3
+    out.write(8) // precision
+    out.write(be16(height)); out.write(be16(width))
+    out.write(3) // components
+    (1 to 3).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    out.write(Array(0xFF, 0xD9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** The q88 staging set: (img_id, bytes) with every parser branch —
+    * both PNG paths, both GIF versions, baseline + progressive JPEG
+    * (the latter behind a COM segment the walk must skip), a truncated
+    * PNG, and non-image bytes. */
+  def all: Seq[(Long, Array[Byte])] = Seq(
+    1L -> png(640, 480),
+    2L -> png(1, 1),
+    3L -> gif(320, 200, "87a"),
+    4L -> gif(12345, 6789, "89a"),
+    5L -> jpeg(1024, 768),
+    6L -> jpeg(800, 600, sofMarker = 0xC2, comment = Some("graft fixture")),
+    7L -> pngTruncated,
+    8L -> "not an image at all".getBytes("UTF-8"))
+}

@@ -5,13 +5,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The Spark-side contract (schema, partitioning, batch shape,
-  * encoders) is real and tested; the actual codec step is STUBBED
-  * behind `MediaDecoder` because this container has no image/audio
-  * libraries — production would drop in a JNI/FFM-backed decoder with
-  * the same interface. `mapPartitions` + `grouped(batchSize)` is the
-  * Scala analogue of a vectorized (pandas-UDF-style) batch boundary:
-  * a real decoder amortizes model/codec init once per batch.
+  * Image METADATA is real: [[graft.plans.ImageMeta]] parses container
+  * format and pixel dimensions straight from PNG/JPEG/GIF headers —
+  * pure byte inspection, no codec library, whole-stage codegen
+  * (oracle-checked by q88 over known-dimension fixture bytes). Only
+  * the pixel-DECODE step is stubbed behind `MediaDecoder`, because
+  * this container has no image/audio libraries — production would
+  * drop in a JNI/FFM-backed decoder with the same interface.
+  * `mapPartitions` + `grouped(batchSize)` is the Scala analogue of a
+  * vectorized (pandas-UDF-style) batch boundary: a real decoder
+  * amortizes model/codec init once per batch.
   */
 object Multimodal {
 

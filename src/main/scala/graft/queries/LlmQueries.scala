@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{Chunking, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
+import graft.llm.{Chunking, ImageFixtures, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -586,6 +586,22 @@ object LlmQueries {
     "q73_corpus_shuffle" -> ((s, d) => {
       Sampling.shuffleOrder(documents(s, d), "doc_id", nShards = 8)
         .select(col("shard"), col("pos"), col("doc_id"))
+    }),
+
+    // REAL multimodal metadata: container format + pixel dimensions
+    // parsed from raw image bytes (PNG IHDR / JPEG SOFn walk / GIF
+    // screen descriptor) by the dependency-free ImageMeta expression —
+    // a pure per-row header inspection, zero shuffle, no codec
+    // library. Staged fixture bytes with known dimensions (the q22
+    // VALUES-table pattern); every parser branch is covered, including
+    // a truncated file and non-image bytes.
+    "q88_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val df = ImageFixtures.all.toDF("img_id", "bytes")
+      df.select(col("img_id"),
+          graft.plans.ImageMetaNative.imageMeta(s, col("bytes")).as("m"))
+        .select(col("img_id"), col("m.format").as("format"),
+                col("m.width").as("width"), col("m.height").as("height"))
     })
   )
 
@@ -1250,6 +1266,23 @@ object LlmQueries {
 
     "q33_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |md5(text) AS content_md5 FROM documents WHERE doc_id < 100""".stripMargin
+        |md5(text) AS content_md5 FROM documents WHERE doc_id < 100""".stripMargin,
+
+    // The known dimensions of the staged fixture bytes (q22's
+    // VALUES-table pattern): the Spark side must parse exactly these
+    // out of the raw headers.
+    "q88_image_meta" ->
+      """SELECT CAST(img_id AS BIGINT) AS img_id, format,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height
+        |FROM (VALUES
+        |  (1, 'png', 640, 480),
+        |  (2, 'png', 1, 1),
+        |  (3, 'gif', 320, 200),
+        |  (4, 'gif', 12345, 6789),
+        |  (5, 'jpeg', 1024, 768),
+        |  (6, 'jpeg', 800, 600),
+        |  (7, 'png', NULL, NULL),
+        |  (8, 'unknown', NULL, NULL)
+        |) AS t(img_id, format, width, height)""".stripMargin
   )
 }
