@@ -588,6 +588,22 @@ object LlmQueries {
         .select(col("shard"), col("pos"), col("doc_id"))
     }),
 
+    // The ITERATED k-means fit (not just q71's single step): two full
+    // Lloyd rounds from the LCG seed — round-2 assignment runs against
+    // round-1's UNROUNDED exact means, with the empty-cell
+    // retain-previous-centroid fallback — plus the iteration count the
+    // convergence loop actually took. The oracle recomputes both
+    // rounds as chained CTEs (centroids are k·dim values, so round
+    // 1's means rebuild into round 2's centroid vectors in SQL).
+    // tol=0 pins "iterate while anything moves", so n_iters = maxIter
+    // unless the fit truly converges — which the oracle would catch.
+    "q89_kmeans_fit" -> ((s, d) => {
+      val (stats, iters) = Similarity.kmeansFit(
+        embeddings(s, d), "vec_id", "embedding",
+        nCentroids = 8, maxIter = 2, tol = 0.0)
+      stats.withColumn("n_iters", lit(iters))
+    }),
+
     // REAL multimodal metadata: container format + pixel dimensions
     // parsed from raw image bytes (PNG IHDR / JPEG SOFn walk / GIF
     // screen descriptor) by the dependency-free ImageMeta expression —
@@ -1158,6 +1174,49 @@ object LlmQueries {
          |  ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 4) AS centroid_val,
          |  COUNT(*) AS n_members
          |FROM ex GROUP BY cell, dim""".stripMargin,
+
+    // Both Lloyd rounds of q89, chained: round-1 means stay UNROUNDED
+    // (CAST(SUM..) AS DOUBLE / (1e6*COUNT) — bit-identical to the
+    // doubles Spark's fit carries between iterations), rebuild into
+    // DOUBLE[] centroid vectors via list(.. ORDER BY dim), and a LEFT
+    // JOIN against the seed keeps the retain-previous-centroid
+    // fallback for member-less cells. Output = round-2 means rounded
+    // to 4, member counts, and the literal iteration count.
+    "q89_kmeans_fit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+         |  ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 8),
+         |ca AS (SELECT e.vec_id, e.v, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(v, cent_v)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))
+         |    DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, cent_id AS cell FROM ca WHERE cr = 1),
+         |ex AS (SELECT cell, i AS dim,
+         |  CAST(round(v[i + 1] * 1e6) AS BIGINT) AS xq
+         |  FROM assigned CROSS JOIN range(64) t(i)),
+         |m1 AS (SELECT cell, dim,
+         |  CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)) AS cv
+         |  FROM ex GROUP BY cell, dim),
+         |fit1 AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cent_v
+         |  FROM m1 GROUP BY cell),
+         |cent2 AS (SELECT c.cent_id, COALESCE(f.cent_v, c.cent_v) AS cent_v
+         |  FROM cent c LEFT JOIN fit1 f USING (cent_id)),
+         |ca2 AS (SELECT e.vec_id, e.v, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(v, cent_v)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))
+         |    DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN cent2),
+         |assigned2 AS (SELECT vec_id, v, cent_id AS cell FROM ca2 WHERE cr = 1),
+         |ex2 AS (SELECT cell, i AS dim,
+         |  CAST(round(v[i + 1] * 1e6) AS BIGINT) AS xq
+         |  FROM assigned2 CROSS JOIN range(64) t(i))
+         |SELECT cell, dim,
+         |  ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 4) AS centroid_val,
+         |  COUNT(*) AS n_members, 2 AS n_iters
+         |FROM ex2 GROUP BY cell, dim""".stripMargin,
 
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
