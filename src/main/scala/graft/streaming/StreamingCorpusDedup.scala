@@ -32,11 +32,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale notes (100 TB corpus ≈ 10^10 hashes ≈ 300 GB store): the
   * per-batch anti-join shuffles the store on content_hash unless the
-  * store is laid out for it — at scale, keep the store as a table
-  * BUCKETED by content_hash (the BucketedJoinSpec pattern: both sides
-  * cluster into the same buckets, the join is co-located and only the
-  * small batch sorts), or prune by hash-prefix partitions. The logic
-  * here is layout-agnostic; the layout is the deployment's knob.
+  * store is laid out for it — [[runBucketed]] keeps the store as a
+  * table BUCKETED by content_hash (the BucketedJoinSpec pattern: the
+  * store reads pre-clustered, only the small batch shuffles into the
+  * store's bucketing — the spec asserts the single-Exchange plan).
+  * [[run]] stays layout-agnostic (plain parquet directory) for
+  * deployments where the store is small enough to shuffle.
   */
 object StreamingCorpusDedup {
 
@@ -145,6 +146,47 @@ object StreamingCorpusDedup {
         spark.emptyDataFrame
           .select(lit(0).as("band"), lit(0L).as("band_hash")).limit(0)
     }
+
+  /** The per-batch history anti-join against the BUCKETED store —
+    * exposed (not private) so the plan contract can be asserted: with
+    * the store bucketed by content_hash, the sort-merge anti-join
+    * needs exactly ONE Exchange (the small batch shuffling into the
+    * store's buckets); the history side — the 300 GB at scale — reads
+    * its buckets in place. An empty/absent store passes the batch
+    * through untouched. */
+  def freshVsBucketedStore(inBatch: DataFrame, storeTable: String): DataFrame = {
+    val spark = inBatch.sparkSession
+    if (!spark.catalog.tableExists(storeTable)) inBatch
+    else inBatch.join(spark.table(storeTable).select(col("content_hash")),
+                      Seq("content_hash"), "left_anti")
+  }
+
+  /** Bucketed-store variant of [[run]]: history lives as a managed
+    * table bucketed+sorted by content_hash (`nBuckets` fixed for the
+    * store's lifetime — Spark appends into the same bucket spec), so
+    * the per-batch anti-join co-locates on the store side. At 10^10
+    * accepted hashes this is the difference between re-shuffling
+    * 300 GB per micro-batch and shuffling only the batch. */
+  def runBucketed(docs: DataFrame, textCol: String, storeTable: String,
+                  nBuckets: Int, checkpoint: String)
+                 (accept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+        val inBatch = hashed.dropDuplicates("content_hash")
+        val fresh = freshVsBucketedStore(inBatch, storeTable)
+        fresh.persist()
+        try {
+          accept(fresh)
+          fresh.select(col("content_hash"))
+            .write.mode("append").format("parquet")
+            .bucketBy(nBuckets, "content_hash").sortBy("content_hash")
+            .saveAsTable(storeTable)
+        } finally fresh.unpersist()
+      }
+      .start()
 
   /** One available-now pass: dedup each micro-batch against the store,
     * hand the survivors to `accept` (write to the corpus, forward

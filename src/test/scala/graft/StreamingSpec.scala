@@ -318,6 +318,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).distinct().count() === 3)
   }
 
+  test("bucketed corpus dedup: correct across runs, store side never shuffles") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingCorpusDedup
+    import spark.implicits._
+    val table = "corpus_hashes_bucketed"
+    val ckpt = tmpDir("bcorpus-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val accepted = scala.collection.mutable.Buffer.empty[String]
+    def acceptInto(batch: org.apache.spark.sql.DataFrame): Unit =
+      accepted ++= batch.select("text").collect().map(_.getString(0))
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "alpha doc"), (2L, "alpha doc"), (3L, "beta doc"))
+    val q1 = StreamingCorpusDedup.runBucketed(
+      mem.toDF().toDF("doc_id", "text"), "text", table, nBuckets = 8, ckpt)(acceptInto)
+    q1.awaitTermination(60000)
+    assert(accepted.sorted === Seq("alpha doc", "beta doc"))
+
+    // later run, same store table: history rejects the repeat
+    mem.addData((4L, "alpha doc"), (5L, "gamma doc"))
+    val q2 = StreamingCorpusDedup.runBucketed(
+      mem.toDF().toDF("doc_id", "text"), "text", table, nBuckets = 8, ckpt)(acceptInto)
+    q2.awaitTermination(60000)
+    assert(accepted.sorted === Seq("alpha doc", "beta doc", "gamma doc"))
+    assert(spark.table(table).distinct().count() === 3)
+
+    // THE plan contract this variant exists for: with broadcast off
+    // (at scale the store side is 300 GB — never broadcastable), the
+    // anti-join plans as sort-merge with exactly ONE Exchange — the
+    // batch shuffling into the store's buckets. Appends went through
+    // the same bucket spec, so the multi-append store still qualifies.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Seq("alpha doc", "delta doc").toDF("text")
+        .withColumn("content_hash", org.apache.spark.sql.functions.md5($"text"))
+      val fresh = StreamingCorpusDedup.freshVsBucketedStore(batch, table)
+      assert(fresh.collect().map(_.getAs[String]("text")).toSeq === Seq("delta doc"))
+      // Count exchanges by walking the FINAL plan tree (the plan's
+      // toString also prints AQE's initial plan, double-counting).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def countExchanges(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => countExchanges(a.executedPlan)
+        case s: QueryStageExec        => countExchanges(s.plan)
+        case e: ShuffleExchangeLike   => 1 + e.children.map(countExchanges).sum
+        case other                    => other.children.map(countExchanges).sum
+      }
+      val nExchanges = countExchanges(fresh.queryExecution.executedPlan)
+      assert(nExchanges === 1,
+        s"expected exactly 1 Exchange (batch side only), got $nExchanges:\n" +
+          fresh.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streaming NEAR-dup dedup: in-batch components + bucket history") {
     implicit val sq = spark.sqlContext
     import graft.streaming.StreamingCorpusDedup
