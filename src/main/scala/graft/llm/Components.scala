@@ -43,7 +43,17 @@ object Components {
     * `maxIter` is a safety bound — with pointer jumping it allows
     * components of diameter 2^maxIter. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 16): DataFrame = {
+                          maxIter: Int = 16): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-update rounds it
+    * ran (including the final no-change round that witnesses the
+    * fixpoint) — the observable for the O(log diameter) claim: a path
+    * graph of diameter 2^k must close in ≤ k+2 rounds, which
+    * `ComponentsSpec` asserts adversarially. */
+  def connectedComponentsWithRounds(edges: DataFrame, aCol: String,
+                                    bCol: String,
+                                    maxIter: Int = 16): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     // Symmetrize with ONE pass over `edges` (an explode, not a
@@ -96,7 +106,7 @@ object Components {
       round += 1
     }
     sym.unpersist()
-    labels
+    (labels, round)
   }
 
   /** Dedup-group summary over [[connectedComponents]]: one row per

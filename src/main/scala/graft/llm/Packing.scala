@@ -86,18 +86,23 @@ object Packing {
     * machinery; the fold itself is a streaming iterator, nothing
     * materializes per group). Sequential-per-shard is inherent to
     * first-fit semantics, and the shard count is the parallelism knob
-    * — same scale story as [[assignBins]]. */
+    * — same scale story as [[assignBins]]. `extraKeys` partition the
+    * packing further (same contract as [[assignBins]] — e.g. pack each
+    * train/val/test split independently); they fold into the group key
+    * alongside the shard. */
   def assignBinsFirstFit(df: DataFrame, idCol: String, tokenCol: String,
-                         budget: Int, nShards: Int,
-                         order: Seq[Column]): DataFrame = {
+                         budget: Int, nShards: Int, order: Seq[Column],
+                         extraKeys: Seq[Column] = Nil): DataFrame = {
     val sharded = df
       .withColumn(tokenCol, col(tokenCol).cast("long"))
       .withColumn("shard", Sampling.shardOf(col(idCol), nShards))
+      .withColumn("__gkey",
+        concat_ws("\u0001", /* group-key separator */ (extraKeys :+ col("shard")).map(_.cast("string")): _*))
     val tokIdx = sharded.schema.fieldIndex(tokenCol)
-    val shardIdx = sharded.schema.fieldIndex("shard")
+    val gkeyIdx = sharded.schema.fieldIndex("__gkey")
     val outEnc = Encoders.row(sharded.schema.add("bin", LongType, nullable = false))
     sharded
-      .groupByKey(_.getLong(shardIdx))(Encoders.scalaLong)
+      .groupByKey(_.getString(gkeyIdx))(Encoders.STRING)
       .flatMapSortedGroups(order: _*) { (_, rows) =>
         var bin = 0L; var fill = 0L
         rows.map { r =>
@@ -107,6 +112,7 @@ object Packing {
           Row.fromSeq(r.toSeq :+ bin)
         }
       }(outEnc)
+      .drop("__gkey")
   }
 
   /** [[packBins]] over the strict first-fit assignment. */

@@ -516,7 +516,7 @@ object LlmQueries {
     // and everything contaminated by it → per-source mixture sampling
     // → train/val/test split → token-budget packing per (split,
     // shard). Every stage is an operator verified on its own query
-    // (q52/q57/q60/q66/q68/q62/q54/q55); this proves they COMPOSE,
+    // (q52/q57/q60/q66/q68/q62/q54/q59); this proves they COMPOSE,
     // hash-exact end to end.
     "q70_corpus_build" -> ((s, d) => {
       val base = documents(s, d).filter(col("doc_id") < 1000)
@@ -560,10 +560,13 @@ object LlmQueries {
       val withSplit = sampled.withColumn("split",
         Sampling.assignSplit(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      // STRICT first-fit packing (q59's operator): production bins
+      // must respect the token budget, not overflow it by a straddling
+      // document — a bin closes when the next document wouldn't fit.
       Packing
-        .assignBins(withSplit, "doc_id", "n_tok", budget = 512, nShards = 8,
-                    order = Seq(col("doc_id").asc),
-                    extraKeys = Seq(col("split")))
+        .assignBinsFirstFit(withSplit, "doc_id", "n_tok", budget = 512,
+                            nShards = 8, order = Seq(col("doc_id").asc),
+                            extraKeys = Seq(col("split")))
         .groupBy(col("split"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tok")).as("sum_tokens"),
@@ -870,14 +873,24 @@ object LlmQueries {
          |  (${lcgSql("doc_id")})%8 AS shard FROM (
          |  SELECT *, CAST((${lcgSql("doc_id")})>>16 AS DOUBLE)/32768.0 AS frac
          |  FROM sampled)),
-         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY split, shard
-         |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |  - n_tok AS cum FROM sp)
-         |SELECT split, shard,
-         |  CAST(FLOOR(CAST(cum AS DOUBLE)/512) AS BIGINT) AS bin,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY split, shard
+         |  ORDER BY doc_id) AS rn FROM sp),
+         |f AS (
+         |  SELECT split, shard, rn, doc_id, n_tok,
+         |    CAST(0 AS BIGINT) AS bin, n_tok AS fill
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.split, r.shard, r.rn, r.doc_id, r.n_tok,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tok > 512
+         |         THEN f.bin + 1 ELSE f.bin END,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tok > 512
+         |         THEN r.n_tok ELSE f.fill + r.n_tok END
+         |  FROM f JOIN r ON r.split = f.split AND r.shard = f.shard
+         |              AND r.rn = f.rn + 1)
+         |SELECT split, shard, bin,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
          |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-         |FROM c GROUP BY 1, 2, 3""".stripMargin
+         |FROM f GROUP BY 1, 2, 3""".stripMargin
     },
 
     "q68_contamination" ->

@@ -37,6 +37,30 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.getLong(0) === 1L && labels.getLong(1) === 0L)
   }
 
+  test("adversarial: diameter-2^k paths converge in <= k+2 rounds, no label bleed") {
+    // The O(log diameter) claim, observed: a path graph of diameter
+    // 2^k is the worst case for label propagation (min must travel
+    // the whole chain); pointer jumping must close it in ~k rounds.
+    // We allow k+2: one round of slack for the jump/propagate phase
+    // offset plus the final no-change round that witnesses the
+    // fixpoint. A second, disjoint path (shifted ids) rides along to
+    // assert component isolation under maximum propagation pressure.
+    for (k <- Seq(3, 5)) {
+      val d = 1L << k // diameter of each path
+      val pathA = (0L until d).map(i => (i, i + 1))
+      val pathB = (0L until d).map(i => (1000L + i, 1000L + i + 1))
+      val edges = (pathA ++ pathB).toDF("id_a", "id_b")
+      val (labels, rounds) =
+        Components.connectedComponentsWithRounds(edges, "id_a", "id_b")
+      assert(rounds <= k + 2,
+        s"diameter ${d} path took $rounds rounds, bound is ${k + 2}")
+      val byLabel = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).map { case (l, ns) => l -> ns.map(_._1).toSet }
+      assert(byLabel === Map(0L -> (0L to d).toSet,
+                             1000L -> (1000L to 1000L + d).toSet))
+    }
+  }
+
   test("property: random graphs match a union-find reference") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
