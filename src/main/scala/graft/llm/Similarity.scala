@@ -323,6 +323,37 @@ object Similarity {
                 nCentroids: Int = 8, maxIter: Int = 10,
                 tol: Double = 1e-8): (DataFrame, Int) = {
     val spark = corpus.sparkSession
+    val (_, iter, lastStats) =
+      lloydLoop(corpus, idCol, vecCol, nCentroids, maxIter, tol)
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(
+      lastStats.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        r.getLong(3))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid_val",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_members",
+          org.apache.spark.sql.types.LongType))))
+    (out, iter)
+  }
+
+  /** The Lloyd loop shared by [[kmeansFit]] and [[semanticDedup]]:
+    * returns the FINAL (post-update, empty-cell-fallback-applied)
+    * centroids, the iteration count, and the last iteration's
+    * (cell, dim, mean, n_members) stats rows. Scale contract as
+    * documented on [[kmeansFit]]. */
+  private def lloydLoop(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int, maxIter: Int, tol: Double)
+      : (Map[Long, IndexedSeq[Double]], Int,
+         Array[org.apache.spark.sql.Row]) = {
+    val spark = corpus.sparkSession
     val prepared = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Map[Long, IndexedSeq[Double]] =
@@ -359,23 +390,69 @@ object Similarity {
       }
       iter += 1
     } finally prepared.unpersist()
-    import scala.jdk.CollectionConverters._
-    val out = spark.createDataFrame(
-      lastStats.map(r => org.apache.spark.sql.Row(
-        r.getLong(0), r.getInt(1),
-        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble,
-        r.getLong(3))).toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("dim",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("centroid_val",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("n_members",
-          org.apache.spark.sql.types.LongType))))
-    (out, iter)
+    (cents, iter, lastStats)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023,
+    * arXiv:2303.09540 — a published pattern, not from the reference):
+    * k-means-cluster the embedding space with the deterministic
+    * [[kmeansFit]] loop, then run pairwise-cosine near-dup detection
+    * ONLY within each cluster. The clustering is the scale device —
+    * it bounds the quadratic pairwise stage at Σ|cell|², the way LSH
+    * banding bounds MinHash (NearDup) — so the knob at 100 TB is
+    * `nCentroids`: pick k ≈ N/10⁴ so cells stay pairwise-affordable
+    * (the paper uses ~100k clusters for 5B embeddings). Keep rule,
+    * deterministic and oracle-expressible: a document is dropped iff
+    * some SAME-CELL document with a SMALLER id is within `tau`
+    * cosine (so each cell's minimum id always survives).
+    *
+    * Shuffle inventory: the Lloyd fit as [[kmeansFit]] (narrow
+    * assignment, k·dim aggregate per round); final assignment is the
+    * same narrow plan-literal argmax; the pair stage is ONE
+    * hash-partition of the (id, cell, vec) projection by cell on each
+    * join side — an equi-join, so AQE skew splitting applies to a
+    * runaway cell; the summary is two k-row aggregates joined on
+    * cell, NOT a second corpus shuffle (kept checksum = id sum minus
+    * dropped sum, both accumulated in DECIMAL(38,0) against ANSI
+    * overflow at snowflake-scale ids).
+    *
+    * Returns one row per non-empty cell:
+    * (cell, n_members, n_dropped, kept_id_checksum). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 8, maxIter: Int = 2,
+                    tau: Double = 0.35): DataFrame = {
+    val spark = corpus.sparkSession
+    val (cents, _, _) =
+      lloydLoop(corpus, idCol, vecCol, nCentroids, maxIter, tol = 0.0)
+    val centSeq = cents.toIndexedSeq.sortBy(_._1)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell",
+        element_at(nearestCellsOf(spark, centSeq, col("v"), 1), 1)
+          .getField("cell"))
+    val dropped = assigned
+      .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"),
+                            col("v").as("vb")),
+            Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.plans.NativeFunctions
+               .cosineNative(spark, col("va"), col("vb")) >= lit(tau))
+      .select(col("cell"), col("id_b").as("drop_id"))
+      .distinct()
+    val members = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("id").cast("decimal(38,0)")).as("id_sum"))
+    val drops = dropped.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dropped"),
+           sum(col("drop_id").cast("decimal(38,0)")).as("drop_sum"))
+    members.join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+              coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+              (col("id_sum") - coalesce(col("drop_sum"),
+                                        lit(0).cast("decimal(38,0)")))
+                .cast("long").as("kept_id_checksum"))
   }
 
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic

@@ -607,6 +607,18 @@ object LlmQueries {
       stats.withColumn("n_iters", lit(iters))
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic
+    // dedup — the k-means cells bound the quadratic pair stage the way
+    // LSH bands bound MinHash. Composes the oracle-verified k-means
+    // fit (q89) with the verified threshold-cosine pair kernel (q51);
+    // the oracle replays both Lloyd rounds as chained CTEs, reassigns
+    // under the FINAL centroids, and recomputes the within-cell pair
+    // set, the keep-lowest-id rule, and both checksums exactly.
+    "q90_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+                               nCentroids = 8, maxIter = 2, tau = 0.35)
+    }),
+
     // REAL multimodal metadata: container format + pixel dimensions
     // parsed from raw image bytes (PNG IHDR / JPEG SOFn walk / GIF
     // screen descriptor) by the dependency-free ImageMeta expression —
@@ -635,6 +647,28 @@ object LlmQueries {
     s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
   private val cosSql =
     "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  // One Lloyd round as chained CTEs (assign under `cents`, then exact
+  // decimal means and rebuilt centroid vectors): the q89 pattern,
+  // factored so q90 can chain rounds and reassign under the final
+  // centroids without hand-copying the blocks. Emits ca$n/a$n (the
+  // assignment), and m$n/f$n (unrounded means, list-form centroids).
+  private val cosCentSql =
+    "list_dot_product(v, cent_v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent_v, cent_v)))"
+  private def kmRoundSql(cents: String, n: Int): String =
+    s"""ca$n AS (SELECT e.vec_id, e.v, cent_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    $cosCentSql DESC, cent_id) AS cr
+       |  FROM e CROSS JOIN $cents),
+       |a$n AS (SELECT vec_id, v, cent_id AS cell FROM ca$n WHERE cr = 1),
+       |ex$n AS (SELECT cell, i AS dim,
+       |  CAST(round(v[i + 1] * 1e6) AS BIGINT) AS xq
+       |  FROM a$n CROSS JOIN range(64) t(i)),
+       |m$n AS (SELECT cell, dim,
+       |  CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)) AS cv
+       |  FROM ex$n GROUP BY cell, dim),
+       |f$n AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cent_v
+       |  FROM m$n GROUP BY cell)""".stripMargin
 
   // Full portable MinHash-LSH pair SQL, shared by several oracles: q57
   // hash-checks the pairs themselves; q60 builds its component closure
@@ -1230,6 +1264,40 @@ object LlmQueries {
          |  ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 4) AS centroid_val,
          |  COUNT(*) AS n_members, 2 AS n_iters
          |FROM ex2 GROUP BY cell, dim""".stripMargin,
+
+    // SemDeDup: replay the 2-round Lloyd fit (q89's machinery via
+    // kmRoundSql), reassign every vector under the FINAL
+    // fallback-applied centroids, recompute the within-cell pair set
+    // at tau=0.35 and the keep-lowest-id rule, and check the per-cell
+    // member/drop counts and id checksums exactly.
+    "q90_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+         |  ORDER BY ${lcgSql("vec_id")}, vec_id LIMIT 8),
+         |${kmRoundSql("cent", 1)},
+         |c2 AS (SELECT c.cent_id, COALESCE(f.cent_v, c.cent_v) AS cent_v
+         |  FROM cent c LEFT JOIN f1 f USING (cent_id)),
+         |${kmRoundSql("c2", 2)},
+         |c3 AS (SELECT c.cent_id, COALESCE(f.cent_v, c.cent_v) AS cent_v
+         |  FROM c2 c LEFT JOIN f2 f USING (cent_id)),
+         |ca3 AS (SELECT e.vec_id, e.v, cent_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    $cosCentSql DESC, cent_id) AS cr
+         |  FROM e CROSS JOIN c3),
+         |a3 AS (SELECT vec_id, v, cent_id AS cell FROM ca3 WHERE cr = 1),
+         |drops AS (SELECT DISTINCT x.cell, y.vec_id AS drop_id
+         |  FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.v, y.v)
+         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+         |    >= 0.35),
+         |mem AS (SELECT cell, COUNT(*) AS n_members, SUM(vec_id) AS id_sum
+         |  FROM a3 GROUP BY cell),
+         |dr AS (SELECT cell, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_sum
+         |  FROM drops GROUP BY cell)
+         |SELECT m.cell, m.n_members,
+         |  COALESCE(dr.n_dropped, 0) AS n_dropped,
+         |  CAST(m.id_sum - COALESCE(dr.drop_sum, 0) AS BIGINT) AS kept_id_checksum
+         |FROM mem m LEFT JOIN dr USING (cell)""".stripMargin,
 
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

@@ -217,6 +217,48 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("packing: first-fit extraKeys pack each key independently") {
+    val docs = Seq((1L, 6L, "a"), (2L, 6L, "a"), (3L, 6L, "a"),
+                   (4L, 6L, "b"), (5L, 6L, "b"))
+      .toDF("doc_id", "n_tokens", "split")
+    val out = Packing.assignBinsFirstFit(docs, "doc_id", "n_tokens",
+        budget = 10, nShards = 1, Seq($"doc_id".asc),
+        extraKeys = Seq($"split"))
+    assert(!out.columns.contains("__gkey"))
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+    // 6+6 > 10, so every doc gets its own bin — and bin numbering
+    // restarts at 0 for each split, proving the packing never mixes
+    // keys into one sequential fold.
+    assert(got.toSeq === Seq((1L, "a", 0L), (2L, "a", 1L), (3L, "a", 2L),
+                             (4L, "b", 0L), (5L, "b", 1L)))
+  }
+
+  test("semanticDedup: parallel in-cluster vectors collapse to the min id") {
+    // Three exactly-parallel direction clusters (cluster = id % 3, the
+    // kmeansFit layout): within a cluster cosine is exactly 1, across
+    // clusters exactly 0, so with tau = 0.9 every cluster keeps only
+    // its minimum id. Cells are labeled by their seed centroid's id
+    // (0, 2, 4 — spanning the three clusters).
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      (dir, ci) <- base.zipWithIndex
+      j <- 0 until 10
+    } yield (3L * j + ci,
+             dir.zipWithIndex.map { case (x, d) =>
+               (x * 10 + (if (d == ci) j * 0.01 else 0.0)).toFloat }.toArray)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        nCentroids = 3, maxIter = 3, tau = 0.9)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cell 0 holds ids ≡ 0 (mod 3) → min 0; cell 2 holds ids ≡ 2 → min
+    // 2; cell 4 (seed id 4, cluster 1) holds ids ≡ 1 → min 1.
+    assert(got.toSeq === Seq((0L, 10L, 9L, 0L), (2L, 10L, 9L, 2L),
+                             (4L, 10L, 9L, 1L)))
+  }
+
   test("lcg: ANSI-safe for snowflake-scale and negative ids, stays in [0, 2^31)") {
     val ids = Seq(0L, 1L, Long.MaxValue, Long.MinValue, -1L, 1234567890123456789L)
       .toDF("id")
