@@ -269,4 +269,45 @@ object NearDup {
                 .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Cross-document exact-substring duplication at k-token
+    * granularity (the practical core of Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better" — a published pattern, not from the reference): a
+    * k-gram is DUPLICATED iff it occurs in ≥ 2 distinct documents;
+    * each document reports its gram-instance count, how many of those
+    * instances are cross-doc duplicated, and the duplicated fraction
+    * — the "how much of this doc exists elsewhere verbatim" filter
+    * signal. Documents shorter than k tokens have no grams and are
+    * absent (the charEntropy convention).
+    *
+    * Scale (the TF-IDF triangle): grams explode scan-local and are
+    * immediately reduced to 32-char md5 digests, so no exchange ever
+    * carries gram TEXT; the distinct-doc count per gram is ONE
+    * hash aggregation (partial distinct map-side); the duplicated-gram
+    * set joins back on the digest (equi-join — AQE broadcasts it when
+    * small, skew-splits a pathological gram otherwise); the per-doc
+    * rollup is one final doc-keyed aggregation. The gram length `k`
+    * bounds the blowup at (tokens − k + 1) rows per doc — linear in
+    * corpus tokens, the same budget as tokenizing it. */
+  def crossDocGramStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+              explode(TextStats.ngramsOfTokens(col("__toks"), k)).as("gram"))
+      .select(col(idCol), md5(col("gram")).as("gh"))
+    val dupGrams = grams
+      .groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("gh"), lit(1).as("isdup"))
+    grams.join(dupGrams, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           count(col("isdup")).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") /
+                col("n_grams").cast("double"), 4))
+  }
 }

@@ -408,7 +408,9 @@ object Similarity {
     *
     * Shuffle inventory: the Lloyd fit as [[kmeansFit]] (narrow
     * assignment, k·dim aggregate per round); final assignment is the
-    * same narrow plan-literal argmax; the pair stage is ONE
+    * same narrow plan-literal argmax, localCheckpoint'ed once for its
+    * three consumers (both pair-join sides + the member summary), so
+    * the corpus is scanned and argmax'd exactly once; the pair stage is ONE
     * hash-partition of the (id, cell, vec) projection by cell on each
     * join side — an equi-join, so AQE skew splitting applies to a
     * runaway cell; the summary is two k-row aggregates joined on
@@ -425,12 +427,17 @@ object Similarity {
     val (cents, _, _) =
       lloydLoop(corpus, idCol, vecCol, nCentroids, maxIter, tol = 0.0)
     val centSeq = cents.toIndexedSeq.sortBy(_._1)
+    // Materialized ONCE (the q60/q70 localCheckpoint pattern): the
+    // assignment feeds three consumers (both pair-join sides and the
+    // member summary) — without this the corpus would be rescanned
+    // and the k-cosine argmax recomputed per branch.
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"),
               col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell",
         element_at(nearestCellsOf(spark, centSeq, col("v"), 1), 1)
           .getField("cell"))
+      .localCheckpoint()
     val dropped = assigned
       .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(assigned.select(col("cell"), col("id").as("id_b"),

@@ -619,6 +619,16 @@ object LlmQueries {
                                nCentroids = 8, maxIter = 2, tau = 0.35)
     }),
 
+    // Cross-document exact-substring duplication at 8-token
+    // granularity (Lee et al. 2022): a gram duplicated iff it occurs
+    // in >= 2 distinct docs; per-doc instance counts + duplicated
+    // fraction. Grams reduce to md5 digests before any exchange; the
+    // oracle regenerates every gram by list-slicing the same token
+    // arrays and recomputes the distinct-doc counts exactly.
+    "q91_kgram_dedup" -> ((s, d) => {
+      NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
+    }),
+
     // REAL multimodal metadata: container format + pixel dimensions
     // parsed from raw image bytes (PNG IHDR / JPEG SOFn walk / GIF
     // screen descriptor) by the dependency-free ImageMeta expression —
@@ -1298,6 +1308,25 @@ object LlmQueries {
          |  COALESCE(dr.n_dropped, 0) AS n_dropped,
          |  CAST(m.id_sum - COALESCE(dr.drop_sum, 0) AS BIGINT) AS kept_id_checksum
          |FROM mem m LEFT JOIN dr USING (cell)""".stripMargin,
+
+    // Every 8-token gram regenerated by list-slicing the same token
+    // arrays; a gram is duplicated iff it occurs in >= 2 distinct
+    // docs. md5 digests only (never gram text) cross the aggregations,
+    // exactly as the Spark side computes.
+    "q91_kgram_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS gh
+         |  FROM (SELECT doc_id, ws,
+         |        unnest(range(0, greatest(len(ws) - 7, 0))) AS i FROM t)),
+         |dup AS (SELECT gh, 1 AS isdup FROM (
+         |  SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+         |  WHERE nd >= 2)
+         |SELECT g.doc_id, COUNT(*) AS n_grams,
+         |  COUNT(d.isdup) AS n_dup_grams,
+         |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+         |FROM g LEFT JOIN dup d USING (gh)
+         |GROUP BY g.doc_id""".stripMargin,
 
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

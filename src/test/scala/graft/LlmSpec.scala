@@ -234,6 +234,20 @@ class LlmSpec extends SparkSpec {
                              (4L, "b", 0L), (5L, "b", 1L)))
   }
 
+  test("crossDocGramStats: shared 8-token span flagged, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),        // grams: [a..h], [b..x]
+      (2L, "z a b c d e f g h"),        // grams: [z..g], [a..h]  (shares [a..h])
+      (3L, "p q r s t u v w y"),        // 2 grams, nothing shared
+      (4L, "too short for grams"))      // < 8 tokens -> absent
+      .toDF("doc_id", "text")
+    val got = NearDup.crossDocGramStats(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+                             (3L, 2L, 0L, 0.0)))
+  }
+
   test("semanticDedup: parallel in-cluster vectors collapse to the min id") {
     // Three exactly-parallel direction clusters (cluster = id % 3, the
     // kmeansFit layout): within a cluster cosine is exactly 1, across
