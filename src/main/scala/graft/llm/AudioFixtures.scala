@@ -1,0 +1,90 @@
+package graft.llm
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic minimal-but-valid audio byte fixtures for the
+  * multimodal metadata path (q92 / AudioHeadersSpec) — the audio
+  * sibling of [[ImageFixtures]], built from the public WAVE and FLAC
+  * format specs so the container needs no audio library to stage
+  * known-parameter bytes. Sample data is fake (zeros): the fixtures
+  * exercise header parsing, not decoding.
+  */
+object AudioFixtures {
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** RIFF/WAVE with a canonical fmt chunk, an extra LIST chunk the
+    * walk must skip (odd-sized, so the pad-byte rule is exercised),
+    * and a data chunk of `frames` zeroed PCM frames. */
+  def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+          frames: Long, withListChunk: Boolean = false): Array[Byte] = {
+    val align = channels * bitsPerSample / 8
+    val dataSize = frames * align
+    val out = new ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII"))
+      out.write(le32(body.length))
+      out.write(body)
+      if (body.length % 2 == 1) out.write(0) // word-align pad
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(0)) // container size — unread by the parser
+    out.write("WAVE".getBytes("US-ASCII"))
+    if (withListChunk)
+      chunk("LIST", "INFOISFTgraft".getBytes("US-ASCII")) // odd length 13
+    val fmt = new ByteArrayOutputStream()
+    fmt.write(le16(1)) // PCM
+    fmt.write(le16(channels))
+    fmt.write(le32(sampleRate))
+    fmt.write(le32(sampleRate.toLong * align)) // byte rate
+    fmt.write(le16(align))
+    fmt.write(le16(bitsPerSample))
+    chunk("fmt ", fmt.toByteArray)
+    chunk("data", new Array[Byte](dataSize.toInt))
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE magic only — a truncated file with no chunks. */
+  def wavTruncated: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** "fLaC" + a STREAMINFO block with the given packed fields
+    * (min/max block/frame sizes and MD5 zeroed — unread). */
+  def flac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+           totalSamples: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(Array[Byte](0x00.toByte, 0, 0, 34)) // STREAMINFO, 34 bytes
+    out.write(new Array[Byte](10)) // min/max blocksize + framesize
+    // 20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit samples
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) | ((bitsPerSample - 1).toLong << 36) |
+      (totalSamples & 0xFFFFFFFFFL)
+    (7 to 0 by -1).foreach(i => out.write(((packed >>> (8 * i)) & 0xFF).toInt))
+    out.write(new Array[Byte](16)) // MD5
+    out.toByteArray
+  }
+
+  /** The q92 staging set: (audio_id, bytes) covering the WAV chunk
+    * walk (canonical + skipped odd LIST chunk), a truncated WAV, both
+    * FLAC reads (CD-quality and a 96 kHz/24-bit studio shape), and
+    * non-audio bytes. */
+  def all: Seq[(Long, Array[Byte])] = Seq(
+    1L -> wav(44100, 2, 16, 1000),
+    2L -> wav(16000, 1, 8, 12345, withListChunk = true),
+    3L -> wav(8000, 1, 16, 0),
+    4L -> wavTruncated,
+    5L -> flac(44100, 2, 16, 88200L),
+    6L -> flac(96000, 8, 24, 123456789L),
+    7L -> "not audio in any way".getBytes("UTF-8"))
+}

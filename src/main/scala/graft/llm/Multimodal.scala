@@ -5,11 +5,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * Image METADATA is real: [[graft.plans.ImageMeta]] parses container
-  * format and pixel dimensions straight from PNG/JPEG/GIF headers —
-  * pure byte inspection, no codec library, whole-stage codegen
-  * (oracle-checked by q88 over known-dimension fixture bytes). Only
-  * the pixel-DECODE step is stubbed behind `MediaDecoder`, because
+  * Image and audio METADATA are real: [[graft.plans.ImageMeta]]
+  * parses container format and pixel dimensions straight from
+  * PNG/JPEG/GIF headers, and [[graft.plans.AudioMeta]] parses sample
+  * rate / channels / bit depth / frame count from WAV (RIFF chunk
+  * walk) and FLAC (STREAMINFO bit fields) — pure byte inspection, no
+  * codec library, whole-stage codegen (oracle-checked by q88/q92 over
+  * known-parameter fixture bytes). Only
+  * the sample-DECODE step is stubbed behind `MediaDecoder`, because
   * this container has no image/audio libraries — production would
   * drop in a JNI/FFM-backed decoder with the same interface.
   * `mapPartitions` + `grouped(batchSize)` is the Scala analogue of a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{Chunking, ImageFixtures, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
+import graft.llm.{AudioFixtures, Chunking, ImageFixtures, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -643,6 +643,26 @@ object LlmQueries {
           graft.plans.ImageMetaNative.imageMeta(s, col("bytes")).as("m"))
         .select(col("img_id"), col("m.format").as("format"),
                 col("m.width").as("width"), col("m.height").as("height"))
+    }),
+
+    // Audio sibling of q88: WAV (RIFF chunk walk, incl. a skipped
+    // odd-sized LIST chunk) and FLAC (STREAMINFO packed bit fields)
+    // header metadata from raw bytes by the dependency-free AudioMeta
+    // expression; duration derives from frames/rate in BOTH engines,
+    // proving the parsed numbers compose.
+    "q92_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val df = AudioFixtures.all.toDF("audio_id", "bytes")
+      df.select(col("audio_id"),
+          graft.plans.AudioMetaNative.audioMeta(s, col("bytes")).as("m"))
+        .select(col("audio_id"), col("m.format").as("format"),
+                col("m.sample_rate").as("sample_rate"),
+                col("m.channels").as("channels"),
+                col("m.bits_per_sample").as("bits_per_sample"),
+                col("m.n_frames").as("n_frames"))
+        .withColumn("duration_ms",
+          round(col("n_frames") * lit(1000.0) / col("sample_rate"), 0)
+            .cast("long"))
     })
   )
 
@@ -1452,6 +1472,23 @@ object LlmQueries {
         |  (6, 'jpeg', 800, 600),
         |  (7, 'png', NULL, NULL),
         |  (8, 'unknown', NULL, NULL)
-        |) AS t(img_id, format, width, height)""".stripMargin
+        |) AS t(img_id, format, width, height)""".stripMargin,
+
+    "q92_audio_meta" ->
+      """SELECT CAST(audio_id AS BIGINT) AS audio_id, format,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(channels AS INT) AS channels,
+        |  CAST(bits_per_sample AS INT) AS bits_per_sample,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(ROUND(n_frames * 1000.0 / sample_rate, 0) AS BIGINT) AS duration_ms
+        |FROM (VALUES
+        |  (1, 'wav', 44100, 2, 16, 1000),
+        |  (2, 'wav', 16000, 1, 8, 12345),
+        |  (3, 'wav', 8000, 1, 16, 0),
+        |  (4, 'wav', NULL, NULL, NULL, NULL),
+        |  (5, 'flac', 44100, 2, 16, 88200),
+        |  (6, 'flac', 96000, 8, 24, 123456789),
+        |  (7, 'unknown', NULL, NULL, NULL, NULL)
+        |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin
   )
 }

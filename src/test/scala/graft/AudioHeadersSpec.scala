@@ -1,0 +1,70 @@
+package graft
+
+import graft.llm.AudioFixtures
+import graft.plans.{AudioMeta, AudioMetaNative}
+
+class AudioHeadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parsed(bytes: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int], Option[Long]) = {
+    val r = AudioMeta.parse(bytes)
+    (r.getUTF8String(0).toString,
+     if (r.isNullAt(1)) None else Some(r.getInt(1)),
+     if (r.isNullAt(2)) None else Some(r.getInt(2)),
+     if (r.isNullAt(3)) None else Some(r.getInt(3)),
+     if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("every fixture branch parses to its staged parameters") {
+    assert(parsed(AudioFixtures.wav(44100, 2, 16, 1000)) ===
+      (("wav", Some(44100), Some(2), Some(16), Some(1000L))))
+    // the odd-sized LIST chunk before fmt exercises the pad-byte walk
+    assert(parsed(AudioFixtures.wav(16000, 1, 8, 12345, withListChunk = true)) ===
+      (("wav", Some(16000), Some(1), Some(8), Some(12345L))))
+    assert(parsed(AudioFixtures.wav(8000, 1, 16, 0)) ===
+      (("wav", Some(8000), Some(1), Some(16), Some(0L))))
+    assert(parsed(AudioFixtures.wavTruncated) ===
+      (("wav", None, None, None, None)))
+    assert(parsed(AudioFixtures.flac(44100, 2, 16, 88200L)) ===
+      (("flac", Some(44100), Some(2), Some(16), Some(88200L))))
+    assert(parsed(AudioFixtures.flac(96000, 8, 24, 123456789L)) ===
+      (("flac", Some(96000), Some(8), Some(24), Some(123456789L))))
+    assert(parsed("nope".getBytes("UTF-8")) ===
+      (("unknown", None, None, None, None)))
+  }
+
+  test("packed-field edges: FLAC max fields, WAV 36-bit-safe frame math") {
+    // FLAC bit-field extremes: 20-bit rate ceiling, 8 channels, 32-bit
+    // depth, 36-bit total-sample count — no field may bleed into its
+    // neighbor.
+    assert(parsed(AudioFixtures.flac(655350, 8, 32, (1L << 36) - 1)) ===
+      (("flac", Some(655350), Some(8), Some(32), Some((1L << 36) - 1))))
+    // FLAC magic with a non-STREAMINFO first block: metadata unread.
+    val badFirst = AudioFixtures.flac(44100, 2, 16, 1L)
+      .updated(4, 0x04.toByte) // VORBIS_COMMENT type
+    assert(parsed(badFirst) === (("flac", None, None, None, None)))
+    // Empty input.
+    assert(parsed(Array.emptyByteArray) === (("unknown", None, None, None, None)))
+  }
+
+  test("dataframe path (codegen) agrees with the static parser, null-safe") {
+    val rows = AudioFixtures.all
+    val df = rows.toDF("audio_id", "bytes")
+      .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("audio_id", "bytes"))
+    val got = df
+      .select($"audio_id", AudioMetaNative.audioMeta(spark, $"bytes").as("m"))
+      .select($"audio_id", $"m.format", $"m.sample_rate", $"m.channels",
+              $"m.bits_per_sample", $"m.n_frames")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    rows.foreach { case (id, bytes) =>
+      assert(got(id) === parsed(bytes), s"audio_id=$id")
+    }
+    assert(got(99L) === null)
+  }
+}
