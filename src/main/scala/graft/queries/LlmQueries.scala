@@ -629,6 +629,34 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // Exact n-gram (trigram-shingle) Jaccard pairs — the q27 inverted-
+    // index kernel over SHINGLE sets instead of token sets (the
+    // mandate's "n-gram Jaccard" as a first-class query; the same
+    // kernel LSH banding approximates at scale). One explode + one
+    // gram-keyed equi-join; the id-window bounds the candidate space
+    // exactly as q27.
+    "q93_ngram_jaccard" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+                array_distinct(TextStats.ngramsOfTokens(col("__toks"), 3))
+                  .as("g"))
+      val e = docs.select(col("doc_id"), explode(col("g")).as("t"))
+      val cnt = docs.select(col("doc_id"), size(col("g")).as("n"))
+      val inter = e.as("a").join(e.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") <= col("a.doc_id") + 25)
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("ni"))
+      val j = col("ni").cast("double") /
+        (col("ca.n") + col("cb.n") - col("ni")).cast("double")
+      inter
+        .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+        .filter(j >= 0.02)
+        .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+    }),
+
     // REAL multimodal metadata: container format + pixel dimensions
     // parsed from raw image bytes (PNG IHDR / JPEG SOFn walk / GIF
     // screen descriptor) by the dependency-free ImageMeta expression —
@@ -1347,6 +1375,23 @@ object LlmQueries {
          |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
          |FROM g LEFT JOIN dup d USING (gh)
          |GROUP BY g.doc_id""".stripMargin,
+
+    "q93_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(len($toks) - 2),
+         |    i -> array_to_string(list_slice($toks, i + 1, i + 3), ' '))) AS g
+         |  FROM documents WHERE doc_id < 500),
+         |e AS (SELECT doc_id, unnest(g) AS t FROM d),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+         |  FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND b.doc_id <= a.doc_id + 25
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, len(g) AS n FROM d)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(ni AS DOUBLE)/(ca.n + cb.n - ni), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id
+         |  JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE CAST(ni AS DOUBLE)/(ca.n + cb.n - ni) >= 0.02""".stripMargin,
 
     "q23_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
