@@ -14,7 +14,7 @@ class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
   private def vecs = (0L until 30L).map { i =>
-    (i, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
+    (i, Array.tabulate(16)(j => math.sin((i * 16 + j).toDouble).toFloat))
   }.toDF("vec_id", "embedding")
 
   test("HOF cosine pattern fuses to cosine_native with identical results") {

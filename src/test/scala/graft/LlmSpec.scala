@@ -85,7 +85,7 @@ class LlmSpec extends SparkSpec {
 
   test("annTopK returns exact-cosine-scored rows from its bucket") {
     val vecs = (0L until 50L).map { i =>
-      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+      (i, Array.tabulate(8)(j => math.sin((i * 8 + j).toDouble).toFloat))
     }.toDF("vec_id", "embedding")
     val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
       vecs.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, dim = 8, bits = 2)
@@ -95,7 +95,7 @@ class LlmSpec extends SparkSpec {
 
   test("native codegen cosine agrees with the HOF formulation") {
     val vecs = (0L until 20L).map { i =>
-      (i, Array.tabulate(16)(j => math.cos(i * 16 + j).toFloat))
+      (i, Array.tabulate(16)(j => math.cos((i * 16 + j).toDouble).toFloat))
     }.toDF("vec_id", "embedding")
     val fold = Similarity.cosineTopK(vecs, "vec_id", "embedding",
       vecs.filter($"vec_id" < 3), "vec_id", "embedding", 5)
@@ -115,7 +115,7 @@ class LlmSpec extends SparkSpec {
       val cluster = (i % 4).toInt
       val base = Array.tabulate(8)(j => if (j == cluster * 2) 10.0f else 0.0f)
       (i, base.zipWithIndex.map { case (v, j) =>
-        v + math.sin(i * 8 + j).toFloat * 0.1f })
+        v + math.sin((i * 8 + j).toDouble).toFloat * 0.1f })
     }.toDF("vec_id", "embedding")
     val queries = vecs.filter($"vec_id" < 4)
     val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding",
