@@ -259,4 +259,31 @@ object TextStats {
       (acc, ch) => (acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)))
         % 2147483648L)
   }
+
+  /** Portable 56-bit hash of each k-token gram of a PRE-SPLIT token
+    * array (first 14 md5 hex chars as a long — the NearDup
+    * portable-twin arithmetic, so any SQL engine regenerates it).
+    * Same staging contract as [[ngramsOfTokens]]: callers name this a
+    * column before consuming it more than once. */
+  def gramHashes(ws: Column, k: Int): Column =
+    transform(ngramsOfTokens(ws, k),
+      g => conv(substring(md5(g), 1, 14), 16, 10).cast("long"))
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting algorithm; a published
+    * pattern, not from the reference) over a PRE-STAGED gram-hash
+    * array: slide a w-hash window, keep each window's minimum, dedupe.
+    * Guarantee: two documents sharing any token run of length
+    * >= w+k-1 share at least one fingerprint, while expected density
+    * falls to ~2/(w+1) of the grams — the knob that lets cross-doc
+    * fingerprint joins move a FRACTION of the gram volume (contrast
+    * [[NearDup.crossDocGramStats]], which keeps every gram). Fewer
+    * than w hashes -> one window over what exists; empty -> empty.
+    * Scan-local per-row, linear in document length, no shuffle. */
+  def winnowFromHashes(hs: Column, w: Int): Column =
+    when(size(hs) >= w,
+         array_distinct(transform(sequence(lit(0), size(hs) - w),
+           i => array_min(slice(hs, i + lit(1), lit(w))))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(typedLit(Seq.empty[Long]))
 }

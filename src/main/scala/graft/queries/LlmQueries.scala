@@ -629,6 +629,25 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): hash
+    // every 4-token gram, keep each 4-window's minimum hash, dedupe —
+    // per-doc fingerprint count + order-independent XOR checksum. The
+    // guarantee (shared runs >= w+k-1 tokens always share a
+    // fingerprint at ~2/(w+1) density) is what lets cross-doc matching
+    // move a fraction of the gram volume. All stages scan-local
+    // per-row; the oracle regenerates hashes, windows, minima and the
+    // XOR fold from the same token arrays.
+    "q94_winnowing" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), TextStats.gramHashes(col("__toks"), 4).as("__hs"))
+        .select(col("doc_id"), size(col("__hs")).as("n_grams"),
+                TextStats.winnowFromHashes(col("__hs"), 4).as("__fp"))
+        .select(col("doc_id"), col("n_grams"), size(col("__fp")).as("n_fp"),
+                aggregate(col("__fp"), lit(0L),
+                          (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+    }),
+
     // Exact n-gram (trigram-shingle) Jaccard pairs — the q27 inverted-
     // index kernel over SHINGLE sets instead of token sets (the
     // mandate's "n-gram Jaccard" as a first-class query; the same
@@ -1375,6 +1394,24 @@ object LlmQueries {
          |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
          |FROM g LEFT JOIN dup d USING (gh)
          |GROUP BY g.doc_id""".stripMargin,
+
+    "q94_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(greatest(len(ws) - 3, 0)),
+         |    i -> CAST(CONCAT('0x', substr(md5(
+         |      array_to_string(list_slice(ws, i + 1, i + 4), ' ')), 1, 14))
+         |      AS BIGINT)) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id, len(hs) AS n_grams,
+         |  CASE WHEN len(hs) >= 4 THEN
+         |         list_distinct(list_transform(range(len(hs) - 3),
+         |           i -> list_min(list_slice(hs, i + 1, i + 4))))
+         |       WHEN len(hs) > 0 THEN [list_min(hs)]
+         |       ELSE [] END AS fp
+         |  FROM g)
+         |SELECT doc_id, n_grams, len(fp) AS n_fp,
+         |  COALESCE(list_aggregate(fp, 'bit_xor'), 0) AS fp_xor
+         |FROM f""".stripMargin,
 
     "q93_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(

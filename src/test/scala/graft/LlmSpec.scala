@@ -234,6 +234,35 @@ class LlmSpec extends SparkSpec {
                              (4L, "b", 0L), (5L, "b", 1L)))
   }
 
+  test("winnowing: shared-run guarantee, density drop, short-doc edges") {
+    import graft.llm.TextStats
+    val k = 4; val w = 4
+    // Two docs sharing a run of w+k-1 = 7 tokens (the guarantee
+    // threshold) embedded in different contexts MUST share >= 1
+    // fingerprint; a third unrelated doc shares none with either.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight"),
+      (2L, s"nine ten eleven twelve $shared thirteen fourteen"),
+      (3L, "totally unrelated words with no common grams at all here"),
+      (4L, "tiny doc"),   // < k tokens -> no grams -> no fingerprints
+      (5L, "a b c d e"))  // 2 grams < w -> one window over what exists
+      .toDF("doc_id", "text")
+    val fp = docs
+      .select($"doc_id", TextStats.tokens($"text").as("__toks"))
+      .select($"doc_id", TextStats.gramHashes($"__toks", k).as("__hs"))
+      .select($"doc_id", size($"__hs").as("n_grams"),
+              TextStats.winnowFromHashes($"__hs", w).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2).toSet))).toMap
+    assert((fp(1L)._2 & fp(2L)._2).nonEmpty, "guarantee violated")
+    assert((fp(1L)._2 & fp(3L)._2).isEmpty)
+    assert(fp(4L) === ((0, Set.empty[Long])))
+    assert(fp(5L)._1 === 2 && fp(5L)._2.size === 1) // min of the 2 grams
+    // density: fingerprints are a strict subset of gram count
+    assert(fp(1L)._2.size < fp(1L)._1)
+  }
+
   test("crossDocGramStats: shared 8-token span flagged, short docs absent") {
     val docs = Seq(
       (1L, "a b c d e f g h x"),        // grams: [a..h], [b..x]
