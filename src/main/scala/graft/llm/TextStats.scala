@@ -223,6 +223,46 @@ object TextStats {
                    / count(lit(1)), 4).as("nll"))
   }
 
+  /** Bigram-LM negative log-likelihood — the CCNet-style LM quality
+    * filter one order above [[unigramNll]]: per document, the mean
+    * −ln P(wᵢ | wᵢ₋₁) under add-α smoothing on the corpus's own
+    * statistics, P = (c₂(wᵢ₋₁wᵢ) + α) / (c₁(wᵢ₋₁) + α·V). Text whose
+    * transitions the corpus has never seen (shuffled words, template
+    * spam, gibberish) scores high even when its unigrams look normal —
+    * exactly what the unigram score cannot separate. Documents with
+    * fewer than 2 tokens have no transitions and are absent.
+    *
+    * Scale shape = [[unigramNll]]'s triangle one gram up: ONE corpus
+    * exchange (the doc-id repartition feeds both the bigram explode
+    * and the per-doc aggregation); bigram and unigram count tables are
+    * vocabulary-sized aggregates that broadcast back; −ln P terms sum
+    * through DECIMAL(30,6) so the mean is order-independent and
+    * engine-portable. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String,
+                alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val docs = df.repartition(col(idCol))
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val c2 = df.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = df.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.select(count(lit(1)).cast("double").as("v"))
+    val p = (col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))
+    grams
+      .join(broadcast(c2), "g")
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(graft.util.Exact.exactSum(-log(p)) / count(lit(1)), 4)
+             .as("nll2"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

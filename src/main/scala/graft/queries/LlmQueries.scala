@@ -629,6 +629,14 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // Bigram-LM NLL (CCNet-style LM quality filter, one order above
+    // q83's unigram): mean -ln P(w_i | w_{i-1}) with add-0.5 smoothing
+    // on the corpus's own bigram/unigram counts. One corpus exchange;
+    // count tables broadcast; -ln P sums through DECIMAL(30,6).
+    "q95_bigram_nll" -> ((s, d) => {
+      TextStats.bigramNll(documents(s, d), "doc_id", "text", alpha = 0.5)
+    }),
+
     // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): hash
     // every 4-token gram, keep each 4-window's minimum hash, dedupe —
     // per-doc fingerprint count + order-independent XOR checksum. The
@@ -1394,6 +1402,22 @@ object LlmQueries {
          |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
          |FROM g LEFT JOIN dup d USING (gh)
          |GROUP BY g.doc_id""".stripMargin,
+
+    "q95_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |bg AS (SELECT doc_id, ws[i + 1] AS w1,
+         |  array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS g
+         |  FROM (SELECT doc_id, ws,
+         |        unnest(range(greatest(len(ws) - 1, 0))) AS i FROM t)),
+         |c2 AS (SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g),
+         |un AS (SELECT unnest(ws) AS w1 FROM t),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM un GROUP BY w1),
+         |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(CAST(-ln((c2 + 0.5) / (c1 + 0.5 * v))
+         |    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS nll2
+         |FROM bg JOIN c2 USING (g) JOIN c1 USING (w1) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
 
     "q94_winnowing" ->
       s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),

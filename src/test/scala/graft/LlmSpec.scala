@@ -234,6 +234,23 @@ class LlmSpec extends SparkSpec {
                              (4L, "b", 0L), (5L, "b", 1L)))
   }
 
+  test("bigram NLL: hand-computed add-alpha scores, short docs absent") {
+    // corpus: c1(a)=4, c1(b)=4, c1(solo)=1, V=3; c2("a b")=3, c2("b a")=2
+    // P(a b) = (3+.5)/(4+.5*3) = 3.5/5.5 ; P(b a) = (2+.5)/5.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b a"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramNll(docs, "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val lnP_ab = -math.log(3.5 / 5.5); val lnP_ba = -math.log(2.5 / 5.5)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (2 * lnP_ab + lnP_ba) / 3) < 1e-3)
+    assert(math.abs(got(2L)._2 - lnP_ab) < 1e-3)
+    assert(math.abs(got(3L)._2 - lnP_ba) < 1e-3)
+    // "solo" has c1 presence but no transition: absent from output
+    assert(!got.contains(4L))
+  }
+
   test("winnowing: shared-run guarantee, density drop, short-doc edges") {
     import graft.llm.TextStats
     val k = 4; val w = 4
