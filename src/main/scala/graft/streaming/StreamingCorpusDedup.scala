@@ -135,6 +135,74 @@ object StreamingCorpusDedup {
       }
       .start()
 
+  /** EMBEDDING near-dup variant: incremental SEMANTIC dedup of an
+    * embedding stream against all accepted history via SRP signature
+    * buckets (the q51 bucketing). Per micro-batch:
+    *  1. SRP-sign every vector (a per-row plan-literal projection, no
+    *     shuffle), persisted once for all three consumers;
+    *  2. in-batch: exact-cosine pairs within buckets, keep-lowest-id
+    *     per pair (the [[graft.llm.Similarity.semanticDedup]] survivor
+    *     contract);
+    *  3. drop docs whose bucket already exists in the accepted-bucket
+    *     store — the LSH candidate test as the drop decision, the
+    *     same recall-oriented contract as [[runNearDup]] (the store
+    *     holds NO vectors — bits/doc, not KB/doc — so there is no
+    *     cosine re-verification against history; the batch sweeps
+    *     q51/q90 are the precision pass);
+    *  4. hand fresh rows to `accept`, append their (doc, bucket) rows.
+    * `bits` is the recall/precision knob: each extra signature bit
+    * halves bucket size (fewer false drops) and weakens cross-bucket
+    * recall — the q51 trade, persisted. */
+  def runEmbeddingNearDup(docs: DataFrame, idCol: String, vecCol: String,
+                          storeDir: String, checkpoint: String, dim: Int,
+                          bits: Int = 8, threshold: Double = 0.9)
+                         (accept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.llm.Similarity
+        val sig = batch.withColumn("__bucket",
+          concat_ws("", Similarity.srpSignature(col(vecCol), dim, bits)))
+          .persist()
+        try {
+          val inBatchDrop = sig.as("x").join(sig.as("y"),
+              col("x.__bucket") === col("y.__bucket") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+            .filter(graft.plans.NativeFunctions
+              .cosineNative(spark, col(s"x.$vecCol"), col(s"y.$vecCol"))
+              >= lit(threshold))
+            .select(col(s"y.$idCol").as(idCol))
+          val histDrop = sig
+            .join(storedEmbedBuckets(spark, storeDir), Seq("__bucket"),
+                  "left_semi")
+            .select(col(idCol))
+          val fresh = sig.join(inBatchDrop.union(histDrop).distinct(),
+                               Seq(idCol), "left_anti")
+          fresh.persist()
+          try {
+            accept(fresh.drop("__bucket"))
+            fresh.select(col(idCol).as("doc"),
+                         col("__bucket").as("bucket"))
+              .write.mode("append").parquet(storeDir)
+          } finally fresh.unpersist()
+        } finally sig.unpersist()
+      }
+      .start()
+
+  /** Accepted-embedding-bucket store reader: empty frame when absent. */
+  private def storedEmbedBuckets(spark: SparkSession,
+                                 storeDir: String): DataFrame =
+    try spark.read.parquet(storeDir).select(col("bucket").as("__bucket"))
+    catch {
+      case e: AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.emptyDataFrame.select(lit("").as("__bucket")).limit(0)
+    }
+
   /** Accepted-bucket store reader: empty frame when absent. */
   private def storedBuckets(spark: SparkSession, storeDir: String): DataFrame =
     try spark.read.parquet(storeDir).select(col("band"), col("band_hash"))

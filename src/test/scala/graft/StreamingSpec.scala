@@ -377,6 +377,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMBEDDING near-dup: in-batch cosine pairs + SRP bucket history") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingCorpusDedup
+    val vA = Array(10.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(10.0f, 0.1f, 0.0f, 0.0f) // cos(A,B) ≈ 0.99995
+    val vC = Array(0.0f, 10.0f, 0.0f, 0.0f)
+    val vD = Array(0.0f, 0.0f, 10.0f, 0.0f)
+    val store = tmpDir("embdedup-store") + "/buckets"
+    val ckpt = tmpDir("embdedup-ckpt")
+    val accepted = scala.collection.mutable.Buffer.empty[Long]
+    def acceptInto(batch: org.apache.spark.sql.DataFrame): Unit =
+      accepted ++= batch.select("vec_id").collect().map(_.getLong(0))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    // batch 1: B collides with A in its SRP bucket at cos >= 0.9 →
+    // keep-lowest-id keeps 1; C is a different direction.
+    mem.addData((1L, vA), (2L, vB), (3L, vC))
+    val q1 = StreamingCorpusDedup.runEmbeddingNearDup(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, ckpt, dim = 4)(acceptInto)
+    q1.awaitTermination(60000)
+    assert(accepted.sorted === Seq(1L, 3L))
+
+    // batch 2 (later run, same store): another near-parallel of A hits
+    // the persisted bucket history; D is a fresh direction.
+    mem.addData((4L, vA), (5L, vD))
+    val q2 = StreamingCorpusDedup.runEmbeddingNearDup(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, ckpt, dim = 4)(acceptInto)
+    q2.awaitTermination(60000)
+    assert(accepted.sorted === Seq(1L, 3L, 5L))
+    // store holds one bucket row per accepted doc
+    assert(spark.read.parquet(store).select("doc").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+  }
+
   test("streaming NEAR-dup dedup: in-batch components + bucket history") {
     implicit val sq = spark.sqlContext
     import graft.streaming.StreamingCorpusDedup
