@@ -462,6 +462,48 @@ object Similarity {
                 .cast("long").as("kept_id_checksum"))
   }
 
+  /** Per-domain embedding-centroid outlier scoring — the embedding-
+    * space quality filter: documents far (by cosine) from their
+    * domain's mean embedding are mislabeled/noise/contamination
+    * candidates. Returns the `k` LOWEST-cosine members per domain,
+    * rank-ordered (ties broken by id on the 6-decimal-rounded score —
+    * the portable-tie contract).
+    *
+    * Scale shape: the centroid is one (domain, dim)-keyed aggregation
+    * of decimal-quantized partials (map-side combined — the Lloyd-mean
+    * arithmetic of [[lloydStep]], so means are exact and engine-
+    * portable); centroids are domains×dim rows and broadcast-join
+    * back; the cosine is a narrow per-row pass; the bottom-k is one
+    * domain-keyed window. Nothing corpus-sized shuffles except the
+    * id-keyed domain join the caller supplies. */
+  def domainOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                     domainCol: String, k: Int): DataFrame = {
+    val prepared = corpus.select(col(idCol), col(domainCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cent = prepared
+      .select(col(domainCol), posexplode(col("__v")).as(Seq("dim", "x")))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("decimal(38,0)"))
+      .groupBy(col(domainCol), col("dim"))
+      .agg((sum(col("xq")).cast("double") / (lit(1e6) * count(lit(1))))
+             .as("cv"))
+      .groupBy(col(domainCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+             .as("__cs"))
+      .select(col(domainCol),
+              transform(col("__cs"), s => s.getField("cv")).as("__c"))
+    val scored = prepared.join(broadcast(cent), domainCol)
+      .withColumn("cos_centroid",
+        graft.plans.NativeFunctions
+          .cosineNative(corpus.sparkSession, col("__v"), col("__c")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(round(col("cos_centroid"), 6).asc, col(idCol).asc)))
+      .filter(col("rk") <= k)
+      .select(col(domainCol), col(idCol), round(col("cos_centroid"), 4)
+                .as("cos_centroid"), col("rk"))
+  }
+
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
     * AND expressible in any SQL engine — which is what lets the
     * DuckDB oracle recompute the SRP buckets and IVF centroid choice

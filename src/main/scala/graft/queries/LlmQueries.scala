@@ -629,6 +629,19 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // Per-domain embedding-centroid outliers: exact decimal-quantized
+    // domain means (the Lloyd arithmetic), broadcast back, narrow
+    // cosine, bottom-10 per domain — the embedding-space mislabeled/
+    // noise filter. Rank ties break on the 6-decimal score then id.
+    "q96_domain_outliers" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      val joined = emb.join(src, emb("vec_id") === src("doc_id"))
+        .select(col("vec_id"), col("source"), col("embedding"))
+      Similarity.domainOutliers(joined, "vec_id", "embedding", "source",
+                                k = 10)
+    }),
+
     // Bigram-LM NLL (CCNet-style LM quality filter, one order above
     // q83's unigram): mean -ln P(w_i | w_{i-1}) with add-0.5 smoothing
     // on the corpus's own bigram/unigram counts. One corpus exchange;
@@ -1402,6 +1415,26 @@ object LlmQueries {
          |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
          |FROM g LEFT JOIN dup d USING (gh)
          |GROUP BY g.doc_id""".stripMargin,
+
+    "q96_domain_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, source
+        |  FROM embeddings JOIN documents ON vec_id = doc_id),
+        |ex AS (SELECT source, i AS dim,
+        |  CAST(round(v[i + 1] * 1e6) AS BIGINT) AS xq
+        |  FROM e CROSS JOIN range(64) t(i)),
+        |m AS (SELECT source, dim,
+        |  CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)) AS cv
+        |  FROM ex GROUP BY source, dim),
+        |c AS (SELECT source, list(cv ORDER BY dim) AS cvec FROM m GROUP BY source),
+        |sc AS (SELECT e.vec_id, e.source,
+        |  list_dot_product(v, cvec)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+        |  FROM e JOIN c USING (source)),
+        |r AS (SELECT source, vec_id, cos,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY round(cos, 6) ASC, vec_id) AS rk FROM sc)
+        |SELECT source, vec_id, ROUND(cos, 4) AS cos_centroid, rk
+        |FROM r WHERE rk <= 10""".stripMargin,
 
     "q95_bigram_nll" ->
       s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),

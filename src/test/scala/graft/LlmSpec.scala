@@ -234,6 +234,18 @@ class LlmSpec extends SparkSpec {
                              (4L, "b", 0L), (5L, "b", 1L)))
   }
 
+  test("domainOutliers: planted off-direction vector ranks first, per domain") {
+    val rows = Seq(
+      (1L, "a", Array(10.0f, 0.0f)), (2L, "a", Array(9.0f, 1.0f)),
+      (3L, "a", Array(10.0f, 0.5f)), (4L, "a", Array(0.0f, 10.0f)), // outlier
+      (5L, "b", Array(0.0f, 5.0f)), (6L, "b", Array(5.0f, 0.0f)),   // outlier
+      (7L, "b", Array(0.1f, 5.0f))).toDF("vec_id", "source", "embedding")
+    val got = Similarity.domainOutliers(rows, "vec_id", "embedding",
+        "source", k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 6L))
+  }
+
   test("bigram NLL: hand-computed add-alpha scores, short docs absent") {
     // corpus: c1(a)=4, c1(b)=4, c1(solo)=1, V=3; c2("a b")=3, c2("b a")=2
     // P(a b) = (3+.5)/(4+.5*3) = 3.5/5.5 ; P(b a) = (2+.5)/5.5
