@@ -21,6 +21,14 @@ object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // One-pass column profiler over lineitem: per column — non-null
+    // count, exact distinct count, numeric/timestamp min-max as
+    // doubles (timestamps via epoch seconds), string min-max. One agg
+    // pass + a stack pivot to long form; the oracle recomputes every
+    // statistic per column.
+    "q97_profile" -> ((s, d) =>
+      graft.operators.Profiler.profile(lineitem(s, d))),
+
     // A-agg baseline (TPC-H Q1 shape): group + multiple exact sums.
     // At 100 TB: partial (map-side) aggregation + single shuffle on the
     // low-cardinality group keys.
@@ -486,7 +494,33 @@ object CoreQueries {
   // scale 10 for 1e5-magnitude values.
   private val dsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
 
+  // q97's oracle, one UNION ALL arm per lineitem column (generated, so
+  // the column lists can't drift from the arms' shapes).
+  private val q97Sql: String = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+                      "l_linenumber", "l_quantity", "l_extendedprice",
+                      "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    def arm(c: String, mnn: String, mxn: String,
+            mns: String, mxs: String) =
+      s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
+         |  COUNT(DISTINCT $c) AS n_distinct, $mnn AS min_num,
+         |  $mxn AS max_num, $mns AS min_str, $mxs AS max_str
+         |FROM lineitem""".stripMargin
+    (numCols.map(c => arm(c, s"CAST(MIN($c) AS DOUBLE)",
+                          s"CAST(MAX($c) AS DOUBLE)",
+                          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")) ++
+     strCols.map(c => arm(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+                          s"MIN($c)", s"MAX($c)")) ++
+     tsCols.map(c => arm(c, s"CAST(epoch(MIN($c)) AS DOUBLE)",
+                         s"CAST(epoch(MAX($c)) AS DOUBLE)",
+                         "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")))
+      .mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q97_profile" -> q97Sql,
     // Monolithic recompute over ALL lineitem rows — must hash-equal the
     // engine's history⊕batch state merge (IncrementalAgg).
     "q72_incremental_agg" ->
