@@ -98,4 +98,36 @@ object Multimodal {
       }
     }
   }
+
+  /** Shannon entropy (nats) of each blob's BYTE distribution — the
+    * corruption/noise signal for opaque media columns: well-formed
+    * containers sit in a mid band, encrypted/random bytes near ln 256
+    * ≈ 5.545, zero-padded or truncated blobs far below. No decoder
+    * needed (pairs with [[graft.plans.ImageMeta]]/AudioMeta: all
+    * three read bytes, none decode samples).
+    *
+    * Byte tokens come from the hex encoding (2 chars = 1 byte) so the
+    * whole pipeline stays in portable string expressions — same
+    * count-based formulation, DECIMAL(30,6) exact-sum arithmetic, and
+    * one-doc-id-exchange shape as
+    * [[graft.llm.TextStats.charEntropy]]. Empty blobs are absent. */
+  def byteEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.repartition(col(idCol))
+      // empty blobs out FIRST: sequence(1, 0) would descend and
+      // fabricate tokens (the ngramsOfTokens lesson)
+      .where(length(col(binCol)) > 0)
+      .select(col(idCol), hex(col(binCol)).as("__hx"))
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), (length(col("__hx")) / lit(2)).cast("int")),
+                  i => col("__hx").substr(i * lit(2) - lit(1), lit(2)))).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).cast("double")
+    val cLnC = graft.util.Exact.exactSum(
+      col("c").cast("double") * log(col("c").cast("double")))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bytes"),
+           round(log(n) - cLnC / n, 4).as("byte_entropy"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{AudioFixtures, Chunking, ImageFixtures, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
+import graft.llm.{AudioFixtures, Chunking, ImageFixtures, Multimodal, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -627,6 +627,17 @@ object LlmQueries {
     // arrays and recomputes the distinct-doc counts exactly.
     "q91_kgram_dedup" -> ((s, d) => {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
+    }),
+
+    // Byte-distribution Shannon entropy over a binary column — the
+    // no-decoder corruption/noise signal for multimodal blobs (random
+    // bytes -> ~ln 256, padded/truncated blobs far below). Byte tokens
+    // via hex pairs; q85's count-based exact-decimal formulation.
+    "q98_byte_entropy" -> ((s, d) => {
+      Multimodal.byteEntropy(
+        documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
+        "doc_id", "blob")
     }),
 
     // Per-domain embedding-centroid outliers: exact decimal-quantized
@@ -1415,6 +1426,19 @@ object LlmQueries {
          |  ROUND(CAST(COUNT(d.isdup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
          |FROM g LEFT JOIN dup d USING (gh)
          |GROUP BY g.doc_id""".stripMargin,
+
+    "q98_byte_entropy" ->
+      """WITH t AS (SELECT doc_id, hex(text) AS hx FROM documents
+        |  WHERE doc_id < 300 AND len(text) > 0),
+        |b AS (SELECT doc_id, substr(hx, i * 2 - 1, 2) AS b
+        |  FROM (SELECT doc_id, hx,
+        |        unnest(range(1, len(hx) // 2 + 1)) AS i FROM t)),
+        |c AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bytes,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(c * ln(c) AS DECIMAL(30,6))) AS DOUBLE)
+        |      / SUM(c), 4) AS byte_entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q96_domain_outliers" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, source

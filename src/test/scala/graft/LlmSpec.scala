@@ -234,6 +234,20 @@ class LlmSpec extends SparkSpec {
                              (4L, "b", 0L), (5L, "b", 1L)))
   }
 
+  test("byteEntropy: hand-computed, uniform bytes ln k, empty blobs absent") {
+    val df = Seq((1L, "aabb".getBytes("UTF-8")),
+                 (2L, "zzzz".getBytes("UTF-8")),
+                 (3L, Array.emptyByteArray))
+      .toDF("id", "blob")
+    val got = Multimodal.byteEntropy(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 === 4L)
+    assert(math.abs(got(1L)._2 - math.log(2)) < 1e-4) // two equiprobable bytes
+    assert(got(2L)._2 === 0.0)                        // one byte value
+    assert(!got.contains(3L))                         // empty blob absent
+  }
+
   test("domainOutliers: planted off-direction vector ranks first, per domain") {
     val rows = Seq(
       (1L, "a", Array(10.0f, 0.0f)), (2L, "a", Array(9.0f, 1.0f)),
