@@ -29,6 +29,23 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // SCD2 dimension build over the orders change-log: per customer,
+    // collapse consecutive same-priority orders and emit versioned
+    // [valid_from, valid_to) intervals (operators.Scd). One exchange +
+    // one sort serve change-detect, versioning, and interval bounds.
+    "q99_scd2" -> ((s, d) => {
+      graft.operators.Scd.scd2(orders(s, d),
+          keys = Seq("o_custkey"), seqCol = col("o_orderdate"),
+          tiebreaks = Seq(col("o_orderkey")),
+          stateCols = Seq("o_orderpriority"))
+        .select(col("o_custkey").as("custkey"),
+                col("o_orderpriority").as("state"),
+                col("version"),
+                date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+                date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+                col("is_current"))
+    }),
+
     // A-agg baseline (TPC-H Q1 shape): group + multiple exact sums.
     // At 100 TB: partial (map-side) aggregation + single shuffle on the
     // low-cardinality group keys.
@@ -521,6 +538,29 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
+
+    "q99_scd2" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS state,
+        |         o_orderdate AS d, o_orderkey AS k,
+        |         lag(o_orderpriority) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (
+        |  SELECT custkey, state, d, k FROM ordered
+        |  WHERE rn = 1 OR state IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT custkey, state,
+        |         row_number() OVER w2 AS version,
+        |         d AS vf, lead(d) OVER w2 AS vt
+        |  FROM chg
+        |  WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k))
+        |SELECT custkey, state, version,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       (vt IS NULL) AS is_current
+        |FROM iv""".stripMargin,
     // Monolithic recompute over ALL lineitem rows — must hash-equal the
     // engine's history⊕batch state merge (IncrementalAgg).
     "q72_incremental_agg" ->
