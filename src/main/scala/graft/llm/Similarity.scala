@@ -504,6 +504,35 @@ object Similarity {
                 .as("cos_centroid"), col("rk"))
   }
 
+  /** Per-dimension moment statistics of an embedding column — the
+    * whitening / standardization table (count, mean, population
+    * variance, min, max per dimension) that an embedding-normalization
+    * pass multiplies through, and the drift monitor a serving pipeline
+    * compares batches against.
+    *
+    * Scale shape: ONE aggregation — posexplode is scan-local and the
+    * per-dim partials map-side combine down to `dim` rows regardless of
+    * corpus size (the [[lloydStep]] shape without the assignment).
+    * Sums are exact and engine-portable: elements quantize to 1e-6 and
+    * accumulate in DECIMAL(38,0) (x² quanta stay < 1e22 even at 1e9
+    * rows), so mean/variance are order-independent; variance is the
+    * E[x²] − E[x]² identity over those exact sums. */
+  def dimStats(corpus: DataFrame, vecCol: String): DataFrame = {
+    val n     = count(lit(1))
+    val sumQ  = sum(col("xq")).cast("double")
+    val sumQ2 = sum(col("xq") * col("xq")).cast("double")
+    val mean  = sumQ / (lit(1e6) * n)
+    corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("decimal(38,0)"))
+      .groupBy(col("dim"))
+      .agg(n.as("n"),
+           round(mean, 4).as("mean"),
+           round(sumQ2 / (lit(1e12) * n) - mean * mean, 4).as("var_pop"),
+           round(min(col("xq")).cast("double") / lit(1e6), 6).as("min_x"),
+           round(max(col("xq")).cast("double") / lit(1e6), 6).as("max_x"))
+  }
+
   /** Plain-arithmetic LCG (glibc constants, mod 2^31): deterministic
     * AND expressible in any SQL engine — which is what lets the
     * DuckDB oracle recompute the SRP buckets and IVF centroid choice

@@ -653,6 +653,14 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Per-dimension embedding moments (whitening table): count, exact
+    // decimal mean, population variance (E[x²]−E[x]²), min/max — one
+    // map-side-combined aggregation to 64 rows however large the
+    // corpus. The drift/standardization companion to q71's means.
+    "q100_dim_stats" -> ((s, d) => {
+      Similarity.dimStats(embeddings(s, d), "embedding")
+    }),
+
     // Bigram-LM NLL (CCNet-style LM quality filter, one order above
     // q83's unigram): mean -ln P(w_i | w_{i-1}) with add-0.5 smoothing
     // on the corpus's own bigram/unigram counts. One corpus exchange;
@@ -1308,6 +1316,23 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Per-dim moments over the same 1e-6 quantization as q71: HUGEINT
+    // sums in DuckDB ↔ DECIMAL(38,0) in Spark, so mean and the
+    // E[x²]−E[x]² variance are exact-identical before the final round.
+    "q100_dim_stats" ->
+      """WITH ex AS (
+        |  SELECT i AS dim,
+        |         CAST(round(CAST(embedding AS DOUBLE[])[i + 1] * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN range(64) t(i))
+        |SELECT dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 4) AS mean,
+        |  ROUND(CAST(SUM(xq * xq) AS DOUBLE) / (1e12 * COUNT(*))
+        |        - (CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)))
+        |          * (CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*))), 4) AS var_pop,
+        |  ROUND(CAST(MIN(xq) AS DOUBLE) / 1e6, 6) AS min_x,
+        |  ROUND(CAST(MAX(xq) AS DOUBLE) / 1e6, 6) AS max_x
+        |FROM ex GROUP BY dim""".stripMargin,
+
     // One Lloyd step: same centroid seed + argmax-cosine assignment as
     // q40 (k=8), then exact per-dim means over 1e-6-quantized elements
     // (HUGEINT sum in DuckDB ↔ DECIMAL(38,0) sum in Spark — both
