@@ -82,6 +82,60 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-scaled domain mixture (the multinomial-sampling
+    * scheme of XLM-R / GPT-3 data curation): domain d's sampling
+    * weight is n_d^alpha / Σ_e n_e^alpha, so alpha < 1 UP-weights
+    * low-resource domains relative to proportional sampling (alpha=1
+    * is proportional, alpha=0 uniform across domains). Each domain's
+    * integer allocation is floor(budget · w_d), filled by the
+    * deterministic (lcg(id), id) priority order of [[prioritySample]]
+    * — so the selected set is a pure function of ids, nested in the
+    * budget, and exactly reproducible by an external engine. Returns
+    * the per-domain audit table: corpus count, weight, target,
+    * kept count (= target unless the domain is smaller), checksum.
+    *
+    * Determinism of the weight arithmetic: n^alpha quantizes to 1e-6
+    * and Z accumulates in DECIMAL(38,0); the allocation is INTEGER
+    * division (budget·wq) div Z — no float threshold can straddle an
+    * integer boundary differently across engines.
+    *
+    * Scale shape: the count agg map-side combines to #domains rows;
+    * weights/targets live on that tiny frame and broadcast back; the
+    * only corpus exchange is the one domain-keyed rank window (the
+    * alternative — threshold on idFraction at rate t_d/n_d — is
+    * exchange-free but binomial, not exact-allocation). */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    val wq = round(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1e6), 0)
+      .cast("decimal(38,0)")
+    val weights = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq", wq)
+      .withColumn("z", sum(col("wq")).over(Window.partitionBy()))
+      .withColumn("n_target",
+        expr(s"CAST(($budget * wq) DIV z AS BIGINT)"))
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(Similarity.lcg(col(idCol)), col(idCol))))
+      .join(broadcast(weights.select(col(domainCol), col("n_target"))),
+            Seq(domainCol))
+      .filter(col("__rn") <= col("n_target"))
+    val kept = ranked.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col(idCol).cast("decimal(38,0)")).cast("long")
+             .as("kept_id_checksum"))
+    weights
+      .select(col(domainCol), col("n_docs"),
+              round(col("wq").cast("double") / col("z").cast("double"), 6)
+                .as("weight"),
+              col("n_target"))
+      .join(kept, Seq(domainCol), "left")
+      .select(col(domainCol), col("n_docs"), col("weight"), col("n_target"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              col("kept_id_checksum"))
+  }
+
   /** Reproducible corpus shuffle for training order: every row gets a
     * (shard, pos) coordinate where shard is [[shardOf]] and pos
     * numbers the shard's rows in (lcg(id), id) order. The LCG

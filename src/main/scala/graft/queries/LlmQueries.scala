@@ -653,6 +653,15 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Temperature-scaled domain mixture (XLM-R/GPT-3 multinomial
+    // curation): w_d = n_d^0.5 / Z, integer allocation floor(200·w_d),
+    // filled in deterministic (lcg, id) priority order. The oracle
+    // replays weights, integer division, ranks, and checksums exactly.
+    "q101_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMix(documents(s, d), "doc_id", "source",
+                              alpha = 0.5, budget = 200L)
+    }),
+
     // Per-dimension embedding moments (whitening table): count, exact
     // decimal mean, population variance (E[x²]−E[x]²), min/max — one
     // map-side-combined aggregation to 64 rows however large the
@@ -1316,6 +1325,31 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Temperature mixture: n^0.5 quantized to 1e-6 (the q71 decimal
+    // trick), Z as exact integer sum, allocation by integer division,
+    // selection replayed through the same LCG priority rank as q66.
+    "q101_temperature_mix" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |  CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS wq
+         |  FROM cnt),
+         |wz AS (SELECT *, SUM(wq) OVER () AS z FROM w),
+         |t AS (SELECT source, n_docs, wq, z,
+         |  (200 * wq) // z AS n_target FROM wz),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
+         |  FROM documents),
+         |k AS (SELECT r.source, COUNT(*) AS n_kept, SUM(r.doc_id) AS ck
+         |  FROM r JOIN t USING (source) WHERE rn <= n_target
+         |  GROUP BY r.source)
+         |SELECT t.source, t.n_docs,
+         |  ROUND(CAST(wq AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+         |  CAST(n_target AS BIGINT) AS n_target,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  CAST(ck AS BIGINT) AS kept_id_checksum
+         |FROM t LEFT JOIN k USING (source)""".stripMargin,
+
     // Per-dim moments over the same 1e-6 quantization as q71: HUGEINT
     // sums in DuckDB ↔ DECIMAL(38,0) in Spark, so mean and the
     // E[x²]−E[x]² variance are exact-identical before the final round.
