@@ -62,6 +62,43 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Contrastive-training triplet mining: for each anchor, the
+    * positive = its nearest corpus row by cosine, and the hard
+    * negative = the MOST similar corpus row still below `negCeiling`
+    * (the maximally-confusable non-match — the semi-hard negative
+    * that makes triplet/InfoNCE losses learn). Emits
+    * (anchor_id, pos_id, pos_cos, neg_id, neg_cos, margin); negative
+    * columns are null when no row scores below the ceiling (surfaced,
+    * not dropped). Ties break toward the smaller corpus id.
+    *
+    * Scale shape: anchors broadcast against the corpus and both picks
+    * are conditional `max(struct(cos, -cid))` aggregates in ONE
+    * aggregation pass — partials combine map-side to one row per
+    * anchor, so nothing corpus-sized shuffles and the corpus is
+    * scored exactly once (vs the two window passes the naive
+    * pos/neg-join formulation would take). */
+  def tripletMine(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  anchors: DataFrame, anchorId: String, anchorVec: String,
+                  negCeiling: Double): DataFrame = {
+    val q = broadcast(anchors.select(col(anchorId).as("qid"),
+                                     col(anchorVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid").cast("long").as("cid"),
+              cosine(col("qv"), col("cv")).as("cos"))
+    val pick = struct(col("cos"), (-col("cid")).as("nc"))
+    scored
+      .groupBy(col("qid"))
+      .agg(max(pick).as("p"),
+           max(when(col("cos") < negCeiling, pick)).as("n"))
+      .select(col("qid").as("anchor_id"),
+              (-col("p.nc")).as("pos_id"),
+              round(col("p.cos"), 4).as("pos_cos"),
+              (-col("n.nc")).as("neg_id"),
+              round(col("n.cos"), 4).as("neg_cos"),
+              round(col("p.cos") - col("n.cos"), 4).as("margin"))
+  }
+
   /** The `nCentroids` corpus rows with the smallest (lcg(id), id) —
     * the deterministic, oracle-recomputable stand-in for an offline
     * k-means fit shared by the IVF and PQ paths. Bounded collect. */

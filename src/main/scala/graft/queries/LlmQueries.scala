@@ -653,6 +653,17 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Triplet mining for contrastive training: anchor -> nearest
+    // neighbor (positive) + most-similar row under the 0.3 ceiling
+    // (hard negative), both picked by conditional max(struct) in one
+    // aggregation pass over the broadcast-scored corpus.
+    "q102_triplets" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.tripletMine(e, "vec_id", "embedding",
+                             e.filter(col("vec_id") < 50), "vec_id",
+                             "embedding", negCeiling = 0.3)
+    }),
+
     // Temperature-scaled domain mixture (XLM-R/GPT-3 multinomial
     // curation): w_d = n_d^0.5 / Z, integer allocation floor(200·w_d),
     // filled in deterministic (lcg, id) priority order. The oracle
@@ -1325,6 +1336,28 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Triplets: argmax / conditional-argmax over the same unrounded
+    // cosine as q30 (bit-identical folds), replayed as two
+    // row_number picks per anchor.
+    "q102_triplets" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT qid, cid,
+        |  list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE qid <> cid),
+        |pos AS (SELECT qid, cid AS pos_id, cos AS pos_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |neg AS (SELECT qid, cid AS neg_id, cos AS neg_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored WHERE cos < 0.3) WHERE rn = 1)
+        |SELECT pos.qid AS anchor_id, pos_id, ROUND(pos_cos, 4) AS pos_cos,
+        |  neg_id, ROUND(neg_cos, 4) AS neg_cos,
+        |  ROUND(pos_cos - neg_cos, 4) AS margin
+        |FROM pos LEFT JOIN neg ON pos.qid = neg.qid""".stripMargin,
+
     // Temperature mixture: n^0.5 quantized to 1e-6 (the q71 decimal
     // trick), Z as exact integer sum, allocation by integer division,
     // selection replayed through the same LCG priority rank as q66.
