@@ -589,4 +589,74 @@ class LlmSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles === 2, s"expected 2 shuffle exchanges, plan:\n$plan")
   }
+
+  test("dimStats: hand-computed per-dimension moments") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = Similarity.dimStats(vecs, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // dim0: mean 2, var ((1+9)/2 - 4) = 1; dim1: all zero
+    assert(out(0) === ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(out(1) === ((2L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("temperatureMix: alpha<1 boosts the small domain; caps at domain size") {
+    // 90 docs in big, 10 in small. alpha=0.5: w_big = sqrt(90)/Z ≈ .75,
+    // w_small = sqrt(10)/Z ≈ .25; budget 40 -> big floor(29.9999992)=29
+    // (floor allocation may under-fill by a row — standard), small
+    // floor(10.0000007)=10, exactly its size.
+    val docs = ((1L to 90L).map(i => (i, "big")) ++
+                (101L to 110L).map(i => (i, "small"))).toDF("id", "dom")
+    val out = Sampling.temperatureMix(docs, "id", "dom",
+                                      alpha = 0.5, budget = 40L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+                                              r.getLong(4)))).toMap
+    val (nBig, tBig, kBig) = out("big")
+    val (nSmall, tSmall, kSmall) = out("small")
+    assert(nBig === 90L && nSmall === 10L)
+    assert(tBig === 29L && kBig === 29L)
+    assert(tSmall === 10L && kSmall === 10L)
+    // proportional share of 40 would give small only 4 — the
+    // temperature up-weighted it to its full 10.
+  }
+
+  test("temperatureMix: a budget beyond the corpus caps keeps at domain size") {
+    val docs = (1L to 5L).map(i => (i, "only")).toDF("id", "dom")
+    val row = Sampling.temperatureMix(docs, "id", "dom",
+                                      alpha = 0.3, budget = 100L)
+      .collect().head
+    assert(row.getLong(3) === 100L) // target = all of the budget
+    assert(row.getLong(4) === 5L)   // kept capped at corpus
+    assert(row.getLong(5) === 15L)  // 1+2+3+4+5
+  }
+
+  test("tripletMine: planted geometry picks the right positive and negative") {
+    // anchor (1,0); near-dup (0.9,0.1); mild match (0.5,0.5);
+    // opposite (-1,0.1). Ceiling 0.3: positive = near-dup, negative
+    // = the opposite vector (the only one under the ceiling).
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)),
+      (4L, Seq(-1.0f, 0.1f))).toDF("id", "v")
+    val t = Similarity.tripletMine(rows, "id", "v",
+        rows.filter($"id" === 1L), "id", "v", negCeiling = 0.3)
+      .collect().head
+    assert(t.getLong(0) === 1L)
+    assert(t.getLong(1) === 2L)            // pos = near-dup
+    assert(t.getLong(3) === 4L)            // neg = opposite
+    assert(t.getDouble(2) > 0.99)
+    assert(t.getDouble(4) < 0.0)
+  }
+
+  test("tripletMine: anchors with no row under the ceiling surface nulls") {
+    val rows = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("id", "v")
+    val t = Similarity.tripletMine(rows, "id", "v",
+        rows.filter($"id" === 1L), "id", "v", negCeiling = 0.3)
+      .collect().head
+    assert(!t.isNullAt(1) && t.isNullAt(3) && t.isNullAt(4) && t.isNullAt(5))
+  }
 }
