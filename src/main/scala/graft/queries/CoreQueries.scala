@@ -29,6 +29,27 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Declarative data-quality audit (operators.Expectations): four
+    // per-row rules in ONE aggregation pass over orders, key
+    // uniqueness, and lineitem->orders referential integrity (child
+    // keys reduced to distinct BEFORE the anti-join). The 400k price
+    // ceiling is deliberately tight so non-zero violation counts are
+    // exercised, not just green booleans.
+    "q103_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      report(
+        check(o, Seq(
+          notNull("o_orderkey"),
+          inRange("o_totalprice", 0.0, 400000.0),
+          inSet("o_orderstatus", Seq("O", "F", "P")),
+          matches("o_orderpriority", "^[1-5]-"))),
+        unique(o, Seq("o_orderkey"), "unique_o_orderkey"),
+        refIntegrity(l, "l_orderkey", o, "o_orderkey",
+                     "fk_lineitem_orders"))
+    }),
+
     // SCD2 dimension build over the orders change-log: per customer,
     // collapse consecutive same-priority orders and emit versioned
     // [valid_from, valid_to) intervals (operators.Scd). One exchange +
@@ -538,6 +559,47 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
+
+    "q103_expectations" ->
+      """SELECT 'not_null_o_orderkey' AS rule, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'range_o_totalprice', COUNT(*),
+        |  SUM(CASE WHEN NOT (o_totalprice IS NULL
+        |        OR (o_totalprice >= 0 AND o_totalprice <= 400000)) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT (o_totalprice IS NULL
+        |        OR (o_totalprice >= 0 AND o_totalprice <= 400000)) THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_set_o_orderstatus', COUNT(*),
+        |  SUM(CASE WHEN NOT (o_orderstatus IS NULL
+        |        OR o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT (o_orderstatus IS NULL
+        |        OR o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'matches_o_orderpriority', COUNT(*),
+        |  SUM(CASE WHEN NOT (o_orderpriority IS NULL
+        |        OR regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT (o_orderpriority IS NULL
+        |        OR regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique_o_orderkey', SUM(c), SUM(c - 1), SUM(c - 1) = 0
+        |FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  COALESCE((SELECT SUM(c) FROM
+        |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
+        |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0),
+        |  COALESCE((SELECT SUM(c) FROM
+        |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
+        |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0) = 0""".stripMargin,
 
     "q99_scd2" ->
       """WITH ordered AS (
