@@ -29,6 +29,15 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Ordered conversion funnel over the event log: signup -> click
+    // -> purchase with strictly-after semantics (operators.Funnel).
+    // One user repartition serves every step's agg and join; time
+    // deltas sum as exact integer microseconds.
+    "q104_funnel" -> ((s, d) => {
+      graft.operators.Funnel.funnel(events(s, d), "user_id", "event_type",
+                                    "ts", Seq("signup", "click", "purchase"))
+    }),
+
     // Declarative data-quality audit (operators.Expectations): four
     // per-row rules in ONE aggregation pass over orders, key
     // uniqueness, and lineitem->orders referential integrity (child
@@ -559,6 +568,35 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
+
+    "q104_funnel" ->
+      """WITH s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id HAVING t1 IS NOT NULL),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS p2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS p3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT 1 AS step, 'signup' AS step_name,
+        |  (SELECT COUNT(*) FROM s1) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS conversion_from_prev,
+        |  CAST(NULL AS DOUBLE) AS mean_hours_from_prev
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*),
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s1), 4),
+        |  ROUND(CAST(SUM(epoch_us(t2) - epoch_us(p2)) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) / 3.6e9, 4)
+        |FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*),
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s2), 4),
+        |  ROUND(CAST(SUM(epoch_us(t3) - epoch_us(p3)) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) / 3.6e9, 4)
+        |FROM s3""".stripMargin,
 
     "q103_expectations" ->
       """SELECT 'not_null_o_orderkey' AS rule, COUNT(*) AS n_rows,

@@ -653,6 +653,20 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // PageRank over the verified near-dup graph (q57's edge set): two
+    // damped power iterations, contributions quantized to 1e-15 and
+    // decimal-summed so the only order-sensitive reduction is exact.
+    // The link-graph quality signal of web-crawl curation, on the
+    // engine's own pair output; edges localCheckpoint'ed once for the
+    // degree pass + both iterations (the q70 pattern).
+    "q105_pagerank" -> ((s, d) => {
+      val pairs = NearDup.portableNearDupPairs(
+        documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+        threshold = 0.8).localCheckpoint()
+      graft.operators.Graph.pageRank(pairs, "id_a", "id_b",
+                                     iterations = 2, damping = 0.85)
+    }),
+
     // Triplet mining for contrastive training: anchor -> nearest
     // neighbor (positive) + most-similar row under the 0.3 ceiling
     // (hard negative), both picked by conditional max(struct) in one
@@ -1336,6 +1350,33 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // PageRank: both damped rounds replayed CTE-by-CTE over the q57
+    // edge set. (1 - 0.85) is computed as a DOUBLE SUBTRACTION (not
+    // the literal 0.15) to match Spark's Scala-side arithmetic bit
+    // for bit; contributions quantize at 1e-15 like the Spark side.
+    "q105_pagerank" ->
+      s"""WITH edges AS ($q57Sql),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |pr0 AS (SELECT node, degree, CAST(1 AS DOUBLE) / n AS pr FROM deg, nn),
+         |it1 AS (SELECT s.dst AS node,
+         |    SUM(CAST(round(p.pr / p.degree * 1e15) AS BIGINT)) AS q
+         |  FROM pr0 p JOIN sym s ON p.node = s.src GROUP BY s.dst),
+         |pr1 AS (SELECT d.node, d.degree,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |      + CAST(0.85 AS DOUBLE) * (CAST(q AS DOUBLE) / 1e15) AS pr
+         |  FROM deg d JOIN it1 USING (node), nn),
+         |it2 AS (SELECT s.dst AS node,
+         |    SUM(CAST(round(p.pr / p.degree * 1e15) AS BIGINT)) AS q
+         |  FROM pr1 p JOIN sym s ON p.node = s.src GROUP BY s.dst),
+         |pr2 AS (SELECT d.node, d.degree,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |      + CAST(0.85 AS DOUBLE) * (CAST(q AS DOUBLE) / 1e15) AS pr
+         |  FROM deg d JOIN it2 USING (node), nn)
+         |SELECT node, degree, ROUND(pr, 6) AS pagerank FROM pr2""".stripMargin,
+
     // Triplets: argmax / conditional-argmax over the same unrounded
     // cosine as q30 (bit-identical folds), replayed as two
     // row_number picks per anchor.
