@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equi-width histogram — the distribution companion to
+  * [[Profiler]]: fixed `[lo, hi]` domain split into `nBuckets` equal
+  * buckets, per bucket the row count and exact value sum. Values
+  * outside the domain are REPORTED (bucket −1 below, `nBuckets`
+  * above), never silently dropped — at audit scale a silent filter
+  * reads as "covered everything" when it didn't; `x = hi` lands in
+  * the last regular bucket (the standard closed-right-edge rule).
+  *
+  * Scale: bucket assignment is a narrow floor-arithmetic projection
+  * (codegen'd, no UDF); the aggregation partial-combines map-side to
+  * ≤ nBuckets+2 rows per partition. ONE exchange carrying bucket
+  * partials. Sums route through DECIMAL(30,6) so they are
+  * order-independent and engine-portable.
+  */
+object Histogram {
+
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val x = col(valueCol).cast("double")
+    val bucket = when(x < lo, lit(-1))
+      .when(x > hi, lit(nBuckets))
+      .otherwise(least(floor((x - lit(lo)) / lit(width)).cast("int"),
+                       lit(nBuckets - 1)))
+    df.filter(x.isNotNull)
+      .select(bucket.as("bucket"), x.as("__x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__x").cast("decimal(30,6)")).cast("double").as("sum_x"))
+      .select(col("bucket"),
+              round(lit(lo) + col("bucket").cast("double") * lit(width), 6)
+                .as("bucket_lo"),
+              round(lit(lo) + (col("bucket").cast("double") + 1d) * lit(width), 6)
+                .as("bucket_hi"),
+              col("n"), col("sum_x"))
+  }
+}

@@ -41,4 +41,24 @@ object Windows {
     * ranking tables natively (SURVEY §2.5 note). */
   def rankBy(keys: Seq[String], order: Seq[Column]): Column =
     rank().over(Window.partitionBy(keys.map(col): _*).orderBy(order: _*))
+
+  /** TIME-range rolling aggregation: for each row, count and exact sum
+    * of `value` over the trailing `lookbackMicros` window of EVENT
+    * TIME — `RANGE BETWEEN`, not `ROWS BETWEEN`, so gaps and bursts
+    * weight by clock time, not row position (the trailing-24h-spend
+    * shape rowsBetween can't express). Ordering is exact integer
+    * microseconds (`unix_micros`), so frame membership is
+    * engine-portable — no float epoch. The sum routes through
+    * DECIMAL(30,6): sliding-frame sums are otherwise free to
+    * accumulate in whatever incremental order the engine's segment
+    * tree picks. One exchange on `keys`; every added column shares it. */
+  def timeRolling(df: DataFrame, keys: Seq[String], tsCol: Column,
+                  value: Column, lookbackMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(tsCol).asc)
+      .rangeBetween(-lookbackMicros, Window.currentRow)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(value.cast("decimal(30,6)")).over(w).cast("double"))
+  }
 }

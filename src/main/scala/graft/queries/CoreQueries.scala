@@ -29,6 +29,27 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // TIME-range rolling window (RANGE, not ROWS): trailing-24h event
+    // count + exact spend per user, frame membership on exact integer
+    // microseconds. The window mode rowsBetween can't express.
+    "q106_time_rolling" -> ((s, d) => {
+      graft.operators.Windows.timeRolling(
+          events(s, d).filter(col("user_id") < 20)
+            .select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), col("ts"), col("value"),
+          lookbackMicros = 86400000000L)
+        .select(col("user_id"),
+                date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+                col("n_window"), round(col("sum_window"), 4).as("sum_24h"))
+    }),
+
+    // Equi-width histogram over order totals: 20 buckets on [0, 500k],
+    // out-of-domain rows REPORTED in sentinel buckets (-1/20), exact
+    // decimal per-bucket sums. One exchange of <= nBuckets+2 partials.
+    "q107_histogram" -> ((s, d) =>
+      graft.operators.Histogram.histogram(orders(s, d), "o_totalprice",
+        lo = 0.0, hi = 500000.0, nBuckets = 20)),
+
     // Ordered conversion funnel over the event log: signup -> click
     // -> purchase with strictly-after semantics (operators.Funnel).
     // One user repartition serves every step's agg and join; time
@@ -568,6 +589,29 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
+
+    "q106_time_rolling" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COUNT(*) OVER w AS n_window,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE), 4)
+        |    AS sum_24h
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q107_histogram" ->
+      """WITH b AS (SELECT
+        |  CASE WHEN o_totalprice < 0 THEN -1
+        |       WHEN o_totalprice > 500000 THEN 20
+        |       ELSE LEAST(CAST(FLOOR((o_totalprice - 0) / 25000.0) AS INT), 19)
+        |  END AS bucket, o_totalprice AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bucket,
+        |  ROUND(0 + CAST(bucket AS DOUBLE) * 25000.0, 6) AS bucket_lo,
+        |  ROUND(0 + (CAST(bucket AS DOUBLE) + 1) * 25000.0, 6) AS bucket_hi,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sum_x
+        |FROM b GROUP BY bucket""".stripMargin,
 
     "q104_funnel" ->
       """WITH s1 AS (SELECT user_id,

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Histogram, Windows}
+
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("timeRolling: RANGE frame by clock time, not row position") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 20.0),
+      (1L, ts("2024-01-02 00:30:00"), 40.0)) // 24.5h after row 1
+      .toDF("u", "at", "v")
+    val out = Windows.timeRolling(df, Seq("u"), col("at"), col("v"),
+                                  lookbackMicros = 86400000000L)
+      .orderBy($"at").collect()
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 2L, 2L))
+    // last row's frame holds rows 2+3 (row 1 fell off the 24h edge)
+    assert(out(2).getDouble(4) === 60.0)
+  }
+
+  test("timeRolling: the frame edge is inclusive at exactly lookback") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2.0)) // exactly 24h later
+      .toDF("u", "at", "v")
+    val out = Windows.timeRolling(df, Seq("u"), col("at"), col("v"),
+                                  lookbackMicros = 86400000000L)
+      .orderBy($"at").collect()
+    assert(out(1).getLong(3) === 2L) // 24h-old row still inside
+  }
+
+  test("histogram: closed right edge, sentinel under/overflow buckets") {
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 10.1).toDF("x")
+    val out = Histogram.histogram(df, "x", lo = 0.0, hi = 10.0, nBuckets = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(-1) === ((1L, -5.0)))        // below lo
+    assert(out(0) === ((2L, 4.9)))          // [0, 5): 0.0, 4.9
+    assert(out(1) === ((3L, 24.9)))         // [5, 10]: 5.0, 9.9, 10.0 (hi closed)
+    assert(out(2) === ((1L, 10.1)))         // above hi
+  }
+
+  test("histogram: nulls are excluded, not counted anywhere") {
+    val df = Seq(Some(1.0), None, Some(2.0)).toDF("x")
+    val out = Histogram.histogram(df, "x", 0.0, 10.0, 5).collect()
+    assert(out.map(_.getLong(3)).sum === 2L)
+  }
+}
