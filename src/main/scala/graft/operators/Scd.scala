@@ -60,6 +60,48 @@ object Scd {
             col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance: fold a batch of NEW change events
+    * into an existing SCD2 table without rebuilding untouched keys.
+    * Rows for keys absent from the batch pass through via anti-join;
+    * touched keys rebuild from (their existing change points ∪ the
+    * batch) — the existing table already IS the collapsed change log
+    * (one row per state run, ordered by version), so replaying
+    * [[scd2]] over that union reproduces exactly what a full rebuild
+    * over the complete original log would emit: late-version closes,
+    * run-collapsing across the boundary (a batch event repeating the
+    * open state adds no version), and first-version opens for
+    * brand-new keys all fall out of the same window algebra.
+    *
+    * CONTRACT: batch events must be strictly later than every history
+    * event of the same key (the append-only warehouse feed). Under it
+    * the incremental result is hash-identical to a full rebuild — the
+    * oracle for the q108 gate query IS the full-rebuild SQL.
+    *
+    * Scale shape: the batch's key set drives everything — untouched
+    * history streams through one anti-join (broadcast when the batch
+    * is small), and the rebuild windows run over change points of
+    * touched keys only (versions + batch rows), never the full
+    * history. */
+  def merge(scd2Table: DataFrame, batch: DataFrame, keys: Seq[String],
+            seqCol: Column, batchTiebreak: Column,
+            stateCols: Seq[String]): DataFrame = {
+    val touched = batch.select(keys.map(col): _*).distinct()
+    val untouched = scd2Table.join(touched, keys, "left_anti")
+    // existing change points as a log: seq = valid_from, tiebreak =
+    // version (preserves original intra-date change order); batch
+    // rows use their own tiebreak (no cross-group ties by contract)
+    val histLog = scd2Table.join(touched, keys, "left_semi")
+      .select((keys ++ stateCols).map(col) ++
+        Seq(col("valid_from").as("__seq"),
+            col("version").cast("long").as("__tb")): _*)
+    val batchLog = batch
+      .select((keys ++ stateCols).map(col) ++
+        Seq(seqCol.as("__seq"), batchTiebreak.cast("long").as("__tb")): _*)
+    val rebuilt = scd2(histLog.unionByName(batchLog), keys, col("__seq"),
+                       Seq(col("__tb")), stateCols)
+    untouched.unionByName(rebuilt)
+  }
+
   /** Point-in-time lookup against an SCD2 table built by [[scd2]]:
     * the version whose `[valid_from, valid_to)` interval contains
     * `at` (open intervals extend to +inf). Plain predicate — composes

@@ -29,6 +29,30 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // INCREMENTAL SCD2 maintenance: history (orders before 1997) is
+    // built once, the 1997+ batch folds in via Scd.merge touching only
+    // batch keys — and the oracle is q99's FULL-REBUILD SQL over the
+    // complete log, so the hash gate proves incremental == rebuild.
+    "q108_scd2_merge" -> ((s, d) => {
+      val o = orders(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hist = graft.operators.Scd.scd2(
+        o.filter(col("o_orderdate") < cut),
+        keys = Seq("o_custkey"), seqCol = col("o_orderdate"),
+        tiebreaks = Seq(col("o_orderkey")),
+        stateCols = Seq("o_orderpriority"))
+      graft.operators.Scd.merge(hist, o.filter(col("o_orderdate") >= cut),
+          keys = Seq("o_custkey"), seqCol = col("o_orderdate"),
+          batchTiebreak = col("o_orderkey"),
+          stateCols = Seq("o_orderpriority"))
+        .select(col("o_custkey").as("custkey"),
+                col("o_orderpriority").as("state"),
+                col("version"),
+                date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+                date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+                col("is_current"))
+    }),
+
     // TIME-range rolling window (RANGE, not ROWS): trailing-24h event
     // count + exact spend per user, frame membership on exact integer
     // microseconds. The window mode rowsBetween can't express.
@@ -587,6 +611,32 @@ object CoreQueries {
       .mkString("\nUNION ALL\n")
   }
 
+  // Full SCD2 rebuild over the complete orders log — the oracle for
+  // BOTH q99 (direct build) and q108 (incremental merge): the two
+  // must be hash-identical.
+  private val scd2RebuildSql: String =
+    """WITH ordered AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS state,
+      |         o_orderdate AS d, o_orderkey AS k,
+      |         lag(o_orderpriority) OVER w AS prev,
+      |         row_number() OVER w AS rn
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chg AS (
+      |  SELECT custkey, state, d, k FROM ordered
+      |  WHERE rn = 1 OR state IS DISTINCT FROM prev),
+      |iv AS (
+      |  SELECT custkey, state,
+      |         row_number() OVER w2 AS version,
+      |         d AS vf, lead(d) OVER w2 AS vt
+      |  FROM chg
+      |  WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k))
+      |SELECT custkey, state, version,
+      |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |       (vt IS NULL) AS is_current
+      |FROM iv""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
 
@@ -683,28 +733,11 @@ object CoreQueries {
         |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
         |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0) = 0""".stripMargin,
 
-    "q99_scd2" ->
-      """WITH ordered AS (
-        |  SELECT o_custkey AS custkey, o_orderpriority AS state,
-        |         o_orderdate AS d, o_orderkey AS k,
-        |         lag(o_orderpriority) OVER w AS prev,
-        |         row_number() OVER w AS rn
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |chg AS (
-        |  SELECT custkey, state, d, k FROM ordered
-        |  WHERE rn = 1 OR state IS DISTINCT FROM prev),
-        |iv AS (
-        |  SELECT custkey, state,
-        |         row_number() OVER w2 AS version,
-        |         d AS vf, lead(d) OVER w2 AS vt
-        |  FROM chg
-        |  WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k))
-        |SELECT custkey, state, version,
-        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
-        |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
-        |       (vt IS NULL) AS is_current
-        |FROM iv""".stripMargin,
+    "q99_scd2" -> scd2RebuildSql,
+
+    // The INCREMENTAL merge must hash-equal the full rebuild — the
+    // strongest statement the gate can make about Scd.merge.
+    "q108_scd2_merge" -> scd2RebuildSql,
     // Monolithic recompute over ALL lineitem rows — must hash-equal the
     // engine's history⊕batch state merge (IncrementalAgg).
     "q72_incremental_agg" ->

@@ -81,6 +81,37 @@ class ScdSpec extends SparkSpec {
     assert(out.count() === 2L)
   }
 
+  test("merge == full rebuild: changed, unchanged, untouched, and new keys") {
+    // history: key 1 runs A,B; key 2 stays X; key 3 untouched by batch
+    val history = Seq(
+      (1L, ts("2024-01-01"), 1L, "A"),
+      (1L, ts("2024-01-02"), 2L, "B"),
+      (2L, ts("2024-01-01"), 3L, "X"),
+      (3L, ts("2024-01-01"), 4L, "Q"))
+      .toDF("k", "at", "seq", "state")
+    // batch: key 1 changes back to A; key 2 repeats X (no new
+    // version); key 9 is brand new
+    val batch = Seq(
+      (1L, ts("2024-02-01"), 10L, "A"),
+      (2L, ts("2024-02-01"), 11L, "X"),
+      (9L, ts("2024-02-01"), 12L, "N"))
+      .toDF("k", "at", "seq", "state")
+
+    val hist = Scd.scd2(history, Seq("k"), col("at"), Seq(col("seq")),
+                        Seq("state"))
+    val merged = Scd.merge(hist, batch, Seq("k"), col("at"), col("seq"),
+                           Seq("state"))
+    val full = Scd.scd2(history.unionByName(batch), Seq("k"), col("at"),
+                        Seq(col("seq")), Seq("state"))
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+    // spot semantics: key 2 still has ONE version (repeat collapsed),
+    // key 1 gained a third, key 3 passed through untouched
+    val byKey = merged.groupBy($"k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+  }
+
   test("the build plans a single exchange (both windows share it)") {
     val out = Scd.scd2(log, Seq("k"), col("at"), Seq(col("seq")), Seq("state"))
     val plan = out.queryExecution.executedPlan.toString
