@@ -29,6 +29,13 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Per-nation winsorization of customer balances: exact [p05, p95]
+    // thresholds rounded to 4 decimals BEFORE any comparison (the
+    // portability contract), tail-clamp audit + exact clamped sum.
+    "q109_winsorize" -> ((s, d) =>
+      graft.operators.Winsorize.winsorize(customer(s, d),
+        Seq("c_nationkey"), "c_acctbal", pLo = 0.05, pHi = 0.95)),
+
     // INCREMENTAL SCD2 maintenance: history (orders before 1997) is
     // built once, the 1997+ batch folds in via Scd.merge touching only
     // batch keys — and the oracle is q99's FULL-REBUILD SQL over the
@@ -732,6 +739,20 @@ object CoreQueries {
         |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
         |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
         |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0) = 0""".stripMargin,
+
+    "q109_winsorize" ->
+      """WITH t AS (SELECT c_nationkey AS k, CAST(c_acctbal AS DOUBLE) AS x
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |th AS (SELECT k, ROUND(quantile_cont(x, 0.05), 4) AS p_lo,
+        |              ROUND(quantile_cont(x, 0.95), 4) AS p_hi
+        |  FROM t GROUP BY k)
+        |SELECT t.k AS c_nationkey, COUNT(*) AS n,
+        |  MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+        |  SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS n_clamped_lo,
+        |  SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(x, p_lo), p_hi) AS DECIMAL(30,6)))
+        |       AS DOUBLE) AS winsorized_sum
+        |FROM t JOIN th USING (k) GROUP BY t.k""".stripMargin,
 
     "q99_scd2" -> scd2RebuildSql,
 

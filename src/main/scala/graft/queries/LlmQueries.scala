@@ -95,11 +95,19 @@ object LlmQueries {
     // pairing them is O(bucket²) for no near-dup signal).
     "q28_minhash_pairs" -> ((s, d) => {
       val docs = documents(s, d).filter(col("doc_id") < 1000)
+      // Both pipelines run with a NON-BINDING bucket cap: when the
+      // skew cap actually bites, WHICH over-full buckets get dropped
+      // depends on the hash family, so native-vs-portable recall is
+      // no longer a property of the algorithm (measured at sf0.1:
+      // recall 0.55 capped at 300, 0.99 uncapped, with counts within
+      // 1% either way). The cap stays the production default on
+      // nearDupPairs — it is a skew GUARD, not a sampler, and the
+      // recall invariant is only meaningful where it is inactive.
       val native = NearDup.nearDupPairs(docs, "doc_id", "text",
         shingleSize = 1, threshold = 0.8, numBands = 8, rowsPerBand = 4,
-        maxBucket = 300)
+        maxBucket = 100000)
       val portable = NearDup.portableNearDupPairs(docs, "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxBucket = 100000)
       val toks = docs.select(col("doc_id").as("id"),
         NearDup.tokenSet(col("text")).as("toks"))
       val trueJac = native
@@ -826,7 +834,8 @@ object LlmQueries {
   // over the same verified edge set; q68/q70 reuse it against the
   // benchmark sample. `extraWhere` narrows the input corpus (q70 runs
   // the pipeline on the quality-filtered subset).
-  private def portablePairsSql(extraWhere: String): String = {
+  private def portablePairsSql(extraWhere: String,
+                               maxBucket: Int = 300): String = {
     val P = "2147483647"
     val nBands = 8; val rowsPerBand = 4
     val minCols = (0 until nBands * rowsPerBand).map(j =>
@@ -847,7 +856,7 @@ object LlmQueries {
        |bands AS ($bandSelects),
        |pruned AS (SELECT doc_id, band, band_hash FROM (
        |  SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM bands)
-       |  WHERE bn <= 300),
+       |  WHERE bn <= $maxBucket),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM pruned x JOIN pruned y
        |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
@@ -907,7 +916,7 @@ object LlmQueries {
     // CHECKS and the oracle expects to hold (q36's envelope pattern —
     // a native-path regression flips one and reds the row).
     "q28_minhash_pairs" ->
-      s"""WITH pairs AS ($q57Sql)
+      s"""WITH pairs AS (${portablePairsSql("", maxBucket = 100000)})
          |SELECT COUNT(*) AS n_portable_pairs,
          |  TRUE AS native_pairs_all_ge_threshold,
          |  TRUE AS native_recall_of_portable_ge_95pct,
