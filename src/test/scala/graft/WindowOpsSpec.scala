@@ -52,4 +52,25 @@ class WindowOpsSpec extends SparkSpec {
     val out = Histogram.histogram(df, "x", 0.0, 10.0, 5).collect()
     assert(out.map(_.getLong(3)).sum === 2L)
   }
+
+  test("winsorize: tails clamp to the group's own percentiles") {
+    // group A: 1..100, ASYMMETRIC [p10, p80] so the clamp visibly
+    // moves the sum: p10 = 10.9, p80 = 80.2 (linear interpolation);
+    // group B constant -> p10 = p80 = 5, nothing clamps
+    val df = ((1 to 100).map(i => ("A", i.toDouble)) ++
+              Seq.fill(10)(("B", 5.0))).toDF("g", "x")
+    val out = graft.operators.Winsorize
+      .winsorize(df, Seq("g"), "x", pLo = 0.1, pHi = 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    val (nA, loA, hiA, cLoA, cHiA, sumA) = out("A")
+    assert(nA === 100L && loA === 10.9 && hiA === 80.2)
+    assert(cLoA === 10L && cHiA === 20L) // 1..10 below, 81..100 above
+    // sum: 10·10.9 + (11+..+80) + 20·80.2 = 109 + 3185 + 1604 = 4898
+    assert(sumA === 4898.0)
+    val (nB, loB, hiB, cLoB, cHiB, sumB) = out("B")
+    assert(nB === 10L && loB === 5.0 && hiB === 5.0)
+    assert(cLoB === 0L && cHiB === 0L && sumB === 50.0)
+  }
 }
