@@ -168,6 +168,71 @@ object TextStats {
               col("tfidf"), col("rn"))
   }
 
+  /** Sparse TF-IDF cosine similarity — document-pair similarity in
+    * TOKEN space (the lexical complement to the dense embedding cosine
+    * of Similarity): weight w(d,t) = tf·ln(N/df) rounded to 6 (the
+    * q75 anchor), cos = Σ w_a·w_b / (‖a‖·‖b‖) over shared tokens,
+    * top-`k` partners per document (ties toward the smaller partner
+    * id). Catches paraphrase/translation misses that shingle-exact
+    * MinHash can't, without needing an embedding model.
+    *
+    * Scale shape: the INVERTED INDEX dataflow — pairs come from an
+    * equi-join of the weight table on token (never an all-pairs
+    * product), so work is Σ_t df(t)², exactly the q27/q93 kernel
+    * economics; `dfCap` drops tokens with df above the cap from the
+    * vector space entirely (the stop-token guard — a token in half
+    * the corpus adds df²/4 join rows and ~zero discrimination).
+    * Per-term products quantize to 1e-9 into DECIMAL(38,0), so dots
+    * and norms are exact and engine-portable however partitions
+    * combine. */
+  def sparseCosineTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, k: Int,
+                       dfCap: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= dfCap)
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val weights = tf.join(broadcast(docFreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")),
+              6).as("w"))
+    val q = (x: org.apache.spark.sql.Column) =>
+      round(x * lit(1e9), 0).cast("decimal(38,0)")
+    val norms = weights.groupBy(col("id"))
+      .agg(sqrt(sum(q(col("w") * col("w"))).cast("double") / lit(1e9))
+             .as("nrm"))
+    val dots = weights.select(col("id").as("id_a"), col("token"),
+                              col("w").as("w_a"))
+      .join(weights.select(col("id").as("id_b"), col("token"),
+                           col("w").as("w_b")), "token")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(q(col("w_a") * col("w_b"))).cast("double") / lit(1e9))
+             .as("dot"))
+    val scored = dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("n_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              (col("dot") / (col("n_a") * col("n_b"))).as("cos"))
+    val both = scored.unionByName(
+      scored.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+                    col("cos")))
+    both
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_a"))
+          .orderBy(col("cos").desc, col("id_b").asc)))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"),
+              col("rn"))
+  }
+
   /** Characters of a string column as an array, with the empty-string
     * elements `split` emits at the boundaries filtered out (engines
     * disagree on split-by-'' edge behavior). */

@@ -661,6 +661,16 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Sparse TF-IDF cosine: lexical document similarity via the
+    // inverted-index join (work = sum of df^2, the q27 kernel
+    // economics), per-term products decimal-quantized. Top-3 partners
+    // per document over docs < 300.
+    "q110_sparse_cosine" -> ((s, d) => {
+      TextStats.sparseCosineTopK(
+        documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        k = 3)
+    }),
+
     // PageRank over the verified near-dup graph (q57's edge set): two
     // damped power iterations, contributions quantized to 1e-15 and
     // decimal-summed so the only order-sensitive reduction is exact.
@@ -1359,6 +1369,39 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Sparse cosine: same tf/df/N arithmetic as q75's anchor, weights
+    // rounded to 6, per-term products quantized at 1e-9 into HUGEINT
+    // sums — dot and norm identical bit-for-bit before the final round.
+    "q110_sparse_cosine" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id AS id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE doc_id < 300)
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 300),
+         |wt AS (SELECT id, tf.token AS token,
+         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS w
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |nrm AS (SELECT id,
+         |    sqrt(CAST(SUM(CAST(round(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         |      AS nrm
+         |  FROM wt GROUP BY id),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(SUM(CAST(round(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |      AS dot
+         |  FROM wt a JOIN wt b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |scored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots JOIN nrm na ON id_a = na.id JOIN nrm nb ON id_b = nb.id),
+         |sym AS (SELECT id_a, id_b, cos FROM scored
+         |        UNION ALL SELECT id_b, id_a, cos FROM scored),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+         |  FROM sym)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim, rn
+         |FROM ranked WHERE rn <= 3""".stripMargin,
+
     // PageRank: both damped rounds replayed CTE-by-CTE over the q57
     // edge set. (1 - 0.85) is computed as a DOUBLE SUBTRACTION (not
     // the literal 0.15) to match Spark's Scala-side arithmetic bit
