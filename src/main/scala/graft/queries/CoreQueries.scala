@@ -29,6 +29,37 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Per-nation median imputation of (deterministically planted)
+    // null balances: exact rounded medians broadcast back, repairs
+    // flagged per row, all-null groups keep visible nulls.
+    "q111_impute" -> ((s, d) => {
+      val withNulls = customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"),
+        when(pmod(col("c_custkey"), lit(11)) === 0,
+             lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      graft.operators.Impute.medianImpute(withNulls, Seq("c_nationkey"),
+                                          "bal")
+        .select(col("c_custkey"), col("c_nationkey"),
+                // scale 4, not 2: medians of 2-decimal values land on
+                // .xx5 halves where Spark (decimal-string HALF_UP) and
+                // DuckDB (binary-double) round() disagree; at scale 4
+                // the round is the identity for every value here
+                round(col("bal_imputed"), 4).as("bal_imputed"),
+                col("was_imputed"))
+    }),
+
+    // PSI drift between 1995 and 1997 order totals on the q107
+    // bucketing: per-bucket shares + terms (the diagnosis) and the
+    // quantized total (the alarm) on every row.
+    "q112_psi" -> ((s, d) => {
+      val o = orders(s, d)
+      graft.operators.Drift.psi(
+        o.filter(year(col("o_orderdate")) === 1995),
+        o.filter(year(col("o_orderdate")) === 1997),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20)
+    }),
+
     // Per-nation winsorization of customer balances: exact [p05, p95]
     // thresholds rounded to 4 decimals BEFORE any comparison (the
     // portability contract), tail-clamp audit + exact clamped sum.
@@ -739,6 +770,46 @@ object CoreQueries {
         |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
         |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
         |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0) = 0""".stripMargin,
+
+    "q111_impute" ->
+      """WITH w AS (SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+        |  FROM customer),
+        |m AS (SELECT c_nationkey, ROUND(quantile_cont(bal, 0.5), 4) AS med
+        |  FROM w WHERE bal IS NOT NULL GROUP BY c_nationkey)
+        |SELECT c_custkey, w.c_nationkey,
+        |  ROUND(COALESCE(bal, med), 4) AS bal_imputed,
+        |  (bal IS NULL) AS was_imputed
+        |FROM w LEFT JOIN m ON w.c_nationkey = m.c_nationkey""".stripMargin,
+
+    "q112_psi" ->
+      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE year(o_orderdate) = 1995 AND o_totalprice IS NOT NULL),
+        |live AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND o_totalprice IS NOT NULL),
+        |ba AS (SELECT CASE WHEN x < 0 THEN -1 WHEN x > 500000 THEN 20
+        |    ELSE LEAST(CAST(FLOOR((x - 0) / 25000.0) AS INT), 19) END AS bucket,
+        |    COUNT(*) AS n_ref FROM ref GROUP BY 1),
+        |bb AS (SELECT CASE WHEN x < 0 THEN -1 WHEN x > 500000 THEN 20
+        |    ELSE LEAST(CAST(FLOOR((x - 0) / 25000.0) AS INT), 19) END AS bucket,
+        |    COUNT(*) AS n_live FROM live GROUP BY 1),
+        |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_live, 0) AS n_live
+        |  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+        |t AS (SELECT SUM(n_ref) AS ta, SUM(n_live) AS tb FROM j),
+        |terms AS (SELECT bucket, n_ref, n_live,
+        |    GREATEST(CAST(n_ref AS DOUBLE) / CAST(ta AS DOUBLE), 1e-6) AS p_ref,
+        |    GREATEST(CAST(n_live AS DOUBLE) / CAST(tb AS DOUBLE), 1e-6) AS p_live
+        |  FROM j CROSS JOIN t),
+        |terms2 AS (SELECT *, (p_ref - p_live) * ln(p_ref / p_live) AS psi_term
+        |  FROM terms),
+        |tot AS (SELECT CAST(SUM(CAST(round(psi_term * 1e12) AS BIGINT)) AS DOUBLE)
+        |    / 1e12 AS psi FROM terms2)
+        |SELECT bucket, n_ref, n_live,
+        |  ROUND(p_ref, 6) AS p_ref, ROUND(p_live, 6) AS p_live,
+        |  ROUND(psi_term, 6) AS psi_term, ROUND(psi, 6) AS psi_total
+        |FROM terms2 CROSS JOIN tot""".stripMargin,
 
     "q109_winsorize" ->
       """WITH t AS (SELECT c_nationkey AS k, CAST(c_acctbal AS DOUBLE) AS x
