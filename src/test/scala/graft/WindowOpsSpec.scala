@@ -53,6 +53,27 @@ class WindowOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum === 2L)
   }
 
+  test("medianImpute: nulls take the group median; all-null groups stay null") {
+    val df = Seq(("A", Some(1.0)), ("A", Some(3.0)), ("A", None),
+                 ("B", None), ("B", None)).toDF("g", "x")
+    val out = graft.operators.Impute.medianImpute(df, Seq("g"), "x")
+      .collect().map(r => (r.getString(0), Option(r.get(2)), r.getBoolean(3)))
+    val aRepair = out.filter(r => r._1 == "A" && r._3)
+    assert(aRepair.toSeq === Seq(("A", Some(2.0), true))) // median of 1,3
+    assert(out.filter(_._1 == "B").forall(r => r._2.isEmpty && r._3))
+  }
+
+  test("psi: identical samples score ~0; a shifted sample scores high") {
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    val same = graft.operators.Drift.psi(ref, ref, "x", 0, 100, 10)
+      .select($"psi_total").distinct().collect().head.getDouble(0)
+    assert(same === 0.0)
+    val shifted = (51 to 150).map(_.toDouble).toDF("x")
+    val moved = graft.operators.Drift.psi(ref, shifted, "x", 0, 100, 10)
+      .select($"psi_total").distinct().collect().head.getDouble(0)
+    assert(moved > 0.25) // half the mass left the domain: act
+  }
+
   test("winsorize: tails clamp to the group's own percentiles") {
     // group A: 1..100, ASYMMETRIC [p10, p80] so the clamp visibly
     // moves the sum: p10 = 10.9, p80 = 80.2 (linear interpolation);
