@@ -28,7 +28,10 @@ object Histogram {
       .when(x > hi, lit(nBuckets))
       .otherwise(least(floor((x - lit(lo)) / lit(width)).cast("int"),
                        lit(nBuckets - 1)))
-    df.filter(x.isNotNull)
+    // NaN is excluded with null: it satisfies neither range predicate,
+    // and ANSI mode would throw casting floor(NaN) to int — a poisoned
+    // row must not kill the audit job
+    df.filter(x.isNotNull && !isnan(x))
       .select(bucket.as("bucket"), x.as("__x"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
