@@ -661,6 +661,18 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Prefix-filtered EXACT Jaccard join (PPJoin): candidates only
+    // from rare-token prefixes, yet provably lossless — the oracle is
+    // the brute-force all-pairs SQL, so the hash gate proves the
+    // filter dropped nothing.
+    "q113_prefix_join" -> ((s, d) => {
+      NearDup.prefixFilterJaccardPairs(
+        documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+                round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // Sparse TF-IDF cosine: lexical document similarity via the
     // inverted-index join (work = sum of df^2, the q27 kernel
     // economics), per-term products decimal-quantized. Top-3 partners
@@ -1369,6 +1381,21 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Prefix join: brute-force all-pairs ground truth — equality
+    // proves the prefix filter is lossless at this threshold.
+    "q113_prefix_join" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |    list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |nz AS (SELECT * FROM d WHERE len(toks) > 0),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+         |      AS jac
+         |  FROM nz a JOIN nz b ON a.id < b.id)
+         |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+         |FROM pairs WHERE jac >= 0.6""".stripMargin,
+
     // Sparse cosine: same tf/df/N arithmetic as q75's anchor, weights
     // rounded to 6, per-term products quantized at 1e-9 into HUGEINT
     // sums — dot and norm identical bit-for-bit before the final round.

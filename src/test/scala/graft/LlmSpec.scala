@@ -590,6 +590,27 @@ class LlmSpec extends SparkSpec {
     assert(shuffles === 2, s"expected 2 shuffle exchanges, plan:\n$plan")
   }
 
+  test("prefix-filter join: lossless vs brute force; threshold boundary exact") {
+    // docs 1/2: jaccard = 4/6 = 0.667 (>= 0.6 keeps); docs 1/3:
+    // 2/8 = 0.25 (drops); doc 4 disjoint
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "a b p q r s"),
+      (4L, "z1 z2 z3")).toDF("doc_id", "text")
+    val out = NearDup.prefixFilterJaccardPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           math.rint(r.getDouble(2) * 1e4) / 1e4))
+    assert(out.toSeq === Seq((1L, 2L, 0.6667)))
+    // brute force over the same fixture agrees (losslessness)
+    val toks = docs.select($"doc_id", NearDup.tokenSet($"text").as("t"))
+    val brute = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(NearDup.jaccard(col("a.t"), col("b.t")).as("j"))
+      .filter($"j" >= 0.6).count()
+    assert(brute === 1L)
+  }
+
   test("dimStats: hand-computed per-dimension moments") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
       .toDF("id", "v")
