@@ -136,6 +136,46 @@ object Sampling {
               col("kept_id_checksum"))
   }
 
+  /** Curriculum training order: easy-first schedule over a per-row
+    * difficulty score (e.g. the unigram-LM NLL of TextStats) —
+    * documents bucket into `nBuckets` difficulty bands by EXACT
+    * percentile cutpoints, then each shard orders its rows
+    * (band asc, lcg(id), id): the curriculum ramps difficulty while
+    * the LCG decorrelates order inside a band. Returns
+    * (shard, pos, id, bucket, difficulty).
+    *
+    * The banding deliberately uses broadcast CUTPOINTS, not a global
+    * ntile: ntile needs a single totally-ordered partition (the whole
+    * corpus through one task), while nBuckets−1 percentile values are
+    * a 1-row aggregate broadcast back into a scan-local comparison —
+    * the same reason q71's centroids are plan literals. Cutpoints
+    * round to 4 decimals before any comparison (the Winsorize
+    * portability contract). One shard-keyed window orders the output;
+    * shards sort independently (the shuffleOrder scale story). */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+                      nBuckets: Int, nShards: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 difficulty bands")
+    val diff = round(col(difficultyCol).cast("double"), 4)
+    val scored = df.select(col(idCol).as("id"), diff.as("difficulty"))
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = scored.agg(
+      round(expr(s"percentile(difficulty, ${ps.head})"), 4).as("c0"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(difficulty, $p)"), 4).as(s"c${i + 1}")
+      }: _*)
+    val bucket = ps.indices
+      .map(i => when(col("difficulty") > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .withColumn("shard", shardOf(col("id"), nShards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("bucket").asc, Similarity.lcg(col("id")), col("id"))))
+      .select(col("shard"), col("pos"), col("id"), col("bucket"),
+              col("difficulty"))
+  }
+
   /** Reproducible corpus shuffle for training order: every row gets a
     * (shard, pos) coordinate where shard is [[shardOf]] and pos
     * numbers the shard's rows in (lcg(id), id) order. The LCG

@@ -661,6 +661,16 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Curriculum order: unigram-NLL difficulty (q83's verified score)
+    // banded into quintiles by broadcast percentile cutpoints, then
+    // easy-first per-shard training positions.
+    "q114_curriculum" -> ((s, d) => {
+      val nll = TextStats.unigramNll(documents(s, d), "doc_id", "text")
+      Sampling.curriculumOrder(nll, "doc_id", "nll", nBuckets = 5,
+                               nShards = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Prefix-filtered EXACT Jaccard join (PPJoin): candidates only
     // from rare-token prefixes, yet provably lossless — the oracle is
     // the brute-force all-pairs SQL, so the hash gate proves the
@@ -1381,6 +1391,35 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Curriculum: q83's NLL kernel -> quantile_cont quintile cuts ->
+    // indicator-sum banding -> per-shard (band, lcg, id) positions.
+    "q114_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |v AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM t),
+         |nll AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(-ln(c / corpus_n) AS DECIMAL(30,6)))
+         |      AS DOUBLE) / COUNT(*), 4) AS difficulty
+         |  FROM t JOIN v USING (token) CROSS JOIN n GROUP BY doc_id),
+         |cuts AS (SELECT
+         |    ROUND(quantile_cont(difficulty, 0.2), 4) AS c0,
+         |    ROUND(quantile_cont(difficulty, 0.4), 4) AS c1,
+         |    ROUND(quantile_cont(difficulty, 0.6), 4) AS c2,
+         |    ROUND(quantile_cont(difficulty, 0.8), 4) AS c3
+         |  FROM nll),
+         |b AS (SELECT doc_id, difficulty,
+         |    (CASE WHEN difficulty > c0 THEN 1 ELSE 0 END +
+         |     CASE WHEN difficulty > c1 THEN 1 ELSE 0 END +
+         |     CASE WHEN difficulty > c2 THEN 1 ELSE 0 END +
+         |     CASE WHEN difficulty > c3 THEN 1 ELSE 0 END) AS bucket,
+         |    (${lcgSql("doc_id")}) % 8 AS shard
+         |  FROM nll CROSS JOIN cuts)
+         |SELECT shard,
+         |  row_number() OVER (PARTITION BY shard
+         |    ORDER BY bucket, ${lcgSql("doc_id")}, doc_id) AS pos,
+         |  doc_id, bucket, difficulty
+         |FROM b""".stripMargin,
+
     // Prefix join: brute-force all-pairs ground truth — equality
     // proves the prefix filter is lossless at this threshold.
     "q113_prefix_join" ->
