@@ -68,6 +68,44 @@ object TextStats {
       .otherwise(lit("fr"))
   }
 
+  /** Mixed-language detection — the multilingual-corpus quality gate
+    * document-level langid can't provide: a doc that flips language
+    * mid-stream (boilerplate + content, code-switching, concatenation
+    * artifacts) scores one dominant label at the document level but
+    * SHOULD be flagged or split. Chunks each document into
+    * `chunkSize`-token windows (Chunking's narrow explode), language-
+    * identifies each chunk, and rolls up: chunk count, dominant
+    * language (ties toward the alphabetically-smaller label), its
+    * fraction, and an is_mixed flag (more than one non-'und' language
+    * among chunks).
+    *
+    * Scale shape: chunking is scan-local; ONE (doc, lang) aggregation
+    * whose per-doc rollup reuses the same partitioning (subset
+    * clustering); the dominant pick is a min(struct(-count, lang))
+    * argmax — no second corpus pass, no window. */
+  def mixedLanguage(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, chunkSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val chunks = Chunking.chunkTokens(df, idCol, textCol, chunkSize,
+                                      chunkSize)
+    val counts = chunks
+      .select(col(idCol), langId(col("chunk_text")).as("chunk_lang"))
+      .groupBy(col(idCol), col("chunk_lang")).agg(count(lit(1)).as("c"))
+    val dom = min(struct((-col("c")).as("nc"), col("chunk_lang").as("l")))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chunks"),
+           dom.as("__d"),
+           count_distinct(when(col("chunk_lang") =!= "und",
+                               col("chunk_lang"))).as("__nl"))
+      .select(col(idCol),
+              col("n_chunks").cast("long").as("n_chunks"),
+              col("__d.l").as("dominant_lang"),
+              round((-col("__d.nc")).cast("double")
+                      / col("n_chunks").cast("double"), 4)
+                .as("dominant_frac"),
+              (col("__nl") > 1).as("is_mixed"))
+  }
+
   /** Vocabulary extraction: the k most frequent whitespace tokens with
     * a deterministic (freq desc, token asc) tiebreak. Partial counts
     * combine map-side; the final top-k is TakeOrdered (per-partition

@@ -661,6 +661,13 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Mixed-language detection: 20-token chunks through the verified
+    // langid kernel, per-doc dominant language + fraction + flag.
+    "q115_mixed_lang" -> ((s, d) => {
+      TextStats.mixedLanguage(documents(s, d), "doc_id", "text",
+                              chunkSize = 20)
+    }),
+
     // Curriculum order: unigram-NLL difficulty (q83's verified score)
     // banded into quintiles by broadcast percentile cutpoints, then
     // easy-first per-shard training positions.
@@ -1391,6 +1398,38 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // Mixed-language: chunk starts via range(0, len, 20), the q25
+    // marker-count langid per chunk slice, min(struct) argmax rollup.
+    "q115_mixed_lang" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         |ch AS (SELECT doc_id,
+         |    list_slice(tk, cs + 1, cs + 20) AS ct
+         |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 20)) AS cs
+         |        FROM d)),
+         |scored AS (SELECT doc_id,
+         |    len(list_filter(ct, t -> t IN ('the','a','of','and'))) AS en_n,
+         |    len(list_filter(ct, t -> t IN ('der','die','das','und'))) AS de_n,
+         |    len(list_filter(ct, t -> t IN ('le','la','et','les'))) AS fr_n
+         |  FROM ch),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN en_n + de_n + fr_n = 0 THEN 'und'
+         |         WHEN en_n >= de_n AND en_n >= fr_n THEN 'en'
+         |         WHEN de_n >= fr_n THEN 'de' ELSE 'fr' END AS chunk_lang
+         |  FROM scored),
+         |c AS (SELECT doc_id, chunk_lang, COUNT(*) AS c FROM lab
+         |  GROUP BY doc_id, chunk_lang),
+         |agg AS (SELECT doc_id, SUM(c) AS n_chunks,
+         |    MIN(struct_pack(nc := -c, l := chunk_lang)) AS d,
+         |    COUNT(DISTINCT CASE WHEN chunk_lang <> 'und'
+         |                        THEN chunk_lang END) AS nl
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  d.l AS dominant_lang,
+         |  ROUND(CAST(-d.nc AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4)
+         |    AS dominant_frac,
+         |  (nl > 1) AS is_mixed
+         |FROM agg""".stripMargin,
+
     // Curriculum: q83's NLL kernel -> quantile_cont quintile cuts ->
     // indicator-sum banding -> per-shard (band, lcg, id) positions.
     "q114_curriculum" ->

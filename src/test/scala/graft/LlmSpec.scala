@@ -590,6 +590,22 @@ class LlmSpec extends SparkSpec {
     assert(shuffles === 2, s"expected 2 shuffle exchanges, plan:\n$plan")
   }
 
+  test("mixedLanguage: a doc that flips language mid-stream is flagged") {
+    val en = Seq.fill(5)("the cat and a dog of it").mkString(" ")   // 35 tok
+    val de = Seq.fill(5)("der hund und die katze das war").mkString(" ")
+    val docs = Seq(
+      (1L, en),                // monolingual
+      (2L, en + " " + de),     // flips en -> de across chunks
+      (3L, "x1 x2 x3"))        // no markers at all
+      .toDF("doc_id", "text")
+    val out = TextStats.mixedLanguage(docs, "doc_id", "text", chunkSize = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getBoolean(4)))).toMap
+    assert(out(1L) === (("en", false)))
+    assert(out(2L)._2 === true)
+    assert(out(3L) === (("und", false))) // und never counts as mixed
+  }
+
   test("prefix-filter join: lossless vs brute force; threshold boundary exact") {
     // docs 1/2: jaccard = 4/6 = 0.667 (>= 0.6 keeps); docs 1/3:
     // 2/8 = 0.25 (drops); doc 4 disjoint
