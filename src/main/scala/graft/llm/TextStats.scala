@@ -259,9 +259,14 @@ object TextStats {
       .join(norms.select(col("id").as("id_b"), col("nrm").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
               (col("dot") / (col("n_a") * col("n_b"))).as("cos"))
-    val both = scored.unionByName(
-      scored.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-                    col("cos")))
+    // both orientations from ONE explode of the scored pairs — a
+    // union of scored with its own swap would make Catalyst evaluate
+    // the whole inverted-index pipeline twice (the q70 lesson)
+    val both = scored.select(explode(array(
+        struct(col("id_a"), col("id_b"), col("cos")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+               col("cos")))).as("p"))
+      .select(col("p.*"))
     both
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id_a"))
