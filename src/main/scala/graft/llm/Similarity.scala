@@ -99,6 +99,42 @@ object Similarity {
               round(col("p.cos") - col("n.cos"), 4).as("margin"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: given per-system rankings
+    * (qid, cid, rn), each candidate scores Σ_systems 1/(k + rank),
+    * which rewards agreement without requiring the systems' raw
+    * scores to be commensurable (dense cosine and sparse TF-IDF
+    * live on different scales; their RANKS don't). Returns the
+    * fused top-`topN` per query with deterministic (score, cid)
+    * ordering.
+    *
+    * Portability: ranks are exact ints, each reciprocal is the same
+    * IEEE double everywhere, and IEEE addition is commutative — a
+    * per-(qid, cid) sum over a handful of systems is order-safe
+    * without decimal routing.
+    *
+    * Scale shape: a union of ranking frames (each already top-k
+    * sized, |Q|·k rows), one (qid, cid) aggregation, one qid window
+    * — nothing corpus-sized appears at all; the expensive part is
+    * the upstream retrievers, not the fusion. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, topN: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val unioned = rankings
+      .map(_.select(col("qid"), col("cid"), col("rn")))
+      .reduce(_ unionByName _)
+    unioned
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(lit(1.0) / (lit(k.toDouble) + col("rn").cast("double")))
+             .as("rrf"),
+           count(lit(1)).as("n_systems"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("cid").asc)))
+      .filter(col("fused_rank") <= topN)
+      .select(col("qid"), col("cid"), round(col("rrf"), 6).as("rrf"),
+              col("n_systems"), col("fused_rank"))
+  }
+
   /** The `nCentroids` corpus rows with the smallest (lcg(id), id) —
     * the deterministic, oracle-recomputable stand-in for an offline
     * k-means fit shared by the IVF and PQ paths. Bounded collect. */

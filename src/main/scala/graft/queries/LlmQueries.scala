@@ -661,6 +661,27 @@ object LlmQueries {
                                 k = 10)
     }),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the DENSE embedding
+    // ranking (q30 kernel) and the SPARSE TF-IDF ranking (q110
+    // kernel) over the shared 0..299 id space — ranks, not raw
+    // scores, so the two systems need not be commensurable.
+    "q116_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d).filter(col("vec_id") < 300)
+      val dense = Similarity.cosineTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos_sim").desc, col("cid").asc)))
+        .select(col("qid"), col("cid"), col("rn"))
+      val sparse = TextStats.sparseCosineTopK(
+          documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+          k = 10)
+        .filter(col("id_a") < 10)
+        .select(col("id_a").as("qid"), col("id_b").as("cid"), col("rn"))
+      Similarity.rrfFuse(Seq(dense, sparse), k = 60, topN = 10)
+    }),
+
     // Mixed-language detection: 20-token chunks through the verified
     // langid kernel, per-doc dominant language + fraction + flag.
     "q115_mixed_lang" -> ((s, d) => {
@@ -1398,6 +1419,57 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    // RRF: dense ranks (q30 kernel, corpus < 300) + sparse ranks
+    // (q110 kernel, k=10) fused by sum of 1/(60+rank); a 2-term IEEE
+    // sum is commutative, so no decimal routing is needed.
+    "q116_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 300),
+         |dscored AS (SELECT qid, cid,
+         |  list_dot_product(qv, cv)
+         |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+         |  FROM q, c WHERE qid <> cid),
+         |dense AS (SELECT qid, cid, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |  FROM dscored) WHERE rn <= 10),
+         |tf AS (SELECT doc_id AS id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE doc_id < 300)
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 300),
+         |wt AS (SELECT id, tf.token AS token,
+         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS w
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |nrm AS (SELECT id,
+         |    sqrt(CAST(SUM(CAST(round(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         |      AS nrm
+         |  FROM wt GROUP BY id),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(SUM(CAST(round(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |      AS dot
+         |  FROM wt a JOIN wt b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |sscored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots JOIN nrm na ON id_a = na.id JOIN nrm nb ON id_b = nb.id),
+         |ssym AS (SELECT id_a, id_b, cos FROM sscored
+         |         UNION ALL SELECT id_b, id_a, cos FROM sscored),
+         |sparse AS (SELECT id_a AS qid, id_b AS cid, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM ssym) WHERE rn <= 10 AND id_a < 10),
+         |u AS (SELECT * FROM dense UNION ALL SELECT * FROM sparse),
+         |f AS (SELECT qid, cid,
+         |    SUM(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rn AS DOUBLE)))
+         |      AS rrf,
+         |    COUNT(*) AS n_systems
+         |  FROM u GROUP BY qid, cid)
+         |SELECT qid, cid, ROUND(rrf, 6) AS rrf, n_systems, fused_rank
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, cid) AS fused_rank FROM f)
+         |WHERE fused_rank <= 10""".stripMargin,
+
     // Mixed-language: chunk starts via range(0, len, 20), the q25
     // marker-count langid per chunk slice, min(struct) argmax rollup.
     "q115_mixed_lang" ->
