@@ -13,6 +13,27 @@ class StreamingScdSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
+  test("streaming PSI monitor: stable batch scores low, shifted batch alarms") {
+    implicit val sq = spark.sqlContext
+    val path = tmpDir("drift-table")
+    val ckpt = tmpDir("drift-ckpt")
+    val reference = (1 to 100).map(_.toDouble).toDF("x")
+
+    val mem = MemoryStream[Double]
+    val stream = mem.toDF().toDF("x")
+    mem.addData((1 to 100).map(_.toDouble): _*)    // same distribution
+    graft.streaming.StreamingDrift.psiMonitor(stream, reference, "x",
+        0, 100, 10, path, ckpt).awaitTermination(60000)
+    mem.addData((51 to 150).map(_.toDouble): _*)   // half the mass leaves
+    graft.streaming.StreamingDrift.psiMonitor(stream, reference, "x",
+        0, 100, 10, path, ckpt).awaitTermination(60000)
+
+    val audit = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(audit(0L) === 0.0)
+    assert(audit(1L) > 0.25)
+  }
+
   test("streamed SCD2 over two micro-batches equals the batch rebuild") {
     implicit val sq = spark.sqlContext
     val path = tmpDir("scd2-table")
