@@ -18,15 +18,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
-    * natively; read it as a long (legacy conf) and truncate ns → µs,
-    * which is exactly what DuckDB's TIMESTAMP (µs) view of the same file
-    * does — keeping the oracle comparable. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others, so the loader adapts
+    * to whichever this dataset carries:
+    *  - NANOS: Spark refuses to read it natively; read as long (legacy
+    *    conf) and truncate ns → µs — exactly what DuckDB's TIMESTAMP
+    *    (µs) view of the same file does, keeping the oracle comparable.
+    *  - MICROS (isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ; cast
+    *    to TIMESTAMP (sessions run UTC, so the µs value is unchanged)
+    *    so downstream ops see the same type either way. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -730,42 +730,47 @@ object CoreQueries {
         |        / CAST(COUNT(*) AS DOUBLE) / 3.6e9, 4)
         |FROM s3""".stripMargin,
 
+    // Every SUM is CAST to BIGINT: DuckDB's SUM over integers returns
+    // HUGEINT, which its pandas bridge renders as float64 — the driver
+    // then hashes 15000.0 vs Spark's 15000 and the row mismatches even
+    // though the values are equal (the r4 q103/q109 hash-fail cause).
     "q103_expectations" ->
       """SELECT 'not_null_o_orderkey' AS rule, COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
         |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
         |FROM orders
         |UNION ALL
         |SELECT 'range_o_totalprice', COUNT(*),
-        |  SUM(CASE WHEN NOT (o_totalprice IS NULL
-        |        OR (o_totalprice >= 0 AND o_totalprice <= 400000)) THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN NOT (o_totalprice IS NULL
+        |        OR (o_totalprice >= 0 AND o_totalprice <= 400000)) THEN 1 ELSE 0 END) AS BIGINT),
         |  SUM(CASE WHEN NOT (o_totalprice IS NULL
         |        OR (o_totalprice >= 0 AND o_totalprice <= 400000)) THEN 1 ELSE 0 END) = 0
         |FROM orders
         |UNION ALL
         |SELECT 'in_set_o_orderstatus', COUNT(*),
-        |  SUM(CASE WHEN NOT (o_orderstatus IS NULL
-        |        OR o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN NOT (o_orderstatus IS NULL
+        |        OR o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT),
         |  SUM(CASE WHEN NOT (o_orderstatus IS NULL
         |        OR o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) = 0
         |FROM orders
         |UNION ALL
         |SELECT 'matches_o_orderpriority', COUNT(*),
-        |  SUM(CASE WHEN NOT (o_orderpriority IS NULL
-        |        OR regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN NOT (o_orderpriority IS NULL
+        |        OR regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END) AS BIGINT),
         |  SUM(CASE WHEN NOT (o_orderpriority IS NULL
         |        OR regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END) = 0
         |FROM orders
         |UNION ALL
-        |SELECT 'unique_o_orderkey', SUM(c), SUM(c - 1), SUM(c - 1) = 0
+        |SELECT 'unique_o_orderkey', CAST(SUM(c) AS BIGINT),
+        |  CAST(SUM(c - 1) AS BIGINT), SUM(c - 1) = 0
         |FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
         |UNION ALL
         |SELECT 'fk_lineitem_orders',
         |  (SELECT COUNT(*) FROM lineitem),
-        |  COALESCE((SELECT SUM(c) FROM
+        |  CAST(COALESCE((SELECT SUM(c) FROM
         |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
         |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
-        |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0),
+        |    WHERE k NOT IN (SELECT o_orderkey FROM orders)), 0) AS BIGINT),
         |  COALESCE((SELECT SUM(c) FROM
         |    (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
         |     WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) ck
@@ -819,8 +824,8 @@ object CoreQueries {
         |  FROM t GROUP BY k)
         |SELECT t.k AS c_nationkey, COUNT(*) AS n,
         |  MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
-        |  SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS n_clamped_lo,
-        |  SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+        |  CAST(SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
         |  CAST(SUM(CAST(LEAST(GREATEST(x, p_lo), p_hi) AS DECIMAL(30,6)))
         |       AS DOUBLE) AS winsorized_sum
         |FROM t JOIN th USING (k) GROUP BY t.k""".stripMargin,
