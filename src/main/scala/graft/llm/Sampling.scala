@@ -192,4 +192,36 @@ object Sampling {
     df.withColumn("shard", shardOf(col(idCol), nShards))
       .withColumn("pos", row_number().over(w))
   }
+
+  /** GROUP-level split audit — the leakage check for entity-grouped
+    * data. Splitting event/interaction rows row-wise puts the same
+    * user in train AND test, and the model "generalizes" to users it
+    * memorized; the safe split assigns the GROUP (user, session,
+    * patient) via [[assignSplit]] of the group id, and every row
+    * inherits it. This operator emits the audit a pipeline gates on:
+    * one row per split with group/row counts and fractions, plus
+    * `leak_free` — TRUE iff no group landed in two splits, proven by
+    * comparing distinct (group, split) pairs against distinct groups
+    * rather than trusted by construction.
+    *
+    * Scale shape: split assignment is a narrow pure-LCG projection
+    * (zero shuffle); the audit aggregations exchange only group-
+    * cardinality rows after a map-side distinct; the leak check is a
+    * 1-row broadcast crossJoin. */
+  def splitAudit(df: DataFrame, groupCol: String,
+                 splits: Seq[(String, Double)]): DataFrame = {
+    val tagged = df.withColumn("split", assignSplit(col(groupCol), splits))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(countDistinct(col(groupCol)).as("n_groups"),
+           count(lit(1)).as("n_rows"))
+    val totals = tagged.agg(
+        countDistinct(col(groupCol)).as("__g_total"),
+        countDistinct(col(groupCol), col("split")).as("__gs_total"),
+        count(lit(1)).as("__r_total"))
+    perSplit.crossJoin(broadcast(totals))
+      .select(col("split"), col("n_groups"), col("n_rows"),
+              round(col("n_rows").cast("double") /
+                    col("__r_total").cast("double"), 4).as("row_frac"),
+              (col("__gs_total") === col("__g_total")).as("leak_free"))
+  }
 }

@@ -223,11 +223,13 @@ object TextStats {
     * Per-term products quantize to 1e-9 into DECIMAL(38,0), so dots
     * and norms are exact and engine-portable however partitions
     * combine. */
-  def sparseCosineTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
-                       textCol: String, k: Int,
-                       dfCap: Long = Long.MaxValue)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** TF-IDF weights + norms shared by the two sparse-cosine modes:
+    * (weights (id, token, w), norms (id, nrm)). Per-term products are
+    * 1e-9-quantized into DECIMAL(38,0) so dots/norms are exact across
+    * partitionings. */
+  private def tfidfWeightsNorms(df: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String, dfCap: Long)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val tf = df.repartition(col(idCol))
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -241,11 +243,59 @@ object TextStats {
       .select(col("id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")),
               6).as("w"))
-    val q = (x: org.apache.spark.sql.Column) =>
-      round(x * lit(1e9), 0).cast("decimal(38,0)")
     val norms = weights.groupBy(col("id"))
-      .agg(sqrt(sum(q(col("w") * col("w"))).cast("double") / lit(1e9))
+      .agg(sqrt(sum(quant9(col("w") * col("w"))).cast("double") / lit(1e9))
              .as("nrm"))
+    (weights, norms)
+  }
+
+  private def quant9(x: org.apache.spark.sql.Column) =
+    round(x * lit(1e9), 0).cast("decimal(38,0)")
+
+  /** Query-restricted sparse retrieval: top-k TF-IDF-cosine partners
+    * for ONLY the rows matching `queryFilter` (written against the
+    * internal `id` column, e.g. `col("id") < 10`), ranked against the
+    * WHOLE corpus. Weights/norms/IDF still come from the full corpus
+    * (restricting them would change the scores), but the pair join is
+    * |Q|-sided: work is Σ_q df(token) over the query rows' tokens, not
+    * the all-pairs Σ df² — the difference between "retrieve for these
+    * queries" and q110's "similarity matrix of everything". */
+  def sparseCosineTopKFor(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          queryFilter: org.apache.spark.sql.Column, k: Int,
+                          dfCap: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (weights, norms) = tfidfWeightsNorms(df, idCol, textCol, dfCap)
+    val dots = weights.filter(queryFilter)
+      .select(col("id").as("id_a"), col("token"), col("w").as("w_a"))
+      .join(weights.select(col("id").as("id_b"), col("token"),
+                           col("w").as("w_b")), "token")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(quant9(col("w_a") * col("w_b"))).cast("double") / lit(1e9))
+             .as("dot"))
+    dots
+      .join(broadcast(norms.filter(queryFilter)
+        .select(col("id").as("id_a"), col("nrm").as("n_a"))), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              (col("dot") / (col("n_a") * col("n_b"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_a"))
+          .orderBy(col("cos").desc, col("id_b").asc)))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"),
+              col("rn"))
+  }
+
+  def sparseCosineTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, k: Int,
+                       dfCap: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (weights, norms) = tfidfWeightsNorms(df, idCol, textCol, dfCap)
+    val q = quant9 _
     val dots = weights.select(col("id").as("id_a"), col("token"),
                               col("w").as("w_a"))
       .join(weights.select(col("id").as("id_b"), col("token"),

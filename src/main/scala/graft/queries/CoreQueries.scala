@@ -67,6 +67,29 @@ object CoreQueries {
       graft.operators.Winsorize.winsorize(customer(s, d),
         Seq("c_nationkey"), "c_acctbal", pLo = 0.05, pHi = 0.95)),
 
+    // Leave-one-out target encoding of order priority against order
+    // total, pseudo-count 10 toward the global mean — category stats
+    // from one partial agg broadcast back; the fact table never
+    // shuffles.
+    "q118_target_encode" -> ((s, d) =>
+      graft.operators.TargetEncode.looEncode(
+          orders(s, d), "o_orderpriority", "o_totalprice", m = 10.0)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice"), col("target_enc"))),
+
+    // Per-nation MAD robust z-scores over customer balances (medians
+    // rounded to 4 decimals before downstream arithmetic — the q109
+    // portability contract; constant groups score NULL, not ±Inf).
+    "q119_mad_score" -> ((s, d) =>
+      graft.operators.Robust.madScore(
+          customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+                                col("c_acctbal")),
+          Seq("c_nationkey"), "c_acctbal")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+                col("med"), col("mad"), col("robust_z"))),
+
     // INCREMENTAL SCD2 maintenance: history (orders before 1997) is
     // built once, the 1997+ batch folds in via Scd.merge touching only
     // batch keys — and the oracle is q99's FULL-REBUILD SQL over the
@@ -829,6 +852,33 @@ object CoreQueries {
         |  CAST(SUM(CAST(LEAST(GREATEST(x, p_lo), p_hi) AS DECIMAL(30,6)))
         |       AS DOUBLE) AS winsorized_sum
         |FROM t JOIN th USING (k) GROUP BY t.k""".stripMargin,
+
+    "q118_target_encode" ->
+      """WITH pc AS (SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_cat,
+        |    COUNT(o_totalprice) AS n_cat
+        |  FROM orders GROUP BY o_orderpriority),
+        |g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |          / CAST(COUNT(o_totalprice) AS DOUBLE) AS mu FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ROUND((sum_cat - CAST(o_totalprice AS DOUBLE) + 10.0 * mu)
+        |        / (CAST(n_cat AS DOUBLE) - 1.0 + 10.0), 4) AS target_enc
+        |FROM orders JOIN pc USING (o_orderpriority) CROSS JOIN g
+        |WHERE o_orderkey < 1000""".stripMargin,
+
+    "q119_mad_score" ->
+      """WITH t AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS x
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |m AS (SELECT c_nationkey, ROUND(quantile_cont(x, 0.5), 4) AS med
+        |  FROM t GROUP BY c_nationkey),
+        |d AS (SELECT t.c_custkey, t.c_nationkey, t.x, m.med
+        |  FROM t JOIN m USING (c_nationkey)),
+        |md AS (SELECT c_nationkey, ROUND(quantile_cont(abs(x - med), 0.5), 4) AS mad
+        |  FROM d GROUP BY c_nationkey)
+        |SELECT c_custkey, d.c_nationkey, x AS c_acctbal, med, mad,
+        |  ROUND((x - med) / (1.4826 * NULLIF(mad, 0.0)), 4) AS robust_z
+        |FROM d JOIN md USING (c_nationkey)
+        |WHERE c_custkey < 300""".stripMargin,
 
     "q99_scd2" -> scd2RebuildSql,
 

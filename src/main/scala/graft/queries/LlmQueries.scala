@@ -674,10 +674,12 @@ object LlmQueries {
           Window.partitionBy(col("qid"))
             .orderBy(col("cos_sim").desc, col("cid").asc)))
         .select(col("qid"), col("cid"), col("rn"))
-      val sparse = TextStats.sparseCosineTopK(
+      // query-restricted retrieval mode: the pair join is |Q|-sided
+      // (Σ_q df over the 10 query docs' tokens) instead of ranking the
+      // full 300×300 similarity matrix and discarding 97% of it
+      val sparse = TextStats.sparseCosineTopKFor(
           documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
-          k = 10)
-        .filter(col("id_a") < 10)
+          queryFilter = col("id") < 10, k = 10)
         .select(col("id_a").as("qid"), col("id_b").as("cid"), col("rn"))
       Similarity.rrfFuse(Seq(dense, sparse), k = 60, topN = 10)
     }),
@@ -852,6 +854,30 @@ object LlmQueries {
         .withColumn("duration_ms",
           round(col("n_frames") * lit(1000.0) / col("sample_rate"), 0)
             .cast("long"))
+    }),
+
+    // Chunk-level corpus dedup (CCNet-style boilerplate pass): 10-token
+    // spans recurring across >= 2 distinct docs are dropped; per-doc
+    // audit + cleaned text rebuilt in offset order.
+    "q117_chunk_dedup" -> ((s, d) => {
+      graft.llm.SpanDedup.chunkDupStats(documents(s, d), "doc_id", "text",
+                                        size = 10)
+    }),
+
+    // Hashing-trick vectorization: portable md5-bucket sparse
+    // bag-of-words — engine-reproducible fixed feature space.
+    "q120_feature_hash" -> ((s, d) => {
+      graft.llm.FeatureHash.hashedBow(
+        documents(s, d).filter(col("doc_id") < 50), "doc_id", "text",
+        nBuckets = 64)
+    }),
+
+    // Leakage-free grouped split audit: users (not events) are split
+    // 80/10/10 by the pure-LCG assignment; every event inherits its
+    // user's split, and leak_free proves no user straddles splits.
+    "q121_split_audit" -> ((s, d) => {
+      Sampling.splitAudit(events(s, d), "user_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     })
   )
 
@@ -2014,6 +2040,50 @@ object LlmQueries {
         |  (5, 'flac', 44100, 2, 16, 88200),
         |  (6, 'flac', 96000, 8, 24, 123456789),
         |  (7, 'unknown', NULL, NULL, NULL, NULL)
-        |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin
+        |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin,
+
+    // The q47-verified chunk kernel with stride == size; duplication is
+    // judged on chunk TEXT (the md5 on the Spark side is digest
+    // compression, not semantics). string_agg over an all-dup doc is
+    // NULL in DuckDB where Spark's concat_ws gives '' — COALESCE.
+    "q117_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(0, len(tk)-1, 10)) AS chunk_start, tk FROM t),
+         |c AS (SELECT doc_id, chunk_start,
+         |  array_to_string(list_slice(tk, chunk_start+1, chunk_start+10), ' ') AS chunk_text FROM s),
+         |n AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk_text),
+         |m AS (SELECT c.doc_id, c.chunk_start, c.chunk_text, n.n_docs >= 2 AS dup
+         |  FROM c JOIN n USING (chunk_text))
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  ROUND(SUM(CASE WHEN dup THEN 1.0 ELSE 0.0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac,
+         |  COALESCE(string_agg(CASE WHEN NOT dup THEN chunk_text END, ' ' ORDER BY chunk_start), '') AS clean_text
+         |FROM m GROUP BY doc_id""".stripMargin,
+
+    "q120_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |  CAST(CONCAT('0x', substr(md5(tok), 1, 14)) AS BIGINT) % 64 AS bucket,
+         |  COUNT(*) AS n
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Sampling.assignSplit's cumulative-weight CASE over the
+    // shared LCG fraction; gs_total == g_total proves no user landed
+    // in two splits (structural, but the audit VERIFIES it).
+    "q121_split_audit" ->
+      s"""WITH a AS (SELECT user_id,
+         |    CASE WHEN frac < 0.8 THEN 'train'
+         |         WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT user_id,
+         |          CAST((${lcgSql("user_id")})>>16 AS DOUBLE)/32768.0 AS frac
+         |        FROM events)),
+         |t AS (SELECT COUNT(DISTINCT user_id) AS g_total,
+         |    (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, split FROM a)) AS gs_total,
+         |    COUNT(*) AS r_total FROM a)
+         |SELECT split, COUNT(DISTINCT user_id) AS n_groups, COUNT(*) AS n_rows,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(r_total AS DOUBLE) FROM t), 4) AS row_frac,
+         |  (SELECT gs_total = g_total FROM t) AS leak_free
+         |FROM a GROUP BY split""".stripMargin
   )
 }

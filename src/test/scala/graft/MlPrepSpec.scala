@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{FeatureHash, Sampling, SpanDedup}
+import graft.operators.{Robust, TargetEncode}
+
+/** Specs for the round-5 ML-prep operator batch: chunk-level corpus
+  * dedup, LOO target encoding, MAD robust scoring, feature hashing,
+  * grouped split audit. */
+class MlPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SpanDedup flags cross-doc boilerplate and rebuilds clean text") {
+    // docs 1 and 2 share an identical 3-token span; doc 3 is unique;
+    // doc 4 is PURE boilerplate (both its chunks recur elsewhere).
+    val df = Seq(
+      (1L, "shared span one alpha beta gamma"),
+      (2L, "shared span one delta epsilon zeta"),
+      (3L, "totally unique content here now ok"),
+      (4L, "shared span one shared span one")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.chunkDupStats(df, "doc_id", "text", size = 3)
+      .orderBy("doc_id").collect()
+    // chunk size 3, stride 3 → 2 chunks per 6-token doc
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 2L))
+    // "shared span one" appears in docs 1, 2, 4 → dup everywhere it occurs
+    assert(out(0).getLong(2) == 1L && out(1).getLong(2) == 1L)
+    assert(out(2).getLong(2) == 0L)             // unique doc: no dups
+    assert(out(3).getLong(2) == 2L)             // all-boilerplate doc
+    assert(out(0).getString(4) == "alpha beta gamma")  // clean_text keeps rest
+    assert(out(2).getString(4) == "totally unique content here now ok")
+    assert(out(3).getString(4) == "")           // everything removed
+    assert(out(3).getDouble(3) == 1.0)          // dup_frac
+  }
+
+  test("TargetEncode: LOO excludes the row's own target and shrinks to global") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0))
+      .toDF("cat", "t")
+    val m = 2.0
+    val mu = (10.0 + 20.0 + 30.0 + 100.0) / 4.0 // 40
+    val out = TargetEncode.looEncode(df, "cat", "t", m)
+      .orderBy("cat", "t").select("cat", "t", "target_enc").collect()
+    // row (a, 10): (60 - 10 + 2*40) / (3 - 1 + 2) = 130/4 = 32.5
+    assert(out(0).getDouble(2) == 32.5)
+    // row (a, 20): (60 - 20 + 80) / 4 = 30.0
+    assert(out(1).getDouble(2) == 30.0)
+    // singleton category b: (100 - 100 + 80) / (1 - 1 + 2) = 40 → pure
+    // global mean: a category with no OTHER observations carries no
+    // signal of its own.
+    assert(out(3).getDouble(2) == 40.0)
+  }
+
+  test("Robust.madScore: outlier flagged, constant group scores NULL") {
+    val g1 = (1 to 9).map(i => ("g1", i.toLong, i.toDouble)) :+ (("g1", 10L, 1000.0))
+    val g2 = (1 to 5).map(i => ("g2", (100 + i).toLong, 7.0))
+    val df = (g1 ++ g2).toDF("k", "id", "x")
+    val scored = Robust.madScore(df, Seq("k"), "x")
+    val out = Robust.madOutliers(df, Seq("k"), "x", zCut = 3.0).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L)) // only the 1000.0 row
+    // constant group: mad = 0 → robust_z NULL for every member
+    val g2z = scored.filter(col("k") === "g2").select("robust_z").collect()
+    assert(g2z.forall(_.isNullAt(0)))
+    // mean/stddev z would be dragged by the outlier: assert MAD-z of the
+    // inliers stays small (robustness, the operator's reason to exist)
+    val inlierZ = scored.filter(col("k") === "g1" && col("id") < 10L)
+      .select(abs(col("robust_z"))).collect().map(_.getDouble(0))
+    assert(inlierZ.forall(_ < 2.0))
+  }
+
+  test("FeatureHash: deterministic buckets in range, counts preserved") {
+    val df = Seq((1L, "a b c a"), (2L, "a d")).toDF("doc_id", "text")
+    val out = FeatureHash.hashedBow(df, "doc_id", "text", nBuckets = 8)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    // total counts == total tokens
+    assert(rows.map(_.getLong(2)).sum == 6L)
+    // same token → same bucket across docs (pure function of text)
+    val aBucket1 = out.filter(col("doc_id") === 1L && col("n") === 2L)
+      .select("bucket").head().getLong(0)
+    val run2 = FeatureHash.hashedBow(df, "doc_id", "text", nBuckets = 8)
+      .filter(col("doc_id") === 1L && col("n") === 2L)
+      .select("bucket").head().getLong(0)
+    assert(aBucket1 == run2)
+  }
+
+  test("Sampling.splitAudit: fractions near weights, leak_free proven") {
+    val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
+      .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
+    val out = Sampling.splitAudit(df, "user_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getBoolean(4)), "no user may straddle splits")
+    val byName = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byName("train") > 0.7 && byName("train") < 0.9)
+    // every row of a user follows the user: per-split rows are 2× groups
+    assert(out.forall(r => r.getLong(2) == 2 * r.getLong(1)))
+  }
+}
