@@ -365,4 +365,38 @@ object NearDup {
         round(col("n_dup_grams").cast("double") /
                 col("n_grams").cast("double"), 4))
   }
+
+  /** Token-set CONTAINMENT pairs — the asymmetric cousin of Jaccard
+    * (q27): C(A→B) = |A∩B| / |A| is high when A is quoted/embedded
+    * inside a larger B even though Jaccard (÷ the union) stays low —
+    * the quote/subset-detection signal a near-dup pass on its own
+    * misses. Emits both directions per pair; a pair qualifies when
+    * EITHER direction reaches `threshold`.
+    *
+    * Same bounded-window economics as the q27 verification kernel
+    * (candidates limited to same-lang ids within `windowAhead`); the
+    * unbounded scale path is LSH candidates (nearDupPairs) feeding
+    * this scorer instead of the id window. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String, threshold: Double,
+                       windowAhead: Int): DataFrame = {
+    val tok = df.select(col(idCol), col(langCol).as("__lang"),
+                        explode(tokenSet(col(textCol))).as("__t"))
+    val cnt = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col(s"a.__t") === col(s"b.__t") &&
+        col(s"a.__lang") === col(s"b.__lang") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        col(s"b.$idCol") <= col(s"a.$idCol") + windowAhead)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__ni"))
+    val contA = col("__ni").cast("double") / col("ca.__n").cast("double")
+    val contB = col("__ni").cast("double") / col("cb.__n").cast("double")
+    inter
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .join(cnt.as("cb"), col("id_b") === col(s"cb.$idCol"))
+      .filter(contA >= threshold || contB >= threshold)
+      .select(col("id_a"), col("id_b"),
+              round(contA, 4).as("cont_a"), round(contB, 4).as("cont_b"))
+  }
 }

@@ -484,4 +484,45 @@ object TextStats {
            i => array_min(slice(hs, i + lit(1), lit(w))))))
       .when(size(hs) > 0, array(array_min(hs)))
       .otherwise(typedLit(Seq.empty[Long]))
+
+  /** Collocation mining: top-k adjacent word pairs by pointwise mutual
+    * information, PMI = ln(P(xy) / (P(x)·P(y))) — high when a bigram
+    * occurs far more than its words' independent rates predict
+    * ("machine learning", "New York"). `minCount` floors the bigram
+    * count first: PMI's known pathology is that a pair seen once
+    * between two rare words scores arbitrarily high.
+    *
+    * Shape: bigram and unigram counts are two map-side-combined
+    * aggregations over the same scan-local explodes (gram strings,
+    * the [[ngramsOfTokens]] kernel); unigram counts are a
+    * vocabulary-sized broadcast (the q75 contract — swap to a shuffle
+    * join past the broadcast ceiling); totals are 1-row crossJoins;
+    * top-k is an orderBy+limit = TakeOrdered (per-partition heaps,
+    * never a full sort). Counts are exact longs, so the PMI double is
+    * a deterministic function of them in any engine. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).cast("double").as("nt"))
+    val nBi = toks.select(
+        greatest(size(col("__toks")) - 1, lit(0)).as("nb_doc"))
+      .agg(sum(col("nb_doc")).cast("double").as("nb"))
+    val bi = toks.select(explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log((col("cxy").cast("double") / col("nb")) /
+                  ((col("c1").cast("double") / col("nt")) *
+                   (col("c2").cast("double") / col("nt")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

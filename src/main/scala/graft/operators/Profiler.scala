@@ -78,4 +78,51 @@ object Profiler {
                 col("max_str"))
     }
   }
+
+  /** Exact Pearson correlation matrix over the given numeric columns
+    * (upper triangle, one row per pair). All O(k²) sufficient
+    * statistics — Σx, Σx², Σxy — ride ONE aggregation pass with
+    * map-side combine (a single wide row; the table is scanned once
+    * regardless of how many pairs are requested), then the closed
+    * form evaluates in a driver-free projection of that row.
+    *
+    * Portability: Pearson is invariant under affine scaling, so inputs
+    * quantize to INTEGERS (value·10^scale, exact when the data has ≤
+    * `scale` decimal places) and every sum is EXACT integer arithmetic
+    * — partitioning-independent, engine-independent. `corr()`
+    * built-ins accumulate in floats whose value depends on partition
+    * order, which can never hash-match across engines. The closed
+    * form runs in doubles with a fixed operation order:
+    * (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²̄) · √(n·Σy²−Σy²̄)), rounded to 6.
+    * Rows with a NULL in any profiled column are excluded up front so
+    * all statistics cover the same row set. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val mult = math.pow(10, scale)
+    val dec = (c: String) =>
+      round(col(c).cast("double") * lit(mult), 0).cast("decimal(19,0)")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(dec(c)).cast("double").as(s"__s_$c")) ++
+      cols.map(c => sum(dec(c) * dec(c)).cast("double").as(s"__ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(dec(a) * dec(b)).cast("double").as(s"__sp_${a}__$b") }
+    val allAggs = count(lit(1)).cast("double").as("__n") +: aggs
+    val one = complete.agg(allAggs.head, allAggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val den = sqrt(n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
+                sqrt(n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+             round(num / den, 6).as("corr"))
+    }
+    one.select(col("__n").cast("long").as("n"),
+               explode(array(rows: _*)).as("__p"))
+      .select(col("__p.col_a"), col("__p.col_b"), col("n"), col("__p.corr"))
+  }
 }

@@ -78,6 +78,15 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
                 col("o_totalprice"), col("target_enc"))),
 
+    // Exact Pearson correlation matrix over the four lineitem measure
+    // columns: all sufficient statistics in ONE map-side-combined
+    // aggregation pass (decimal-quantized so sums are exact and
+    // partitioning-independent — built-in corr() float accumulation
+    // could never hash-match another engine).
+    "q124_corr_matrix" -> ((s, d) =>
+      graft.operators.Profiler.corrMatrix(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Per-nation MAD robust z-scores over customer balances (medians
     // rounded to 4 decimals before downstream arithmetic — the q109
     // portability contract; constant groups score NULL, not ±Inf).
@@ -865,6 +874,33 @@ object CoreQueries {
         |        / (CAST(n_cat AS DOUBLE) - 1.0 + 10.0), 4) AS target_enc
         |FROM orders JOIN pc USING (o_orderpriority) CROSS JOIN g
         |WHERE o_orderkey < 1000""".stripMargin,
+
+    // Integer-quantized (×100, exact for 2-dp measures) sufficient
+    // statistics in HUGEINT — Pearson is scale-invariant, so the
+    // correlation equals the unscaled one while every sum is exact
+    // integer arithmetic; closed form in doubles with the same
+    // operation order as Profiler.corrMatrix.
+    "q124_corr_matrix" -> {
+      val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+                   "l_discount" -> "d", "l_tax" -> "t")
+      def dcl(c: String) = s"CAST(round($c * 100, 0) AS HUGEINT)"
+      val singles = cs.map { case (c, a) =>
+        s"CAST(SUM(${dcl(c)}) AS DOUBLE) AS s_$a,\n  CAST(SUM(${dcl(c)} * ${dcl(c)}) AS DOUBLE) AS ss_$a" }
+      val pairs = for { i <- cs.indices; j <- cs.indices if i < j }
+        yield (cs(i), cs(j))
+      val sps = pairs.map { case ((ca, a), (cb, b)) =>
+        s"CAST(SUM(${dcl(ca)} * ${dcl(cb)}) AS DOUBLE) AS sp_${a}_$b" }
+      val rows = pairs.map { case ((ca, a), (cb, b)) =>
+        s"""SELECT '$ca' AS col_a, '$cb' AS col_b, CAST(n AS BIGINT) AS n,
+           |  ROUND((n*sp_${a}_$b - s_$a*s_$b) /
+           |        (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b)), 6) AS corr
+           |FROM s""".stripMargin }
+      s"""WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${(singles ++ sps).mkString(",\n  ")}
+         |  FROM lineitem
+         |  WHERE ${cs.map(_._1 + " IS NOT NULL").mkString(" AND ")})
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "q119_mad_score" ->
       """WITH t AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS x

@@ -878,7 +878,19 @@ object LlmQueries {
     "q121_split_audit" -> ((s, d) => {
       Sampling.splitAudit(events(s, d), "user_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-    })
+    }),
+
+    // Collocation mining: top-20 adjacent word pairs by PMI with a
+    // min-count floor of 5 (PMI's rare-pair pathology).
+    "q122_pmi" -> ((s, d) =>
+      TextStats.pmiCollocations(documents(s, d), "text", minCount = 5L,
+                                k = 20)),
+
+    // Asymmetric containment pairs (quote/subset detection): |A∩B|/|A|
+    // over the q27 bounded-window kernel; either direction >= 0.9.
+    "q123_containment" -> ((s, d) =>
+      NearDup.containmentPairs(documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text", "lang", threshold = 0.9, windowAhead = 25))
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2084,6 +2096,44 @@ object LlmQueries {
          |SELECT split, COUNT(DISTINCT user_id) AS n_groups, COUNT(*) AS n_rows,
          |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(r_total AS DOUBLE) FROM t), 4) AS row_frac,
          |  (SELECT gs_total = g_total FROM t) AS leak_free
-         |FROM a GROUP BY split""".stripMargin
+         |FROM a GROUP BY split""".stripMargin,
+
+    // Bigram strings built exactly like Spark's ngramsOfTokens
+    // (space-joined adjacent tokens); counts are exact longs so the
+    // PMI double is the same deterministic function in both engines.
+    "q122_pmi" ->
+      s"""WITH t AS (SELECT $toks AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS w FROM t),
+         |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+         |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM uni),
+         |nb AS (SELECT CAST(SUM(CASE WHEN len(tk) > 1 THEN len(tk)-1 ELSE 0 END) AS DOUBLE) AS nb FROM t),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g FROM t WHERE len(tk) >= 2),
+         |bc AS (SELECT g, COUNT(*) AS cxy FROM bi GROUP BY g HAVING COUNT(*) >= 5),
+         |wc AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, cxy FROM bc)
+         |SELECT w1, w2, cxy,
+         |  ROUND(ln((CAST(cxy AS DOUBLE) / nb) /
+         |           ((CAST(c1.c AS DOUBLE) / nt) * (CAST(c2.c AS DOUBLE) / nt))), 4) AS pmi
+         |FROM wc JOIN uc c1 ON wc.w1 = c1.w JOIN uc c2 ON wc.w2 = c2.w
+         |CROSS JOIN nt CROSS JOIN nb
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // The q27 kernel with the division flipped to |A∩B|/|A| (and /|B|):
+    // containment, not Jaccard — filter on the UNROUNDED ratios exactly
+    // as the Spark side does.
+    "q123_containment" ->
+      s"""WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 500),
+         |tok AS (SELECT DISTINCT doc_id, lang, unnest($toks) AS t FROM docs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang
+         |   AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE), 4) AS cont_a,
+         |  ROUND(CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE), 4) AS cont_b
+         |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.9
+         |   OR CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE) >= 0.9""".stripMargin
   )
 }

@@ -83,6 +83,46 @@ class MlPrepSpec extends SparkSpec {
     assert(aBucket1 == run2)
   }
 
+  test("TextStats.pmiCollocations: collocated pair outranks chance pairs") {
+    // "new york" always adjacent and exclusive; every other word
+    // appears twice per doc so its pair rates are diluted.
+    val docs = (1 to 20).map(i => (i.toLong, "new york a b b a c c d d")) ++
+      Seq((21L, "a b new c d york"))
+    val out = graft.llm.TextStats.pmiCollocations(
+      docs.toDF("doc_id", "text"), "text", minCount = 5L, k = 3).collect()
+    assert(out.head.getString(0) == "new" && out.head.getString(1) == "york")
+    assert(out.head.getDouble(3) > 0.0)
+  }
+
+  test("NearDup.containmentPairs: subset doc scores 1.0 one-way") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "en"),                       // A ⊂ B
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (30L, "unrelated words entirely different here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.llm.NearDup.containmentPairs(df, "doc_id", "text",
+      "lang", threshold = 0.9, windowAhead = 25).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0)      // all of A inside B
+    assert(r.getDouble(3) == 0.5)      // half of B covered by A
+  }
+
+  test("Profiler.corrMatrix: exact ±1 on linear columns, 0-ish on noise") {
+    val df = (1 to 100).map { i =>
+      (i.toDouble, 2.0 * i + 5.0, -3.0 * i, ((i * 37) % 11).toDouble)
+    }.toDF("x", "y", "z", "w")
+    val out = graft.operators.Profiler.corrMatrix(df, Seq("x", "y", "z", "w"),
+                                                  scale = 2)
+    val m = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("x", "y")) == 1.0)       // exact: integer stats, perfect line
+    assert(m(("x", "z")) == -1.0)
+    assert(math.abs(m(("x", "w"))) < 0.3)
+    assert(out.collect().forall(_.getLong(2) == 100L))
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
