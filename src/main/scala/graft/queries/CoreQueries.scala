@@ -78,6 +78,24 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
                 col("o_totalprice"), col("target_enc"))),
 
+    // Record linkage: blocking (nation) + Levenshtein <= 1 candidate
+    // pairs — the entity-resolution dedup where exact hashing fails;
+    // blocks bound the quadratic stage at sum(|block|^2).
+    "q125_fuzzy_linkage" -> ((s, d) =>
+      graft.operators.Linkage.fuzzyPairs(
+        customer(s, d).filter(col("c_custkey") < 200),
+        "c_custkey", "c_name", "c_nationkey", maxDist = 1)),
+
+    // Sweep-line peak concurrency: each event opens a 1-hour interval;
+    // per event_type, the running +1/-1 sum's max and the earliest
+    // instant it is reached ([start, end) half-open semantics).
+    "q126_max_concurrent" -> ((s, d) =>
+      graft.operators.Sweep.maxConcurrent(events(s, d), Seq("event_type"),
+          col("ts"), col("ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("event_type"), col("peak_concurrent"),
+                date_format(col("peak_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                  .as("peak_at"))),
+
     // Exact Pearson correlation matrix over the four lineitem measure
     // columns: all sufficient statistics in ONE map-side-combined
     // aggregation pass (decimal-quantized so sums are exact and
@@ -901,6 +919,34 @@ object CoreQueries {
          |  WHERE ${cs.map(_._1 + " IS NOT NULL").mkString(" AND ")})
          |${rows.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    "q125_fuzzy_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  WHERE c_custkey < 200)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Ties at equal t: the -1 sorts first (half-open intervals); rows
+    // tied on (t, dd) carry the same delta so the cumsum VALUE
+    // sequence is deterministic regardless of their internal order.
+    "q126_max_concurrent" ->
+      """WITH d AS (
+        |  SELECT event_type, ts AS t, 1 AS dd FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events),
+        |c AS (SELECT event_type, t, dd,
+        |    SUM(dd) OVER (PARTITION BY event_type ORDER BY t ASC, dd ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM d),
+        |p AS (SELECT event_type, MAX(conc) AS peak FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak_concurrent,
+        |  strftime(MIN(CASE WHEN conc = peak THEN t END),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS peak_at
+        |FROM c JOIN p USING (event_type) GROUP BY c.event_type, p.peak""".stripMargin,
 
     "q119_mad_score" ->
       """WITH t AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS x

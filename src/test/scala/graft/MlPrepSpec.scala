@@ -123,6 +123,38 @@ class MlPrepSpec extends SparkSpec {
     assert(out.collect().forall(_.getLong(2) == 100L))
   }
 
+  test("Linkage.fuzzyPairs: near-identical names match only within blocks") {
+    val df = Seq(
+      (1L, "acme corp", "west"), (2L, "acme c0rp", "west"),  // dist 1, same block
+      (3L, "acme corp", "east"),                              // same name, other block
+      (4L, "completely different", "west")
+    ).toDF("id", "name", "region")
+    val out = graft.operators.Linkage.fuzzyPairs(df, "id", "name", "region",
+                                                 maxDist = 2).collect()
+    assert(out.length == 1)                        // blocking prunes id 3
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getInt(4) == 1)
+  }
+
+  test("Sweep.maxConcurrent: peak and earliest peak instant; [start,end) half-open") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val df = Seq(
+      // g1: [0,10), [5,15), [10,20) → peak 2 (at min 5); the [10,20)
+      // start does NOT overlap the [0,10) end (half-open)
+      ("g1", ts(0), ts(10)), ("g1", ts(5), ts(15)), ("g1", ts(10), ts(20)),
+      // g2: three fully-overlapping intervals → peak 3 at min 2
+      ("g2", ts(0), ts(30)), ("g2", ts(1), ts(30)), ("g2", ts(2), ts(30))
+    ).toDF("g", "start", "end")
+    val out = graft.operators.Sweep.maxConcurrent(df, Seq("g"),
+        col("start"), col("end"))
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getTimestamp(2) == ts(5))
+    assert(out(1).getLong(1) == 3L)
+    assert(out(1).getTimestamp(2) == ts(2))
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
