@@ -890,7 +890,25 @@ object LlmQueries {
     // over the q27 bounded-window kernel; either direction >= 0.9.
     "q123_containment" -> ((s, d) =>
       NearDup.containmentPairs(documents(s, d).filter(col("doc_id") < 500),
-        "doc_id", "text", "lang", threshold = 0.9, windowAhead = 25))
+        "doc_id", "text", "lang", threshold = 0.9, windowAhead = 25)),
+
+    // Per-node triangle participation over the kNN similarity graph
+    // (top-3 lexical neighbors canonicalized to undirected edges) —
+    // the clustering-coefficient numerator. The kNN graph bounds
+    // degree ≤ 2k, so triangles can't combinatorially explode the way
+    // they do on near-clique near-dup clusters (1.9M triangles on the
+    // q57 edge set vs tens here).
+    "q127_knn_triangles" -> ((s, d) => {
+      val knn = TextStats.sparseCosineTopK(
+        documents(s, d).filter(col("doc_id") < 300), "doc_id", "text", k = 3)
+      val edges = knn.select(
+          least(col("id_a"), col("id_b")).as("src"),
+          greatest(col("id_a"), col("id_b")).as("dst"))
+        .distinct().localCheckpoint()
+      graft.operators.Graph.triangles(edges, "src", "dst")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    })
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -967,6 +985,38 @@ object LlmQueries {
   }
 
   private val q57Sql: String = portablePairsSql("")
+
+  // The q110 sparse TF-IDF top-3 kernel, factored so q127 can build
+  // its kNN graph from the same verified SQL.
+  private val sparseTopkSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id AS id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+       |        WHERE doc_id < 300)
+       |  GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 300),
+       |wt AS (SELECT id, tf.token AS token,
+       |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS w
+       |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+       |nrm AS (SELECT id,
+       |    sqrt(CAST(SUM(CAST(round(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |      AS nrm
+       |  FROM wt GROUP BY id),
+       |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(SUM(CAST(round(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+       |      AS dot
+       |  FROM wt a JOIN wt b ON a.token = b.token AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |scored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+       |  FROM dots JOIN nrm na ON id_a = na.id JOIN nrm nb ON id_b = nb.id),
+       |sym AS (SELECT id_a, id_b, cos FROM scored
+       |        UNION ALL SELECT id_b, id_a, cos FROM scored),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+       |  FROM sym)
+       |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim, rn
+       |FROM ranked WHERE rn <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1587,35 +1637,7 @@ object LlmQueries {
     // Sparse cosine: same tf/df/N arithmetic as q75's anchor, weights
     // rounded to 6, per-term products quantized at 1e-9 into HUGEINT
     // sums — dot and norm identical bit-for-bit before the final round.
-    "q110_sparse_cosine" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id AS id, token, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
-         |        WHERE doc_id < 300)
-         |  GROUP BY doc_id, token),
-         |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
-         |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 300),
-         |wt AS (SELECT id, tf.token AS token,
-         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS w
-         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
-         |nrm AS (SELECT id,
-         |    sqrt(CAST(SUM(CAST(round(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
-         |      AS nrm
-         |  FROM wt GROUP BY id),
-         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    CAST(SUM(CAST(round(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
-         |      AS dot
-         |  FROM wt a JOIN wt b ON a.token = b.token AND a.id < b.id
-         |  GROUP BY a.id, b.id),
-         |scored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
-         |  FROM dots JOIN nrm na ON id_a = na.id JOIN nrm nb ON id_b = nb.id),
-         |sym AS (SELECT id_a, id_b, cos FROM scored
-         |        UNION ALL SELECT id_b, id_a, cos FROM scored),
-         |ranked AS (SELECT *, row_number() OVER (
-         |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
-         |  FROM sym)
-         |SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim, rn
-         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "q110_sparse_cosine" -> sparseTopkSql,
 
     // PageRank: both damped rounds replayed CTE-by-CTE over the q57
     // edge set. (1 - 0.85) is computed as a DOUBLE SUBTRACTION (not
@@ -2134,6 +2156,21 @@ object LlmQueries {
          |  ROUND(CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE), 4) AS cont_b
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.9
-         |   OR CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE) >= 0.9""".stripMargin
+         |   OR CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE) >= 0.9""".stripMargin,
+
+    // Triangle {a<b<c} = canonical edges (a,b),(b,c),(a,c) over the
+    // q110-verified kNN graph; per-node participation counts.
+    "q127_knn_triangles" ->
+      s"""WITH knn AS ($sparseTopkSql),
+         |edges AS (SELECT DISTINCT LEAST(id_a, id_b) AS s, GREATEST(id_a, id_b) AS d
+         |  FROM knn),
+         |tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.d = e2.s
+         |  JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d)
+         |SELECT node, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY node""".stripMargin
   )
 }

@@ -155,6 +155,18 @@ class MlPrepSpec extends SparkSpec {
     assert(out(1).getTimestamp(2) == ts(2))
   }
 
+  test("Graph.triangles: each triangle exactly once; open wedges excluded") {
+    // K4 on {1,2,3,4} (4 triangles) + open wedge 4-5-6 (no edge 4-6)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+                    (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val tri = graft.operators.Graph.triangles(edges, "src", "dst").collect()
+    assert(tri.length == 4)                 // C(4,3), wedge closed nowhere
+    assert(tri.forall(r => r.getLong(0) < r.getLong(1) &&
+                           r.getLong(1) < r.getLong(2)))
+    assert(tri.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L,2L,3L), (1L,2L,4L), (1L,3L,4L), (2L,3L,4L)))
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
