@@ -97,32 +97,57 @@ object Profiler {
     * Rows with a NULL in any profiled column are excluded up front so
     * all statistics cover the same row set. */
   def corrMatrix(df: DataFrame, cols: Seq[String],
-                 scale: Int = 2): DataFrame = {
+                 scale: Int = 2): DataFrame =
+    corrFromStats(corrStats(df, cols, scale), cols)
+
+  private def corrPairs(cols: Seq[String]): Seq[(String, String)] =
+    for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+
+  /** The MERGEABLE sufficient-statistic state behind [[corrMatrix]]:
+    * one row of exact DECIMAL sums (n, Σx, Σx², Σxy per pair). Sums
+    * stay decimal — never double — so states from disjoint batches
+    * merge EXACTLY by addition ([[corrMergeStats]]): the incremental
+    * maintenance contract (q72's story for second moments). */
+  def corrStats(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val mult = math.pow(10, scale)
     val dec = (c: String) =>
       round(col(c).cast("double") * lit(mult), 0).cast("decimal(19,0)")
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
     val aggs =
-      cols.map(c => sum(dec(c)).cast("double").as(s"__s_$c")) ++
-      cols.map(c => sum(dec(c) * dec(c)).cast("double").as(s"__ss_$c")) ++
-      pairs.map { case (a, b) =>
-        sum(dec(a) * dec(b)).cast("double").as(s"__sp_${a}__$b") }
-    val allAggs = count(lit(1)).cast("double").as("__n") +: aggs
-    val one = complete.agg(allAggs.head, allAggs.tail: _*)
-    val rows = pairs.map { case (a, b) =>
-      val n = col("__n")
-      val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
-      val den = sqrt(n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
-                sqrt(n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
+      cols.map(c => sum(dec(c)).cast("decimal(38,0)").as(s"__s_$c")) ++
+      cols.map(c => sum(dec(c) * dec(c)).cast("decimal(38,0)").as(s"__ss_$c")) ++
+      corrPairs(cols).map { case (a, b) =>
+        sum(dec(a) * dec(b)).cast("decimal(38,0)").as(s"__sp_${a}__$b") }
+    val allAggs = count(lit(1)).as("__n") +: aggs
+    complete.agg(allAggs.head, allAggs.tail: _*)
+  }
+
+  /** Exact merge of two disjoint batches' [[corrStats]] rows: every
+    * statistic is a plain decimal sum, so union + re-sum IS the state
+    * of the concatenated data — no rescan of history. */
+  def corrMergeStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val sums = a.columns.filterNot(_ == "__n")
+      .map(c => sum(col(c)).cast("decimal(38,0)").as(c))
+    val allAggs = sum(col("__n")).cast("long").as("__n") +: sums.toSeq
+    a.unionByName(b).agg(allAggs.head, allAggs.tail: _*)
+  }
+
+  /** Closed-form Pearson from a [[corrStats]] row; doubles enter only
+    * here, with a fixed operation order. */
+  def corrFromStats(stats: DataFrame, cols: Seq[String]): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val rows = corrPairs(cols).map { case (a, b) =>
+      val n = d("__n")
+      val num = n * d(s"__sp_${a}__$b") - d(s"__s_$a") * d(s"__s_$b")
+      val den = sqrt(n * d(s"__ss_$a") - d(s"__s_$a") * d(s"__s_$a")) *
+                sqrt(n * d(s"__ss_$b") - d(s"__s_$b") * d(s"__s_$b"))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
              round(num / den, 6).as("corr"))
     }
-    one.select(col("__n").cast("long").as("n"),
-               explode(array(rows: _*)).as("__p"))
+    stats.select(col("__n").cast("long").as("n"),
+                 explode(array(rows: _*)).as("__p"))
       .select(col("__p.col_a"), col("__p.col_b"), col("n"), col("__p.corr"))
   }
 }

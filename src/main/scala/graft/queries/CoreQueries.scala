@@ -105,6 +105,22 @@ object CoreQueries {
       graft.operators.Profiler.corrMatrix(lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // INCREMENTAL correlation maintenance: sufficient statistics
+    // computed per half-year batch (exact decimal state), merged by
+    // Profiler.corrMergeStats without rescanning history — and the
+    // oracle recomputes MONOLITHICALLY over the full table, so the
+    // hash gate proves state-merge == full recompute (the q72/q108
+    // statement for second moments).
+    "q128_incremental_corr" -> ((s, d) => {
+      import graft.operators.Profiler
+      val l = lineitem(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val hist = Profiler.corrStats(l.filter(col("l_shipdate") < cut), cols)
+      val batch = Profiler.corrStats(l.filter(col("l_shipdate") >= cut), cols)
+      Profiler.corrFromStats(Profiler.corrMergeStats(hist, batch), cols)
+    }),
+
     // Per-nation MAD robust z-scores over customer balances (medians
     // rounded to 4 decimals before downstream arithmetic — the q109
     // portability contract; constant groups score NULL, not ±Inf).
@@ -702,6 +718,31 @@ object CoreQueries {
   // Full SCD2 rebuild over the complete orders log — the oracle for
   // BOTH q99 (direct build) and q108 (incremental merge): the two
   // must be hash-identical.
+  // Shared by q124 (direct) and q128 (incremental merge): the oracle
+  // always recomputes monolithically over the FULL table, so the q128
+  // hash-match proves history-state ⊕ batch-state == full recompute.
+  private val corrOracleSql: String = {
+    val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+                 "l_discount" -> "d", "l_tax" -> "t")
+    def dcl(c: String) = s"CAST(round($c * 100, 0) AS HUGEINT)"
+    val singles = cs.map { case (c, a) =>
+      s"CAST(SUM(${dcl(c)}) AS DOUBLE) AS s_$a,\n  CAST(SUM(${dcl(c)} * ${dcl(c)}) AS DOUBLE) AS ss_$a" }
+    val pairs = for { i <- cs.indices; j <- cs.indices if i < j }
+      yield (cs(i), cs(j))
+    val sps = pairs.map { case ((ca, a), (cb, b)) =>
+      s"CAST(SUM(${dcl(ca)} * ${dcl(cb)}) AS DOUBLE) AS sp_${a}_$b" }
+    val rows = pairs.map { case ((ca, a), (cb, b)) =>
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b, CAST(n AS BIGINT) AS n,
+         |  ROUND((n*sp_${a}_$b - s_$a*s_$b) /
+         |        (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b)), 6) AS corr
+         |FROM s""".stripMargin }
+    s"""WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  ${(singles ++ sps).mkString(",\n  ")}
+       |  FROM lineitem
+       |  WHERE ${cs.map(_._1 + " IS NOT NULL").mkString(" AND ")})
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private val scd2RebuildSql: String =
     """WITH ordered AS (
       |  SELECT o_custkey AS custkey, o_orderpriority AS state,
@@ -898,27 +939,11 @@ object CoreQueries {
     // correlation equals the unscaled one while every sum is exact
     // integer arithmetic; closed form in doubles with the same
     // operation order as Profiler.corrMatrix.
-    "q124_corr_matrix" -> {
-      val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
-                   "l_discount" -> "d", "l_tax" -> "t")
-      def dcl(c: String) = s"CAST(round($c * 100, 0) AS HUGEINT)"
-      val singles = cs.map { case (c, a) =>
-        s"CAST(SUM(${dcl(c)}) AS DOUBLE) AS s_$a,\n  CAST(SUM(${dcl(c)} * ${dcl(c)}) AS DOUBLE) AS ss_$a" }
-      val pairs = for { i <- cs.indices; j <- cs.indices if i < j }
-        yield (cs(i), cs(j))
-      val sps = pairs.map { case ((ca, a), (cb, b)) =>
-        s"CAST(SUM(${dcl(ca)} * ${dcl(cb)}) AS DOUBLE) AS sp_${a}_$b" }
-      val rows = pairs.map { case ((ca, a), (cb, b)) =>
-        s"""SELECT '$ca' AS col_a, '$cb' AS col_b, CAST(n AS BIGINT) AS n,
-           |  ROUND((n*sp_${a}_$b - s_$a*s_$b) /
-           |        (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b)), 6) AS corr
-           |FROM s""".stripMargin }
-      s"""WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |  ${(singles ++ sps).mkString(",\n  ")}
-         |  FROM lineitem
-         |  WHERE ${cs.map(_._1 + " IS NOT NULL").mkString(" AND ")})
-         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
-    },
+    "q124_corr_matrix" -> corrOracleSql,
+
+    // The INCREMENTAL state-merge path must hash-equal the monolithic
+    // recompute — the q72/q108 statement for second moments.
+    "q128_incremental_corr" -> corrOracleSql,
 
     "q125_fuzzy_linkage" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer

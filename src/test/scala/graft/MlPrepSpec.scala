@@ -167,6 +167,25 @@ class MlPrepSpec extends SparkSpec {
       Set((1L,2L,3L), (1L,2L,4L), (1L,3L,4L), (2L,3L,4L)))
   }
 
+  test("Profiler.corrStats merge: split halves merge to the whole, exactly") {
+    import graft.operators.Profiler
+    val df = (1 to 200).map { i =>
+      (i.toLong, i.toDouble, (i * i % 97).toDouble, (200 - i).toDouble)
+    }.toDF("id", "x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val whole = Profiler.corrMatrix(df, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val merged = Profiler.corrFromStats(
+        Profiler.corrMergeStats(
+          Profiler.corrStats(df.filter(col("id") <= 100L), cols),
+          Profiler.corrStats(df.filter(col("id") > 100L), cols)),
+        cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(merged == whole)   // exact decimal state: bit-identical, not close
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
