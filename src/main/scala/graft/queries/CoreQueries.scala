@@ -78,6 +78,13 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
                 col("o_totalprice"), col("target_enc"))),
 
+    // Key-skew diagnostics over the event log's user key: top-10
+    // heaviest keys + Gini/max-to-mean summary — the profile that
+    // decides between plain hash partitioning, salting, and AQE skew
+    // handling before a big join or agg.
+    "q129_skew_profile" -> ((s, d) =>
+      graft.operators.Skew.keyProfile(events(s, d), "user_id", topK = 10)),
+
     // Record linkage: blocking (nation) + Levenshtein <= 1 candidate
     // pairs — the entity-resolution dedup where exact hashing fails;
     // blocks bound the quadratic stage at sum(|block|^2).
@@ -944,6 +951,33 @@ object CoreQueries {
     // The INCREMENTAL state-merge path must hash-equal the monolithic
     // recompute — the q72/q108 statement for second moments.
     "q128_incremental_corr" -> corrOracleSql,
+
+    // Rank-formula Gini with deterministic tie-break (cnt ASC, key
+    // ASC), Σ(i·cᵢ) exact in HUGEINT before the double closed form.
+    "q129_skew_profile" ->
+      """WITH counts AS (SELECT user_id AS key, COUNT(*) AS cnt
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt ASC, key ASC) AS i FROM counts),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    MAX(cnt) AS max_cnt,
+        |    CAST(SUM(CAST(i AS HUGEINT) * cnt) AS DOUBLE) AS ic FROM r),
+        |sm AS (SELECT n_keys, n_rows,
+        |    ROUND(CAST(max_cnt AS DOUBLE)
+        |          / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4)
+        |      AS max_to_mean,
+        |    ROUND(2.0 * ic / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+        |          - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+        |      AS gini
+        |  FROM s)
+        |SELECT rank, key, n_rows_key,
+        |  ROUND(CAST(n_rows_key AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS key_frac,
+        |  n_keys, n_rows, max_to_mean, gini
+        |FROM (SELECT key, cnt AS n_rows_key,
+        |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+        |      FROM counts) t CROSS JOIN sm
+        |WHERE rank <= 10""".stripMargin,
 
     "q125_fuzzy_linkage" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer

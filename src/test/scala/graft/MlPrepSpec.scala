@@ -186,6 +186,21 @@ class MlPrepSpec extends SparkSpec {
     assert(merged == whole)   // exact decimal state: bit-identical, not close
   }
 
+  test("Skew.keyProfile: hot key surfaces, Gini separates skew from uniform") {
+    import graft.operators.Skew
+    val uniform = (1 to 40).flatMap(k => (1 to 5).map(_ => k.toLong))
+      .toDF("k")
+    val skewed = ((1 to 39).flatMap(k => (1 to 2).map(_ => k.toLong)) ++
+      (1 to 122).map(_ => 40L)).toDF("k")
+    val u = Skew.keyProfile(uniform, "k", topK = 3).collect()
+    val s = Skew.keyProfile(skewed, "k", topK = 3).collect()
+    assert(u.head.getDouble(7) == 0.0)              // perfectly uniform: Gini 0
+    assert(s.head.getDouble(7) > 0.5)               // one key owns 61%
+    assert(s.head.getInt(0) == 1 && s.head.getLong(1) == 40L)  // hot key ranked 1
+    assert(s.head.getLong(2) == 122L)
+    assert(s.head.getDouble(6) > 20.0)              // max/mean ratio
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
