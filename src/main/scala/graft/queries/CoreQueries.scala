@@ -85,6 +85,40 @@ object CoreQueries {
     "q129_skew_profile" -> ((s, d) =>
       graft.operators.Skew.keyProfile(events(s, d), "user_id", topK = 10)),
 
+    // Seasonal-baseline anomaly scoring: hour-of-week mean/std from
+    // 1e6-quantized exact moments (the q100 pattern), broadcast back,
+    // narrow residual z per event — the time-series outlier check an
+    // ops pipeline runs on metrics feeds. Baselines aggregate over
+    // the FULL log; output bounded to event_id < 1000.
+    "q130_seasonal_anomaly" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("value"))
+        .withColumn("dow", dayofweek(col("ts")))
+        .withColumn("hr", hour(col("ts")))
+        .withColumn("xq", round(col("value") * lit(1e6), 0).cast("decimal(19,0)"))
+      val base = ev.groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("xq")).cast("decimal(38,0)").as("sx"),
+             sum(col("xq") * col("xq")).cast("decimal(38,0)").as("sxx"))
+        .withColumn("mean",
+          col("sx").cast("double") / (lit(1e6) * col("n").cast("double")))
+        .withColumn("std", sqrt(
+          col("sxx").cast("double") / (lit(1e12) * col("n").cast("double"))
+            - col("mean") * col("mean")))
+      val z = (col("value") - col("mean")) /
+        when(col("std") =!= 0.0, col("std"))
+      ev.join(broadcast(base.select(col("dow"), col("hr"), col("mean"),
+                                    col("std"))),
+              Seq("dow", "hr"))
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"), col("dow"), col("hr"),
+                round(col("value"), 4).as("value"),
+                round(col("mean"), 4).as("baseline_mean"),
+                round(col("std"), 4).as("baseline_std"),
+                round(z, 4).as("resid_z"),
+                (abs(z) > 3.0).as("is_anomaly"))
+    }),
+
     // Record linkage: blocking (nation) + Levenshtein <= 1 candidate
     // pairs — the entity-resolution dedup where exact hashing fails;
     // blocks bound the quadratic stage at sum(|block|^2).
@@ -951,6 +985,28 @@ object CoreQueries {
     // The INCREMENTAL state-merge path must hash-equal the monolithic
     // recompute — the q72/q108 statement for second moments.
     "q128_incremental_corr" -> corrOracleSql,
+
+    // Spark dayofweek is 1-based (Sunday=1), DuckDB's 0-based — hence
+    // the +1; moments quantize at 1e6 into HUGEINT (xq² can exceed
+    // int64 at value≈560).
+    "q130_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hr, value,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS xq FROM events),
+        |b AS (SELECT dow, hr, COUNT(*) AS n, SUM(xq) AS sx,
+        |    SUM(xq * xq) AS sxx FROM ev GROUP BY 1, 2),
+        |m AS (SELECT dow, hr,
+        |    CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)) AS mean,
+        |    sqrt(CAST(sxx AS DOUBLE) / (1e12 * CAST(n AS DOUBLE))
+        |         - (CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)))
+        |           * (CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)))) AS std
+        |  FROM b)
+        |SELECT event_id, ev.dow, ev.hr, ROUND(value, 4) AS value,
+        |  ROUND(mean, 4) AS baseline_mean, ROUND(std, 4) AS baseline_std,
+        |  ROUND((value - mean) / NULLIF(std, 0.0), 4) AS resid_z,
+        |  (abs((value - mean) / NULLIF(std, 0.0)) > 3.0) AS is_anomaly
+        |FROM ev JOIN m USING (dow, hr) WHERE event_id < 1000""".stripMargin,
 
     // Rank-formula Gini with deterministic tie-break (cnt ASC, key
     // ASC), Σ(i·cᵢ) exact in HUGEINT before the double closed form.
