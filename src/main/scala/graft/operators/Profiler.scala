@@ -79,6 +79,31 @@ object Profiler {
     }
   }
 
+  /** Two-version data-contract diff — "did this refresh change the
+    * table's shape": [[profile]] both versions, join per column, and
+    * emit count/distinct deltas plus a `range_drift` flag (any
+    * min/max moved, null-safely compared so a string column's NULL
+    * numeric stats don't read as drift). FULL OUTER on the column
+    * name, so added/dropped columns surface as one-sided rows rather
+    * than vanishing. Cost: the two profile passes; the diff itself
+    * is a #columns-sized join. */
+  def diff(a: DataFrame, b: DataFrame, exact: Boolean = true): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      profile(df, exact).select(col("column"),
+        col("n_nonnull").as(s"n_$sfx"), col("n_distinct").as(s"nd_$sfx"),
+        col("min_num").as(s"min_num_$sfx"), col("max_num").as(s"max_num_$sfx"),
+        col("min_str").as(s"min_str_$sfx"), col("max_str").as(s"max_str_$sfx"))
+    side(a, "a").join(side(b, "b"), Seq("column"), "full_outer")
+      .select(col("column"),
+        col("n_a"), col("n_b"), (col("n_b") - col("n_a")).as("delta_nonnull"),
+        col("nd_a"), col("nd_b"),
+        (col("nd_b") - col("nd_a")).as("delta_distinct"),
+        (!(col("min_num_a") <=> col("min_num_b") &&
+           col("max_num_a") <=> col("max_num_b") &&
+           col("min_str_a") <=> col("min_str_b") &&
+           col("max_str_a") <=> col("max_str_b"))).as("range_drift"))
+  }
+
   /** Exact Pearson correlation matrix over the given numeric columns
     * (upper triangle, one row per pair). All O(k²) sufficient
     * statistics — Σx, Σx², Σxy — ride ONE aggregation pass with

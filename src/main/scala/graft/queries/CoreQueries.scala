@@ -29,6 +29,16 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Data-contract diff between two table versions (pre/post-1997
+    // lineitem): per-column count/distinct deltas + range-drift flag
+    // — the check a pipeline runs after a refresh before publishing.
+    "q131_profile_diff" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      graft.operators.Profiler.diff(l.filter(col("l_shipdate") < cut),
+                                    l.filter(col("l_shipdate") >= cut))
+    }),
+
     // Per-nation median imputation of (deterministically planted)
     // null balances: exact rounded medians broadcast back, repairs
     // flagged per row, all-null groups keep visible nulls.
@@ -733,7 +743,7 @@ object CoreQueries {
 
   // q97's oracle, one UNION ALL arm per lineitem column (generated, so
   // the column lists can't drift from the arms' shapes).
-  private val q97Sql: String = {
+  private def profileSql(where: String): String = {
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
                       "l_linenumber", "l_quantity", "l_extendedprice",
                       "l_discount", "l_tax")
@@ -744,7 +754,7 @@ object CoreQueries {
       s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
          |  COUNT(DISTINCT $c) AS n_distinct, $mnn AS min_num,
          |  $mxn AS max_num, $mns AS min_str, $mxs AS max_str
-         |FROM lineitem""".stripMargin
+         |FROM lineitem$where""".stripMargin
     (numCols.map(c => arm(c, s"CAST(MIN($c) AS DOUBLE)",
                           s"CAST(MAX($c) AS DOUBLE)",
                           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")) ++
@@ -755,6 +765,25 @@ object CoreQueries {
                          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")))
       .mkString("\nUNION ALL\n")
   }
+
+  private val q97Sql: String = profileSql("")
+
+  // Two-version profile diff: both sides are the q97-verified profile
+  // kernel; null-safe equality (IS NOT DISTINCT FROM) so string
+  // columns' NULL numeric stats don't read as drift.
+  private val q131Sql: String =
+    s"""WITH pa AS (${profileSql(" WHERE l_shipdate < TIMESTAMP '1997-01-01'")}),
+       |pb AS (${profileSql(" WHERE l_shipdate >= TIMESTAMP '1997-01-01'")})
+       |SELECT "column",
+       |  pa.n_nonnull AS n_a, pb.n_nonnull AS n_b,
+       |  pb.n_nonnull - pa.n_nonnull AS delta_nonnull,
+       |  pa.n_distinct AS nd_a, pb.n_distinct AS nd_b,
+       |  pb.n_distinct - pa.n_distinct AS delta_distinct,
+       |  NOT (pa.min_num IS NOT DISTINCT FROM pb.min_num
+       |   AND pa.max_num IS NOT DISTINCT FROM pb.max_num
+       |   AND pa.min_str IS NOT DISTINCT FROM pb.min_str
+       |   AND pa.max_str IS NOT DISTINCT FROM pb.max_str) AS range_drift
+       |FROM pa FULL OUTER JOIN pb USING ("column")""".stripMargin
 
   // Full SCD2 rebuild over the complete orders log — the oracle for
   // BOTH q99 (direct build) and q108 (incremental merge): the two
@@ -809,6 +838,8 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_profile" -> q97Sql,
+
+    "q131_profile_diff" -> q131Sql,
 
     "q106_time_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -201,6 +201,22 @@ class MlPrepSpec extends SparkSpec {
     assert(s.head.getDouble(6) > 20.0)              // max/mean ratio
   }
 
+  test("Profiler.diff: drift flagged, stable columns quiet, schema change surfaces") {
+    import graft.operators.Profiler
+    val v1 = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "s", "v")
+    val v2 = Seq((1L, "x", 10.0), (2L, "y", 99.0), (3L, "y", 20.0))
+      .toDF("id", "s", "v")
+    val d = Profiler.diff(v1, v2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d("v").getBoolean(7))                 // max moved 20 → 99
+    assert(!d("s").getBoolean(7))                // min/max strings unchanged
+    assert(d("id").getLong(3) == 1L)             // delta_nonnull
+    // dropped column: one-sided row, not a vanished one
+    val d2 = Profiler.diff(v1, v2.drop("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d2.contains("v") && d2("v").isNullAt(2))  // n_b null: gone in v2
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
