@@ -29,6 +29,36 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Percentile-against-reference: each 1997 order's total scored as
+    // its percentile within the ≤1996 per-priority REFERENCE
+    // distribution — the train-time-CDF-applied-to-serving-data
+    // feature. Composition: per-(key, value) counts + one cumsum
+    // window build the exact CDF; the As-Of join (greatest ref value
+    // ≤ x) reads it — no range-join pair blowup, no per-row scan.
+    "q132_relative_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d)
+      val ref = o.filter(year(col("o_orderdate")) <= 1996)
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("p"))
+      val refCdf = ref.groupBy(col("prio"), col("p")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_le", sum(col("c")).over(
+          Window.partitionBy(col("prio")).orderBy(col("p").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("prio"), col("p").as("ref_p"), col("cum_le"))
+      val refN = ref.groupBy(col("prio")).agg(count(lit(1)).as("n_ref"))
+      val target = o.filter(year(col("o_orderdate")) === 1997 &&
+                            col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                col("o_totalprice").as("p"))
+      graft.operators.AsOfJoin.asOfBackward(target, refCdf, Seq("prio"),
+          "p", "ref_p", Seq("cum_le"))
+        .join(broadcast(refN), "prio")
+        .select(col("o_orderkey"), col("prio").as("o_orderpriority"),
+                col("p").as("o_totalprice"),
+                round(coalesce(col("cum_le"), lit(0L)).cast("double") /
+                      col("n_ref").cast("double"), 6).as("pct_vs_ref"))
+    }),
+
     // Data-contract diff between two table versions (pre/post-1997
     // lineitem): per-column count/distinct deltas + range-drift flag
     // — the check a pipeline runs after a refresh before publishing.
@@ -840,6 +870,23 @@ object CoreQueries {
     "q97_profile" -> q97Sql,
 
     "q131_profile_diff" -> q131Sql,
+
+    // The correlated count is DuckDB's clearest statement of "exact
+    // #ref <= x"; its optimizer turns it into a join.
+    "q132_relative_rank" ->
+      """WITH ref AS (SELECT o_orderpriority AS prio, o_totalprice AS p
+        |  FROM orders WHERE year(o_orderdate) <= 1996),
+        |n AS (SELECT prio, COUNT(*) AS n_ref FROM ref GROUP BY prio),
+        |t AS (SELECT o_orderkey, o_orderpriority AS prio, o_totalprice AS p
+        |  FROM orders WHERE year(o_orderdate) = 1997 AND o_orderkey < 2000),
+        |cl AS (SELECT t.o_orderkey, t.prio, t.p,
+        |    (SELECT COUNT(*) FROM ref r WHERE r.prio = t.prio AND r.p <= t.p)
+        |      AS cum_le
+        |  FROM t)
+        |SELECT o_orderkey, prio AS o_orderpriority, p AS o_totalprice,
+        |  ROUND(CAST(cum_le AS DOUBLE) / CAST(n_ref AS DOUBLE), 6)
+        |    AS pct_vs_ref
+        |FROM cl JOIN n USING (prio)""".stripMargin,
 
     "q106_time_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
