@@ -29,6 +29,84 @@ object CoreQueries {
     "q97_profile" -> ((s, d) =>
       graft.operators.Profiler.profile(lineitem(s, d))),
 
+    // Weighted median via the exact CDF: per (group, distinct value)
+    // weight sums + one cumsum window; the median is the smallest
+    // value whose cumulative weight reaches half the total — a
+    // min(struct) argmin, no second pass. Weights ride DECIMAL.
+    "q133_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+                col("l_extendedprice").as("v"),
+                col("l_quantity").cast("decimal(30,6)").as("w"))
+      val cdf = l.groupBy(col("flag"), col("v"))
+        .agg(sum(col("w")).as("wv"))
+        .withColumn("cum", sum(col("wv")).over(
+          Window.partitionBy(col("flag")).orderBy(col("v").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("wv")).over(
+          Window.partitionBy(col("flag"))))
+      cdf.filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("flag"))
+        .agg(min(col("v")).as("weighted_median"),
+             min(col("total").cast("double")).as("total_weight"))
+    }),
+
+    // Golden-record survivorship (MDM merge): per user, for EACH field
+    // independently, the newest non-null value wins — distinct from
+    // keep-latest-row (q6), which drags one row's nulls along. Nulls
+    // planted deterministically (the q111 pattern) so repairs are
+    // exercised. One exchange: the user window serves every field.
+    "q134_golden_record" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value")))
+        .withColumn("et", when(col("event_id") % 5 === 0, lit(null))
+          .otherwise(col("event_type")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("g_value", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("g_type", last(col("et"), ignoreNulls = true).over(w))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), round(col("g_value"), 4).as("golden_value"),
+                col("g_type").as("golden_type"))
+    }),
+
+    // Chi-square independence test between two categoricals
+    // (priority × status): observed counts + expected under
+    // independence + the χ² statistic — exact integer counts, double
+    // closed form, one contingency-sized exchange.
+    "q135_chi_square" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d)
+      val obs = o.groupBy(col("o_orderpriority").as("a"),
+                          col("o_orderstatus").as("b"))
+        .agg(count(lit(1)).as("n_obs"))
+      val withMargins = obs
+        .withColumn("n_a", sum(col("n_obs")).over(Window.partitionBy(col("a"))))
+        .withColumn("n_b", sum(col("n_obs")).over(Window.partitionBy(col("b"))))
+        .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+      val expected = col("n_a").cast("double") * col("n_b").cast("double") /
+        col("n").cast("double")
+      val term = (col("n_obs").cast("double") - expected) *
+        (col("n_obs").cast("double") - expected) / expected
+      withMargins
+        .withColumn("expected", round(expected, 4))
+        .withColumn("chi2_term", round(term, 6))
+        // terms quantize to 1e-6 integers before the order-sensitive
+        // sum (the engine-wide exact-sum trick)
+        .withColumn("chi2_total",
+          sum(round(term * lit(1e6), 0).cast("long"))
+            .over(Window.partitionBy()).cast("double") / lit(1e6))
+        .select(col("a"), col("b"), col("n_obs"), col("expected"),
+                col("chi2_term"), col("chi2_total"))
+    }),
+
     // Percentile-against-reference: each 1997 order's total scored as
     // its percentile within the ≤1996 per-priority REFERENCE
     // distribution — the train-time-CDF-applied-to-serving-data
@@ -870,6 +948,57 @@ object CoreQueries {
     "q97_profile" -> q97Sql,
 
     "q131_profile_diff" -> q131Sql,
+
+    "q133_weighted_median" ->
+      """WITH l AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(l_quantity AS DECIMAL(30,6)) AS w FROM lineitem),
+        |cdf AS (SELECT flag, v, SUM(w) AS wv FROM l GROUP BY 1, 2),
+        |c2 AS (SELECT flag, v, wv,
+        |    SUM(wv) OVER (PARTITION BY flag ORDER BY v ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(wv) OVER (PARTITION BY flag) AS total FROM cdf)
+        |SELECT flag, MIN(v) AS weighted_median,
+        |  CAST(MIN(total) AS DOUBLE) AS total_weight
+        |FROM c2 WHERE cum * 2 >= total GROUP BY flag""".stripMargin,
+
+    // Per-field newest-non-null replayed as two argmax picks; users
+    // whose field is all-null stay NULL via the left joins.
+    "q134_golden_record" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS et
+        |  FROM events),
+        |gv AS (SELECT user_id, v FROM (
+        |  SELECT user_id, v, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev WHERE v IS NOT NULL) WHERE rn = 1),
+        |gt AS (SELECT user_id, et FROM (
+        |  SELECT user_id, et, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev WHERE et IS NOT NULL) WHERE rn = 1)
+        |SELECT u.user_id, ROUND(gv.v, 4) AS golden_value,
+        |  gt.et AS golden_type
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN gv USING (user_id) LEFT JOIN gt USING (user_id)""".stripMargin,
+
+    "q135_chi_square" ->
+      """WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    COUNT(*) AS n_obs FROM orders GROUP BY 1, 2),
+        |m AS (SELECT a, b, n_obs,
+        |    SUM(n_obs) OVER (PARTITION BY a) AS n_a,
+        |    SUM(n_obs) OVER (PARTITION BY b) AS n_b,
+        |    SUM(n_obs) OVER () AS n FROM obs),
+        |t AS (SELECT a, b, n_obs,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS expected FROM m),
+        |t2 AS (SELECT a, b, n_obs, expected,
+        |    (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+        |      / expected AS term FROM t)
+        |SELECT a, b, n_obs, ROUND(expected, 4) AS expected,
+        |  ROUND(term, 6) AS chi2_term,
+        |  CAST(SUM(CAST(round(term * 1e6) AS BIGINT)) OVER () AS DOUBLE) / 1e6
+        |    AS chi2_total
+        |FROM t2""".stripMargin,
 
     // The correlated count is DuckDB's clearest statement of "exact
     // #ref <= x"; its optimizer turns it into a join.
