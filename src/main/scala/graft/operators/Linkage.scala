@@ -39,4 +39,25 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
               col("dist"))
   }
+
+  /** Graded variant of [[fuzzyPairs]]: Jaro-Winkler similarity (the
+    * native codegen'd `graft.plans.JaroWinklerSim`) instead of edit
+    * distance — prefix-weighted, length-normalized, the score match
+    * DECISION layers threshold and combine. Same blocking economics;
+    * the similarity rounds to 4 decimals BEFORE the threshold so both
+    * engines cut the same pairs. */
+  def jaroWinklerPairs(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, nameCol: String,
+                       blockCol: String, minSim: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+                      col(blockCol).as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+                      col(blockCol).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(graft.plans.JaroWinklerNative
+        .jaroWinkler(spark, col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
 }

@@ -245,6 +245,16 @@ object CoreQueries {
         customer(s, d).filter(col("c_custkey") < 200),
         "c_custkey", "c_name", "c_nationkey", maxDist = 1)),
 
+    // Graded record linkage: blocking + the native codegen'd
+    // Jaro-Winkler expression (DuckDB-matching semantics, so the
+    // oracle replays it with its built-in); similarity rounds to 4
+    // decimals before the 0.97 threshold so both engines cut the same
+    // pairs.
+    "q136_jw_linkage" -> ((s, d) =>
+      graft.operators.Linkage.jaroWinklerPairs(s,
+        customer(s, d).filter(col("c_custkey") < 200),
+        "c_custkey", "c_name", "c_nationkey", minSim = 0.97)),
+
     // Sweep-line peak concurrency: each event opens a 1-hour interval;
     // per event_type, the running +1/-1 sum's max and the earliest
     // instant it is reached ([start, end) half-open semantics).
@@ -1241,6 +1251,15 @@ object CoreQueries {
         |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
         |      FROM counts) t CROSS JOIN sm
         |WHERE rank <= 10""".stripMargin,
+
+    "q136_jw_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  WHERE c_custkey < 200)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 4) >= 0.97""".stripMargin,
 
     "q125_fuzzy_linkage" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer

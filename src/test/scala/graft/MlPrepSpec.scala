@@ -217,6 +217,31 @@ class MlPrepSpec extends SparkSpec {
     assert(d2.contains("v") && d2("v").isNullAt(2))  // n_b null: gone in v2
   }
 
+  test("JaroWinklerSim: textbook values, DuckDB edge semantics, codegen path") {
+    import graft.plans.JaroWinklerNative.jaroWinkler
+    val df = Seq(
+      ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("DWAYNE", "DUANE"),
+      ("abcdef", "abcfde"),   // odd transposition count: integer t/2
+      ("", "abc"), ("", ""),  // empty → 0.0 (DuckDB convention)
+      ("CRATE", "TRACE"),     // jaro ≤ 0.7+: no prefix anyway
+      ("abqqqqqq", "abzzzzzzzzzzzz")  // prefix present, jaro < 0.7: NO boost
+    ).toDF("a", "b")
+    val jw = df.select(round(jaroWinkler(spark, col("a"), col("b")), 4))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(jw == Seq(0.9611, 0.8133, 0.84, 0.9611, 0.0, 0.0, 0.7333, 0.4643))
+    // the expression runs inside codegen (no CodegenFallback): assert
+    // the projection stays whole-stage (a Range source, so the local
+    // relation can't constant-fold the projection away)
+    val ranged = spark.range(4).select(
+      jaroWinkler(spark, concat(lit("MARTH"), col("id").cast("string")),
+                  lit("MARTHA")).as("jw"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the whole-stage-codegen marker in the
+    // simple plan string; a CodegenFallback projection would lack it
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+    assert(ranged.count() == 4)
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
