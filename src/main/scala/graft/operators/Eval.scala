@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators — the scoring layer a training pipeline
+  * runs on holdout predictions. Both are formulated over DISTINCT
+  * SCORE VALUES rather than rows, so the expensive ordered pass is
+  * value-cardinality, not corpus-cardinality.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the Mann-Whitney rank-sum identity, computed
+    * from per-distinct-score (positive, negative) counts:
+    *
+    *   AUC = [Σ_s negBelow(s)·pos(s) + ½·Σ_s pos(s)·neg(s)] / (P·N)
+    *
+    * (each positive beats every negative with a strictly lower score;
+    * ties count half — the standard tie-averaged AUC.) All terms are
+    * exact integer sums (DECIMAL against overflow), doubles enter
+    * only in the final division. The ordered cumsum runs over
+    * DISTINCT scores — the q129-Gini caveat applies: a score space
+    * too large to sort in one partition is when the binned
+    * approximation (a [[calibration]]-style histogram AUC) replaces
+    * the exact statistic. Returns 1 row: (n_pos, n_neg, auc). */
+  def auc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val g = df
+      .select(col(scoreCol).as("__s"),
+              when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("pos_s"),
+           (count(lit(1)) - sum(col("__y"))).as("neg_s"))
+    val withBelow = g.withColumn("neg_below",
+      coalesce(sum(col("neg_s")).over(
+        Window.orderBy(col("__s").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withBelow.agg(
+        sum(col("pos_s")).as("__p"),
+        sum(col("neg_s")).as("__n"),
+        sum((col("neg_below") * col("pos_s")).cast("decimal(38,0)"))
+          .cast("double").as("__ub"),
+        sum((col("pos_s") * col("neg_s")).cast("decimal(38,0)"))
+          .cast("double").as("__ut"))
+      .select(col("__p").cast("long").as("n_pos"),
+              col("__n").cast("long").as("n_neg"),
+              round((col("__ub") + lit(0.5) * col("__ut")) /
+                    (col("__p").cast("double") * col("__n").cast("double")), 6)
+                .as("auc"))
+  }
+
+  /** Reliability diagram: equal-width score bins over [lo, hi) (the
+    * q107 bucket contract, sentinels −1/nBins for out-of-domain), per
+    * bin the count, exact mean score, and empirical positive rate —
+    * what calibration plots and expected-calibration-error integrate.
+    * One map-side-combined aggregation to ≤ nBins+2 rows. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: Column,
+                  lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val width = (hi - lo) / nBins
+    val bucket = when(x < lo, lit(-1))
+      .when(x > hi, lit(nBins))
+      .otherwise(least(floor((x - lo) / width).cast("int"), lit(nBins - 1)))
+    df.filter(x.isNotNull)
+      .select(bucket.as("bin"), x.as("__x"),
+              when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("__x").cast("decimal(30,6)")).cast("double") /
+                 count(lit(1)).cast("double"), 4).as("mean_score"),
+           sum(col("__y")).as("n_pos"),
+           round(sum(col("__y")).cast("double") /
+                 count(lit(1)).cast("double"), 6).as("pos_rate"))
+  }
+}

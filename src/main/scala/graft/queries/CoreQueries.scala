@@ -245,6 +245,19 @@ object CoreQueries {
         customer(s, d).filter(col("c_custkey") < 200),
         "c_custkey", "c_name", "c_nationkey", maxDist = 1)),
 
+    // Exact ROC-AUC of order total as a classifier for status 'F' —
+    // the Mann-Whitney rank-sum identity over per-distinct-score
+    // counts (value-cardinality ordered pass, tie-averaged).
+    "q137_auc" -> ((s, d) =>
+      graft.operators.Eval.auc(orders(s, d), "o_totalprice",
+                               col("o_orderstatus") === "F")),
+
+    // Reliability diagram: 10 equal-width total-price bins, per bin
+    // exact mean score + empirical 'F' rate.
+    "q138_calibration" -> ((s, d) =>
+      graft.operators.Eval.calibration(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F", lo = 0.0, hi = 500000.0, nBins = 10)),
+
     // Graded record linkage: blocking + the native codegen'd
     // Jaro-Winkler expression (DuckDB-matching semantics, so the
     // oracle replays it with its built-in); similarity rounds to 4
@@ -1251,6 +1264,38 @@ object CoreQueries {
         |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
         |      FROM counts) t CROSS JOIN sm
         |WHERE rank <= 10""".stripMargin,
+
+    "q137_auc" ->
+      """WITH s AS (SELECT o_totalprice AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_s,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_s FROM s GROUP BY score),
+        |c AS (SELECT score, pos_s, neg_s,
+        |    COALESCE(SUM(neg_s) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(pos_s) AS DOUBLE) AS p,
+        |    CAST(SUM(neg_s) AS DOUBLE) AS n,
+        |    CAST(SUM(neg_below * pos_s) AS DOUBLE) AS ub,
+        |    CAST(SUM(pos_s * neg_s) AS DOUBLE) AS ut FROM c)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  ROUND((ub + 0.5 * ut) / (p * n), 6) AS auc FROM t""".stripMargin,
+
+    "q138_calibration" ->
+      """WITH b AS (SELECT
+        |  CASE WHEN o_totalprice < 0 THEN -1
+        |       WHEN o_totalprice > 500000 THEN 10
+        |       ELSE LEAST(CAST(FLOOR((o_totalprice - 0) / 50000.0) AS INT), 9)
+        |  END AS bin, o_totalprice AS x,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 4) AS mean_score,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin,
 
     "q136_jw_linkage" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer

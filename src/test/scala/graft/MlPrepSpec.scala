@@ -242,6 +242,33 @@ class MlPrepSpec extends SparkSpec {
     assert(ranged.count() == 4)
   }
 
+  test("Eval.auc: separation=1, anti-separation=0, all-ties=0.5, hand case") {
+    import graft.operators.Eval
+    def aucOf(rows: Seq[(Double, Boolean)]): Double =
+      Eval.auc(rows.toDF("s", "y"), "s", col("y")).head().getDouble(2)
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+    assert(aucOf(perfect) == 1.0)
+    assert(aucOf(perfect.map { case (s, y) => (s, !y) }) == 0.0)
+    assert(aucOf(Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false))) == 0.5)
+    // hand-computed with one tie: pos {2, 3}, neg {1, 3}: pairs
+    // (2>1)=1, (2<3)=0, (3>1)=1, (3,3) tie=0.5 → 2.5/4
+    assert(aucOf(Seq((1.0, false), (2.0, true), (3.0, true), (3.0, false))) == 0.625)
+  }
+
+  test("Eval.calibration: rates and bins line up") {
+    import graft.operators.Eval
+    val rows = (1 to 100).map { i =>
+      (i.toDouble, i > 50 + (i % 10) - 5) // rate grows with score
+    }
+    val out = Eval.calibration(rows.toDF("s", "y"), "s", col("y"),
+        lo = 0.0, hi = 100.0, nBins = 4)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(1)).sum == 100L)
+    val rates = out.map(_.getDouble(4))
+    assert(rates.head < 0.2 && rates.last > 0.8)  // monotone-ish ramp
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
