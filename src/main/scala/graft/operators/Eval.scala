@@ -49,6 +49,71 @@ object Eval {
                 .as("auc"))
   }
 
+  /** Precision/recall/F1 at a FIXED grid of thresholds — the
+    * operating-point sweep a deployment reads to pick its cutoff.
+    * Each row explodes to |thresholds| (a constant), counts
+    * partial-aggregate map-side to one row per threshold, and the
+    * rates are exact-count divisions. Degenerate edges stay NULL
+    * (no predicted positives → precision NULL; no actual positives →
+    * recall NULL), never 0-by-convention. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: Column,
+              thresholds: Seq[Double]): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val exploded = df
+      .select(x.as("__x"), when(labelCol, 1L).otherwise(0L).as("__y"),
+              explode(array(thresholds.map(lit): _*)).as("threshold"))
+    exploded.groupBy(col("threshold"))
+      .agg(sum(when(col("__x") >= col("threshold"), col("__y"))
+                 .otherwise(0L)).as("tp"),
+           sum(when(col("__x") >= col("threshold"), lit(1L) - col("__y"))
+                 .otherwise(0L)).as("fp"),
+           sum(when(col("__x") < col("threshold"), col("__y"))
+                 .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+              when(col("tp") + col("fp") > 0,
+                   (col("tp") + col("fp")).cast("double")), 6).as("precision"),
+        round(col("tp").cast("double") /
+              when(col("tp") + col("fn") > 0,
+                   (col("tp") + col("fn")).cast("double")), 6).as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+              when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+                   (lit(2L) * col("tp") + col("fp") + col("fn"))
+                     .cast("double")), 6).as("f1"))
+  }
+
+  /** Per-group classification-rate audit at one threshold — the
+    * fairness/bias layer an ML-governance pipeline gates on: each
+    * group's base rate, selection rate, TPR and FPR, side by side so
+    * gaps (demographic parity, equalized odds) read off directly.
+    * Degenerate denominators (a group with no positives) yield NULL.
+    * One map-side-combined aggregation to #groups rows. */
+  def groupRates(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: Column, threshold: Double): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val y = when(labelCol, 1L).otherwise(0L)
+    val pred = when(x >= threshold, 1L).otherwise(0L)
+    df.select(col(groupCol).as("grp"), x.as("__x"), y.as("__y"),
+              pred.as("__p"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__y")).as("n_pos"),
+           sum(col("__p")).as("n_selected"),
+           sum(col("__y") * col("__p")).as("tp"),
+           sum((lit(1L) - col("__y")) * col("__p")).as("fp"))
+      .select(col("grp"), col("n"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("base_rate"),
+        round(col("n_selected").cast("double") / col("n").cast("double"), 6)
+          .as("selection_rate"),
+        round(col("tp").cast("double") /
+              when(col("n_pos") > 0, col("n_pos").cast("double")), 6)
+          .as("tpr"),
+        round(col("fp").cast("double") /
+              when(col("n") - col("n_pos") > 0,
+                   (col("n") - col("n_pos")).cast("double")), 6).as("fpr"))
+  }
+
   /** Reliability diagram: equal-width score bins over [lo, hi) (the
     * q107 bucket contract, sentinels −1/nBins for out-of-domain), per
     * bin the count, exact mean score, and empirical positive rate —

@@ -258,6 +258,25 @@ object CoreQueries {
       graft.operators.Eval.calibration(orders(s, d), "o_totalprice",
         col("o_orderstatus") === "F", lo = 0.0, hi = 500000.0, nBins = 10)),
 
+    // Operating-point sweep: precision/recall/F1 for order total
+    // predicting status 'F' at 11 fixed thresholds.
+    "q139_pr_curve" -> ((s, d) =>
+      graft.operators.Eval.prCurve(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F",
+        thresholds = (0 to 10).map(_ * 50000.0))),
+
+    // Per-group rate audit (fairness layer): base/selection/TPR/FPR
+    // per market segment at the 200k threshold, via the customer join.
+    "q140_group_fairness" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"), col("o_totalprice"),
+                                  col("o_orderstatus"))
+      val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Eval.groupRates(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        "c_mktsegment", "o_totalprice",
+        col("o_orderstatus") === "F", threshold = 200000.0)
+    }),
+
     // Graded record linkage: blocking + the native codegen'd
     // Jaro-Winkler expression (DuckDB-matching semantics, so the
     // oracle replays it with its built-in); similarity rounds to 4
@@ -1264,6 +1283,42 @@ object CoreQueries {
         |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
         |      FROM counts) t CROSS JOIN sm
         |WHERE rank <= 10""".stripMargin,
+
+    "q139_pr_curve" ->
+      """WITH t AS (SELECT unnest([0.0, 50000.0, 100000.0, 150000.0, 200000.0,
+        |    250000.0, 300000.0, 350000.0, 400000.0, 450000.0, 500000.0])
+        |    AS threshold),
+        |s AS (SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |c AS (SELECT threshold,
+        |    CAST(SUM(CASE WHEN x >= threshold THEN y ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN x >= threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN x < threshold THEN y ELSE 0 END) AS BIGINT) AS fn
+        |  FROM s CROSS JOIN t GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn,
+        |  ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0), 6)
+        |    AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0), 6)
+        |    AS recall,
+        |  ROUND(2.0 * CAST(tp AS DOUBLE)
+        |        / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0), 6) AS f1
+        |FROM c""".stripMargin,
+
+    "q140_group_fairness" ->
+      """WITH j AS (SELECT c.c_mktsegment AS grp, o.o_totalprice AS x,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN o.o_totalprice >= 200000.0 THEN 1 ELSE 0 END AS p
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT grp, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS base_rate,
+        |  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS selection_rate,
+        |  ROUND(CAST(SUM(y * p) AS DOUBLE)
+        |        / NULLIF(CAST(SUM(y) AS DOUBLE), 0), 6) AS tpr,
+        |  ROUND(CAST(SUM((1 - y) * p) AS DOUBLE)
+        |        / NULLIF(CAST(COUNT(*) - SUM(y) AS DOUBLE), 0), 6) AS fpr
+        |FROM j GROUP BY grp""".stripMargin,
 
     "q137_auc" ->
       """WITH s AS (SELECT o_totalprice AS score,

@@ -269,6 +269,27 @@ class MlPrepSpec extends SparkSpec {
     assert(rates.head < 0.2 && rates.last > 0.8)  // monotone-ish ramp
   }
 
+  test("Eval.prCurve and groupRates: hand-counted rates, NULL degenerate edges") {
+    import graft.operators.Eval
+    val df = Seq((10.0, true, "a"), (20.0, true, "a"), (5.0, false, "a"),
+                 (30.0, false, "b"), (1.0, false, "b"))
+      .toDF("s", "y", "g")
+    val pr = Eval.prCurve(df, "s", col("y"), Seq(0.0, 15.0, 100.0))
+      .orderBy("threshold").collect()
+    // t=0: everything selected → precision = 2/5, recall 1
+    assert(pr(0).getDouble(4) == 0.4 && pr(0).getDouble(5) == 1.0)
+    // t=15: selected {20, 30} → tp=1, fp=1; recall 1/2
+    assert(pr(1).getDouble(4) == 0.5 && pr(1).getDouble(5) == 0.5)
+    // t=100: nothing selected → precision NULL, recall 0
+    assert(pr(2).isNullAt(4) && pr(2).getDouble(5) == 0.0)
+    val gr = Eval.groupRates(df, "g", "s", col("y"), threshold = 15.0)
+      .orderBy("grp").collect()
+    // group a: 2/3 base rate, selects {20} → tpr 1/2, fpr 0
+    assert(gr(0).getDouble(4) == 0.5 && gr(0).getDouble(5) == 0.0)
+    // group b: NO positives → tpr NULL (not 0-by-convention); fpr 1/2
+    assert(gr(1).isNullAt(4) && gr(1).getDouble(5) == 0.5)
+  }
+
   test("Sampling.splitAudit: fractions near weights, leak_free proven") {
     val df = (1L to 2000L).map(u => (u, s"e$u")).toDF("user_id", "payload")
       .union((1L to 2000L).map(u => (u, s"f$u")).toDF("user_id", "payload"))
