@@ -892,6 +892,36 @@ object LlmQueries {
       NearDup.containmentPairs(documents(s, d).filter(col("doc_id") < 500),
         "doc_id", "text", "lang", threshold = 0.9, windowAhead = 25)),
 
+    // Quantization recall audit: int8-quantize (q48's verified
+    // arithmetic), dequantize, re-rank, and measure top-10 overlap
+    // against the full-precision ranking — the decision input for
+    // shipping compressed vectors (32x smaller index vs recall loss),
+    // quantified per query rather than assumed.
+    "q141_quant_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val full = Similarity.cosineTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"))
+      val dq = e.withColumn("mx", Quantize.maxAbs(col("embedding")))
+        .filter(col("mx") > 0)
+        .withColumn("v",
+          transform(Quantize.quantizeInt8(col("embedding"), col("mx")),
+                    q => q.cast("double") * col("mx") / lit(127.0)))
+        .select(col("vec_id"), col("v"))
+      val quant = Similarity.cosineTopK(dq, "vec_id", "v",
+          dq.filter(col("vec_id") < 10), "vec_id", "v", k = 10)
+        .select(col("qid").as("__q"), col("cid").as("__c"))
+      val overlap = full
+        .join(quant, col("qid") === col("__q") && col("cid") === col("__c"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      full.select(col("qid")).distinct()
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+                coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+                round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+                      lit(10.0), 4).as("recall_at_10"))
+    }),
+
     // Per-node triangle participation over the kNN similarity graph
     // (top-3 lexical neighbors canonicalized to undirected edges) —
     // the clustering-coefficient numerator. The kNN graph bounds
@@ -2157,6 +2187,36 @@ object LlmQueries {
          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
          |WHERE CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.9
          |   OR CAST(ni AS DOUBLE) / CAST(cb.n AS DOUBLE) >= 0.9""".stripMargin,
+
+    // Both rankings replayed with the q30 kernel; the dequantized
+    // vector arithmetic mirrors q48's verified quantization exactly.
+    "q141_quant_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |fs AS (SELECT qid, cid FROM (
+        |  SELECT qid, e.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+        |      DESC, e.vec_id) AS rn
+        |  FROM fq, e WHERE qid <> e.vec_id) WHERE rn <= 10),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |dq AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * 127.0 / mx, 0) AS BIGINT) * mx / 127.0) AS v
+        |  FROM m WHERE mx > 0),
+        |qq AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 10),
+        |qs AS (SELECT qid, cid FROM (
+        |  SELECT qid, dq.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+        |      DESC, dq.vec_id) AS rn
+        |  FROM qq, dq WHERE qid <> dq.vec_id) WHERE rn <= 10),
+        |ov AS (SELECT f.qid, COUNT(*) AS n_overlap
+        |  FROM fs f JOIN qs q ON f.qid = q.qid AND f.cid = q.cid GROUP BY f.qid)
+        |SELECT d.qid, COALESCE(n_overlap, 0) AS n_overlap,
+        |  ROUND(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+        |FROM (SELECT DISTINCT qid FROM fs) d LEFT JOIN ov USING (qid)""".stripMargin,
 
     // Triangle {a<b<c} = canonical edges (a,b),(b,c),(a,c) over the
     // q110-verified kNN graph; per-node participation counts.
