@@ -53,6 +53,17 @@ def main():
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); nfail += 1; continue
         bad = []
+        # the driver hashes RAW values: a DuckDB float64 column (e.g.
+        # HUGEINT sums through the pandas bridge) against a Spark
+        # integer column hashes 25.0 vs 25 and fails even though the
+        # canonicalized compare below would pass — flag the dtype split
+        # itself (the round-4 q103/q109 failure mode).
+        for c in spark_df.columns:
+            if c in duck_df.columns:
+                sd, dd = spark_df[c].dtype, duck_df[c].dtype
+                if pd.api.types.is_integer_dtype(sd) and pd.api.types.is_float_dtype(dd):
+                    bad.append(f"{c}: DTYPE spark {sd} vs duck {dd} "
+                               "(driver hash would fail; CAST the oracle aggregate)")
         for c in a.columns:
             av, bv = a[c], b[c]
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
