@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-evaluation operators — the scoring layer a training pipeline
@@ -18,12 +17,18 @@ object Eval {
     *
     * (each positive beats every negative with a strictly lower score;
     * ties count half — the standard tie-averaged AUC.) All terms are
-    * exact integer sums (DECIMAL against overflow), doubles enter
-    * only in the final division. The ordered cumsum runs over
-    * DISTINCT scores — the q129-Gini caveat applies: a score space
-    * too large to sort in one partition is when the binned
-    * approximation (a [[calibration]]-style histogram AUC) replaces
-    * the exact statistic. Returns 1 row: (n_pos, n_neg, auc). */
+    * exact integer sums — each factor is cast to DECIMAL *before* the
+    * product so neither the per-row multiply nor the sum can wrap —
+    * and doubles enter only in the final division.
+    *
+    * The ordered cumsum over distinct scores is the scale hazard
+    * (real model scores are continuous ⇒ distinct ≈ rows); it runs
+    * through [[OrderedStats.cumsumExclusive]] — coarse monotone score
+    * buckets, per-bucket offsets via a tiny triangular join,
+    * partitioned within-bucket windows — so the plan contains NO
+    * single-partition window and parallelizes across the score space
+    * while staying bit-equal to the global-window form.
+    * Returns 1 row: (n_pos, n_neg, auc). */
   def auc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     val g = df
       .select(col(scoreCol).as("__s"),
@@ -31,16 +36,17 @@ object Eval {
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("pos_s"),
            (count(lit(1)) - sum(col("__y"))).as("neg_s"))
-    val withBelow = g.withColumn("neg_below",
-      coalesce(sum(col("neg_s")).over(
-        Window.orderBy(col("__s").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withBelow = OrderedStats.cumsumExclusive(
+      g, sortCol = "__s", tieCols = Nil,
+      valueCol = "neg_s", outCol = "neg_below")
     withBelow.agg(
         sum(col("pos_s")).as("__p"),
         sum(col("neg_s")).as("__n"),
-        sum((col("neg_below") * col("pos_s")).cast("decimal(38,0)"))
+        sum(col("neg_below").cast("decimal(19,0)") *
+            col("pos_s").cast("decimal(19,0)"))
           .cast("double").as("__ub"),
-        sum((col("pos_s") * col("neg_s")).cast("decimal(38,0)"))
+        sum(col("pos_s").cast("decimal(19,0)") *
+            col("neg_s").cast("decimal(19,0)"))
           .cast("double").as("__ut"))
       .select(col("__p").cast("long").as("n_pos"),
               col("__n").cast("long").as("n_neg"),

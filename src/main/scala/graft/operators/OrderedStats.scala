@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe ordered statistics: exclusive prefix sums in a total
+  * order WITHOUT a single-partition window.
+  *
+  * The naive form — `sum(v).over(Window.orderBy(s))` — is correct but
+  * funnels the whole frame through ONE task (Spark plans a
+  * partition-less window as Exchange SinglePartition + sort). Fine
+  * for a 32-row summary; a scale killer when the frame is
+  * value-cardinality (distinct model scores ≈ rows, distinct keys of
+  * a skewed join column ≈ billions).
+  *
+  * Two-phase formulation (exact, associative — the classic
+  * distributed prefix-sum):
+  *
+  *   1. bucket every row by a MONOTONE map of the sort key into
+  *      `nBuckets` coarse ranges (linear, or log-scale for power-law
+  *      positive keys). Monotonicity ⇒ every row of bucket i sorts
+  *      before every row of bucket j>i, and ties share a bucket.
+  *   2. per-bucket totals (one map-side-combined aggregation,
+  *      ≤ nBuckets rows) → per-bucket EXCLUSIVE offsets via a
+  *      triangular join on the tiny bucket frame (broadcast
+  *      nested-loop over ≤ nBuckets² pairs — no window at all, so
+  *      the whole plan is provably free of single-partition windows).
+  *   3. within-bucket exclusive cumsum under
+  *      `Window.partitionBy(bucket).orderBy(sort, ties…)` — parallel
+  *      across buckets.
+  *   4. prefix(row) = offset(bucket) + within-bucket cumsum. Bit-equal
+  *      to the global-window form for any bucket count.
+  *
+  * Residual skew: a value distribution concentrated inside one coarse
+  * range still loads one bucket; `nBuckets` bounds the blast radius
+  * at 1/nBuckets of the naive cost and `logScale` covers the
+  * power-law case (key-count frames). The range [lo, hi] comes from
+  * one 1-row min/max aggregate joined back by broadcast — no collect.
+  */
+object OrderedStats {
+
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` over the
+    * total order (`sortCol` asc, `tieCols` asc). NULL sort keys sort
+    * first (Spark asc-nulls-first parity) and land in bucket -1.
+    * `sortCol` must be numeric; with `logScale` it must be positive.
+    * Internal columns are dropped before return. */
+  def cumsumExclusive(df: DataFrame, sortCol: String, tieCols: Seq[String],
+                      valueCol: String, outCol: String,
+                      nBuckets: Int = 1024,
+                      logScale: Boolean = false): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val s = col(sortCol).cast("double")
+    val stats = df.agg(min(s).as("__lo"), max(s).as("__hi"))
+
+    // Monotone bucket id in [0, nBuckets); degenerate range (all rows
+    // share one sort value) collapses to bucket 0, which is exactly
+    // the single tie group. NULL sort key → bucket -1 (sorts first).
+    val span = if (logScale) log(col("__hi")) - log(col("__lo"))
+               else col("__hi") - col("__lo")
+    val pos  = if (logScale) log(s) - log(col("__lo"))
+               else s - col("__lo")
+    val bucket = when(s.isNull, lit(-1))
+      .when(col("__hi") <= col("__lo"), lit(0))
+      .otherwise(least(floor(pos / span * nBuckets).cast("int"),
+                       lit(nBuckets - 1)))
+
+    val withB = df.crossJoin(broadcast(stats)).withColumn("__b", bucket)
+      .drop("__lo", "__hi")
+
+    // Phase 1/2: per-bucket totals → exclusive offsets, windows-free.
+    val totals = withB.groupBy(col("__b")).agg(sum(col(valueCol)).as("__bv"))
+    val offsets = totals.select(col("__b"), col("__bv"))
+      .join(broadcast(totals.select(col("__b").as("__b2"), col("__bv").as("__bv2"))),
+            col("__b2") < col("__b"), "left")
+      .groupBy(col("__b"))
+      .agg(sum(col("__bv2")).as("__off"))
+
+    // Phase 3: within-bucket exclusive cumsum — partitioned window.
+    val w = Window.partitionBy(col("__b"))
+      .orderBy((col(sortCol).asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol,
+        coalesce(col("__off"), lit(0L)) +
+        coalesce(sum(col(valueCol)).over(w), lit(0L)))
+      .drop("__b", "__off")
+  }
+}

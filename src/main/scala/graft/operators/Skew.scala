@@ -45,40 +45,70 @@ object Skew {
     *
     * Gini via the exact rank formula over counts sorted ascending
     * (ties broken by key, so the rank — and the statistic — is
-    * deterministic): G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n, with Σ(i·cᵢ)
-    * in DECIMAL so the result is partition-order-independent.
+    * deterministic): G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n, with the rank
+    * sum in DECIMAL so the result is partition-order-independent.
     *
-    * Scale shape: the per-key count partial-aggregates map-side to a
-    * key-cardinality frame; everything after (the global rank window,
-    * the top-k TakeOrdered, the 1-row summary crossJoin) runs on that
-    * frame, never the corpus. The rank window is a single total order
-    * over KEY COUNTS — vocabulary-sized by construction; a key space
-    * too large to sort in one partition is exactly the case where
-    * the approx sketch (q36 contract) replaces the exact profile. */
+    * Scale shape — deliberately free of single-partition windows,
+    * because this operator's own use case is a SKEWED,
+    * HIGH-CARDINALITY key (billions of distinct user ids):
+    *
+    *   - Σ(i·cᵢ) never materializes per-key ranks. Keys sharing a
+    *     count value c occupy a contiguous rank block, and the block's
+    *     rank sum is closed-form: Σi = m·S + m(m+1)/2 (m = block
+    *     size, S = #keys with smaller count) — independent of the
+    *     within-block key order. So the ordered pass runs over the
+    *     DISTINCT-COUNT frame (≪ keys for any skewed distribution),
+    *     and its exclusive cumsum S comes from
+    *     [[OrderedStats.cumsumExclusive]] (log-scale buckets — count
+    *     frames are power-law), never a global window.
+    *   - top-k = `orderBy(cnt desc).limit(k)` — per-partition
+    *     TakeOrdered, merged once; ranks over the ≤k survivors come
+    *     from a triangular broadcast join, not row_number.
+    *
+    * The per-key count partial-aggregates map-side; everything after
+    * runs on the key-count frame, never the corpus. */
   def keyProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("__i",
-      row_number().over(Window.orderBy(col("cnt").asc, col("key").asc)))
-    val summary = ranked.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("cnt")).as("n_rows"),
+
+    // Tie-group rank sum over distinct count values: 2·Σ(i·cᵢ) =
+    // Σ_c c·(2·m·S + m·(m+1)), exact in DECIMAL. Working with the
+    // doubled sum keeps every intermediate an integer (no /2), and
+    // double(2x) = 2·double(x) exactly, so the final statistic is
+    // bit-identical to the per-rank formulation.
+    val byCnt = counts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val withBelow = OrderedStats.cumsumExclusive(
+      byCnt, sortCol = "cnt", tieCols = Nil,
+      valueCol = "m", outCol = "keys_below", logScale = true)
+    val cD = col("cnt").cast("decimal(38,0)")
+    val mD = col("m").cast("decimal(38,0)")
+    val sD = col("keys_below").cast("decimal(38,0)")
+    val summary = withBelow.agg(
+        sum(col("m")).as("n_keys"),
+        sum(cD * mD).cast("long").as("n_rows"),
         max(col("cnt")).as("max_cnt"),
-        sum((col("__i").cast("decimal(38,0)") * col("cnt")))
-          .cast("double").as("__ic"))
+        sum(cD * (mD * sD * lit(2) + mD * (mD + lit(1))))
+          .cast("double").as("__ic2"))
       .select(col("n_keys"), col("n_rows"),
         round(col("max_cnt").cast("double") /
               (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
           .as("max_to_mean"),
-        round(lit(2.0) * col("__ic") /
+        round(col("__ic2") /
               (col("n_keys").cast("double") * col("n_rows").cast("double")) -
               (col("n_keys").cast("double") + 1.0) /
               col("n_keys").cast("double"), 6).as("gini"))
-    counts
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("key").asc)))
-      .filter(col("rank") <= topK)
+
+    // Heavy keys: TakeOrdered (orderBy+limit), then ranks over the
+    // ≤topK survivors via a triangular broadcast join — window-free.
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    val other = top.select(col("key").as("__k2"), col("cnt").as("__c2"))
+    top
+      .join(broadcast(other),
+            col("__c2") > col("cnt") ||
+              (col("__c2") === col("cnt") && col("__k2") < col("key")),
+            "left")
+      .groupBy(col("key"), col("cnt"))
+      .agg((count(col("__k2")) + lit(1)).cast("int").as("rank"))
       .crossJoin(broadcast(summary))
       .select(col("rank"), col("key"), col("cnt").as("n_rows_key"),
               round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
