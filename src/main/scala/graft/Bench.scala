@@ -95,12 +95,23 @@ object Bench {
     val gcTotal = results.map(_._2._2).sum
     // `cpus` rides along so runs at different local[N] settings can't
     // be compared unknowingly (the r2→r3 local[4] lesson).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir"}""")
-    // The per-query map makes the line above ~2.5 KB and the driver's
-    // tail capture truncates its HEAD, losing the total. A compact
-    // trailer re-states the headline numbers so the tail always
-    // carries them.
-    println(s"""{"metric":"total_trailer","value":$total,"unit":"sec","gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"n_queries":${results.size},"cpus":$cpus,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(full)
+    // The full line is ~2.5 KB and the driver keeps only a ~2 KB tail
+    // of stdout, so it can never parse the per-query map from the
+    // stream. Persist the complete JSON as a committed artifact
+    // (round-over-round per-query diffs live in git history), and end
+    // stdout with a COMPACT line — same "total" metric contract, only
+    // the ten slowest queries inline — that fits the tail whole.
+    // (build.sbt routes forked stdout through raw, so this line is
+    // not "[info] "-prefixed and a line-oriented JSON parse works.)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_LOCAL.json write failed: $e") }
+    val top10 = jmap(results.sortBy(-_._2._1).take(10)
+      .map { case (k, (t, _)) => k -> t })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir","slowest":$top10,"queries_file":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }
