@@ -91,4 +91,65 @@ object Graph {
                 Seq("a", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** Degree-oriented triangle enumeration — the power-law hardening
+    * [[triangles]]'s scaladoc names: re-orient every undirected edge
+    * from its LOWER endpoint to its HIGHER endpoint under the total
+    * order ≺ = (degree, id), then wedge-join pairs of OUT-edges and
+    * semi-check the closing out-edge. Each triangle {x ≺ y ≺ z}
+    * appears exactly once, as the wedge (x→y, x→z) closed by y→z.
+    *
+    * Why it scales where canonical-id orientation doesn't: after
+    * degree orientation every out-degree is O(√m) (a node of degree d
+    * only keeps out-edges to endpoints of degree ≥ d, and there are
+    * at most 2m/d of those), so the wedge count is bounded at
+    * O(m^1.5) regardless of hubs — canonical-id orientation lets one
+    * hub with degree h contribute h²/2 wedges. Exchanges: one degree
+    * aggregation, two broadcast-or-shuffle joins to attach endpoint
+    * degrees, then the same two edge-keyed joins as [[triangles]].
+    * Output is re-canonicalized to (a < b < c) node ids, so it is
+    * row-identical to [[triangles]] on the same edge set — the
+    * canonical form doubles as this operator's correctness oracle. */
+  def trianglesOriented(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val oriented = orientByDegree(edges, srcCol, dstCol).localCheckpoint()
+    val o1 = oriented.select(col("lo"), col("hi").as("y"), col("dhi").as("dy"))
+    val o2 = oriented.select(col("lo"), col("hi").as("z"), col("dhi").as("dz"))
+    val wedges = o1.join(o2,
+        Seq("lo"), "inner")
+      .filter(col("dy") < col("dz") ||
+              (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("lo").as("x"), col("y"), col("z"))
+    val closed = wedges.join(
+        oriented.select(col("lo").as("y"), col("hi").as("z")),
+        Seq("y", "z"), "left_semi")
+    // Re-canonicalize to id order so output matches [[triangles]].
+    val a = least(col("x"), col("y"), col("z"))
+    val c = greatest(col("x"), col("y"), col("z"))
+    val b = when(col("x") =!= a && col("x") =!= c, col("x"))
+      .when(col("y") =!= a && col("y") =!= c, col("y"))
+      .otherwise(col("z"))
+    closed.select(a.as("a"), b.as("b"), c.as("c"))
+  }
+
+  /** Degree orientation of an undirected edge list: each edge emitted
+    * once as (lo, hi, dhi) with lo ≺ hi under (degree, id) and dhi =
+    * degree(hi). Max out-degree of the result is O(√m) — the bound
+    * the wedge join in [[trianglesOriented]] rides on, and what a
+    * spec asserts directly on a hub graph. */
+  def orientByDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    val sym = e.unionByName(e.select(col("__v").as("__u"), col("__u").as("__v")))
+    val deg = sym.groupBy(col("__u").as("__n")).agg(count(lit(1)).as("__deg"))
+    val withDeg = e
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")), Seq("__u"))
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")), Seq("__v"))
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("__u") < col("__v"))
+    // lo → hi under ≺ = (degree, id); carry hi's degree so the wedge
+    // ordering needs no re-join.
+    withDeg.select(
+      when(uFirst, col("__u")).otherwise(col("__v")).as("lo"),
+      when(uFirst, col("__v")).otherwise(col("__u")).as("hi"),
+      when(uFirst, col("__dv")).otherwise(col("__du")).as("dhi"))
+  }
 }

@@ -938,6 +938,22 @@ object LlmQueries {
       graft.operators.Graph.triangles(edges, "src", "dst")
         .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // The SAME triangle statistic through the degree-oriented
+    // enumeration (O(m^1.5) wedges, hub-proof) — hash-equal to q127
+    // by construction, so the oracle doubles as the proof that the
+    // power-law hardening preserves the output set exactly.
+    "q142_triangles_oriented" -> ((s, d) => {
+      val knn = TextStats.sparseCosineTopK(
+        documents(s, d).filter(col("doc_id") < 300), "doc_id", "text", k = 3)
+      val edges = knn.select(
+          least(col("id_a"), col("id_b")).as("src"),
+          greatest(col("id_a"), col("id_b")).as("dst"))
+        .distinct().localCheckpoint()
+      graft.operators.Graph.trianglesOriented(edges, "src", "dst")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     })
   )
 
@@ -2221,6 +2237,22 @@ object LlmQueries {
     // Triangle {a<b<c} = canonical edges (a,b),(b,c),(a,c) over the
     // q110-verified kNN graph; per-node participation counts.
     "q127_knn_triangles" ->
+      s"""WITH knn AS ($sparseTopkSql),
+         |edges AS (SELECT DISTINCT LEAST(id_a, id_b) AS s, GREATEST(id_a, id_b) AS d
+         |  FROM knn),
+         |tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.d = e2.s
+         |  JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d)
+         |SELECT node, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY node""".stripMargin,
+
+    // Same statistic as q127 — triangle membership is orientation-
+    // independent, so the canonical-enumeration SQL is the oracle for
+    // the degree-oriented Spark plan too.
+    "q142_triangles_oriented" ->
       s"""WITH knn AS ($sparseTopkSql),
          |edges AS (SELECT DISTINCT LEAST(id_a, id_b) AS s, GREATEST(id_a, id_b) AS d
          |  FROM knn),
