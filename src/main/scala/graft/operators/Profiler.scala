@@ -137,8 +137,17 @@ object Profiler {
   def corrStats(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val mult = math.pow(10, scale)
-    val dec = (c: String) =>
-      round(col(c).cast("double") * lit(mult), 0).cast("decimal(19,0)")
+    // Quantized values stay decimal(19,0) so pairwise PRODUCTS fit
+    // decimal(38,0) exactly. The cast NULLs on overflow (non-ANSI) and
+    // sum() would silently drop the row while __n still counts it —
+    // so any overflow (or NaN/Inf, which also casts to NULL; genuine
+    // NULLs are filtered up front) raises loudly instead.
+    val dec = (c: String) => {
+      val q = round(col(c).cast("double") * lit(mult), 0).cast("decimal(19,0)")
+      coalesce(q, raise_error(concat(
+        lit(s"corrStats: $c * 10^$scale exceeds decimal(19,0): "),
+        col(c).cast("string"))).cast("decimal(19,0)"))
+    }
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val aggs =
       cols.map(c => sum(dec(c)).cast("decimal(38,0)").as(s"__s_$c")) ++

@@ -31,25 +31,47 @@ object StreamingStats {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val batchStats = Profiler.corrStats(batch, cols, scale)
-        val dir = new java.io.File(statePath)
-        val merged =
-          if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty) {
-            val prior = spark.read.parquet(statePath)
-            Profiler.corrMergeStats(prior, batchStats)
-          } else batchStats
-        // 1-row frame: collect-and-rewrite is O(state), not O(data)
-        val row = merged.collect()
-        val out = spark.createDataFrame(
-          spark.sparkContext.parallelize(row.toIndexedSeq, 1), merged.schema)
-        out.write.mode("overwrite").parquet(statePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, cols, scale, statePath)
       }
       .start()
+
+  /** One micro-batch fold, IDEMPOTENT under replay. foreachBatch is
+    * at-least-once: a batch replayed after a crash between the state
+    * overwrite and the checkpoint commit must NOT fold in twice. The
+    * last-applied batchId rides in the state row; a batch with
+    * batchId <= lastApplied is a no-op. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                    cols: Seq[String], scale: Int,
+                                    statePath: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = batch.sparkSession
+    val dir = new java.io.File(statePath)
+    val prior =
+      if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+        Some(spark.read.parquet(statePath))
+      else None
+    val lastApplied = prior
+      .map(_.select("__last_batch").head.getLong(0)).getOrElse(-1L)
+    if (batchId > lastApplied) {
+      val batchStats = Profiler.corrStats(batch, cols, scale)
+      val merged = prior match {
+        case Some(p) =>
+          Profiler.corrMergeStats(p.drop("__last_batch"), batchStats)
+        case None => batchStats
+      }
+      val stamped = merged.withColumn("__last_batch", lit(batchId))
+      // 1-row frame: collect-and-rewrite is O(state), not O(data)
+      val row = stamped.collect()
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(row.toIndexedSeq, 1), stamped.schema)
+      out.write.mode("overwrite").parquet(statePath)
+    }
+  }
 
   /** The current correlation matrix from the maintained state. */
   def currentCorr(spark: SparkSession, statePath: String,
                   cols: Seq[String]): DataFrame =
-    Profiler.corrFromStats(spark.read.parquet(statePath), cols)
+    Profiler.corrFromStats(
+      spark.read.parquet(statePath).drop("__last_batch"), cols)
 }

@@ -184,6 +184,15 @@ class MlPrepSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
     assert(merged == whole)   // exact decimal state: bit-identical, not close
+
+    // overflow of the decimal(19,0) quantization raises LOUDLY instead
+    // of NULLing-and-dropping the row while __n still counts it
+    val huge = Seq((1.0e18, 2.0), (1.0, 3.0)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Profiler.corrStats(huge, Seq("x", "y"), scale = 2).collect()
+    }
+    assert(ex.getMessage.contains("corrStats") ||
+           Option(ex.getCause).exists(_.getMessage.contains("corrStats")))
   }
 
   test("Skew.keyProfile: hot key surfaces, Gini separates skew from uniform") {
@@ -240,6 +249,13 @@ class MlPrepSpec extends SparkSpec {
     // simple plan string; a CodegenFallback projection would lack it
     assert(plan.linesIterator.next().trim.startsWith("*("), plan)
     assert(ranged.count() == 4)
+    // non-string args are cast at ANALYSIS time (the registration wraps
+    // both sides in Cast(_, StringType)) — an int column works cleanly
+    // instead of ClassCastException-ing inside generated code
+    val casted = Seq((1212, 1221)).toDF("x", "y")
+      .select(round(jaroWinkler(spark, col("x"), col("y")), 4))
+      .collect().head.getDouble(0)
+    assert(casted == 0.9333)  // JW("1212","1221"): transposed middle pair
   }
 
   test("Eval.auc: separation=1, anti-separation=0, all-ties=0.5, hand case") {

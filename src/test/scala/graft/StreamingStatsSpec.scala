@@ -50,5 +50,16 @@ class StreamingStatsSpec extends SparkSpec {
     assert(streamed == monolithic)
     assert(streamed(("x", "y"))._1 == 200L)
     assert(streamed(("x", "y"))._2 == 1.0) // y = 2x+1: exactly linear
+
+    // At-least-once replay: re-applying an ALREADY-APPLIED batchId (a
+    // crash between state overwrite and checkpoint commit) must be a
+    // no-op — the state folds each batch exactly once.
+    val lastBatch = spark.read.parquet(statePath)
+      .select("__last_batch").head.getLong(0)
+    val before = spark.read.parquet(statePath).collect().toSeq
+    StreamingStats.applyBatch(rows(141 to 200).toDF("x", "y", "z"),
+                              lastBatch, cols, scale = 2, statePath)
+    val after = spark.read.parquet(statePath).collect().toSeq
+    assert(after == before, "replayed batch must not fold into state twice")
   }
 }
