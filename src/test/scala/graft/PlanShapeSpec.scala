@@ -1,0 +1,88 @@
+package graft
+
+/** Plan-shape audit for the round-5/6 query family (q117–q142): every
+  * claimed shape ("one exchange", "broadcast only", "no global ordered
+  * pass") is asserted against the ACTUAL physical plan at sf0.001, so a
+  * regression that silently re-introduces a scale-killer — above all a
+  * single-partition Sort/Window over a corpus-scale frame — fails
+  * `sbt test`, not a 100×-scale production run.
+  *
+  * The generic sweep flags any Sort or Window whose direct child is an
+  * `Exchange SinglePartition`: that is the "global ordered statistic in
+  * one task" anti-pattern the two-phase bucketed cumsum
+  * (OrderedStats.cumsumExclusive) exists to remove. Queries where the
+  * single-partition frame is PROVABLY bounded (a contingency table of
+  * category pairs, a vocabulary, a per-domain weight table) are
+  * whitelisted with the bound named.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately order a SMALL bounded frame in
+    * one partition; value = the bound that keeps it safe at 100 TB. */
+  private val boundedGlobalSort: Map[String, String] = Map(
+    "q135_chi_square" -> "contingency cells: |cat_a| x |cat_b|",
+    "q101_temperature_mix" -> "per-domain weight table: |domains| rows",
+    "q113_prefix_join" -> "token-frequency vocabulary, then broadcast"
+  )
+
+  private def qNum(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
+
+  /** (op, childOp) pairs from the executedPlan tree string: the tree
+    * renders children one line below their parent at deeper indent. */
+  private def sortFedBySinglePartition(plan: String): Boolean = {
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.exists { case (l, i) =>
+      (l.contains("Sort ") || l.contains("Window ")) &&
+        i + 1 < lines.length &&
+        lines(i + 1).contains("Exchange SinglePartition")
+    }
+  }
+
+  test("q117+: no corpus-scale single-partition ordered pass anywhere") {
+    graft.Graft.init(spark)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => qNum(n) >= 117).sortBy(qNum)
+    assert(names.size >= 26) // q117..q142
+    val offenders = names.filterNot(boundedGlobalSort.contains).flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      if (sortFedBySinglePartition(plan)) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition Sort/Window (the scale-killer shape) in: $offenders")
+  }
+
+  test("q118 target encode: category stats aggregate once, fact side never shuffles") {
+    val plan = SparkEntry.queries("q118_target_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"fact-side shuffle crept in ($hashEx):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q129 skew profile: heavy keys via TakeOrdered, Gini via bucketed cumsum") {
+    val plan = SparkEntry.queries("q129_skew_profile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global window:\n$plan")
+    assert(!sortFedBySinglePartition(plan),
+      s"Gini rank-sum must use the bucketed two-phase cumsum:\n$plan")
+  }
+
+  test("q137 AUC: ordered pass is bucket-partitioned, never one task") {
+    val plan = SparkEntry.queries("q137_auc")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!sortFedBySinglePartition(plan),
+      s"AUC cumsum must be bucket-partitioned:\n$plan")
+  }
+
+  test("q142 oriented triangles: wedge build carries no cartesian product") {
+    val plan = SparkEntry.queries("q142_triangles_oriented")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

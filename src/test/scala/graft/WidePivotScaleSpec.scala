@@ -32,4 +32,23 @@ class WidePivotScaleSpec extends SparkSpec {
     val r = wide.filter($"team" === "team7").collect().head
     assert(r.getAs[Double](stats.head) === "team7".length * stats.head.length * 1.0)
   }
+
+  test("analyzer cost of the pivot plan stays bounded at registry width") {
+    // SURVEY §7.4 risk 1 is not just shuffle count — a 1,400-column plan
+    // can also blow up ANALYSIS time (the chained-join formulation grows
+    // superlinearly in Catalyst). Assert the pivot form's full
+    // analyze+optimize+plan pass over 221 stats finishes in seconds.
+    val teams = (1 to 32).map(i => s"team$i")
+    val stats = (1 to 221).map(i => f"cat${i % 15}%d_table$i%d_stat")
+    val long = teams.flatMap(t => stats.map(s => (t, s, t.length * s.length * 1.0)))
+      .toDF("team", "stat", "value")
+    val t0 = System.nanoTime()
+    val wide = WideStats.pivotWide(long, "team", stats)
+    wide.queryExecution.executedPlan // forces analysis + optimization + planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(wide.queryExecution.analyzed.output.length === 222)
+    // generous bound: observed ~1s on local[4]; a superlinear regression
+    // (chained-join shape) lands in minutes, far past this
+    assert(planSec < 30.0, s"pivot plan analysis took ${planSec}s")
+  }
 }
