@@ -632,6 +632,29 @@ object Similarity {
     * the norms are positive, and the oracle checks the raw projection's
     * sign, which is identical) — straight-line generated code per row,
     * no interpreted HOF lambdas. */
+  /** Rademacher random projection to `dPrime` dimensions — the
+    * Johnson–Lindenstrauss dimensionality reduction (Achlioptas 2003:
+    * ±1 entries preserve pairwise distances like Gaussian ones, with
+    * integer-only hash-derived construction). Each output component is
+    * the dot against a ±1 sign vector derived from the SAME
+    * [[lcg]]/[[srpSignature]] parity stream (k = j·dim + i), so the
+    * oracle replays the projection bit for bit — srpSignature IS the
+    * sign of this projection.
+    *
+    * The sign vectors are plan-time literals: the projection is a
+    * narrow per-row expression (no shuffle, no join), and downstream
+    * ANN runs on dPrime-wide arrays — dim/dPrime× less data through
+    * every exchange and comparison that follows. */
+  def rademacherProject(vec: Column, dim: Int, dPrime: Int): Column = {
+    def signs(j: Int): Seq[Double] =
+      (0 until dim).map { i =>
+        val k = j.toLong * dim + i
+        val state = (1103515245L * k + 12345L) % 2147483648L
+        if (((state >> 16) & 1L) == 0L) 1.0 else -1.0
+      }
+    array((0 until dPrime).map(j => dot(vec, typedLit(signs(j)))): _*)
+  }
+
   def srpSignature(vec: Column, dim: Int, bits: Int): Column = {
     def hyperplane(b: Int): Seq[Double] =
       (0 until dim).map { i =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.QualityRules
+import graft.llm.{Bm25, QualityRules}
 import graft.operators.{BloomJoin, TopK}
 
 /** Round-6 scale-operator queries: aggregation-shaped top-k, join
@@ -62,6 +62,41 @@ object PipelineQueries {
              sum(when(!col("pass_words"), 1L).otherwise(0L)).as("n_fail_words"),
              sum(when(!col("pass_wl"), 1L).otherwise(0L)).as("n_fail_wl"),
              sum(when(!col("has_stopword"), 1L).otherwise(0L)).as("n_stopless"))
+    }),
+
+    // Okapi BM25 first-stage retrieval: tf saturation + doc-length
+    // normalization; one corpus exchange, term stats broadcast,
+    // TakeOrdered top-k. Oracle recomputes the full formula.
+    "q146_bm25" -> ((s, d) => {
+      Bm25.topK(documents(s, d), "doc_id", "text",
+                terms = Seq("spark", "hash", "window", "merge", "scan"),
+                k1 = 1.2, b = 0.75, topK = 20)
+    }),
+
+    // Johnson–Lindenstrauss recall audit: Rademacher-project 64→8 dims
+    // (8× less data through every downstream exchange), re-run the
+    // top-10, measure per-query recall vs full precision — the q141
+    // audit shape for dimensionality reduction instead of quantization.
+    "q147_rp_recall" -> ((s, d) => {
+      import graft.llm.Similarity
+      val e = embeddings(s, d)
+      val full = Similarity.cosineTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"))
+      val p = e.select(col("vec_id"),
+        Similarity.rademacherProject(col("embedding"), 64, 8).as("pv"))
+      val proj = Similarity.cosineTopK(p, "vec_id", "pv",
+          p.filter(col("vec_id") < 10), "vec_id", "pv", k = 10)
+        .select(col("qid").as("__q"), col("cid").as("__c"))
+      val overlap = full
+        .join(proj, col("qid") === col("__q") && col("cid") === col("__c"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      full.select(col("qid")).distinct()
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+                coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+                round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+                      lit(10.0), 4).as("recall_at_10"))
     })
   )
 
@@ -105,6 +140,63 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN n_words NOT BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
         |  CAST(SUM(CASE WHEN mean_wl NOT BETWEEN 3.9 AND 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wl,
         |  CAST(SUM(CASE WHEN NOT has_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopless
-        |FROM m GROUP BY source""".stripMargin
+        |FROM m GROUP BY source""".stripMargin,
+
+    "q146_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |qt AS (SELECT doc_id, token FROM toks
+        |       WHERE token IN ('spark','hash','window','merge','scan')),
+        |dl AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        |       FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS dft FROM qt GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(CAST(SUM(CAST(
+        |      ln(1 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+        |      tf * (1.2 + 1) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+        |    AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+        |  FROM tf JOIN dfreq USING (token)
+        |          JOIN dl ON tf.doc_id = dl.doc_id
+        |          CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q147_rp_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |fs AS (SELECT qid, cid FROM (
+        |  SELECT qid, e.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+        |      DESC, e.vec_id) AS rn
+        |  FROM fq, e WHERE qid <> e.vec_id) WHERE rn <= 10),
+        |p AS (SELECT vec_id,
+        |  list_transform(range(8), j ->
+        |    list_dot_product(v,
+        |      list_transform(range(64), i ->
+        |        CASE WHEN ((1103515245*(j*64+i)+12345) % 2147483648 >> 16) & 1 = 0
+        |             THEN 1.0 ELSE -1.0 END))) AS pv
+        |  FROM e),
+        |pq AS (SELECT vec_id AS qid, pv AS qv FROM p WHERE vec_id < 10),
+        |ps AS (SELECT qid, cid FROM (
+        |  SELECT qid, p.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qv, pv)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(pv, pv)))
+        |      DESC, p.vec_id) AS rn
+        |  FROM pq, p WHERE qid <> p.vec_id) WHERE rn <= 10),
+        |ov AS (SELECT fs.qid, COUNT(*) AS n_overlap
+        |       FROM fs JOIN ps ON fs.qid = ps.qid AND fs.cid = ps.cid GROUP BY 1)
+        |SELECT q.qid,
+        |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+        |FROM (SELECT DISTINCT qid FROM fs) q LEFT JOIN ov ON q.qid = ov.qid""".stripMargin
   )
 }
