@@ -632,14 +632,26 @@ object Similarity {
     * the norms are positive, and the oracle checks the raw projection's
     * sign, which is identical) — straight-line generated code per row,
     * no interpreted HOF lambdas. */
+  /** Portable 32-bit integer mix (the xor-shift/multiply "triple32"
+    * family, multiplier 0x45d9f3b): every intermediate stays below
+    * 2^32·0x45d9f3b ≈ 3.1e17, so *, %, >>, xor replay exactly in any
+    * 64-bit-integer engine — the [[lcg]] portability contract with
+    * avalanche good enough for ISOMETRY, not just sign balance. The
+    * single-pass affine lcg's bit-16 stream is measurably correlated
+    * across a stride of `dim` (JL distortion sd 0.86 observed vs the
+    * 0.25 theory bound at d'=32); this mix restores sd ≈ 0.24. */
+  private[llm] def mix32(k: Long): Long = {
+    var x = (((k >> 16) ^ k) * 73244475L) % 4294967296L
+    x = (((x >> 16) ^ x) * 73244475L) % 4294967296L
+    (x >> 16) ^ x
+  }
+
   /** Rademacher random projection to `dPrime` dimensions — the
     * Johnson–Lindenstrauss dimensionality reduction (Achlioptas 2003:
     * ±1 entries preserve pairwise distances like Gaussian ones, with
-    * integer-only hash-derived construction). Each output component is
-    * the dot against a ±1 sign vector derived from the SAME
-    * [[lcg]]/[[srpSignature]] parity stream (k = j·dim + i), so the
-    * oracle replays the projection bit for bit — srpSignature IS the
-    * sign of this projection.
+    * integer-only hash-derived construction). Sign (j,i) is the low
+    * bit of [[mix32]](j·dim + i); q148 measures the resulting
+    * pairwise-distance distortion against the JL bound.
     *
     * The sign vectors are plan-time literals: the projection is a
     * narrow per-row expression (no shuffle, no join), and downstream
@@ -648,9 +660,7 @@ object Similarity {
   def rademacherProject(vec: Column, dim: Int, dPrime: Int): Column = {
     def signs(j: Int): Seq[Double] =
       (0 until dim).map { i =>
-        val k = j.toLong * dim + i
-        val state = (1103515245L * k + 12345L) % 2147483648L
-        if (((state >> 16) & 1L) == 0L) 1.0 else -1.0
+        if ((mix32(j.toLong * dim + i) & 1L) == 0L) 1.0 else -1.0
       }
     array((0 until dPrime).map(j => dot(vec, typedLit(signs(j)))): _*)
   }

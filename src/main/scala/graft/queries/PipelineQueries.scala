@@ -77,6 +77,11 @@ object PipelineQueries {
     // (8× less data through every downstream exchange), re-run the
     // top-10, measure per-query recall vs full precision — the q141
     // audit shape for dimensionality reduction instead of quantization.
+    // On THIS corpus the measured recall is ~0: the synthetic embeddings
+    // are near-isotropic noise whose neighbor ranking is one big tie, so
+    // projection scrambles it — exactly the unsafe-to-deploy answer the
+    // audit exists to give (q148 shows the distances themselves ARE
+    // preserved; ranking on noise is what isn't).
     "q147_rp_recall" -> ((s, d) => {
       import graft.llm.Similarity
       val e = embeddings(s, d)
@@ -97,6 +102,32 @@ object PipelineQueries {
                 coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
                 round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
                       lit(10.0), 4).as("recall_at_10"))
+    }),
+
+    // The JL theorem's ACTUAL guarantee, measured: pairwise squared
+    // distances after a 64→32 Rademacher projection, scaled by
+    // dim'/1 (E||p(x)||² = d'·||x||²), concentrate around their
+    // originals with sd ≈ sqrt(2/d') ≈ 0.25. Histogram of the ratio
+    // over all pairs of a 40-vector sample: mass piles in [0.8, 1.2).
+    "q148_jl_distortion" -> ((s, d) => {
+      import graft.llm.Similarity
+      val dPrime = 32
+      val e = embeddings(s, d).filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+                Similarity.rademacherProject(col("embedding"), 64, dPrime).as("pv"))
+      val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("pv").as("pa"))
+      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("pv").as("pb"))
+      val d2 = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        Similarity.dot(x, x) + Similarity.dot(y, y) - lit(2.0) * Similarity.dot(x, y)
+      a.join(b, col("ida") < col("idb"))
+        .select(
+          round(try_divide(d2(col("pa"), col("pb")),
+                           lit(dPrime.toDouble) * d2(col("va"), col("vb"))), 6)
+            .as("ratio"))
+        .filter(col("ratio").isNotNull)
+        .select(floor(col("ratio") * 5).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -180,9 +211,13 @@ object PipelineQueries {
         |p AS (SELECT vec_id,
         |  list_transform(range(8), j ->
         |    list_dot_product(v,
-        |      list_transform(range(64), i ->
-        |        CASE WHEN ((1103515245*(j*64+i)+12345) % 2147483648 >> 16) & 1 = 0
-        |             THEN 1.0 ELSE -1.0 END))) AS pv
+        |      list_transform(
+        |        list_transform(
+        |          list_transform(range(64), i ->
+        |            (xor((j*64+i) >> 16, j*64+i) * 73244475) % 4294967296),
+        |          x -> (xor(x >> 16, x) * 73244475) % 4294967296),
+        |        x -> CASE WHEN xor(x >> 16, x) & 1 = 0
+        |             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
         |  FROM e),
         |pq AS (SELECT vec_id AS qid, pv AS qv FROM p WHERE vec_id < 10),
         |ps AS (SELECT qid, cid FROM (
@@ -197,6 +232,29 @@ object PipelineQueries {
         |SELECT q.qid,
         |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
         |  round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
-        |FROM (SELECT DISTINCT qid FROM fs) q LEFT JOIN ov ON q.qid = ov.qid""".stripMargin
+        |FROM (SELECT DISTINCT qid FROM fs) q LEFT JOIN ov ON q.qid = ov.qid""".stripMargin,
+
+    "q148_jl_distortion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 40),
+        |p AS (SELECT vec_id, v,
+        |  list_transform(range(32), j ->
+        |    list_dot_product(v,
+        |      list_transform(
+        |        list_transform(
+        |          list_transform(range(64), i ->
+        |            (xor((j*64+i) >> 16, j*64+i) * 73244475) % 4294967296),
+        |          x -> (xor(x >> 16, x) * 73244475) % 4294967296),
+        |        x -> CASE WHEN xor(x >> 16, x) & 1 = 0
+        |             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+        |  FROM e),
+        |pr AS (SELECT
+        |    round((list_dot_product(a.pv, a.pv) + list_dot_product(b.pv, b.pv)
+        |           - 2 * list_dot_product(a.pv, b.pv))
+        |          / NULLIF(32.0 * (list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+        |                           - 2 * list_dot_product(a.v, b.v)), 0), 6) AS ratio
+        |  FROM p a, p b WHERE a.vec_id < b.vec_id)
+        |SELECT CAST(floor(ratio * 5) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
+        |FROM pr WHERE ratio IS NOT NULL GROUP BY 1""".stripMargin
   )
 }
