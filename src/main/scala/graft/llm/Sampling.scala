@@ -104,6 +104,53 @@ object Sampling {
     * only corpus exchange is the one domain-keyed rank window (the
     * alternative — threshold on idFraction at rate t_d/n_d — is
     * exchange-free but binomial, not exact-allocation). */
+  /** Exact stratified sampling with LARGEST-REMAINDER (Hamilton)
+    * apportionment: the sample hits `total` EXACTLY (temperatureMix's
+    * floor allocation leaves the remainder unfilled) while preserving
+    * stratum proportions to within one row. Integer-only arithmetic:
+    * base quota = (total·n_s) div N; the R = total − Σ base leftover
+    * rows go to the strata with the largest division remainders
+    * (ties → stratum key asc). Rows inside a stratum are picked in
+    * (lcg(id), id) priority order — the [[prioritySample]] contract:
+    * the kept set is a pure function of ids.
+    *
+    * Scale shape: stratum counts map-side combine to #strata rows; the
+    * remainder-rank window runs on that BOUNDED frame (|strata| rows —
+    * not corpus-scale, the q101/q135 class); quotas broadcast back and
+    * the only corpus exchange is the per-stratum rank window.
+    * Precondition: total <= N (can't sample more than exists).
+    * Returns the audit: (strata*, n_docs, quota, n_kept, checksum). */
+  def stratifiedExact(df: DataFrame, idCol: String, strataCols: Seq[String],
+                      total: Long): DataFrame = {
+    val sc = strataCols.map(col)
+    val counts = df.groupBy(sc: _*).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__N", sum(col("n_docs")).over(Window.partitionBy()))
+    val quotas = counts
+      .withColumn("__base", expr(s"($total * n_docs) DIV __N"))
+      .withColumn("__rem", lit(total) * col("n_docs") - col("__base") * col("__N"))
+      .withColumn("__left",
+        lit(total) - sum(col("__base")).over(Window.partitionBy()))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc +: sc.map(_.asc): _*)))
+      .withColumn("quota",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(sc :+ col("n_docs") :+ col("quota"): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sc: _*)
+          .orderBy(Similarity.lcg(col(idCol)), col(idCol))))
+      .join(broadcast(quotas.select(sc :+ col("quota"): _*)), strataCols)
+      .filter(col("__rn") <= col("quota"))
+    val kept = ranked.groupBy(sc: _*)
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col(idCol).cast("decimal(38,0)")).cast("long")
+             .as("kept_id_checksum"))
+    quotas.join(kept, strataCols, "left")
+      .select(sc ++ Seq(col("n_docs"), col("quota"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              col("kept_id_checksum")): _*)
+  }
+
   def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
                      alpha: Double, budget: Long): DataFrame = {
     val wq = round(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1e6), 0)

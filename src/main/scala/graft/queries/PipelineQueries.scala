@@ -19,6 +19,10 @@ object PipelineQueries {
 
   private val dsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
 
+  // the shared portable LCG (Similarity.lcg), DuckDB form
+  private def lcgSql(k: String) =
+    s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
+
   val queries: Map[String, Q] = Map(
 
     // Per-group top-k as a bounded-buffer AGGREGATION (map-side combine
@@ -128,6 +132,15 @@ object PipelineQueries {
         .select(floor(col("ratio") * 5).cast("long").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Exact stratified sampling: largest-remainder apportionment hits
+    // the total EXACTLY while preserving language shares to within one
+    // row; per-stratum picks in (lcg, id) priority order. Oracle
+    // replays quotas, remainders, and picks end to end.
+    "q149_stratified_sample" -> ((s, d) => {
+      graft.llm.Sampling.stratifiedExact(documents(s, d), "doc_id",
+                                         Seq("lang"), total = 100L)
     })
   )
 
@@ -255,6 +268,28 @@ object PipelineQueries {
         |                           - 2 * list_dot_product(a.v, b.v)), 0), 6) AS ratio
         |  FROM p a, p b WHERE a.vec_id < b.vec_id)
         |SELECT CAST(floor(ratio * 5) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
-        |FROM pr WHERE ratio IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM pr WHERE ratio IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q149_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_docs) AS N FROM c),
+         |q0 AS (SELECT lang, n_docs, (100*n_docs) // N AS base,
+         |              100*n_docs - ((100*n_docs) // N)*N AS rem FROM c, t),
+         |l AS (SELECT 100 - SUM(base) AS leftover FROM q0),
+         |q1 AS (SELECT lang, n_docs, base, rem,
+         |         row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q0),
+         |q AS (SELECT lang, n_docs,
+         |        base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+         |      FROM q1, l),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${lcgSql("doc_id")}, doc_id) AS rn
+         |      FROM documents),
+         |k AS (SELECT r.lang, COUNT(*) AS n_kept,
+         |        CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS BIGINT) AS kept_id_checksum
+         |      FROM r JOIN q ON r.lang = q.lang WHERE rn <= quota GROUP BY 1)
+         |SELECT q.lang, n_docs, CAST(quota AS BIGINT) AS quota,
+         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, kept_id_checksum
+         |FROM q LEFT JOIN k ON q.lang = k.lang""".stripMargin
   )
 }

@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
   private val boundedGlobalSort: Map[String, String] = Map(
     "q135_chi_square" -> "contingency cells: |cat_a| x |cat_b|",
     "q101_temperature_mix" -> "per-domain weight table: |domains| rows",
-    "q113_prefix_join" -> "token-frequency vocabulary, then broadcast"
+    "q113_prefix_join" -> "token-frequency vocabulary, then broadcast",
+    "q149_stratified_sample" -> "per-stratum quota frame: |strata| rows"
   )
 
   private def qNum(name: String): Int =
