@@ -141,6 +141,23 @@ object PipelineQueries {
     "q149_stratified_sample" -> ((s, d) => {
       graft.llm.Sampling.stratifiedExact(documents(s, d), "doc_id",
                                          Seq("lang"), total = 100L)
+    }),
+
+    // Page's CUSUM change-point chart per user: sequential fold with a
+    // reset (not a window cumsum) via flatMapSortedGroups; oracle is a
+    // recursive CTE replaying the identical recurrence step for step.
+    "q150_cusum" -> ((s, d) => {
+      graft.operators.ChangePoint.cusumSummary(
+        events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+                            col("value")),
+        "user_id", Seq(col("ts"), col("event_id")), "value", "event_id",
+        target = 50.0, slack = 10.0, threshold = 500.0)
+    }),
+
+    // Weekly cohort retention triangle: one user-keyed exchange serves
+    // first-event agg, activity distinct, and their join.
+    "q151_cohort_retention" -> ((s, d) => {
+      graft.operators.Cohort.weeklyRetention(events(s, d), "user_id", "ts")
     })
   )
 
@@ -290,6 +307,36 @@ object PipelineQueries {
          |      FROM r JOIN q ON r.lang = q.lang WHERE rn <= quota GROUP BY 1)
          |SELECT q.lang, n_docs, CAST(quota AS BIGINT) AS quota,
          |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, kept_id_checksum
-         |FROM q LEFT JOIN k ON q.lang = k.lang""".stripMargin
+         |FROM q LEFT JOIN k ON q.lang = k.lang""".stripMargin,
+
+    "q150_cusum" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_id, value, rn,
+        |    greatest(CAST(0 AS DOUBLE), 0 + (value - 50.0 - 10.0)) AS s
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT seq.user_id, seq.event_id, seq.value, seq.rn,
+        |    greatest(CAST(0 AS DOUBLE), walk.s + (seq.value - 50.0 - 10.0)) AS s
+        |  FROM walk JOIN seq ON seq.user_id = walk.user_id
+        |                    AND seq.rn = walk.rn + 1)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN s > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  round(MAX(s), 6) AS peak_cusum,
+        |  MIN(CASE WHEN s > 500.0 THEN event_id END) AS first_alarm_id
+        |FROM walk GROUP BY user_id""".stripMargin,
+
+    "q151_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }
