@@ -43,8 +43,7 @@ object QualityRules {
     val meanWl = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
       .cast("double") / nWords.cast("double")
     val symbolRatio =
-      (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
-        .cast("double") /
+      length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") /
         when(length(t) > 0, length(t).cast("double"))
     val hasStop = arrays_overlap(ws, array(stopwords.map(lit): _*))
     // keeps every input column except the text itself (metrics replace it)
@@ -76,8 +75,7 @@ object QualityRules {
     val meanWl = round(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
       .cast("double") / nWords.cast("double"), 4)
     val symbolRatio = round(
-      (length(textCol) - length(regexp_replace(textCol, "[a-z0-9 ]", "")))
-        .cast("double") /
+      length(regexp_replace(textCol, "[a-z0-9 ]", "")).cast("double") /
         when(length(textCol) > 0, length(textCol).cast("double")), 4)
     nWords.between(minWords, maxWords) && meanWl.between(minWl, maxWl) &&
       (symbolRatio <= maxSymbolRatio) &&

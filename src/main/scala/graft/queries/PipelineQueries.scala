@@ -188,7 +188,7 @@ object PipelineQueries {
         |    round(CAST(list_aggregate(list_transform(string_split(text, ' '),
         |            x -> length(x)), 'sum') AS DOUBLE)
         |          / len(string_split(text, ' ')), 4) AS mean_wl,
-        |    round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
         |          / NULLIF(length(text), 0), 4) AS symbol_ratio,
         |    list_has_any(string_split(text, ' '),
         |      ['the','a','of','to','and','in','is','that']) AS has_stop
