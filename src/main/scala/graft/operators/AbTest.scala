@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment analysis: two-sample comparison with CUPED variance
+  * reduction (Deng et al. 2013) — the controlled-experiment readout a
+  * data platform serves after every launch. CUPED subtracts the part
+  * of the outcome predicted by a PRE-experiment covariate
+  * (y' = y − θ·(x − x̄), θ = cov(x,y)/var(x)), shrinking variance by
+  * the squared correlation without biasing the arm difference (θ and
+  * x̄ are computed over ALL units, so E[y'|arm] − E[y|arm] is the same
+  * constant in both arms).
+  *
+  * Scale shape: two map-side-combined aggregation passes over the
+  * per-unit frame — pass 1 reduces to ONE row of exact decimal moments
+  * (n, Σx, Σy, Σx², Σxy — the corrStats arithmetic) from which θ and
+  * x̄ derive; pass 2 aggregates the θ-adjusted outcome per arm. No
+  * joins except the 1-row broadcast of θ. Every cross-engine number
+  * derives from exact integer sums; doubles appear only in the final
+  * closed-form divisions.
+  */
+object AbTest {
+
+  private def q6(c: Column): Column =
+    round(c.cast("double") * lit(1e6), 0).cast("decimal(19,0)")
+
+  /** Per-arm CUPED summary from a per-unit frame:
+    * (arm, n, mean_post, mean_cuped, var_post, var_cuped) — variance
+    * reduction reads off the last two columns. Rounded to 6. */
+  def cupedByArm(units: DataFrame, armCol: String, preCol: String,
+                 postCol: String): DataFrame = {
+    val x = q6(col(preCol))
+    val y = q6(col(postCol))
+    val moments = units.agg(
+      count(lit(1)).as("__n"),
+      sum(x).cast("decimal(38,0)").as("__sx"),
+      sum(y).cast("decimal(38,0)").as("__sy"),
+      sum(x * x).cast("decimal(38,0)").as("__sxx"),
+      sum(x * y).cast("decimal(38,0)").as("__sxy"))
+    val nD = col("__n").cast("double")
+    val theta =
+      ((nD * col("__sxy").cast("double")) -
+        col("__sx").cast("double") * col("__sy").cast("double")) /
+      ((nD * col("__sxx").cast("double")) -
+        col("__sx").cast("double") * col("__sx").cast("double"))
+    val meanPre = col("__sx").cast("double") / nD / lit(1e6)
+    val withTheta = units.crossJoin(
+      broadcast(moments.select(round(theta, 9).as("__theta"),
+                               round(meanPre, 9).as("__mean_pre"))))
+    val adj = col(postCol).cast("double") -
+      col("__theta") * (col(preCol).cast("double") - col("__mean_pre"))
+    withTheta
+      .select(col(armCol).as("arm"),
+              col(postCol).cast("double").as("__y"), adj.as("__ya"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(q6(col("__y"))).cast("double") /
+                 count(lit(1)).cast("double") / 1e6, 6).as("mean_post"),
+           round(sum(q6(col("__ya"))).cast("double") /
+                 count(lit(1)).cast("double") / 1e6, 6).as("mean_cuped"),
+           round((sum(q6(col("__y")) * q6(col("__y"))).cast("double") -
+                  sum(q6(col("__y"))).cast("double") *
+                  sum(q6(col("__y"))).cast("double") /
+                  count(lit(1)).cast("double")) /
+                 count(lit(1)).cast("double") / 1e12, 6).as("var_post"),
+           round((sum(q6(col("__ya")) * q6(col("__ya"))).cast("double") -
+                  sum(q6(col("__ya"))).cast("double") *
+                  sum(q6(col("__ya"))).cast("double") /
+                  count(lit(1)).cast("double")) /
+                 count(lit(1)).cast("double") / 1e12, 6).as("var_cuped"))
+  }
+}

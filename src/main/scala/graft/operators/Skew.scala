@@ -35,6 +35,26 @@ object Skew {
            sums.keys.toSeq.map(n => sum(col(s"__s_$n")).as(n)): _*)
   }
 
+  /** Salted equi-join for a skewed FACT key: each fact row gets a salt
+    * from `saltSource` (any roughly-uniform per-row column — an id,
+    * not the join key), the dim side replicates `saltBuckets` ways,
+    * and the join runs on (key, salt) — a hot key's rows now land on
+    * `saltBuckets` reducers instead of one. Result row set is
+    * IDENTICAL to the plain join (every fact row meets exactly one
+    * dim replica); the cost is dim·saltBuckets, the standard trade
+    * when the dim is small-ish but past broadcast size. AQE's skew
+    * handling covers sort-merge cases adaptively; this is the
+    * explicit, plan-stable form (and works under any join strategy).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(saltSource.cast("long"), lit(saltBuckets.toLong)).cast("int"))
+    val dimExp = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(dimExp, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Key-skew diagnostics — the profile a pipeline checks BEFORE a
     * big join/agg decides between plain hash partitioning, salting
     * ([[saltedSumCount]]), and AQE skew splitting: the `topK`

@@ -158,6 +158,43 @@ object PipelineQueries {
     // first-event agg, activity distinct, and their join.
     "q151_cohort_retention" -> ((s, d) => {
       graft.operators.Cohort.weeklyRetention(events(s, d), "user_id", "ts")
+    }),
+
+    // CUPED experiment readout: per-user pre/post means (week 1 vs
+    // rest), arm = user_id parity, θ from one exact-decimal moment row,
+    // per-arm adjusted mean + variance — var_cuped < var_post is the
+    // methodology's whole point, visible in the output.
+    "q152_ab_cuped" -> ((s, d) => {
+      val cut = to_timestamp(lit("2024-01-08 00:00:00"))
+      val perUser = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          graft.util.Exact.exactSum(when(col("ts") < cut, col("value")))
+            .as("pre_sum"),
+          sum(when(col("ts") < cut, 1L).otherwise(0L)).as("pre_n"),
+          graft.util.Exact.exactSum(when(col("ts") >= cut, col("value")))
+            .as("post_sum"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("post_n"))
+        .filter(col("pre_n") > 0 && col("post_n") > 0)
+        .select((col("user_id") % 2).as("arm"),
+                round(col("pre_sum") / col("pre_n").cast("double"), 6).as("pre"),
+                round(col("post_sum") / col("post_n").cast("double"), 6).as("post"))
+      graft.operators.AbTest.cupedByArm(perUser, "arm", "pre", "post")
+    }),
+
+    // Salted skew join: hot fact keys spread over 16 reducers via a
+    // per-row salt, dim replicated to match — oracle is the PLAIN
+    // join + agg, proving the salted plan is row-identical.
+    "q153_salted_join" -> ((s, d) => {
+      val dim = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.operators.Skew.saltedJoin(
+          lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"),
+                                col("l_extendedprice")),
+          dim, "l_suppkey", saltSource = col("l_orderkey"), saltBuckets = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+             graft.util.Exact.exactSum(col("l_extendedprice")).as("revenue"))
     })
   )
 
@@ -337,6 +374,67 @@ object PipelineQueries {
         |  CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS week_offset,
         |  COUNT(*) AS n_users
         |FROM a JOIN f ON a.user_id = f.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q152_ab_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+        |                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS pre_sum,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS pre_n,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |                  THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS post_sum,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS post_n
+        |  FROM events GROUP BY 1),
+        |units AS (
+        |  SELECT user_id % 2 AS arm,
+        |    round(pre_sum / pre_n, 6) AS pre,
+        |    round(post_sum / post_n, 6) AS post
+        |  FROM pu WHERE pre_n > 0 AND post_n > 0),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(round(pre * 1000000.0, 0) AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(round(post * 1000000.0, 0) AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(round(pre * 1000000.0, 0) AS DECIMAL(19,0)) *
+        |        CAST(round(pre * 1000000.0, 0) AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(round(pre * 1000000.0, 0) AS DECIMAL(19,0)) *
+        |        CAST(round(post * 1000000.0, 0) AS DECIMAL(19,0))) AS sxy
+        |  FROM units),
+        |t AS (
+        |  SELECT
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS theta,
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 9) AS mean_pre
+        |  FROM m),
+        |a AS (
+        |  SELECT arm, post AS y,
+        |    post - theta * (pre - mean_pre) AS ya
+        |  FROM units, t)
+        |SELECT arm, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(round(y * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_post,
+        |  round(CAST(SUM(CAST(round(ya * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_cuped,
+        |  round((CAST(SUM(CAST(round(y * 1000000.0, 0) AS DECIMAL(19,0)) *
+        |                  CAST(round(y * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |         - CAST(SUM(CAST(round(y * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |           * CAST(SUM(CAST(round(y * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE))
+        |        / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0, 6) AS var_post,
+        |  round((CAST(SUM(CAST(round(ya * 1000000.0, 0) AS DECIMAL(19,0)) *
+        |                  CAST(round(ya * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |         - CAST(SUM(CAST(round(ya * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |           * CAST(SUM(CAST(round(ya * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE))
+        |        / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0, 6) AS var_cuped
+        |FROM a GROUP BY arm""".stripMargin,
+
+    "q153_salted_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey""".stripMargin
   )
 }

@@ -108,4 +108,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) < 5 * got(1L))        // ...but saturates below linear
     assert(got(3L) > got(1L))            // same tf, shorter doc wins
   }
+
+  test("saltedJoin: row-identical to the plain join, hot key spread across salts") {
+    import graft.operators.Skew
+    // one hot key (90% of rows) + a long tail
+    val fact = (1L to 2000L).map(i => (if (i % 10 != 0) 7L else i % 50, i))
+      .toDF("k", "rid")
+    val dim = (0L to 49L).map(i => (i, s"d$i")).toDF("k", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", col("rid"), saltBuckets = 8)
+      .select($"k", $"rid", $"name")
+    val plain = fact.join(dim, "k").select($"k", $"rid", $"name")
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+    // the hot key's rows really use >1 salt value
+    val saltsUsed = fact.filter($"k" === 7L)
+      .select(pmod($"rid".cast("long"), lit(8L))).distinct().count()
+    assert(saltsUsed === 8L)
+  }
+
+  test("cupedByArm: perfectly predictive covariate collapses variance, means unbiased") {
+    import graft.operators.AbTest
+    // post = pre + arm-effect: CUPED removes ALL pre-driven variance
+    val units = (1L to 400L).map { i =>
+      val arm = i % 2
+      val pre = (i % 37).toDouble + 10.0
+      (arm, pre, pre + arm * 2.0)
+    }.toDF("arm", "pre", "post")
+    val got = AbTest.cupedByArm(units, "arm", "pre", "post")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (m0, a0, v0, c0) = got(0L)
+    val (m1, a1, v1, c1) = got(1L)
+    assert(math.abs((a1 - a0) - 2.0) < 1e-4, s"adjusted effect ${a1 - a0}")
+    assert(math.abs((m1 - m0) - 2.0) < 0.6)   // raw diff is noisy but near 2
+    assert(c0 < v0 / 100 && c1 < v1 / 100,
+      s"cuped variance should collapse: $c0 vs $v0, $c1 vs $v1")
+  }
 }
