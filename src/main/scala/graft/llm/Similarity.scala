@@ -640,10 +640,20 @@ object Similarity {
     * single-pass affine lcg's bit-16 stream is measurably correlated
     * across a stride of `dim` (JL distortion sd 0.86 observed vs the
     * 0.25 theory bound at d'=32); this mix restores sd ≈ 0.24. */
-  private[llm] def mix32(k: Long): Long = {
+  def mix32(k: Long): Long = {
     var x = (((k >> 16) ^ k) * 73244475L) % 4294967296L
     x = (((x >> 16) ^ x) * 73244475L) % 4294967296L
     (x >> 16) ^ x
+  }
+
+  /** [[mix32]] as a column expression (codegen'd built-ins only) —
+    * for per-row hashing that an external engine must replay exactly
+    * (the count-min sketch, q154). Input must be a non-negative long
+    * below ~2^47 so every intermediate stays under 2^63. */
+  def mix32Col(k: Column): Column = {
+    val a = (shiftright(k, 16).bitwiseXOR(k) * lit(73244475L)) % lit(4294967296L)
+    val b = (shiftright(a, 16).bitwiseXOR(a) * lit(73244475L)) % lit(4294967296L)
+    shiftright(b, 16).bitwiseXOR(b)
   }
 
   /** Rademacher random projection to `dPrime` dimensions — the

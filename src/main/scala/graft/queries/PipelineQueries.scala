@@ -23,6 +23,13 @@ object PipelineQueries {
   private def lcgSql(k: String) =
     s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
 
+  // Similarity.mix32, DuckDB form (xor-shift/multiply chain)
+  private def mix32Sql(k: String): String = {
+    val a = s"((xor(($k) >> 16, $k) * 73244475) % 4294967296)"
+    val b = s"((xor($a >> 16, $a) * 73244475) % 4294967296)"
+    s"xor($b >> 16, $b)"
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Per-group top-k as a bounded-buffer AGGREGATION (map-side combine
@@ -195,6 +202,21 @@ object PipelineQueries {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
              graft.util.Exact.exactSum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Count-min sketch audit: 4×256 counters estimate per-user event
+    // frequencies; est >= exact is a HARD invariant (collisions only
+    // add), and the overcount column measures the collision cost on
+    // real data. Oracle replays the sketch build + probe end to end.
+    "q154_cms_audit" -> ((s, d) => {
+      import graft.operators.Sketch
+      val e = events(s, d).select(col("user_id"))
+      val sketch = Sketch.cmsBuild(e, "user_id", depth = 4, width = 256)
+      val est = Sketch.cmsEstimate(sketch, e, "user_id", depth = 4, width = 256)
+      val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+                (col("cms_est") - col("exact_n")).as("overcount"))
     })
   )
 
@@ -435,6 +457,24 @@ object PipelineQueries {
       s"""SELECT s_nationkey, COUNT(*) AS n,
          |  ${dsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_nationkey""".stripMargin
+         |GROUP BY s_nationkey""".stripMargin,
+
+    "q154_cms_audit" ->
+      s"""WITH rows_r AS (SELECT unnest(range(4)) AS r),
+         |cells AS (
+         |  SELECT r, ${mix32Sql("r*1000003 + user_id")} % 256 AS bucket,
+         |         COUNT(*) AS cnt
+         |  FROM events CROSS JOIN rows_r GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT DISTINCT user_id, r,
+         |         ${mix32Sql("r*1000003 + user_id")} % 256 AS bucket
+         |  FROM events CROSS JOIN rows_r),
+         |est AS (
+         |  SELECT user_id, MIN(cnt) AS cms_est
+         |  FROM probes JOIN cells USING (r, bucket) GROUP BY 1),
+         |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1)
+         |SELECT exact.user_id, exact_n, cms_est,
+         |       cms_est - exact_n AS overcount
+         |FROM exact JOIN est ON exact.user_id = est.user_id""".stripMargin
   )
 }
