@@ -217,6 +217,22 @@ object PipelineQueries {
       exact.join(est, "user_id")
         .select(col("user_id"), col("exact_n"), col("cms_est"),
                 (col("cms_est") - col("exact_n")).as("overcount"))
+    }),
+
+    // Spark's NATIVE session_window aggregation (gap-merge in the agg
+    // operator itself, streaming-ready) — the oracle derives the same
+    // sessions from first principles (lag gap >= 30min starts a new
+    // one), proving the native operator's semantics against q44's
+    // manual form.
+    "q155_session_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"),
+                 session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+             graft.util.Exact.exactSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+                unix_micros(col("w.start")).as("session_start_us"),
+                col("n_events"), col("sum_value"))
     })
   )
 
@@ -475,6 +491,24 @@ object PipelineQueries {
          |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1)
          |SELECT exact.user_id, exact_n, cms_est,
          |       cms_est - exact_n AS overcount
-         |FROM exact JOIN est ON exact.user_id = est.user_id""".stripMargin
+         |FROM exact JOIN est ON exact.user_id = est.user_id""".stripMargin,
+
+    "q155_session_window" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |           (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |           (PARTITION BY user_id ORDER BY ts) >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+         |  COUNT(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }
