@@ -38,6 +38,29 @@ object Sampling {
   def shardOf(id: Column, nShards: Int): Column =
     pmod(Similarity.lcg(id), lit(nShards.toLong))
 
+  /** Weighted sampling WITHOUT replacement, exact size k (Efraimidis &
+    * Spirakis 2006): each row draws u = [[idFraction]](id) and ranks
+    * by u^(1/w) — the top k are a weight-proportional sample. Ranking
+    * uses the monotone-equivalent ln(u)/w (exp is monotone), because
+    * ln's cross-engine determinism is proven (the q83 contract) while
+    * pow's is not. Deterministic: the sample is a pure function of
+    * ids and weights. Rows with u = 0 (the 15-bit [[idFraction]]
+    * floor) are filtered explicitly — u^(1/w) = 0 can never win, and
+    * engines disagree on ln(0) (null vs error). TakeOrdered top-k —
+    * no global sort. Requires weights > 0. */
+  def weightedSampleES(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame = {
+    val esKey = log(idFraction(col(idCol))) / col(weightCol).cast("double")
+    df.filter(idFraction(col(idCol)) > 0.0)
+      .select(col(idCol), col(weightCol), esKey.as("__es"))
+      .orderBy(col("__es").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__es").desc, col(idCol))))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+              col(weightCol), round(col("__es"), 9).as("es_key"))
+  }
+
   /** Mixture (per-domain) sampling: keep a row iff [[idFraction]] of
     * its id falls below its domain's rate — how a training corpus is
     * re-weighted across sources (up/down-sample web vs books vs code)

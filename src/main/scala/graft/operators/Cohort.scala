@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * this per-collection freshness readout; this generalizes it to the
   * standard cohort triangle.)
   *
-  * Scale shape: ONE corpus exchange. The user-id repartition feeds
-  * both the first-event aggregation and the (user, period) activity
-  * distinct (ClusteredDistribution on a key subset — no second
-  * shuffle), and their join is co-partitioned on user_id. The final
-  * (cohort, offset) aggregation runs on |users|·|periods| rows, already
-  * distinct, so the count needs no countDistinct. Period truncation is
-  * date_trunc — identical semantics in any SQL engine (ISO Monday
-  * weeks). */
+  * Scale shape: one corpus exchange at runtime. The two consumers of
+  * the user-id repartition (first-event aggregation; (user, period)
+  * activity distinct) plan as identical exchange subtrees that AQE's
+  * stage reuse executes once; the per-user first-event frame is tiny
+  * and broadcasts into the join, so no third shuffle exists. The final
+  * (cohort, offset) aggregation moves only partial-agg rows, already
+  * distinct per (user, period), so the count needs no countDistinct.
+  * Period truncation is date_trunc — identical semantics in any SQL
+  * engine (ISO Monday weeks). */
 object Cohort {
 
   /** Weekly cohort triangle: (cohort_week yyyy-MM-dd, week_offset,

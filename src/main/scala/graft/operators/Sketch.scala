@@ -55,4 +55,29 @@ object Sketch {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Linear-counting distinct estimate per group (Whang et al. 1990):
+    * hash each key into m buckets, count occupied buckets V_occ, and
+    * estimate n̂ = −m·ln(1 − V_occ/m). Unlike HLL (whose register
+    * layout is engine-private, so q36 can only envelope-check it),
+    * the occupied-bucket SET is a pure function of [[Similarity
+    * .mix32Col]] — an external engine replays the ESTIMATE itself bit
+    * for bit. State is the bucket set (≤ m per group, OR-mergeable =
+    * the distinct union); one exchange on (group, bucket) partial-
+    * aggregated map-side. Accuracy needs m ≳ a few × the true
+    * cardinality (load < ~1.5); past m the formula saturates — that
+    * regime shift is exactly what the q156 audit shows. */
+  def linearCount(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  m: Int = 16384): DataFrame = {
+    val gc = groupCols.map(col)
+    df.select(gc :+ pmod(Similarity.mix32Col(col(keyCol)), lit(m.toLong))
+        .as("__b"): _*)
+      .distinct()
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("__occ"))
+      .select(gc :+
+        round(lit(-m.toDouble) *
+          log(lit(1.0) - col("__occ").cast("double") / m.toDouble), 4)
+          .as("lc_est"): _*)
+  }
 }

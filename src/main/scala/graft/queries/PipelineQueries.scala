@@ -233,6 +233,32 @@ object PipelineQueries {
         .select(col("user_id"),
                 unix_micros(col("w.start")).as("session_start_us"),
                 col("n_events"), col("sum_value"))
+    }),
+
+    // Linear-counting distinct sketch: unlike HLL (engine-private
+    // registers, q36 can only envelope-check), the occupied-bucket set
+    // is a pure mix32 function — the oracle replays the ESTIMATE
+    // itself. Audit shows estimate vs exact per group.
+    "q156_linear_counting" -> ((s, d) => {
+      import graft.operators.Sketch
+      val li = lineitem(s, d)
+      val lc = Sketch.linearCount(li, Seq("l_returnflag"), "l_orderkey",
+                                  m = 16384)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      exact.join(lc, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"), col("lc_est"),
+                round((col("lc_est") - col("exact_distinct").cast("double")) /
+                      col("exact_distinct").cast("double"), 6).as("rel_err"))
+    }),
+
+    // Efraimidis–Spirakis weighted sampling without replacement: exact
+    // size 50, inclusion probability ∝ n_chars; ranked by ln(u)/w (the
+    // monotone-equivalent of u^(1/w) whose portability is proven).
+    "q157_weighted_sample" -> ((s, d) => {
+      graft.llm.Sampling.weightedSampleES(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)
     })
   )
 
@@ -509,6 +535,37 @@ object PipelineQueries {
          |  FROM g)
          |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
          |  COUNT(*) AS n_events, ${dsum("value")} AS sum_value
-         |FROM s GROUP BY user_id, sid""".stripMargin
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q156_linear_counting" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_returnflag,
+         |         ${mix32Sql("l_orderkey")} % 16384 AS bucket
+         |  FROM lineitem),
+         |occ AS (SELECT l_returnflag, COUNT(*) AS occ FROM b GROUP BY 1),
+         |lc AS (SELECT l_returnflag,
+         |         round(-16384.0 * ln(1.0 - CAST(occ AS DOUBLE) / 16384.0), 4)
+         |           AS lc_est
+         |       FROM occ),
+         |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+         |       FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, exact_distinct, lc_est,
+         |  round((lc_est - CAST(exact_distinct AS DOUBLE))
+         |        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         |FROM ex JOIN lc ON ex.l_returnflag = lc.l_returnflag""".stripMargin,
+
+    "q157_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST((${lcgSql("doc_id")}) >> 16 AS DOUBLE) / 32768.0 AS u
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, n_chars,
+         |    ln(u) / CAST(n_chars AS DOUBLE) AS es
+         |  FROM s WHERE u > 0),
+         |r AS (SELECT doc_id, n_chars, es,
+         |        row_number() OVER (ORDER BY es DESC, doc_id) AS rank FROM t)
+         |SELECT rank, doc_id, n_chars, round(es, 9) AS es_key
+         |FROM r WHERE rank <= 50""".stripMargin
   )
 }
