@@ -259,6 +259,20 @@ object PipelineQueries {
       graft.llm.Sampling.weightedSampleES(
         documents(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 50)
+    }),
+
+    // Row-level reconciliation between two deterministic snapshots of
+    // orders: v1 drops %97 keys, v2 drops %89 keys and perturbs %7
+    // prices — the diff names every added/removed/changed key with the
+    // changed column list. Only differences leave the join.
+    "q158_table_diff" -> ((s, d) => {
+      val o = orders(s, d)
+      val v1 = o.filter(col("o_orderkey") % 97 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.operators.TableDiff.rowDiff(v1, v2, Seq("o_orderkey"))
     })
   )
 
@@ -566,6 +580,38 @@ object PipelineQueries {
          |r AS (SELECT doc_id, n_chars, es,
          |        row_number() OVER (ORDER BY es DESC, doc_id) AS rank FROM t)
          |SELECT rank, doc_id, n_chars, round(es, 9) AS es_key
-         |FROM r WHERE rank <= 50""".stripMargin
+         |FROM r WHERE rank <= 50""".stripMargin,
+
+    "q158_table_diff" ->
+      """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+        |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |       FROM orders WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT
+        |    COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    v1.o_orderkey IS NULL AS only_b, v2.o_orderkey IS NULL AS only_a,
+        |    v1.o_custkey IS DISTINCT FROM v2.o_custkey AS d1,
+        |    v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus AS d2,
+        |    v1.o_totalprice IS DISTINCT FROM v2.o_totalprice AS d3,
+        |    v1.o_orderdate IS DISTINCT FROM v2.o_orderdate AS d4,
+        |    v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority AS d5
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN only_b THEN 'added'
+        |       WHEN only_a THEN 'removed'
+        |       WHEN d1 OR d2 OR d3 OR d4 OR d5 THEN 'changed' END AS status,
+        |  CASE WHEN NOT only_a AND NOT only_b AND (d1 OR d2 OR d3 OR d4 OR d5)
+        |       THEN concat_ws(',',
+        |         CASE WHEN d1 THEN 'o_custkey' END,
+        |         CASE WHEN d2 THEN 'o_orderstatus' END,
+        |         CASE WHEN d3 THEN 'o_totalprice' END,
+        |         CASE WHEN d4 THEN 'o_orderdate' END,
+        |         CASE WHEN d5 THEN 'o_orderpriority' END) END AS changed_cols
+        |FROM j WHERE CASE WHEN only_b THEN 'added'
+        |                  WHEN only_a THEN 'removed'
+        |                  WHEN d1 OR d2 OR d3 OR d4 OR d5 THEN 'changed' END
+        |             IS NOT NULL""".stripMargin
   )
 }
