@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, FeatureQueries, LlmQueries, PipelineQueries, ScalarQueries}
+import graft.queries.{CoreQueries, CurationQueries, FeatureQueries, LlmQueries, PipelineQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* grouped by operator family; each
@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ LlmQueries.queries ++
-      FeatureQueries.queries ++ PipelineQueries.queries
+      FeatureQueries.queries ++ PipelineQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ScalarQueries.oracles ++ LlmQueries.oracles ++
-      FeatureQueries.oracles ++ PipelineQueries.oracles
+      FeatureQueries.oracles ++ PipelineQueries.oracles ++
+      CurationQueries.oracles
 }

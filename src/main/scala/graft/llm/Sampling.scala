@@ -294,4 +294,47 @@ object Sampling {
                     col("__r_total").cast("double"), 4).as("row_frac"),
               (col("__gs_total") === col("__g_total")).as("leak_free"))
   }
+
+  /** Purged time-series split with an embargo gap — the leakage-safe
+    * temporal split (de Prado's purged CV, simplified to one fold):
+    * rows strictly before `cutoff` train; rows inside
+    * [cutoff, cutoff + embargo) are PURGED (a model whose features
+    * look back `embargo` long would otherwise see test-adjacent
+    * state); rows at or after cutoff + embargo test. [[splitAudit]]
+    * guards ENTITY leakage; this guards TEMPORAL leakage — and since
+    * a user may legitimately appear on both sides of a time split,
+    * the audit column here is the per-split count of units shared
+    * with train (informative, not an error bit), plus each split's
+    * time envelope proving train maxes out before test begins.
+    *
+    * Scale shape: the split tag is a narrow timestamp comparison
+    * (zero shuffle, pushable to partition pruning when the table is
+    * date-partitioned); the audit aggregates once per split
+    * (map-side combined) and the shared-units check exchanges only
+    * distinct (unit, split) pairs. Returns ≤ 3 rows. */
+  def timeSplitEmbargo(df: DataFrame, tsCol: String, unitCol: String,
+                       cutoff: String, embargoDays: Int): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val cutEmb = cut + expr(s"INTERVAL $embargoDays DAYS")
+    val tagged = df.withColumn("split",
+      when(col(tsCol) < cut, "train")
+        .when(col(tsCol) < cutEmb, "purged")
+        .otherwise("test"))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col(unitCol)).as("n_units"),
+           unix_micros(min(col(tsCol))).as("min_ts_us"),
+           unix_micros(max(col(tsCol))).as("max_ts_us"))
+    val pairs = tagged.select(col("split"), col(unitCol)).distinct()
+    val trainUnits = pairs.filter(col("split") === "train").select(col(unitCol))
+    // unit-keyed shuffle join (NOT broadcast: train's unit set grows
+    // with the data); both sides arrive pre-distinct'd map-side.
+    val shared = pairs.join(trainUnits, Seq(unitCol))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_units_in_train"))
+    perSplit.join(shared, Seq("split"), "left")
+      .select(col("split"), col("n_rows"), col("n_units"),
+              col("min_ts_us"), col("max_ts_us"),
+              coalesce(col("n_units_in_train"), lit(0L))
+                .as("n_units_in_train"))
+  }
 }

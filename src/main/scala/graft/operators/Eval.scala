@@ -143,4 +143,39 @@ object Eval {
            round(sum(col("__y")).cast("double") /
                  count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
+
+  /** Cohen's kappa between two binary raters — the label-quality
+    * check an annotation pipeline gates on before labels become
+    * training data: observed agreement corrected for the agreement
+    * two independent raters with these marginals would hit by chance,
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_e = p_a1·p_b1 + p_a0·p_b0.
+    *
+    * One map-side-combined aggregation folds the whole table to the
+    * 2×2 confusion counts; every rate is a fixed-order division of
+    * exact integers. Perfectly-correlated marginals (p_e = 1) yield
+    * NULL, not a fabricated 0. Returns 1 row. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val a = when(raterA, 1L).otherwise(0L)
+    val b = when(raterB, 1L).otherwise(0L)
+    df.select(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__a") * col("__b")).as("n11"),
+           sum(col("__a") * (lit(1L) - col("__b"))).as("n10"),
+           sum((lit(1L) - col("__a")) * col("__b")).as("n01"),
+           sum((lit(1L) - col("__a")) * (lit(1L) - col("__b"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+              round((col("n11") + col("n00")).cast("double") /
+                    col("n").cast("double"), 6).as("po"),
+              round(((col("n11") + col("n10")).cast("double") *
+                     (col("n11") + col("n01")).cast("double") +
+                     (col("n01") + col("n00")).cast("double") *
+                     (col("n10") + col("n00")).cast("double")) /
+                    (col("n").cast("double") * col("n").cast("double")), 6)
+                .as("pe"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+              col("po"), col("pe"),
+              round((col("po") - col("pe")) /
+                    when(col("pe") < 1.0, lit(1.0) - col("pe")), 6).as("kappa"))
+  }
 }

@@ -41,4 +41,37 @@ object TargetEncode {
               (col("__n_cat").cast("double") - 1.0 + lit(m)), 4))
       .drop("__sum_cat", "__n_cat", "__mu")
   }
+
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring-style categorical diagnostic: per category i,
+    *
+    *   woe_i = ln( ((pos_i + ½)/P) / ((neg_i + ½)/N) )
+    *   iv_i  = ((pos_i + ½)/P − (neg_i + ½)/N) · woe_i
+    *
+    * (½ in each cell keeps pure categories finite; P/N are the raw
+    * label totals). Σ iv_i is the feature's predictive-power score —
+    * the per-category rows are returned so both the encoding table
+    * and the IV readout come from one pass.
+    *
+    * Scale shape: identical to [[looEncode]] — one map-side-combined
+    * aggregation to category cardinality, label totals via a 1-row
+    * broadcast crossJoin, arithmetic in fixed-order doubles over
+    * exact integer counts. */
+  def woeIv(df: DataFrame, catCol: String,
+            label: org.apache.spark.sql.Column): DataFrame = {
+    val y = when(label, 1L).otherwise(0L)
+    val perCat = df.select(col(catCol), y.as("__y"))
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+           (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+    val totals = df.select(y.as("__y"))
+      .agg(sum(col("__y")).as("__p"),
+           (count(lit(1)) - sum(col("__y"))).as("__n"))
+    val ps = (col("n_pos").cast("double") + 0.5) / col("__p").cast("double")
+    val ns = (col("n_neg").cast("double") + 0.5) / col("__n").cast("double")
+    perCat.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n"), col("n_pos"), col("n_neg"),
+              round(log(ps / ns), 6).as("woe"),
+              round((ps - ns) * log(ps / ns), 6).as("iv_term"))
+  }
 }
