@@ -152,4 +152,52 @@ object Graph {
       when(uFirst, col("__v")).otherwise(col("__u")).as("hi"),
       when(uFirst, col("__dv")).otherwise(col("__du")).as("dhi"))
   }
+
+  /** k-core decomposition (the densest-community primitive): the
+    * maximal node set in which every member keeps ≥ k neighbors
+    * WITHIN the set, computed by simultaneous peeling — each round
+    * drops every node whose degree among survivors is < k, until a
+    * fixpoint. Returns (node, deg_in_core) over the final core.
+    *
+    * Scale shape: each round is one double semi-join of the edge list
+    * against the survivor set plus one node-keyed count — exchanges
+    * carry the EDGE list, never more; the survivor frame shrinks
+    * monotonically and is localCheckpoint'ed per round so the plan
+    * does not deepen with rounds. Round count is bounded by the
+    * graph's degeneracy ordering (tens, not thousands, on real
+    * graphs); `maxRounds` is a runaway guard, not a tuning knob.
+    * Deterministic: simultaneous (not sequential) removal makes the
+    * result independent of any node ordering, so a fixed-step replay
+    * of the same peel (the q164 oracle runs 30 rounds) lands on the
+    * identical set once both have converged. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint()
+    var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var n = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = sym
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("u").as("node"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      alive = next
+      n = m
+      rounds += 1
+    }
+    sym
+      .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
+      .select(col("u").as("node"), col("deg_in_core"))
+  }
 }

@@ -50,6 +50,44 @@ object CurationQueries {
                          col("o_orderstatus") === "F")
     }),
 
+    // Bradley-Terry preference ratings over ~60k pairwise comparisons
+    // (supplier-mod vs part-mod "players", quantity decides the win):
+    // the raw table folds once into k wins + k^2/2 pair counts, then
+    // 20 MM iterations run on that bounded frame. The oracle replays
+    // the IDENTICAL quantized recurrence in a recursive CTE — the
+    // fitted ratings themselves hash-match, not just an invariant.
+    "q163_bradley_terry" -> ((s, d) => {
+      val m = lineitem(s, d).select(
+        (col("l_suppkey") % 20).as("a"),
+        (col("l_partkey") % 20).as("b"),
+        (col("l_quantity") > 25).as("awin"))
+      graft.operators.Preference.bradleyTerry(m, "a", "b", "awin",
+                                              iters = 20)
+    }),
+
+    // 8-core of a sparse bipartite order/part graph: simultaneous
+    // peeling to the fixpoint (17 rounds at sf0.01). The oracle
+    // replays the identical peel for 30 fixed rounds in a recursive
+    // CTE — same survivor set, same in-core degrees, full hash match.
+    "q164_kcore" -> ((s, d) => {
+      val e = lineitem(s, d).filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 997).as("a"),
+                (lit(1000000) + col("l_partkey") % 499).as("b"))
+        .distinct()
+      graft.operators.Graph.kCore(e, "a", "b", k = 8)
+    }),
+
+    // Greedy k-center coreset over 200 embeddings: 8 farthest-point
+    // picks, argmax riding a single quantized integer key so the
+    // oracle's recursive replay chooses the identical center sequence;
+    // r2q (covering radius² at each pick) decreases monotonically —
+    // the 2-approximation sweep active-learning pipelines run.
+    "q165_kcenter" -> ((s, d) => {
+      graft.llm.Coreset.kCenterGreedy(
+        embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 8)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -120,6 +158,102 @@ object CurationQueries {
         |           ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(nn AS DOUBLE))), 6)
         |    AS iv_term
         |FROM c, t""".stripMargin,
+
+    "q163_bradley_terry" ->
+      """WITH RECURSIVE
+        |m AS (SELECT l_suppkey % 20 AS a, l_partkey % 20 AS b,
+        |             l_quantity > 25 AS awin
+        |      FROM lineitem WHERE l_suppkey % 20 <> l_partkey % 20),
+        |p AS (SELECT least(a, b) AS i, greatest(a, b) AS j, COUNT(*) AS n
+        |      FROM m GROUP BY 1, 2),
+        |e AS (SELECT i AS a, j AS b, n FROM p
+        |      UNION ALL SELECT j, i, n FROM p),
+        |w AS (SELECT item, COUNT(*) AS wins FROM
+        |        (SELECT CASE WHEN awin THEN a ELSE b END AS item FROM m)
+        |      GROUP BY 1),
+        |nm AS (SELECT a AS item, CAST(SUM(n) AS BIGINT) AS n_matches
+        |       FROM e GROUP BY 1),
+        |it AS (
+        |  SELECT item, CAST(1.0 AS DOUBLE) AS r, 0 AS step FROM nm
+        |  UNION ALL
+        |  SELECT d.item,
+        |    round(CAST(COALESCE(w.wins, 0) AS DOUBLE)
+        |          / CAST(d.den AS DOUBLE), 9) AS r,
+        |    d.step + 1
+        |  FROM (
+        |    SELECT cur.item, cur.step,
+        |      SUM(CAST(round(CAST(e.n AS DOUBLE) / (cur.r + oth.r), 9)
+        |               AS DECIMAL(38,9))) AS den
+        |    FROM it cur
+        |    JOIN e ON e.a = cur.item
+        |    JOIN it oth ON oth.item = e.b AND oth.step = cur.step
+        |    GROUP BY 1, 2) d
+        |  LEFT JOIN w ON w.item = d.item
+        |  WHERE d.step < 20),
+        |fin AS (SELECT item, r FROM it WHERE step = 20),
+        |s AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+        |             COUNT(*) AS k FROM fin)
+        |SELECT fin.item, nm.n_matches,
+        |  CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins,
+        |  round(CAST(k AS DOUBLE) * r / sr, 6) AS rating
+        |FROM fin JOIN nm USING (item)
+        |LEFT JOIN w ON w.item = fin.item, s""".stripMargin,
+
+    "q164_kcore" ->
+      """WITH RECURSIVE
+        |eraw AS (SELECT DISTINCT l_orderkey % 997 AS a,
+        |                1000000 + l_partkey % 499 AS b
+        |         FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT a AS u, b AS v FROM eraw
+        |      UNION ALL SELECT b, a FROM eraw),
+        |it AS (
+        |  SELECT DISTINCT u AS node, 0 AS step FROM e
+        |  UNION ALL
+        |  SELECT node, step + 1 AS step FROM (
+        |    SELECT e.u AS node, cur.step, COUNT(*) AS d
+        |    FROM it cur
+        |    JOIN e ON e.u = cur.node
+        |    JOIN it al ON al.node = e.v AND al.step = cur.step
+        |    GROUP BY 1, 2) t
+        |  WHERE d >= 8 AND step < 30),
+        |fin AS (SELECT node FROM it WHERE step = 30)
+        |SELECT e.u AS node, COUNT(*) AS deg_in_core
+        |FROM e JOIN fin fa ON fa.node = e.u
+        |       JOIN fin fb ON fb.node = e.v
+        |GROUP BY 1""".stripMargin,
+
+    "q165_kcenter" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id < 200),
+        |it AS (
+        |  SELECT CAST(1 AS BIGINT) AS iter, CAST(1 AS BIGINT) AS step,
+        |         CAST((SELECT MIN(id) FROM pts) AS BIGINT) AS center_id,
+        |         CAST(0 AS BIGINT) AS r2q
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT iter + 1 AS iter, step, center_id, r2q
+        |    FROM it WHERE iter < 8
+        |    UNION ALL
+        |    SELECT mx.iter + 1 AS iter, mx.iter + 1 AS step,
+        |           999999 - (mx.k % 1000000) AS center_id,
+        |           mx.k // 1000000 AS r2q
+        |    FROM (
+        |      SELECT pm.iter,
+        |             MAX(pm.qmin * 1000000 + (999999 - pm.id)) AS k
+        |      FROM (
+        |        SELECT c.iter, p.id,
+        |               MIN(CAST(round((list_dot_product(p.v, p.v)
+        |                               + list_dot_product(pc.v, pc.v)
+        |                               - 2 * list_dot_product(p.v, pc.v))
+        |                              * 1e9, 0) AS BIGINT)) AS qmin
+        |        FROM it c
+        |        JOIN pts pc ON pc.id = c.center_id
+        |        CROSS JOIN pts p
+        |        GROUP BY 1, 2) pm
+        |      GROUP BY 1) mx
+        |    WHERE mx.iter < 8))
+        |SELECT step, center_id, r2q FROM it WHERE iter = 8""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

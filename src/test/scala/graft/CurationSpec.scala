@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Coreset, Decontaminate, Sampling}
+import graft.operators.{Eval, Graph, Preference, TargetEncode}
+
+/** Hand-case semantics for the curation/governance family (q159–q165):
+  * the oracle gate proves engine equivalence; these prove the numbers
+  * are the intended ones. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bradleyTerry: two items, 3-1 record -> rating ratio 3, mean 1") {
+    val m = Seq((1L, 2L, true), (1L, 2L, true), (1L, 2L, true),
+                (1L, 2L, false)).toDF("a", "b", "awin")
+    val r = Preference.bradleyTerry(m, "a", "b", "awin", iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // fixed point: r1/r2 = w1/w2 = 3; normalized to sum k=2
+    assert(math.abs(r(1L) - 1.5) < 1e-6, s"r1=${r(1L)}")
+    assert(math.abs(r(2L) - 0.5) < 1e-6, s"r2=${r(2L)}")
+  }
+
+  test("bradleyTerry: symmetric wins -> equal ratings") {
+    val m = Seq((1L, 2L, true), (1L, 2L, false),
+                (2L, 3L, true), (2L, 3L, false),
+                (1L, 3L, true), (1L, 3L, false)).toDF("a", "b", "awin")
+    val r = Preference.bradleyTerry(m, "a", "b", "awin", iters = 20)
+      .collect()
+    r.foreach(x => assert(math.abs(x.getDouble(3) - 1.0) < 1e-6))
+    assert(r.map(_.getLong(1)).forall(_ == 4L)) // n_matches
+    assert(r.map(_.getLong(2)).forall(_ == 2L)) // wins
+  }
+
+  test("kCore: triangle survives k=2, pendant chain peels off") {
+    // triangle 1-2-3 plus chain 3-4-5: nodes 4,5 have degree <= 2 but
+    // 5 has degree 1 -> peels, then 4 drops to 1 -> peels; triangle
+    // keeps degree 2 within itself.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val core = Graph.kCore(e, "u", "v", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above max degree -> empty core") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.kCore(e, "u", "v", k = 3).count() == 0L)
+  }
+
+  test("kCenterGreedy: farthest-first order and tie-break to smaller id") {
+    // seed = min id (0) at 0.0; farthest is 10.0 (id 3); then the two
+    // duplicate mid points (ids 1, 2 at 5.0) tie -> smaller id 1 wins.
+    val pts = Seq((0L, Array(0.0)), (1L, Array(5.0)), (2L, Array(5.0)),
+                  (3L, Array(10.0))).toDF("id", "v")
+    val trace = Coreset.kCenterGreedy(pts, "id", "v", k = 3)
+      .orderBy("step").collect()
+    assert(trace.map(_.getLong(1)).toSeq == Seq(0L, 3L, 1L))
+    // r2q of pick 2 = 100 * 1e9; pick 3 = 25 * 1e9
+    assert(trace(1).getLong(2) == 100000000000L)
+    assert(trace(2).getLong(2) == 25000000000L)
+  }
+
+  test("overlapAudit: counts distinct shingle hits, skips clean docs") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "z alpha beta gamma delta y"), // shares trigrams ABC + BCD
+      (2L, "nothing in common here at all"),
+      (3L, "beta gamma delta extended run")) // shares only BCD
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlapAudit(corpus, bench, "doc_id", "text",
+                                         n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 3L)) // doc 2 clean -> absent
+    assert(out(1L) == ((2L, true)))
+    assert(out(3L) == ((1L, false))) // one hit: reported, below threshold
+  }
+
+  test("timeSplitEmbargo: boundary rows land right, purged gap honored") {
+    val rows = Seq(
+      (1L, "2024-01-10 00:00:00"), // train
+      (1L, "2024-01-18 00:00:00"), // purged (inclusive cutoff)
+      (2L, "2024-01-19 12:00:00"), // purged
+      (1L, "2024-01-21 00:00:00"), // test (embargo end inclusive)
+      (3L, "2024-01-25 00:00:00")) // test, unit never in train
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val out = Sampling.timeSplitEmbargo(rows, "ts", "user_id",
+        "2024-01-18 00:00:00", embargoDays = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out("train") == ((1L, 1L, 1L)))
+    assert(out("purged") == ((2L, 2L, 1L))) // unit 1 purged row overlaps train
+    assert(out("test") == ((2L, 2L, 1L)))   // unit 1 in train too; unit 3 not
+  }
+
+  test("woeIv: hand counts reproduce the smoothed formula") {
+    // cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg; totals P=4, N=4
+    val df = Seq(("A", 1), ("A", 1), ("A", 1), ("A", 0),
+                 ("B", 1), ("B", 0), ("B", 0), ("B", 0)).toDF("cat", "y")
+    val out = TargetEncode.woeIv(df, "cat", col("y") === 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val expA = math.log((3.5 / 4.0) / (1.5 / 4.0))
+    val expB = math.log((1.5 / 4.0) / (3.5 / 4.0))
+    assert(math.abs(out("A") - expA) < 1e-6)
+    assert(math.abs(out("B") - expB) < 1e-6)
+  }
+
+  test("cohenKappa: textbook 2x2 -> kappa 0.4") {
+    // n11=20 n10=5 n01=10 n00=15: po=0.7, pe=0.5, kappa=0.4
+    val rows =
+      Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val df = rows.toDF("a", "b")
+    val r = Eval.cohenKappa(df, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n11") == 20L && r.getAs[Long]("n00") == 15L)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
+  }
+
+  test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
+    val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
+    val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
+    assert(math.abs(r1.getAs[Double]("kappa") - 1.0) < 1e-9)
+    // perfectly balanced independent pattern: po == pe -> kappa 0
+    val ind = Seq((true, true), (true, false), (false, true), (false, false))
+    val r2 = Eval.cohenKappa(ind.toDF("a", "b"), col("a"), col("b")).head()
+    assert(math.abs(r2.getAs[Double]("kappa")) < 1e-9)
+  }
+}
