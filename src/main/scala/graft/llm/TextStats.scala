@@ -421,6 +421,60 @@ object TextStats {
              .as("nll2"))
   }
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007) — the
+    * large-scale LM filter that skips smoothing mathematics entirely:
+    *
+    *   S(w₂|w₁) = c₂(w₁w₂)/c₁(w₁)        if the bigram was seen
+    *            = λ·c(w₂)/total          else if the unigram was seen
+    *            = λ·½/total              else (unseen-word floor)
+    *
+    * Statistics come from the REFERENCE corpus (`statsDf`), scoring
+    * runs over `df` — the trained-on-reference / score-the-candidates
+    * split that makes the backoff branches actually fire (a corpus
+    * scored against its own counts never backs off). Per document:
+    * bigram count, mean −ln S, and how many bigrams backed off.
+    * Documents with <2 tokens have no transitions and are absent.
+    *
+    * Scale shape = [[bigramNll]]: ONE candidate-corpus exchange
+    * (doc-id repartition), reference count tables are vocabulary-
+    * bounded broadcasts, LEFT joins keep unseen grams, −ln S sums
+    * through DECIMAL(30,6). λ = 0.4 per the paper. */
+  def stupidBackoff(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    statsDf: org.apache.spark.sql.DataFrame,
+                    statsTextCol: String,
+                    lambda: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val grams = df.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    val c2 = statsDf.select(tokens(col(statsTextCol)).as("__toks"))
+      .select(explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = statsDf.select(explode(tokens(col(statsTextCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val total = statsDf.select(
+      sum(size(tokens(col(statsTextCol)))).cast("double").as("__total"))
+    val s = when(col("c2").isNotNull && col("c1").isNotNull,
+                 col("c2").cast("double") / col("c1").cast("double"))
+      .when(col("cw2").isNotNull,
+            lit(lambda) * col("cw2").cast("double") / col("__total"))
+      .otherwise(lit(lambda) * lit(0.5) / col("__total"))
+    grams
+      .join(broadcast(c2), Seq("g"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(c1.select(col("w1").as("w2"), col("c1").as("cw2"))),
+            Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(graft.util.Exact.exactSum(-log(s)) / count(lit(1)), 4)
+             .as("mean_neg_ln_s"),
+           sum(when(col("c2").isNull || col("c1").isNull, 1L).otherwise(0L))
+             .as("n_backoff"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

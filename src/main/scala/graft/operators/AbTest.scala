@@ -70,4 +70,59 @@ object AbTest {
                   count(lit(1)).cast("double")) /
                  count(lit(1)).cast("double") / 1e12, 6).as("var_cuped"))
   }
+
+  /** Stratified-propensity IPW (Hájek) treatment-effect estimate for
+    * OBSERVATIONAL data — when arms weren't randomized, weight each
+    * unit by the inverse of its stratum's empirical treatment rate so
+    * over-represented strata stop biasing the contrast:
+    *
+    *   ê_s = n_treat(s)/n(s),  μ̂₁ = Σ T·Y/ê / Σ T/ê,
+    *   μ̂₀ = Σ (1−T)·Y/(1−ê) / Σ (1−T)/(1−ê),  ATE = μ̂₁ − μ̂₀.
+    *
+    * Strata violating overlap (ê = 0 or 1 — no treated or no control
+    * units) cannot identify an effect and are EXCLUDED, with their
+    * unit count reported (`n_dropped`) rather than silently absorbed.
+    *
+    * Scale shape: one map-side-combined aggregation to stratum
+    * cardinality (the propensity table, broadcast back), then one
+    * 1-row aggregation of quantized-decimal weighted sums — the q152
+    * arithmetic, so every division is a fixed-order double op over
+    * exact integers. Returns 1 row. */
+  def ipwEffect(units: DataFrame, treatCol: String, outcomeCol: String,
+                strataCol: String): DataFrame = {
+    val t = when(col(treatCol), 1L).otherwise(0L)
+    val perStratum = units
+      .select(col(strataCol).as("__s"), t.as("__t"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__ns"), sum(col("__t")).as("__nt"))
+      .withColumn("__e", round(col("__nt").cast("double") /
+                               col("__ns").cast("double"), 9))
+    val joined = units
+      .select(col(strataCol).as("__s"), t.as("__t"),
+              col(outcomeCol).cast("double").as("__y"))
+      .join(broadcast(perStratum), Seq("__s"))
+    val ok = col("__e") > 0.0 && col("__e") < 1.0
+    val w1 = col("__t").cast("double") / col("__e")
+    val w0 = (lit(1L) - col("__t")).cast("double") / (lit(1.0) - col("__e"))
+    joined.agg(
+        count(lit(1)).as("n"),
+        sum(when(ok, col("__t")).otherwise(0L)).as("n_treat"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(ok, q6(w1 * col("__y"))).otherwise(lit(0L).cast("decimal(19,0)")))
+          .cast("decimal(38,0)").as("__sy1"),
+        sum(when(ok, q6(w1)).otherwise(lit(0L).cast("decimal(19,0)")))
+          .cast("decimal(38,0)").as("__sw1"),
+        sum(when(ok, q6(w0 * col("__y"))).otherwise(lit(0L).cast("decimal(19,0)")))
+          .cast("decimal(38,0)").as("__sy0"),
+        sum(when(ok, q6(w0)).otherwise(lit(0L).cast("decimal(19,0)")))
+          .cast("decimal(38,0)").as("__sw0"))
+      .select(col("n"), col("n_treat"), col("n_dropped"),
+        round(col("__sy1").cast("double") / col("__sw1").cast("double"), 6)
+          .as("mu_treated"),
+        round(col("__sy0").cast("double") / col("__sw0").cast("double"), 6)
+          .as("mu_control"),
+        round(col("__sy1").cast("double") / col("__sw1").cast("double") -
+              col("__sy0").cast("double") / col("__sw0").cast("double"), 6)
+          .as("ate"))
+  }
 }

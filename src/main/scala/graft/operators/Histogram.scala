@@ -43,4 +43,41 @@ object Histogram {
                 .as("bucket_hi"),
               col("n"), col("sum_x"))
   }
+
+  /** Equi-depth (equi-height) histogram — the optimizer-statistics
+    * form every cost-based planner keeps per column: `nBuckets`
+    * buckets of (near-)equal ROW count, so selectivity estimates stay
+    * accurate under skew where equi-width buckets collapse. Per
+    * bucket: row count, value envelope [lo, hi], and distinct-value
+    * count (the NDV the planner divides by).
+    *
+    * Bucket rule: global 0-based rank under the total order
+    * (`valueCol` asc, `tieCols` asc) → bucket = rank·nBuckets DIV n —
+    * pure integer arithmetic, no doubles, so any engine replaying the
+    * same total order lands on identical buckets (sizes differ by at
+    * most 1).
+    *
+    * Scale shape: the global rank is [[OrderedStats.cumsumExclusive]]
+    * with weight 1 — coarse value buckets, per-bucket offsets via the
+    * tiny triangular join, partitioned within-bucket windows — NO
+    * single-partition window anywhere; then one map-side-combined
+    * aggregation to nBuckets rows. n arrives by 1-row broadcast. */
+  def equiDepth(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "need nBuckets > 0")
+    val ranked = OrderedStats.cumsumExclusive(
+      df.filter(col(valueCol).isNotNull)
+        .withColumn("__one", lit(1L)),
+      sortCol = valueCol, tieCols = tieCols,
+      valueCol = "__one", outCol = "__rank0")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr(s"(__rank0 * $nBuckets) DIV __n").as("bucket"),
+              col(valueCol).as("__x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("__x")).as("lo"),
+           max(col("__x")).as("hi"),
+           countDistinct(col("__x")).as("n_distinct"))
+  }
 }

@@ -88,6 +88,48 @@ object CurationQueries {
         "vec_id", "embedding", k = 8)
     }),
 
+    // Equi-depth histogram of lineitem prices: 16 near-equal-count
+    // buckets with value envelopes and NDV — optimizer statistics.
+    // The rank rides the two-phase cumsum (no single-partition
+    // window); bucket = rank*16 DIV n is pure integer arithmetic,
+    // and the oracle is the global-window form of the same rule.
+    "q166_equidepth" -> ((s, d) => {
+      graft.operators.Histogram.equiDepth(
+        lineitem(s, d).select(col("l_extendedprice"), col("l_orderkey"),
+                              col("l_linenumber")),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), nBuckets = 16)
+    }),
+
+    // Stupid-backoff bigram scoring: reference counts from the even
+    // doc_ids, every document scored against them — the seen-bigram,
+    // unigram-backoff, and unseen-floor branches all fire and the
+    // per-doc backoff count is reported alongside the score.
+    "q167_backoff_lm" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.llm.TextStats.stupidBackoff(
+        docs, "doc_id", "text",
+        statsDf = docs.filter(col("doc_id") % 2 === 0),
+        statsTextCol = "text")
+    }),
+
+    // Stratified-propensity IPW effect of heavy-purchase behavior on
+    // mean event value: per-user treatment (purchase share > 1/5),
+    // activity-tier strata; the single-user stratum violates overlap
+    // and is dropped LOUDLY (n_dropped = 1), not absorbed.
+    "q168_ipw_effect" -> ((s, d) => {
+      val units = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("np"),
+             graft.util.Exact.exactSum(col("value")).as("ysum"))
+        .select(col("user_id"),
+                (col("np") * 5 > col("n_ev")).as("treated"),
+                round(col("ysum") / col("n_ev").cast("double"), 6).as("y"),
+                expr("n_ev DIV 25").as("stratum"))
+      graft.operators.AbTest.ipwEffect(units, "treated", "y", "stratum")
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -254,6 +296,102 @@ object CurationQueries {
         |      GROUP BY 1) mx
         |    WHERE mx.iter < 8))
         |SELECT step, center_id, r2q FROM it WHERE iter = 8""".stripMargin,
+
+    "q166_equidepth" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS x,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                                l_linenumber) - 1 AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT (rk * 16) // n AS bucket, COUNT(*) AS n_rows,
+        |  MIN(x) AS lo, MAX(x) AS hi,
+        |  COUNT(DISTINCT x) AS n_distinct
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q167_backoff_lm" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len($toks) - 1),
+         |      i -> array_to_string(list_slice($toks, i + 1, i + 2), ' ')))
+         |      AS gram
+         |  FROM documents),
+         |gs AS (SELECT doc_id, gram,
+         |         string_split(gram, ' ')[1] AS w1,
+         |         string_split(gram, ' ')[2] AS w2 FROM g),
+         |c2 AS (SELECT gram, COUNT(*) AS c2 FROM g
+         |       WHERE doc_id % 2 = 0 GROUP BY 1),
+         |c1 AS (SELECT w, COUNT(*) AS c1 FROM (
+         |         SELECT unnest($toks) AS w FROM documents
+         |         WHERE doc_id % 2 = 0) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(len($toks)) AS DOUBLE) AS total
+         |        FROM documents WHERE doc_id % 2 = 0),
+         |scored AS (
+         |  SELECT gs.doc_id,
+         |    CASE WHEN c2.c2 IS NOT NULL AND a.c1 IS NOT NULL
+         |         THEN CAST(c2.c2 AS DOUBLE) / CAST(a.c1 AS DOUBLE)
+         |         WHEN b.c1 IS NOT NULL
+         |         THEN 0.4 * CAST(b.c1 AS DOUBLE) / total
+         |         ELSE 0.4 * 0.5 / total END AS s,
+         |    CASE WHEN c2.c2 IS NULL OR a.c1 IS NULL THEN 1 ELSE 0 END
+         |      AS backoff
+         |  FROM gs
+         |  LEFT JOIN c2 ON gs.gram = c2.gram
+         |  LEFT JOIN c1 a ON gs.w1 = a.w
+         |  LEFT JOIN c1 b ON gs.w2 = b.w
+         |  CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(CAST(SUM(CAST(-ln(s) AS DECIMAL(30,6))) AS DOUBLE)
+         |        / COUNT(*), 4) AS mean_neg_ln_s,
+         |  CAST(SUM(backoff) AS BIGINT) AS n_backoff
+         |FROM scored GROUP BY 1""".stripMargin,
+
+    "q168_ipw_effect" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS n_ev,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS ysum
+        |  FROM events GROUP BY 1),
+        |units AS (
+        |  SELECT user_id, np * 5 > n_ev AS treated,
+        |    round(ysum / CAST(n_ev AS DOUBLE), 6) AS y,
+        |    n_ev // 25 AS stratum
+        |  FROM u),
+        |ps AS (
+        |  SELECT stratum, COUNT(*) AS ns,
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        |  FROM units GROUP BY 1),
+        |pe AS (SELECT stratum,
+        |         round(CAST(nt AS DOUBLE) / CAST(ns AS DOUBLE), 9) AS e
+        |       FROM ps),
+        |j AS (SELECT units.*, e, e > 0.0 AND e < 1.0 AS ok,
+        |        CASE WHEN treated THEN 1.0 ELSE 0.0 END / e AS w1,
+        |        CASE WHEN treated THEN 0.0 ELSE 1.0 END / (1.0 - e) AS w0
+        |      FROM units JOIN pe USING (stratum)),
+        |agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN ok AND treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    CAST(SUM(CASE WHEN ok THEN
+        |      CAST(round(w1 * y * 1000000.0, 0) AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(CASE WHEN ok THEN
+        |      CAST(round(w1 * 1000000.0, 0) AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE) AS sw1,
+        |    CAST(SUM(CASE WHEN ok THEN
+        |      CAST(round(w0 * y * 1000000.0, 0) AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE) AS sy0,
+        |    CAST(SUM(CASE WHEN ok THEN
+        |      CAST(round(w0 * 1000000.0, 0) AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE) AS sw0
+        |  FROM j)
+        |SELECT n, n_treat, n_dropped,
+        |  round(sy1 / sw1, 6) AS mu_treated,
+        |  round(sy0 / sw0, 6) AS mu_control,
+        |  round(sy1 / sw1 - sy0 / sw0, 6) AS ate
+        |FROM agg""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

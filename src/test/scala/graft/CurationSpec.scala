@@ -120,6 +120,53 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
   }
 
+  test("equiDepth: uniform 1..100 into 4 buckets of 25 with tight envelopes") {
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("x", "id")
+    val h = graft.operators.Histogram.equiDepth(df, "x", Seq("id"), 4)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getLong(1)).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(h(0).getDouble(2) == 1.0 && h(0).getDouble(3) == 25.0)
+    assert(h(3).getDouble(2) == 76.0 && h(3).getDouble(3) == 100.0)
+    assert(h.map(_.getLong(4)).toSeq == Seq(25L, 25L, 25L, 25L))
+  }
+
+  test("equiDepth: heavy skew still balances row counts") {
+    // 90 copies of one value + 10 distinct: equi-WIDTH would put 90%
+    // in one bucket; equi-depth splits the tie run across buckets.
+    val df = (Seq.fill(90)(5.0) ++ (6 to 15).map(_.toDouble))
+      .zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id")
+    val h = graft.operators.Histogram.equiDepth(df, "x", Seq("id"), 4)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getLong(1)).toSeq == Seq(25L, 25L, 25L, 25L))
+  }
+
+  test("stupidBackoff: seen, unigram-backoff and floor branches") {
+    val stats = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val cand = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val r = graft.llm.TextStats.stupidBackoff(cand, "doc_id", "text",
+                                              stats, "text").head()
+    assert(r.getLong(1) == 2L)      // bigrams: "a b" (seen), "b x" (floor)
+    assert(r.getLong(3) == 1L)      // one backoff
+    val exp = (-math.log(1.0) + -math.log(0.4 * 0.5 / 3.0)) / 2.0
+    assert(math.abs(r.getDouble(2) - exp) < 1e-3)
+  }
+
+  test("ipwEffect: balanced stratum identifies, degenerate stratum drops") {
+    val units = Seq(
+      ("A", true, 10.0), ("A", true, 12.0),
+      ("A", false, 5.0), ("A", false, 7.0),
+      ("B", true, 100.0), ("B", true, 90.0), ("B", true, 80.0))
+      .toDF("stratum", "treated", "y")
+    val r = graft.operators.AbTest.ipwEffect(units, "treated", "y", "stratum")
+      .head()
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("n_treat") == 2L)   // only stratum A identifies
+    assert(r.getAs[Long]("n_dropped") == 3L) // all-treated stratum B
+    assert(math.abs(r.getAs[Double]("mu_treated") - 11.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mu_control") - 6.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ate") - 5.0) < 1e-6)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
