@@ -170,6 +170,48 @@ object Graph {
     * result independent of any node ordering, so a fixed-step replay
     * of the same peel (the q164 oracle runs 30 rounds) lands on the
     * identical set once both have converged. */
+  /** Synchronous label propagation for community detection: every
+    * node starts as its own label; each round it adopts the most
+    * frequent label among its NEIGHBORS, ties to the smallest label.
+    * Runs a FIXED number of rounds (not to convergence — synchronous
+    * LPA can 2-cycle on bipartite structure, and a fixed round count
+    * is what makes the run replayable step-for-step by an external
+    * engine). Returns (community, n_members) for the final labeling.
+    *
+    * Determinism: the per-node argmax rides one integer key
+    * cnt·2²¹ + (2²¹−1−label) — max count wins, then smaller label —
+    * so any engine replaying the rounds lands on identical labels.
+    * Requires node ids < 2²¹ (widen the packing for larger spaces).
+    *
+    * Scale shape: per round, ONE join of the label frame against the
+    * edge list + one (node, label)-keyed count + one node-keyed max —
+    * exchanges carry the EDGE list (the [[pageRank]] contract);
+    * labels localCheckpoint per round so lineage stays flat. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint()
+    val pack = 1L << 21
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("u"))
+        .agg(max(col("__c") * pack + (lit(pack - 1) - col("label")))
+               .as("__k"))
+        .select(col("u").as("node"),
+                (lit(pack - 1) - col("__k") % pack).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 100): DataFrame = {
     val sym = edges

@@ -38,13 +38,7 @@ import org.apache.spark.sql.types._
   */
 object Preference {
 
-  private def round9(x: Double): Double =
-    new JBigDecimal(java.lang.Double.toString(x))
-      .setScale(9, RoundingMode.HALF_UP).doubleValue()
-
-  private def round6(x: Double): Double =
-    new JBigDecimal(java.lang.Double.toString(x))
-      .setScale(6, RoundingMode.HALF_UP).doubleValue()
+  import graft.util.Exact.{round6, round9}
 
   /** `matches`: one row per comparison with long item columns `aCol`,
     * `bCol` and boolean `aWinsCol`. Returns one row per item:

@@ -42,6 +42,48 @@ object Robust {
 
   /** Rows whose |robust_z| exceeds `zCut` (constant-value groups never
     * flag: their robust_z is NULL). */
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes between a group's first `maxPoints` observations in
+    * sequence order — a 29%-breakdown estimator a single spike cannot
+    * drag the way least squares lets it. Returns per group the pair
+    * count and the median slope.
+    *
+    * Scale shape: one group-keyed exchange feeds the sequence-index
+    * window, the per-group pair self-join, and the median rank window
+    * — per-task cost bounds at maxPoints² PER GROUP (the documented
+    * practical Theil–Sen bound; beyond it you sample pairs, same
+    * estimator). Slopes quantize to 9 decimals before ranking so the
+    * median two values — and their mean — are engine-portable. */
+  def theilSen(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+               valueCol: String, maxPoints: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val seq0 = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPoints)
+      .select(kc :+ col("__rn") :+ col(valueCol).cast("double").as("__v"): _*)
+    val a = seq0.toDF(seq0.columns.map(c => if (c.startsWith("__")) c + "a" else c): _*)
+    val b = seq0.toDF(seq0.columns.map(c => if (c.startsWith("__")) c + "b" else c): _*)
+    val slopes = a.join(b, keys)
+      .filter(col("__rna") < col("__rnb"))
+      .select(kc :+
+        round((col("__vb") - col("__va")) /
+              (col("__rnb") - col("__rna")).cast("double"), 9).as("__s"): _*)
+    val ranked = slopes
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col("__s").asc)))
+    ranked
+      .filter(col("__rk") === expr("(__cnt + 1) DIV 2") ||
+              col("__rk") === expr("(__cnt + 2) DIV 2"))
+      .groupBy(kc: _*)
+      .agg(max(col("__cnt")).as("n_pairs"),
+           round(sum(col("__s")) / count(lit(1)).cast("double"), 6)
+             .as("slope_median"))
+  }
+
   def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
                   zCut: Double): DataFrame =
     madScore(df, keys, valueCol).filter(abs(col("robust_z")) > zCut)

@@ -130,6 +130,47 @@ object CurationQueries {
       graft.operators.AbTest.ipwEffect(units, "treated", "y", "stratum")
     }),
 
+    // First-order Markov transition matrix of user event types: one
+    // user-keyed exchange for the lead() window, counts fold to
+    // |states|² rows, row-normalized probabilities.
+    "q169_markov" -> ((s, d) => {
+      graft.operators.Journey.transitionMatrix(
+        events(s, d), "user_id", "event_type", Seq("ts", "event_id"))
+    }),
+
+    // Kaplan-Meier survival over per-user lifetimes (first→last event
+    // days; lifetimes reaching the final window days are censored).
+    // The risk table is day-cardinality-bounded; the sequential
+    // product-limit walk runs on that collected frame and the oracle
+    // replays the identical quantized recurrence in a recursive CTE.
+    "q170_kaplan_meier" -> ((s, d) => {
+      graft.operators.Journey.kaplanMeier(
+        events(s, d), "user_id", "ts", censorCutoff = "2024-01-29 00:00:00")
+    }),
+
+    // Synchronous label propagation (8 fixed rounds) on the q164
+    // graph: community sizes of the final labeling. The per-node
+    // argmax rides one integer key (count, then smaller label), so
+    // the oracle's recursive replay adopts identical labels.
+    "q171_label_prop" -> ((s, d) => {
+      val e = lineitem(s, d).filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 997).as("a"),
+                (lit(1000000) + col("l_partkey") % 499).as("b"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(e, "a", "b", rounds = 8)
+    }),
+
+    // Theil-Sen robust trend of event values per user (first 50
+    // observations, all pairwise slopes, exact median) — the
+    // spike-proof alternative to least-squares drift detection.
+    "q172_theil_sen" -> ((s, d) => {
+      graft.operators.Robust.theilSen(
+        events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+                            col("value")),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", maxPoints = 50)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -392,6 +433,97 @@ object CurationQueries {
         |  round(sy0 / sw0, 6) AS mu_control,
         |  round(sy1 / sw1 - sy0 / sw0, 6) AS ate
         |FROM agg""".stripMargin,
+
+    "q169_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n
+        |      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_state = t.from_state""".stripMargin,
+
+    "q170_kaplan_meier" ->
+      """WITH RECURSIVE
+        |pu AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+        |       FROM events GROUP BY 1),
+        |u AS (SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS t,
+        |             l >= TIMESTAMP '2024-01-29 00:00:00' AS censored
+        |      FROM pu),
+        |rt AS (SELECT t,
+        |        CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |        CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |       FROM u GROUP BY 1),
+        |r2 AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |        CAST((SELECT COUNT(*) FROM u)
+        |          - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk
+        |       FROM rt),
+        |walk AS (
+        |  SELECT rn, t, n_risk, d, c,
+        |    round(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9) AS s
+        |  FROM r2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r2.rn, r2.t, r2.n_risk, r2.d, r2.c,
+        |    round(walk.s * (1.0 - CAST(r2.d AS DOUBLE)
+        |                          / CAST(r2.n_risk AS DOUBLE)), 9)
+        |  FROM walk JOIN r2 ON r2.rn = walk.rn + 1)
+        |SELECT t, n_risk, d AS n_death, c AS n_censored,
+        |  round(s, 6) AS survival
+        |FROM walk""".stripMargin,
+
+    "q171_label_prop" ->
+      """WITH RECURSIVE
+        |eraw AS (SELECT DISTINCT l_orderkey % 997 AS a,
+        |                1000000 + l_partkey % 499 AS b
+        |         FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT a AS u, b AS v FROM eraw
+        |      UNION ALL SELECT b, a FROM eraw),
+        |it AS (
+        |  SELECT DISTINCT u AS node, u AS label, 0 AS step FROM e
+        |  UNION ALL
+        |  SELECT t.u AS node,
+        |    2097151 - (t.k % 2097152) AS label,
+        |    t.step + 1 AS step
+        |  FROM (
+        |    SELECT cnt.u, cnt.step,
+        |      MAX(cnt.c * 2097152 + (2097151 - cnt.label)) AS k
+        |    FROM (
+        |      SELECT e.u, lv.step, lv.label, COUNT(*) AS c
+        |      FROM e JOIN it lv ON lv.node = e.v
+        |      GROUP BY 1, 2, 3) cnt
+        |    GROUP BY 1, 2) t
+        |  WHERE t.step < 8)
+        |SELECT label AS community, COUNT(*) AS n_members
+        |FROM it WHERE step = 8 GROUP BY 1""".stripMargin,
+
+    "q172_theil_sen" ->
+      """WITH s0 AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, rn, value FROM s0 WHERE rn <= 50),
+        |sl AS (
+        |  SELECT a.user_id,
+        |    round((b.value - a.value) / CAST(b.rn - a.rn AS DOUBLE), 9) AS s
+        |  FROM s1 a JOIN s1 b
+        |    ON a.user_id = b.user_id AND a.rn < b.rn),
+        |r AS (
+        |  SELECT user_id, s,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rk
+        |  FROM sl)
+        |SELECT user_id, MAX(cnt) AS n_pairs,
+        |  round(SUM(s) / COUNT(*), 6) AS slope_median
+        |FROM r
+        |WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
+        |GROUP BY 1""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

@@ -31,4 +31,17 @@ object Exact {
     * DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)/COUNT(x). */
   def exactAvg(c: Column): Column =
     exactSum(c) / count(c)
+
+  /** Driver-side mirrors of Spark SQL's round() on doubles (BigDecimal
+    * HALF_UP over the shortest decimal representation) — for operators
+    * that iterate on bounded collected state (Preference, Journey) and
+    * must land on the exact value a SQL replay of `round(x, n)`
+    * produces. */
+  def round9(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def round6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }

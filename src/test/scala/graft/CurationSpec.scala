@@ -167,6 +167,65 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ate") - 5.0) < 1e-6)
   }
 
+  test("transitionMatrix: counts consecutive pairs, rows normalize to 1") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"))
+      .toDF("user_id", "seq", "state")
+    val m = graft.operators.Journey.transitionMatrix(
+        rows, "user_id", "state", Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+                          (r.getLong(2), r.getDouble(3))).toMap
+    // user 1: a->b, b->a, a->b; user 2: a->a
+    assert(m(("a", "b")) == ((2L, 0.666667)))
+    assert(m(("a", "a")) == ((1L, 0.333333)))
+    assert(m(("b", "a")) == ((1L, 1.0)))
+  }
+
+  test("kaplanMeier: product-limit steps and censoring reduce risk set") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // lifetimes: u1: 0d death, u2: 2d death, u3: 2d death, u4: 5d
+    // censored (last event past the cutoff)
+    val rows = Seq(
+      (1L, ts(1)), (1L, ts(1)),
+      (2L, ts(1)), (2L, ts(3)),
+      (3L, ts(2)), (3L, ts(4)),
+      (4L, ts(5)), (4L, ts(10))).toDF("user_id", "ts")
+    val km = graft.operators.Journey.kaplanMeier(rows, "user_id", "ts",
+        censorCutoff = "2024-01-10 00:00:00")
+      .orderBy("t").collect()
+    // t=0: risk 4, d 1 -> S = 0.75; t=2: risk 3, d 2 -> S = 0.25;
+    // t=5: risk 1, censored -> S stays 0.25
+    assert(km.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                        r.getLong(3))).toSeq ==
+      Seq((0L, 4L, 1L, 0L), (2L, 3L, 2L, 0L), (5L, 1L, 0L, 1L)))
+    assert(km.map(_.getDouble(4)).toSeq == Seq(0.75, 0.25, 0.25))
+  }
+
+  test("labelPropagation: two cliques bridged stay two communities") {
+    // cliques {1,2,3} and {10,11,12} joined by one bridge edge 3-10
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("u", "v")
+    val out = graft.operators.Graph.labelPropagation(e, "u", "v", rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 6L)       // every node labeled
+    assert(out.size >= 2)              // bridge does not merge cliques
+  }
+
+  test("theilSen: robust to a single spike, exact median of slopes") {
+    // group A: perfect slope 2 line with one wild spike at the end
+    val a = Seq(2.0, 4.0, 6.0, 8.0, 1000.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+    val df = a.toDF("g", "o", "v")
+    val r = graft.operators.Robust.theilSen(df, Seq("g"), Seq("o"), "v")
+      .head()
+    assert(r.getLong(1) == 10L)
+    // 6 of 10 pairwise slopes equal 2.0 -> median 2.0 despite spike
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
