@@ -1,0 +1,99 @@
+package graft.llm
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic minimal-but-valid video byte fixtures for the
+  * multimodal metadata path (q173 / VideoHeadersSpec) — the video
+  * sibling of [[ImageFixtures]]/[[AudioFixtures]]. Each builder emits
+  * exactly the ISO 14496-12 box structure [[graft.plans.VideoMeta]]
+  * parses (ftyp brand, moov → mvhd v0/v1, trak → tkhd 16.16
+  * dimensions, largesize boxes); sample data is absent — headers
+  * only, no codec library.
+  */
+object VideoFixtures {
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  private def boxOf(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  private def ftyp(brand: String): Array[Byte] =
+    boxOf("ftyp", brand.getBytes("US-ASCII") ++ be32(0))
+
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    boxOf("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ // v/flags, ctime, mtime
+        be32(timescale) ++ be32(duration) ++
+        Array.fill[Byte](100 - 20)(0)) // rate..next_track_id
+
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    boxOf("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(duration) ++
+        Array.fill[Byte](80)(0))
+
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    boxOf("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+        be32((w.toLong << 16)) ++ be32((h.toLong << 16)))
+
+  private def tkhdV1(w: Int, h: Int): Array[Byte] =
+    boxOf("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+        be32((w.toLong << 16)) ++ be32((h.toLong << 16)))
+
+  private def trak(tkhd: Array[Byte]): Array[Byte] = boxOf("trak", tkhd)
+
+  private def moov(children: Array[Byte]*): Array[Byte] =
+    boxOf("moov", children.flatten.toArray)
+
+  /** v0 headers: the common fast-start layout. */
+  def mp4V0(brand: String, timescale: Long, duration: Long,
+            w: Int, h: Int): Array[Byte] =
+    ftyp(brand) ++ moov(mvhdV0(timescale, duration), trak(tkhdV0(w, h)))
+
+  /** v1 (64-bit time) headers. */
+  def mp4V1(brand: String, timescale: Long, duration: Long,
+            w: Int, h: Int): Array[Byte] =
+    ftyp(brand) ++ moov(mvhdV1(timescale, duration), trak(tkhdV1(w, h)))
+
+  /** moov carried in a largesize (size == 1, 64-bit length) box. */
+  def mp4LargeSize(brand: String, timescale: Long, duration: Long,
+                   w: Int, h: Int): Array[Byte] = {
+    val payload = mvhdV0(timescale, duration) ++ trak(tkhdV0(w, h))
+    ftyp(brand) ++ be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be64(16L + payload.length) ++ payload
+  }
+
+  /** ftyp only — a moov-less (truncated upload) file. */
+  def mp4FtypOnly(brand: String): Array[Byte] = ftyp(brand)
+
+  /** EBML magic (WebM/Matroska) — detected, not parsed. */
+  def webm: Array[Byte] =
+    Array(0x1A, 0x45, 0xDF, 0xA3, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+
+  /** RIFF AVI magic — detected, not parsed. */
+  def avi: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 1, 0, 0))
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  def garbage: Array[Byte] = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+
+  /** (video_id, bytes) staging rows — every parser branch covered. */
+  def all: Seq[(Long, Array[Byte])] = Seq(
+    1L -> mp4V0("isom", 600L, 1200L, 640, 360),
+    2L -> mp4V1("mp42", 90000L, 630000L, 1920, 1080),
+    3L -> mp4LargeSize("avc1", 1000L, 2500L, 320, 240),
+    4L -> mp4FtypOnly("isom"),
+    5L -> webm,
+    6L -> avi,
+    7L -> garbage)
+}

@@ -171,6 +171,25 @@ object CurationQueries {
         valueCol = "value", maxPoints = 50)
     }),
 
+    // Video sibling of q88/q92: MP4 box-walk metadata (ftyp brand,
+    // mvhd v0/v1 timescale+duration, tkhd 16.16 dimensions, largesize
+    // boxes) from raw bytes by the dependency-free VideoMeta
+    // expression; EBML/AVI detected by magic. duration_ms composes
+    // from the parsed fields in BOTH engines.
+    "q173_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val df = graft.llm.VideoFixtures.all.toDF("video_id", "bytes")
+      df.select(col("video_id"),
+          graft.plans.VideoMetaNative.videoMeta(s, col("bytes")).as("m"))
+        .select(col("video_id"), col("m.format").as("format"),
+                col("m.brand").as("brand"),
+                col("m.timescale").as("timescale"),
+                col("m.duration").as("duration"),
+                col("m.width").as("width"), col("m.height").as("height"))
+        .withColumn("duration_ms",
+          expr("(duration * 1000) DIV timescale"))
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -524,6 +543,23 @@ object CurationQueries {
         |FROM r
         |WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
         |GROUP BY 1""".stripMargin,
+
+    "q173_video_meta" ->
+      """SELECT CAST(video_id AS BIGINT) AS video_id, format, brand,
+        |  CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(duration AS BIGINT) AS duration,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms
+        |FROM (VALUES
+        |  (1, 'mp4', 'isom', 600, 1200, 640, 360),
+        |  (2, 'mp4', 'mp42', 90000, 630000, 1920, 1080),
+        |  (3, 'mp4', 'avc1', 1000, 2500, 320, 240),
+        |  (4, 'mp4', 'isom', NULL, NULL, NULL, NULL),
+        |  (5, 'webm', NULL, NULL, NULL, NULL, NULL),
+        |  (6, 'avi', NULL, NULL, NULL, NULL, NULL),
+        |  (7, 'unknown', NULL, NULL, NULL, NULL, NULL)
+        |) AS t(video_id, format, brand, timescale, duration, width,
+        |       height)""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (
