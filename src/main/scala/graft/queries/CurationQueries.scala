@@ -190,6 +190,35 @@ object CurationQueries {
           expr("(duration * 1000) DIV timescale"))
     }),
 
+    // BPE tokenizer TRAINING: 6 greedy merge rounds on the word-type
+    // vocabulary (the corpus folds once; iterations never touch it).
+    // The oracle replays the identical select-then-fuse recurrence in
+    // a recursive CTE — the learned merge list hash-matches.
+    "q174_bpe_learn" -> ((s, d) => {
+      graft.llm.BpeTrain.learnMerges(documents(s, d), "text", nMerges = 6)
+    }),
+
+    // The inference side: apply the 6 learned merges per word across
+    // the corpus and measure per-language compression (chars-as-
+    // tokens vs BPE tokens). Spark applies a plan-literal replace
+    // chain per row; the oracle derives each word type's merged
+    // token count from the SAME recursion's final vocabulary.
+    "q175_bpe_compress" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.llm.BpeTrain
+        .learnMerges(docs, "text", nMerges = 6)
+        .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+      graft.llm.BpeTrain.applyMerges(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars_tok")).as("sum_chars_tok"),
+             sum(col("n_bpe_tok")).as("sum_bpe_tok"))
+        .withColumn("compression",
+          round(col("sum_bpe_tok").cast("double") /
+                col("sum_chars_tok").cast("double"), 4))
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -560,6 +589,79 @@ object CurationQueries {
         |  (7, 'unknown', NULL, NULL, NULL, NULL, NULL)
         |) AS t(video_id, format, brand, timescale, duration, width,
         |       height)""".stripMargin,
+
+    "q174_bpe_learn" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT w, COUNT(*) AS cnt FROM (
+         |        SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+         |              || ' ' AS sp, cnt FROM w),
+         |it AS (
+         |  SELECT sp, cnt, 0 AS step, CAST(NULL AS VARCHAR) AS merged_pair,
+         |         CAST(NULL AS BIGINT) AS pair_count
+         |  FROM v0
+         |  UNION ALL
+         |  SELECT replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |                 ' ' || tp.a || tp.b || ' '),
+         |         it.cnt, it.step + 1, tp.pair, tp.pc
+         |  FROM it, (
+         |    SELECT pair, pc,
+         |           string_split(pair, ' ')[1] AS a,
+         |           string_split(pair, ' ')[2] AS b
+         |    FROM (
+         |      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+         |        SELECT unnest(list_transform(
+         |          range(len(string_split(trim(sp), ' ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(trim(sp), ' '),
+         |                                          i + 1, i + 2), ' ')))
+         |          AS pair, cnt
+         |        FROM it) z
+         |      GROUP BY 1
+         |      ORDER BY pc DESC, pair LIMIT 1)) tp
+         |  WHERE it.step < 6)
+         |SELECT DISTINCT step AS round, merged_pair, pair_count
+         |FROM it WHERE step >= 1""".stripMargin,
+
+    "q175_bpe_compress" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT w, COUNT(*) AS cnt FROM (
+         |        SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |v0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')
+         |              || ' ' AS sp, cnt FROM w),
+         |it AS (
+         |  SELECT w, sp, cnt, 0 AS step FROM v0
+         |  UNION ALL
+         |  SELECT it.w,
+         |         replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |                 ' ' || tp.a || tp.b || ' '),
+         |         it.cnt, it.step + 1
+         |  FROM it, (
+         |    SELECT string_split(pair, ' ')[1] AS a,
+         |           string_split(pair, ' ')[2] AS b
+         |    FROM (
+         |      SELECT pair, SUM(cnt) AS pc FROM (
+         |        SELECT unnest(list_transform(
+         |          range(len(string_split(trim(sp), ' ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(trim(sp), ' '),
+         |                                          i + 1, i + 2), ' ')))
+         |          AS pair, cnt
+         |        FROM it) z
+         |      GROUP BY 1
+         |      ORDER BY pc DESC, pair LIMIT 1)) tp
+         |  WHERE it.step < 6),
+         |map AS (SELECT w, len(string_split(trim(sp), ' ')) AS n_bpe
+         |        FROM it WHERE step = 6),
+         |dt AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents),
+         |per AS (SELECT doc_id, lang,
+         |          CAST(SUM(length(dt.w)) AS BIGINT) AS n_chars_tok,
+         |          CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tok
+         |        FROM dt JOIN map ON dt.w = map.w GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars_tok) AS BIGINT) AS sum_chars_tok,
+         |  CAST(SUM(n_bpe_tok) AS BIGINT) AS sum_bpe_tok,
+         |  round(CAST(SUM(n_bpe_tok) AS DOUBLE)
+         |        / CAST(SUM(n_chars_tok) AS DOUBLE), 4) AS compression
+         |FROM per GROUP BY 1""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

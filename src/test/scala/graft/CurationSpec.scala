@@ -226,6 +226,35 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
   }
 
+  test("bpe learnMerges: greedy pair selection with count-then-lex ties") {
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val m = graft.llm.BpeTrain.learnMerges(docs, "text", nMerges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // "a a" appears in both aa words (count 2), then "a b" (count 1)
+    assert(m == Seq((1L, "a a", 2L), (2L, "a b", 1L)))
+  }
+
+  test("bpe merge fuses left-to-right non-overlapping (aaa -> [aa, a])") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = graft.llm.BpeTrain.learnMerges(docs, "text", nMerges = 1)
+      .head()
+    assert(m.getString(1) == "a a")
+    assert(m.getLong(2) == 4L) // 2 adjacent pairs per "a a a" word
+    val applied = graft.llm.BpeTrain.applyMerges(
+      docs, "doc_id", "text", Seq("a a")).head()
+    assert(applied.getLong(1) == 6L) // chars
+    assert(applied.getLong(2) == 4L) // per word: [aa, a] -> 2 tokens
+  }
+
+  test("bpe applyMerges never crosses word boundaries") {
+    // merge "a b" must not fuse the b|a boundary between words
+    val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val applied = graft.llm.BpeTrain.applyMerges(
+      docs, "doc_id", "text", Seq("a b")).head()
+    assert(applied.getLong(2) == 3L) // [ab], [b, a]
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
