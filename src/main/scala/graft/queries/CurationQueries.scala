@@ -19,6 +19,10 @@ object CurationQueries {
   // DuckDB word-tokenizer mirror of TextStats.tokens
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // the shared portable LCG (Similarity.lcg), DuckDB form
+  private def lcgSql(k: String) =
+    s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
+
   val queries: Map[String, Q] = Map(
 
     // Benchmark decontamination: docs with doc_id % 101 == 0 stand in
@@ -217,6 +221,18 @@ object CurationQueries {
         .withColumn("compression",
           round(col("sum_bpe_tok").cast("double") /
                 col("sum_chars_tok").cast("double"), 4))
+    }),
+
+    // One-pass Poisson bootstrap: 64 deterministic replicate means of
+    // the lineitem price in ONE corpus read, percentile CI from the
+    // bounded replicate frame — the oracle replays the exact
+    // LCG-weighted interval, not a statistical cousin.
+    "q176_bootstrap_ci" -> ((s, d) => {
+      graft.operators.Bootstrap.meanCi(
+        lineitem(s, d).select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          col("l_extendedprice")),
+        "rid", "l_extendedprice", b = 64)
     }),
 
     // Cohen's kappa between two rule-based document raters (word-count
@@ -662,6 +678,41 @@ object CurationQueries {
          |  round(CAST(SUM(n_bpe_tok) AS DOUBLE)
          |        / CAST(SUM(n_chars_tok) AS DOUBLE), 4) AS compression
          |FROM per GROUP BY 1""".stripMargin,
+
+    "q176_bootstrap_ci" ->
+      s"""WITH base AS (SELECT l_orderkey*10 + l_linenumber AS id,
+         |                     l_extendedprice AS x FROM lineitem),
+         |e AS (SELECT id, x, unnest(range(64)) AS rep FROM base),
+         |uu AS (SELECT rep, x,
+         |         CAST((${lcgSql("id*64 + rep")}) >> 16 AS DOUBLE)
+         |           / 32768.0 AS u
+         |       FROM e),
+         |wts AS (SELECT rep, x,
+         |  CASE WHEN u < 0.3678794412 THEN 0
+         |       WHEN u < 0.7357588824 THEN 1
+         |       WHEN u < 0.9196986030 THEN 2
+         |       WHEN u < 0.9810118431 THEN 3
+         |       WHEN u < 0.9963401532 THEN 4
+         |       WHEN u < 0.9994058152 THEN 5
+         |       WHEN u < 0.9999167589 THEN 6
+         |       ELSE 7 END AS w
+         |  FROM uu),
+         |reps AS (SELECT rep,
+         |  round(CAST(SUM(CAST(round(CAST(w AS DOUBLE) * x * 1000000.0, 0)
+         |                      AS DECIMAL(19,0))) AS DOUBLE) / 1000000.0
+         |        / CAST(SUM(w) AS DOUBLE), 9) AS m
+         |  FROM wts GROUP BY 1),
+         |rk AS (SELECT m, rep,
+         |         row_number() OVER (ORDER BY m, rep) AS rk FROM reps),
+         |b AS (SELECT COUNT(*) AS n,
+         |        round(CAST(SUM(CAST(round(x * 1000000.0, 0)
+         |                            AS DECIMAL(19,0))) AS DOUBLE)
+         |              / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+         |      FROM base)
+         |SELECT n, mean,
+         |  (SELECT round(m, 6) FROM rk WHERE rk = 2) AS ci_lo,
+         |  (SELECT round(m, 6) FROM rk WHERE rk = 63) AS ci_hi
+         |FROM b""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

@@ -255,6 +255,22 @@ class CurationSpec extends SparkSpec {
     assert(applied.getLong(2) == 3L) // [ab], [b, a]
   }
 
+  test("bootstrap meanCi: constant data collapses the interval; spread brackets") {
+    val const = (1L to 500L).map(i => (i, 42.0)).toDF("rid", "x")
+    val r1 = graft.operators.Bootstrap.meanCi(const, "rid", "x").head()
+    assert(r1.getAs[Double]("mean") == 42.0)
+    assert(r1.getAs[Double]("ci_lo") == 42.0 &&
+           r1.getAs[Double]("ci_hi") == 42.0)
+
+    val spread = (1L to 2000L).map(i => (i, (i % 100).toDouble)).toDF("rid", "x")
+    val r2 = graft.operators.Bootstrap.meanCi(spread, "rid", "x").head()
+    assert(r2.getAs[Double]("ci_lo") < r2.getAs[Double]("mean"))
+    assert(r2.getAs[Double]("ci_hi") > r2.getAs[Double]("mean"))
+    // CI of a 2000-point mean of U(0,99) should be within ~±2 of 49.5
+    assert(math.abs(r2.getAs[Double]("ci_lo") - 49.5) < 5.0)
+    assert(math.abs(r2.getAs[Double]("ci_hi") - 49.5) < 5.0)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
