@@ -492,4 +492,44 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("doc_dedup_out").select("doc_id").collect().map(_.getLong(0))
     assert(kept.length === 2 && kept.contains(3L))
   }
+
+  test("streaming decontamination flags overlap at ingest, batch parity") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingDecontaminate
+    val bench = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val flagged = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    def sinkInto(out: org.apache.spark.sql.DataFrame): Unit =
+      flagged ++= out.select("doc_id", "n_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = tmpDir("decon-ckpt")
+    mem.addData((1L, "z alpha beta gamma delta y"),
+                (2L, "nothing in common here at all"))
+    val q1 = StreamingDecontaminate.run(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, n = 3, minHits = 2, ckpt)(sinkInto)
+    q1.awaitTermination(60000)
+    assert(flagged.toSet == Set((1L, 2L))) // clean doc absent
+
+    // a later batch through the SAME checkpoint: pure per-batch audit,
+    // no history store — new overlap flagged, old batch not replayed
+    mem.addData((3L, "beta gamma delta extended run"))
+    val q2 = StreamingDecontaminate.run(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, n = 3, minHits = 2, ckpt)(sinkInto)
+    q2.awaitTermination(60000)
+    assert(flagged.toSet == Set((1L, 2L), (3L, 1L)))
+
+    // parity: the streamed flags equal the batch operator's output
+    val batchOut = graft.llm.Decontaminate.overlapAudit(
+        Seq((1L, "z alpha beta gamma delta y"),
+            (2L, "nothing in common here at all"),
+            (3L, "beta gamma delta extended run")).toDF("doc_id", "text"),
+        bench, "doc_id", "text", n = 3, minHits = 2)
+      .select("doc_id", "n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchOut == flagged.toSet)
+  }
 }
