@@ -144,6 +144,59 @@ object Eval {
                  count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
+  /** Isotonic (PAV) calibration over the [[calibration]] bins: the
+    * least-squares MONOTONE fit of the per-bin positive rate, via the
+    * closed form iso_i = max_{j≤i} min_{k≥i} mean(y over bins j..k)
+    * (weighted by bin counts) — equivalent to pool-adjacent-violators
+    * and what sklearn's IsotonicRegression produces at the bin level.
+    * Calibrated probabilities must not DECREASE with score; raw bin
+    * rates wiggle, the isotonic fit pools the violations.
+    *
+    * Scale shape: the bins frame is nBins-bounded, so the closed form
+    * runs as two aggregations over ≤ nBins³ tiny-frame join rows —
+    * window-free, no driver loop, and trivially replayable in SQL.
+    * Interval means derive from exclusive prefix sums built by a
+    * triangular join; each mean is one exact-integer division, so the
+    * max/min lattice is engine-portable. Out-of-domain sentinel bins
+    * (−1, nBins) are excluded from the fit (they are not ordered
+    * score regions). Returns (bin, n, pos_rate, iso_rate). */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: Column,
+                          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val bins = calibration(df, scoreCol, labelCol, lo, hi, nBins)
+      .filter(col("bin") >= 0 && col("bin") < nBins)
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate"))
+    // exclusive prefix sums via triangular join on the bounded frame
+    val pre = bins.select(col("bin").as("__b2"), col("n").as("__n2"),
+                          col("n_pos").as("__p2"))
+    val prefix = bins.join(broadcast(pre), col("__b2") < col("bin"), "left")
+      .groupBy(col("bin"))
+      .agg(coalesce(sum(col("__n2")), lit(0L)).as("pn"),
+           coalesce(sum(col("__p2")), lit(0L)).as("pp"))
+    val cum = bins.join(prefix, "bin")
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate"),
+              (col("pn") + col("n")).as("cn"),      // inclusive prefix
+              (col("pp") + col("n_pos")).as("cp"))
+    // interval mean(j..k) = (cp_k − cp_j + p_j) / (cn_k − cn_j + n_j)
+    val jS = cum.select(col("bin").as("j"), col("cn").as("cnj"),
+                        col("cp").as("cpj"), col("n").as("nj"),
+                        col("n_pos").as("pj"))
+    val kS = cum.select(col("bin").as("k"), col("cn").as("cnk"),
+                        col("cp").as("cpk"))
+    val means = jS.join(broadcast(kS), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+              ((col("cpk") - col("cpj") + col("pj")).cast("double") /
+               (col("cnk") - col("cnj") + col("nj")).cast("double"))
+                .as("m"))
+    val iso = means
+      .join(broadcast(bins.select(col("bin").as("i"))),
+            col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("m")).as("__mn"))
+      .groupBy(col("i")).agg(max(col("__mn")).as("__iso"))
+    bins.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos_rate"),
+              round(col("__iso"), 6).as("iso_rate"))
+  }
+
   /** Cohen's kappa between two binary raters — the label-quality
     * check an annotation pipeline gates on before labels become
     * training data: observed agreement corrected for the agreement

@@ -235,6 +235,42 @@ object CurationQueries {
         "rid", "l_extendedprice", b = 64)
     }),
 
+    // Isotonic (PAV) calibration on the q138 reliability bins: the
+    // monotone fit via the max-min closed form, computed window-free
+    // as two aggregations over bounded triangular joins — raw bin
+    // rates wiggle, the isotonic rates pool the violations.
+    "q177_isotonic" -> ((s, d) => {
+      graft.operators.Eval.isotonicCalibration(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F", lo = 0.0, hi = 500000.0, nBins = 10)
+    }),
+
+    // k-anonymity / l-diversity audit of (nation, market segment)
+    // quasi-identifiers against the account-balance-sign sensitive
+    // attribute — the re-identification gate before a release.
+    "q178_k_anonymity" -> ((s, d) => {
+      graft.operators.Privacy.kAnonymity(
+        customer(s, d).withColumn("bal_sign",
+          when(col("c_acctbal") < 0, "neg").otherwise("nonneg")),
+        quasiCols = Seq("c_nationkey", "c_mktsegment"),
+        sensitiveCol = "bal_sign")
+    }),
+
+    // Per-user contribution capping (first 40 events in time order) —
+    // the bounded-sensitivity step of user-level DP: per event type,
+    // raw vs capped counts show what the cap costs.
+    "q179_contribution_cap" -> ((s, d) => {
+      val e = events(s, d)
+      val capped = graft.operators.Privacy.capContributions(
+        e, "user_id", Seq("ts", "event_id"), cap = 40)
+      val raw = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+      val cap = capped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_capped"))
+      raw.join(cap, "event_type")
+        .select(col("event_type"), col("n_raw"), col("n_capped"),
+                round(lit(1.0) - col("n_capped").cast("double") /
+                      col("n_raw").cast("double"), 6).as("clipped_frac"))
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -713,6 +749,64 @@ object CurationQueries {
          |  (SELECT round(m, 6) FROM rk WHERE rk = 2) AS ci_lo,
          |  (SELECT round(m, 6) FROM rk WHERE rk = 63) AS ci_hi
          |FROM b""".stripMargin,
+
+    "q177_isotonic" ->
+      """WITH b0 AS (SELECT
+        |  CASE WHEN o_totalprice < 0 THEN -1
+        |       WHEN o_totalprice > 500000 THEN 10
+        |       ELSE LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS INT), 9)
+        |  END AS bin,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bins AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |           round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |             AS pos_rate
+        |         FROM b0 WHERE bin >= 0 AND bin < 10 GROUP BY 1),
+        |pre AS (SELECT a.bin,
+        |          CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS pn,
+        |          CAST(COALESCE(SUM(b.n_pos), 0) AS BIGINT) AS pp
+        |        FROM bins a LEFT JOIN bins b ON b.bin < a.bin GROUP BY 1),
+        |cum AS (SELECT bins.bin, n, n_pos, pos_rate,
+        |          pn + n AS cn, pp + n_pos AS cp
+        |        FROM bins JOIN pre ON bins.bin = pre.bin),
+        |means AS (SELECT j.bin AS j, k.bin AS k,
+        |            CAST(k.cp - j.cp + j.n_pos AS DOUBLE)
+        |              / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+        |          FROM cum j JOIN cum k ON j.bin <= k.bin),
+        |iso AS (SELECT i, MAX(mn) AS iso FROM (
+        |          SELECT i.bin AS i, means.j, MIN(means.m) AS mn
+        |          FROM means JOIN bins i
+        |            ON means.j <= i.bin AND means.k >= i.bin
+        |          GROUP BY 1, 2) t
+        |        GROUP BY 1)
+        |SELECT bin, n, pos_rate, round(iso, 6) AS iso_rate
+        |FROM bins JOIN iso ON bin = i""".stripMargin,
+
+    "q178_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |                        ELSE 'nonneg' END) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells,
+        |  MIN(n) AS k_anonymity, CAST(MIN(l) AS BIGINT) AS l_diversity,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_k_lt_5
+        |FROM cells""".stripMargin,
+
+    "q179_contribution_cap" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |raw AS (SELECT event_type, COUNT(*) AS n_raw FROM r GROUP BY 1),
+        |cap AS (SELECT event_type, COUNT(*) AS n_capped FROM r
+        |        WHERE rn <= 40 GROUP BY 1)
+        |SELECT raw.event_type, n_raw, n_capped,
+        |  round(1.0 - CAST(n_capped AS DOUBLE) / CAST(n_raw AS DOUBLE), 6)
+        |    AS clipped_frac
+        |FROM raw JOIN cap ON raw.event_type = cap.event_type""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

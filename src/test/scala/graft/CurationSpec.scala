@@ -271,6 +271,50 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("ci_hi") - 49.5) < 5.0)
   }
 
+  test("isotonicCalibration: pools adjacent violators, preserves monotone runs") {
+    // 4 bins, 10 rows each, pos counts 1,3,2,4 -> PAV pools bins 1,2
+    val rows = for {
+      bin <- 0 to 3
+      i <- 0 until 10
+    } yield (bin + 0.5, i < Seq(1, 3, 2, 4)(bin))
+    val df = rows.toDF("score", "label")
+    val out = graft.operators.Eval.isotonicCalibration(
+        df, "score", col("label"), lo = 0.0, hi = 4.0, nBins = 4)
+      .orderBy("bin").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.1, 0.3, 0.2, 0.4))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.1, 0.25, 0.25, 0.4))
+    // isotonic output is monotone non-decreasing by construction
+    val iso = out.map(_.getDouble(3))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("kAnonymity: min cell and min diversity surface") {
+    val df = Seq(
+      ("DE", "A", 1), ("DE", "A", 2), ("DE", "A", 1), // cell 3, l=2
+      ("FR", "B", 1), ("FR", "B", 1),                 // cell 2, l=1
+      ("US", "A", 2))                                  // cell 1, l=1
+      .toDF("nation", "seg", "sens")
+    val r = graft.operators.Privacy.kAnonymity(
+      df, Seq("nation", "seg"), "sens").head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_cells") == 3L)
+    assert(r.getAs[Long]("k_anonymity") == 1L)
+    assert(r.getAs[Long]("l_diversity") == 1L)
+    assert(r.getAs[Long]("n_cells_k_lt_5") == 3L)
+  }
+
+  test("capContributions: keeps the first `cap` rows per unit, idempotent") {
+    val df = (1L to 100L).map(i => (i % 3, i, s"e$i")).toDF("u", "o", "p")
+    val once = graft.operators.Privacy.capContributions(df, "u", Seq("o"), 10)
+    assert(once.count() == 30L)
+    val twice = graft.operators.Privacy.capContributions(once, "u", Seq("o"), 10)
+    assert(twice.collect().map(_.getLong(1)).sorted.toSeq ==
+           once.collect().map(_.getLong(1)).sorted.toSeq)
+    // kept rows are exactly the lowest order keys per unit
+    val kept = once.filter(col("u") === 0L).collect().map(_.getLong(1)).sorted
+    assert(kept.toSeq == (1L to 100L).filter(_ % 3 == 0).take(10))
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
