@@ -271,6 +271,20 @@ object CurationQueries {
                       col("n_raw").cast("double"), 6).as("clipped_frac"))
     }),
 
+    // Exact DBSCAN over the first two embedding dimensions: grid-
+    // bucketed candidate pairs (3x3 eps-cells — never all pairs),
+    // core/border/noise roles, min-label clusters. The oracle
+    // computes the SAME clustering from brute-force pairs — proof
+    // the grid pruning is lossless.
+    "q180_dbscan" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                element_at(col("embedding").cast("array<double>"), 1).as("x"),
+                element_at(col("embedding").cast("array<double>"), 2).as("y"))
+      graft.operators.Dbscan.gridDbscan(e, "vec_id", "x", "y",
+                                        eps = 0.03, minPts = 5)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -807,6 +821,36 @@ object CurationQueries {
         |  round(1.0 - CAST(n_capped AS DOUBLE) / CAST(n_raw AS DOUBLE), 6)
         |    AS clipped_frac
         |FROM raw JOIN cap ON raw.event_type = cap.event_type""".stripMargin,
+
+    "q180_dbscan" ->
+      """WITH RECURSIVE
+        |p AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings),
+        |pts AS (SELECT id, e[1] AS x, e[2] AS y FROM p),
+        |pairs AS (SELECT a.id AS ida, b.id AS idb FROM pts a, pts b
+        |  WHERE a.id <> b.id
+        |    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.03*0.03),
+        |nc AS (SELECT ida, COUNT(*) AS n FROM pairs GROUP BY 1),
+        |core AS (SELECT ida AS id FROM nc WHERE n + 1 >= 5),
+        |ce AS (SELECT ida, idb FROM pairs
+        |       WHERE ida IN (SELECT id FROM core)
+        |         AND idb IN (SELECT id FROM core)),
+        |walk AS (
+        |  SELECT ida AS node, ida AS reach
+        |  FROM (SELECT DISTINCT ida FROM ce)
+        |  UNION
+        |  SELECT w.node, c.idb FROM walk w JOIN ce c ON c.ida = w.reach),
+        |lab AS (SELECT node, MIN(reach) AS label FROM walk GROUP BY 1),
+        |corelab AS (SELECT core.id, COALESCE(lab.label, core.id) AS cluster
+        |            FROM core LEFT JOIN lab ON lab.node = core.id),
+        |border AS (SELECT pairs.ida AS id, MIN(cl.cluster) AS cluster
+        |           FROM pairs JOIN corelab cl ON pairs.idb = cl.id
+        |           WHERE pairs.ida NOT IN (SELECT id FROM core)
+        |           GROUP BY 1),
+        |lb AS (SELECT id, cluster, 'core' AS role FROM corelab
+        |       UNION ALL SELECT id, cluster, 'border' AS role FROM border)
+        |SELECT pts.id, COALESCE(lb.role, 'noise') AS role, lb.cluster
+        |FROM pts LEFT JOIN lb ON pts.id = lb.id""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

@@ -315,6 +315,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == (1L to 100L).filter(_ % 3 == 0).take(10))
   }
 
+  test("gridDbscan: two blobs, a border point, and noise") {
+    val pts = Seq(
+      // blob A: 5 mutually-close points -> all core, cluster = min id 0
+      (0L, 0.0, 0.0), (1L, 0.01, 0.0), (2L, 0.0, 0.01),
+      (3L, 0.01, 0.01), (4L, 0.005, 0.005),
+      // blob B far away -> own cluster, min id 10
+      (10L, 1.0, 1.0), (11L, 1.01, 1.0), (12L, 1.0, 1.01),
+      (13L, 1.01, 1.01), (14L, 1.005, 1.005),
+      // border: within eps of blob A's edge but only 2 neighbors
+      (20L, 0.025, 0.0),
+      // noise: alone
+      (30L, 0.5, 0.5)).toDF("id", "x", "y")
+    val out = graft.operators.Dbscan.gridDbscan(pts, "id", "x", "y",
+        eps = 0.02, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    (0L to 4L).foreach(i => assert(out(i) == (("core", 0L)), s"pt $i"))
+    (10L to 14L).foreach(i => assert(out(i) == (("core", 10L)), s"pt $i"))
+    assert(out(20L) == (("border", 0L)))
+    assert(out(30L) == (("noise", -1L)))
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
