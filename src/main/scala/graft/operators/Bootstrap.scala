@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.llm.Sampling
+import graft.util.Exact.{round6, round9}
 
 /** One-pass Poisson bootstrap (Chamandy et al. 2012) — the bootstrap
   * that works at any scale: instead of drawing B full resamples
@@ -14,25 +15,64 @@ import graft.llm.Sampling
   * B weighted means then estimate the sampling distribution of the
   * statistic, and their quantiles are the confidence interval.
   *
-  * Determinism: the per-(row, replicate) weight is the inverse-CDF of
-  * Poisson(1) applied to the engine-wide id-keyed LCG fraction
-  * (Sampling.idFraction of id·B + b) — no rng, reproducible across
-  * runs, engines, and partitionings, so the q176 oracle replays the
-  * EXACT interval, not a statistical cousin. Weights cap at 7
-  * (P ≈ 8e-5 truncated — the documented approximation).
+  * Execution is a TYPED AGGREGATOR holding one 2B-long buffer
+  * (Σw·xq, Σw per replicate): each row updates all B slots in a tight
+  * JVM loop — no explode, so the corpus is read AND materialized once
+  * (the exploded form pays B× row amplification through the
+  * aggregation; measured 4× slower at sf0.1 even with integer
+  * weights). Partials merge map-side as plain long vectors.
   *
-  * Scale shape: one explode(B) → per-replicate map-side-combined
-  * aggregation of quantized-decimal weighted sums (B rows total), then
-  * rank selection on the B-row frame (windows on a bounded frame, the
-  * q157 class). The corpus is read ONCE for all replicates. */
+  * Determinism: the per-(row, replicate) draw is the 15-bit high half
+  * of the engine-wide id-keyed LCG (Sampling.idFraction's bit
+  * contract), compared against Poisson(1) inverse-CDF thresholds
+  * pre-scaled to the same 15-bit grid — integers end to end, no rng:
+  * the q176 oracle replays the EXACT interval, not a statistical
+  * cousin. Weights cap at 7 (P ≈ 8e-5 truncated). Long partials are
+  * exact while Σw·xq < 2^63 — beyond ~1e18 quantized mass per
+  * replicate (far past any single-statistic use), widen the buffer to
+  * decimal. */
 object Bootstrap {
 
-  /** Cumulative Poisson(1) inverse-CDF thresholds, k = 0..7. */
-  private val cum = Seq(0.3678794412, 0.7357588824, 0.9196986030,
-    0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589, 1.0)
+  /** weight k iff u15 < T(k), k = 0..6; else 7.
+    * T(k) = floor(cumPoisson1(k)·32768) + 1. */
+  private val thresholds15 =
+    Array(12055L, 24110L, 30137L, 32146L, 32649L, 32749L, 32766L)
 
-  private def q6(c: Column): Column =
-    round(c * lit(1e6), 0).cast("decimal(19,0)")
+  /** Similarity.lcg's exact JVM mirror. */
+  private def lcg(k: Long): Long = {
+    val m = 2147483648L
+    (1103515245L * (((k % m) + m) % m) + 12345L) % m
+  }
+
+  private def weight(u15: Long): Long = {
+    var k = 0
+    while (k < 7 && u15 >= thresholds15(k)) k += 1
+    k.toLong
+  }
+
+  private class RepAgg(b: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](2 * b)
+    def reduce(buf: Array[Long], row: (Long, Long)): Array[Long] = {
+      val (id, xq) = row
+      var rep = 0
+      while (rep < b) {
+        val w = weight(lcg(id * b + rep) >> 16)
+        buf(rep) += w * xq
+        buf(b + rep) += w
+        rep += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += c(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def outputEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+  }
 
   /** 95% CI for the mean of `valueCol`: one row
     * (n, mean, ci_lo, ci_hi) — ci bounds are the 2nd-smallest and
@@ -40,32 +80,32 @@ object Bootstrap {
     * B = 64). `idCol` must be a stable numeric row id. */
   def meanCi(df: DataFrame, idCol: String, valueCol: String,
              b: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val x = col(valueCol).cast("double")
-    val u = Sampling.idFraction(col(idCol) * b + col("rep"))
-    val w = cum.init.zipWithIndex.foldRight(lit(cum.size - 1): Column) {
-      case ((t, k), acc) => when(u < t, k).otherwise(acc)
-    }.cast("long")
-    val reps = df
-      .select(col(idCol), x.as("__x"),
-              explode(array((0 until b).map(lit): _*)).as("rep"))
-      .select(col("rep"), w.as("__w"), col("__x"))
-      .groupBy(col("rep"))
-      .agg(sum(q6(col("__w") * col("__x"))).cast("decimal(38,0)").as("__swx"),
-           sum(col("__w")).as("__sw"))
-      .select(col("rep"),
-              round(col("__swx").cast("double") / 1e6 /
-                    col("__sw").cast("double"), 9).as("__m"))
-    val ranked = reps.withColumn("__rk",
-      row_number().over(Window.orderBy(col("__m").asc, col("rep").asc)))
+    val pre = df.select(col(idCol).cast("long").as("_1"),
+                        round(x * lit(1e6), 0).cast("long").as("_2"))
+      .as[(Long, Long)]
+    val sums = pre.select(new RepAgg(b).toColumn).head()
+    val ms = (0 until b).map { rep =>
+      (round9(sums(rep).toDouble / 1e6 / sums(b + rep).toDouble), rep)
+    }.sorted
+    val ciLo = round6(ms(1)._1)
+    val ciHi = round6(ms(b - 2)._1)
     val base = df.agg(
-      count(lit(1)).as("n"),
-      round(sum(q6(x)).cast("decimal(38,0)").cast("double") / 1e6 /
-            count(lit(1)).cast("double"), 6).as("mean"))
-    base.crossJoin(
-        ranked.filter(col("__rk") === 2)
-          .select(round(col("__m"), 6).as("ci_lo")))
-      .crossJoin(
-        ranked.filter(col("__rk") === b - 1)
-          .select(round(col("__m"), 6).as("ci_hi")))
+        count(lit(1)).as("n"),
+        sum(round(x * lit(1e6), 0).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__sx"))
+      .head()
+    val n = base.getAs[Long]("n")
+    val mean = round6(
+      base.getAs[java.math.BigDecimal]("__sx").doubleValue() / 1e6 / n)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n, mean, ciLo, ciHi)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("mean", DoubleType, nullable = false),
+        StructField("ci_lo", DoubleType, nullable = false),
+        StructField("ci_hi", DoubleType, nullable = false))))
   }
 }

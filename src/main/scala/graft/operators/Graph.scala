@@ -212,6 +212,50 @@ object Graph {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** Multi-source BFS layers: hop distance of every reachable node
+    * from a seed set — the reachability/radius primitive (crawl
+    * frontier depth, link distance from trusted seeds). Returns
+    * (node, dist) for reached nodes only.
+    *
+    * Scale shape: per round, ONE join of the frontier against the
+    * edge list + an anti-join against the visited set — exchanges
+    * carry the EDGE list; the frontier shrinks as the graph
+    * saturates; visited/frontier are localCheckpoint'ed so lineage
+    * stays flat. Round count = graph eccentricity from the seeds,
+    * `maxDepth` the guard. Deterministic: a node's dist is its FIRST
+    * reach round — simultaneous expansion makes that partitioning-
+    * independent, so a fixed-depth SQL replay lands on the identical
+    * layering. */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                maxDepth: Int = 32): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var depth = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val next = sym
+        .join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited
+          .unionByName(next.withColumn("dist", lit(depth)))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 100): DataFrame = {
     val sym = edges

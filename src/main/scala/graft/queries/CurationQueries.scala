@@ -285,6 +285,33 @@ object CurationQueries {
                                         eps = 0.03, minPts = 5)
     }),
 
+    // Dominant principal component of the first 8 embedding
+    // dimensions: the corpus folds once to 8 + 36 decimal moment
+    // sums; 30 quantized power steps run driver-side and the oracle
+    // replays the identical matvec/normalize recurrence — loadings
+    // AND eigenvalue hash-match.
+    "q181_pca_power" -> ((s, d) => {
+      val e = embeddings(s, d).select(
+        (0 until 8).map(i =>
+          element_at(col("embedding").cast("array<double>"), i + 1)
+            .as(s"d$i")): _*)
+      graft.operators.Pca.powerIteration(e, (0 until 8).map(i => s"d$i"),
+                                         iters = 30)
+    }),
+
+    // Multi-source BFS on the q164 graph from the 10 lowest order-mod
+    // seeds: hop distance of every reachable node, simultaneous
+    // frontier expansion, fixed-depth recursive replay as oracle.
+    "q182_bfs_layers" -> ((s, d) => {
+      val e = lineitem(s, d).filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 997).as("a"),
+                (lit(1000000) + col("l_partkey") % 499).as("b"))
+        .distinct()
+      val seeds = e.select(col("a").as("node")).filter(col("node") < 10)
+        .distinct()
+      graft.operators.Graph.bfsLayers(e, "a", "b", seeds, "node")
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -732,25 +759,24 @@ object CurationQueries {
     "q176_bootstrap_ci" ->
       s"""WITH base AS (SELECT l_orderkey*10 + l_linenumber AS id,
          |                     l_extendedprice AS x FROM lineitem),
-         |e AS (SELECT id, x, unnest(range(64)) AS rep FROM base),
-         |uu AS (SELECT rep, x,
-         |         CAST((${lcgSql("id*64 + rep")}) >> 16 AS DOUBLE)
-         |           / 32768.0 AS u
+         |e AS (SELECT id, CAST(round(x * 1000000.0, 0) AS BIGINT) AS xq,
+         |             unnest(range(64)) AS rep FROM base),
+         |uu AS (SELECT rep, xq,
+         |         (${lcgSql("id*64 + rep")}) >> 16 AS u15
          |       FROM e),
-         |wts AS (SELECT rep, x,
-         |  CASE WHEN u < 0.3678794412 THEN 0
-         |       WHEN u < 0.7357588824 THEN 1
-         |       WHEN u < 0.9196986030 THEN 2
-         |       WHEN u < 0.9810118431 THEN 3
-         |       WHEN u < 0.9963401532 THEN 4
-         |       WHEN u < 0.9994058152 THEN 5
-         |       WHEN u < 0.9999167589 THEN 6
+         |wts AS (SELECT rep, xq,
+         |  CASE WHEN u15 < 12055 THEN 0
+         |       WHEN u15 < 24110 THEN 1
+         |       WHEN u15 < 30137 THEN 2
+         |       WHEN u15 < 32146 THEN 3
+         |       WHEN u15 < 32649 THEN 4
+         |       WHEN u15 < 32749 THEN 5
+         |       WHEN u15 < 32766 THEN 6
          |       ELSE 7 END AS w
          |  FROM uu),
          |reps AS (SELECT rep,
-         |  round(CAST(SUM(CAST(round(CAST(w AS DOUBLE) * x * 1000000.0, 0)
-         |                      AS DECIMAL(19,0))) AS DOUBLE) / 1000000.0
-         |        / CAST(SUM(w) AS DOUBLE), 9) AS m
+         |  round(CAST(SUM(CAST(w * xq AS DECIMAL(38,0))) AS DOUBLE)
+         |        / 1000000.0 / CAST(SUM(w) AS DOUBLE), 9) AS m
          |  FROM wts GROUP BY 1),
          |rk AS (SELECT m, rep,
          |         row_number() OVER (ORDER BY m, rep) AS rk FROM reps),
@@ -851,6 +877,64 @@ object CurationQueries {
         |       UNION ALL SELECT id, cluster, 'border' AS role FROM border)
         |SELECT pts.id, COALESCE(lb.role, 'noise') AS role, lb.cluster
         |FROM pts LEFT JOIN lb ON pts.id = lb.id""".stripMargin,
+
+    "q181_pca_power" ->
+      """WITH RECURSIVE
+        |e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |idx AS (SELECT unnest(range(8)) AS i),
+        |mom AS (
+        |  SELECT a.i, b.i AS j,
+        |    SUM(CAST(round(e.v[a.i + 1] * e.v[b.i + 1] * 1000000.0, 0)
+        |             AS DECIMAL(19,0))) AS pd
+        |  FROM e, idx a, idx b GROUP BY 1, 2),
+        |sv AS (SELECT i, SUM(CAST(round(e.v[i + 1] * 1000000.0, 0)
+        |                          AS DECIMAL(19,0))) AS sd
+        |       FROM e, idx GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+        |cov AS (
+        |  SELECT mom.i, mom.j,
+        |    round((CAST(pd AS DOUBLE) / 1000000.0
+        |           - (CAST(a.sd AS DOUBLE) / 1000000.0)
+        |             * (CAST(b.sd AS DOUBLE) / 1000000.0) / n) / n, 9) AS c
+        |  FROM mom JOIN sv a ON mom.i = a.i JOIN sv b ON mom.j = b.i, nn),
+        |it AS (
+        |  SELECT i, CAST(1.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS lam,
+        |         0 AS step
+        |  FROM idx
+        |  UNION ALL
+        |  SELECT w.i, round(w.w / m.m, 9) AS v, m.m AS lam, w.step + 1
+        |  FROM (
+        |    SELECT cov.i, cur.step,
+        |      CAST(SUM(CAST(round(cov.c * cur.v, 9) AS DECIMAL(38,9)))
+        |           AS DOUBLE) AS w
+        |    FROM cov JOIN it cur ON cov.j = cur.i
+        |    GROUP BY 1, 2) w,
+        |  (SELECT w2.w AS m, w2.step AS ms FROM (
+        |     SELECT cov.i, cur.step,
+        |       CAST(SUM(CAST(round(cov.c * cur.v, 9) AS DECIMAL(38,9)))
+        |            AS DOUBLE) AS w
+        |     FROM cov JOIN it cur ON cov.j = cur.i
+        |     GROUP BY 1, 2) w2
+        |   ORDER BY abs(w2.w) DESC, w2.i LIMIT 1) m
+        |  WHERE w.step < 30 AND w.step = m.ms)
+        |SELECT i AS dim, v AS loading, round(lam, 9) AS eigenvalue
+        |FROM it WHERE step = 30""".stripMargin,
+
+    "q182_bfs_layers" ->
+      """WITH RECURSIVE
+        |eraw AS (SELECT DISTINCT l_orderkey % 997 AS a,
+        |                1000000 + l_partkey % 499 AS b
+        |         FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT a AS u, b AS v FROM eraw
+        |      UNION ALL SELECT b, a FROM eraw),
+        |walk AS (
+        |  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM eraw WHERE a < 10
+        |  UNION
+        |  SELECT e.v AS node, walk.dist + 1 AS dist
+        |  FROM walk JOIN e ON e.u = walk.node
+        |  WHERE walk.dist < 32)
+        |SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

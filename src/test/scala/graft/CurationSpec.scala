@@ -337,6 +337,26 @@ class CurationSpec extends SparkSpec {
     assert(out(30L) == (("noise", -1L)))
   }
 
+  test("bfsLayers: path distances from seed; unreachable absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.operators.Graph.bfsLayers(e, "u", "v", seeds, "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("pca powerIteration: exact line recovers direction and eigenvalue") {
+    // points on y = 2x: cov = [[2,4],[4,8]], eigenvector (1,2),
+    // max-abs normalization -> (0.5, 1.0), eigenvalue 10
+    val pts = Seq((1.0, 2.0), (2.0, 4.0), (-1.0, -2.0), (-2.0, -4.0),
+                  (0.0, 0.0)).toDF("a", "b")
+    val out = graft.operators.Pca.powerIteration(pts, Seq("a", "b"), 30)
+      .orderBy("dim").collect()
+    assert(math.abs(out(0).getDouble(1) - 0.5) < 1e-6)
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 1e-6)
+    assert(math.abs(out(0).getDouble(2) - 10.0) < 1e-4)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
