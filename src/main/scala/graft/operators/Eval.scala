@@ -197,6 +197,55 @@ object Eval {
               round(col("__iso"), 6).as("iso_rate"))
   }
 
+  /** Ranking-quality metrics for a retrieval run — MRR, precision@k
+    * and binary-gain nDCG@k per query, given the retrieved lists and
+    * the ground-truth relevant set: the eval layer of the engine's
+    * own ANN/BM25 retrieval stack (q30/q32/q146). IDCG uses the ideal
+    * prefix min(R, k), so a query with fewer relevant docs than k is
+    * not penalized for physics. Queries with NO relevant docs keep
+    * NULL mrr/ndcg (undefined, not 0-by-convention — the prCurve
+    * contract).
+    *
+    * Scale shape: one hash join of retrieved×relevant on (query, doc)
+    * + two query-keyed aggregations; the ideal-DCG side explodes
+    * min(R,k) ≤ k positions per query. DCG terms 1/log2(rank+1)
+    * quantize to 9 decimals and sum in decimal, so per-query scores
+    * are engine-portable (ln-based log2 on both sides). */
+  def rankingMetrics(retrieved: DataFrame, qCol: String, dCol: String,
+                     rankCol: String, relevant: DataFrame, rqCol: String,
+                     rdCol: String, k: Int): DataFrame = {
+    val dcgTerm = (r: Column) =>
+      round(lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))), 9)
+    val rel = relevant.select(col(rqCol).as("qid"), col(rdCol).as("__rd"))
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = retrieved
+      .select(col(qCol).as("qid"), col(dCol).as("__rd"),
+              col(rankCol).as("__rank"))
+      .join(rel, Seq("qid", "__rd"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"),
+           min(col("__rank")).as("__minr"),
+           sum(dcgTerm(col("__rank")).cast("decimal(19,9)"))
+             .cast("double").as("__dcg"))
+    val idcg = nRel
+      .select(col("qid"),
+              explode(sequence(lit(1), least(col("n_rel"), lit(k))))
+                .as("__i"))
+      .groupBy(col("qid"))
+      .agg(sum(dcgTerm(col("__i")).cast("decimal(19,9)"))
+             .cast("double").as("__idcg"))
+    nRel
+      .join(hits, Seq("qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(lit(1.0) / col("__minr").cast("double"), 6).as("mrr"),
+              round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+                .as(s"precision_at_$k"),
+              round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
+                .as(s"ndcg_at_$k"))
+  }
+
   /** Cohen's kappa between two binary raters — the label-quality
     * check an annotation pipeline gates on before labels become
     * training data: observed agreement corrected for the agreement

@@ -312,6 +312,48 @@ object CurationQueries {
       graft.operators.Graph.bfsLayers(e, "a", "b", seeds, "node")
     }),
 
+    // Ranking metrics over the engine's own retrieval: cosine top-10
+    // for 20 queries scored against label-match ground truth — MRR,
+    // precision@10, binary nDCG@10 per query.
+    "q183_ranking_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+      val topk = graft.llm.Similarity.cosineTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      val retrieved = topk.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("cid").asc)))
+      val lbl = e.select(col("vec_id"), col("label"))
+      val relevant = lbl.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("label").as("__l"))
+        .join(lbl.select(col("vec_id").as("c"), col("label").as("__l")),
+              Seq("__l"))
+        .filter(col("q") =!= col("c"))
+      graft.operators.Eval.rankingMetrics(retrieved, "qid", "cid", "rank",
+                                          relevant, "q", "c", k = 10)
+    }),
+
+    // Multi-touch attribution of purchases to the view/click/signup
+    // touches of the preceding 3 days — first, last and linear models
+    // side by side; touchless conversions land in '(none)', loudly.
+    "q184_attribution" -> ((s, d) => {
+      graft.operators.Attribution.credits(events(s, d), "user_id", "ts",
+        "event_id", "event_type", conversionType = "purchase",
+        touchTypes = Seq("view", "click", "signup"), lookbackDays = 3)
+    }),
+
+    // Holt's linear-trend smoothing of each user's value series —
+    // sequential two-state fold (flatMapSortedGroups), bit-identical
+    // to the recursive-CTE oracle with zero quantization in the loop.
+    "q185_holt" -> ((s, d) => {
+      graft.operators.Forecast.holtSummary(
+        events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+                            col("value")),
+        "user_id", Seq(col("ts"), col("event_id")), "value",
+        alpha = 0.3, beta = 0.1)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -935,6 +977,98 @@ object CurationQueries {
         |  FROM walk JOIN e ON e.u = walk.node
         |  WHERE walk.dist < 32)
         |SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1""".stripMargin,
+
+    "q183_ranking_metrics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |ret AS (SELECT qid, cid, rn AS rank FROM (
+        |  SELECT qid, e.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(qv, v)
+        |        / (sqrt(list_dot_product(qv, qv))
+        |           * sqrt(list_dot_product(v, v))) DESC, e.vec_id) AS rn
+        |  FROM q, e WHERE qid <> e.vec_id) WHERE rn <= 10),
+        |rel AS (SELECT a.vec_id AS qid, b.vec_id AS cid
+        |        FROM e a JOIN e b ON a.label = b.label
+        |        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |nr AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+        |hits AS (SELECT ret.qid, COUNT(*) AS n_hits, MIN(rank) AS minr,
+        |    CAST(SUM(CAST(round(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0)
+        |                               / ln(2.0)), 9)
+        |                  AS DECIMAL(19,9))) AS DOUBLE) AS dcg
+        |  FROM ret JOIN rel ON ret.qid = rel.qid AND ret.cid = rel.cid
+        |  GROUP BY 1),
+        |ideal AS (SELECT qid,
+        |    CAST(SUM(CAST(round(1.0 / (ln(CAST(i AS DOUBLE) + 1.0)
+        |                               / ln(2.0)), 9)
+        |                  AS DECIMAL(19,9))) AS DOUBLE) AS idcg
+        |  FROM (SELECT qid, unnest(range(1, least(n_rel, 10) + 1)) AS i
+        |        FROM nr)
+        |  GROUP BY 1)
+        |SELECT nr.qid, nr.n_rel,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(1.0 / CAST(minr AS DOUBLE), 6) AS mrr,
+        |  round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10, 6)
+        |    AS precision_at_10,
+        |  round(COALESCE(dcg, 0.0) / idcg, 6) AS ndcg_at_10
+        |FROM nr LEFT JOIN hits ON nr.qid = hits.qid
+        |        LEFT JOIN ideal ON nr.qid = ideal.qid""".stripMargin,
+
+    "q184_attribution" ->
+      """WITH conv AS (SELECT user_id, ts AS cts, event_id AS cid
+        |              FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, ts AS tts, event_id AS tid,
+        |                 event_type AS channel
+        |          FROM events
+        |          WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT conv.user_id, cid, tts, tid, channel,
+        |        COUNT(*) OVER (PARTITION BY conv.user_id, cid) AS n,
+        |        row_number() OVER (PARTITION BY conv.user_id, cid
+        |                           ORDER BY tts, tid) AS rnF,
+        |        row_number() OVER (PARTITION BY conv.user_id, cid
+        |                           ORDER BY tts DESC, tid DESC) AS rnL
+        |      FROM conv JOIN touch ON conv.user_id = touch.user_id
+        |        AND tts <= cts AND tts > cts - INTERVAL 3 DAY),
+        |att AS (SELECT channel,
+        |    CAST(SUM(CASE WHEN rnF = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv_first,
+        |    CAST(SUM(CASE WHEN rnL = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv_last,
+        |    round(CAST(SUM(CAST(round(1.0 / CAST(n AS DOUBLE), 9)
+        |                        AS DECIMAL(19,9))) AS DOUBLE), 6)
+        |      AS conv_linear
+        |  FROM j GROUP BY 1),
+        |none AS (SELECT '(none)' AS channel, COUNT(*) AS c
+        |         FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM j))
+        |SELECT channel, conv_first, conv_last, conv_linear FROM att
+        |UNION ALL
+        |SELECT channel, c, c, CAST(c AS DOUBLE) FROM none WHERE c > 0""".stripMargin,
+
+    "q185_holt" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, l,
+        |    0.1 * (l - lprev) + (1.0 - 0.1) * bprev AS b
+        |  FROM (
+        |    SELECT seq.user_id, seq.rn,
+        |      0.3 * seq.value + (1.0 - 0.3) * (w.l + w.b) AS l,
+        |      w.l AS lprev, w.b AS bprev
+        |    FROM walk w JOIN seq ON seq.user_id = w.user_id
+        |                        AND seq.rn = w.rn + 1) t),
+        |fin AS (SELECT user_id, MAX(rn) AS mr FROM walk GROUP BY 1)
+        |SELECT walk.user_id, mr AS n_points,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(round(l, 6) + round(b, 6), 6) AS forecast_next
+        |FROM walk JOIN fin ON walk.user_id = fin.user_id
+        |                  AND walk.rn = fin.mr""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

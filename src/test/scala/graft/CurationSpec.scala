@@ -357,6 +357,64 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 10.0) < 1e-4)
   }
 
+  test("rankingMetrics: mrr/precision/ndcg hand case with a miss") {
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "cid", "rank")
+    val relevant = Seq((1L, 11L), (1L, 99L)).toDF("q", "c")
+    val r = graft.operators.Eval.rankingMetrics(
+      retrieved, "qid", "cid", "rank", relevant, "q", "c", k = 3).head()
+    assert(r.getAs[Long]("n_rel") == 2L && r.getAs[Long]("n_hits") == 1L)
+    assert(math.abs(r.getAs[Double]("mrr") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("precision_at_3") - 1.0 / 3) < 1e-4)
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(r.getAs[Double]("ndcg_at_3") - dcg / idcg) < 1e-4)
+  }
+
+  test("attribution: first/last/linear disagree exactly as designed") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+      (1L, 3L, ts(3), "purchase"),
+      (2L, 4L, ts(5), "purchase")) // touchless
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.Attribution.credits(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("view", "click", "signup"), lookbackDays = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("view") == ((1L, 0L, 0.5)))
+    assert(out("click") == ((0L, 1L, 0.5)))
+    assert(out("(none)") == ((1L, 1L, 1.0)))
+  }
+
+  test("holtSummary: constant series -> level const, trend 0; fold matches") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val const = (1 to 10).map(i => (1L, i.toLong, ts(i), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r1 = graft.operators.Forecast.holtSummary(const, "user_id",
+      Seq(col("ts"), col("event_id")), "value", 0.3, 0.1).head()
+    assert(r1.getAs[Double]("level") == 5.0 &&
+           r1.getAs[Double]("trend") == 0.0 &&
+           r1.getAs[Double]("forecast_next") == 5.0)
+
+    val ys = Seq(1.0, 3.0, 2.0, 6.0, 4.0)
+    val series = ys.zipWithIndex.map { case (y, i) =>
+      (2L, i.toLong, ts(i + 1), y) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val r2 = graft.operators.Forecast.holtSummary(series, "user_id",
+      Seq(col("ts"), col("event_id")), "value", 0.3, 0.1).head()
+    // manual fold of the documented recurrence
+    var l = ys.head; var b = 0.0
+    ys.tail.foreach { y =>
+      val lp = l; l = 0.3 * y + 0.7 * (l + b); b = 0.1 * (l - lp) + 0.9 * b
+    }
+    assert(math.abs(r2.getAs[Double]("level") - l) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("trend") - b) < 1e-6)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
