@@ -354,6 +354,17 @@ object CurationQueries {
         alpha = 0.3, beta = 0.1)
     }),
 
+    // Split-conformal interval around a per-user mean predictor:
+    // q-hat = exact 90%-order-statistic of calibration residuals
+    // (two-phase cumsum rank, no global window), then the coverage
+    // guarantee AUDITED on the test split.
+    "q186_conformal" -> ((s, d) => {
+      graft.operators.Conformal.splitConformal(
+        events(s, d).select(col("user_id"), col("event_id"), col("value"),
+                            (col("event_id") % 3).as("split")),
+        "user_id", "event_id", "value", "split", alpha = 0.1)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -1069,6 +1080,38 @@ object CurationQueries {
         |  round(round(l, 6) + round(b, 6), 6) AS forecast_next
         |FROM walk JOIN fin ON walk.user_id = fin.user_id
         |                  AND walk.rn = fin.mr""".stripMargin,
+
+    "q186_conformal" ->
+      """WITH base AS (SELECT user_id, event_id, value,
+        |                     event_id % 3 AS split FROM events),
+        |pu AS (SELECT user_id,
+        |         round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |               / COUNT(value), 6) AS pred
+        |       FROM base WHERE split = 0 GROUP BY 1),
+        |g AS (SELECT round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |             / COUNT(value), 6) AS gpred
+        |      FROM base WHERE split = 0),
+        |cal AS (SELECT event_id,
+        |          round(abs(value - COALESCE(pred, gpred)), 6) AS res
+        |        FROM base LEFT JOIN pu USING (user_id) CROSS JOIN g
+        |        WHERE split = 1),
+        |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+        |r AS (SELECT res,
+        |        row_number() OVER (ORDER BY res, event_id) AS rk
+        |      FROM cal),
+        |qh AS (SELECT n_cal,
+        |         CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT) AS k,
+        |         (SELECT res FROM r, nc
+        |          WHERE rk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+        |           AS qhat
+        |       FROM nc),
+        |t AS (SELECT round(abs(value - COALESCE(pred, gpred)), 6) AS res
+        |      FROM base LEFT JOIN pu USING (user_id) CROSS JOIN g
+        |      WHERE split = 2)
+        |SELECT n_cal, k, qhat, COUNT(*) AS n_test,
+        |  round(CAST(SUM(CASE WHEN res <= qhat THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |FROM t, qh GROUP BY 1, 2, 3""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

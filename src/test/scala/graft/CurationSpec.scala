@@ -415,6 +415,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("trend") - b) < 1e-6)
   }
 
+  test("splitConformal: k-th residual becomes the band, coverage audited") {
+    // train: user 1 predicts 0; cal residuals 1..10 -> k=ceil(0.9*11)=10,
+    // qhat=10; test residuals 5 (in) and 15 (out) -> coverage 0.5
+    val rows =
+      (1 to 5).map(i => (1L, i.toLong * 3, 0.0)) ++           // ids ≡ 0 (mod 3)
+      (1 to 10).map(i => (1L, 100L + 3 * i, i.toDouble)) ++   // ids ≡ 1 (mod 3)
+      Seq((1L, 200L, 5.0), (1L, 203L, 15.0))                  // ids ≡ 2 (mod 3)
+    val df = rows.toDF("user_id", "event_id", "value")
+      .withColumn("split", col("event_id") % 3)
+    val r = graft.operators.Conformal.splitConformal(
+      df, "user_id", "event_id", "value", "split", alpha = 0.1).head()
+    assert(r.getAs[Long]("n_cal") == 10L)
+    assert(r.getAs[Long]("k") == 10L)
+    assert(r.getAs[Double]("qhat") == 10.0)
+    assert(r.getAs[Double]("coverage") == 0.5)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
