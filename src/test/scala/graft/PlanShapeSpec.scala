@@ -86,4 +86,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q159 decontamination: benchmark side broadcasts, corpus never shuffles by shingle") {
+    val plan = SparkEntry.queries("q159_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$plan")
+    // at most ONE shingle-keyed exchange — the BENCHMARK side's tiny
+    // distinct feeding its broadcast; the corpus's own exchanges are
+    // all doc-keyed (shingle windows + per-doc count)
+    val shingleKeyed = "Exchange hashpartitioning\\(__t".r
+      .findAllIn(plan).size
+    assert(shingleKeyed <= 1, s"corpus shuffled by shingle:\n$plan")
+  }
+
 }
