@@ -212,6 +212,52 @@ object Graph {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** Personalized PageRank: the damped walk of [[pageRank]] with
+    * teleport mass restricted to a SEED set — rank relative to a
+    * trust/interest anchor (TrustRank-style link spam demotion, seed-
+    * relative recommendation) instead of the global uniform prior:
+    * pr'(v) = (1−α)·tele(v) + α·Σ_{u∈in(v)} pr(u)/deg(u), with
+    * tele = 1/|S| on seeds and 0 elsewhere. Same exchanges, same
+    * 1e-15 quantized inflow determinism as [[pageRank]]; nodes
+    * unreachable from the seeds settle at 0. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "needs at least one iteration")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nSeeds = seedSet.agg(count(lit(1)).as("__ns"))
+    val tele = deg.join(seedSet.withColumn("__isSeed", lit(true)),
+                        Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("degree"),
+              when(col("__isSeed"),
+                   lit(1.0) / col("__ns").cast("double"))
+                .otherwise(lit(0.0)).as("tele"))
+    val init = tele.withColumn("pr", col("tele"))
+    val quantum = 1e15
+    val ranks = (1 to iterations).foldLeft(init) { case (prev, _) =>
+      val contrib = prev
+        .join(sym, prev("node") === sym("src"))
+        .select(col("dst").as("node"),
+                round(col("pr") / col("degree").cast("double") * quantum, 0)
+                  .cast("decimal(38,0)").as("__q"))
+        .groupBy(col("node"))
+        .agg(sum(col("__q")).as("__inflow"))
+      tele.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("degree"), col("tele"),
+                (lit(1.0 - damping) * col("tele") +
+                  lit(damping) *
+                  (coalesce(col("__inflow"), lit(0L).cast("decimal(38,0)"))
+                     .cast("double") / quantum)).as("pr"))
+    }
+    ranks.select(col("node"), col("degree"), round(col("pr"), 6).as("ppr"))
+  }
+
   /** Multi-source BFS layers: hop distance of every reachable node
     * from a seed set — the reachability/radius primitive (crawl
     * frontier depth, link distance from trusted seeds). Returns

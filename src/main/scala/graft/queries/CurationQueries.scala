@@ -365,6 +365,31 @@ object CurationQueries {
         "user_id", "event_id", "value", "split", alpha = 0.1)
     }),
 
+    // Personalized PageRank from the q182 seed set: teleport mass
+    // restricted to seeds (TrustRank shape) — rank relative to an
+    // anchor, 2 damped iterations, 1e-15 quantized inflows.
+    "q187_personalized_pr" -> ((s, d) => {
+      val e = lineitem(s, d).filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 997).as("a"),
+                (lit(1000000) + col("l_partkey") % 499).as("b"))
+        .distinct()
+      val seeds = e.select(col("a").as("node")).filter(col("node") < 10)
+        .distinct()
+      graft.operators.Graph.personalizedPageRank(e, "a", "b", seeds, "node",
+                                                 iterations = 2)
+    }),
+
+    // Two-component GMM by EM on a 64-bin histogram of event values:
+    // the corpus folds once; 10 quantized EM rounds run on the bins
+    // and the oracle replays the identical E/M recurrence (carrying
+    // the old parameters through the two-pass mean/variance step).
+    "q188_gmm_em" -> ((s, d) => {
+      graft.operators.Gmm.fit2(events(s, d), "value",
+        lo = 0.0, hi = 512.0, nBins = 64,
+        mu1_0 = 50.0, sigma1_0 = 50.0, mu2_0 = 200.0, sigma2_0 = 100.0,
+        iters = 10)
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -1112,6 +1137,139 @@ object CurationQueries {
         |  round(CAST(SUM(CASE WHEN res <= qhat THEN 1 ELSE 0 END)
         |             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
         |FROM t, qh GROUP BY 1, 2, 3""".stripMargin,
+
+    "q187_personalized_pr" ->
+      """WITH eraw AS (SELECT DISTINCT l_orderkey % 997 AS a,
+        |                1000000 + l_partkey % 499 AS b
+        |         FROM lineitem WHERE l_linenumber = 1),
+        |sym AS (SELECT a AS src, b AS dst FROM eraw
+        |        UNION ALL SELECT b, a FROM eraw),
+        |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),
+        |seeds AS (SELECT DISTINCT a AS node FROM eraw WHERE a < 10),
+        |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM seeds),
+        |tele AS (SELECT deg.node, degree,
+        |    CASE WHEN seeds.node IS NOT NULL THEN 1.0 / s
+        |         ELSE CAST(0.0 AS DOUBLE) END AS tele
+        |  FROM deg LEFT JOIN seeds ON deg.node = seeds.node, ns),
+        |pr0 AS (SELECT node, degree, tele, tele AS pr FROM tele),
+        |it1 AS (SELECT s.dst AS node,
+        |    SUM(CAST(round(p.pr / p.degree * 1e15) AS BIGINT)) AS q
+        |  FROM pr0 p JOIN sym s ON p.node = s.src GROUP BY 1),
+        |pr1 AS (SELECT t.node, t.degree, t.tele,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+        |      + CAST(0.85 AS DOUBLE)
+        |        * (CAST(COALESCE(q, 0) AS DOUBLE) / 1e15) AS pr
+        |  FROM tele t LEFT JOIN it1 USING (node)),
+        |it2 AS (SELECT s.dst AS node,
+        |    SUM(CAST(round(p.pr / p.degree * 1e15) AS BIGINT)) AS q
+        |  FROM pr1 p JOIN sym s ON p.node = s.src GROUP BY 1),
+        |pr2 AS (SELECT t.node, t.degree,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+        |      + CAST(0.85 AS DOUBLE)
+        |        * (CAST(COALESCE(q, 0) AS DOUBLE) / 1e15) AS pr
+        |  FROM tele t LEFT JOIN it2 USING (node))
+        |SELECT node, degree, ROUND(pr, 6) AS ppr FROM pr2""".stripMargin,
+
+    "q188_gmm_em" ->
+      """WITH RECURSIVE
+        |hist AS (SELECT b, COUNT(*) AS nb,
+        |           CAST(b * 8 AS DOUBLE) + 4.0 AS m
+        |         FROM (SELECT greatest(least(
+        |                 CAST(floor(value / 8.0) AS BIGINT), 63), 0) AS b
+        |               FROM events WHERE value IS NOT NULL)
+        |         GROUP BY 1),
+        |it AS (
+        |  SELECT CAST(0.5 AS DOUBLE) AS pi, CAST(50.0 AS DOUBLE) AS mu1,
+        |         CAST(50.0 AS DOUBLE) AS s1, CAST(200.0 AS DOUBLE) AS mu2,
+        |         CAST(100.0 AS DOUBLE) AS s2, 0 AS step
+        |  UNION ALL
+        |  SELECT round(t2.w1 / (t2.w1 + t2.w2), 9) AS pi,
+        |         t2.nmu1 AS mu1, round(sqrt(t2.v1 / t2.w1), 9) AS s1,
+        |         t2.nmu2 AS mu2, round(sqrt(t2.v2 / t2.w2), 9) AS s2,
+        |         t2.step + 1 AS step
+        |  FROM (
+        |    SELECT t1.step, t1.w1, t1.w2, t1.nmu1, t1.nmu2,
+        |      CAST(SUM(CAST(round(h.nb * (round(t1.pi * (exp(-(h.m - t1.mu1)
+        |            * (h.m - t1.mu1) / (2.0 * t1.s1 * t1.s1)) / t1.s1)
+        |          / (t1.pi * (exp(-(h.m - t1.mu1) * (h.m - t1.mu1)
+        |               / (2.0 * t1.s1 * t1.s1)) / t1.s1)
+        |             + (1.0 - t1.pi) * (exp(-(h.m - t1.mu2) * (h.m - t1.mu2)
+        |               / (2.0 * t1.s2 * t1.s2)) / t1.s2)), 9))
+        |          * (h.m - t1.nmu1) * (h.m - t1.nmu1), 9)
+        |          AS DECIMAL(38,9))) AS DOUBLE) AS v1,
+        |      CAST(SUM(CAST(round(h.nb * (1.0 - (round(t1.pi
+        |            * (exp(-(h.m - t1.mu1) * (h.m - t1.mu1)
+        |               / (2.0 * t1.s1 * t1.s1)) / t1.s1)
+        |          / (t1.pi * (exp(-(h.m - t1.mu1) * (h.m - t1.mu1)
+        |               / (2.0 * t1.s1 * t1.s1)) / t1.s1)
+        |             + (1.0 - t1.pi) * (exp(-(h.m - t1.mu2) * (h.m - t1.mu2)
+        |               / (2.0 * t1.s2 * t1.s2)) / t1.s2)), 9)))
+        |          * (h.m - t1.nmu2) * (h.m - t1.nmu2), 9)
+        |          AS DECIMAL(38,9))) AS DOUBLE) AS v2
+        |    FROM (
+        |      SELECT cur.step, cur.pi, cur.mu1, cur.s1, cur.mu2, cur.s2,
+        |        CAST(SUM(CAST(round(h.nb * (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9)), 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE) AS w1,
+        |        CAST(SUM(CAST(round(h.nb * (1.0 - (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9))), 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE) AS w2,
+        |        round(CAST(SUM(CAST(round(h.nb * (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9)) * h.m, 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE)
+        |          / CAST(SUM(CAST(round(h.nb * (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9)), 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE), 9) AS nmu1,
+        |        round(CAST(SUM(CAST(round(h.nb * (1.0 - (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9))) * h.m, 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE)
+        |          / CAST(SUM(CAST(round(h.nb * (1.0 - (round(cur.pi
+        |              * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |            / (cur.pi * (exp(-(h.m - cur.mu1) * (h.m - cur.mu1)
+        |                 / (2.0 * cur.s1 * cur.s1)) / cur.s1)
+        |               + (1.0 - cur.pi) * (exp(-(h.m - cur.mu2)
+        |                 * (h.m - cur.mu2)
+        |                 / (2.0 * cur.s2 * cur.s2)) / cur.s2)), 9))), 9)
+        |            AS DECIMAL(38,9))) AS DOUBLE), 9) AS nmu2
+        |      FROM it cur, hist h
+        |      WHERE cur.step < 10
+        |      GROUP BY 1, 2, 3, 4, 5, 6) t1, hist h
+        |    GROUP BY 1, 2, 3, 4, 5) t2)
+        |SELECT (SELECT CAST(SUM(nb) AS BIGINT) FROM hist) AS n,
+        |  round(pi, 6) AS pi1, round(mu1, 6) AS mu1, round(s1, 6) AS sigma1,
+        |  round(mu2, 6) AS mu2, round(s2, 6) AS sigma2
+        |FROM it WHERE step = 10""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

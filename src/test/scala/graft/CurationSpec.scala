@@ -432,6 +432,31 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") == 0.5)
   }
 
+  test("personalizedPageRank: mass stays near seeds, unreachable nodes get 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.operators.Graph.personalizedPageRank(
+        e, "u", "v", seeds, "node", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 0.0 && out(11L) == 0.0) // unreachable from seed
+    assert(out(1L) > out(3L)) // rank decays away from the seed
+    assert(out.values.forall(_ >= 0.0))
+  }
+
+  test("gmm fit2: recovers two separated blobs") {
+    val vals = Seq.fill(50)(8.0) ++ Seq.fill(50)(12.0) ++
+               Seq.fill(50)(88.0) ++ Seq.fill(50)(92.0)
+    val df = vals.toDF("value")
+    val r = graft.operators.Gmm.fit2(df, "value", lo = 0.0, hi = 128.0,
+      nBins = 32, mu1_0 = 20.0, sigma1_0 = 20.0, mu2_0 = 80.0,
+      sigma2_0 = 20.0, iters = 10).head()
+    assert(r.getAs[Long]("n") == 200L)
+    assert(math.abs(r.getAs[Double]("pi1") - 0.5) < 0.05)
+    assert(math.abs(r.getAs[Double]("mu1") - 12.0) < 3.0)  // bin midpoints 10/14
+    assert(math.abs(r.getAs[Double]("mu2") - 92.0) < 3.0)
+    assert(r.getAs[Double]("sigma1") < 6.0)
+  }
+
   test("cohenKappa: identical raters -> kappa 1, independent-ish -> ~0") {
     val same = Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))
     val r1 = Eval.cohenKappa(same.toDF("a", "b"), col("a"), col("b")).head()
