@@ -2,7 +2,7 @@ package graft.llm
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -17,11 +17,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * counts), never the corpus — the corpus folds once into a
   * vocabulary-bounded frame, and all `nMerges` rounds iterate on
   * that. Words are held as space-delimited token strings
-  * (" h e l l o ") so applying a merge is one literal
-  * `replace(" a b " → " ab ")` — left-to-right, non-overlapping,
-  * exactly BPE's greedy fuse rule, and byte-identical across engines
-  * (Java, Spark and DuckDB replace() all scan from after the matched
-  * segment, so " l l l " fuses to " ll l ").
+  * (" h e l l o ") so applying a merge is the literal
+  * `replace(" a b " → " ab ")`, applied TWICE ([[fuse]]): ONE
+  * replace pass is not a fixpoint, because a match consumes the
+  * shared delimiter space — in " a b a b " the first match eats the
+  * space before the second occurrence, so token-disjoint repeats
+  * ("abab" → should be [ab, ab]) survive one pass un-fused. Two
+  * passes ARE the fixpoint: after pass 1 every surviving occurrence
+  * is flanked by replacement output (" ab ", which restores the
+  * delimiter) or non-matching text, so no two survivors share a
+  * delimiter (for two adjacent occurrences to BOTH be skipped the
+  * left one must overlap a real match that ends at its leading
+  * space, which leaves the right one free — so it matched), and
+  * fusing "a b"→"ab" can never create a NEW "a b" adjacency (the
+  * fused token is strictly longer than either side). The
+  * double-replace is byte-identical across engines (Java, Spark and
+  * DuckDB replace() all scan left-to-right from after the matched
+  * segment); genuinely overlapping repeats still fuse greedily
+  * left-to-right: " l l l " → " ll l " after pass 1 and stays.
   *
   * Determinism: the winning pair each round maximizes (count, then
   * lexicographically smallest pair) via TakeOrdered(1) — no full
@@ -35,9 +48,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * replace projection, localCheckpoint'ed so lineage stays flat. */
 object BpeTrain {
 
+  /** Non-overlapping greedy fuse of pair (a, b) in a space-delimited
+    * token string: double replace — two passes reach the fixpoint
+    * (see the object doc for why exactly two suffice). Mirrored
+    * verbatim by the q174/q175 oracle CTEs as a nested replace. */
+  private[graft] def fuse(sp: Column, a: String, b: String): Column = {
+    val one = call_function("replace", sp, lit(s" $a $b "), lit(s" $a$b "))
+    call_function("replace", one, lit(s" $a $b "), lit(s" $a$b "))
+  }
+
   /** Returns the learned merge table: (round 1..nMerges, merged_pair
     * "a b", pair_count at selection). */
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    // each merge round is a driver-looped job and one learned-merge
+    // row of driver state — bound the round count loudly (real BPE
+    // vocabularies are 10³–10⁵ merges; the cap guards the loop, not
+    // the corpus, which never leaves the cluster)
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"BpeTrain.learnMerges: nMerges must be in [1, 65536], got $nMerges")
     val spark = df.sparkSession
     var vocab = df
       .select(explode(TextStats.tokens(col(textCol))).as("__w"))
@@ -61,8 +89,7 @@ object BpeTrain {
       val Array(a, b) = pair.split(" ", 2)
       merges += ((r.toLong, pair, top.getLong(1)))
       vocab = vocab
-        .withColumn("sp", call_function("replace", col("sp"),
-          lit(s" $a $b "), lit(s" $a$b ")))
+        .withColumn("sp", fuse(col("sp"), a, b))
         .localCheckpoint()
     }
     spark.createDataFrame(
@@ -88,7 +115,7 @@ object BpeTrain {
       val sp = concat(lit(" "), concat_ws(" ", TextStats.chars(w)), lit(" "))
       val merged = merges.foldLeft(sp) { (acc, pair) =>
         val Array(a, b) = pair.split(" ", 2)
-        call_function("replace", acc, lit(s" $a $b "), lit(s" $a$b "))
+        fuse(acc, a, b)
       }
       size(split(trim(merged), " ")).cast("long")
     })

@@ -65,23 +65,35 @@ object Components {
       .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Round 0: label(x) = min(x, min neighbor).
-    var labels = sym.groupBy(col("node"))
-      .agg(min(col("nbr")).as("__mn"))
-      .select(col("node"), least(col("node"), col("__mn")).as("label"))
-      .localCheckpoint()
-
     // Labels only ever DECREASE, so the exact label sum is a monotone
     // convergence witness: an unchanged sum means no label moved.
-    // Checking it is one tiny aggregation over the just-checkpointed
-    // table instead of a self-join against the previous round.
+    // The sum rides the checkpoint materialization itself as an
+    // `observe()` metric (CollectMetrics folds into the same job that
+    // persists the round's labels), so each round runs exactly ONE
+    // action — not checkpoint + a separate aggregation job.
     // DECIMAL(38,0) keeps the sum exact at any node count (a long sum
     // would overflow under ANSI at ~10^10 snowflake-scale ids).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    def checkpointWithSum(df: DataFrame)
+        : (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("__ls"))
+        .localCheckpoint()
+      val s = obs.get.get("__ls")
+        .collect {
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+        }
         .getOrElse(java.math.BigDecimal.ZERO) // empty edge set
+      (out, s)
+    }
 
-    var prevSum = labelSum(labels)
+    // Round 0: label(x) = min(x, min neighbor).
+    var (labels, prevSum) = checkpointWithSum(
+      sym.groupBy(col("node"))
+        .agg(min(col("nbr")).as("__mn"))
+        .select(col("node"), least(col("node"), col("__mn")).as("label")))
+
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -93,13 +105,13 @@ object Components {
         .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
       // Pointer jump: follow the label's own label (labels are node
       // ids and only decrease, so label(label(x)) <= label(x)).
-      val next = stepped.as("x")
-        .join(stepped.as("y"), col("x.label") === col("y.node"), "left")
-        .select(col("x.node").as("node"),
-                least(col("x.label"), coalesce(col("y.label"), col("x.label")))
-                  .as("label"))
-        .localCheckpoint()
-      val curSum = labelSum(next)
+      val (next, curSum) = checkpointWithSum(
+        stepped.as("x")
+          .join(stepped.as("y"), col("x.label") === col("y.node"), "left")
+          .select(col("x.node").as("node"),
+                  least(col("x.label"),
+                        coalesce(col("y.label"), col("x.label")))
+                    .as("label")))
       labels = next
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

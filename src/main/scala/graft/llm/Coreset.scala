@@ -35,6 +35,11 @@ object Coreset {
     * covering radius² at that step; 0 for the seed). */
   def kCenterGreedy(points: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
+    // k rounds of driver-looped jobs and k center vectors of driver
+    // state — bound both loudly (the IVF-centroid contract: selection
+    // sets are config-sized, never corpus-sized)
+    require(k >= 1 && k <= 4096,
+      s"Coreset.kCenterGreedy: k must be in [1, 4096], got $k")
     val spark = points.sparkSession
     val pts = points.select(col(idCol).cast("long").as("id"),
                             col(vecCol).cast("array<double>").as("v"))

@@ -46,9 +46,17 @@ object Conformal {
       cal.withColumn("__one", lit(1L)),
       sortCol = "__res", tieCols = Seq(idCol),
       valueCol = "__one", outCol = "__rank0")
+    // k clamps to n_cal: when ⌈(1−α)(n+1)⌉ > n_cal (tiny calibration
+    // set or α < 1/(n_cal+1)) the textbook band is infinite — the
+    // rank-equality filter would match NO row and the final crossJoin
+    // would silently emit 0 rows. Clamping takes the max residual
+    // (the widest finite band the data supports); the guarantee then
+    // holds only at the achievable level 1 − k/(n_cal+1), which the
+    // returned (n_cal, k) make auditable rather than silent.
     val qhat = ranked.crossJoin(broadcast(nCal))
-      .withColumn("__k", ceil(lit(1.0 - alpha) * (col("n_cal") + 1))
-        .cast("long"))
+      .withColumn("__k", least(
+        ceil(lit(1.0 - alpha) * (col("n_cal") + 1)).cast("long"),
+        col("n_cal")))
       .filter(col("__rank0") + 1 === col("__k"))
       .select(col("n_cal"), col("__k").as("k"), col("__res").as("qhat"))
 

@@ -218,9 +218,16 @@ object Eval {
       round(lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))), 9)
     val rel = relevant.select(col(rqCol).as("qid"), col(rdCol).as("__rd"))
     val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    // @k means @k: truncate the retrieved lists to rank <= k HERE, so
+    // a caller passing deeper lists than k still gets true
+    // precision@k / nDCG@k / MRR@k instead of metrics quietly
+    // computed over the whole list (all metrics are cutoff-scoped,
+    // MRR included — a first hit below rank k scores 0, i.e. NULL
+    // mrr with n_hits 0, the standard MRR@k convention).
     val hits = retrieved
       .select(col(qCol).as("qid"), col(dCol).as("__rd"),
               col(rankCol).as("__rank"))
+      .filter(col("__rank") <= k)
       .join(rel, Seq("qid", "__rd"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_hits"),

@@ -41,15 +41,23 @@ object Gmm {
   def fit2(df: DataFrame, valueCol: String, lo: Double, hi: Double,
            nBins: Int, mu1_0: Double, sigma1_0: Double, mu2_0: Double,
            sigma2_0: Double, iters: Int): DataFrame = {
+    // nBins IS the driver-state bound (the histogram has ≤ nBins
+    // rows by construction) — cap it loudly so a caller can't turn
+    // the sufficient-stat frame into a corpus-scale collect.
+    require(nBins >= 2 && nBins <= 100000,
+      s"Gmm.fit2: nBins must be in [2, 100000] (driver-side histogram " +
+        s"bound), got $nBins")
     val spark = df.sparkSession
     val width = (hi - lo) / nBins
     val x = col(valueCol).cast("double")
     val bin = greatest(least(floor((x - lo) / width).cast("long"),
                              lit(nBins - 1L)), lit(0L))
-    val hist = df.filter(x.isNotNull)
-      .select(bin.as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hist = graft.util.Bounded.collect(
+      df.filter(x.isNotNull)
+        .select(bin.as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n")),
+      nBins, "Gmm.fit2 histogram frame")
+      .map(r => (r.getLong(0), r.getLong(1)))
     val n = hist.map(_._2).sum
 
     var (pi, mu1, s1, mu2, s2) = (0.5, mu1_0, sigma1_0, mu2_0, sigma2_0)

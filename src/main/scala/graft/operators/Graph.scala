@@ -231,10 +231,14 @@ object Graph {
       .agg(count(lit(1)).as("degree"))
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
     val nSeeds = seedSet.agg(count(lit(1)).as("__ns"))
+    // Node universe = deg ∪ seeds (FULL outer): an edgeless seed must
+    // keep its 1/|S| teleport share (it is counted in |S|) and appear
+    // in the output with degree 0 — a left join from deg would drop
+    // it entirely while still diluting every other seed's share.
     val tele = deg.join(seedSet.withColumn("__isSeed", lit(true)),
-                        Seq("node"), "left")
+                        Seq("node"), "full_outer")
       .crossJoin(broadcast(nSeeds))
-      .select(col("node"), col("degree"),
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"),
               when(col("__isSeed"),
                    lit(1.0) / col("__ns").cast("double"))
                 .otherwise(lit(0.0)).as("tele"))

@@ -58,18 +58,25 @@ object Journey {
     * Each factor and running product quantizes to 9 decimals so a SQL
     * recursive replay lands on identical survival values. */
   def kaplanMeier(df: DataFrame, unitCol: String, tsCol: String,
-                  censorCutoff: String): DataFrame = {
+                  censorCutoff: String,
+                  maxTimePoints: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     val perUnit = df.groupBy(col(unitCol))
       .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
       .select(datediff(col("__last"), col("__first")).cast("long").as("t"),
               (col("__last") >= to_timestamp(lit(censorCutoff)))
                 .as("censored"))
-    val risk = perUnit.groupBy(col("t"))
-      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
-           sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
-      .orderBy(col("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // risk-set rows = distinct event-time DAYS, bounded by the
+    // observation window, never corpus-scale — `maxTimePoints` makes
+    // that contract a loud failure instead of a driver OOM (100k
+    // day-granularity points ≈ a 274-year window).
+    val risk = graft.util.Bounded.collect(
+      perUnit.groupBy(col("t"))
+        .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+             sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+        .orderBy(col("t")),
+      maxTimePoints, "Journey.kaplanMeier risk-set frame")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
     var atRisk = risk.map(r => r._2 + r._3).sum
     var s = 1.0

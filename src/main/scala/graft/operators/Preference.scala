@@ -45,22 +45,29 @@ object Preference {
     * (item, n_matches, wins, rating) with ratings normalized to mean 1
     * (Σ r = k) and rounded to 6 decimals. */
   def bradleyTerry(matches: DataFrame, aCol: String, bCol: String,
-                   aWinsCol: String, iters: Int): DataFrame = {
+                   aWinsCol: String, iters: Int,
+                   maxPairs: Int = 250000): DataFrame = {
     val spark = matches.sparkSession
     val m = matches.select(col(aCol).cast("long").as("a"),
                            col(bCol).cast("long").as("b"),
                            col(aWinsCol).as("awin"))
       .filter(col("a") =!= col("b"))
-    // the ONLY passes over the big table: two bounded aggregations
-    val pairStats = m
-      .select(least(col("a"), col("b")).as("i"),
-              greatest(col("a"), col("b")).as("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val winStats = m
-      .select(when(col("awin"), col("a")).otherwise(col("b")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the ONLY passes over the big table: two bounded aggregations.
+    // Both collects are k²-bounded BY CONTRACT (k distinct items →
+    // ≤ k(k−1)/2 pair rows); `maxPairs` turns a contract violation
+    // (10⁶ distinct items at corpus scale) into a loud require
+    // instead of a silent driver OOM.
+    val pairStats = graft.util.Bounded.collect(
+      m.select(least(col("a"), col("b")).as("i"),
+               greatest(col("a"), col("b")).as("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n")),
+      maxPairs, "Preference.bradleyTerry pair frame")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val winStats = graft.util.Bounded.collect(
+      m.select(when(col("awin"), col("a")).otherwise(col("b")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")),
+      maxPairs, "Preference.bradleyTerry win frame")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val items = pairStats.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     val neighbors: Map[Long, Array[(Long, Long)]] = // item -> (other, n)

@@ -772,7 +772,9 @@ object CurationQueries {
          |         CAST(NULL AS BIGINT) AS pair_count
          |  FROM v0
          |  UNION ALL
-         |  SELECT replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |  SELECT replace(replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |                         ' ' || tp.a || tp.b || ' '),
+         |                 ' ' || tp.a || ' ' || tp.b || ' ',
          |                 ' ' || tp.a || tp.b || ' '),
          |         it.cnt, it.step + 1, tp.pair, tp.pc
          |  FROM it, (
@@ -803,7 +805,9 @@ object CurationQueries {
          |  SELECT w, sp, cnt, 0 AS step FROM v0
          |  UNION ALL
          |  SELECT it.w,
-         |         replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |         replace(replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
+         |                         ' ' || tp.a || tp.b || ' '),
+         |                 ' ' || tp.a || ' ' || tp.b || ' ',
          |                 ' ' || tp.a || tp.b || ' '),
          |         it.cnt, it.step + 1
          |  FROM it, (
@@ -1125,9 +1129,10 @@ object CurationQueries {
         |        row_number() OVER (ORDER BY res, event_id) AS rk
         |      FROM cal),
         |qh AS (SELECT n_cal,
-        |         CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT) AS k,
+        |         least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal) AS k,
         |         (SELECT res FROM r, nc
-        |          WHERE rk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+        |          WHERE rk = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT),
+        |                           n_cal))
         |           AS qhat
         |       FROM nc),
         |t AS (SELECT round(abs(value - COALESCE(pred, gpred)), 6) AS res

@@ -92,4 +92,37 @@ class ComponentsSpec extends SparkSpec {
       assert(got === expected, s"trial $trial ($nNodes nodes, $nEdges edges)")
     }
   }
+
+  test("each convergence round costs exactly one action: the label sum rides the checkpoint") {
+    // AQE splits one action into many scheduler jobs, so count SQL
+    // EXECUTIONS (actions) — the unit the observe() fold reduces: a
+    // separate convergence-check aggregation per round would add one
+    // execution per round on top of the checkpoint's.
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = execs.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val edges = (1L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (_, rounds) =
+        Components.connectedComponentsWithRounds(edges, "id_a", "id_b")
+      // listener events are posted async: wait for the count to settle
+      var last = -1
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(100)
+        val cur = execs.get
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+      }
+      // round-0 checkpoint + one checkpoint per convergence round
+      assert(execs.get <= rounds + 2,
+        s"${execs.get} actions for $rounds rounds: a per-round action crept in")
+    } finally spark.listenerManager.unregister(ql)
+  }
 }

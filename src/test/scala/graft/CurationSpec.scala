@@ -466,4 +466,122 @@ class CurationSpec extends SparkSpec {
     val r2 = Eval.cohenKappa(ind.toDF("a", "b"), col("a"), col("b")).head()
     assert(math.abs(r2.getAs[Double]("kappa")) < 1e-9)
   }
+
+  test("bpe fuse reaches the fixpoint on token-disjoint repeats (abab -> [ab, ab])") {
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    // round 1: "a b" twice per "abab" occurrence (word-type cnt 2) -> 4;
+    // round 2 counts pairs of the FUSED vocab " ab ab " -> ("ab ab", 2).
+    // The one-pass replace bug left " ab a b " (the match consumed the
+    // shared space) and re-selected "a b" in round 2.
+    val m = graft.llm.BpeTrain.learnMerges(docs, "text", nMerges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq((1L, "a b", 4L), (2L, "ab ab", 2L)))
+    val applied = graft.llm.BpeTrain.applyMerges(
+      docs, "doc_id", "text", Seq("a b")).head()
+    assert(applied.getLong(2) == 4L) // per word [ab, ab], not [ab, a, b]
+  }
+
+  test("rankingMetrics truncates retrieved lists deeper than k") {
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "doc", "rank")
+    val relevant = Seq((1L, 12L)).toDF("qid", "doc")
+    // only hit sits at rank 3 > k=2: every @k metric must ignore it
+    val r = Eval.rankingMetrics(retrieved, "qid", "doc", "rank",
+      relevant, "qid", "doc", k = 2).head()
+    assert(r.getAs[Long]("n_hits") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mrr")))
+    assert(r.getAs[Double]("precision_at_2") == 0.0)
+  }
+
+  test("splitConformal clamps k to n_cal instead of emitting 0 rows") {
+    // 2 calibration rows, alpha=0.01 -> ceil(0.99*3)=3 > n_cal=2
+    val df = Seq(
+      (1L, 1L, 10.0, 0), (1L, 2L, 10.0, 0),
+      (1L, 3L, 11.0, 1), (1L, 4L, 13.0, 1),
+      (1L, 5L, 12.0, 2), (1L, 6L, 20.0, 2))
+      .toDF("unit", "id", "value", "split")
+    val out = graft.operators.Conformal
+      .splitConformal(df, "unit", "id", "value", "split", alpha = 0.01)
+      .collect()
+    assert(out.length == 1) // the un-clamped rank matched NO row
+    assert(out(0).getAs[Long]("k") == 2L) // clamped to n_cal
+    assert(out(0).getAs[Double]("qhat") == 3.0) // max |residual|
+  }
+
+  test("personalizedPageRank keeps an edgeless seed in the universe") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 has no edges
+    val out = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("ppr"))).toMap
+    // the edgeless seed keeps its 1/|S| teleport share: every round
+    // pr(99) = (1-0.85) * 0.5 (it receives no inflow, sends none)
+    assert(out.contains(99L), "edgeless seed dropped from the output")
+    assert(out(99L)._1 == 0L)
+    assert(math.abs(out(99L)._2 - 0.075) < 1e-9)
+    // and the connected seed's share is diluted by it (|S|=2, not 1)
+    assert(out(1L)._2 < 0.5)
+  }
+
+  test("dbscan dense-cell cap bounds candidate pairs, audited by overflowCells") {
+    import graft.operators.Dbscan
+    // 30 points crowd ONE eps-cell; 3 sit far away in their own cell
+    val dense = (0L until 30L).map(i => (i, 0.001 * i, 0.0))
+    val far = Seq((100L, 0.50, 0.0), (101L, 0.51, 0.0), (102L, 0.52, 0.0))
+    val pts = (dense ++ far).toDF("id", "x", "y")
+    val g = Dbscan.gridded(pts, "id", "x", "y", eps = 0.1)
+    val uncapped = Dbscan.candidatePairs(g, 0.1, Int.MaxValue).count()
+    assert(uncapped == 30L * 29L + 3L * 2L) // quadratic in the dense cell
+    // cap at 10: the dense cell leaves the BUILD side; pair count
+    // collapses to the far cell's 3*2 (bounded, not quadratic)
+    val capped = Dbscan.candidatePairs(g, 0.1, maxCellPoints = 10).count()
+    assert(capped == 6L)
+    val overflow = Dbscan.overflowCells(pts, "id", "x", "y", 0.1, 10)
+      .collect()
+    assert(overflow.length == 1 && overflow(0).getAs[Long]("n_points") == 30L)
+    // and a cap that never fires leaves the clustering EXACT
+    val exact = Dbscan.gridDbscan(pts, "id", "x", "y", 0.1, minPts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val roomy = Dbscan.gridDbscan(pts, "id", "x", "y", 0.1, minPts = 4,
+        maxCellPoints = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(exact == roomy)
+  }
+
+  test("driver-side sufficient-stat collects fail loudly past their bound") {
+    val m = Seq((1L, 2L, true), (2L, 3L, true), (3L, 1L, true))
+      .toDF("a", "b", "awin")
+    val e1 = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(m, "a", "b", "awin", iters = 1, maxPairs = 2)
+    }
+    assert(e1.getMessage.contains("bound"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Gmm.fit2(Seq(1.0).toDF("value"), "value",
+        lo = 0.0, hi = 1.0, nBins = 200001, mu1_0 = 0.2, sigma1_0 = 0.1,
+        mu2_0 = 0.8, sigma2_0 = 0.1, iters = 1)
+    }
+    assert(e2.getMessage.contains("nBins"))
+    val km = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+                 (2L, "2024-01-01"), (2L, "2024-01-03"),
+                 (3L, "2024-01-01"), (3L, "2024-01-05"))
+      .toDF("unit", "ts_s")
+      .select(col("unit"), to_timestamp(col("ts_s")).as("ts"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Journey.kaplanMeier(km, "unit", "ts",
+        censorCutoff = "2024-02-01", maxTimePoints = 2)
+    }
+    assert(e3.getMessage.contains("bound"))
+    val e4 = intercept[IllegalArgumentException] {
+      graft.llm.BpeTrain.learnMerges(
+        Seq((1L, "ab")).toDF("doc_id", "text"), "text", nMerges = 0)
+    }
+    assert(e4.getMessage.contains("nMerges"))
+    val e5 = intercept[IllegalArgumentException] {
+      Coreset.kCenterGreedy(
+        Seq((1L, Seq(0.0, 0.0))).toDF("id", "v"), "id", "v", k = 5000)
+    }
+    assert(e5.getMessage.contains("k must be"))
+  }
 }

@@ -42,11 +42,10 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q117+: no corpus-scale single-partition ordered pass anywhere") {
+  test("full registry: no corpus-scale single-partition ordered pass anywhere") {
     graft.Graft.init(spark)
-    val names = SparkEntry.queries.keys.toSeq
-      .filter(n => qNum(n) >= 117).sortBy(qNum)
-    assert(names.size >= 26) // q117..q142
+    val names = SparkEntry.queries.keys.toSeq.sortBy(qNum)
+    assert(names.size >= 188)
     val offenders = names.filterNot(boundedGlobalSort.contains).flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -54,6 +53,15 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"single-partition Sort/Window (the scale-killer shape) in: $offenders")
+  }
+
+  test("q180 dbscan: candidate pipeline builds once — at most one Generate, no re-evaluated explode") {
+    val plan = SparkEntry.queries("q180_dbscan")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val generates = "Generate ".r.findAllIn(plan).size
+    assert(generates <= 1,
+      s"the 9-cell explode pipeline is re-evaluated ($generates Generates) " +
+        s"— checkpoint `pairs` before the fan-out:\n$plan")
   }
 
   test("q118 target encode: category stats aggregate once, fact side never shuffles") {
