@@ -49,6 +49,45 @@ object AudioFixtures {
     out.toByteArray
   }
 
+  /** RIFF/WAVE carrying REAL 16-bit PCM sample data (interleaved LE
+    * frames) — the audio sibling of [[ImageFixtures.bmp]]: unlike the
+    * zero-payload [[wav]] header fixture, this one feeds
+    * [[Multimodal.BmpWavDecoder]] actual samples to decode
+    * (q190 / MultimodalDecodeSpec). `samples` is the flat interleaved
+    * stream (length = frames × channels); the optional odd-length
+    * LIST chunk exercises the walker's pad-byte skip on the decode
+    * path too. */
+  def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+               withListChunk: Boolean = false): Array[Byte] = {
+    require(samples.length % channels == 0,
+      "interleaved sample count must be a multiple of channels")
+    val align = channels * 2
+    val out = new ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII"))
+      out.write(le32(body.length))
+      out.write(body)
+      if (body.length % 2 == 1) out.write(0) // word-align pad
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(0)) // container size — unread by the parser
+    out.write("WAVE".getBytes("US-ASCII"))
+    if (withListChunk)
+      chunk("LIST", "INFOISFTgraft".getBytes("US-ASCII")) // odd length 13
+    val fmt = new ByteArrayOutputStream()
+    fmt.write(le16(1)) // PCM
+    fmt.write(le16(channels))
+    fmt.write(le32(sampleRate))
+    fmt.write(le32(sampleRate.toLong * align)) // byte rate
+    fmt.write(le16(align))
+    fmt.write(le16(16)) // bits per sample
+    chunk("fmt ", fmt.toByteArray)
+    val data = new ByteArrayOutputStream()
+    samples.foreach(s => data.write(le16(s & 0xFFFF)))
+    chunk("data", data.toByteArray)
+    out.toByteArray
+  }
+
   /** RIFF/WAVE magic only — a truncated file with no chunks. */
   def wavTruncated: Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -23,6 +23,45 @@ object ImageFixtures {
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
 
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Full 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BI_RGB, bottom-up rows, BGR byte order, rows
+    * padded to 4 bytes) with pixel (r,g,b) = `pix(x, y)` — the ONE
+    * image container decodable without any codec library, so unlike
+    * the header-only PNG/GIF/JPEG fixtures this one carries real
+    * pixel data for [[Multimodal.BmpWavDecoder]] to decode
+    * (q189 / MultimodalDecodeSpec). Layout per the public BMP spec
+    * (Windows BITMAPINFOHEADER). */
+  def bmp(width: Int, height: Int,
+          pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(54 + dataSize)) // file size
+    out.write(le32(0))             // reserved
+    out.write(le32(54))            // pixel-array offset
+    out.write(le32(40))            // BITMAPINFOHEADER size
+    out.write(le32(width)); out.write(le32(height)) // +height = bottom-up
+    out.write(le16(1))             // planes
+    out.write(le16(24))            // bits per pixel
+    out.write(le32(0))             // BI_RGB (uncompressed)
+    out.write(le32(dataSize))
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi in px/metre
+    out.write(le32(0)); out.write(le32(0))       // palette (none)
+    for (y <- height - 1 to 0 by -1) { // bottom-up row order
+      for (x <- 0 until width) {
+        val (r, g, b) = pix(x, y)
+        out.write(b); out.write(g); out.write(r) // BGR on disk
+      }
+      (3 * width until rowSize).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
   /** PNG signature + IHDR chunk (CRC zeroed — the parser reads
     * dimensions, not checksums). */
   def png(width: Int, height: Int): Array[Byte] = {

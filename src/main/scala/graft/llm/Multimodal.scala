@@ -11,10 +11,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * rate / channels / bit depth / frame count from WAV (RIFF chunk
   * walk) and FLAC (STREAMINFO bit fields) — pure byte inspection, no
   * codec library, whole-stage codegen (oracle-checked by q88/q92 over
-  * known-parameter fixture bytes). Only
-  * the sample-DECODE step is stubbed behind `MediaDecoder`, because
-  * this container has no image/audio libraries — production would
-  * drop in a JNI/FFM-backed decoder with the same interface.
+  * known-parameter fixture bytes). Sample DECODE is real for the two
+  * formats that need no codec library — 24-bpp uncompressed BMP and
+  * 16-bit PCM WAV ([[BmpWavDecoder]], oracle-checked by q189/q190) —
+  * and stubbed behind the same `MediaDecoder` interface for
+  * compressed codecs (JPEG/PNG/video), where production would drop
+  * in a JNI/FFM-backed decoder.
   * `mapPartitions` + `grouped(batchSize)` is the Scala analogue of a
   * vectorized (pandas-UDF-style) batch boundary: a real decoder
   * amortizes model/codec init once per batch.
@@ -46,6 +48,96 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL pixel/sample decode for the two containers decodable
+    * without any codec dependency — the [[MediaDecoder]] slot filled
+    * for: 24-bit uncompressed BMP ("image": bottom-up row flip,
+    * BGR→RGB reorder, 4-byte row padding — returns row-major
+    * top-down [r,g,b, r,g,b, …] as floats) and 16-bit PCM WAV
+    * ("audio": RIFF chunk walk with odd-size pad bytes, interleaved
+    * little-endian signed frames — returns raw sample values).
+    * Anything else (JPEG/PNG/video codecs need real codec libraries)
+    * falls back to [[FakeDecoder]] behind the same interface. The
+    * q189/q190 oracles recompute the expected pixel/sample streams
+    * from the fixtures' generative formulas in SQL, so a flip,
+    * channel-order or padding mistake breaks the hash match. */
+  object BmpWavDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    private def i32(b: Array[Byte], off: Int): Int =
+      u16(b, off) | (u16(b, off + 2) << 16)
+
+    private[graft] def decodeBmp(b: Array[Byte]): Array[Float] = {
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+      val off = i32(b, 10)
+      val w = i32(b, 18)
+      val hRaw = i32(b, 22)
+      val bottomUp = hRaw > 0 // negative height = top-down storage
+      val h = math.abs(hRaw)
+      require(u16(b, 28) == 24,
+        s"only 24-bpp BMP decodes dependency-free (got ${u16(b, 28)} bpp)")
+      require(i32(b, 30) == 0, "only BI_RGB (uncompressed) BMP")
+      val rowSize = ((3 * w + 3) / 4) * 4
+      require(b.length >= off + rowSize * h, "truncated BMP pixel array")
+      val out = new Array[Float](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (bottomUp) h - 1 - y else y
+        var p = off + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val base = (y * w + x) * 3
+          out(base) = (b(p + 2) & 0xFF).toFloat     // R (disk order BGR)
+          out(base + 1) = (b(p + 1) & 0xFF).toFloat // G
+          out(base + 2) = (b(p) & 0xFF).toFloat     // B
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private[graft] def decodeWavPcm16(b: Array[Byte]): Array[Float] = {
+      require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E', "not a RIFF/WAVE")
+      var pos = 12
+      var fmtOk = false
+      var out: Array[Float] = null
+      while (out == null && pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = i32(b, pos + 4)
+        if (id == "fmt ") {
+          require(u16(b, pos + 8) == 1 && u16(b, pos + 22) == 16,
+            "only 16-bit integer PCM decodes dependency-free")
+          fmtOk = true
+        } else if (id == "data") {
+          require(fmtOk, "WAV data chunk precedes fmt")
+          val n = size / 2
+          val s = new Array[Float](n)
+          var i = 0
+          var p = pos + 8
+          while (i < n) {
+            s(i) = (((b(p) & 0xFF) | (b(p + 1).toInt << 8)).toShort).toFloat
+            p += 2
+            i += 1
+          }
+          out = s
+        }
+        pos += 8 + size + (size % 2) // odd chunks carry a pad byte
+      }
+      require(out != null, "no WAV data chunk")
+      out
+    }
+
+    override def decode(bytes: Array[Byte], kind: String): Array[Float] =
+      kind match {
+        case "image" => decodeBmp(bytes)
+        case "audio" => decodeWavPcm16(bytes)
+        case other   => FakeDecoder.decode(bytes, other)
+      }
   }
 
   /** Decode/feature-extract in partition-local batches. Narrow (no

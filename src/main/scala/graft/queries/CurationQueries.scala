@@ -390,6 +390,77 @@ object CurationQueries {
         iters = 10)
     }),
 
+    // REAL pixel decode: 24-bpp BMP fixtures (bottom-up rows, BGR,
+    // 4-byte padding — the 7-wide image forces a 3-byte pad) decoded
+    // by BmpWavDecoder into top-down row-major RGB floats, then
+    // channel means + an ORDER-SENSITIVE position-weighted checksum.
+    // The oracle regenerates the pixel stream from the fixtures'
+    // generative formula in SQL, so a flip / channel-order / padding
+    // mistake in the decoder breaks the hash, not just the means.
+    "q189_bmp_decode" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq((1L, 8, 5), (2L, 16, 9), (3L, 7, 3)).map {
+        case (id, w, h) => graft.llm.Multimodal.MediaRow(
+          id, graft.llm.ImageFixtures.bmp(w, h, pix), "image")
+      }.toDS()
+      graft.llm.Multimodal
+        .extractFeatures(ds, graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .groupBy(col("image_id"))
+        .agg((count(lit(1)) / lit(3)).cast("long").as("n_px"),
+             round(sum(when(col("pos") % 3 === 0, col("v").cast("double")))
+                     / (count(lit(1)) / lit(3.0)), 4).as("mean_r"),
+             round(sum(when(col("pos") % 3 === 1, col("v").cast("double")))
+                     / (count(lit(1)) / lit(3.0)), 4).as("mean_g"),
+             round(sum(when(col("pos") % 3 === 2, col("v").cast("double")))
+                     / (count(lit(1)) / lit(3.0)), 4).as("mean_b"),
+             sum((col("pos") + 1) * col("v").cast("long")).as("px_checksum"))
+    }),
+
+    // REAL sample decode: 16-bit PCM WAV fixtures (interleaved LE
+    // frames; clip 2 is stereo behind an odd-length LIST chunk the
+    // walker must pad-skip) decoded into raw sample values, then
+    // audio summary features — mean amplitude, RMS, peak, zero
+    // crossings (a lag window per clip-bounded partition) and the
+    // position-weighted checksum that pins sample ORDER. Oracle
+    // regenerates the PCM stream from the generative formula.
+    "q190_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val mk = (n: Int, a: Int, b0: Int) =>
+        Array.tabulate[Short](n)(i => (((i * a + b0) % 2001) - 1000).toShort)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(
+          1L, graft.llm.AudioFixtures.wavPcm16(16000, 1, mk(1000, 37, 0)),
+          "audio"),
+        graft.llm.Multimodal.MediaRow(
+          2L, graft.llm.AudioFixtures.wavPcm16(44100, 2, mk(1024, 53, 11),
+            withListChunk = true), "audio"),
+        graft.llm.Multimodal.MediaRow(
+          3L, graft.llm.AudioFixtures.wavPcm16(8000, 1, mk(250, 91, 7)),
+          "audio")).toDS()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("clip_id")).orderBy(col("i"))
+      graft.llm.Multimodal
+        .extractFeatures(ds, graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("i", "v")))
+        .withColumn("pv", lag(col("v"), 1).over(w))
+        .groupBy(col("clip_id"))
+        .agg(count(lit(1)).as("n_samples"),
+             round(sum(col("v").cast("double")) / count(lit(1)), 4)
+               .as("mean_amp"),
+             round(sqrt(sum(col("v").cast("double") * col("v").cast("double"))
+                          / count(lit(1))), 4).as("rms"),
+             max(abs(col("v"))).cast("long").as("peak"),
+             sum((col("i") + 1) * col("v").cast("long")).as("amp_checksum"),
+             sum(when(col("pv") * col("v") < 0, 1L).otherwise(0L))
+               .as("n_zero_cross"))
+    }),
+
     // Cohen's kappa between two rule-based document raters (word-count
     // gate vs mean-word-length gate, the q145 thresholds): how much of
     // their agreement exceeds chance. One fold to a 2x2 table.
@@ -1275,6 +1346,49 @@ object CurationQueries {
         |  round(pi, 6) AS pi1, round(mu1, 6) AS mu1, round(s1, 6) AS sigma1,
         |  round(mu2, 6) AS mu2, round(s2, 6) AS sigma2
         |FROM it WHERE step = 10""".stripMargin,
+
+    // Independent recomputation: the pixel stream from the BMP
+    // fixtures' generative formula — no bytes involved, so the SQL
+    // proves the Spark side's byte-level decode (flip, BGR, padding)
+    // lands on the exact per-position values.
+    "q189_bmp_decode" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 8, 5), (2, 16, 9),
+        |                                    (3, 7, 3)) t(image_id, w, h)),
+        |xs AS (SELECT image_id, w, h, unnest(range(w)) AS x FROM imgs),
+        |px AS (SELECT image_id, w, x, unnest(range(h)) AS y FROM xs),
+        |ch AS (SELECT image_id, w, x, y,
+        |         (x*7 + y*13) % 256 AS r,
+        |         (x*3 + y*5 + 17) % 256 AS g,
+        |         (x + y*2 + 101) % 256 AS b
+        |       FROM px)
+        |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 4) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / COUNT(*), 4) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 4) AS mean_b,
+        |  CAST(SUM(((y*w + x)*3 + 1)*r + ((y*w + x)*3 + 2)*g
+        |           + ((y*w + x)*3 + 3)*b) AS BIGINT) AS px_checksum
+        |FROM ch GROUP BY 1""".stripMargin,
+
+    // Same contract for PCM: the sample stream regenerated from the
+    // formula; the lag window reproduces zero crossings and the
+    // position weighting pins interleaved sample order.
+    "q190_wav_decode" ->
+      """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),
+        |                 (2, 1024, 53, 11),
+        |                 (3, 250, 91, 7)) t(clip_id, n, a, b)),
+        |s AS (SELECT clip_id, a, b, unnest(range(n)) AS i FROM clips),
+        |v AS (SELECT clip_id, i, ((i*a + b) % 2001) - 1000 AS v FROM s),
+        |lv AS (SELECT clip_id, i, v,
+        |         lag(v) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+        |       FROM v)
+        |SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_amp,
+        |  round(sqrt(CAST(SUM(v*v) AS DOUBLE) / COUNT(*)), 4) AS rms,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM((i+1)*v) AS BIGINT) AS amp_checksum,
+        |  CAST(SUM(CASE WHEN pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_cross
+        |FROM lv GROUP BY 1""".stripMargin,
 
     "q162_kappa" ->
       s"""WITH m AS (

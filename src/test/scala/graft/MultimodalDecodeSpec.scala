@@ -1,0 +1,60 @@
+package graft
+
+import graft.llm.{AudioFixtures, ImageFixtures, Multimodal}
+import graft.llm.Multimodal.BmpWavDecoder
+
+/** Byte-level semantics of the REAL decoders (q189/q190's engine
+  * side): the oracle gate proves engine equivalence on aggregate
+  * features; these prove the raw decoded streams are the intended
+  * per-position values. */
+class MultimodalDecodeSpec extends SparkSpec {
+
+  private val pix = (x: Int, y: Int) => (x * 10 + y, 100 + x, 200 + y)
+
+  test("decodeBmp: bottom-up flip, BGR->RGB, row padding (odd width)") {
+    // width 3 -> row stride 9, padded to 12: 3 pad bytes per row
+    val bytes = ImageFixtures.bmp(3, 2, pix)
+    assert(bytes.length == 54 + 12 * 2)
+    val out = BmpWavDecoder.decodeBmp(bytes)
+    assert(out.length == 3 * 2 * 3)
+    // decoded stream is TOP-DOWN row-major RGB: pixel (x=1, y=0)
+    for (x <- 0 until 3; y <- 0 until 2) {
+      val base = (y * 3 + x) * 3
+      val (r, g, b) = pix(x, y)
+      assert(out(base) == r.toFloat, s"R at ($x,$y)")
+      assert(out(base + 1) == g.toFloat, s"G at ($x,$y)")
+      assert(out(base + 2) == b.toFloat, s"B at ($x,$y)")
+    }
+  }
+
+  test("decodeBmp rejects what it cannot decode, loudly") {
+    val e = intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodeBmp(ImageFixtures.png(4, 4))
+    }
+    assert(e.getMessage.contains("BMP"))
+    // truncated pixel array: header promises more rows than present
+    val ok = ImageFixtures.bmp(2, 2, pix)
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodeBmp(ok.take(ok.length - 4))
+    }
+  }
+
+  test("decodeWavPcm16: interleaved LE samples, negative values, LIST-chunk skip") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999, 12)
+    val plain = BmpWavDecoder.decodeWavPcm16(
+      AudioFixtures.wavPcm16(16000, 2, samples))
+    assert(plain.toSeq == samples.map(_.toFloat).toSeq)
+    // the odd-length LIST chunk before fmt/data must be pad-skipped
+    val listed = BmpWavDecoder.decodeWavPcm16(
+      AudioFixtures.wavPcm16(16000, 2, samples, withListChunk = true))
+    assert(listed.toSeq == samples.map(_.toFloat).toSeq)
+  }
+
+  test("decode dispatches by kind; unknown kinds keep the fake-decoder interface") {
+    val wav = AudioFixtures.wavPcm16(8000, 1, Array[Short](5, -5))
+    assert(BmpWavDecoder.decode(wav, "audio").toSeq == Seq(5.0f, -5.0f))
+    val vid = Array[Byte](1, 2, 3, 4)
+    assert(BmpWavDecoder.decode(vid, "video").toSeq ==
+      Multimodal.FakeDecoder.decode(vid, "video").toSeq)
+  }
+}
