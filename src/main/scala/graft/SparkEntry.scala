@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CurationQueries, FeatureQueries, LlmQueries, PipelineQueries, ScalarQueries}
+import graft.queries.{CoreQueries, CurationQueries, FeatureQueries, LlmQueries, PipelineQueries, ScalarQueries, StatsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* grouped by operator family; each
@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ LlmQueries.queries ++
       FeatureQueries.queries ++ PipelineQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ScalarQueries.oracles ++ LlmQueries.oracles ++
       FeatureQueries.oracles ++ PipelineQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ StatsQueries.oracles
 }

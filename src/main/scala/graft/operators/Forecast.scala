@@ -96,4 +96,48 @@ object Forecast {
           Row(key, n, round6(l), round6(b), round6(round6(l) + round6(b))))
       }(outEnc)
   }
+  /** Sample autocorrelation of a daily count series at lags 1..maxLag
+    * — the seasonality/memory diagnostic (weekly cycle shows as a
+    * spike at lag 7) run before any forecasting model is trusted.
+    *
+    * Scale shape: the corpus folds ONCE into the per-day count frame
+    * (bounded by the calendar, never rows); each lag is an equi-join
+    * of that bounded frame against itself shifted by k days (calendar
+    * gaps drop the pair — documented, not imputed). All numerators
+    * stay in exact integer arithmetic scaled by n (the mean never
+    * becomes a float): r_k = Σ(n·c_t − S)(n·c_{t+k} − S) / Σ(n·c_t −
+    * S)², with sums in DECIMAL(38,0). Returns one row per lag:
+    * (lag, n_pairs, acf). */
+  def dailyAcf(df: DataFrame, dateCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366,
+      s"Forecast.dailyAcf: maxLag must be in [1, 366], got $maxLag")
+    val days = df.groupBy(col(dateCol).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded frame, consumed per lag
+    val tot = days.agg(sum(col("c")).as("s"),
+                       count(lit(1)).cast("long").as("nd"))
+    // (18,0) factors keep e·e inside width 37 — portable to DuckDB,
+    // which rejects decimal products past width 38; e = n·c − S stays
+    // under 10¹⁸ for any calendar-bounded day frame (10⁹ rows/day ×
+    // 10⁴ days)
+    def d38(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val centered = days.crossJoin(broadcast(tot))
+      .select(col("d"), (d38(col("c")) * d38(col("nd")) - d38(col("s")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("e"))
+    val den = centered.agg(sum(col("e") * col("e")).as("__den"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    centered.crossJoin(broadcast(lags))
+      .select(col("lag"), col("d"), col("e"))
+      .join(centered.select(col("d").as("d2"), col("e").as("e2")),
+            expr("d2 = date_add(d, lag)"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("e") * col("e2")).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("acf"))
+  }
+
 }

@@ -184,4 +184,31 @@ object Profiler {
                  explode(array(rows: _*)).as("__p"))
       .select(col("__p.col_a"), col("__p.col_b"), col("n"), col("__p.corr"))
   }
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * broken-ETL smell test over any positive magnitude column
+    * (amounts, counts, durations): natural multiplicative data puts
+    * digit d first with probability log10(1 + 1/d); uniform or
+    * truncated data does not. One map-side-combined 9-row
+    * aggregation; the leading digit comes from the DECIMAL string
+    * form (engine-portable — no log10-at-power-boundary hazard), and
+    * rows with value < 1 are excluded (their leading digit is scale,
+    * not signal). Returns one row per digit 1..9:
+    * (digit, n, obs_share, benford_share, abs_dev). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digits = df.filter(v >= 1.0)
+      .select(substring(round(v, 2).cast("decimal(30,2)").cast("string"),
+                        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("__tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("obs_share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_share"))
+      .withColumn("abs_dev",
+        round(abs(col("obs_share") - col("benford_share")), 6))
+  }
+
 }

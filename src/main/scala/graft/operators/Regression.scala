@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  StructField, StructType}
+
+import graft.util.Exact.{round6, round9}
+
+/** Regression fits as AGGREGATION, not iteration over rows: the model
+  * the feature-engineering layer (q50/q124/q161) feeds exists to be
+  * fit — these operators close the loop without ever moving the
+  * corpus.
+  *
+  * [[olsTwoFeature]] is the canonical sufficient-statistic fit: the
+  * 9 moments of (y, x1, x2) fold in ONE map-side-combined pass
+  * (6-dp-quantized inputs, exact decimal sums — order-independent and
+  * engine-portable), and the 3×3 normal equations solve in closed
+  * form (Cramer) INSIDE the plan on the 1-row moment frame. No
+  * driver round-trip, no second corpus pass, nothing grows with rows.
+  *
+  * [[logitBinned]] is the iterative sibling done the histogram way
+  * (the [[Gmm]] precedent): logistic loss has no closed form, so the
+  * corpus folds ONCE into an nBins-bin histogram of
+  * (n, n_pos) — gradient-descent rounds then iterate on the bounded
+  * bin frame on the driver ([[graft.util.Bounded]]-collected), each
+  * step quantized to 9 decimals so a SQL recursive replay lands on
+  * identical weights. Bin midpoints are normalized to (b+0.5)/nBins
+  * (exact in binary for power-of-two nBins), which also keeps the
+  * sigmoid well-conditioned for any input range.
+  */
+object Regression {
+
+  /** OLS of y on (1, x1, x2). Returns 1 row:
+    * (n, b0, b1, b2, r2) — coefficients and R², rounded to 6. */
+  def olsTwoFeature(df: DataFrame, yCol: String, x1Col: String,
+                    x2Col: String): DataFrame = {
+    // micro-unit integers (the q176 bootstrap pattern): each factor is
+    // round(x·10⁶) as DECIMAL(19,0), so every moment is an EXACT
+    // integer sum on both engines (a DECIMAL(18,6)×DECIMAL(18,6)
+    // product overflows DuckDB's physical int64 lanes); the final
+    // /10⁶ and /10¹² rescales are double divisions of exact integers
+    // — identical bits on both engines.
+    def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
+      .cast(DecimalType(19, 0))
+    val d = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
+    val m = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("x1")).cast("double") / 1.0e6).as("s1"),
+      (sum(col("x2")).cast("double") / 1.0e6).as("s2"),
+      (sum(col("y")).cast("double") / 1.0e6).as("sy"),
+      (sum(col("x1") * col("x1")).cast("double") / 1.0e12).as("s11"),
+      (sum(col("x1") * col("x2")).cast("double") / 1.0e12).as("s12"),
+      (sum(col("x2") * col("x2")).cast("double") / 1.0e12).as("s22"),
+      (sum(col("x1") * col("y")).cast("double") / 1.0e12).as("s1y"),
+      (sum(col("x2") * col("y")).cast("double") / 1.0e12).as("s2y"),
+      (sum(col("y") * col("y")).cast("double") / 1.0e12).as("syy"))
+    // Cramer on [[n s1 s2][s1 s11 s12][s2 s12 s22]] b = [sy s1y s2y].
+    // Every determinant is written ONCE here and mirrored verbatim in
+    // the oracle SQL: double +,-,*,/ are IEEE-deterministic, so
+    // identical expression trees give identical bits on both engines.
+    val det = expr(
+      "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)")
+    val det0 = expr(
+      "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)")
+    val det1 = expr(
+      "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)")
+    val det2 = expr(
+      "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)")
+    m.select(col("n").cast("long").as("n"),
+        (det0 / det).as("b0"), (det1 / det).as("b1"), (det2 / det).as("b2"),
+        col("sy"), col("s1y"), col("s2y"), col("syy"), col("n").as("nd"))
+      .select(col("n"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        // SSE = Σy² − b·X'y (residual orthogonality); SST = Σy² − (Σy)²/n
+        round(lit(1.0) -
+          (col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
+            col("b2") * col("s2y")) /
+          (col("syy") - col("sy") * col("sy") / col("nd")), 6).as("r2"))
+  }
+
+  /** Binned logistic regression y ~ sigmoid(w0 + w1·m), m =
+    * (bin+0.5)/nBins over [lo, hi) (values clamped into edge bins,
+    * the [[Gmm]] convention). Full-batch gradient ASCENT on the
+    * log-likelihood, `iters` rounds at learning rate `lr` from
+    * w = (0, 0). Returns 1 row:
+    * (n, n_pos, w0, w1, loglik) rounded to 6. */
+  def logitBinned(df: DataFrame, xCol: String,
+                  label: org.apache.spark.sql.Column, lo: Double, hi: Double,
+                  nBins: Int, lr: Double, iters: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000,
+      s"Regression.logitBinned: nBins must be in [2, 100000], got $nBins")
+    require(iters >= 1 && iters <= 10000,
+      s"Regression.logitBinned: iters must be in [1, 10000], got $iters")
+    val spark = df.sparkSession
+    val width = (hi - lo) / nBins
+    val x = col(xCol).cast("double")
+    val bin = greatest(least(floor((x - lo) / width).cast("long"),
+                             lit(nBins - 1L)), lit(0L))
+    val hist = graft.util.Bounded.collect(
+      df.filter(x.isNotNull)
+        .select(bin.as("__b"), when(label, 1L).otherwise(0L).as("__y"))
+        .groupBy(col("__b"))
+        .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np")),
+      nBins, "Regression.logitBinned histogram frame")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = hist.map(_._2).sum
+    val nPos = hist.map(_._3).sum
+
+    def dec9(v: Double): JBigDecimal =
+      new JBigDecimal(java.lang.Double.toString(round9(v))).setScale(9)
+    var (w0, w1) = (0.0, 0.0)
+    for (_ <- 1 to iters) {
+      // per-bin gradient terms quantized to 9 decimals, summed in
+      // exact decimal (order-independent; the SQL replay matches)
+      val (g0, g1) = hist.foldLeft((JBigDecimal.ZERO, JBigDecimal.ZERO)) {
+        case ((a0, a1), (b, nb, np)) =>
+          val m = (b + 0.5) / nBins
+          val p = round9(1.0 / (1.0 + math.exp(-(w0 + w1 * m))))
+          val r = np - nb * p // residual: observed − expected positives
+          (a0.add(dec9(r)), a1.add(dec9(r * m)))
+      }
+      w0 = round9(w0 + lr * g0.doubleValue() / n)
+      w1 = round9(w1 + lr * g1.doubleValue() / n)
+    }
+    val ll = hist.foldLeft(JBigDecimal.ZERO) { case (acc, (b, nb, np)) =>
+      val m = (b + 0.5) / nBins
+      val z = w0 + w1 * m
+      val p = round9(1.0 / (1.0 + math.exp(-z)))
+      acc.add(dec9(np * math.log(p) + (nb - np) * math.log(1.0 - p)))
+    }.doubleValue()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(n, nPos, round6(w0), round6(w1), round6(ll))), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_pos", LongType, nullable = false),
+        StructField("w0", DoubleType, nullable = false),
+        StructField("w1", DoubleType, nullable = false),
+        StructField("loglik", DoubleType, nullable = false))))
+  }
+}

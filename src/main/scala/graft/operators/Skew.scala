@@ -135,4 +135,35 @@ object Skew {
                 .as("key_frac"),
               col("n_keys"), col("n_rows"), col("max_to_mean"), col("gini"))
   }
+  /** Hill tail-index estimator over a count/frequency frame — the
+    * quantitative form of "how Zipfian is this key?": for the top k
+    * order statistics f₁ ≥ … ≥ f_k above the threshold f_{k+1},
+    * α̂ = k / Σ ln(f_i / f_{k+1}); a token/key distribution with
+    * α ≈ 1 is classic Zipf, larger α means a thinner tail (salting
+    * and cap budgets key off exactly this).
+    *
+    * Scale shape: the ONLY ordered work is TakeOrdered(k+1) on the
+    * count frame (deterministic tie-break on `tieCol`); the k
+    * retained rows are a bounded local frame, each ln-term quantized
+    * to 9 decimals and summed in exact decimal so the estimate is
+    * engine-portable. Returns 1 row: (k, f_threshold, alpha). */
+  def hillTailIndex(counts: DataFrame, valueCol: String, tieCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000,
+      s"Skew.hillTailIndex: k must be in [2, 100000], got $k")
+    val top = counts
+      .select(col(valueCol).cast("long").as("f"), col(tieCol).as("t"))
+      .orderBy(col("f").desc, col("t").asc)
+      .limit(k + 1)
+    val thr = top.agg(min(col("f")).as("__thr"))
+    top.crossJoin(broadcast(thr))
+      .filter(col("f") > col("__thr"))
+      .agg(count(lit(1)).as("k"), first(col("__thr")).as("f_threshold"),
+        round(count(lit(1)).cast("double") /
+          sum(round(log(col("f").cast("double") /
+                        col("__thr").cast("double")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+            .cast("double"), 6).as("alpha"))
+  }
+
 }

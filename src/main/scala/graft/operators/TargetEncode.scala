@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Leave-one-out target encoding with additive smoothing — the
@@ -74,4 +74,53 @@ object TargetEncode {
               round(log(ps / ns), 6).as("woe"),
               round((ps - ns) * log(ps / ns), 6).as("iv_term"))
   }
+  /** Mutual information between two categorical columns — the
+    * model-free dependence score feature selection ranks on (WOE/IV's
+    * sibling for categorical×categorical): MI = Σᵢⱼ pᵢⱼ ln(pᵢⱼ /
+    * (pᵢ·pⱼ)), plus both marginal entropies and the normalized
+    * NMI = MI/√(H_a·H_b).
+    *
+    * Scale shape: one fold of the corpus to the |A|×|B| contingency
+    * frame (map-side combined), marginals re-aggregated from it
+    * (never a second corpus pass), broadcast-joined back; each ln
+    * term quantizes to 9 decimals and sums in exact decimal — the
+    * charEntropy portability contract. Returns 1 row:
+    * (n, h_a, h_b, mi, nmi). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .select(col(aCol).cast("string").as("a"),
+              col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency frame: built once, read 4×
+    val ma = cells.groupBy(col("a")).agg(sum(col("nij")).as("ni"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("nij")).as("nj"))
+    val tot = cells.agg(sum(col("nij")).as("nn"))
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val nd = col("nn").cast("double")
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg(round(dsum((col(cnt).cast("double") / nd) *
+            log(nd / col(cnt).cast("double"))), 6).as(out))
+    val ha = entropy(ma, "ni", "h_a")
+    val hb = entropy(mb, "nj", "h_b")
+    val mi = cells
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("nn")).as("n"),
+        round(dsum((col("nij").cast("double") / nd) *
+            log((col("nij").cast("double") * nd) /
+                (col("ni").cast("double") * col("nj").cast("double")))), 6)
+          .as("mi"))
+    // NMI from the ROUNDED h_a/h_b/mi (the oracle mirrors this order);
+    // a degenerate marginal (H = 0) yields NULL, not a fabricated 0
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("h_a"), col("h_b"), col("mi"),
+        round(col("mi") /
+          sqrt(when(col("h_a") * col("h_b") > 0,
+                    col("h_a") * col("h_b"))), 6).as("nmi"))
+  }
+
 }

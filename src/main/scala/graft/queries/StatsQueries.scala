@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{Forecast, Linkage, Profiler, RankStats, Regression,
+  Skew, TargetEncode}
+
+/** Round-7 statistics family: model fits as aggregation (OLS, binned
+  * logistic GD), rank/distribution-free tests (Spearman, Mann-Whitney,
+  * two-sample KS), distribution audits (Benford, daily ACF, Hill tail
+  * index, mutual information) and entity-resolution clustering. Every
+  * oracle recomputes the semantics in DuckDB from first principles;
+  * iterative fits replay as recursive CTEs with the identical 9-dp
+  * quantization.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB word-tokenizer mirror of TextStats.tokens
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val queries: Map[String, Q] = Map(
+
+    // OLS of extended price on (quantity, discount): 9 exact-decimal
+    // moments in ONE map-side-combined pass, normal equations solved
+    // closed-form (Cramer) inside the plan — regression without a
+    // second corpus pass or a driver loop.
+    "q191_ols" -> ((s, d) => {
+      Regression.olsTwoFeature(lineitem(s, d), "l_extendedprice",
+        "l_quantity", "l_discount")
+    }),
+
+    // Binned logistic regression (y = order status 'F' on normalized
+    // total price): 12 gradient-ascent rounds on a 64-bin histogram —
+    // the corpus folds once, iterations ride the bounded bin frame,
+    // every step quantized to 9 decimals and replayed by the oracle's
+    // recursive CTE round-for-round.
+    "q192_logit_gd" -> ((s, d) => {
+      Regression.logitBinned(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F", lo = 0.0, hi = 600000.0, nBins = 64,
+        lr = 0.5, iters = 12)
+    }),
+
+    // Spearman rank correlation of quantity vs extended price:
+    // midranks from the per-distinct-value frame (two-phase bucketed
+    // cumsum, no single-partition window), Pearson over exact-decimal
+    // rank sums.
+    "q193_spearman" -> ((s, d) => {
+      RankStats.spearman(lineitem(s, d), "l_quantity", "l_extendedprice")
+    }),
+
+    // Benford first-digit audit of order totals — the fabricated-data
+    // / broken-ETL smell test; leading digit via the decimal STRING
+    // form (no log10-at-power-boundary hazard).
+    "q194_benford" -> ((s, d) => {
+      Profiler.benfordAudit(orders(s, d), "o_totalprice")
+    }),
+
+    // Autocorrelation of the daily order count at lags 1..7 — the
+    // seasonality diagnostic; corpus folds once to the calendar-
+    // bounded day frame, numerators in exact scaled-integer decimals.
+    "q195_acf" -> ((s, d) => {
+      Forecast.dailyAcf(orders(s, d), "o_orderdate", maxLag = 7)
+    }),
+
+    // Hill tail-index of the token frequency distribution (k = 100):
+    // how Zipfian is the vocabulary — the quantitative basis for cap
+    // and salt budgets. Only ordered work is TakeOrdered(k+1).
+    "q196_zipf_tail" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(explode(graft.llm.TextStats.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      Skew.hillTailIndex(counts, "f", "w", k = 100)
+    }),
+
+    // Two-sample Kolmogorov-Smirnov: do finished ('F') and open order
+    // totals follow the same distribution? Exact integer D-numerator
+    // over the pooled distinct-value frame; bucketed cumsums.
+    "q197_ks_test" -> ((s, d) => {
+      RankStats.ksTwoSample(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F")
+    }),
+
+    // Mutual information between market segment and nation — the
+    // model-free categorical dependence score (per-term 9-dp
+    // quantized entropy sums, contingency frame built once).
+    "q198_mutual_info" -> ((s, d) => {
+      TargetEncode.mutualInfo(customer(s, d), "c_mktsegment", "c_nationkey")
+    }),
+
+    // Entity-resolution CLUSTERS: the q125 blocked Levenshtein pairs
+    // closed into components (pointer-jumping CC) and summarized per
+    // cluster — the golden-cluster step after pairwise linkage.
+    "q199_er_clusters" -> ((s, d) => {
+      val pairs = Linkage.fuzzyPairs(
+        customer(s, d).filter(col("c_custkey") < 200),
+        "c_custkey", "c_name", "c_nationkey", maxDist = 1)
+      graft.llm.Components.dedupGroups(pairs, "id_a", "id_b")
+    }),
+
+    // Mann-Whitney U: is the returned-flag quantity stochastically
+    // larger? Heavy integer ties exercise the midrank + tie-corrected
+    // variance path; the rank sum folds over the 50-value frame.
+    "q200_mann_whitney" -> ((s, d) => {
+      RankStats.mannWhitney(lineitem(s, d), "l_quantity",
+        col("l_returnflag") === "R")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q191_ols" ->
+      """WITH d AS (SELECT
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS y,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x1,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x2
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x1) AS DOUBLE) / 1000000.0 AS s1,
+        |    CAST(SUM(x2) AS DOUBLE) / 1000000.0 AS s2,
+        |    CAST(SUM(y) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(SUM(x1*x1) AS DOUBLE) / 1000000000000.0 AS s11,
+        |    CAST(SUM(x1*x2) AS DOUBLE) / 1000000000000.0 AS s12,
+        |    CAST(SUM(x2*x2) AS DOUBLE) / 1000000000000.0 AS s22,
+        |    CAST(SUM(x1*y) AS DOUBLE) / 1000000000000.0 AS s1y,
+        |    CAST(SUM(x2*y) AS DOUBLE) / 1000000000000.0 AS s2y,
+        |    CAST(SUM(y*y) AS DOUBLE) / 1000000000000.0 AS syy
+        |  FROM d),
+        |b AS (SELECT n, sy, s1y, s2y, syy,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  round(1.0 - (syy - b0*sy - b1*s1y - b2*s2y)
+        |        / (syy - sy*sy/n), 6) AS r2
+        |FROM b""".stripMargin,
+
+    "q192_logit_gd" ->
+      """WITH RECURSIVE
+        |hist AS (SELECT b, COUNT(*) AS nb,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM (SELECT greatest(least(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |            / 9375.0) AS BIGINT), 63), 0) AS b,
+        |          o_orderstatus AS st
+        |        FROM orders WHERE o_totalprice IS NOT NULL)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |               CAST(SUM(np) AS BIGINT) AS n_pos FROM hist),
+        |it AS (
+        |  SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, 0 AS step
+        |  UNION ALL
+        |  SELECT round(t.w0 + 0.5 * t.g0 / t.n, 9),
+        |         round(t.w1 + 0.5 * t.g1 / t.n, 9),
+        |         t.step + 1
+        |  FROM (
+        |    SELECT cur.step, cur.w0, cur.w1, (SELECT n FROM tot) AS n,
+        |      CAST(SUM(CAST(round(h.np - h.nb
+        |          * round(1.0/(1.0 + exp(-(cur.w0 + cur.w1
+        |              * ((CAST(h.b AS DOUBLE) + 0.5)/64.0)))), 9), 9)
+        |        AS DECIMAL(38,9))) AS DOUBLE) AS g0,
+        |      CAST(SUM(CAST(round((h.np - h.nb
+        |          * round(1.0/(1.0 + exp(-(cur.w0 + cur.w1
+        |              * ((CAST(h.b AS DOUBLE) + 0.5)/64.0)))), 9))
+        |          * ((CAST(h.b AS DOUBLE) + 0.5)/64.0), 9)
+        |        AS DECIMAL(38,9))) AS DOUBLE) AS g1
+        |    FROM it cur, hist h
+        |    WHERE cur.step < 12
+        |    GROUP BY 1, 2, 3) t)
+        |SELECT t.n, t.n_pos, round(f.w0, 6) AS w0, round(f.w1, 6) AS w1,
+        |  round(CAST(SUM(CAST(round(
+        |      h.np * ln(round(1.0/(1.0 + exp(-(f.w0 + f.w1
+        |          * ((CAST(h.b AS DOUBLE) + 0.5)/64.0)))), 9))
+        |      + (h.nb - h.np) * ln(1.0 - round(1.0/(1.0 + exp(-(f.w0 + f.w1
+        |          * ((CAST(h.b AS DOUBLE) + 0.5)/64.0)))), 9)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS loglik
+        |FROM hist h, (SELECT w0, w1 FROM it WHERE step = 12) f, tot t
+        |GROUP BY t.n, t.n_pos, f.w0, f.w1""".stripMargin,
+
+    "q193_spearman" ->
+      """WITH rws AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS vx,
+        |    round(CAST(l_extendedprice AS DOUBLE), 6) AS vy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |gx AS (SELECT vx AS v, COUNT(*) AS cnt FROM rws GROUP BY 1),
+        |rx AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS DOUBLE)
+        |         + CAST(cnt + 1 AS DOUBLE)/2.0 AS r FROM gx),
+        |gy AS (SELECT vy AS v, COUNT(*) AS cnt FROM rws GROUP BY 1),
+        |ry AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS DOUBLE)
+        |         + CAST(cnt + 1 AS DOUBLE)/2.0 AS r FROM gy),
+        |j AS (SELECT CAST(r1.r AS DECIMAL(18,1)) AS rx,
+        |             CAST(r2.r AS DECIMAL(18,1)) AS ry
+        |      FROM rws JOIN rx r1 ON rws.vx = r1.v
+        |               JOIN ry r2 ON rws.vy = r2.v),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(rx*rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(ry*ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(rx*ry) AS DOUBLE) AS sxy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy)
+        |    / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS rho
+        |FROM m""".stripMargin,
+
+    "q194_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+        |      CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(30,2))
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1.0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM g),
+        |s AS (SELECT digit, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_share,
+        |    round(ln(1.0 + 1.0/CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |      AS benford_share
+        |  FROM g, t)
+        |SELECT digit, n, obs_share, benford_share,
+        |  round(abs(obs_share - benford_share), 6) AS abs_dev
+        |FROM s""".stripMargin,
+
+    "q195_acf" ->
+      """WITH days AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    COUNT(*) AS c FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s,
+        |               CAST(COUNT(*) AS BIGINT) AS nd FROM days),
+        |cent AS (SELECT d, CAST(c * (SELECT nd FROM tot)
+        |    - (SELECT s FROM tot) AS DECIMAL(18,0)) AS e FROM days),
+        |den AS (SELECT SUM(e*e) AS dn FROM cent),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+        |p AS (SELECT lag, a.e AS e1, b.e AS e2
+        |      FROM cent a, lags, cent b
+        |      WHERE b.d = a.d + lag)
+        |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(e1*e2) AS DOUBLE)
+        |    / CAST((SELECT dn FROM den) AS DOUBLE), 6) AS acf
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q196_zipf_tail" ->
+      s"""WITH t AS (SELECT w, COUNT(*) AS f FROM (
+         |    SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |top AS (SELECT CAST(f AS BIGINT) AS f, w FROM t
+         |        ORDER BY f DESC, w ASC LIMIT 101),
+         |thr AS (SELECT MIN(f) AS thr FROM top)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |  (SELECT thr FROM thr) AS f_threshold,
+         |  round(CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(SUM(CAST(round(ln(CAST(f AS DOUBLE)
+         |        / CAST((SELECT thr FROM thr) AS DOUBLE)), 9)
+         |      AS DECIMAL(38,9))) AS DOUBLE), 6) AS alpha
+         |FROM top WHERE f > (SELECT thr FROM thr)""".stripMargin,
+
+    "q197_ks_test" ->
+      """WITH v AS (SELECT round(CAST(o_totalprice AS DOUBLE), 6) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT v, SUM(g) AS c1, SUM(1 - g) AS c2 FROM v GROUP BY 1),
+        |r AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+        |             SUM(c2) OVER (ORDER BY v) AS cum2 FROM c),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+        |SELECT t.n1, t.n2,
+        |  CAST(MAX(abs(cum1*t.n2 - cum2*t.n1)) AS BIGINT) AS d_num,
+        |  round(CAST(MAX(abs(cum1*t.n2 - cum2*t.n1)) AS DOUBLE)
+        |    / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks
+        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin,
+
+    "q198_mutual_info" ->
+      """WITH cells AS (SELECT CAST(c_mktsegment AS VARCHAR) AS a,
+        |    CAST(c_nationkey AS VARCHAR) AS b, COUNT(*) AS nij
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, SUM(nij) AS ni FROM cells GROUP BY 1),
+        |mb AS (SELECT b, SUM(nij) AS nj FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(nij) AS nn FROM cells),
+        |ha AS (SELECT round(CAST(SUM(CAST(round(
+        |      (CAST(ni AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln(CAST(nn AS DOUBLE)/CAST(ni AS DOUBLE)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS h_a FROM ma, tot),
+        |hb AS (SELECT round(CAST(SUM(CAST(round(
+        |      (CAST(nj AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln(CAST(nn AS DOUBLE)/CAST(nj AS DOUBLE)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS h_b FROM mb, tot),
+        |mi AS (SELECT CAST(nn AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(round(
+        |      (CAST(nij AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln((CAST(nij AS DOUBLE)*CAST(nn AS DOUBLE))
+        |           /(CAST(ni AS DOUBLE)*CAST(nj AS DOUBLE))), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS mi
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+        |  GROUP BY nn)
+        |SELECT n, h_a, h_b, mi,
+        |  round(mi / sqrt(CASE WHEN h_a*h_b > 0 THEN h_a*h_b END), 6) AS nmi
+        |FROM mi, ha, hb""".stripMargin,
+
+    "q199_er_clusters" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_nationkey
+        |  FROM customer WHERE c_custkey < 200),
+        |edges AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |sym AS (SELECT id_a AS node, id_b AS nbr FROM edges
+        |        UNION ALL SELECT id_b, id_a FROM edges),
+        |walk AS (
+        |  SELECT node, node AS reach FROM (SELECT DISTINCT node FROM sym)
+        |  UNION
+        |  SELECT w.node, s.nbr AS reach
+        |  FROM walk w JOIN sym s ON s.node = w.reach),
+        |lab AS (SELECT node, MIN(reach) AS label FROM walk GROUP BY node)
+        |SELECT label AS group_rep, COUNT(*) AS n_docs,
+        |  CAST(SUM(node) AS BIGINT) AS id_checksum, MAX(node) AS max_id
+        |FROM lab GROUP BY label""".stripMargin,
+
+    "q200_mann_whitney" ->
+      """WITH v AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |c AS (SELECT v, COUNT(*) AS cnt, SUM(g) AS c1 FROM v GROUP BY 1),
+        |r AS (SELECT v, cnt, c1,
+        |    SUM(cnt) OVER (ORDER BY v) - cnt AS below FROM c),
+        |m AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - c1) AS BIGINT) AS n2,
+        |    CAST(SUM(c1*(2*below + cnt + 1)) AS DOUBLE) AS r1x2,
+        |    CAST(SUM(cnt*cnt*cnt - cnt) AS DOUBLE) AS ties
+        |  FROM r),
+        |u AS (SELECT n1, n2, ties,
+        |    r1x2 / 2.0 - CAST(n1 AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+        |    CAST(n1 + n2 AS DOUBLE) AS nn
+        |  FROM m)
+        |SELECT n1, n2, round(u1, 1) AS u1,
+        |  round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - u1, 1) AS u2,
+        |  round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * ((nn + 1.0) - ties / (nn * (nn - 1.0)))), 6) AS z
+        |FROM u""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Forecast, Profiler, RankStats, Regression, Skew,
+  TargetEncode}
+
+/** Hand-case semantics for the round-7 statistics family (q191–q200):
+  * the oracle gate proves engine equivalence; these prove the numbers
+  * are the intended ones. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("olsTwoFeature: exact plane y = 2 + 3*x1 - x2 -> coefficients, r2 = 1") {
+    val rows = for (x1 <- 0 to 5; x2 <- 0 to 5)
+      yield (2.0 + 3.0 * x1 - x2, x1.toDouble, x2.toDouble)
+    val r = Regression.olsTwoFeature(rows.toDF("y", "x1", "x2"),
+      "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n") == 36L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") + 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("logitBinned: separated classes learn a positive slope; mean matches base rate") {
+    // x < 0.5 never positive, x > 0.5 always positive
+    val rows = (1 to 200).map { i =>
+      val x = (i % 100) / 100.0
+      (x, x >= 0.5)
+    }
+    val r = Regression.logitBinned(rows.toDF("x", "y"), "x", col("y"),
+      lo = 0.0, hi = 1.0, nBins = 16, lr = 2.0, iters = 50).head()
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("w1") > 1.0, "slope must point toward the positives")
+    assert(r.getAs[Double]("loglik") < 0.0)
+  }
+
+  test("spearman: perfect monotone (nonlinear) -> rho 1; reversed -> -1") {
+    val mono = (1 to 20).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+    val r1 = RankStats.spearman(mono.toDF("x", "y"), "x", "y").head()
+    assert(r1.getAs[Double]("rho") == 1.0)
+    val rev = (1 to 20).map(i => (i.toDouble, -math.pow(i.toDouble, 3)))
+    val r2 = RankStats.spearman(rev.toDF("x", "y"), "x", "y").head()
+    assert(r2.getAs[Double]("rho") == -1.0)
+  }
+
+  test("mannWhitney: textbook ranks with ties") {
+    // group A = {1, 2, 2}, group B = {2, 3}: midranks 1, 3, 3, 3, 5
+    // R_A = 7 -> U_A = 7 - 3*4/2 = 1, U_B = 3*2 - 1 = 5
+    val df = Seq((1.0, true), (2.0, true), (2.0, true),
+                 (2.0, false), (3.0, false)).toDF("v", "g")
+    val r = RankStats.mannWhitney(df, "v", col("g")).head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("u1") == 1.0)
+    assert(r.getAs[Double]("u2") == 5.0)
+    assert(r.getAs[Double]("z") < 0.0) // group A stochastically smaller
+  }
+
+  test("ksTwoSample: disjoint supports -> D = 1; identical -> D = 0") {
+    val disjoint = ((1 to 10).map(i => (i.toDouble, true)) ++
+      (11 to 20).map(i => (i.toDouble, false))).toDF("v", "g")
+    val r1 = RankStats.ksTwoSample(disjoint, "v", col("g")).head()
+    assert(r1.getAs[Double]("ks") == 1.0)
+    assert(r1.getAs[Long]("d_num") == 100L) // n1*n2 at the split point
+    val same = ((1 to 10) ++ (1 to 10)).zipWithIndex
+      .map { case (v, i) => (v.toDouble, i < 10) }.toDF("v", "g")
+    val r2 = RankStats.ksTwoSample(same, "v", col("g")).head()
+    assert(r2.getAs[Double]("ks") == 0.0)
+  }
+
+  test("benfordAudit: exact-Benford digit histogram scores near-zero deviation") {
+    // 1000 values whose first-digit counts follow round(1000*log10(1+1/d))
+    val counts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val vals = counts.flatMap { case (d, n) =>
+      (0 until n).map(i => d * 100.0 + (i % 100)) } // keeps first digit d
+    val out = Profiler.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("abs_dev")).toMap
+    assert(out.size == 9)
+    assert(out.values.max < 0.001, s"deviation too high: $out")
+  }
+
+  test("dailyAcf: alternating daily counts -> acf(1) = -1, acf(2) = +1") {
+    val days = (0 until 40).flatMap { d =>
+      val date = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d))
+      Seq.fill(if (d % 2 == 0) 3 else 1)(Tuple1(date))
+    }
+    val out = Forecast.dailyAcf(days.toDF("d"), "d", maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("acf")).toMap
+    // finite-sample edge terms shift the exact ±1 slightly
+    assert(out(1) < -0.9, s"lag-1 should be strongly negative: $out")
+    assert(out(2) > 0.9, s"lag-2 should be strongly positive: $out")
+  }
+
+  test("hillTailIndex: exact pareto counts recover alpha") {
+    // f(rank r) = floor(1e6 / r^2): tail index alpha = 0.5 in the
+    // Hill parametrization over frequencies (alpha_freq = 1/slope)
+    val counts = (1 to 300).map(r => (s"t$r", (1e6 / (r * r)).toLong))
+    val out = Skew.hillTailIndex(counts.toDF("w", "f"), "f", "w", k = 100)
+      .head()
+    assert(out.getAs[Long]("k") == 100L)
+    val alpha = out.getAs[Double]("alpha")
+    assert(alpha > 0.4 && alpha < 0.6, s"alpha=$alpha")
+  }
+
+  test("mutualInfo: independent columns -> ~0; copied column -> MI = H") {
+    val ind = (0 until 400).map(i => (s"a${i % 4}", s"b${i / 4 % 4}"))
+    val r1 = TargetEncode.mutualInfo(ind.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r1.getAs[Double]("mi")) < 1e-6)
+    val dep = (0 until 400).map(i => (s"a${i % 4}", s"b${i % 4}"))
+    val r2 = TargetEncode.mutualInfo(dep.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r2.getAs[Double]("mi") - r2.getAs[Double]("h_a")) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("nmi") - 1.0) < 1e-6)
+  }
+}
