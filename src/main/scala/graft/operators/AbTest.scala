@@ -125,4 +125,63 @@ object AbTest {
               col("__sy0").cast("double") / col("__sw0").cast("double"), 6)
           .as("ate"))
   }
+  /** Randomization (approximate permutation) test for a difference in
+    * means: the distribution-free p-value companion to [[cupedByArm]]
+    * — under the null, the observed arm labels are exchangeable, so
+    * the observed mean difference is compared against `b` deterministic
+    * LCG re-labelings of the SAME rows (Bernoulli-half splits, the
+    * standard approximate-permutation variant; group sizes vary
+    * binomially). p = (1 + #{|diff_rep| ≥ |diff_obs|}) / (b + 1), the
+    * add-one form that can never report p = 0.
+    *
+    * Scale shape: the q176 bootstrap economics — ONE pass over the
+    * b-fold exploded rows (map-side combined to b partial sums of
+    * micro-unit integers), plus one 1-row observed aggregate; no
+    * shuffle of raw data, replicate frame is b rows. A replicate that
+    * draws an empty arm yields NULL and is not counted (loudly
+    * visible as n_valid < b). Returns 1 row:
+    * (n, n1, diff_obs, b, n_valid, n_ge, p_value). */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+                      group: Column, b: Int = 64): DataFrame = {
+    require(b >= 8 && b <= 4096, s"AbTest.permutationTest: b in [8, 4096]")
+    import org.apache.spark.sql.types.DecimalType
+    import graft.util.Exact
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+              round(col(valueCol).cast("double") * 1e6, 0).cast("long")
+                .as("xq"),
+              when(group, 1L).otherwise(0L).as("g"))
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    def meanDiff(s1: Column, n1: Column, s: Column, n: Column): Column =
+      round(s1.cast("double") / 1e6 / n1.cast("double"), 9) -
+        round((s - s1).cast("double") / 1e6 / (n - n1).cast("double"), 9)
+    val obs = rows.agg(count(lit(1)).as("n"), sum(col("g")).as("n1"),
+        sum(d38(col("xq"))).as("s"),
+        sum(d38(col("g") * col("xq"))).as("s1"))
+      .select(col("n"), col("n1"),
+        round(meanDiff(col("s1"), col("n1"), col("s"), col("n")), 6)
+          .as("diff_obs"))
+    val reps = rows
+      .select(col("id"), col("xq"),
+              explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("bit", pmod(shiftright(
+        graft.llm.Similarity.lcg(col("id") * b + col("rep")), 16), lit(2)))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("rn"), sum(col("bit")).as("rn1"),
+        sum(d38(col("xq"))).as("rs"),
+        sum(d38(col("bit") * col("xq"))).as("rs1"))
+      .select(col("rep"),
+        round(meanDiff(col("rs1"), col("rn1"), col("rs"), col("rn")), 6)
+          .as("diff_rep"))
+    reps.crossJoin(broadcast(obs))
+      .agg(first(col("n")).as("n"), first(col("n1")).as("n1"),
+        first(col("diff_obs")).as("diff_obs"),
+        lit(b.toLong).as("b"),
+        count(col("diff_rep")).as("n_valid"),
+        sum(when(abs(col("diff_rep")) >= abs(col("diff_obs")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .withColumn("p_value",
+        round((lit(1.0) + col("n_ge").cast("double")) / (lit(b) + 1.0), 6))
+  }
+
 }

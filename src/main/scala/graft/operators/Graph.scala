@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over an edge list — the link-graph quality signal
@@ -336,4 +336,57 @@ object Graph {
       .groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
       .select(col("u").as("node"), col("deg_in_core"))
   }
+  /** HITS (Kleinberg): hub/authority scores on a DIRECTED edge list —
+    * the bipartite-flavored centrality ([[pageRank]]'s companion) a
+    * link-graph curation pass uses to split "pages that point well"
+    * from "pages worth pointing at". Per round: authority(v) =
+    * Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} authority(v), each side
+    * max-normalized (the PCA max-abs precedent — deterministic, no
+    * sqrt-of-sum portability hazard).
+    *
+    * Scale shape: identical to [[pageRank]] — every round is two
+    * edge-bounded exchanges; contributions quantize to 1e-15 decimals
+    * (order-independent sums), normalized scores to 9 decimals, so a
+    * SQL unrolled replay lands on identical values; score frames are
+    * localCheckpoint'ed per half-step. Nodes with no in-edges hold
+    * authority 0, no out-edges hub 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"Graph.hits: iterations in [1, 50], got $iterations")
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def q15(c: Column) = round(c * lit(1e15), 0).cast(DecimalType(38, 0))
+    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+      val mx = raw.agg(max(col(vCol)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          round(coalesce(col(vCol).cast("double"), lit(0.0)) /
+            col("__mx").cast("double"), 9).as("score"))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("score"))
+    var auth = nodes.select(col("node"), lit(0.0).as("score"))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.select(col("node").as("src"),
+          col("score").as("h")), Seq("src"))
+        .select(col("dst").as("node"), q15(col("h")).as("hq"))
+        .groupBy(col("node")).agg(sum(col("hq")).as("aq"))
+      auth = normalized(aRaw, "aq")
+      val hRaw = e.join(auth.select(col("node").as("dst"),
+          col("score").as("a")), Seq("dst"))
+        .select(col("src").as("node"), q15(col("a")).as("aq2"))
+        .groupBy(col("node")).agg(sum(col("aq2")).as("hq"))
+      hub = normalized(hRaw, "hq")
+    }
+    hub.select(col("node"), col("score").as("__h"))
+      .join(auth.select(col("node"), col("score").as("__a")), Seq("node"))
+      .select(col("node"), round(col("__h"), 6).as("hub"),
+              round(col("__a"), 6).as("authority"))
+  }
+
 }

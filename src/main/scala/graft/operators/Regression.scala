@@ -2,7 +2,7 @@ package graft.operators
 
 import java.math.{BigDecimal => JBigDecimal}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
   StructField, StructType}
@@ -83,6 +83,137 @@ object Regression {
           (col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
             col("b2") * col("s2y")) /
           (col("syy") - col("sy") * col("sy") / col("nd")), 6).as("r2"))
+  }
+
+  /** Ridge regression of y on (1, x1, x2) with penalty λ on the two
+    * slope coefficients (the intercept is unpenalized — standard).
+    * Same one-pass micro-unit moments as [[olsTwoFeature]]; the
+    * normal equations gain λ on the s11/s22 diagonal. Because ridge
+    * residuals are NOT orthogonal to the design, R² uses the full
+    * quadratic form SSE = Σy² − 2·b'X'y + b'X'Xb over the
+    * UNPENALIZED moments. Returns 1 row: (n, b0, b1, b2, r2). */
+  def ridgeTwoFeature(df: DataFrame, yCol: String, x1Col: String,
+                      x2Col: String, lambda: Double): DataFrame = {
+    def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
+      .cast(DecimalType(19, 0))
+    val d = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
+    val m = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("x1")).cast("double") / 1.0e6).as("s1"),
+      (sum(col("x2")).cast("double") / 1.0e6).as("s2"),
+      (sum(col("y")).cast("double") / 1.0e6).as("sy"),
+      (sum(col("x1") * col("x1")).cast("double") / 1.0e12).as("s11"),
+      (sum(col("x1") * col("x2")).cast("double") / 1.0e12).as("s12"),
+      (sum(col("x2") * col("x2")).cast("double") / 1.0e12).as("s22"),
+      (sum(col("x1") * col("y")).cast("double") / 1.0e12).as("s1y"),
+      (sum(col("x2") * col("y")).cast("double") / 1.0e12).as("s2y"),
+      (sum(col("y") * col("y")).cast("double") / 1.0e12).as("syy"))
+      .withColumn("s11p", col("s11") + lit(lambda))
+      .withColumn("s22p", col("s22") + lit(lambda))
+    val det = expr(
+      "n*(s11p*s22p - s12*s12) - s1*(s1*s22p - s12*s2) + s2*(s1*s12 - s11p*s2)")
+    val det0 = expr(
+      "sy*(s11p*s22p - s12*s12) - s1*(s1y*s22p - s12*s2y) + s2*(s1y*s12 - s11p*s2y)")
+    val det1 = expr(
+      "n*(s1y*s22p - s12*s2y) - sy*(s1*s22p - s12*s2) + s2*(s1*s2y - s1y*s2)")
+    val det2 = expr(
+      "n*(s11p*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11p*s2)")
+    m.select(col("n").cast("long").as("n"),
+        (det0 / det).as("b0"), (det1 / det).as("b1"), (det2 / det).as("b2"),
+        col("n").as("nd"), col("s1"), col("s2"), col("sy"), col("s11"),
+        col("s12"), col("s22"), col("s1y"), col("s2y"), col("syy"))
+      .withColumn("sse",
+        expr("syy - 2*(b0*sy + b1*s1y + b2*s2y)" +
+          " + (b0*b0*nd + b1*b1*s11 + b2*b2*s22" +
+          " + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12)"))
+      .select(col("n"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        round(lit(1.0) - col("sse") /
+          (col("syy") - col("sy") * col("sy") / col("nd")), 6).as("r2"))
+  }
+
+  /** k-fold cross-validated OLS — the leakage-honest generalization
+    * readout, distributed the sufficient-statistic way: ONE pass
+    * folds the corpus into per-fold micro-unit moments; each fold's
+    * TRAIN moments are global − fold (pure decimal subtraction — no
+    * second pass, no k re-scans); the k Cramer solves ride the k-row
+    * frame; a second pass scores each row against ITS OWN fold's
+    * held-out betas (broadcast k rows) with 9-dp-quantized squared
+    * residuals. Total cost: two corpus passes for any k. Returns one
+    * row per fold: (fold, n_train, n_test, b0, b1, b2, rmse). */
+  def cvOls(df: DataFrame, idCol: String, yCol: String, x1Col: String,
+            x2Col: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"Regression.cvOls: k in [2, 1000], got $k")
+    def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
+      .cast(DecimalType(19, 0))
+    val d = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(pmod(col(idCol).cast("long"), lit(k.toLong)).as("fold"),
+              q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
+      .localCheckpoint() // consumed by the moment pass AND the scorer
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val perFold = d.groupBy(col("fold")).agg(
+      count(lit(1)).as("cn"),
+      sum(d38(col("x1"))).as("c1"), sum(d38(col("x2"))).as("c2"),
+      sum(d38(col("y"))).as("cy"),
+      sum(col("x1") * col("x1")).as("c11"),
+      sum(col("x1") * col("x2")).as("c12"),
+      sum(col("x2") * col("x2")).as("c22"),
+      sum(col("x1") * col("y")).as("c1y"),
+      sum(col("x2") * col("y")).as("c2y"),
+      sum(col("y") * col("y")).as("cyy"))
+    val g = perFold.agg(
+      sum(col("cn")).as("gn"), sum(col("c1")).as("g1"),
+      sum(col("c2")).as("g2"), sum(col("cy")).as("gy"),
+      sum(col("c11")).as("g11"), sum(col("c12")).as("g12"),
+      sum(col("c22")).as("g22"), sum(col("c1y")).as("g1y"),
+      sum(col("c2y")).as("g2y"), sum(col("cyy")).as("gyy"))
+    // train moments = global − fold, rescaled to natural units
+    val train = perFold.crossJoin(broadcast(g)).select(
+      col("fold"), col("cn").as("n_test"),
+      (col("gn") - col("cn")).cast("double").as("n"),
+      ((col("g1") - col("c1")).cast("double") / 1.0e6).as("s1"),
+      ((col("g2") - col("c2")).cast("double") / 1.0e6).as("s2"),
+      ((col("gy") - col("cy")).cast("double") / 1.0e6).as("sy"),
+      ((col("g11") - col("c11")).cast("double") / 1.0e12).as("s11"),
+      ((col("g12") - col("c12")).cast("double") / 1.0e12).as("s12"),
+      ((col("g22") - col("c22")).cast("double") / 1.0e12).as("s22"),
+      ((col("g1y") - col("c1y")).cast("double") / 1.0e12).as("s1y"),
+      ((col("g2y") - col("c2y")).cast("double") / 1.0e12).as("s2y"))
+    val det = expr(
+      "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)")
+    val det0 = expr(
+      "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)")
+    val det1 = expr(
+      "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)")
+    val det2 = expr(
+      "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)")
+    val betas = train.select(col("fold"), col("n").cast("long").as("n_train"),
+      col("n_test"), (det0 / det).as("b0"), (det1 / det).as("b1"),
+      (det2 / det).as("b2"))
+    d.join(broadcast(betas), Seq("fold"))
+      .select(col("fold"), col("n_train"), col("n_test"),
+        col("b0"), col("b1"), col("b2"),
+        round((col("y").cast("double") / 1.0e6 -
+            (col("b0") + col("b1") * (col("x1").cast("double") / 1.0e6) +
+             col("b2") * (col("x2").cast("double") / 1.0e6))) *
+          (col("y").cast("double") / 1.0e6 -
+            (col("b0") + col("b1") * (col("x1").cast("double") / 1.0e6) +
+             col("b2") * (col("x2").cast("double") / 1.0e6))), 9).as("r2q"))
+      .groupBy(col("fold"), col("n_train"), col("n_test"),
+        col("b0"), col("b1"), col("b2"))
+      .agg(sum(col("r2q").cast(DecimalType(38, 9))).cast("double")
+        .as("__sse"))
+      .select(col("fold"), col("n_train"), col("n_test"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        round(sqrt(col("__sse") / col("n_test").cast("double")), 6)
+          .as("rmse"))
   }
 
   /** Binned logistic regression y ~ sigmoid(w0 + w1·m), m =

@@ -21,6 +21,10 @@ object StatsQueries {
   // DuckDB word-tokenizer mirror of TextStats.tokens
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // the shared portable LCG (Similarity.lcg), DuckDB form
+  private def lcgSql(k: String) =
+    s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
+
   val queries: Map[String, Q] = Map(
 
     // OLS of extended price on (quantity, discount): 9 exact-decimal
@@ -106,6 +110,43 @@ object StatsQueries {
     "q200_mann_whitney" -> ((s, d) => {
       RankStats.mannWhitney(lineitem(s, d), "l_quantity",
         col("l_returnflag") === "R")
+    }),
+
+    // Ridge regression (lambda = 1000 on the slopes): the q191
+    // moments with a penalized diagonal; R2 from the full quadratic
+    // SSE since ridge residuals aren't orthogonal to the design.
+    "q201_ridge" -> ((s, d) => {
+      Regression.ridgeTwoFeature(lineitem(s, d), "l_extendedprice",
+        "l_quantity", "l_discount", lambda = 1000.0)
+    }),
+
+    // 5-fold cross-validated OLS: per-fold moments in ONE pass, train
+    // stats by global-minus-fold subtraction, k Cramer solves in the
+    // plan, held-out RMSE per fold — distributed CV in two passes.
+    "q202_cv_ols" -> ((s, d) => {
+      Regression.cvOls(
+        lineitem(s, d).withColumn("rid",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+        "rid", "l_extendedprice", "l_quantity", "l_discount", k = 5)
+    }),
+
+    // Randomization test: does the 'F'-status mean total differ from
+    // the rest beyond label-exchange noise? 64 deterministic LCG
+    // relabelings in one exploded pass (the q176 economics).
+    "q203_perm_test" -> ((s, d) => {
+      graft.operators.AbTest.permutationTest(orders(s, d), "o_orderkey",
+        "o_totalprice", col("o_orderstatus") === "F", b = 64)
+    }),
+
+    // HITS hubs/authorities on the directed customer -> order-bucket
+    // graph: 2 rounds of quantized-sum half-steps, max-normalized;
+    // the oracle unrolls both rounds CTE-for-CTE.
+    "q204_hits" -> ((s, d) => {
+      val e = orders(s, d)
+        .select((col("o_custkey") % 500).as("src"),
+                (lit(1000000) + col("o_orderkey") % 300).as("dst"))
+        .distinct()
+      graft.operators.Graph.hits(e, "src", "dst", iterations = 2)
     })
   )
 
@@ -329,6 +370,185 @@ object StatsQueries {
         |SELECT label AS group_rep, COUNT(*) AS n_docs,
         |  CAST(SUM(node) AS BIGINT) AS id_checksum, MAX(node) AS max_id
         |FROM lab GROUP BY label""".stripMargin,
+
+    "q201_ridge" ->
+      """WITH d AS (SELECT
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS y,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x1,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x2
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x1) AS DOUBLE) / 1000000.0 AS s1,
+        |    CAST(SUM(x2) AS DOUBLE) / 1000000.0 AS s2,
+        |    CAST(SUM(y) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(SUM(x1*x1) AS DOUBLE) / 1000000000000.0 AS s11,
+        |    CAST(SUM(x1*x2) AS DOUBLE) / 1000000000000.0 AS s12,
+        |    CAST(SUM(x2*x2) AS DOUBLE) / 1000000000000.0 AS s22,
+        |    CAST(SUM(x1*y) AS DOUBLE) / 1000000000000.0 AS s1y,
+        |    CAST(SUM(x2*y) AS DOUBLE) / 1000000000000.0 AS s2y,
+        |    CAST(SUM(y*y) AS DOUBLE) / 1000000000000.0 AS syy
+        |  FROM d),
+        |mp AS (SELECT m.*, s11 + 1000.0 AS s11p, s22 + 1000.0 AS s22p
+        |       FROM m),
+        |b AS (SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+        |    (sy*(s11p*s22p - s12*s12) - s1*(s1y*s22p - s12*s2y)
+        |      + s2*(s1y*s12 - s11p*s2y))
+        |    / (n*(s11p*s22p - s12*s12) - s1*(s1*s22p - s12*s2)
+        |      + s2*(s1*s12 - s11p*s2)) AS b0,
+        |    (n*(s1y*s22p - s12*s2y) - sy*(s1*s22p - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2))
+        |    / (n*(s11p*s22p - s12*s12) - s1*(s1*s22p - s12*s2)
+        |      + s2*(s1*s12 - s11p*s2)) AS b1,
+        |    (n*(s11p*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11p*s2))
+        |    / (n*(s11p*s22p - s12*s12) - s1*(s1*s22p - s12*s2)
+        |      + s2*(s1*s12 - s11p*s2)) AS b2
+        |  FROM mp),
+        |q AS (SELECT b.*,
+        |    syy - 2*(b0*sy + b1*s1y + b2*s2y)
+        |      + (b0*b0*n + b1*b1*s11 + b2*b2*s22
+        |      + 2*b0*b1*s1 + 2*b0*b2*s2 + 2*b1*b2*s12) AS sse
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  round(1.0 - sse / (syy - sy*sy/n), 6) AS r2
+        |FROM q""".stripMargin,
+
+    "q202_cv_ols" ->
+      """WITH d AS (SELECT (l_orderkey*10 + l_linenumber) % 5 AS fold,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS y,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x1,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x2
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |pf AS (SELECT fold, COUNT(*) AS cn,
+        |    SUM(x1) AS c1, SUM(x2) AS c2, SUM(y) AS cy,
+        |    SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+        |    SUM(x1*y) AS c1y, SUM(x2*y) AS c2y, SUM(y*y) AS cyy
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT SUM(cn) AS gn, SUM(c1) AS g1, SUM(c2) AS g2,
+        |    SUM(cy) AS gy, SUM(c11) AS g11, SUM(c12) AS g12,
+        |    SUM(c22) AS g22, SUM(c1y) AS g1y, SUM(c2y) AS g2y
+        |  FROM pf),
+        |tr AS (SELECT fold, cn AS n_test,
+        |    CAST(gn - cn AS DOUBLE) AS n,
+        |    CAST(g1 - c1 AS DOUBLE) / 1000000.0 AS s1,
+        |    CAST(g2 - c2 AS DOUBLE) / 1000000.0 AS s2,
+        |    CAST(gy - cy AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(g11 - c11 AS DOUBLE) / 1000000000000.0 AS s11,
+        |    CAST(g12 - c12 AS DOUBLE) / 1000000000000.0 AS s12,
+        |    CAST(g22 - c22 AS DOUBLE) / 1000000000000.0 AS s22,
+        |    CAST(g1y - c1y AS DOUBLE) / 1000000000000.0 AS s1y,
+        |    CAST(g2y - c2y AS DOUBLE) / 1000000000000.0 AS s2y
+        |  FROM pf, g),
+        |b AS (SELECT fold, CAST(n AS BIGINT) AS n_train, n_test,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2))
+        |    / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS b2
+        |  FROM tr),
+        |sc AS (SELECT d.fold, b.n_train, b.n_test, b.b0, b.b1, b.b2,
+        |    round((CAST(d.y AS DOUBLE)/1000000.0
+        |        - (b.b0 + b.b1*(CAST(d.x1 AS DOUBLE)/1000000.0)
+        |           + b.b2*(CAST(d.x2 AS DOUBLE)/1000000.0)))
+        |      * (CAST(d.y AS DOUBLE)/1000000.0
+        |        - (b.b0 + b.b1*(CAST(d.x1 AS DOUBLE)/1000000.0)
+        |           + b.b2*(CAST(d.x2 AS DOUBLE)/1000000.0))), 9) AS r2q
+        |  FROM d JOIN b USING (fold))
+        |SELECT fold, n_train, CAST(n_test AS BIGINT) AS n_test,
+        |  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  round(sqrt(CAST(SUM(CAST(r2q AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(n_test AS DOUBLE)), 6) AS rmse
+        |FROM sc GROUP BY fold, n_train, n_test, b0, b1, b2""".stripMargin,
+
+    "q203_perm_test" ->
+      s"""WITH r AS (SELECT o_orderkey AS id,
+         |    CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000.0, 0)
+         |         AS BIGINT) AS xq,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |obs AS (SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS n1,
+         |    round(round(CAST(SUM(CASE WHEN g = 1
+         |          THEN CAST(xq AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+         |        / 1000000.0 / CAST(SUM(g) AS DOUBLE), 9)
+         |      - round(CAST(SUM(CAST(xq AS DECIMAL(38,0)))
+         |          - SUM(CASE WHEN g = 1 THEN CAST(xq AS DECIMAL(38,0))
+         |                ELSE 0 END) AS DOUBLE)
+         |        / 1000000.0 / CAST(COUNT(*) - SUM(g) AS DOUBLE), 9), 6)
+         |      AS diff_obs
+         |  FROM r),
+         |bits AS (SELECT xq, ((${lcgSql("id*64 + rep")}) >> 16) % 2 AS bit,
+         |    rep
+         |  FROM (SELECT id, xq, unnest(range(64)) AS rep FROM r)),
+         |reps AS (SELECT rep,
+         |    round(round(CAST(SUM(CASE WHEN bit = 1
+         |          THEN CAST(xq AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+         |        / 1000000.0 / CAST(SUM(bit) AS DOUBLE), 9)
+         |      - round(CAST(SUM(CAST(xq AS DECIMAL(38,0)))
+         |          - SUM(CASE WHEN bit = 1 THEN CAST(xq AS DECIMAL(38,0))
+         |                ELSE 0 END) AS DOUBLE)
+         |        / 1000000.0 / CAST(COUNT(*) - SUM(bit) AS DOUBLE), 9), 6)
+         |      AS diff_rep
+         |  FROM bits GROUP BY 1)
+         |SELECT o.n, o.n1, o.diff_obs, CAST(64 AS BIGINT) AS b,
+         |  CAST(COUNT(diff_rep) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+         |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
+         |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
+         |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q204_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey % 500 AS BIGINT) AS src,
+        |    CAST(1000000 + o_orderkey % 300 AS BIGINT) AS dst FROM orders),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS node,
+        |    SUM(CAST(round(1.0 * 1e15, 0) AS DECIMAL(38,0))) AS aq
+        |  FROM e GROUP BY 1),
+        |a1m AS (SELECT MAX(aq) AS mx FROM a1r),
+        |a1 AS (SELECT n.node, round(COALESCE(CAST(aq AS DOUBLE), 0.0)
+        |    / CAST(mx AS DOUBLE), 9) AS a
+        |  FROM nodes n LEFT JOIN a1r ON n.node = a1r.node, a1m),
+        |h1r AS (SELECT e.src AS node,
+        |    SUM(CAST(round(a1.a * 1e15, 0) AS DECIMAL(38,0))) AS hq
+        |  FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |h1m AS (SELECT MAX(hq) AS mx FROM h1r),
+        |h1 AS (SELECT n.node, round(COALESCE(CAST(hq AS DOUBLE), 0.0)
+        |    / CAST(mx AS DOUBLE), 9) AS h
+        |  FROM nodes n LEFT JOIN h1r ON n.node = h1r.node, h1m),
+        |a2r AS (SELECT e.dst AS node,
+        |    SUM(CAST(round(h1.h * 1e15, 0) AS DECIMAL(38,0))) AS aq
+        |  FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |a2m AS (SELECT MAX(aq) AS mx FROM a2r),
+        |a2 AS (SELECT n.node, round(COALESCE(CAST(aq AS DOUBLE), 0.0)
+        |    / CAST(mx AS DOUBLE), 9) AS a
+        |  FROM nodes n LEFT JOIN a2r ON n.node = a2r.node, a2m),
+        |h2r AS (SELECT e.src AS node,
+        |    SUM(CAST(round(a2.a * 1e15, 0) AS DECIMAL(38,0))) AS hq
+        |  FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+        |h2m AS (SELECT MAX(hq) AS mx FROM h2r),
+        |h2 AS (SELECT n.node, round(COALESCE(CAST(hq AS DOUBLE), 0.0)
+        |    / CAST(mx AS DOUBLE), 9) AS h
+        |  FROM nodes n LEFT JOIN h2r ON n.node = h2r.node, h2m)
+        |SELECT h2.node, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+        |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
 
     "q200_mann_whitney" ->
       """WITH v AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS v,

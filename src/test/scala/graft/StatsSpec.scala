@@ -105,6 +105,59 @@ class StatsSpec extends SparkSpec {
     assert(alpha > 0.4 && alpha < 0.6, s"alpha=$alpha")
   }
 
+  test("ridgeTwoFeature: lambda 0 equals OLS; large lambda shrinks slopes") {
+    val rows = for (x1 <- 0 to 5; x2 <- 0 to 5)
+      yield (2.0 + 3.0 * x1 - x2, x1.toDouble, x2.toDouble)
+    val df = rows.toDF("y", "x1", "x2")
+    val r0 = Regression.ridgeTwoFeature(df, "y", "x1", "x2", 0.0).head()
+    assert(math.abs(r0.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(r0.getAs[Double]("r2") - 1.0) < 1e-6)
+    val rBig = Regression.ridgeTwoFeature(df, "y", "x1", "x2", 1e6).head()
+    assert(math.abs(rBig.getAs[Double]("b1")) < 0.2, "slope must shrink")
+    assert(rBig.getAs[Double]("r2") < r0.getAs[Double]("r2"))
+  }
+
+  test("cvOls: exact plane -> every fold recovers it with rmse 0") {
+    val rows = (0 until 60).map { i =>
+      val x1 = (i % 7).toDouble; val x2 = (i % 5).toDouble
+      (i.toLong, 2.0 + 3.0 * x1 - x2, x1, x2)
+    }
+    val out = Regression.cvOls(rows.toDF("id", "y", "x1", "x2"),
+      "id", "y", "x1", "x2", k = 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 60L)
+      assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-5)
+      assert(r.getAs[Double]("rmse") < 1e-5)
+    }
+  }
+
+  test("permutationTest: strong real effect -> small p; label-independent data -> large p") {
+    val effect = (0 until 200).map(i => (i.toLong,
+      if (i < 100) 10.0 + i % 3 else 50.0 + i % 3, i < 100))
+    val r1 = graft.operators.AbTest.permutationTest(
+      effect.toDF("id", "v", "g"), "id", "v", col("g"), b = 64).head()
+    assert(r1.getAs[Double]("p_value") <= 0.02) // 1/65: no replicate beats it
+    assert(r1.getAs[Long]("n_valid") == 64L)
+    val noise = (0 until 200).map(i => (i.toLong, (i % 7).toDouble, i % 2 == 0))
+    val r2 = graft.operators.AbTest.permutationTest(
+      noise.toDF("id", "v", "g"), "id", "v", col("g"), b = 64).head()
+    assert(r2.getAs[Double]("p_value") > 0.1)
+  }
+
+  test("hits: star graph — spokes are hubs, the center is the authority") {
+    val edges = (1L to 5L).map(i => (i, 100L)).toDF("src", "dst")
+    val out = graft.operators.Graph.hits(edges, "src", "dst", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(out(100L)._2 == 1.0) // sole authority, max-normalized
+    assert(out(100L)._1 == 0.0) // no out-edges
+    (1L to 5L).foreach { i =>
+      assert(out(i)._1 == 1.0, s"spoke $i must be a max hub")
+      assert(out(i)._2 == 0.0)
+    }
+  }
+
   test("mutualInfo: independent columns -> ~0; copied column -> MI = H") {
     val ind = (0 until 400).map(i => (s"a${i % 4}", s"b${i / 4 % 4}"))
     val r1 = TargetEncode.mutualInfo(ind.toDF("a", "b"), "a", "b").head()
