@@ -87,4 +87,38 @@ object OrderedStats {
         coalesce(sum(col(valueCol)).over(w), lit(0L)))
       .drop("__b", "__off")
   }
+
+  /** EXACT quantiles of a column at arbitrary scale — the rank-select
+    * companion to [[cumsumExclusive]]: `percentile()` is exact but
+    * buffers each group's values; this form never materializes more
+    * than the per-distinct-value count frame. For each q, the
+    * ⌈q·n⌉-th order statistic (clamped to [1, n]) is the unique
+    * distinct value whose inclusive rank interval contains k — one
+    * broadcast of the |qs|-row target frame against the ranked value
+    * frame, integer logic end to end (the k = ⌈q·n⌉ product is the
+    * same IEEE double on every engine, so even its floating ulp is
+    * deterministic). Returns one row per q: (q, k, value), value
+    * 6-dp-quantized. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "OrderedStats.exactQuantiles: each q must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(round(col(valueCol).cast("double"), 6).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val ranked = cumsumExclusive(counts, sortCol = "v", tieCols = Seq(),
+      valueCol = "cnt", outCol = "below")
+    val n = counts.agg(sum(col("cnt")).as("__n"))
+    val targets = qs.toDF("q").crossJoin(broadcast(n))
+      .select(col("q"),
+        greatest(least(ceil(col("q") * col("__n")).cast("long"),
+                       col("__n")), lit(1L)).as("k"))
+    ranked.crossJoin(broadcast(targets))
+      .filter(col("below") < col("k") &&
+              col("k") <= col("below") + col("cnt"))
+      .select(col("q"), col("k"), col("v").as("value"))
+  }
 }

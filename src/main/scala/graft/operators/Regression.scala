@@ -216,6 +216,78 @@ object Regression {
           .as("rmse"))
   }
 
+  /** Per-row OLS influence diagnostics — leverage and Cook's distance
+    * — the "which rows move the fit" audit a data-curation pass runs
+    * before trusting a regression (a handful of corrupt rows can own
+    * the coefficients). Everything derives from the SAME one-pass
+    * micro-unit moments as [[olsTwoFeature]]: the 3×3 inverse of X'X
+    * is six adjugate ratios computed ONCE (broadcast, 1 row), so each
+    * row's leverage is the closed quadratic form
+    * h = A₀₀ + 2A₀₁x₁ + 2A₀₂x₂ + A₁₁x₁² + 2A₁₂x₁x₂ + A₂₂x₂², and
+    * Cook's D = e²h / (p·MSE·(1−h)²) with p = 3. The ONLY ordered
+    * work is TakeOrdered(topK) on (D desc, id asc) — never a global
+    * sort. Returns topK rows: (rid, residual, leverage, cooks_d),
+    * rounded to 6. */
+  def olsInfluence(df: DataFrame, idCol: String, yCol: String,
+                   x1Col: String, x2Col: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 100000,
+      s"Regression.olsInfluence: topK in [1, 100000], got $topK")
+    def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
+      .cast(DecimalType(19, 0))
+    val rows = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(col(idCol).cast("long").as("rid"),
+              q(yCol).as("yq"), q(x1Col).as("x1q"), q(x2Col).as("x2q"))
+      .localCheckpoint() // consumed by the moment pass AND the scorer
+    val m = rows.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("x1q")).cast("double") / 1.0e6).as("s1"),
+      (sum(col("x2q")).cast("double") / 1.0e6).as("s2"),
+      (sum(col("yq")).cast("double") / 1.0e6).as("sy"),
+      (sum(col("x1q") * col("x1q")).cast("double") / 1.0e12).as("s11"),
+      (sum(col("x1q") * col("x2q")).cast("double") / 1.0e12).as("s12"),
+      (sum(col("x2q") * col("x2q")).cast("double") / 1.0e12).as("s22"),
+      (sum(col("x1q") * col("yq")).cast("double") / 1.0e12).as("s1y"),
+      (sum(col("x2q") * col("yq")).cast("double") / 1.0e12).as("s2y"),
+      (sum(col("yq") * col("yq")).cast("double") / 1.0e12).as("syy"))
+    val stats = m.select(col("*"),
+        expr("n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)" +
+          " + s2*(s1*s12 - s11*s2)").as("det"))
+      .select(col("n"),
+        expr("(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)" +
+          " + s2*(s1y*s12 - s11*s2y)) / det").as("b0"),
+        expr("(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)" +
+          " + s2*(s1*s2y - s1y*s2)) / det").as("b1"),
+        expr("(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)" +
+          " + sy*(s1*s12 - s11*s2)) / det").as("b2"),
+        expr("(s11*s22 - s12*s12) / det").as("a00"),
+        expr("-(s1*s22 - s12*s2) / det").as("a01"),
+        expr("(s1*s12 - s11*s2) / det").as("a02"),
+        expr("(n*s22 - s2*s2) / det").as("a11"),
+        expr("-(n*s12 - s1*s2) / det").as("a12"),
+        expr("(n*s11 - s1*s1) / det").as("a22"),
+        col("sy"), col("s1y"), col("s2y"), col("syy"))
+      .withColumn("mse",
+        expr("(syy - b0*sy - b1*s1y - b2*s2y) / (n - 3)"))
+    rows.crossJoin(broadcast(stats))
+      .withColumn("x1", col("x1q").cast("double") / 1.0e6)
+      .withColumn("x2", col("x2q").cast("double") / 1.0e6)
+      .withColumn("e",
+        col("yq").cast("double") / 1.0e6 -
+          (col("b0") + col("b1") * col("x1") + col("b2") * col("x2")))
+      .withColumn("h",
+        expr("a00 + 2*a01*x1 + 2*a02*x2 + a11*x1*x1" +
+          " + 2*a12*x1*x2 + a22*x2*x2"))
+      .withColumn("d",
+        expr("(e*e*h) / (3*mse*(1-h)*(1-h))"))
+      .orderBy(col("d").desc, col("rid").asc)
+      .limit(topK)
+      .select(col("rid"), round(col("e"), 6).as("residual"),
+        round(col("h"), 6).as("leverage"),
+        round(col("d"), 6).as("cooks_d"))
+  }
+
   /** Binned logistic regression y ~ sigmoid(w0 + w1·m), m =
     * (bin+0.5)/nBins over [lo, hi) (values clamped into edge bins,
     * the [[Gmm]] convention). Full-batch gradient ASCENT on the

@@ -138,6 +138,25 @@ object StatsQueries {
         "o_totalprice", col("o_orderstatus") === "F", b = 64)
     }),
 
+    // OLS influence: the 20 most fit-moving lineitems by Cook's
+    // distance — leverage from the broadcast 3x3 inverse quadratic
+    // form, residuals vs the q191 fit, TakeOrdered only.
+    "q206_influence" -> ((s, d) => {
+      Regression.olsInfluence(
+        lineitem(s, d).withColumn("rid",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+        "rid", "l_extendedprice", "l_quantity", "l_discount", topK = 20)
+    }),
+
+    // EXACT corpus-scale quantiles by rank-select over the bucketed
+    // cumsum (percentile() is exact but buffers whole groups; this
+    // never holds more than the distinct-value frame) — the ordered
+    // pass is the same two-phase shape PlanShapeSpec sweeps for.
+    "q205_exact_quantiles" -> ((s, d) => {
+      graft.operators.OrderedStats.exactQuantiles(orders(s, d),
+        "o_totalprice", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // HITS hubs/authorities on the directed customer -> order-bucket
     // graph: 2 rounds of quantized-sum half-steps, max-normalized;
     // the oracle unrolls both rounds CTE-for-CTE.
@@ -514,6 +533,77 @@ object StatsQueries {
          |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
          |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
          |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q206_influence" ->
+      """WITH d AS (SELECT l_orderkey*10 + l_linenumber AS rid,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS yq,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x1q,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x2q
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x1q) AS DOUBLE) / 1000000.0 AS s1,
+        |    CAST(SUM(x2q) AS DOUBLE) / 1000000.0 AS s2,
+        |    CAST(SUM(yq) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(SUM(x1q*x1q) AS DOUBLE) / 1000000000000.0 AS s11,
+        |    CAST(SUM(x1q*x2q) AS DOUBLE) / 1000000000000.0 AS s12,
+        |    CAST(SUM(x2q*x2q) AS DOUBLE) / 1000000000000.0 AS s22,
+        |    CAST(SUM(x1q*yq) AS DOUBLE) / 1000000000000.0 AS s1y,
+        |    CAST(SUM(x2q*yq) AS DOUBLE) / 1000000000000.0 AS s2y,
+        |    CAST(SUM(yq*yq) AS DOUBLE) / 1000000000000.0 AS syy
+        |  FROM d),
+        |dm AS (SELECT m.*, n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |    + s2*(s1*s12 - s11*s2) AS det FROM m),
+        |st AS (SELECT n, sy, s1y, s2y, syy,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) / det AS b0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) / det AS b1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) / det AS b2,
+        |    (s11*s22 - s12*s12) / det AS a00,
+        |    -(s1*s22 - s12*s2) / det AS a01,
+        |    (s1*s12 - s11*s2) / det AS a02,
+        |    (n*s22 - s2*s2) / det AS a11,
+        |    -(n*s12 - s1*s2) / det AS a12,
+        |    (n*s11 - s1*s1) / det AS a22
+        |  FROM dm),
+        |sm AS (SELECT st.*,
+        |    (syy - b0*sy - b1*s1y - b2*s2y) / (n - 3) AS mse FROM st),
+        |sc AS (SELECT d.rid,
+        |    CAST(d.x1q AS DOUBLE)/1000000.0 AS x1,
+        |    CAST(d.x2q AS DOUBLE)/1000000.0 AS x2,
+        |    CAST(d.yq AS DOUBLE)/1000000.0 AS y, sm.*
+        |  FROM d, sm),
+        |eh AS (SELECT rid,
+        |    y - (b0 + b1*x1 + b2*x2) AS e,
+        |    a00 + 2*a01*x1 + 2*a02*x2 + a11*x1*x1
+        |      + 2*a12*x1*x2 + a22*x2*x2 AS h, mse
+        |  FROM sc),
+        |cd AS (SELECT rid, e, h,
+        |    (e*e*h) / (3*mse*(1-h)*(1-h)) AS dd FROM eh)
+        |SELECT rid, round(e, 6) AS residual, round(h, 6) AS leverage,
+        |  round(dd, 6) AS cooks_d
+        |FROM cd ORDER BY dd DESC, rid ASC LIMIT 20""".stripMargin,
+
+    "q205_exact_quantiles" ->
+      """WITH v AS (SELECT round(CAST(o_totalprice AS DOUBLE), 6) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT v, COUNT(*) AS cnt FROM v GROUP BY 1),
+        |r AS (SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v) - cnt AS below FROM c),
+        |n AS (SELECT SUM(cnt) AS nn FROM c),
+        |qs AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.25 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS q),
+        |t AS (SELECT q, greatest(least(CAST(ceil(q * nn) AS BIGINT),
+        |    CAST(nn AS BIGINT)), 1) AS k FROM qs, n)
+        |SELECT t.q, t.k, r.v AS value
+        |FROM r, t WHERE r.below < t.k AND t.k <= r.below + r.cnt""".stripMargin,
 
     "q204_hits" ->
       """WITH e AS (SELECT DISTINCT CAST(o_custkey % 500 AS BIGINT) AS src,

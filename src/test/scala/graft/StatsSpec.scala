@@ -158,6 +158,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("olsInfluence: a high-leverage wrong-y point tops Cook's distance") {
+    // 20 near-perfect points on y = 1 + 2*x1 + 0*x2, plus one point
+    // far out in x1 with a badly wrong y — textbook influence
+    val base = (0 until 20).map(i =>
+      (i.toLong, 1.0 + 2.0 * i + (i % 3) * 0.01, i.toDouble, (i % 4).toDouble))
+    val outlier = Seq((99L, 500.0, 100.0, 1.0)) // true y would be 201
+    val out = Regression.olsInfluence(
+      (base ++ outlier).toDF("id", "y", "x1", "x2"),
+      "id", "y", "x1", "x2", topK = 3).collect()
+    assert(out.head.getAs[Long]("rid") == 99L,
+      s"outlier must rank first: ${out.toSeq}")
+    assert(out.head.getAs[Double]("cooks_d") >
+      out(1).getAs[Double]("cooks_d") * 10)
+    assert(out.head.getAs[Double]("leverage") > 0.5)
+  }
+
+  test("exactQuantiles: order statistics with ties and clamping") {
+    // values 1..10 each once, plus five extra 5s: n = 15
+    val vals = ((1 to 10).map(_.toDouble) ++ Seq.fill(5)(5.0)).map(Tuple1(_))
+    val out = graft.operators.OrderedStats.exactQuantiles(
+      vals.toDF("v"), "v", Seq(0.5, 1.0, 0.01))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getAs[Double]("value"))).toMap
+    assert(out(0.5) == ((8L, 5.0)))  // k=ceil(7.5)=8 lands in the 5-run
+    assert(out(1.0) == ((15L, 10.0))) // max
+    assert(out(0.01) == ((1L, 1.0)))  // clamped to the minimum rank
+  }
+
   test("mutualInfo: independent columns -> ~0; copied column -> MI = H") {
     val ind = (0 until 400).map(i => (s"a${i % 4}", s"b${i / 4 % 4}"))
     val r1 = TargetEncode.mutualInfo(ind.toDF("a", "b"), "a", "b").head()
