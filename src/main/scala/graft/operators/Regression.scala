@@ -155,7 +155,7 @@ object Regression {
         col(x2Col).isNotNull)
       .select(pmod(col(idCol).cast("long"), lit(k.toLong)).as("fold"),
               q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
-      .localCheckpoint() // consumed by the moment pass AND the scorer
+      // (no checkpoint: the projected scan is cheaper to re-evaluate)
     def d38(c: Column) = c.cast(DecimalType(38, 0))
     val perFold = d.groupBy(col("fold")).agg(
       count(lit(1)).as("cn"),
@@ -239,7 +239,7 @@ object Regression {
         col(x2Col).isNotNull)
       .select(col(idCol).cast("long").as("rid"),
               q(yCol).as("yq"), q(x1Col).as("x1q"), q(x2Col).as("x2q"))
-      .localCheckpoint() // consumed by the moment pass AND the scorer
+      // (no checkpoint: the projected scan is cheaper to re-evaluate)
     val m = rows.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("x1q")).cast("double") / 1.0e6).as("s1"),
