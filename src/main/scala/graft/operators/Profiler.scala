@@ -195,11 +195,7 @@ object Profiler {
     * not signal). Returns one row per digit 1..9:
     * (digit, n, obs_share, benford_share, abs_dev). */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val digits = df.filter(v >= 1.0)
-      .select(substring(round(v, 2).cast("decimal(30,2)").cast("string"),
-                        1, 1).cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val digits = firstDigitCounts(df, valueCol)
     val tot = digits.agg(sum(col("n")).as("__tot"))
     digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
@@ -209,6 +205,18 @@ object Profiler {
           .as("benford_share"))
       .withColumn("abs_dev",
         round(abs(col("obs_share") - col("benford_share")), 6))
+  }
+
+  /** The mergeable core of [[benfordAudit]]: (digit, n) counts —
+    * integers, so batch frames sum losslessly into a running state
+    * (the streaming monitor's unit, [[graft.streaming
+    * .StreamingBenford]]). */
+  def firstDigitCounts(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v >= 1.0)
+      .select(substring(round(v, 2).cast("decimal(30,2)").cast("string"),
+                        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
   }
 
 }
