@@ -184,4 +184,56 @@ object AbTest {
         round((lit(1.0) + col("n_ge").cast("double")) / (lit(b) + 1.0), 6))
   }
 
+  /** Levene's test (mean-centered) for variance homogeneity across
+    * groups — the "is the spread itself drifting" check behind every
+    * equal-variance assumption (CUPED, pooled t, stratified
+    * sampling): W = ((N−k)/(k−1)) · Σ n_j(z̄_j − z̄)² / Σ(z_ij − z̄_j)²
+    * over the absolute mean-deviations z_ij = |x_ij − x̄_j|.
+    *
+    * Scale shape: two corpus passes — group means from exact
+    * micro-unit sums, then per-group sums of 9-dp-quantized z and z²
+    * (the within term folds algebraically: Σz² − n_j·z̄_j², no third
+    * pass); the closing arithmetic rides the k-row group frame in a
+    * fixed order. Returns 1 row: (n, k, w), rounded to 6. */
+  def leveneMeanCentered(df: DataFrame, valueCol: String,
+                         groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.util.Exact
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        round(col(valueCol).cast("double") * 1e6, 0)
+          .cast(DecimalType(19, 0)).as("xq"))
+    val means = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"),
+        round(sum(col("xq")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 9).as("mj"))
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val z = col("xq").cast("double") / 1e6 - col("mj")
+    val grp = rows.join(broadcast(means), Seq("g"))
+      .groupBy(col("g"), col("nj"))
+      .agg(dsum(abs(z)).as("szj"), dsum(abs(z) * abs(z)).as("szzj"))
+      .withColumn("zbarj",
+        round(col("szj") / col("nj").cast("double"), 9))
+    val tot = grp.agg(sum(col("nj")).as("nn"), count(lit(1)).as("k"),
+      dsum(col("szj")).as("sz"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("zbar", round(col("sz") / col("nn").cast("double"), 9))
+      .agg(first(col("nn")).as("n"), first(col("k")).as("k"),
+        dsum(col("nj").cast("double") *
+          ((col("zbarj") - col("zbar")) * (col("zbarj") - col("zbar"))))
+          .as("__between"),
+        dsum(col("szzj") - col("nj").cast("double") *
+          (col("zbarj") * col("zbarj"))).as("__within"),
+        first((col("nn") - col("k")).cast("double")).as("__dfw"),
+        first((col("k") - lit(1L)).cast("double")).as("__dfb"))
+      .select(col("n"), col("k"),
+        // degenerate inputs — one group (df_b = 0) or zero within-group
+        // spread (every |deviation| identical; the 0/0 case) — yield
+        // NULL, not a fabricated number or an ANSI divide error
+        when(col("__dfb") > 0 && col("__within") =!= 0.0,
+          round((col("__dfw") / col("__dfb")) *
+            (col("__between") / col("__within")), 6)).as("w"))
+  }
+
 }

@@ -219,4 +219,47 @@ object Profiler {
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
   }
 
+  /** Partial correlation r_xy·z — the dependence between x and y with
+    * the common driver z held fixed (the confounder check run before
+    * trusting a q124 correlation): r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²)). All three Pearson terms come from ONE
+    * map-side-combined pass of exact micro-unit moments (the
+    * Regression pattern); the closed form runs on the 1-row frame in
+    * a fixed operation order. Returns 1 row:
+    * (n, r_xy, r_xz, r_yz, r_xy_z), rounded to 6. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
+      .cast(DecimalType(19, 0))
+    val d = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(q(xCol).as("x"), q(yCol).as("y"), q(zCol).as("z"))
+    val m = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("x")).cast("double") / 1.0e6).as("sx"),
+      (sum(col("y")).cast("double") / 1.0e6).as("sy"),
+      (sum(col("z")).cast("double") / 1.0e6).as("sz"),
+      (sum(col("x") * col("x")).cast("double") / 1.0e12).as("sxx"),
+      (sum(col("y") * col("y")).cast("double") / 1.0e12).as("syy"),
+      (sum(col("z") * col("z")).cast("double") / 1.0e12).as("szz"),
+      (sum(col("x") * col("y")).cast("double") / 1.0e12).as("sxy"),
+      (sum(col("x") * col("z")).cast("double") / 1.0e12).as("sxz"),
+      (sum(col("y") * col("z")).cast("double") / 1.0e12).as("syz"))
+    m.select(col("n").cast("long").as("n"),
+        expr("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")
+          .as("rxy"),
+        expr("(n*sxz - sx*sz) / sqrt((n*sxx - sx*sx)*(n*szz - sz*sz))")
+          .as("rxz"),
+        expr("(n*syz - sy*sz) / sqrt((n*syy - sy*sy)*(n*szz - sz*sz))")
+          .as("ryz"))
+      .select(col("n"),
+        round(col("rxy"), 6).as("r_xy"), round(col("rxz"), 6).as("r_xz"),
+        round(col("ryz"), 6).as("r_yz"),
+        round(expr(
+          "(rxy - rxz*ryz) / sqrt((1 - rxz*rxz)*(1 - ryz*ryz))"), 6)
+          .as("r_xy_z"))
+  }
+
 }

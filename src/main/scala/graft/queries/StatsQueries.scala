@@ -138,6 +138,32 @@ object StatsQueries {
         "o_totalprice", col("o_orderstatus") === "F", b = 64)
     }),
 
+    // Market-basket association: part-class pairs co-bought within an
+    // order - support/confidence/lift off one basket-keyed pair join
+    // (Sigma|basket|^2 bounded) + broadcast marginals.
+    "q207_assoc_rules" -> ((s, d) => {
+      graft.operators.Association.pairRules(
+        lineitem(s, d).select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 50).as("item")),
+        "basket", "item", minPairs = 20)
+    }),
+
+    // Partial correlation of quantity and price holding discount
+    // fixed - the confounder check, all three Pearson terms from one
+    // micro-unit moment pass.
+    "q208_partial_corr" -> ((s, d) => {
+      graft.operators.Profiler.partialCorr(lineitem(s, d),
+        "l_quantity", "l_extendedprice", "l_discount")
+    }),
+
+    // Levene's (mean-centered) variance-homogeneity W across return
+    // flags: two passes - exact group means, then 9-dp-quantized
+    // |deviation| sums; the within term folds algebraically.
+    "q209_levene" -> ((s, d) => {
+      graft.operators.AbTest.leveneMeanCentered(lineitem(s, d),
+        "l_extendedprice", "l_returnflag")
+    }),
+
     // OLS influence: the 20 most fit-moving lineitems by Cook's
     // distance — leverage from the broadcast 3x3 inverse quadratic
     // form, residuals vs the q191 fit, TakeOrdered only.
@@ -533,6 +559,93 @@ object StatsQueries {
          |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
          |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
          |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q207_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk,
+        |    l_partkey % 50 AS it
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS nbk FROM items),
+        |marg AS (SELECT it, COUNT(*) AS n FROM items GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nbk AS DOUBLE), 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE), 6)
+        |    AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(nbk AS DOUBLE)
+        |    / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift
+        |FROM p JOIN marg ma ON p.item_a = ma.it
+        |       JOIN marg mb ON p.item_b = mb.it, nb""".stripMargin,
+
+    "q208_partial_corr" ->
+      """WITH d AS (SELECT
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS y,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) / 1000000.0 AS sx,
+        |    CAST(SUM(y) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(SUM(z) AS DOUBLE) / 1000000.0 AS sz,
+        |    CAST(SUM(x*x) AS DOUBLE) / 1000000000000.0 AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) / 1000000000000.0 AS syy,
+        |    CAST(SUM(z*z) AS DOUBLE) / 1000000000000.0 AS szz,
+        |    CAST(SUM(x*y) AS DOUBLE) / 1000000000000.0 AS sxy,
+        |    CAST(SUM(x*z) AS DOUBLE) / 1000000000000.0 AS sxz,
+        |    CAST(SUM(y*z) AS DOUBLE) / 1000000000000.0 AS syz
+        |  FROM d),
+        |r AS (SELECT CAST(n AS BIGINT) AS n,
+        |    (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) AS rxy,
+        |    (n*sxz - sx*sz) / sqrt((n*sxx - sx*sx)*(n*szz - sz*sz)) AS rxz,
+        |    (n*syz - sy*sz) / sqrt((n*syy - sy*sy)*(n*szz - sz*sz)) AS ryz
+        |  FROM m)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round((rxy - rxz*ryz)
+        |    / sqrt((1 - rxz*rxz)*(1 - ryz*ryz)), 6) AS r_xy_z
+        |FROM r""".stripMargin,
+
+    "q209_levene" ->
+      """WITH r AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS xq
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |mn AS (SELECT g, COUNT(*) AS nj,
+        |    round(CAST(SUM(xq) AS DOUBLE) / 1000000.0
+        |      / CAST(COUNT(*) AS DOUBLE), 9) AS mj
+        |  FROM r GROUP BY 1),
+        |gg AS (SELECT r.g, nj,
+        |    CAST(SUM(CAST(round(abs(CAST(xq AS DOUBLE)/1000000.0 - mj), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS szj,
+        |    CAST(SUM(CAST(round(abs(CAST(xq AS DOUBLE)/1000000.0 - mj)
+        |        * abs(CAST(xq AS DOUBLE)/1000000.0 - mj), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS szzj
+        |  FROM r JOIN mn USING (g) GROUP BY 1, 2),
+        |g2 AS (SELECT g, nj, szj, szzj,
+        |    round(szj / CAST(nj AS DOUBLE), 9) AS zbarj FROM gg),
+        |t AS (SELECT SUM(nj) AS nn, COUNT(*) AS k,
+        |    CAST(SUM(CAST(round(szj, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sz
+        |  FROM g2),
+        |z AS (SELECT g2.*, t.nn, t.k,
+        |    round(t.sz / CAST(t.nn AS DOUBLE), 9) AS zbar FROM g2, t)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round((CAST(nn - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    * (CAST(SUM(CAST(round(CAST(nj AS DOUBLE)
+        |          * ((zbarj - zbar)*(zbarj - zbar)), 9)
+        |        AS DECIMAL(38,9))) AS DOUBLE)
+        |      / CAST(SUM(CAST(round(szzj - CAST(nj AS DOUBLE)
+        |          * (zbarj*zbarj), 9)
+        |        AS DECIMAL(38,9))) AS DOUBLE)), 6) AS w
+        |FROM z GROUP BY nn, k""".stripMargin,
 
     "q206_influence" ->
       """WITH d AS (SELECT l_orderkey*10 + l_linenumber AS rid,

@@ -174,6 +174,49 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("leverage") > 0.5)
   }
 
+  test("pairRules: hand-counted support, confidence and lift") {
+    val baskets = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"), (1L, "A") /* dup presence */)
+      .toDF("bk", "it")
+    val out = graft.operators.Association.pairRules(baskets, "bk", "it", 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_ab") == 2L)
+    assert(ab.getAs[Double]("support") == 0.5) // 2 of 4 baskets
+    assert(math.abs(ab.getAs[Double]("conf_a_b") - 2.0 / 3) < 1e-6)
+    assert(math.abs(ab.getAs[Double]("lift") - 8.0 / 9) < 1e-6)
+    assert(out(("A", "C")).getAs[Long]("n_ab") == 1L)
+    assert(!out.contains(("B", "C")))
+  }
+
+  test("partialCorr: y = x + z with x ⟂ z -> partial correlation exactly 1") {
+    val rows = (0 until 25).map { i =>
+      val x = (i % 5).toDouble; val z = (i / 5).toDouble
+      (x, x + z, z)
+    }
+    val r = graft.operators.Profiler.partialCorr(rows.toDF("x", "y", "z"),
+      "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    assert(math.abs(r.getAs[Double]("r_xy") - 1.0 / math.sqrt(2)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r_xy_z") - 1.0) < 1e-6)
+  }
+
+  test("levene: zero within-spread -> NULL (0/0); an inflated group -> W > 0") {
+    // every |deviation| is exactly 1 in both groups: within-SS = 0,
+    // the 0/0 degenerate case -> NULL, never an ANSI divide error
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0))
+    val r1 = graft.operators.AbTest.leveneMeanCentered(
+      same.toDF("g", "v"), "v", "g").head()
+    assert(r1.isNullAt(r1.fieldIndex("w")))
+    // break the degeneracy inside group a and inflate group c's spread
+    val spread = Seq(("a", 1.0), ("a", 3.0), ("a", 2.2),
+      ("b", 11.0), ("b", 13.0), ("c", 20.0), ("c", 26.0))
+    val r2 = graft.operators.AbTest.leveneMeanCentered(
+      spread.toDF("g", "v"), "v", "g").head()
+    assert(r2.getAs[Long]("k") == 3L)
+    assert(r2.getAs[Double]("w") > 0.0)
+  }
+
   test("exactQuantiles: order statistics with ties and clamping") {
     // values 1..10 each once, plus five extra 5s: n = 15
     val vals = ((1 to 10).map(_.toDouble) ++ Seq.fill(5)(5.0)).map(Tuple1(_))
