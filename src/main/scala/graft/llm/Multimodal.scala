@@ -68,6 +68,13 @@ object Multimodal {
     private def i32(b: Array[Byte], off: Int): Int =
       u16(b, off) | (u16(b, off + 2) << 16)
 
+    /** [[decodeBmp]] plus the header dimensions — the unit the
+      * decode→resize pipeline needs (the plane geometry travels with
+      * the pixels). */
+    private[graft] def decodeBmpWithDims(b: Array[Byte])
+        : (Int, Int, Array[Float]) =
+      (i32(b, 18), math.abs(i32(b, 22)), decodeBmp(b))
+
     private[graft] def decodeBmp(b: Array[Byte]): Array[Float] = {
       require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
       val off = i32(b, 10)
@@ -161,6 +168,69 @@ object Multimodal {
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
+
+  /** REAL bilinear resize of a decoded interleaved-RGB plane (w×h →
+    * tw×th) — the image-pipeline resize done properly: each target
+    * pixel samples the four surrounding source pixels at
+    * center-aligned coordinates (the standard half-pixel convention),
+    * edge coordinates clamped. Pure double arithmetic in a FIXED
+    * operation order, so the q211 oracle replays it value-for-value
+    * from the fixture's generative pixel formula in SQL. */
+  def resizeBilinear(pixels: Array[Float], w: Int, h: Int,
+                     tw: Int, th: Int): Array[Float] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0, "degenerate plane")
+    require(pixels.length == w * h * 3,
+      s"plane is ${pixels.length} floats, expected ${w * h * 3}")
+    val out = new Array[Float](tw * th * 3)
+    var v = 0
+    while (v < th) {
+      val sy = (v + 0.5) * h / th - 0.5
+      val syc = math.max(0.0, math.min(h - 1.0, sy))
+      val y0 = math.floor(syc).toInt
+      val fy = syc - y0
+      val y1 = math.min(h - 1, y0 + 1)
+      var u = 0
+      while (u < tw) {
+        val sx = (u + 0.5) * w / tw - 0.5
+        val sxc = math.max(0.0, math.min(w - 1.0, sx))
+        val x0 = math.floor(sxc).toInt
+        val fx = sxc - x0
+        val x1 = math.min(w - 1, x0 + 1)
+        var c = 0
+        while (c < 3) {
+          val p00 = pixels((y0 * w + x0) * 3 + c).toDouble
+          val p10 = pixels((y0 * w + x1) * 3 + c).toDouble
+          val p01 = pixels((y1 * w + x0) * 3 + c).toDouble
+          val p11 = pixels((y1 * w + x1) * 3 + c).toDouble
+          out((v * tw + u) * 3 + c) =
+            ((1 - fy) * ((1 - fx) * p00 + fx * p10) +
+              fy * ((1 - fx) * p01 + fx * p11)).toFloat
+          c += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Decode + REAL bilinear resize for BMP media, batched like
+    * [[extractFeatures]] — the full decode→resize pipeline in one
+    * narrow pass (plane geometry read from each header). */
+  def extractResizedBmp(ds: Dataset[MediaRow], tw: Int,
+                        th: Int): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, px) = BmpWavDecoder.decodeBmpWithDims(r.media)
+          MediaFeatures(r.id, r.kind, r.media.length,
+            resizeBilinear(px, w, h, tw, th))
+        }
+      }
+    }
+  }
 
   /** Resize stub: nearest-neighbor resample of a decoded 1-D pixel /
     * feature array to `targetLen` — stands in for the image-resize

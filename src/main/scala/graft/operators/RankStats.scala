@@ -114,6 +114,71 @@ object RankStats {
               col("ties") / (col("nn") * (col("nn") - 1.0)))), 6).as("z"))
   }
 
+  /** Kendall's τ-b — the concordance rank correlation, EXACT at any
+    * row count via the contingency-table identity: for
+    * value-cardinality-bounded columns (integer codes, grades, bins —
+    * bin continuous values upstream), fold the corpus once to the
+    * |X|×|Y| cell frame, then concordant/discordant pair counts are
+    * a cell-PAIR sum — C = Σ n_ij·n_i'j' over (i'>i, j'>j), D over
+    * (i'>i, j'<j) — quadratic in CELLS, never in rows (the naive
+    * all-pairs form is O(n²) and unrunnable at corpus scale). Tie
+    * corrections come from the marginals:
+    * τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)), n₀ = n(n−1)/2,
+    * n₁/n₂ = Σ t(t−1)/2 over x/y marginal ties. Every count rides
+    * DECIMAL(38,0); only the final ratio is floating. Returns 1 row:
+    * (n, n_cells, n_c, n_d, tau_b). `maxCells` bounds the cell-pair
+    * stage loudly (the Bounded contract — 10⁴ cells = 10⁸ cell
+    * pairs is the sensible ceiling). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+                  maxCells: Long = 10000): DataFrame = {
+    val vals = df
+      .select(round(col(xCol).cast("double"), 6).as("x"),
+              round(col(yCol).cast("double"), 6).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val cells = vals.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // built once, read 4× (pairs ×2 + marginals)
+    // the checkpoint makes this count free — the loud bound fires
+    // BEFORE the quadratic cell-pair join can materialize
+    val nc = cells.count()
+    require(nc <= maxCells,
+      s"RankStats.kendallTauB: $nc cells exceed maxCells=$maxCells — " +
+        "bin the continuous column(s) upstream")
+    val nCells = cells.agg(count(lit(1)).as("n_cells"))
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("nij").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("nij").as("nb"))
+    val pairs = a.join(b, col("xa") < col("xb"))
+      .select((d38(col("na")) * d38(col("nb"))).as("__p"),
+        (col("ya") < col("yb")).as("__conc"),
+        (col("ya") > col("yb")).as("__disc"))
+      .agg(sum(when(col("__conc"), col("__p")).otherwise(lit(0))
+             .cast(DecimalType(38, 0))).as("n_c"),
+           sum(when(col("__disc"), col("__p")).otherwise(lit(0))
+             .cast(DecimalType(38, 0))).as("n_d"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("nij")).as("t"))
+      .agg(sum(d38(col("t")) * (d38(col("t")) - 1)).as("tx2"),
+           sum(col("t")).as("n"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("nij")).as("t"))
+      .agg(sum(d38(col("t")) * (d38(col("t")) - 1)).as("ty2"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(nCells))
+      .select(col("n"), col("n_cells"),
+        col("n_c").cast("long").as("n_c"),
+        col("n_d").cast("long").as("n_d"),
+        // n0·2 = n(n−1); all tie terms kept ×2 so everything stays
+        // integral until the final doubles
+        (d38(col("n")) * (d38(col("n")) - 1)).as("__n02"),
+        col("tx2"), col("ty2"))
+      .select(col("n"), col("n_cells"), col("n_c"), col("n_d"),
+        round((col("n_c").cast("double") - col("n_d").cast("double")) /
+          sqrt(((col("__n02") - col("tx2")).cast("double") / 2.0) *
+               ((col("__n02") - col("ty2")).cast("double") / 2.0)), 6)
+          .as("tau_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov: D = max |F₁(v) − F₂(v)| over the
     * pooled support. Returns 1 row: (n1, n2, d_num, ks) where d_num =
     * max |cum1·n2 − cum2·n1| is the EXACT integer numerator (the

@@ -138,6 +138,33 @@ object StatsQueries {
         "o_totalprice", col("o_orderstatus") === "F", b = 64)
     }),
 
+    // Kendall's tau-b, EXACT at any row count: the contingency-table
+    // identity makes concordance quadratic in CELLS (50x11 here),
+    // never rows - the naive all-pairs form is O(n^2) and unrunnable.
+    "q210_kendall_tau" -> ((s, d) => {
+      RankStats.kendallTauB(lineitem(s, d), "l_quantity", "l_discount")
+    }),
+
+    // REAL decode -> REAL bilinear resize: the q189 BMP fixtures
+    // resampled to a 4x4 RGB grid (center-aligned half-pixel
+    // convention, clamped edges); the oracle replays the bilinear
+    // arithmetic value-for-value from the generative pixel formula.
+    "q211_bmp_resize" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq((1L, 8, 5), (2L, 16, 9), (3L, 7, 3)).map {
+        case (id, w, h) => graft.llm.Multimodal.MediaRow(
+          id, graft.llm.ImageFixtures.bmp(w, h, pix), "image")
+      }.toDS()
+      graft.llm.Multimodal.extractResizedBmp(ds, 4, 4).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                round(col("v").cast("double"), 4).as("value"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -559,6 +586,76 @@ object StatsQueries {
          |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
          |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
          |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q210_kendall_tau" ->
+      """WITH vals AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS x,
+        |    round(CAST(l_discount AS DOUBLE), 6) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, COUNT(*) AS nij FROM vals GROUP BY 1, 2),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+        |p AS (SELECT
+        |    CAST(SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.nij AS DECIMAL(19,0)) * CAST(b.nij AS DECIMAL(19,0))
+        |      ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.nij AS DECIMAL(19,0)) * CAST(b.nij AS DECIMAL(19,0))
+        |      ELSE 0 END) AS BIGINT) AS n_d
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |txg AS (SELECT x, SUM(nij) AS t FROM cells GROUP BY 1),
+        |tx AS (SELECT SUM(CAST(t AS DECIMAL(19,0))
+        |      * (CAST(t AS DECIMAL(19,0)) - 1)) AS tx2,
+        |    CAST(SUM(t) AS BIGINT) AS n FROM txg),
+        |tyg AS (SELECT y, SUM(nij) AS t FROM cells GROUP BY 1),
+        |ty AS (SELECT SUM(CAST(t AS DECIMAL(19,0))
+        |      * (CAST(t AS DECIMAL(19,0)) - 1)) AS ty2 FROM tyg)
+        |SELECT tx.n, nc.n_cells, p.n_c, p.n_d,
+        |  round((CAST(p.n_c AS DOUBLE) - CAST(p.n_d AS DOUBLE))
+        |    / sqrt((CAST(CAST(tx.n AS DECIMAL(19,0))
+        |          * (CAST(tx.n AS DECIMAL(19,0)) - 1) - tx.tx2 AS DOUBLE)
+        |        / 2.0)
+        |      * (CAST(CAST(tx.n AS DECIMAL(19,0))
+        |          * (CAST(tx.n AS DECIMAL(19,0)) - 1) - ty.ty2 AS DOUBLE)
+        |        / 2.0)), 6) AS tau_b
+        |FROM p, tx, ty, nc""".stripMargin,
+
+    "q211_bmp_resize" -> {
+      def px(x: String, y: String) =
+        s"CAST(CASE WHEN c = 0 THEN (($x)*7 + ($y)*13) % 256 " +
+          s"WHEN c = 1 THEN (($x)*3 + ($y)*5 + 17) % 256 " +
+          s"ELSE (($x) + ($y)*2 + 101) % 256 END AS DOUBLE)"
+      s"""WITH imgs AS (SELECT * FROM (VALUES (1, 8, 5), (2, 16, 9),
+         |                                    (3, 7, 3)) t(image_id, w, h)),
+         |uu AS (SELECT image_id, w, h, unnest(range(4)) AS v FROM imgs),
+         |uv AS (SELECT image_id, w, h, v, unnest(range(4)) AS u FROM uu),
+         |uvc AS (SELECT image_id, w, h, v, u, unnest(range(3)) AS c
+         |        FROM uv),
+         |g AS (SELECT image_id, w, h, u, v, c,
+         |    greatest(0.0, least(CAST(h AS DOUBLE) - 1.0,
+         |      (CAST(v AS DOUBLE) + 0.5) * CAST(h AS DOUBLE) / 4.0 - 0.5))
+         |      AS syc,
+         |    greatest(0.0, least(CAST(w AS DOUBLE) - 1.0,
+         |      (CAST(u AS DOUBLE) + 0.5) * CAST(w AS DOUBLE) / 4.0 - 0.5))
+         |      AS sxc
+         |  FROM uvc),
+         |q AS (SELECT image_id, w, h, u, v, c,
+         |    CAST(floor(syc) AS BIGINT) AS y0,
+         |    CAST(floor(sxc) AS BIGINT) AS x0,
+         |    syc - CAST(floor(syc) AS BIGINT) AS fy,
+         |    sxc - CAST(floor(sxc) AS BIGINT) AS fx,
+         |    least(h - 1, CAST(floor(syc) AS BIGINT) + 1) AS y1,
+         |    least(w - 1, CAST(floor(sxc) AS BIGINT) + 1) AS x1
+         |  FROM g),
+         |r AS (SELECT image_id, u, v, c,
+         |    (1 - fy) * ((1 - fx) * ${px("x0", "y0")}
+         |      + fx * ${px("x1", "y0")})
+         |    + fy * ((1 - fx) * ${px("x0", "y1")}
+         |      + fx * ${px("x1", "y1")}) AS val
+         |  FROM q)
+         |SELECT image_id, CAST((v*4 + u)*3 + c AS INT) AS pos,
+         |  round(CAST(CAST(val AS FLOAT) AS DOUBLE), 4) AS value
+         |FROM r""".stripMargin
+    },
 
     "q207_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk,

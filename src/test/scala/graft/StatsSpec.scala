@@ -217,6 +217,33 @@ class StatsSpec extends SparkSpec {
     assert(r2.getAs[Double]("w") > 0.0)
   }
 
+  test("kendallTauB: hand-counted concordance with and without ties") {
+    val plain = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("x", "y")
+    val r1 = graft.operators.RankStats.kendallTauB(plain, "x", "y").head()
+    assert(r1.getAs[Long]("n_c") == 2L && r1.getAs[Long]("n_d") == 1L)
+    assert(math.abs(r1.getAs[Double]("tau_b") - 1.0 / 3) < 1e-6)
+    // x-tie: pairs inside the tie drop from the denominator
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r2 = graft.operators.RankStats.kendallTauB(tied, "x", "y").head()
+    assert(r2.getAs[Long]("n_c") == 2L && r2.getAs[Long]("n_d") == 0L)
+    assert(math.abs(r2.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-6)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.RankStats.kendallTauB(plain, "x", "y", maxCells = 1)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
+  test("resizeBilinear: identity resize is exact; 2x2 -> 1x1 averages") {
+    import graft.llm.Multimodal
+    val plane = Array[Float](
+      10, 20, 30, 50, 60, 70, // row 0: two RGB pixels
+      90, 100, 110, 130, 140, 150) // row 1
+    val same = Multimodal.resizeBilinear(plane, 2, 2, 2, 2)
+    assert(same.toSeq == plane.toSeq) // half-pixel centers map exactly
+    val one = Multimodal.resizeBilinear(plane, 2, 2, 1, 1)
+    assert(one.toSeq == Seq(70.0f, 80.0f, 90.0f)) // per-channel mean
+  }
+
   test("exactQuantiles: order statistics with ties and clamping") {
     // values 1..10 each once, plus five extra 5s: n = 15
     val vals = ((1 to 10).map(_.toDouble) ++ Seq.fill(5)(5.0)).map(Tuple1(_))
