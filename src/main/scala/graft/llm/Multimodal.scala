@@ -261,6 +261,44 @@ object Multimodal {
     }
   }
 
+  /** Spectral energy at integer DFT bins over decoded sample arrays —
+    * the first real audio FEATURE after [[BmpWavDecoder]]'s PCM
+    * decode: for each clip and bin k, re = Σ_t s_t·cos(2πkt/n),
+    * im = −Σ_t s_t·sin(2πkt/n), power = re² + im² — the energy at
+    * period n/k samples (pitch/hum/periodicity signals).
+    *
+    * Scale shape: one narrow explode of (clip, t, sample) × |freqs|,
+    * reduced map-side to |clips|·|freqs| partial sums. Portability:
+    * each trig factor quantizes to 9 decimals (a 1-ulp libm-vs-JVM
+    * cos difference is 10⁻¹⁶ against a 10⁻⁹ quantum — absorbed), and
+    * each term sums in exact DECIMAL(38,9), so the q212 oracle
+    * replays the DFT bit-for-bit. Returns one row per (clip, k):
+    * (clip_id, n, k, sp_re, sp_im, power). */
+  def spectralEnergies(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       featuresCol: String,
+                       freqs: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    require(freqs.nonEmpty && freqs.forall(_ >= 0), "need DFT bins ≥ 0")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    df.select(col(idCol).as("clip_id"),
+        size(col(featuresCol)).as("n"),
+        posexplode(col(featuresCol)).as(Seq("t", "s")))
+      .select(col("clip_id"), col("n"), col("t"), col("s"),
+        explode(array(freqs.map(lit): _*)).as("k"))
+      .withColumn("arg", expr("2 * pi() * k * t / n"))
+      .groupBy(col("clip_id"), col("n"), col("k"))
+      .agg(dsum(col("s").cast("double") * round(cos(col("arg")), 9))
+             .as("re"),
+           dsum(col("s").cast("double") * (-round(sin(col("arg")), 9)))
+             .as("im"))
+      .select(col("clip_id"), col("n"), col("k"),
+        round(col("re"), 4).as("sp_re"), round(col("im"), 4).as("sp_im"),
+        round(round(col("re"), 4) * round(col("re"), 4) +
+              round(col("im"), 4) * round(col("im"), 4), 3).as("power"))
+  }
+
   /** Shannon entropy (nats) of each blob's BYTE distribution — the
     * corruption/noise signal for opaque media columns: well-formed
     * containers sit in a mid band, encrypted/random bytes near ln 256

@@ -165,6 +165,30 @@ object StatsQueries {
                 round(col("v").cast("double"), 4).as("value"))
     }),
 
+    // Decode -> DFT: spectral energy at bins 0..3 over the decoded
+    // PCM clips (bin 0 = DC = the sample sum, an independent decode
+    // check) - trig factors 9-dp-quantized, terms in exact decimals,
+    // so the oracle replays the DFT bit-for-bit from the formula.
+    "q212_wav_spectral" -> ((s, d) => {
+      import s.implicits._
+      val mk = (n: Int, a: Int, b0: Int) =>
+        Array.tabulate[Short](n)(i => (((i * a + b0) % 2001) - 1000).toShort)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(
+          1L, graft.llm.AudioFixtures.wavPcm16(16000, 1, mk(1000, 37, 0)),
+          "audio"),
+        graft.llm.Multimodal.MediaRow(
+          2L, graft.llm.AudioFixtures.wavPcm16(44100, 2, mk(1024, 53, 11),
+            withListChunk = true), "audio"),
+        graft.llm.Multimodal.MediaRow(
+          3L, graft.llm.AudioFixtures.wavPcm16(8000, 1, mk(250, 91, 7)),
+          "audio")).toDS()
+      graft.llm.Multimodal.spectralEnergies(
+        graft.llm.Multimodal
+          .extractFeatures(ds, graft.llm.Multimodal.BmpWavDecoder).toDF(),
+        "id", "features", freqs = Seq(0, 1, 2, 3))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -586,6 +610,27 @@ object StatsQueries {
          |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
          |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
          |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q212_wav_spectral" ->
+      """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),
+        |    (2, 1024, 53, 11), (3, 250, 91, 7)) t(clip_id, n, a, b)),
+        |s0 AS (SELECT clip_id, n, a, b, unnest(range(n)) AS t FROM clips),
+        |sv AS (SELECT clip_id, n, t,
+        |    ((t*a + b) % 2001) - 1000 AS s FROM s0),
+        |ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+        |term AS (SELECT clip_id, n, k, t, s,
+        |    2 * pi() * k * t / n AS arg FROM sv, ks),
+        |ag AS (SELECT clip_id, n, k,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * round(cos(arg), 9), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS re,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * (-round(sin(arg), 9)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS im
+        |  FROM term GROUP BY 1, 2, 3)
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, n, k,
+        |  round(re, 4) AS sp_re, round(im, 4) AS sp_im,
+        |  round(round(re, 4)*round(re, 4) + round(im, 4)*round(im, 4), 3)
+        |    AS power
+        |FROM ag""".stripMargin,
 
     "q210_kendall_tau" ->
       """WITH vals AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS x,

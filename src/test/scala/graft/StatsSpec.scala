@@ -244,6 +244,24 @@ class StatsSpec extends SparkSpec {
     assert(one.toSeq == Seq(70.0f, 80.0f, 90.0f)) // per-channel mean
   }
 
+  test("spectralEnergies: DC bin = sample sum; a pure tone concentrates at its bin") {
+    import graft.llm.Multimodal
+    val const = Array.fill(64)(5.0f)
+    val dc = Multimodal.spectralEnergies(
+      Seq((1L, const)).toDF("id", "features"), "id", "features", Seq(0, 1))
+      .collect().map(r => r.getInt(2) -> r.getAs[Double]("sp_re")).toMap
+    assert(dc(0) == 320.0) // 64 * 5: bin 0 is the plain sum
+    assert(math.abs(dc(1)) < 1e-3) // constant has no k=1 energy
+    val tone = Array.tabulate(64)(t =>
+      math.round(1000 * math.cos(2 * math.Pi * 2 * t / 64)).toFloat)
+    val pw = Multimodal.spectralEnergies(
+      Seq((2L, tone)).toDF("id", "features"), "id", "features",
+      Seq(0, 1, 2, 3))
+      .collect().map(r => r.getInt(2) -> r.getAs[Double]("power")).toMap
+    assert(pw(2) > 100 * math.max(pw(1), math.max(pw(0), pw(3))),
+      s"energy must concentrate at k=2: $pw")
+  }
+
   test("exactQuantiles: order statistics with ties and clamping") {
     // values 1..10 each once, plus five extra 5s: n = 15
     val vals = ((1 to 10).map(_.toDouble) ++ Seq.fill(5)(5.0)).map(Tuple1(_))
