@@ -261,6 +261,50 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash (aHash) over decoded-and-resized 8×8 RGB
+    * planes — the image twin of MinHash: decode → bilinear 8×8 →
+    * luma (Rec.601 weights) → threshold at the per-image mean → a
+    * 64-char bit string whose HAMMING distance is the perceptual
+    * near-dup metric (crops/re-encodes land within a few bits;
+    * unrelated images near 32). Output bit strings are exactly the
+    * LSH-able unit: band them like MinHash signatures for
+    * corpus-scale candidate generation instead of all-pairs Hamming.
+    *
+    * Portability: luma and the mean quantize to 9 decimals with exact
+    * decimal sums, the threshold compares quantized values, and the
+    * bit ORDER is the row-major cell index — the q213 oracle replays
+    * decode→resize→hash from the generative pixel formula and the
+    * bit strings hash-match character-for-character. */
+  def perceptualHash64(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       featuresCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .select(col(idCol).as("image_id"),
+        posexplode(col(featuresCol)).as(Seq("pos", "v")))
+      .select(col("image_id"),
+        (col("pos") / lit(3)).cast("int").as("cell"),
+        (col("pos") % 3).as("ch"), col("v").cast("double").as("v"))
+      .groupBy(col("image_id"), col("cell"))
+      .agg(max(when(col("ch") === 0, col("v"))).as("r"),
+           max(when(col("ch") === 1, col("v"))).as("g"),
+           max(when(col("ch") === 2, col("v"))).as("b"))
+      .select(col("image_id"), col("cell"),
+        round(lit(0.299) * col("r") + lit(0.587) * col("g") +
+          lit(0.114) * col("b"), 9).as("luma"))
+    val mn = cells.groupBy(col("image_id"))
+      .agg(round(sum(round(col("luma"), 9).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1)).cast("double"), 9).as("mean"))
+    cells.join(mn, Seq("image_id"))
+      .select(col("image_id"), col("cell"),
+        when(col("luma") > col("mean"), lit("1")).otherwise(lit("0"))
+          .as("bit"))
+      .groupBy(col("image_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("cell"), col("bit")))),
+        x => x.getField("bit")), "").as("bits"))
+  }
+
   /** Spectral energy at integer DFT bins over decoded sample arrays —
     * the first real audio FEATURE after [[BmpWavDecoder]]'s PCM
     * decode: for each clip and bin k, re = Σ_t s_t·cos(2πkt/n),

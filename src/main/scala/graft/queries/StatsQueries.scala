@@ -189,6 +189,35 @@ object StatsQueries {
         "id", "features", freqs = Seq(0, 1, 2, 3))
     }),
 
+    // Perceptual image near-dup: decode -> bilinear 8x8 -> luma ->
+    // 64-bit aHash -> pairwise Hamming. The bit strings and distances
+    // hash-match an oracle that replays the WHOLE pipeline (including
+    // the float casts) from the generative pixel formula.
+    "q213_phash" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq((1L, 8, 5), (2L, 16, 9), (3L, 7, 3)).map {
+        case (id, w, h) => graft.llm.Multimodal.MediaRow(
+          id, graft.llm.ImageFixtures.bmp(w, h, pix), "image")
+      }.toDS()
+      val hashes = graft.llm.Multimodal.perceptualHash64(
+        graft.llm.Multimodal.extractResizedBmp(ds, 8, 8).toDF(),
+        "id", "features")
+      val a = hashes.select(col("image_id").as("id_a"),
+        col("bits").as("bits_a"))
+      val b = hashes.select(col("image_id").as("id_b"),
+        col("bits").as("bits_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          aggregate(
+            zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
+              (x, y) => when(x === y, lit(0L)).otherwise(lit(1L))),
+            lit(0L), (acc, t) => acc + t).as("hamming"),
+          col("bits_a"), col("bits_b"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -610,6 +639,67 @@ object StatsQueries {
          |  round((1.0 + CAST(SUM(CASE WHEN abs(diff_rep) >= abs(o.diff_obs)
          |        THEN 1 ELSE 0 END) AS DOUBLE)) / 65.0, 6) AS p_value
          |FROM reps, obs o GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q213_phash" -> {
+      def px(x: String, y: String) =
+        s"CAST(CASE WHEN c = 0 THEN (($x)*7 + ($y)*13) % 256 " +
+          s"WHEN c = 1 THEN (($x)*3 + ($y)*5 + 17) % 256 " +
+          s"ELSE (($x) + ($y)*2 + 101) % 256 END AS DOUBLE)"
+      s"""WITH imgs AS (SELECT * FROM (VALUES (1, 8, 5), (2, 16, 9),
+         |                                    (3, 7, 3)) t(image_id, w, h)),
+         |uu AS (SELECT image_id, w, h, unnest(range(8)) AS v FROM imgs),
+         |uv AS (SELECT image_id, w, h, v, unnest(range(8)) AS u FROM uu),
+         |uvc AS (SELECT image_id, w, h, v, u, unnest(range(3)) AS c
+         |        FROM uv),
+         |g AS (SELECT image_id, w, h, u, v, c,
+         |    greatest(0.0, least(CAST(h AS DOUBLE) - 1.0,
+         |      (CAST(v AS DOUBLE) + 0.5) * CAST(h AS DOUBLE) / 8.0 - 0.5))
+         |      AS syc,
+         |    greatest(0.0, least(CAST(w AS DOUBLE) - 1.0,
+         |      (CAST(u AS DOUBLE) + 0.5) * CAST(w AS DOUBLE) / 8.0 - 0.5))
+         |      AS sxc
+         |  FROM uvc),
+         |q AS (SELECT image_id, w, h, u, v, c,
+         |    CAST(floor(syc) AS BIGINT) AS y0,
+         |    CAST(floor(sxc) AS BIGINT) AS x0,
+         |    syc - CAST(floor(syc) AS BIGINT) AS fy,
+         |    sxc - CAST(floor(sxc) AS BIGINT) AS fx,
+         |    least(h - 1, CAST(floor(syc) AS BIGINT) + 1) AS y1,
+         |    least(w - 1, CAST(floor(sxc) AS BIGINT) + 1) AS x1
+         |  FROM g),
+         |r AS (SELECT image_id, u, v, c,
+         |    CAST(CAST((1 - fy) * ((1 - fx) * ${px("x0", "y0")}
+         |      + fx * ${px("x1", "y0")})
+         |    + fy * ((1 - fx) * ${px("x0", "y1")}
+         |      + fx * ${px("x1", "y1")}) AS FLOAT) AS DOUBLE) AS val
+         |  FROM q),
+         |cellp AS (SELECT image_id, v*8 + u AS cell,
+         |    MAX(CASE WHEN c = 0 THEN val END) AS r,
+         |    MAX(CASE WHEN c = 1 THEN val END) AS g,
+         |    MAX(CASE WHEN c = 2 THEN val END) AS b
+         |  FROM r GROUP BY 1, 2),
+         |cells AS (SELECT image_id, cell,
+         |    round(0.299 * r + 0.587 * g + 0.114 * b, 9) AS luma
+         |  FROM cellp),
+         |mn AS (SELECT image_id,
+         |    round(CAST(SUM(CAST(round(luma, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean
+         |  FROM cells GROUP BY 1),
+         |bits AS (SELECT image_id,
+         |    string_agg(CASE WHEN luma > mean THEN '1' ELSE '0' END,
+         |               '' ORDER BY cell) AS bits
+         |  FROM cells JOIN mn USING (image_id) GROUP BY 1),
+         |ham AS (SELECT a.image_id AS ia, b.image_id AS ib,
+         |    a.bits AS ba, b.bits AS bb
+         |  FROM bits a JOIN bits b ON a.image_id < b.image_id)
+         |SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+         |  CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
+         |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hamming,
+         |  ba AS bits_a, bb AS bits_b
+         |FROM ham, (SELECT unnest(range(64)) AS j)
+         |GROUP BY 1, 2, 4, 5""".stripMargin
+    },
 
     "q212_wav_spectral" ->
       """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),

@@ -262,6 +262,24 @@ class StatsSpec extends SparkSpec {
       s"energy must concentrate at k=2: $pw")
   }
 
+  test("perceptualHash64: 64 ordered bits; photometric inversion flips every bit") {
+    import graft.llm.Multimodal
+    // an 8x8x3 plane with a luma gradient (no cell ties the mean)
+    val plane = Array.tabulate(192)(i => ((i / 3) * 2 + i % 3).toFloat)
+    val inverted = plane.map(v => 255.0f - v)
+    val df = Seq((1L, plane), (2L, inverted)).toDF("id", "features")
+    val out = Multimodal.perceptualHash64(df, "id", "features")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).length == 64 && out(1L).count(_ == '1') > 0)
+    // luma weights sum to 1, so inversion maps luma -> 255 - luma and
+    // flips every above-mean/below-mean decision
+    assert(out(1L).zip(out(2L)).forall { case (a, b) => a != b })
+    // hash is deterministic: same plane -> same bits
+    val again = Multimodal.perceptualHash64(df, "id", "features")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("exactQuantiles: order statistics with ties and clamping") {
     // values 1..10 each once, plus five extra 5s: n = 15
     val vals = ((1 to 10).map(_.toDouble) ++ Seq.fill(5)(5.0)).map(Tuple1(_))
