@@ -16,25 +16,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * training runs on the WORD-TYPE vocabulary (distinct words with
   * counts), never the corpus — the corpus folds once into a
   * vocabulary-bounded frame, and all `nMerges` rounds iterate on
-  * that. Words are held as space-delimited token strings
-  * (" h e l l o ") so applying a merge is the literal
-  * `replace(" a b " → " ab ")`, applied TWICE ([[fuse]]): ONE
-  * replace pass is not a fixpoint, because a match consumes the
-  * shared delimiter space — in " a b a b " the first match eats the
-  * space before the second occurrence, so token-disjoint repeats
-  * ("abab" → should be [ab, ab]) survive one pass un-fused. Two
-  * passes ARE the fixpoint: after pass 1 every surviving occurrence
-  * is flanked by replacement output (" ab ", which restores the
-  * delimiter) or non-matching text, so no two survivors share a
-  * delimiter (for two adjacent occurrences to BOTH be skipped the
-  * left one must overlap a real match that ends at its leading
-  * space, which leaves the right one free — so it matched), and
-  * fusing "a b"→"ab" can never create a NEW "a b" adjacency (the
-  * fused token is strictly longer than either side). The
-  * double-replace is byte-identical across engines (Java, Spark and
-  * DuckDB replace() all scan left-to-right from after the matched
-  * segment); genuinely overlapping repeats still fuse greedily
-  * left-to-right: " l l l " → " ll l " after pass 1 and stays.
+  * that. Words are held in WRAPPED-token form — every token owns a
+  * private leading and trailing space, so tokens are joined by TWO
+  * spaces (" h  e  l  l  o "). Applying a merge is then ONE literal
+  * `replace(" a  b " → " ab ")`, and that single pass IS
+  * token-level left-to-right greedy fusing (Sennrich parity):
+  * because no two tokens share a delimiter character, string
+  * matches are token-disjoint exactly when they are
+  * character-disjoint, so the engine's left-to-right non-overlapping
+  * scan visits pairs in token order and skips past both fused
+  * tokens — including self-pair runs, where the earlier
+  * single-space double-replace deviated (" a a a a a a " fused to
+  * [aa, a, aa, a] instead of Sennrich's [aa, aa, aa], because a
+  * match consumed the shared delimiter and re-synced the scan
+  * mid-run). The replacement " ab " re-wraps the fused token, so
+  * the invariant survives every pass and every round, and the
+  * literal replace is byte-identical across engines (Java, Spark
+  * and DuckDB replace() all scan left-to-right from after the
+  * matched segment).
   *
   * Determinism: the winning pair each round maximizes (count, then
   * lexicographically smallest pair) via TakeOrdered(1) — no full
@@ -48,14 +47,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * replace projection, localCheckpoint'ed so lineage stays flat. */
 object BpeTrain {
 
-  /** Non-overlapping greedy fuse of pair (a, b) in a space-delimited
-    * token string: double replace — two passes reach the fixpoint
-    * (see the object doc for why exactly two suffice). Mirrored
-    * verbatim by the q174/q175 oracle CTEs as a nested replace. */
-  private[graft] def fuse(sp: Column, a: String, b: String): Column = {
-    val one = call_function("replace", sp, lit(s" $a $b "), lit(s" $a$b "))
-    call_function("replace", one, lit(s" $a $b "), lit(s" $a$b "))
-  }
+  /** Token-level left-to-right greedy fuse of pair (a, b) in a
+    * wrapped-token string (" a  b  c "): ONE literal replace of
+    * " a  b " with " ab " — private per-token delimiters make the
+    * string scan equal the token scan (see the object doc).
+    * Mirrored verbatim by the q174/q175 oracle CTEs. */
+  private[graft] def fuse(sp: Column, a: String, b: String): Column =
+    call_function("replace", sp, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** Wrap a token array into the training representation: each token
+    * gets its own leading+trailing space (" a  b  c "). */
+  private def wrap(toks: Column): Column =
+    concat(lit(" "), concat_ws("  ", toks), lit(" "))
+
+  /** Tokens back out of the wrapped form: trim the outer spaces,
+    * split on the two-space inter-token delimiter. */
+  private[graft] def unwrap(sp: Column): Column = split(trim(sp), "  ")
 
   /** Returns the learned merge table: (round 1..nMerges, merged_pair
     * "a b", pair_count at selection). */
@@ -70,17 +77,14 @@ object BpeTrain {
     var vocab = df
       .select(explode(TextStats.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "),
-                     concat_ws(" ", TextStats.chars(col("__w"))),
-                     lit(" ")).as("sp"),
-              col("cnt"))
+      .select(wrap(TextStats.chars(col("__w"))).as("sp"), col("cnt"))
       .localCheckpoint()
 
     val merges = ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to nMerges) {
       val top = vocab
         .select(explode(TextStats.ngramsOfTokens(
-          split(trim(col("sp")), " "), 2)).as("pair"), col("cnt"))
+          unwrap(col("sp")), 2)).as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("pair").asc)
         .limit(1)
@@ -112,12 +116,12 @@ object BpeTrain {
                   merges: Seq[String]): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     val perWord = transform(toks, w => {
-      val sp = concat(lit(" "), concat_ws(" ", TextStats.chars(w)), lit(" "))
+      val sp = wrap(TextStats.chars(w))
       val merged = merges.foldLeft(sp) { (acc, pair) =>
         val Array(a, b) = pair.split(" ", 2)
         fuse(acc, a, b)
       }
-      size(split(trim(merged), " ")).cast("long")
+      size(unwrap(merged)).cast("long")
     })
     df.select(col(idCol),
               aggregate(transform(toks, w => length(w).cast("long")),

@@ -836,16 +836,14 @@ object CurationQueries {
       s"""WITH RECURSIVE
          |w AS (SELECT w, COUNT(*) AS cnt FROM (
          |        SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
-         |v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+         |v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
          |              || ' ' AS sp, cnt FROM w),
          |it AS (
          |  SELECT sp, cnt, 0 AS step, CAST(NULL AS VARCHAR) AS merged_pair,
          |         CAST(NULL AS BIGINT) AS pair_count
          |  FROM v0
          |  UNION ALL
-         |  SELECT replace(replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
-         |                         ' ' || tp.a || tp.b || ' '),
-         |                 ' ' || tp.a || ' ' || tp.b || ' ',
+         |  SELECT replace(it.sp, ' ' || tp.a || '  ' || tp.b || ' ',
          |                 ' ' || tp.a || tp.b || ' '),
          |         it.cnt, it.step + 1, tp.pair, tp.pc
          |  FROM it, (
@@ -855,8 +853,8 @@ object CurationQueries {
          |    FROM (
          |      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
          |        SELECT unnest(list_transform(
-         |          range(len(string_split(trim(sp), ' ')) - 1),
-         |          i -> array_to_string(list_slice(string_split(trim(sp), ' '),
+         |          range(len(string_split(trim(sp), '  ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(trim(sp), '  '),
          |                                          i + 1, i + 2), ' ')))
          |          AS pair, cnt
          |        FROM it) z
@@ -870,15 +868,13 @@ object CurationQueries {
       s"""WITH RECURSIVE
          |w AS (SELECT w, COUNT(*) AS cnt FROM (
          |        SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
-         |v0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')
+         |v0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ')
          |              || ' ' AS sp, cnt FROM w),
          |it AS (
          |  SELECT w, sp, cnt, 0 AS step FROM v0
          |  UNION ALL
          |  SELECT it.w,
-         |         replace(replace(it.sp, ' ' || tp.a || ' ' || tp.b || ' ',
-         |                         ' ' || tp.a || tp.b || ' '),
-         |                 ' ' || tp.a || ' ' || tp.b || ' ',
+         |         replace(it.sp, ' ' || tp.a || '  ' || tp.b || ' ',
          |                 ' ' || tp.a || tp.b || ' '),
          |         it.cnt, it.step + 1
          |  FROM it, (
@@ -887,15 +883,15 @@ object CurationQueries {
          |    FROM (
          |      SELECT pair, SUM(cnt) AS pc FROM (
          |        SELECT unnest(list_transform(
-         |          range(len(string_split(trim(sp), ' ')) - 1),
-         |          i -> array_to_string(list_slice(string_split(trim(sp), ' '),
+         |          range(len(string_split(trim(sp), '  ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(trim(sp), '  '),
          |                                          i + 1, i + 2), ' ')))
          |          AS pair, cnt
          |        FROM it) z
          |      GROUP BY 1
          |      ORDER BY pc DESC, pair LIMIT 1)) tp
          |  WHERE it.step < 6),
-         |map AS (SELECT w, len(string_split(trim(sp), ' ')) AS n_bpe
+         |map AS (SELECT w, len(string_split(trim(sp), '  ')) AS n_bpe
          |        FROM it WHERE step = 6),
          |dt AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents),
          |per AS (SELECT doc_id, lang,

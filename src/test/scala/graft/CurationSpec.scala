@@ -482,6 +482,26 @@ class CurationSpec extends SparkSpec {
     assert(applied.getLong(2) == 4L) // per word [ab, ab], not [ab, a, b]
   }
 
+  test("bpe fuse is token-level greedy on self-pair runs (Sennrich parity)") {
+    // merge (a,a) over a 6-run must give [aa,aa,aa] and a 5-run
+    // [aa,aa,a] — the old single-space double-replace re-synced the
+    // scan mid-run and produced [aa,a,aa,a] / [aa,a,aa] instead.
+    val docs = Seq((1L, "aaaaaa")).toDF("doc_id", "text")
+    val applied6 = graft.llm.BpeTrain.applyMerges(
+      docs, "doc_id", "text", Seq("a a")).head()
+    assert(applied6.getLong(2) == 3L) // [aa, aa, aa]
+    val docs5 = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val applied5 = graft.llm.BpeTrain.applyMerges(
+      docs5, "doc_id", "text", Seq("a a")).head()
+    assert(applied5.getLong(2) == 3L) // [aa, aa, a]
+    // training on the 6-run: round 1 learns (a,a) with 5 adjacent
+    // pairs; round 2 sees [aa,aa,aa] and learns (aa,aa) with count 2
+    val m = graft.llm.BpeTrain.learnMerges(docs, "text", nMerges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq((1L, "a a", 5L), (2L, "aa aa", 2L)))
+  }
+
   test("rankingMetrics truncates retrieved lists deeper than k") {
     val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("qid", "doc", "rank")
