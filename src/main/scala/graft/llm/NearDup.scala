@@ -282,6 +282,68 @@ object NearDup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hamming distance between two equal-length '0'/'1' bit STRINGS
+    * (the [[graft.llm.Multimodal.perceptualHash64]] representation):
+    * per-position compare folded to a count — a narrow per-row
+    * expression, mirrored verbatim by the q213/q214 oracles. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, lit(0L)).otherwise(lit(1L))),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Multi-index Hamming banding (the pigeonhole index): split an
+    * `nBits`-bit hash string into `r + 1` near-equal contiguous
+    * bands. Any pair within Hamming distance ≤ r differs in at most
+    * r bands, so it matches EXACTLY on at least one band — band
+    * equi-joins therefore produce a candidate set with zero false
+    * negatives, and the exact Hamming verify runs on candidates
+    * only, never all pairs. Band content is xxhash64'd so the
+    * shuffle key is one long, not a substring; a hash collision can
+    * only ADD a candidate, which the exact verify then drops.
+    * Returns (doc, band, band_hash) — the [[bandedBuckets]] unit, so
+    * [[pairsFromBanded]] (with its maxBucket skew cap) applies
+    * unchanged. */
+  def hammingBandedBuckets(df: DataFrame, idCol: String, bitsCol: Column,
+                           r: Int, nBits: Int = 64): DataFrame = {
+    require(r >= 0 && r < nBits,
+      s"hammingBandedBuckets: need 0 <= r < nBits, got r=$r nBits=$nBits")
+    val bands = r + 1
+    df.select(col(idCol).as("doc"), bitsCol.as("__bits"))
+      .select(col("doc"), explode(array((0 until bands).map { i =>
+        val start = i * nBits / bands
+        val len = (i + 1) * nBits / bands - start
+        struct(lit(i).as("band"),
+               xxhash64(substring(col("__bits"), start + 1, len))
+                 .as("band_hash"))
+      }: _*)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.band_hash"))
+  }
+
+  /** Perceptual-hash near-dup pairs: banded candidate generation
+    * ([[hammingBandedBuckets]] — never all-pairs) + exact Hamming
+    * verify at ≤ r on candidates only. The hash frame is consumed
+    * three times (banding + both sides of the bits join-back), so it
+    * is localCheckpoint'ed once — the hash pipeline upstream
+    * (decode → resize → luma) runs exactly once however many stages
+    * read it. Returns (id_a, id_b, hamming, bits_a, bits_b),
+    * id_a < id_b. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, bitsCol: String,
+                          r: Int, nBits: Int = 64,
+                          maxBucket: Int = 100000): DataFrame = {
+    val h = hashes.select(col(idCol).as("doc"), col(bitsCol).as("__bits"))
+      .localCheckpoint()
+    val cands = pairsFromBanded(
+      hammingBandedBuckets(h, "doc", col("__bits"), r, nBits), maxBucket)
+    cands
+      .join(h.select(col("doc").as("id_a"), col("__bits").as("bits_a")), "id_a")
+      .join(h.select(col("doc").as("id_b"), col("__bits").as("bits_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              hammingBits(col("bits_a"), col("bits_b")).as("hamming"),
+              col("bits_a"), col("bits_b"))
+      .filter(col("hamming") <= r)
+  }
+
   /** Portable-arithmetic SimHash: the hash-VERIFIED twin of
     * [[simhash64]] (mirroring how portableNearDupPairs twins
     * nearDupPairs). Token hash = first 14 hex chars of md5 mod
