@@ -327,7 +327,15 @@ object NearDup {
     * is localCheckpoint'ed once — the hash pipeline upstream
     * (decode → resize → luma) runs exactly once however many stages
     * read it. Returns (id_a, id_b, hamming, bits_a, bits_b),
-    * id_a < id_b. */
+    * id_a < id_b.
+    *
+    * Recall caveat (same trade as [[nearDupPairs]]): the pigeonhole
+    * banding alone has zero false negatives, but the `maxBucket`
+    * skew cap DROPS band buckets larger than the cap — e.g. many
+    * byte-identical images — so true pairs findable only through an
+    * overflowing bucket are lost. The cap trades bounded recall loss
+    * for protection against a quadratic bucket-local self-join; set
+    * `maxBucket = Int.MaxValue` for the exact (skew-exposed) form. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, bitsCol: String,
                           r: Int, nBits: Int = 64,
                           maxBucket: Int = 100000): DataFrame = {

@@ -211,11 +211,30 @@ object StatsQueries {
         col("bits").as("bits_b"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          aggregate(
-            zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
-              (x, y) => when(x === y, lit(0L)).otherwise(lit(1L))),
-            lit(0L), (acc, t) => acc + t).as("hamming"),
+          graft.llm.NearDup.hammingBits(col("bits_a"), col("bits_b"))
+            .as("hamming"),
           col("bits_a"), col("bits_b"))
+    }),
+
+    // Perceptual-hash near-dup AT SCALE SHAPE: 500 synthetic 64-bit
+    // hashes in 5 planted clusters (base pattern from doc_id % 5,
+    // 2-5 noise-flipped bits per doc), paired through the r+1 = 7
+    // band pigeonhole index (NearDup.hammingNearDupPairs - band
+    // equi-joins, NEVER the q213 all-pairs join) and exact-Hamming
+    // verified at <= 6. The oracle rebuilds every bit string from
+    // the same formula and takes the truth from brute-force all
+    // pairs, so hash-equality proves the banded candidate set has
+    // zero false negatives AND the verify drops every candidate
+    // beyond r.
+    "q214_phash_banded" -> ((s, d) => {
+      val bits = documents(s, d).select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(63)), j => {
+          val base = (col("doc_id") % 5 * 37 + j * 11 + 3) % 5 < 2
+          val flip =
+            (col("doc_id") * 13 + j * 7) % 64 < col("doc_id") % 4 + 2
+          when(base =!= flip, lit("1")).otherwise(lit("0"))
+        }), "").as("bits"))
+      graft.llm.NearDup.hammingNearDupPairs(bits, "doc_id", "bits", r = 6)
     }),
 
     // Market-basket association: part-class pairs co-bought within an
@@ -700,6 +719,29 @@ object StatsQueries {
          |FROM ham, (SELECT unnest(range(64)) AS j)
          |GROUP BY 1, 2, 4, 5""".stripMargin
     },
+
+    "q214_phash_banded" ->
+      """WITH js AS (SELECT unnest(range(64)) AS j),
+        |bits AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN
+        |        (((doc_id % 5) * 37 + j * 11 + 3) % 5 < 2)
+        |        <> ((doc_id * 13 + j * 7) % 64 < (doc_id % 4) + 2)
+        |      THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+        |  FROM documents, js GROUP BY doc_id),
+        |ham AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    a.bits AS ba, b.bits AS bb
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
+        |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hamming,
+        |  ba AS bits_a, bb AS bits_b
+        |FROM ham, js
+        |GROUP BY 1, 2, 4, 5
+        |HAVING CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
+        |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) <= 6""".stripMargin,
 
     "q212_wav_spectral" ->
       """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),

@@ -60,12 +60,13 @@ object ExcelStatsDb {
 
   /** K3: write `df` as a single-sheet .xlsx. Numeric columns become
     * number cells, everything else inline strings; nulls are omitted
-    * cells (Excel blank). Collects — see the driver-side contract in
-    * the object scaladoc. */
+    * cells (Excel blank). Collects — but through
+    * [[graft.util.Bounded.collect]], so the TRANSFER itself is capped
+    * at maxRows+1 rows: a corpus-scale frame fails loudly at the
+    * `require` instead of OOMing the driver during the collect. */
   def write(df: DataFrame, path: String, maxRows: Int = 1048575): Unit = {
-    val rows = df.collect()
-    require(rows.length <= maxRows,
-      s"Excel sink is the bounded legacy path: ${rows.length} rows > $maxRows")
+    val rows = graft.util.Bounded.collect(df, maxRows,
+      s"ExcelStatsDb.write (bounded legacy Excel sink, maxRows=$maxRows)")
     val isNum = df.schema.fields.map(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
 

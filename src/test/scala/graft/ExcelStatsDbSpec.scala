@@ -76,4 +76,20 @@ class ExcelStatsDbSpec extends SparkSpec {
     val r = df.collect().head
     assert(r.getString(0) === "Dallas" && r.getString(1) === "9")
   }
+
+  test("write refuses an over-bound frame WITHOUT materializing it (Bounded.collect guard)") {
+    // The failure must fire from the capped limit(maxRows+1) transfer,
+    // not after a full collect: count per-row evaluations with an
+    // accumulator and assert the 100k-row frame was never drained.
+    val evaluated = spark.sparkContext.longAccumulator("xlsxRowsEvaluated")
+    val big = spark.range(0, 100000, 1, 1)
+      .map { i => evaluated.add(1); i }.toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      ExcelStatsDb.write(big, tmpDir("xlsxbig") + "/too_big.xlsx", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("ExcelStatsDb.write"))
+    assert(evaluated.value < 10000,
+      s"guard materialized ${evaluated.value} rows — the transfer itself " +
+        "must be bounded, not just checked after the fact")
+  }
 }

@@ -34,6 +34,63 @@ class LlmSpec extends SparkSpec {
     assert(out(2L).isEmpty) // empty shingle set -> null signature
   }
 
+  test("banded Hamming near-dup: pigeonhole recall equals brute force on random 64-bit strings") {
+    val rnd = new scala.util.Random(42)
+    val r = 3
+    def randBits(): Array[Char] =
+      Array.fill(64)(if (rnd.nextBoolean()) '1' else '0')
+    def flipN(b: Array[Char], n: Int): Array[Char] = {
+      val out = b.clone()
+      rnd.shuffle((0 until 64).toList).take(n)
+        .foreach(i => out(i) = if (out(i) == '1') '0' else '1')
+      out
+    }
+    // 18 random bases x 3 noisy copies at <= r flips (planted
+    // positives; random 64-bit pairs are essentially never within 3),
+    // plus one pair at EXACTLY r+1 flips — the boundary negative the
+    // exact verify must reject even when banding offers it up.
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until 18).foreach { _ =>
+      val base = randBits()
+      rows += ((id, new String(base))); id += 1
+      (0 until 2).foreach { _ =>
+        rows += ((id, new String(flipN(base, rnd.nextInt(r + 1))))); id += 1
+      }
+    }
+    val nb = randBits()
+    rows += ((id, new String(nb))); val negA = id; id += 1
+    rows += ((id, new String(flipN(nb, r + 1)))); val negB = id; id += 1
+
+    val df = rows.toSeq.toDF("doc", "bits")
+    def ham(a: String, b: String): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    val all = rows.toSeq
+    val truth = (for {
+      (ia, ba) <- all; (ib, bb) <- all
+      if ia < ib; h = ham(ba, bb) if h <= r
+    } yield (ia, ib, h)).toSet
+    assert(truth.nonEmpty)
+
+    // (a) pigeonhole: banded candidates are a SUPERSET of every true
+    // pair at distance <= r (zero false negatives before the verify)
+    val cands = NearDup.pairsFromBanded(
+        NearDup.hammingBandedBuckets(df, "doc", col("bits"), r),
+        Int.MaxValue)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.map(t => (t._1, t._2)).subsetOf(cands))
+
+    // (b) end-to-end: banded + exact verify == brute force, exactly
+    val got = NearDup.hammingNearDupPairs(df, "doc", "bits", r)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === truth)
+
+    // (c) the distance-(r+1) boundary pair is rejected
+    assert(ham(rows(negA.toInt)._2, rows(negB.toInt)._2) === (r + 1).toLong)
+    assert(!got.exists(p => p._1 == negA && p._2 == negB))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
     val sh = NearDup.simhash64(

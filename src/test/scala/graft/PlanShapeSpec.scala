@@ -1,11 +1,12 @@
 package graft
 
-/** Plan-shape audit for the round-5/6 query family (q117–q142): every
-  * claimed shape ("one exchange", "broadcast only", "no global ordered
-  * pass") is asserted against the ACTUAL physical plan at sf0.001, so a
-  * regression that silently re-introduces a scale-killer — above all a
-  * single-partition Sort/Window over a corpus-scale frame — fails
-  * `sbt test`, not a 100×-scale production run.
+/** Plan-shape audit over the FULL query registry: every claimed shape
+  * ("one exchange", "broadcast only", "no global ordered pass",
+  * "builds once") is asserted against the ACTUAL physical plan at
+  * sf0.001, so a regression that silently re-introduces a
+  * scale-killer — above all a single-partition Sort/Window over a
+  * corpus-scale frame — fails `sbt test`, not a 100×-scale
+  * production run.
   *
   * The generic sweep flags any Sort or Window whose direct child is an
   * `Exchange SinglePartition`: that is the "global ordered statistic in
@@ -62,6 +63,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(generates <= 1,
       s"the 9-cell explode pipeline is re-evaluated ($generates Generates) " +
         s"— checkpoint `pairs` before the fan-out:\n$plan")
+  }
+
+  test("q214 banded phash: pair stage is a band equi-join — never the q213 all-pairs shape") {
+    val plan = SparkEntry.queries("q214_phash_banded")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banded Hamming pair stage regressed to an all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("build-once ceilings: a lost checkpoint cannot silently multiply lineage") {
+    // name -> (max Generates, max Exchanges) pinned at the measured
+    // checkpoint-disciplined plan. The iterative / multi-consumer
+    // pipelines here localCheckpoint their fan-out frames; losing one
+    // re-evaluates the whole upstream per consumer (or per pointer-
+    // jumping round) and shows up FIRST as extra Generate/Exchange
+    // nodes in the physical plan. q28's and q202's single BNLJ each
+    // join a 1-row / k-row bounded aggregate — not pair fan-out.
+    val ceilings = Map(
+      "q70_corpus_build"     -> (1, 9),
+      "q84_dedup_survivors"  -> (0, 2),
+      "q28_minhash_pairs"    -> (6, 23),
+      "q93_ngram_jaccard"    -> (2, 4),
+      "q202_cv_ols"          -> (0, 6),
+      "q180_dbscan"          -> (1, 2),
+      "q214_phash_banded"    -> (2, 6)
+    )
+    val broken = ceilings.toSeq.sortBy(_._1).flatMap {
+      case (n, (maxGen, maxEx)) =>
+        val plan = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val g = "Generate ".r.findAllIn(plan).size
+        val ex = "Exchange ".r.findAllIn(plan).size
+        if (g > maxGen || ex > maxEx)
+          Some(s"$n: generates=$g (<= $maxGen), exchanges=$ex (<= $maxEx)")
+        else None
+    }
+    assert(broken.isEmpty,
+      s"lineage multiplied — a checkpoint before a fan-out was lost:\n" +
+        broken.mkString("\n"))
   }
 
   test("q118 target encode: category stats aggregate once, fact side never shuffles") {
