@@ -62,6 +62,87 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  /** FULL non-interlaced 8-bit truecolor PNG (RFC 2083: color type 2
+    * = RGB, or 6 = RGBA with alpha = (x*5 + y*3 + 29) % 256) carrying
+    * real pixel data: zlib-deflated IDAT (split across TWO chunks —
+    * one stream, RFC 2083 §2.3), real CRC32s, and scanline filters
+    * CYCLING y % 5 so every filter type (None/Sub/Up/Average/Paeth)
+    * appears — a decoder must undo all five to round-trip `pix`.
+    * Counterpart of [[bmp]] for [[Multimodal.BmpWavDecoder]]'s
+    * Inflater-backed PNG path (q215 / MultimodalDecodeSpec). */
+  def pngFull(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
+              rgba: Boolean = false): Array[Byte] = {
+    val bpp = if (rgba) 4 else 3
+    val raw = Array.ofDim[Int](height, width * bpp)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = pix(x, y)
+      // mask to 8 bits HERE (the [[bmp]] fixture's OutputStream.write
+      // masking) — filter arithmetic below must see the stored bytes
+      raw(y)(x * bpp) = r & 0xFF
+      raw(y)(x * bpp + 1) = g & 0xFF
+      raw(y)(x * bpp + 2) = b & 0xFF
+      if (rgba) raw(y)(x * bpp + 3) = (x * 5 + y * 3 + 29) % 256
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = y % 5
+      filtered.write(f)
+      val cur = raw(y)
+      val pri = if (y == 0) new Array[Int](width * bpp) else raw(y - 1)
+      for (i <- 0 until width * bpp) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = pri(i)
+        val ul = if (i >= bpp) pri(i - bpp) else 0
+        val v = f match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case _ => cur(i) - paeth(left, up, ul)
+        }
+        filtered.write(v & 0xFF)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new ByteArrayOutputStream()
+    while (!defl.finished()) {
+      val n = defl.deflate(buf); idat.write(buf, 0, n)
+    }
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      o.write(tb); o.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      o.write(be32(crc.getValue.toInt))
+      o.toByteArray
+    }
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(width)); ihdr.write(be32(height))
+    ihdr.write(8)                      // bit depth
+    ihdr.write(if (rgba) 6 else 2)     // color type
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compr/filter/interlace
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    val ib = idat.toByteArray
+    out.write(chunk("IDAT", ib.take(ib.length / 2)))
+    out.write(chunk("IDAT", ib.drop(ib.length / 2)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   /** PNG signature + IHDR chunk (CRC zeroed — the parser reads
     * dimensions, not checksums). */
   def png(width: Int, height: Int): Array[Byte] = {

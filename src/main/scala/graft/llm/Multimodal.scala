@@ -11,12 +11,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * rate / channels / bit depth / frame count from WAV (RIFF chunk
   * walk) and FLAC (STREAMINFO bit fields) — pure byte inspection, no
   * codec library, whole-stage codegen (oracle-checked by q88/q92 over
-  * known-parameter fixture bytes). Sample DECODE is real for the two
-  * formats that need no codec library — 24-bpp uncompressed BMP and
-  * 16-bit PCM WAV ([[BmpWavDecoder]], oracle-checked by q189/q190) —
-  * and stubbed behind the same `MediaDecoder` interface for
-  * compressed codecs (JPEG/PNG/video), where production would drop
-  * in a JNI/FFM-backed decoder.
+  * known-parameter fixture bytes). Sample DECODE is real for the
+  * formats decodable with the JDK alone — 24-bpp uncompressed BMP,
+  * 16-bit PCM WAV, and non-interlaced 8-bit truecolor PNG (zlib IDAT
+  * via `java.util.zip.Inflater` + the five scanline filters;
+  * [[BmpWavDecoder]], oracle-checked by q189/q190/q215) — and stubbed
+  * behind the same `MediaDecoder` interface for codecs that genuinely
+  * need a library (JPEG/video), where production would drop in a
+  * JNI/FFM-backed decoder.
   * `mapPartitions` + `grouped(batchSize)` is the Scala analogue of a
   * vectorized (pandas-UDF-style) batch boundary: a real decoder
   * amortizes model/codec init once per batch.
@@ -50,23 +52,139 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel/sample decode for the two containers decodable
-    * without any codec dependency — the [[MediaDecoder]] slot filled
-    * for: 24-bit uncompressed BMP ("image": bottom-up row flip,
-    * BGR→RGB reorder, 4-byte row padding — returns row-major
-    * top-down [r,g,b, r,g,b, …] as floats) and 16-bit PCM WAV
-    * ("audio": RIFF chunk walk with odd-size pad bytes, interleaved
-    * little-endian signed frames — returns raw sample values).
-    * Anything else (JPEG/PNG/video codecs need real codec libraries)
-    * falls back to [[FakeDecoder]] behind the same interface. The
-    * q189/q190 oracles recompute the expected pixel/sample streams
-    * from the fixtures' generative formulas in SQL, so a flip,
-    * channel-order or padding mistake breaks the hash match. */
+  /** REAL pixel/sample decode for the containers decodable without
+    * any codec dependency — the [[MediaDecoder]] slot filled for:
+    * 24-bit uncompressed BMP ("image": bottom-up row flip, BGR→RGB
+    * reorder, 4-byte row padding — returns row-major top-down
+    * [r,g,b, r,g,b, …] as floats), non-interlaced 8-bit truecolor
+    * RGB(A) PNG ("image", sniffed by signature: JDK-Inflater zlib
+    * IDAT + per-scanline filter undo — same plane contract, alpha
+    * dropped), and 16-bit PCM WAV ("audio": RIFF chunk walk with
+    * odd-size pad bytes, interleaved little-endian signed frames —
+    * returns raw sample values). Anything else (JPEG/video codecs
+    * need real codec libraries) falls back to [[FakeDecoder]] behind
+    * the same interface. The q189/q190/q215 oracles recompute the
+    * expected pixel/sample streams from the fixtures' generative
+    * formulas in SQL, so a flip, channel-order, filter or padding
+    * mistake breaks the hash match. */
   object BmpWavDecoder extends MediaDecoder {
     private def u16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
     private def i32(b: Array[Byte], off: Int): Int =
       u16(b, off) | (u16(b, off + 2) << 16)
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G'
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** REAL PNG pixel decode, dependency-free: non-interlaced 8-bit
+      * truecolor RGB(A) per RFC 2083 — chunk walk, all IDAT chunks
+      * concatenated into ONE zlib stream (§2.3) and inflated with JDK
+      * `java.util.zip.Inflater`, then the five per-scanline filters
+      * (None/Sub/Up/Average/Paeth, §6) undone against the
+      * reconstructed prior scanline. Returns row-major top-down
+      * [r,g,b, …] floats, alpha dropped — the same plane contract as
+      * [[decodeBmp]], so resize/phash pipelines compose unchanged.
+      * Palette, 16-bit, grayscale and Adam7-interlaced PNGs refuse
+      * loudly (production drops in a codec library for those). */
+    private[graft] def decodePngWithDims(b: Array[Byte])
+        : (Int, Int, Array[Float]) = {
+      require(isPng(b), "not a PNG")
+      var pos = 8
+      var w = 0; var h = 0; var bpp = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 8 <= b.length) {
+        val len = be32(b, pos)
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && pos + 12L + len <= b.length,
+          s"truncated PNG chunk $typ")
+        typ match {
+          case "IHDR" =>
+            w = be32(b, pos + 8); h = be32(b, pos + 12)
+            val depth = b(pos + 16) & 0xFF
+            val color = b(pos + 17) & 0xFF
+            require(depth == 8,
+              s"only 8-bit PNG decodes dependency-free (depth $depth)")
+            require(color == 2 || color == 6,
+              s"only truecolor RGB(A) PNG (color type $color)")
+            require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0,
+              "nonstandard PNG compression/filter method")
+            require((b(pos + 20) & 0xFF) == 0,
+              "interlaced (Adam7) PNG not supported")
+            bpp = if (color == 6) 4 else 3
+          case "IDAT" => idat.write(b, pos + 8, len)
+          case "IEND" => done = true
+          case _      => // ancillary chunk — skip
+        }
+        pos += 12 + len
+      }
+      require(w > 0 && h > 0 && idat.size > 0, "PNG missing IHDR/IDAT")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = w * bpp
+      val rawLen = h * (1 + stride)
+      val raw = new Array[Byte](rawLen)
+      var off = 0
+      var stalled = false
+      while (off < rawLen && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true
+        off += n
+      }
+      inf.end()
+      require(off == rawLen,
+        s"PNG pixel stream inflated to $off bytes, expected $rawLen")
+      val out = new Array[Float](w * h * 3)
+      val cur = new Array[Int](stride)
+      val pri = new Array[Int](stride) // zeros above scanline 0 (§6.2)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xFF
+        require(f <= 4, s"unknown PNG filter type $f")
+        val base = y * (1 + stride) + 1
+        var i = 0
+        while (i < stride) {
+          val x = raw(base + i) & 0xFF
+          val left = if (i >= bpp) cur(i - bpp) else 0
+          val up = pri(i)
+          val ul = if (i >= bpp) pri(i - bpp) else 0
+          cur(i) = f match {
+            case 0 => x
+            case 1 => (x + left) & 0xFF
+            case 2 => (x + up) & 0xFF
+            case 3 => (x + (left + up) / 2) & 0xFF
+            case _ => (x + paeth(left, up, ul)) & 0xFF
+          }
+          i += 1
+        }
+        var px = 0
+        while (px < w) {
+          val ob = (y * w + px) * 3
+          out(ob) = cur(px * bpp).toFloat
+          out(ob + 1) = cur(px * bpp + 1).toFloat
+          out(ob + 2) = cur(px * bpp + 2).toFloat
+          px += 1
+        }
+        System.arraycopy(cur, 0, pri, 0, stride)
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    private[graft] def decodePng(b: Array[Byte]): Array[Float] =
+      decodePngWithDims(b)._3
 
     /** [[decodeBmp]] plus the header dimensions — the unit the
       * decode→resize pipeline needs (the plane geometry travels with
@@ -139,9 +257,16 @@ object Multimodal {
       out
     }
 
+    /** Container-sniffed image decode: PNG signature → Inflater PNG
+      * path, else 24-bpp BMP. */
+    private[graft] def decodeImageWithDims(b: Array[Byte])
+        : (Int, Int, Array[Float]) =
+      if (isPng(b)) decodePngWithDims(b) else decodeBmpWithDims(b)
+
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
       kind match {
-        case "image" => decodeBmp(bytes)
+        case "image" => if (isPng(bytes)) decodePng(bytes)
+                        else decodeBmp(bytes)
         case "audio" => decodeWavPcm16(bytes)
         case other   => FakeDecoder.decode(bytes, other)
       }
@@ -214,9 +339,10 @@ object Multimodal {
     out
   }
 
-  /** Decode + REAL bilinear resize for BMP media, batched like
-    * [[extractFeatures]] — the full decode→resize pipeline in one
-    * narrow pass (plane geometry read from each header). */
+  /** Decode + REAL bilinear resize for image media (container-sniffed
+    * BMP or PNG), batched like [[extractFeatures]] — the full
+    * decode→resize pipeline in one narrow pass (plane geometry read
+    * from each header). */
   def extractResizedBmp(ds: Dataset[MediaRow], tw: Int,
                         th: Int): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
@@ -224,7 +350,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val (w, h, px) = BmpWavDecoder.decodeBmpWithDims(r.media)
+          val (w, h, px) = BmpWavDecoder.decodeImageWithDims(r.media)
           MediaFeatures(r.id, r.kind, r.media.length,
             resizeBilinear(px, w, h, tw, th))
         }

@@ -285,6 +285,21 @@ object CurationQueries {
                                         eps = 0.03, minPts = 5)
     }),
 
+    // The q180 skew-cap AUDIT as a first-class oracle row: every
+    // eps-grid cell whose population exceeds maxCellPoints, with its
+    // size — empty output <=> a capped gridDbscan run was exact (the
+    // q144 lossless-prune contract). Cap 8 sits just under this
+    // corpus's densest cell, so the audit is proven on NONEMPTY
+    // output, not vacuously.
+    "q216_dbscan_overflow" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+                element_at(col("embedding").cast("array<double>"), 1).as("x"),
+                element_at(col("embedding").cast("array<double>"), 2).as("y"))
+      graft.operators.Dbscan.overflowCells(e, "vec_id", "x", "y",
+                                           eps = 0.03, maxCellPoints = 8)
+    }),
+
     // Dominant principal component of the first 8 embedding
     // dimensions: the corpus folds once to 8 + 36 decimal moment
     // sums; 30 quantized power steps run driver-side and the oracle
@@ -1026,6 +1041,14 @@ object CurationQueries {
         |       UNION ALL SELECT id, cluster, 'border' AS role FROM border)
         |SELECT pts.id, COALESCE(lb.role, 'noise') AS role, lb.cluster
         |FROM pts LEFT JOIN lb ON pts.id = lb.id""".stripMargin,
+
+    "q216_dbscan_overflow" ->
+      """SELECT CAST(floor(e[1] / 0.03) AS BIGINT) AS cx,
+        |  CAST(floor(e[2] / 0.03) AS BIGINT) AS cy,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) > 8""".stripMargin,
 
     "q181_pca_power" ->
       """WITH RECURSIVE

@@ -237,6 +237,29 @@ object StatsQueries {
       graft.llm.NearDup.hammingNearDupPairs(bits, "doc_id", "bits", r = 6)
     }),
 
+    // PNG pixel decode through the JDK-Inflater path: fixture PNGs
+    // (RGB and RGBA, scanline filters CYCLING None/Sub/Up/Average/
+    // Paeth, IDAT split across two chunks) decoded to raw RGB
+    // planes; the oracle regenerates every channel value from the
+    // generative pixel formula, so one wrong filter undo, channel
+    // order, alpha slip or chunk-concat bug breaks the hash.
+    "q215_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq((1L, 9, 7, false), (2L, 16, 11, true), (3L, 5, 13, true))
+        .map { case (id, w, h, rgba) => graft.llm.Multimodal.MediaRow(
+          id, graft.llm.ImageFixtures.pngFull(w, h, pix, rgba), "image") }
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -742,6 +765,18 @@ object StatsQueries {
         |HAVING CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
         |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
         |    AS BIGINT) <= 6""".stripMargin,
+
+    "q215_png_decode" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 9, 7), (2, 16, 11),
+        |                                    (3, 5, 13)) t(image_id, w, h)),
+        |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
+        |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
+        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx)
+        |SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |  CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |            WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |            ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |FROM cc""".stripMargin,
 
     "q212_wav_spectral" ->
       """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),

@@ -39,6 +39,47 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodePng: all five scanline filters undo to the formula plane (RGB + RGBA)") {
+    // h >= 5 cycles the fixture's y % 5 filter choice through
+    // None/Sub/Up/Average/Paeth; RGBA additionally checks bpp=4
+    // filter offsets and the alpha drop
+    for (rgba <- Seq(false, true); (w, h) <- Seq((9, 7), (3, 6), (1, 5))) {
+      val (gw, gh, out) = BmpWavDecoder.decodePngWithDims(
+        ImageFixtures.pngFull(w, h, pix, rgba))
+      assert((gw, gh) === ((w, h)))
+      assert(out.length == w * h * 3)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (y * w + x) * 3
+        val (r, g, b) = pix(x, y)
+        assert(out(base) == (r % 256).toFloat, s"R at ($x,$y) rgba=$rgba")
+        assert(out(base + 1) == (g % 256).toFloat, s"G at ($x,$y) rgba=$rgba")
+        assert(out(base + 2) == (b % 256).toFloat, s"B at ($x,$y) rgba=$rgba")
+      }
+    }
+  }
+
+  test("decodePng rejects what it cannot decode, loudly") {
+    // header-only fixture: IHDR but no IDAT
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodePng(ImageFixtures.png(4, 4))
+    }
+    // not a PNG at all
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodePng(ImageFixtures.bmp(2, 2, pix))
+    }
+    // truncated pixel stream: drop the tail of the file
+    val full = ImageFixtures.pngFull(8, 8, pix)
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodePng(full.take(full.length - 20))
+    }
+  }
+
+  test("image dispatch sniffs the container: PNG and BMP through one decode call") {
+    val fromPng = BmpWavDecoder.decode(ImageFixtures.pngFull(4, 3, pix), "image")
+    val fromBmp = BmpWavDecoder.decode(ImageFixtures.bmp(4, 3, pix), "image")
+    assert(fromPng.toSeq === fromBmp.toSeq)
+  }
+
   test("decodeWavPcm16: interleaved LE samples, negative values, LIST-chunk skip") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999, 12)
     val plain = BmpWavDecoder.decodeWavPcm16(
