@@ -34,32 +34,72 @@ import graft.util.Exact.{round6, round9}
 object Regression {
 
   /** OLS of y on (1, x1, x2). Returns 1 row:
-    * (n, b0, b1, b2, r2) — coefficients and R², rounded to 6. */
+    * (n, b0, b1, b2, r2) — coefficients and R², rounded to 6.
+    * Composition of [[olsStats]] (mergeable exact-decimal moments)
+    * and [[olsFromStats]] (closed form) — the split that lets
+    * [[graft.streaming.StreamingStats.olsMaintain]] keep the same
+    * fit incrementally, bit-identical to this monolithic one. */
   def olsTwoFeature(df: DataFrame, yCol: String, x1Col: String,
-                    x2Col: String): DataFrame = {
-    // micro-unit integers (the q176 bootstrap pattern): each factor is
-    // round(x·10⁶) as DECIMAL(19,0), so every moment is an EXACT
-    // integer sum on both engines (a DECIMAL(18,6)×DECIMAL(18,6)
-    // product overflows DuckDB's physical int64 lanes); the final
-    // /10⁶ and /10¹² rescales are double divisions of exact integers
-    // — identical bits on both engines.
+                    x2Col: String): DataFrame =
+    olsFromStats(olsStats(df, yCol, x1Col, x2Col))
+
+  /** The MERGEABLE sufficient-statistic state behind
+    * [[olsTwoFeature]]: one row of exact DECIMAL(38,0) micro-unit
+    * moment sums (n and the Σ of round(x·10⁶) integers and their
+    * pairwise products — the q176 bootstrap pattern, kept as decimal
+    * so every moment is an EXACT integer sum on both engines; a
+    * DECIMAL(18,6)×DECIMAL(18,6) product overflows DuckDB's physical
+    * int64 lanes). Sums stay decimal — never double — so states from
+    * disjoint batches merge EXACTLY by addition ([[olsMergeStats]]):
+    * the [[graft.operators.Profiler.corrStats]] contract for the
+    * regression family. */
+  def olsStats(df: DataFrame, yCol: String, x1Col: String,
+               x2Col: String): DataFrame = {
     def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
       .cast(DecimalType(19, 0))
     val d = df
       .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
       .select(q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
-    val m = d.agg(
-      count(lit(1)).cast("double").as("n"),
-      (sum(col("x1")).cast("double") / 1.0e6).as("s1"),
-      (sum(col("x2")).cast("double") / 1.0e6).as("s2"),
-      (sum(col("y")).cast("double") / 1.0e6).as("sy"),
-      (sum(col("x1") * col("x1")).cast("double") / 1.0e12).as("s11"),
-      (sum(col("x1") * col("x2")).cast("double") / 1.0e12).as("s12"),
-      (sum(col("x2") * col("x2")).cast("double") / 1.0e12).as("s22"),
-      (sum(col("x1") * col("y")).cast("double") / 1.0e12).as("s1y"),
-      (sum(col("x2") * col("y")).cast("double") / 1.0e12).as("s2y"),
-      (sum(col("y") * col("y")).cast("double") / 1.0e12).as("syy"))
+    d.agg(
+      count(lit(1)).as("__n"),
+      sum(col("x1")).cast(DecimalType(38, 0)).as("__s1"),
+      sum(col("x2")).cast(DecimalType(38, 0)).as("__s2"),
+      sum(col("y")).cast(DecimalType(38, 0)).as("__sy"),
+      sum(col("x1") * col("x1")).cast(DecimalType(38, 0)).as("__s11"),
+      sum(col("x1") * col("x2")).cast(DecimalType(38, 0)).as("__s12"),
+      sum(col("x2") * col("x2")).cast(DecimalType(38, 0)).as("__s22"),
+      sum(col("x1") * col("y")).cast(DecimalType(38, 0)).as("__s1y"),
+      sum(col("x2") * col("y")).cast(DecimalType(38, 0)).as("__s2y"),
+      sum(col("y") * col("y")).cast(DecimalType(38, 0)).as("__syy"))
+  }
+
+  /** Exact merge of two disjoint batches' [[olsStats]] rows: every
+    * statistic is a plain decimal sum, so union + re-sum IS the
+    * state of the concatenated data — no rescan of history. */
+  def olsMergeStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val sums = a.columns.filterNot(_ == "__n")
+      .map(c => sum(col(c)).cast(DecimalType(38, 0)).as(c))
+    val allAggs = sum(col("__n")).cast("long").as("__n") +: sums.toSeq
+    a.unionByName(b).agg(allAggs.head, allAggs.tail: _*)
+  }
+
+  /** Closed-form fit from an [[olsStats]] row. Doubles enter only
+    * here: the /10⁶ and /10¹² rescales are double divisions of exact
+    * integers — identical bits on both engines and however the state
+    * was accumulated (one pass or [[olsMergeStats]] folds). */
+  def olsFromStats(stats: DataFrame): DataFrame = {
+    val m = stats.select(
+      col("__n").cast("double").as("n"),
+      (col("__s1").cast("double") / 1.0e6).as("s1"),
+      (col("__s2").cast("double") / 1.0e6).as("s2"),
+      (col("__sy").cast("double") / 1.0e6).as("sy"),
+      (col("__s11").cast("double") / 1.0e12).as("s11"),
+      (col("__s12").cast("double") / 1.0e12).as("s12"),
+      (col("__s22").cast("double") / 1.0e12).as("s22"),
+      (col("__s1y").cast("double") / 1.0e12).as("s1y"),
+      (col("__s2y").cast("double") / 1.0e12).as("s2y"),
+      (col("__syy").cast("double") / 1.0e12).as("syy"))
     // Cramer on [[n s1 s2][s1 s11 s12][s2 s12 s22]] b = [sy s1y s2y].
     // Every determinant is written ONCE here and mirrored verbatim in
     // the oracle SQL: double +,-,*,/ are IEEE-deterministic, so

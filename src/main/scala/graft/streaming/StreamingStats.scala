@@ -43,9 +43,62 @@ object StreamingStats {
     * batchId <= lastApplied is a no-op. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
                                     cols: Seq[String], scale: Int,
-                                    statePath: String): Unit = {
+                                    statePath: String): Unit =
+    foldBatch(batch.sparkSession, batchId, statePath)(
+      Profiler.corrStats(batch, cols, scale),
+      (p, b) => Profiler.corrMergeStats(p, b))
+
+  /** The current correlation matrix from the maintained state. */
+  def currentCorr(spark: SparkSession, statePath: String,
+                  cols: Seq[String]): DataFrame =
+    Profiler.corrFromStats(
+      spark.read.parquet(statePath).drop("__last_batch"), cols)
+
+  /** Streaming maintenance of OLS sufficient statistics — the
+    * continuously-running twin of
+    * [[graft.operators.Regression.olsTwoFeature]] (q191): each
+    * micro-batch reduces to its one-row exact-DECIMAL moment state
+    * ([[graft.operators.Regression.olsStats]]) and folds into the
+    * persisted state by exact addition
+    * ([[graft.operators.Regression.olsMergeStats]]) under the same
+    * foreachBatch read-merge-write + batchId-idempotence discipline
+    * as [[corrMaintain]]. The fit itself is derived on demand from
+    * the state row via [[currentOls]] (closed form, no data touch),
+    * BIT-IDENTICAL to a monolithic refit over everything ever seen
+    * — the spec proves it end-to-end through the stream, restart
+    * and replay included. */
+  def olsMaintain(stream: DataFrame, yCol: String, x1Col: String,
+                  x2Col: String, statePath: String,
+                  checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        olsApplyBatch(batch, batchId, yCol, x1Col, x2Col, statePath)
+      }
+      .start()
+
+  private[graft] def olsApplyBatch(batch: DataFrame, batchId: Long,
+                                   yCol: String, x1Col: String,
+                                   x2Col: String, statePath: String): Unit =
+    foldBatch(batch.sparkSession, batchId, statePath)(
+      graft.operators.Regression.olsStats(batch, yCol, x1Col, x2Col),
+      (p, b) => graft.operators.Regression.olsMergeStats(p, b))
+
+  /** The current (n, b0, b1, b2, r2) fit from the maintained state. */
+  def currentOls(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Regression.olsFromStats(
+      spark.read.parquet(statePath).drop("__last_batch"))
+
+  /** Shared read-merge-write fold: load the prior 1-row state (if
+    * any), skip already-applied batchIds, merge the batch's stats
+    * row in by the family's exact-addition merge, stamp and rewrite.
+    * collect-and-rewrite is O(state), not O(data). */
+  private def foldBatch(spark: SparkSession, batchId: Long,
+                        statePath: String)(
+      batchStats: => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.functions.lit
-    val spark = batch.sparkSession
     val dir = new java.io.File(statePath)
     val prior =
       if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
@@ -54,24 +107,15 @@ object StreamingStats {
     val lastApplied = prior
       .map(_.select("__last_batch").head.getLong(0)).getOrElse(-1L)
     if (batchId > lastApplied) {
-      val batchStats = Profiler.corrStats(batch, cols, scale)
       val merged = prior match {
-        case Some(p) =>
-          Profiler.corrMergeStats(p.drop("__last_batch"), batchStats)
-        case None => batchStats
+        case Some(p) => merge(p.drop("__last_batch"), batchStats)
+        case None    => batchStats
       }
       val stamped = merged.withColumn("__last_batch", lit(batchId))
-      // 1-row frame: collect-and-rewrite is O(state), not O(data)
       val row = stamped.collect()
       val out = spark.createDataFrame(
         spark.sparkContext.parallelize(row.toIndexedSeq, 1), stamped.schema)
       out.write.mode("overwrite").parquet(statePath)
     }
   }
-
-  /** The current correlation matrix from the maintained state. */
-  def currentCorr(spark: SparkSession, statePath: String,
-                  cols: Seq[String]): DataFrame =
-    Profiler.corrFromStats(
-      spark.read.parquet(statePath).drop("__last_batch"), cols)
 }
