@@ -237,6 +237,37 @@ object StatsQueries {
       graft.llm.NearDup.hammingNearDupPairs(bits, "doc_id", "bits", r = 6)
     }),
 
+    // The FULL multimodal near-dup pipeline at corpus shape, PNG in:
+    // 120 per-executor-generated PNGs (10 content groups x 12 docs,
+    // per-doc blue-channel perturbation, RGBA for even ids, varied
+    // dims) -> Inflater decode -> bilinear 8x8 -> luma aHash ->
+    // BANDED Hamming pairs at r=10 (never all-pairs). The oracle
+    // replays decode->resize->hash from the generative formula (the
+    // q213 arithmetic, parametrized per image) and takes the truth
+    // from brute-force pairs — one wrong PNG filter undo, resize
+    // sample, luma digit or banding drop breaks the hash.
+    "q217_png_phash_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val ds = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long].map { id =>
+          val g = (id % 10).toInt; val dd = (id % 4).toInt
+          val w = 8 + g; val h = 5 + (g % 5)
+          val pix = (x: Int, y: Int) => (
+            (x * 7 + y * 13 + g * 37) % 256,
+            (x * 3 + y * 5 + 17 + g * 53) % 256,
+            (x + y * 2 + 101 + g * 11 + dd * 29) % 256)
+          graft.llm.Multimodal.MediaRow(id,
+            graft.llm.ImageFixtures.pngFull(w, h, pix, rgba = id % 2 == 0),
+            "image")
+        }
+      val hashes = graft.llm.Multimodal.perceptualHash64(
+        graft.llm.Multimodal.extractResizedBmp(ds, 8, 8).toDF(),
+        "id", "features")
+      graft.llm.NearDup.hammingNearDupPairs(hashes, "image_id", "bits",
+          r = 10)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // PNG pixel decode through the JDK-Inflater path: fixture PNGs
     // (RGB and RGBA, scanline filters CYCLING None/Sub/Up/Average/
     // Paeth, IDAT split across two chunks) decoded to raw RGB
@@ -765,6 +796,75 @@ object StatsQueries {
         |HAVING CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
         |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
         |    AS BIGINT) <= 6""".stripMargin,
+
+    "q217_png_phash_pipeline" -> {
+      def px(x: String, y: String) =
+        s"CAST(CASE WHEN c = 0 THEN (($x)*7 + ($y)*13 + gp*37) % 256 " +
+          s"WHEN c = 1 THEN (($x)*3 + ($y)*5 + 17 + gp*53) % 256 " +
+          s"ELSE (($x) + ($y)*2 + 101 + gp*11 + dd*29) % 256 END AS DOUBLE)"
+      s"""WITH imgs AS (SELECT doc_id AS image_id,
+         |    CAST(doc_id % 10 AS BIGINT) AS gp,
+         |    CAST(doc_id % 4 AS BIGINT) AS dd,
+         |    CAST(8 + doc_id % 10 AS BIGINT) AS w,
+         |    CAST(5 + (doc_id % 10) % 5 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id < 120),
+         |uu AS (SELECT image_id, gp, dd, w, h, unnest(range(8)) AS v
+         |       FROM imgs),
+         |uv AS (SELECT image_id, gp, dd, w, h, v, unnest(range(8)) AS u
+         |       FROM uu),
+         |uvc AS (SELECT image_id, gp, dd, w, h, v, u,
+         |               unnest(range(3)) AS c FROM uv),
+         |g AS (SELECT image_id, gp, dd, w, h, u, v, c,
+         |    greatest(0.0, least(CAST(h AS DOUBLE) - 1.0,
+         |      (CAST(v AS DOUBLE) + 0.5) * CAST(h AS DOUBLE) / 8.0 - 0.5))
+         |      AS syc,
+         |    greatest(0.0, least(CAST(w AS DOUBLE) - 1.0,
+         |      (CAST(u AS DOUBLE) + 0.5) * CAST(w AS DOUBLE) / 8.0 - 0.5))
+         |      AS sxc
+         |  FROM uvc),
+         |q AS (SELECT image_id, gp, dd, w, h, u, v, c,
+         |    CAST(floor(syc) AS BIGINT) AS y0,
+         |    CAST(floor(sxc) AS BIGINT) AS x0,
+         |    syc - CAST(floor(syc) AS BIGINT) AS fy,
+         |    sxc - CAST(floor(sxc) AS BIGINT) AS fx,
+         |    least(h - 1, CAST(floor(syc) AS BIGINT) + 1) AS y1,
+         |    least(w - 1, CAST(floor(sxc) AS BIGINT) + 1) AS x1
+         |  FROM g),
+         |r AS (SELECT image_id, u, v, c,
+         |    CAST(CAST((1 - fy) * ((1 - fx) * ${px("x0", "y0")}
+         |      + fx * ${px("x1", "y0")})
+         |    + fy * ((1 - fx) * ${px("x0", "y1")}
+         |      + fx * ${px("x1", "y1")}) AS FLOAT) AS DOUBLE) AS val
+         |  FROM q),
+         |cellp AS (SELECT image_id, v*8 + u AS cell,
+         |    MAX(CASE WHEN c = 0 THEN val END) AS r,
+         |    MAX(CASE WHEN c = 1 THEN val END) AS g,
+         |    MAX(CASE WHEN c = 2 THEN val END) AS b
+         |  FROM r GROUP BY 1, 2),
+         |cells AS (SELECT image_id, cell,
+         |    round(0.299 * r + 0.587 * g + 0.114 * b, 9) AS luma
+         |  FROM cellp),
+         |mn AS (SELECT image_id,
+         |    round(CAST(SUM(CAST(round(luma, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean
+         |  FROM cells GROUP BY 1),
+         |bits AS (SELECT image_id,
+         |    string_agg(CASE WHEN luma > mean THEN '1' ELSE '0' END,
+         |               '' ORDER BY cell) AS bits
+         |  FROM cells JOIN mn USING (image_id) GROUP BY 1),
+         |ham AS (SELECT a.image_id AS ia, b.image_id AS ib,
+         |    a.bits AS ba, b.bits AS bb
+         |  FROM bits a JOIN bits b ON a.image_id < b.image_id)
+         |SELECT ia AS id_a, ib AS id_b,
+         |  CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
+         |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hamming
+         |FROM ham, (SELECT unnest(range(64)) AS j)
+         |GROUP BY 1, 2
+         |HAVING CAST(SUM(CASE WHEN substr(ba, CAST(j + 1 AS INT), 1)
+         |      <> substr(bb, CAST(j + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) <= 10""".stripMargin
+    },
 
     "q215_png_decode" ->
       """WITH imgs AS (SELECT * FROM (VALUES (1, 9, 7), (2, 16, 11),

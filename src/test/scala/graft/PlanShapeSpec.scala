@@ -65,12 +65,14 @@ class PlanShapeSpec extends SparkSpec {
         s"— checkpoint `pairs` before the fan-out:\n$plan")
   }
 
-  test("q214 banded phash: pair stage is a band equi-join — never the q213 all-pairs shape") {
-    val plan = SparkEntry.queries("q214_phash_banded")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"banded Hamming pair stage regressed to an all-pairs join:\n$plan")
-    assert(!plan.contains("CartesianProduct"), plan)
+  test("q214/q217 banded phash: pair stage is a band equi-join — never the q213 all-pairs shape") {
+    for (n <- Seq("q214_phash_banded", "q217_png_phash_pipeline")) {
+      val plan = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$n: banded Hamming pair stage regressed to an all-pairs join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
   }
 
   test("build-once ceilings: a lost checkpoint cannot silently multiply lineage") {
