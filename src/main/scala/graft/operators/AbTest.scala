@@ -236,4 +236,157 @@ object AbTest {
             (col("__between") / col("__within")), 6)).as("w"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V effect size — the categorical sibling
+    * of [[TargetEncode.mutualInfo]] (same contingency frame, the
+    * classical significance statistic instead of the information one):
+    *
+    *   X² = Σ_ij (n_ij − e_ij)²/e_ij,  e_ij = r_i·c_j/N,
+    *   V  = sqrt(X² / (N · min(r−1, c−1))).
+    *
+    * Scale shape: ONE map-side-combined aggregation folds the corpus
+    * to the r×c contingency frame; marginals are two aggregations OF
+    * THAT FRAME (broadcast back — never a second corpus pass); each
+    * cell's X² term quantizes to 9 decimals and sums in exact
+    * decimal, so the statistic is engine-portable. A 1×c or r×1 table
+    * (min(r−1,c−1) = 0 — independence is vacuous) yields NULL V and
+    * NULL X², not a divide error. Returns 1 row:
+    * (n, r, c, dof, chi2, cramers_v), rounded to 6. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+              col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+    val rowm = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ri"))
+    val colm = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__cj"))
+    val tot = cells.agg(sum(col("__nij")).as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    val e = col("__ri").cast("double") * col("__cj").cast("double") /
+      col("__n").cast("double")
+    val term = round((col("__nij").cast("double") - e) *
+      (col("__nij").cast("double") - e) / e, 9)
+    cells
+      .join(broadcast(rowm), Seq("__a"))
+      .join(broadcast(colm), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("n"), first(col("__r")).as("r"),
+        first(col("__c")).as("c"),
+        first((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        sum(term.cast(DecimalType(38, 9))).cast("double").as("__chi2"),
+        first(least(col("__r") - 1, col("__c") - 1).cast("double"))
+          .as("__mind"),
+        first(col("__n").cast("double")).as("__nd"))
+      .select(col("n"), col("r"), col("c"), col("dof"),
+        when(col("__mind") > 0, round(col("__chi2"), 6)).as("chi2"),
+        when(col("__mind") > 0,
+          round(sqrt(col("__chi2") / (col("__nd") * col("__mind"))), 6))
+          .as("cramers_v"))
+  }
+
+  /** One-way ANOVA F — does the group mean differ across k groups
+    * beyond within-group noise? The parametric companion to
+    * [[leveneMeanCentered]] (which checks the VARIANCES this test
+    * assumes homogeneous):
+    *
+    *   F = [Σ n_j(m_j − m)²/(k−1)] / [Σ_j (Σx² − n_j·m_j²)/(N−k)].
+    *
+    * Scale shape: ONE corpus pass folds to per-group (n, Σx, Σx²) in
+    * exact micro-unit decimals; the grand mean, both sums of squares
+    * and the ratio ride the k-row group frame in a fixed 9-dp
+    * quantized order. Degenerate inputs — one group, or zero
+    * within-group spread — yield NULL F. Returns 1 row:
+    * (n, k, ss_between, ss_within, f), rounded to 6. */
+  def anovaOneWay(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        round(col(valueCol).cast("double") * 1e6, 0)
+          .cast(DecimalType(19, 0)).as("xq"))
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val grp = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("xq")).cast(DecimalType(38, 0)).as("sj"),
+        sum(col("xq") * col("xq")).cast(DecimalType(38, 0)).as("sjj"))
+      .withColumn("mj", round(col("sj").cast("double") / 1e6 /
+        col("nj").cast("double"), 9))
+    val tot = grp.agg(sum(col("nj")).as("nn"), count(lit(1)).as("k"),
+      sum(col("sj")).cast(DecimalType(38, 0)).as("s"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("m", round(col("s").cast("double") / 1e6 /
+        col("nn").cast("double"), 9))
+      .agg(first(col("nn")).as("n"), first(col("k")).as("k"),
+        dsum(col("nj").cast("double") *
+          ((col("mj") - col("m")) * (col("mj") - col("m"))))
+          .as("__ssb"),
+        dsum(col("sjj").cast("double") / 1e12 -
+          col("nj").cast("double") * (col("mj") * col("mj")))
+          .as("__ssw"),
+        first((col("nn") - col("k")).cast("double")).as("__dfw"),
+        first((col("k") - lit(1L)).cast("double")).as("__dfb"))
+      .select(col("n"), col("k"),
+        round(col("__ssb"), 6).as("ss_between"),
+        round(col("__ssw"), 6).as("ss_within"),
+        when(col("__dfb") > 0 && col("__ssw") =!= 0.0,
+          round((col("__ssb") / col("__dfb")) /
+                (col("__ssw") / col("__dfw")), 6)).as("f"))
+  }
+
+  /** Welch's unequal-variance two-sample t — the default two-group
+    * mean comparison when [[leveneMeanCentered]] says the spreads
+    * differ (no pooled-variance assumption):
+    *
+    *   t  = (m₁ − m₂) / sqrt(s₁²/n₁ + s₂²/n₂),
+    *   df = (s₁²/n₁ + s₂²/n₂)² /
+    *        [(s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1)]   (Welch–Satterthwaite).
+    *
+    * Scale shape: ONE map-side-combined pass folds the corpus to two
+    * rows of exact micro-unit moments (n, Σx, Σx²); means 9-dp
+    * quantized, sample variances from the algebraic fold
+    * (Σx² − n·m²)/(n−1), and the closing t/df arithmetic is a fixed
+    * order of double ops on the 1-row frame. A group with n ≤ 1 or
+    * zero combined variance yields NULL t/df. Returns 1 row:
+    * (n1, n2, mean1, mean2, var1, var2, t, df_welch), rounded to 6. */
+  def welchTTest(df: DataFrame, valueCol: String, group: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(when(group, 1L).otherwise(0L).as("g"),
+        round(col(valueCol).cast("double") * 1e6, 0)
+          .cast(DecimalType(19, 0)).as("xq"))
+    val grp = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("xq")).cast(DecimalType(38, 0)).as("sj"),
+        sum(col("xq") * col("xq")).cast(DecimalType(38, 0)).as("sjj"))
+      .withColumn("mj", round(col("sj").cast("double") / 1e6 /
+        col("nj").cast("double"), 9))
+      .withColumn("vj", when(col("nj") > 1,
+        round((col("sjj").cast("double") / 1e12 -
+          col("nj").cast("double") * (col("mj") * col("mj"))) /
+          (col("nj") - 1).cast("double"), 9)))
+    val one = grp.filter(col("g") === 1L)
+      .select(col("nj").as("n1"), col("mj").as("mean1"), col("vj").as("var1"))
+    val zero = grp.filter(col("g") === 0L)
+      .select(col("nj").as("n2"), col("mj").as("mean2"), col("vj").as("var2"))
+    val se1 = col("var1") / col("n1").cast("double")
+    val se2 = col("var2") / col("n2").cast("double")
+    one.crossJoin(broadcast(zero))
+      .select(col("n1"), col("n2"),
+        round(col("mean1"), 6).as("mean1"),
+        round(col("mean2"), 6).as("mean2"),
+        round(col("var1"), 6).as("var1"),
+        round(col("var2"), 6).as("var2"),
+        when(se1 + se2 > 0.0,
+          round((col("mean1") - col("mean2")) / sqrt(se1 + se2), 6)).as("t"),
+        when(col("n1") > 1 && col("n2") > 1 && se1 + se2 > 0.0,
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1") - 1).cast("double") +
+             se2 * se2 / (col("n2") - 1).cast("double")), 6))
+          .as("df_welch"))
+  }
+
 }

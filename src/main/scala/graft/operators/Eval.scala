@@ -287,4 +287,79 @@ object Eval {
               round((col("po") - col("pe")) /
                     when(col("pe") < 1.0, lit(1.0) - col("pe")), 6).as("kappa"))
   }
+
+  /** DeLong variance and 95% CI for the exact [[auc]] — the error bar
+    * that turns a point AUC into a defensible model comparison. The
+    * structural components are per-row placement values; on the
+    * distinct-score frame they collapse to per-score constants:
+    *
+    *   V10(s) = (negBelow(s) + ½·neg(s)) / N   (each positive at s),
+    *   V01(s) = (posAbove(s) + ½·pos(s)) / P   (each negative at s),
+    *   Var(AUC) = S10/P + S01/N,  S·· the sample variances of V over
+    *   the positives / negatives (AUC is the mean of each V family).
+    *
+    * Scale shape: identical to [[auc]] — the corpus folds once to the
+    * distinct-score frame, BOTH exclusive cumsums (negatives below,
+    * positives below) ride [[OrderedStats.cumsumExclusive]] (no
+    * single-partition window), and the variance terms are
+    * 9-dp-quantized per-score products summed in exact decimal, so
+    * every number is engine-portable. Degenerate inputs (P ≤ 1 or
+    * N ≤ 1 — a variance over one placement value) yield NULL
+    * se/ci, not a divide error. Returns 1 row:
+    * (n_pos, n_neg, auc, se, ci_lo, ci_hi), rounded to 6. */
+  def aucDeLong(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val g = df
+      .select(col(scoreCol).as("__s"),
+              when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("pos_s"),
+           (count(lit(1)) - sum(col("__y"))).as("neg_s"))
+    val c2 = OrderedStats.cumsumExclusive(
+      OrderedStats.cumsumExclusive(g, sortCol = "__s", tieCols = Nil,
+        valueCol = "neg_s", outCol = "neg_below"),
+      sortCol = "__s", tieCols = Nil,
+      valueCol = "pos_s", outCol = "pos_below")
+    val tot = c2.agg(
+        sum(col("pos_s")).as("__p"), sum(col("neg_s")).as("__n"),
+        sum(col("neg_below").cast(DecimalType(19, 0)) *
+            col("pos_s").cast(DecimalType(19, 0)))
+          .cast("double").as("__ub"),
+        sum(col("pos_s").cast(DecimalType(19, 0)) *
+            col("neg_s").cast(DecimalType(19, 0)))
+          .cast("double").as("__ut"))
+      .select(col("__p"), col("__n"),
+        round((col("__ub") + lit(0.5) * col("__ut")) /
+              (col("__p").cast("double") * col("__n").cast("double")), 9)
+          .as("__auc"))
+    val v10 = round((col("neg_below").cast("double") +
+      lit(0.5) * col("neg_s").cast("double")) /
+      col("__n").cast("double"), 9)
+    val v01 = round((col("__p").cast("double") -
+      col("pos_below").cast("double") - col("pos_s").cast("double") +
+      lit(0.5) * col("pos_s").cast("double")) /
+      col("__p").cast("double"), 9)
+    val z975 = lit(1.959963985)
+    c2.crossJoin(broadcast(tot))
+      .agg(first(col("__p")).as("n_pos"), first(col("__n")).as("n_neg"),
+        first(col("__auc")).as("__auc"),
+        dsum(col("pos_s").cast("double") *
+          ((v10 - col("__auc")) * (v10 - col("__auc")))).as("__s10n"),
+        dsum(col("neg_s").cast("double") *
+          ((v01 - col("__auc")) * (v01 - col("__auc")))).as("__s01n"))
+      .select(col("n_pos"), col("n_neg"), col("__auc"),
+        when(col("n_pos") > 1 && col("n_neg") > 1,
+          round(sqrt(
+            round(col("__s10n") / (col("n_pos") - 1).cast("double"), 9) /
+              col("n_pos").cast("double") +
+            round(col("__s01n") / (col("n_neg") - 1).cast("double"), 9) /
+              col("n_neg").cast("double")), 9)).as("__se"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__auc"), 6).as("auc"),
+        round(col("__se"), 6).as("se"),
+        round(col("__auc") - z975 * col("__se"), 6).as("ci_lo"),
+        round(col("__auc") + z975 * col("__se"), 6).as("ci_hi"))
+  }
 }

@@ -352,6 +352,41 @@ object StatsQueries {
                 (lit(1000000) + col("o_orderkey") % 300).as("dst"))
         .distinct()
       graft.operators.Graph.hits(e, "src", "dst", iterations = 2)
+    }),
+
+    // Chi-square independence + Cramér's V on the SAME contingency
+    // pair as q198's mutual information - the significance statistic
+    // next to the information one; per-cell terms 9-dp quantized,
+    // marginals broadcast off the cell frame (never a second corpus
+    // pass).
+    "q218_chi_square" -> ((s, d) => {
+      graft.operators.AbTest.chiSquareIndependence(customer(s, d),
+        "c_mktsegment", "c_nationkey")
+    }),
+
+    // One-way ANOVA F for extended price across return flags - the
+    // mean-shift companion to q209's variance-homogeneity W; one
+    // corpus pass to per-group exact moments.
+    "q219_anova" -> ((s, d) => {
+      graft.operators.AbTest.anovaOneWay(lineitem(s, d),
+        "l_extendedprice", "l_returnflag")
+    }),
+
+    // Welch's unequal-variance t on the q203 grouping - the
+    // parametric p-value next to the randomization one, with the
+    // Welch-Satterthwaite df; one pass to two moment rows.
+    "q220_welch_t" -> ((s, d) => {
+      graft.operators.AbTest.welchTTest(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F")
+    }),
+
+    // DeLong variance + 95% CI around the exact q137 AUC: placement
+    // values collapse per distinct score, both cumsums ride the
+    // two-phase bucketed form - the error bar without an all-pairs
+    // or single-partition pass.
+    "q221_delong_auc" -> ((s, d) => {
+      graft.operators.Eval.aucDeLong(orders(s, d), "o_totalprice",
+        col("o_orderstatus") === "F")
     })
   )
 
@@ -1191,6 +1226,149 @@ object StatsQueries {
         |  round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
         |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
         |      * ((nn + 1.0) - ties / (nn * (nn - 1.0)))), 6) AS z
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q218_chi_square" ->
+      """WITH cells AS (SELECT CAST(c_mktsegment AS VARCHAR) AS a,
+        |    CAST(c_nationkey AS VARCHAR) AS b, COUNT(*) AS nij
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM cells),
+        |j AS (SELECT nij, CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS e, n, r, c
+        |  FROM cells JOIN rm USING (a) JOIN cm USING (b), t),
+        |x AS (SELECT ANY_VALUE(n) AS n, ANY_VALUE(r) AS r,
+        |    ANY_VALUE(c) AS c,
+        |    CAST(SUM(CAST(round((CAST(nij AS DOUBLE) - e)
+        |        * (CAST(nij AS DOUBLE) - e) / e, 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS chi2raw
+        |  FROM j)
+        |SELECT n, r, c, CAST((r-1)*(c-1) AS BIGINT) AS dof,
+        |  CASE WHEN least(r-1, c-1) > 0 THEN round(chi2raw, 6) END AS chi2,
+        |  CASE WHEN least(r-1, c-1) > 0 THEN
+        |    round(sqrt(chi2raw / (CAST(n AS DOUBLE)
+        |      * CAST(least(r-1, c-1) AS DOUBLE))), 6) END AS cramers_v
+        |FROM x""".stripMargin,
+
+    "q219_anova" ->
+      """WITH r AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS xq
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g1 AS (SELECT g, COUNT(*) AS nj,
+        |    CAST(SUM(xq) AS DECIMAL(38,0)) AS sj,
+        |    CAST(SUM(xq*xq) AS DECIMAL(38,0)) AS sjj FROM r GROUP BY 1),
+        |g2 AS (SELECT g, nj, sj, sjj,
+        |    round(CAST(sj AS DOUBLE) / 1000000.0 / CAST(nj AS DOUBLE), 9)
+        |      AS mj FROM g1),
+        |t AS (SELECT CAST(SUM(nj) AS BIGINT) AS nn, COUNT(*) AS k,
+        |    CAST(SUM(sj) AS DECIMAL(38,0)) AS s FROM g2),
+        |z AS (SELECT g2.*, t.nn, t.k,
+        |    round(CAST(t.s AS DOUBLE) / 1000000.0 / CAST(t.nn AS DOUBLE), 9)
+        |      AS m FROM g2, t),
+        |w AS (SELECT nn, k,
+        |    CAST(SUM(CAST(round(CAST(nj AS DOUBLE) * ((mj - m)*(mj - m)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ssb,
+        |    CAST(SUM(CAST(round(CAST(sjj AS DOUBLE)/1000000000000.0
+        |        - CAST(nj AS DOUBLE)*(mj*mj), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS ssw
+        |  FROM z GROUP BY nn, k)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |  CASE WHEN k > 1 AND ssw <> 0.0 THEN
+        |    round((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(nn - k AS DOUBLE)), 6) END AS f
+        |FROM w""".stripMargin,
+
+    "q220_welch_t" ->
+      """WITH r AS (SELECT
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000.0, 0)
+        |         AS DECIMAL(19,0)) AS xq
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g1 AS (SELECT g, COUNT(*) AS nj,
+        |    CAST(SUM(xq) AS DECIMAL(38,0)) AS sj,
+        |    CAST(SUM(xq*xq) AS DECIMAL(38,0)) AS sjj FROM r GROUP BY 1),
+        |g2 AS (SELECT g, nj,
+        |    round(CAST(sj AS DOUBLE)/1000000.0/CAST(nj AS DOUBLE), 9) AS mj,
+        |    CASE WHEN nj > 1 THEN
+        |      round((CAST(sjj AS DOUBLE)/1000000000000.0
+        |        - CAST(nj AS DOUBLE)
+        |          * (round(CAST(sj AS DOUBLE)/1000000.0/CAST(nj AS DOUBLE), 9)
+        |           * round(CAST(sj AS DOUBLE)/1000000.0/CAST(nj AS DOUBLE), 9)))
+        |      / CAST(nj - 1 AS DOUBLE), 9) END AS vj
+        |  FROM g1),
+        |o AS (SELECT nj AS n1, mj AS m1, vj AS v1 FROM g2 WHERE g = 1),
+        |z AS (SELECT nj AS n2, mj AS m2, vj AS v2 FROM g2 WHERE g = 0)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |  round(v1, 6) AS var1, round(v2, 6) AS var2,
+        |  CASE WHEN v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE) > 0 THEN
+        |    round((m1 - m2) / sqrt(v1/CAST(n1 AS DOUBLE)
+        |      + v2/CAST(n2 AS DOUBLE)), 6) END AS t,
+        |  CASE WHEN n1 > 1 AND n2 > 1
+        |      AND v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE) > 0 THEN
+        |    round((v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE))
+        |        * (v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE))
+        |      / ((v1/CAST(n1 AS DOUBLE))*(v1/CAST(n1 AS DOUBLE))
+        |           /CAST(n1 - 1 AS DOUBLE)
+        |       + (v2/CAST(n2 AS DOUBLE))*(v2/CAST(n2 AS DOUBLE))
+        |           /CAST(n2 - 1 AS DOUBLE)), 6) END AS df_welch
+        |FROM o, z""".stripMargin,
+
+    "q221_delong_auc" ->
+      """WITH s AS (SELECT o_totalprice AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_s,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_s FROM s GROUP BY score),
+        |c AS (SELECT score, pos_s, neg_s,
+        |    COALESCE(SUM(neg_s) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    COALESCE(SUM(pos_s) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pos_below
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(pos_s) AS BIGINT) AS p,
+        |    CAST(SUM(neg_s) AS BIGINT) AS n,
+        |    CAST(SUM(neg_below * pos_s) AS DOUBLE) AS ub,
+        |    CAST(SUM(pos_s * neg_s) AS DOUBLE) AS ut FROM c),
+        |a AS (SELECT p, n, round((ub + 0.5*ut)
+        |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS auc FROM t),
+        |v AS (SELECT c.pos_s, c.neg_s,
+        |    round((CAST(neg_below AS DOUBLE) + 0.5*CAST(neg_s AS DOUBLE))
+        |      / CAST(a.n AS DOUBLE), 9) AS v10,
+        |    round((CAST(a.p AS DOUBLE) - CAST(pos_below AS DOUBLE)
+        |        - CAST(pos_s AS DOUBLE) + 0.5*CAST(pos_s AS DOUBLE))
+        |      / CAST(a.p AS DOUBLE), 9) AS v01,
+        |    a.p, a.n, a.auc
+        |  FROM c, a),
+        |w AS (SELECT ANY_VALUE(p) AS p, ANY_VALUE(n) AS n,
+        |    ANY_VALUE(auc) AS auc,
+        |    CAST(SUM(CAST(round(CAST(pos_s AS DOUBLE)
+        |        * ((v10 - auc)*(v10 - auc)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS s10n,
+        |    CAST(SUM(CAST(round(CAST(neg_s AS DOUBLE)
+        |        * ((v01 - auc)*(v01 - auc)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS s01n
+        |  FROM v),
+        |f AS (SELECT p, n, auc,
+        |    CASE WHEN p > 1 AND n > 1 THEN
+        |      round(sqrt(round(s10n / CAST(p - 1 AS DOUBLE), 9)
+        |          / CAST(p AS DOUBLE)
+        |        + round(s01n / CAST(n - 1 AS DOUBLE), 9)
+        |          / CAST(n AS DOUBLE)), 9) END AS se
+        |  FROM w)
+        |SELECT p AS n_pos, n AS n_neg, round(auc, 6) AS auc,
+        |  round(se, 6) AS se,
+        |  round(auc - 1.959963985 * se, 6) AS ci_lo,
+        |  round(auc + 1.959963985 * se, 6) AS ci_hi
+        |FROM f""".stripMargin
   )
 }

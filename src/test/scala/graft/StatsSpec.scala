@@ -301,4 +301,83 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("mi") - r2.getAs[Double]("h_a")) < 1e-6)
     assert(math.abs(r2.getAs[Double]("nmi") - 1.0) < 1e-6)
   }
+
+  test("chiSquareIndependence: textbook 2x2 and exact independence") {
+    // [[10,20],[20,10]]: e = 15 everywhere, X^2 = 4*(25/15) = 6.666667,
+    // V = sqrt(X^2 / (60*1)) = 1/3
+    val skewed =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val r = graft.operators.AbTest.chiSquareIndependence(
+      skewed.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.666667) < 1e-5)
+    assert(math.abs(r.getAs[Double]("cramers_v") - 0.333333) < 1e-5)
+    // proportional table -> X^2 = 0, V = 0
+    val indep =
+      Seq.fill(6)(("x", "p")) ++ Seq.fill(12)(("x", "q")) ++
+      Seq.fill(3)(("y", "p")) ++ Seq.fill(6)(("y", "q"))
+    val r0 = graft.operators.AbTest.chiSquareIndependence(
+      indep.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-6)
+    assert(math.abs(r0.getAs[Double]("cramers_v")) < 1e-6)
+    // single-column table: independence vacuous -> NULL chi2/V
+    val r1 = graft.operators.AbTest.chiSquareIndependence(
+      Seq(("x", "p"), ("x", "q")).toDF("a", "b"), "a", "b").head()
+    assert(r1.isNullAt(r1.fieldIndex("chi2")))
+    assert(r1.isNullAt(r1.fieldIndex("cramers_v")))
+  }
+
+  test("anovaOneWay: textbook three groups -> F = 3") {
+    // {1,2,3} {2,3,4} {3,4,5}: SSB = 6, SSW = 6, F = (6/2)/(6/6) = 3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                 ("b", 2.0), ("b", 3.0), ("b", 4.0),
+                 ("c", 3.0), ("c", 4.0), ("c", 5.0)).toDF("g", "v")
+    val r = graft.operators.AbTest.anovaOneWay(df, "v", "g").head()
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
+    assert(math.abs(r.getAs[Double]("ss_between") - 6.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ss_within") - 6.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f") - 3.0) < 1e-6)
+    // one group -> NULL F (df_between = 0)
+    val r1 = graft.operators.AbTest.anovaOneWay(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), "v", "g").head()
+    assert(r1.isNullAt(r1.fieldIndex("f")))
+  }
+
+  test("welchTTest: hand case with unequal variances") {
+    // g1 = {1,2,3}: mean 2, var 1; g0 = {2,4,6,8}: mean 5, var 20/3
+    // se = 1/3 + 5/3 = 2 -> t = -3/sqrt(2); df = 4/0.981481 = 4.075472
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+                 (2.0, false), (4.0, false), (6.0, false), (8.0, false))
+      .toDF("v", "g")
+    val r = graft.operators.AbTest.welchTTest(df, "v", col("g")).head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 4L)
+    assert(math.abs(r.getAs[Double]("mean1") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var2") - 20.0 / 3.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("t") + 3.0 / math.sqrt(2.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df_welch") - 4.075472) < 1e-5)
+  }
+
+  test("aucDeLong: perfect separation -> zero variance; hand case") {
+    import graft.operators.Eval
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val r = Eval.aucDeLong(perfect, "s", col("y")).head()
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 1.0 && r.getAs[Double]("ci_hi") == 1.0)
+    // pos {2,3}, neg {1,2}: AUC 0.875, V10 = {0.75, 1.0}, V01 = {1.0, 0.75}
+    // S10 = S01 = 0.03125 -> var = 0.03125, se = 0.176777
+    val mixed = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val m = Eval.aucDeLong(mixed, "s", col("y")).head()
+    assert(math.abs(m.getAs[Double]("auc") - 0.875) < 1e-6)
+    assert(math.abs(m.getAs[Double]("se") - 0.176777) < 1e-5)
+    assert(math.abs(m.getAs[Double]("ci_lo") - 0.528515) < 1e-4)
+    assert(math.abs(m.getAs[Double]("ci_hi") - 1.221485) < 1e-4)
+    // agreement with the exact AUC point estimate
+    val a = Eval.auc(mixed, "s", col("y")).head()
+    assert(math.abs(m.getAs[Double]("auc") - a.getAs[Double]("auc")) < 1e-6)
+  }
 }
