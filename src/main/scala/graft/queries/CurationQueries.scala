@@ -484,6 +484,46 @@ object CurationQueries {
           minWords = 20, maxWords = 80, minWl = 3.9, maxWl = 5.0,
           maxSymbolRatio = 0.1)
       Eval.cohenKappa(m, col("pass_words"), col("pass_wl"))
+    }),
+
+    // URL canonicalization dedup: raw crawl-style URL spellings
+    // (scheme/host case, www., default ports, trailing slash,
+    // index.html, utm_* params, param order) generated per doc from
+    // the doc_id formula, collapsed to canonical form and grouped -
+    // the URL-level dedup key upstream of q23's content hashing. The
+    // canonicalizer is a pure codegen'd expression; the oracle
+    // replays every regex and the param sort.
+    "q222_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (id % 7).cast("string"), lit(".Example.COM"),
+        when(id % 5 === 0, lit(":8080"))
+          .when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(id % 4 === 0,
+             concat(lit("/Articles/"), (id % 13).cast("string")))
+          .when(id % 4 === 1,
+             concat(lit("/Articles/"), (id % 13).cast("string"), lit("/")))
+          .when(id % 4 === 2, lit("/index.html"))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(id % 6 === 1, lit("?z=9&utm_campaign=x&a=1"))
+          .when(id % 6 === 2, lit("?b=2&a=1"))
+          .when(id % 6 === 3, lit("?a=1&b=2"))
+          .otherwise(lit("")))
+      graft.llm.UrlCanon.dupGroups(
+        documents(s, d).select(col("doc_id")).withColumn("url", url),
+        "doc_id", "url")
+    }),
+
+    // Skip-gram (center, context) co-occurrence pairs, window 2 both
+    // directions, min count 5 - the word2vec training-pair extraction;
+    // one position equi-join, never a per-document crossJoin.
+    "q223_skipgram" -> ((s, d) => {
+      graft.llm.SkipGram.pairs(documents(s, d), "doc_id", "text",
+        window = 2, minCount = 5L)
     })
   )
 
@@ -1433,6 +1473,71 @@ object CurationQueries {
          |SELECT n, n11, n10, n01, n00, po, pe,
          |  round((po - pe) / (CASE WHEN pe < 1.0 THEN 1.0 - pe END), 6)
          |    AS kappa
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    "q222_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+        |             WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |               THEN '/Articles/' || CAST(doc_id % 13 AS VARCHAR)
+        |             WHEN doc_id % 4 = 1
+        |               THEN '/Articles/' || CAST(doc_id % 13 AS VARCHAR) || '/'
+        |             WHEN doc_id % 4 = 2 THEN '/index.html'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |             WHEN doc_id % 6 = 1 THEN '?z=9&utm_campaign=x&a=1'
+        |             WHEN doc_id % 6 = 2 THEN '?b=2&a=1'
+        |             WHEN doc_id % 6 = 3 THEN '?a=1&b=2'
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pathraw,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qraw
+        |  FROM u),
+        |c2 AS (SELECT doc_id, url, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |           ELSE hostraw END, '^www\.', '') AS host,
+        |    regexp_replace(regexp_replace(pathraw, '/index\.html$', '/'),
+        |      '/+$', '') AS pathstrip,
+        |    COALESCE(array_to_string(list_sort(list_filter(
+        |      string_split(qraw, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+        |  FROM c),
+        |canon AS (SELECT doc_id, url,
+        |    scheme || '://' || host
+        |    || (CASE WHEN pathstrip = '' THEN '/' ELSE pathstrip END)
+        |    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+        |  FROM c2)
+        |SELECT canonical_url,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper_id
+        |FROM canon GROUP BY 1""".stripMargin,
+
+    "q223_skipgram" ->
+      s"""WITH d AS (SELECT $toks AS ts FROM documents),
+         |dl AS (SELECT ts, unnest([1, 2]) AS dlt FROM d),
+         |g AS (SELECT unnest(list_transform(range(len(ts) - dlt),
+         |    i -> ts[i + 1] || chr(9) || ts[i + 1 + dlt])) AS pair
+         |  FROM dl),
+         |fw AS (SELECT string_split(pair, chr(9))[1] AS center,
+         |       string_split(pair, chr(9))[2] AS context FROM g),
+         |sym AS (SELECT center, context FROM fw
+         |        UNION ALL SELECT context AS center, center AS context
+         |        FROM fw)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin
   )
 }
