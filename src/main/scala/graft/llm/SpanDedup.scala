@@ -52,6 +52,62 @@ object SpanDedup {
                s => s.getField("chunk_text"))).as("clean_text"))
   }
 
+  /** Content-defined chunking (CDC) dedup audit — the
+    * rolling-hash-boundary chunker (Rabin/gear CDC, the rsync/LBFS
+    * family) that [[chunkDupStats]]' fixed windows cannot replace:
+    * because a chunk boundary is a function of the CONTENT under an
+    * 8-char window (cut where a weighted char-code hash lands in a
+    * 1-in-64 bucket), inserting or deleting bytes near the front of a
+    * document shifts only the chunks up to the next boundary — the
+    * rest re-align and dedup against the unedited twin, where
+    * fixed-size chunking would shift every window and match nothing.
+    *
+    * Determinism contract: char codes via `ascii` (corpus is ASCII;
+    * non-ASCII would just fold to the same code both engines compute),
+    * the weighted window sum feeds the shared portable
+    * [[Similarity.lcg]], and the cut test is bits 5..10 == 0 — every
+    * step replayable in DuckDB integer arithmetic.
+    *
+    * Scale shape: boundary detection and chunk slicing are pure
+    * per-row array expressions (no UDF, no shuffle); chunks explode
+    * narrowly and reduce immediately to the per-chunk count frame
+    * (ONE map-side-combined exchange on the chunk text — at corpus
+    * scale swap the raw chunk for its hash, the q117 digest
+    * economics). Returns 1 row:
+    * (n_chunks, n_distinct, n_dup_chunks, max_dup, avg_len). */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = 8
+    val pows = Array.iterate(1L, k)(_ * 33L)
+    val text = col(textCol)
+    val n = length(text)
+    def wsum(i: org.apache.spark.sql.Column) = (0 until k).map(j =>
+      ascii(text.substr(i + lit(j), lit(1))).cast("long") * lit(pows(j)))
+      .reduce(_ + _)
+    // candidate cut positions 2..n-k+1 (a cut at 1 is a no-op); the
+    // cut fires where the lcg'd window hash lands in bucket 0 of 64.
+    val cand = when(n >= k + 1, sequence(lit(2), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val bpos = filter(cand, i =>
+      pmod(shiftright(Similarity.lcg(wsum(i)), 5), lit(64)) === 0)
+    val staged = df.select(col(idCol).as("__id"), text.as("__t"),
+      concat(array(lit(1)), bpos).as("__starts"))
+    val chunks = staged.select(col("__id"),
+      explode(transform(col("__starts"), (st, j) =>
+        col("__t").substr(st,
+          when(j < size2(col("__starts")) - 1,
+            element_at(col("__starts"), j + lit(2)) - 1)
+          .otherwise(length(col("__t"))) - st + 1))).as("chunk"))
+    val perChunk = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+    perChunk.agg(
+      sum(col("cnt")).cast("long").as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+      max(col("cnt")).as("max_dup"),
+      round(sum(length(col("chunk")).cast("long") * col("cnt"))
+              .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("avg_len"))
+  }
+
   // size() shadowed by the window-size import pattern elsewhere; alias
   // keeps the call unambiguous inside this file.
   private def size2(c: org.apache.spark.sql.Column) =

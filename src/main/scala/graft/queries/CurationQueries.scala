@@ -23,6 +23,16 @@ object CurationQueries {
   private def lcgSql(k: String) =
     s"(1103515245*((($k)%2147483648+2147483648)%2147483648)+12345)%2147483648"
 
+  // SpanDedup.cdcChunkStats' 33-weighted 8-char window code sum at
+  // candidate cut position i, DuckDB form (q224)
+  private val cdcWin = {
+    val pows = Array.iterate(1L, 8)(_ * 33L)
+    (0 until 8)
+      .map(j =>
+        s"CAST(ascii(substring(text, i + $j, 1)) AS BIGINT)*${pows(j)}")
+      .mkString(" + ")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Benchmark decontamination: docs with doc_id % 101 == 0 stand in
@@ -524,6 +534,20 @@ object CurationQueries {
     "q223_skipgram" -> ((s, d) => {
       graft.llm.SkipGram.pairs(documents(s, d), "doc_id", "text",
         window = 2, minCount = 5L)
+    }),
+
+    // Content-defined chunking dedup audit over the corpus PLUS a
+    // 3-char-prefix-shifted twin of every doc: boundaries are content
+    // hashes, so the twins' chunks re-align after the first cut and
+    // dedup against the originals - the CDC insertion-robustness
+    // property (fixed windows would match nothing), measured as an
+    // oracle row.
+    "q224_cdc_chunks" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("XX "), col("text")).as("text"))
+      graft.llm.SpanDedup.cdcChunkStats(base.unionByName(twins),
+        "doc_id", "text")
     })
   )
 
@@ -1538,6 +1562,31 @@ object CurationQueries {
          |        UNION ALL SELECT context AS center, center AS context
          |        FROM fw)
          |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
-         |FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin
+         |FROM sym GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
+
+    "q224_cdc_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'XX ' || text FROM documents),
+         |b AS (SELECT doc_id, text, length(text) AS n,
+         |    list_prepend(1, list_filter(
+         |      range(2, greatest(length(text) - 6, 2)),
+         |      i -> ((${lcgSql(cdcWin)}) // 32) % 64 = 0)) AS starts
+         |  FROM corpus),
+         |c AS (SELECT doc_id, unnest(list_transform(range(len(starts)),
+         |    j -> substring(text, starts[j + 1],
+         |      (CASE WHEN j + 1 < len(starts) THEN starts[j + 2] - 1
+         |            ELSE n END) - starts[j + 1] + 1))) AS chunk
+         |  FROM b),
+         |g AS (SELECT chunk, COUNT(*) AS cnt FROM c GROUP BY 1)
+         |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_dup,
+         |  round(CAST(SUM(length(chunk) * cnt) AS DOUBLE)
+         |    / CAST(SUM(cnt) AS DOUBLE), 6) AS avg_len
+         |FROM g""".stripMargin
   )
 }

@@ -318,4 +318,33 @@ class MlPrepSpec extends SparkSpec {
     // every row of a user follows the user: per-split rows are 2× groups
     assert(out.forall(r => r.getLong(2) == 2 * r.getLong(1)))
   }
+
+  test("cdcChunkStats: boundaries re-align after a front insertion (CDC property)") {
+    // non-repeating pseudorandom text (seeded java.util.Random is a
+    // fixed spec) so within-doc chunks can't self-duplicate
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 1200).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val df = Seq((1L, base), (2L, "INSERTED-PREFIX " + base))
+      .toDF("id", "text")
+    val r = SpanDedup.cdcChunkStats(df, "id", "text").head()
+    val nChunks = r.getAs[Long]("n_chunks")
+    val nDup = r.getAs[Long]("n_dup_chunks")
+    // ~1200/64 = 18 expected chunks per doc; after the first shared
+    // boundary every later chunk of the twin equals the original's —
+    // the CDC claim: most chunks dedup despite the shifted prefix
+    assert(nChunks >= 10L)
+    assert(r.getAs[Long]("max_dup") == 2L)
+    assert(nDup.toDouble >= 0.5 * (nChunks - nDup) / 2.0,
+      s"insertion robustness: $nDup dup of $nChunks")
+    // chunks tile the text exactly: total length = sum of doc lengths
+    val total = math.round(r.getAs[Double]("avg_len") * nChunks)
+    assert(total == base.length * 2 + "INSERTED-PREFIX ".length)
+    // sub-window doc: single whole-text chunk per doc
+    val tiny = SpanDedup.cdcChunkStats(
+      Seq((1L, "short"), (2L, "tiny")).toDF("id", "text"), "id", "text")
+      .head()
+    assert(tiny.getAs[Long]("n_chunks") == 2L)
+    assert(tiny.getAs[Long]("n_distinct") == 2L)
+  }
 }
