@@ -548,6 +548,19 @@ object CurationQueries {
         concat(lit("XX "), col("text")).as("text"))
       graft.llm.SpanDedup.cdcChunkStats(base.unionByName(twins),
         "doc_id", "text")
+    }),
+
+    // WordPiece tokenizer: frequency-trained vocabulary (top-300
+    // positional substrings + the single-char alphabet, a total
+    // (count desc, token asc) order) and greedy LONGEST-match-first
+    // segmentation of every word type - the BERT-family apply next to
+    // q174/q175's BPE merge learning. The oracle re-derives the
+    // identical vocabulary and replays the greedy cursor as a
+    // recursive CTE, so one wrong match length or ##-form breaks the
+    // hash.
+    "q225_wordpiece" -> ((s, d) => {
+      graft.llm.WordPiece.segmentCorpus(documents(s, d), "text",
+        topK = 300)
     })
   )
 
@@ -1587,6 +1600,68 @@ object CurationQueries {
          |  CAST(MAX(cnt) AS BIGINT) AS max_dup,
          |  round(CAST(SUM(length(chunk) * cnt) AS DOUBLE)
          |    / CAST(SUM(cnt) AS DOUBLE), 6) AS avg_len
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "q225_wordpiece" ->
+      s"""WITH RECURSIVE
+         |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest($toks) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1),
+         |ls AS (SELECT unnest([2, 3, 4]) AS l),
+         |subs AS (SELECT f, unnest(list_transform(
+         |    range(1, length(w) - l + 2),
+         |    p -> CASE WHEN p = 1 THEN substring(w, 1, l)
+         |              ELSE '##' || substring(w, p, l) END)) AS tok
+         |  FROM wf, ls WHERE length(w) >= l),
+         |cnts AS (SELECT tok, SUM(f) AS c FROM subs GROUP BY 1),
+         |top AS (SELECT tok FROM cnts ORDER BY c DESC, tok ASC LIMIT 300),
+         |sg AS (SELECT DISTINCT unnest(list_transform(
+         |    range(1, length(w) + 1),
+         |    p -> CASE WHEN p = 1 THEN substring(w, 1, 1)
+         |              ELSE '##' || substring(w, p, 1) END)) AS tok FROM wf),
+         |v AS (SELECT DISTINCT tok FROM (SELECT tok FROM top
+         |      UNION ALL SELECT tok FROM sg)),
+         |vl AS (SELECT list(tok) AS vs FROM v),
+         |it AS (
+         |  SELECT w, f, length(w) AS n, 1 AS p, '' AS pieces
+         |  FROM wf WHERE length(w) <= 20
+         |  UNION ALL
+         |  SELECT w, f, n, p + pick AS p,
+         |    CASE WHEN pieces = '' THEN tok
+         |         ELSE pieces || ' ' || tok END AS pieces
+         |  FROM (
+         |    SELECT w, f, n, p, pieces,
+         |      CASE WHEN ok4 THEN 4 WHEN ok3 THEN 3
+         |           WHEN ok2 THEN 2 ELSE 1 END AS pick,
+         |      CASE WHEN ok4 THEN c4 WHEN ok3 THEN c3
+         |           WHEN ok2 THEN c2 ELSE c1 END AS tok
+         |    FROM (
+         |      SELECT it.w, it.f, it.n, it.p, it.pieces,
+         |        (it.p + 3 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 4)
+         |               ELSE '##' || substring(it.w, it.p, 4) END)) AS ok4,
+         |        (it.p + 2 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 3)
+         |               ELSE '##' || substring(it.w, it.p, 3) END)) AS ok3,
+         |        (it.p + 1 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 2)
+         |               ELSE '##' || substring(it.w, it.p, 2) END)) AS ok2,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 4)
+         |             ELSE '##' || substring(it.w, it.p, 4) END AS c4,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 3)
+         |             ELSE '##' || substring(it.w, it.p, 3) END AS c3,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 2)
+         |             ELSE '##' || substring(it.w, it.p, 2) END AS c2,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 1)
+         |             ELSE '##' || substring(it.w, it.p, 1) END AS c1
+         |      FROM it, vl
+         |      WHERE it.p <= it.n)))
+         |SELECT w AS word, f AS cnt, pieces,
+         |  CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+         |FROM it WHERE p > n
+         |UNION ALL
+         |SELECT w AS word, f AS cnt, '[UNK]' AS pieces,
+         |  CAST(1 AS BIGINT) AS n_pieces
+         |FROM wf WHERE length(w) > 20""".stripMargin
   )
 }

@@ -604,4 +604,26 @@ class CurationSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("k must be"))
   }
+
+  test("WordPiece: deterministic vocab cut, longest-match greedy, ## forms, [UNK]") {
+    import graft.llm.WordPiece
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // counts: all aaab substrings have weight 2, 'ab' (plain) weight 1;
+    // ties cut by token asc, '#' < 'a' -> top2 = {##aa, ##aab}
+    val vocab = WordPiece.trainVocab(
+      WordPiece.wordTypes(docs, "text"), topK = 2).toSet
+    assert(vocab == Set("##aa", "##aab", "a", "##a", "##b"))
+    val out = WordPiece.segmentCorpus(docs, "text", topK = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    // greedy prefers the 3-char ##aab over the 2-char ##aa at pos 2
+    assert(out("aaab") == ((2L, "a ##aab", 2L)))
+    assert(out("ab") == ((1L, "a ##b", 2L)))
+    // over-length words collapse to [UNK], never a 20+-step scan
+    val long = Seq((1L, ("x" * 25) + " ok")).toDF("doc_id", "text")
+    val lo = WordPiece.segmentCorpus(long, "text", topK = 2)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(lo("x" * 25) == "[UNK]")
+    assert(lo("ok") == "o ##k")
+  }
 }
