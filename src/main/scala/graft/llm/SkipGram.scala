@@ -51,4 +51,56 @@ object SkipGram {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Negative-sampling draw table — word2vec's noise distribution
+    * (unigram^0.75, Mikolov et al. 2013) materialized as an audited
+    * draw count per vocabulary word: `nDraws` deterministic 62-bit
+    * LCG points land in the integer-mass interval [cum, cum+u) of
+    * exactly one word.
+    *
+    * Determinism contract: the 3/4 power is sqrt(c·sqrt(c)) — sqrt is
+    * IEEE-correctly-rounded (pow is not), so the micro-unit weights
+    * are bit-identical in any IEEE engine — and all interval
+    * arithmetic is 64-bit integer.
+    *
+    * Scale shape: the corpus folds once to the word-type frame; the
+    * cumulative mass rides [[graft.operators.OrderedStats
+    * .cumsumExclusive]] (no single-partition window); and draws meet
+    * intervals through a BUCKET equi-join (each word explodes only to
+    * the mass buckets its interval overlaps, each draw computes its
+    * bucket directly) — never an inequality join, so the plan carries
+    * no BroadcastNestedLoopJoin at any vocabulary size. Output one
+    * row per word: (word, cnt, weight_micro, n_drawn). */
+  def negativeTable(docs: DataFrame, textCol: String, nDraws: Int,
+                    buckets: Int = 64): DataFrame = {
+    require(nDraws >= 1 && nDraws <= 1000000,
+      s"SkipGram.negativeTable: nDraws in [1, 1e6], got $nDraws")
+    val words = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("u",
+        round(sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+          * 1e6, 0).cast("long"))
+    val cum = graft.operators.OrderedStats.cumsumExclusive(
+      words, sortCol = "c", tieCols = Seq("w"), valueCol = "u",
+      outCol = "cum")
+    val tot = words.agg(sum(col("u")).cast("long").as("uu"))
+    val wb = cum.crossJoin(broadcast(tot))
+      .withColumn("b", explode(expr(
+        s"sequence((cum * $buckets) div uu, ((cum + u - 1) * $buckets) div uu)")))
+    val draws = docs.sparkSession.range(0, nDraws)
+      .select(col("id").as("j")).crossJoin(broadcast(tot))
+      .withColumn("tt", pmod(
+        Similarity.lcg(col("j") * 2) * lit(2147483648L) +
+          Similarity.lcg(col("j") * 2 + 1), col("uu")))
+      .withColumn("b", expr(s"(tt * $buckets) div uu"))
+    val assigned = draws.join(wb, Seq("b"))
+      .filter(col("tt") >= col("cum") && col("tt") < col("cum") + col("u"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words.join(assigned, Seq("w"), "left")
+      .select(col("w").as("word"), col("c").as("cnt"),
+        col("u").as("weight_micro"),
+        coalesce(col("n"), lit(0L)).as("n_drawn"))
+  }
 }

@@ -288,6 +288,64 @@ object Eval {
                     when(col("pe") < 1.0, lit(1.0) - col("pe")), 6).as("kappa"))
   }
 
+  /** Murphy decomposition of the Brier score — the proper-scoring-rule
+    * readout that splits a probability forecaster's squared error into
+    * its three stories over K probability bins:
+    *
+    *   BS = REL − RES + UNC (exactly, when bin means are used):
+    *   REL = Σ n_k(p̄_k − ȳ_k)²/N   (calibration error — lower better),
+    *   RES = Σ n_k(ȳ_k − ȳ)²/N     (discrimination — higher better),
+    *   UNC = ȳ(1 − ȳ)              (irreducible base-rate variance).
+    *
+    * The reported `brier` is the EXACT per-row mean square (not the
+    * binned reconstruction), so `brier − (rel − res + unc)` is the
+    * within-bin variance the binning absorbs.
+    *
+    * Scale shape: ONE corpus pass folds to the K-row bin frame
+    * (per-row terms 9-dp-quantized into decimal sums); the
+    * decomposition rides the bin frame against a broadcast 1-row
+    * global. Returns 1 row:
+    * (n, brier, reliability, resolution, uncertainty), rounded 6. */
+  def brierDecomposition(df: DataFrame, probCol: Column, labelCol: Column,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"Eval.brierDecomposition: nBins in [2, 1000], got $nBins")
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val p = round(probCol.cast("double"), 9)
+    val y = when(labelCol, 1L).otherwise(0L)
+    val rows = df.filter(probCol.isNotNull)
+      .select(p.as("__p"), y.as("__y"),
+        least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("__b"))
+    val bins = rows.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nk"), sum(col("__y")).as("__syk"),
+        dsum(col("__p")).as("__spk"),
+        dsum((col("__p") - col("__y").cast("double")) *
+             (col("__p") - col("__y").cast("double"))).as("__sbk"))
+    val glob = bins.agg(sum(col("__nk")).as("__n"),
+      sum(col("__syk")).as("__sy"), dsum(col("__sbk")).as("__bs"))
+    bins.crossJoin(broadcast(glob))
+      .withColumn("__pbar", round(col("__spk") /
+        col("__nk").cast("double"), 9))
+      .withColumn("__ybark", round(col("__syk").cast("double") /
+        col("__nk").cast("double"), 9))
+      .withColumn("__ybar", round(col("__sy").cast("double") /
+        col("__n").cast("double"), 9))
+      .agg(first(col("__n")).as("n"),
+        first(round(col("__bs") / col("__n").cast("double"), 6)).as("brier"),
+        round(dsum(col("__nk").cast("double") *
+          ((col("__pbar") - col("__ybark")) *
+           (col("__pbar") - col("__ybark")))) /
+          first(col("__n")).cast("double"), 6).as("reliability"),
+        round(dsum(col("__nk").cast("double") *
+          ((col("__ybark") - col("__ybar")) *
+           (col("__ybark") - col("__ybar")))) /
+          first(col("__n")).cast("double"), 6).as("resolution"),
+        first(round(col("__ybar") * (lit(1.0) - col("__ybar")), 6))
+          .as("uncertainty"))
+  }
+
   /** DeLong variance and 95% CI for the exact [[auc]] — the error bar
     * that turns a point AUC into a defensible model comparison. The
     * structural components are per-row placement values; on the

@@ -140,4 +140,56 @@ object Forecast {
           .as("acf"))
   }
 
+  /** Classical additive seasonal decomposition of the daily count
+    * series — count = trend + seasonal + residual, the moving-average
+    * construction (the hand-rolled core of STL without loess): trend
+    * is a centered 7-day mean (NULL at the edges, where the window is
+    * incomplete, instead of a silently-shorter mean), the weekly
+    * seasonal index is the mean detrended value per weekday, and the
+    * residual is what neither explains.
+    *
+    * Weekday is computed as days-since-epoch-anchor mod 7 (NOT the
+    * engine's dayofweek(), whose 0/1-based convention differs across
+    * engines).
+    *
+    * Scale shape: the corpus folds ONCE to the calendar-bounded day
+    * frame (localCheckpointed); the centered window is a ±3-day
+    * delta-explode equi-join on that frame — NO time-ordered window,
+    * so nothing ever sorts in one partition; the seasonal index is a
+    * 7-row broadcast. Returns one row per day:
+    * (d, cnt, wd, trend, seasonal, residual), rounded to 6. */
+  def seasonalDecompose(df: DataFrame, dateCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column) =
+      sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
+    val days = df.groupBy(col(dateCol).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // calendar-bounded; consumed by 3 stages
+    val deltas = df.sparkSession.range(-3, 4)
+      .select(col("id").cast("int").as("dl"))
+    val trend = days.crossJoin(broadcast(deltas))
+      .select(col("d"), col("dl"))
+      .join(days.select(col("d").as("d2"), col("c").as("c2")),
+            expr("d2 = date_add(d, dl)"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("__nw"), sum(col("c2")).as("__sw"))
+      .select(col("d"),
+        when(col("__nw") === 7,
+          round(col("__sw").cast("double") / 7.0, 9)).as("__trend"))
+    val wd = pmod(datediff(col("d"), lit("1992-01-01").cast("date")), lit(7))
+    val detrended = days.join(trend, Seq("d"))
+      .select(col("d"), col("c"), wd.as("wd"),
+        round(col("c").cast("double") - col("__trend"), 9).as("__detr"),
+        col("__trend"))
+    val seasonal = detrended.filter(col("__detr").isNotNull)
+      .groupBy(col("wd"))
+      .agg(round(dsum(col("__detr")) / count(lit(1)).cast("double"), 9)
+        .as("__seas"))
+    detrended.join(broadcast(seasonal), Seq("wd"))
+      .select(col("d"), col("c").as("cnt"), col("wd").cast("long").as("wd"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__detr") - col("__seas"), 6).as("residual"))
+  }
+
 }

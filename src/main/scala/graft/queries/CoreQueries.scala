@@ -884,7 +884,34 @@ object CoreQueries {
       graft.operators.IncrementalAgg.readout(
         graft.operators.IncrementalAgg.merge(Seq(history, batch), keys, sums),
         keys, sums)
-    })
+    }),
+
+    // Murphy decomposition of the Brier score for the q137/q138
+    // forecaster (scaled total price as an 'F'-status probability):
+    // exact per-row mean square + reliability/resolution/uncertainty
+    // over 10 probability bins, one corpus pass to the bin frame.
+    "q226_brier" -> ((s, d) =>
+      graft.operators.Eval.brierDecomposition(orders(s, d),
+        least(col("o_totalprice").cast("double") / 600000.0, lit(1.0)),
+        col("o_orderstatus") === "F", nBins = 10)),
+
+    // CUBE grouping sets over (status, priority): all four
+    // granularities in one pass (Expand x4 + one aggregation) with
+    // GROUPING flags disambiguating rolled-up NULLs - the OLAP
+    // multi-granularity rollup, exact-decimal sums.
+    "q228_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+             grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+             count(lit(1)).as("n"),
+             round(sum(round(col("o_totalprice").cast("double") * 1e6, 0)
+                 .cast("decimal(19,0)")).cast("double") / 1e6, 6)
+               .as("sum_total"))
+        .select(col("o_orderstatus").as("status"),
+                col("o_orderpriority").as("priority"),
+                col("g_status"), col("g_priority"),
+                col("n"), col("sum_total")))
   )
 
   // Scale 6: see util.Exact — DuckDB's double→decimal cast is lossy at
@@ -1693,6 +1720,50 @@ object CoreQueries {
          |  MIN(y) AS min_y, MAX(y) AS max_y,
          |  CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
          |FROM z GROUP BY 1""".stripMargin
-    }
+    },
+
+    "q226_brier" ->
+      """WITH r AS (SELECT
+        |    round(least(CAST(o_totalprice AS DOUBLE) / 600000.0, 1.0), 9)
+        |      AS p,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |rb AS (SELECT p, y,
+        |    least(CAST(floor(p * 10) AS INT), 9) AS b FROM r),
+        |bins AS (SELECT b, COUNT(*) AS nk,
+        |    CAST(SUM(y) AS BIGINT) AS syk,
+        |    CAST(SUM(CAST(round(p, 9) AS DECIMAL(38,9))) AS DOUBLE) AS spk,
+        |    CAST(SUM(CAST(round((p - y)*(p - y), 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) AS sbk
+        |  FROM rb GROUP BY 1),
+        |g AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(syk) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(round(sbk, 9) AS DECIMAL(38,9))) AS DOUBLE) AS bs
+        |  FROM bins),
+        |z AS (SELECT bins.*, g.n, g.sy, g.bs,
+        |    round(spk / CAST(nk AS DOUBLE), 9) AS pbar,
+        |    round(CAST(syk AS DOUBLE) / CAST(nk AS DOUBLE), 9) AS ybark,
+        |    round(CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE), 9) AS ybar
+        |  FROM bins, g)
+        |SELECT ANY_VALUE(n) AS n,
+        |  ANY_VALUE(round(bs / CAST(n AS DOUBLE), 6)) AS brier,
+        |  round(CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+        |      * ((pbar - ybark)*(pbar - ybark)), 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS reliability,
+        |  round(CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+        |      * ((ybark - ybar)*(ybark - ybar)), 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS resolution,
+        |  ANY_VALUE(round(ybar * (1.0 - ybar), 6)) AS uncertainty
+        |FROM z""".stripMargin,
+
+    "q228_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE)
+        |      * 1000000.0, 0) AS DECIMAL(19,0))) AS DOUBLE)
+        |    / 1000000.0, 6) AS sum_total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   )
 }

@@ -561,6 +561,16 @@ object CurationQueries {
     "q225_wordpiece" -> ((s, d) => {
       graft.llm.WordPiece.segmentCorpus(documents(s, d), "text",
         topK = 300)
+    }),
+
+    // word2vec negative-sampling table: unigram^0.75 noise masses in
+    // integer micro-units (sqrt-composed 3/4 power - IEEE-exact, pow
+    // is not), 2000 62-bit LCG draws rank-selected into word
+    // intervals through a BUCKET equi-join on the two-phase cumsum -
+    // the q223 skip-gram's noise side, never an inequality join.
+    "q229_neg_sampling" -> ((s, d) => {
+      graft.llm.SkipGram.negativeTable(documents(s, d), "text",
+        nDraws = 2000)
     })
   )
 
@@ -1662,6 +1672,28 @@ object CurationQueries {
          |UNION ALL
          |SELECT w AS word, f AS cnt, '[UNK]' AS pieces,
          |  CAST(1 AS BIGINT) AS n_pieces
-         |FROM wf WHERE length(w) > 20""".stripMargin
+         |FROM wf WHERE length(w) > 20""".stripMargin,
+
+    "q229_neg_sampling" ->
+      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest($toks) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1),
+         |wu AS (SELECT w, c, CAST(round(sqrt(CAST(c AS DOUBLE)
+         |    * sqrt(CAST(c AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS u
+         |  FROM wf),
+         |cu AS (SELECT w, c, u, COALESCE(SUM(u) OVER (ORDER BY c ASC, w ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM wu),
+         |t AS (SELECT CAST(SUM(u) AS BIGINT) AS uu FROM wu),
+         |dr AS (SELECT j, (${lcgSql("2*j")} * 2147483648
+         |    + ${lcgSql("2*j+1")}) % uu AS tt
+         |  FROM range(0, 2000) r(j), t),
+         |asg AS (SELECT dr.j, cu.w FROM dr JOIN cu
+         |  ON dr.tt >= cu.cum AND dr.tt < cu.cum + cu.u),
+         |nc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM asg GROUP BY 1)
+         |SELECT wu.w AS word, wu.c AS cnt, wu.u AS weight_micro,
+         |  COALESCE(nc.n, 0) AS n_drawn
+         |FROM wu LEFT JOIN nc ON wu.w = nc.w""".stripMargin
   )
 }

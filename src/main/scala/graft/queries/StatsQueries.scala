@@ -387,6 +387,15 @@ object StatsQueries {
     "q221_delong_auc" -> ((s, d) => {
       graft.operators.Eval.aucDeLong(orders(s, d), "o_totalprice",
         col("o_orderstatus") === "F")
+    }),
+
+    // Classical additive decomposition of the daily order count:
+    // centered 7-day MA trend via a delta-explode equi-join on the
+    // calendar-bounded day frame (q195's shape - no time-ordered
+    // window), weekly seasonal index per anchored weekday, residual.
+    "q227_seasonal" -> ((s, d) => {
+      graft.operators.Forecast.seasonalDecompose(orders(s, d),
+        "o_orderdate")
     })
   )
 
@@ -1369,6 +1378,27 @@ object StatsQueries {
         |  round(se, 6) AS se,
         |  round(auc - 1.959963985 * se, 6) AS ci_lo,
         |  round(auc + 1.959963985 * se, 6) AS ci_hi
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q227_seasonal" ->
+      """WITH days AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    COUNT(*) AS c FROM orders GROUP BY 1),
+        |dl AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS dl),
+        |tr AS (SELECT a.d, COUNT(*) AS nw, CAST(SUM(b.c) AS BIGINT) AS sw
+        |  FROM days a, dl, days b WHERE b.d = a.d + dl GROUP BY 1),
+        |t2 AS (SELECT d, CASE WHEN nw = 7
+        |    THEN round(CAST(sw AS DOUBLE) / 7.0, 9) END AS trend FROM tr),
+        |det AS (SELECT days.d, days.c,
+        |    ((days.d - DATE '1992-01-01') % 7) AS wd,
+        |    round(CAST(days.c AS DOUBLE) - trend, 9) AS detr, trend
+        |  FROM days JOIN t2 USING (d)),
+        |se AS (SELECT wd,
+        |    round(CAST(SUM(CAST(round(detr, 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS seas
+        |  FROM det WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT d, CAST(c AS BIGINT) AS cnt, CAST(wd AS BIGINT) AS wd,
+        |  round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+        |  round(detr - seas, 6) AS residual
+        |FROM det JOIN se USING (wd)""".stripMargin
   )
 }

@@ -75,6 +75,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q229 negative sampling: draws meet intervals by bucket equi-join, not an inequality join") {
+    val plan = SparkEntry.queries("q229_neg_sampling")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only broadcast-NLJ-shaped thing allowed is the 1-row total-
+    // mass crossJoin; the draw-interval match itself must be a hash
+    // join on the bucket (the rank-select economics)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucketed rank-select must hash-join on the mass bucket:\n$plan")
+    assert(!sortFedBySinglePartition(plan),
+      s"cumulative mass must ride the bucketed cumsum:\n$plan")
+  }
+
   test("build-once ceilings: a lost checkpoint cannot silently multiply lineage") {
     // name -> (max Generates, max Exchanges) pinned at the measured
     // checkpoint-disciplined plan. The iterative / multi-consumer

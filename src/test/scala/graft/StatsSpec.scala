@@ -380,4 +380,58 @@ class StatsSpec extends SparkSpec {
     val a = Eval.auc(mixed, "s", col("y")).head()
     assert(math.abs(m.getAs[Double]("auc") - a.getAs[Double]("auc")) < 1e-6)
   }
+
+  test("brierDecomposition: perfect forecaster and uninformative forecaster") {
+    import graft.operators.Eval
+    // perfect confident: BS = 0 = REL(0) - RES(0.25) + UNC(0.25)
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false))
+      .toDF("p", "y")
+    val r = Eval.brierDecomposition(perfect, col("p"), col("y")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("brier") == 0.0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.25) < 1e-6)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-6)
+    // constant 0.5 on a balanced set: calibrated but zero resolution
+    val flat = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("p", "y")
+    val f = Eval.brierDecomposition(flat, col("p"), col("y")).head()
+    assert(math.abs(f.getAs[Double]("brier") - 0.25) < 1e-6)
+    assert(f.getAs[Double]("reliability") == 0.0)
+    assert(f.getAs[Double]("resolution") == 0.0)
+    // BS = REL - RES + UNC holds exactly here (p constant within bins)
+    assert(math.abs(f.getAs[Double]("brier") -
+      (f.getAs[Double]("reliability") - f.getAs[Double]("resolution") +
+       f.getAs[Double]("uncertainty"))) < 1e-6)
+  }
+
+  test("seasonalDecompose: planted weekly pattern, NULL-trend edges") {
+    import java.sql.Date
+    // 21 days from the 1992-01-01 anchor (wd 0): 17 events on wd 0,
+    // 10 otherwise -> any centered 7-day window sums to 77, trend 11,
+    // seasonal = +6 on wd 0 / -1 elsewhere, residual exactly 0
+    val rows = for {
+      i <- 0 until 21
+      _ <- 0 until (if (i % 7 == 0) 17 else 10)
+    } yield Tuple1(new Date(Date.valueOf("1992-01-01").getTime +
+      i * 86400000L))
+    val out = graft.operators.Forecast
+      .seasonalDecompose(rows.toDF("ts"), "ts")
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    assert(out.size == 21)
+    val mid = out("1992-01-08") // wd 0, interior
+    assert(mid.getAs[Long]("cnt") == 17L)
+    assert(mid.getAs[Long]("wd") == 0L)
+    assert(mid.getAs[Double]("trend") == 11.0)
+    assert(mid.getAs[Double]("seasonal") == 6.0)
+    assert(mid.getAs[Double]("residual") == 0.0)
+    val tue = out("1992-01-09") // wd 1, interior
+    assert(tue.getAs[Double]("seasonal") == -1.0)
+    assert(tue.getAs[Double]("residual") == 0.0)
+    // first/last 3 days: incomplete window -> NULL trend and residual
+    val edge = out("1992-01-01")
+    assert(edge.isNullAt(edge.fieldIndex("trend")))
+    assert(edge.isNullAt(edge.fieldIndex("residual")))
+    assert(edge.getAs[Double]("seasonal") == 6.0) // index still defined
+  }
 }

@@ -63,4 +63,24 @@ class UrlSkipGramSpec extends SparkSpec {
     assert(SkipGram.pairs(docs, "doc_id", "text", window = 2,
       minCount = 2L).count() == 0L)
   }
+
+  test("negativeTable: draws conserved, ^0.75 weights exact, frequency bias") {
+    // corpus: 'a' x8, 'b' x1 -> weights 8^0.75 and 1 in micro-units
+    val docs = Seq((1L, "a a a a a a a a b")).toDF("doc_id", "text")
+    val out = SkipGram.negativeTable(docs, "text", nDraws = 500)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a")._1 == 8L && out("b")._1 == 1L)
+    // sqrt-composed 3/4 power: sqrt(8*sqrt(8))*1e6 rounds to 4756828
+    assert(out("a")._2 == 4756828L)
+    assert(out("b")._2 == 1000000L)
+    // every draw lands in exactly one interval
+    assert(out("a")._3 + out("b")._3 == 500L)
+    // p(a) = 0.826: the frequent word must dominate the noise draws
+    assert(out("a")._3 > out("b")._3)
+    // deterministic end to end
+    val again = SkipGram.negativeTable(docs, "text", nDraws = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("a") == out("a")._3 && again("b") == out("b")._3)
+  }
 }
