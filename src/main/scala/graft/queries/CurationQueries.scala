@@ -571,7 +571,32 @@ object CurationQueries {
     "q229_neg_sampling" -> ((s, d) => {
       graft.llm.SkipGram.negativeTable(documents(s, d), "text",
         nDraws = 2000)
-    })
+    }),
+
+    // Multinomial Naive Bayes language model FIT: the (class x vocab)
+    // Laplace-smoothed log-likelihood grid plus log priors - one
+    // corpus fold to vocabulary-bounded counts, zero counts
+    // materialized via the vocab x classes cross.
+    "q230_nb_model" -> ((s, d) =>
+      graft.llm.TextClassify.naiveBayesModel(documents(s, d), "text",
+        "lang")),
+
+    // Naive Bayes self-classification readout: argmax class per doc
+    // under the q230 model (broadcast grid join, decimal-summed token
+    // log terms, 6-dp quantize BEFORE argmax, ties to min class) plus
+    // the in-sample correctness flag - the fastText-shaped trained
+    // quality/language filter of CCNet-style curation.
+    "q231_nb_classify" -> ((s, d) =>
+      graft.llm.TextClassify.naiveBayesClassify(documents(s, d),
+        "doc_id", "text", "lang")),
+
+    // Chi-square token feature selection against the binary label
+    // "is English": per-token 2x2 document-presence contingency
+    // (Yang & Pedersen 1997), integer margins, fixed-order double
+    // ratio, NULL on degenerate margins.
+    "q232_chi2_tokens" -> ((s, d) =>
+      graft.llm.TextClassify.chi2Tokens(documents(s, d), "doc_id",
+        "text", col("lang") === "en"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1694,6 +1719,104 @@ object CurationQueries {
          |  FROM asg GROUP BY 1)
          |SELECT wu.w AS word, wu.c AS cnt, wu.u AS weight_micro,
          |  COALESCE(nc.n, 0) AS n_drawn
-         |FROM wu LEFT JOIN nc ON wu.w = nc.w""".stripMargin
+         |FROM wu LEFT JOIN nc ON wu.w = nc.w""".stripMargin,
+
+    // Naive Bayes fit: same frequency algebra, same 9-dp quantize of
+    // the two log terms. The zero-count grid comes from the identical
+    // vocab x classes cross join.
+    "q230_nb_model" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |tt AS (SELECT lang, token FROM t WHERE length(token) > 0),
+         |counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tt GROUP BY 1, 2),
+         |classes AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc
+         |  FROM counts GROUP BY 1),
+         |priors AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM documents GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |vocab AS (SELECT DISTINCT token FROM counts),
+         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab)
+         |SELECT classes.lang AS lang, vocab.token AS token,
+         |  CAST(COALESCE(c, 0) AS BIGINT) AS cnt,
+         |  ROUND(ln((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+         |    / (CAST(tc AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))), 9)
+         |    AS loglik,
+         |  ROUND(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+         |    AS logprior
+         |FROM vocab CROSS JOIN classes
+         |LEFT JOIN counts USING (lang, token)
+         |JOIN priors USING (lang) CROSS JOIN n CROSS JOIN v""".stripMargin,
+
+    // Classification replay: per-token 9-dp log terms sum through
+    // DECIMAL(38,9) (order-independent), per-class score quantized to
+    // 6 dp BEFORE the argmax, ties to lexicographically-min class -
+    // both engines pick the same winner by construction.
+    "q231_nb_classify" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |tt AS (SELECT lang, token FROM t WHERE length(token) > 0),
+         |counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tt GROUP BY 1, 2),
+         |classes AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc
+         |  FROM counts GROUP BY 1),
+         |priors AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM documents GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |vocab AS (SELECT DISTINCT token FROM counts),
+         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         |model AS (
+         |  SELECT classes.lang AS cls, vocab.token AS token,
+         |    ROUND(ln((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+         |      / (CAST(tc AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))), 9)
+         |      AS loglik,
+         |    ROUND(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+         |      AS logprior
+         |  FROM vocab CROSS JOIN classes
+         |  LEFT JOIN counts USING (lang, token)
+         |  JOIN priors USING (lang) CROSS JOIN n CROSS JOIN v),
+         |dtok AS (SELECT doc_id, lang AS true_lang,
+         |    unnest($toks) AS token FROM documents),
+         |dt AS (SELECT * FROM dtok WHERE length(token) > 0),
+         |scored AS (
+         |  SELECT doc_id, true_lang, cls,
+         |    ROUND(CAST(SUM(CAST(loglik AS DECIMAL(38,9))) AS DOUBLE)
+         |      + ANY_VALUE(logprior), 6) AS score
+         |  FROM dt JOIN model USING (token) GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, MAX(score) AS m FROM scored GROUP BY 1)
+         |SELECT s.doc_id, ANY_VALUE(true_lang) AS lang,
+         |  MIN(cls) AS predicted, ANY_VALUE(b.m) AS score,
+         |  MIN(cls) = ANY_VALUE(true_lang) AS correct
+         |FROM scored s JOIN best b USING (doc_id)
+         |WHERE s.score = b.m GROUP BY s.doc_id""".stripMargin,
+
+    // Chi-square: presence = distinct (doc, token); all contingency
+    // algebra in BIGINT, the final ratio in DOUBLE in the same factor
+    // order (N * diff * diff / (rowmargs * colmargs)), 6-dp rounded;
+    // degenerate margins yield NULL in both engines.
+    "q232_chi2_tokens" ->
+      s"""WITH pres AS (SELECT DISTINCT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, token
+         |  FROM (SELECT doc_id, lang, unnest(list_distinct($toks))
+         |          AS token FROM documents)
+         |  WHERE length(token) > 0),
+         |pt AS (SELECT token, CAST(SUM(y) AS BIGINT) AS a,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+         |  FROM pres GROUP BY 1),
+         |tot AS (SELECT
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ny,
+         |  CAST(COUNT(*) - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS nn FROM documents),
+         |m AS (SELECT token, a, b, ny - a AS cc, nn - b AS dd, ny, nn
+         |  FROM pt CROSS JOIN tot)
+         |SELECT token, a AS n_pos, b AS n_neg,
+         |  CASE WHEN CAST((a + b) * (cc + dd) AS DOUBLE)
+         |         * CAST((a + cc) * (b + dd) AS DOUBLE) > 0
+         |    THEN ROUND(CAST(ny + nn AS DOUBLE)
+         |      * CAST(a * dd - b * cc AS DOUBLE)
+         |      * CAST(a * dd - b * cc AS DOUBLE)
+         |      / (CAST((a + b) * (cc + dd) AS DOUBLE)
+         |         * CAST((a + cc) * (b + dd) AS DOUBLE)), 6)
+         |  END AS chi2
+         |FROM m""".stripMargin
   )
 }
