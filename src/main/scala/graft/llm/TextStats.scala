@@ -475,6 +475,75 @@ object TextStats {
              .as("n_backoff"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §3) — the canonical n-gram smoothing, one step up
+    * from [[stupidBackoff]]'s heuristic: absolute discount D off every
+    * seen bigram, with the freed mass λ(w1) = D·N1+(w1 •)/c(w1)
+    * re-spent on the CONTINUATION distribution
+    * P_cont(w2) = N1+(• w2)/N1+(• •) — "how many contexts does w2
+    * complete", the correction that stops frequent-but-context-bound
+    * words (the "San Francisco" effect) from soaking up backoff mass:
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1 •)·P_cont(w2))
+    *              / c(w1)
+    *
+    * with c(w1) = Σ_w c(w1 w) (context totals, so rows sum to 1).
+    * Bigrams with an UNSEEN context back off to P_cont alone; an
+    * unseen continuation takes the 0.5/N1+(• •) floor (the
+    * stupid-backoff floor precedent), so every branch is total.
+    *
+    * Scale shape: identical to [[stupidBackoff]] — all four model
+    * frames (bigram counts, context totals+fanout, continuation
+    * counts, the 1-row type total) are vocabulary-bounded aggregates
+    * broadcast against the scoring grams; the corpus shuffles only
+    * into its per-document fold.
+    *
+    * Determinism: the per-bigram probability is integer-ratio algebra
+    * in a fixed factor order mirrored by the oracle; −ln terms sum
+    * exactly through [[graft.util.Exact.exactSum]] and the per-doc
+    * mean rounds to 4. Output: (id, n_bigrams, kn_nll, n_unseen_ctx). */
+  def kneserNeyNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String,
+                   statsDf: org.apache.spark.sql.DataFrame,
+                   statsTextCol: String,
+                   discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNeyNll: need 0 < discount < 1, got $discount")
+    val grams = df.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    val c2 = statsDf.select(tokens(col(statsTextCol)).as("__toks"))
+      .select(explode(ngramsOfTokens(col("__toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val ctx = c2.withColumn("w1", element_at(split(col("g"), " "), 1))
+      .groupBy(col("w1"))
+      .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("fwd"))
+    val bwd = c2.withColumn("w2", element_at(split(col("g"), " "), 2))
+      .groupBy(col("w2")).agg(count(lit(1)).as("bwd"))
+    val types = c2.agg(count(lit(1)).cast("double").as("__types"))
+    val pcont = coalesce(col("bwd").cast("double") / col("__types"),
+                         lit(0.5) / col("__types"))
+    val p = when(col("cctx").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(discount),
+                lit(0.0))
+        + lit(discount) * col("fwd").cast("double") * pcont)
+        / col("cctx").cast("double"))
+      .otherwise(pcont)
+    grams
+      .join(broadcast(c2), Seq("g"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(bwd), Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(graft.util.Exact.exactSum(-log(p)) / count(lit(1)), 4)
+             .as("kn_nll"),
+           sum(when(col("cctx").isNull, 1L).otherwise(0L))
+             .as("n_unseen_ctx"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

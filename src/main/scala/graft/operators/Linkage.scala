@@ -60,4 +60,66 @@ object Linkage {
       .filter(col("jw") >= minSim)
       .select(col("id_a"), col("id_b"), col("jw"))
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) — the match-DECISION layer the fuzzy/JW pair generators
+    * feed: each blocked candidate pair gets a log-likelihood-ratio
+    * score Σ_k w_k over K comparison fields, where
+    *
+    *   w_k = ln(m_k / u_k)              if the fields agree
+    *   w_k = ln((1 − m_k) / (1 − u_k))  if they disagree
+    *
+    * m_k = P(agree | match) is the caller's field reliability (the
+    * classic clerical prior); u_k = P(agree | random pair) is
+    * ESTIMATED from the data by the standard frequency method:
+    * u_k = Σ_v f_v² / N² over the field's value histogram — exact
+    * integer algebra, no sampling.
+    *
+    * Scale shape: one equi-join exchange on the block key (the
+    * [[fuzzyPairs]] economics — Σ|block|² bounds the pair stage);
+    * each u_k is a field-cardinality-bounded aggregate folded to ONE
+    * row and broadcast, so the scoring pass is scan-local over
+    * candidates. Agreement is null-safe equality (two nulls agree —
+    * the conservative clerical convention).
+    *
+    * Determinism: u_k is an integer ratio; each w_k is one ln of a
+    * fixed-order double ratio; the K-term score sums left-to-right in
+    * declaration order and rounds to 6 before the threshold, so both
+    * engines cut identical pairs. Output: (id_a, id_b,
+    * g_<field>..., score, is_match). */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+                    fields: Seq[(String, Column, Double)],
+                    threshold: Double): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: need at least one field")
+    fields.foreach { case (n, _, m) =>
+      require(m > 0 && m < 1, s"fellegiSunter: field $n needs 0 < m < 1") }
+    val proj = df.select(col(idCol).as("__id") +: col(blockCol).as("__blk") +:
+      fields.zipWithIndex.map { case ((_, c, _), k) => c.as(s"__f$k") }: _*)
+    // u_k: P(two random records agree on field k) = sum f_v^2 / N^2,
+    // from the value histogram (N = sum f_v rides the same fold — no
+    // separate count action) — one row per field, all broadcast.
+    val us = fields.indices.map { k =>
+      proj.groupBy(col(s"__f$k")).agg(count(lit(1)).as("c"))
+        .agg((sum(col("c") * col("c")).cast("double") /
+          (sum(col("c")) * sum(col("c"))).cast("double")).as(s"__u$k"))
+    }
+    val a = proj.select(col("__id").as("id_a") +: col("__blk") +:
+      fields.indices.map(k => col(s"__f$k").as(s"__a$k")): _*)
+    val b = proj.select(col("__id").as("id_b") +: col("__blk") +:
+      fields.indices.map(k => col(s"__f$k").as(s"__b$k")): _*)
+    val withU = us.foldLeft(a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b")))((d, u) => d.crossJoin(broadcast(u)))
+    val agrees = fields.indices.map(k =>
+      col(s"__a$k") <=> col(s"__b$k"))
+    val score = fields.zipWithIndex.map { case ((_, _, m), k) =>
+      when(agrees(k), log(lit(m) / col(s"__u$k")))
+        .otherwise(log(lit(1.0 - m) / (lit(1.0) - col(s"__u$k"))))
+    }.reduce(_ + _)
+    withU.select(
+      col("id_a") +: col("id_b") +:
+        fields.zipWithIndex.map { case ((nm, _, _), k) =>
+          agrees(k).as(s"g_$nm") } :+
+        round(score, 6).as("score"): _*)
+      .withColumn("is_match", col("score") >= threshold)
+  }
 }

@@ -287,6 +287,21 @@ object CoreQueries {
         customer(s, d).filter(col("c_custkey") < 200),
         "c_custkey", "c_name", "c_nationkey", minSim = 0.97)),
 
+    // Fellegi-Sunter probabilistic linkage: segment-blocked candidate
+    // pairs scored by the per-field agreement log-likelihood ratio,
+    // with u-probabilities estimated from the field value histograms
+    // (sum f_v^2 / N^2) and clerical m priors — the match-decision
+    // layer over the q125/q136 pair generators.
+    "q234_fellegi_sunter" -> ((s, d) =>
+      graft.operators.Linkage.fellegiSunter(
+        customer(s, d).filter(col("c_custkey") < 200),
+        "c_custkey", "c_mktsegment",
+        fields = Seq(
+          ("nation", col("c_nationkey"), 0.95),
+          ("name_pfx", substring(col("c_name"), 1, 12), 0.9),
+          ("bal_pos", col("c_acctbal") > 0, 0.8)),
+        threshold = 3.0)),
+
     // Sweep-line peak concurrency: each event opens a 1-hour interval;
     // per event_type, the running +1/-1 sum's max and the earliest
     // instant it is reached ([start, end) half-open semantics).
@@ -1397,6 +1412,46 @@ object CoreQueries {
         |FROM c a JOIN c b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Fellegi-Sunter: u from the value histogram (integer ratio), each
+    // weight ONE ln of a fixed-order double ratio (the 1-m / 1-u
+    // complements forced through IEEE double subtraction to match the
+    // engine's constant folding), 3-term sum in declaration order,
+    // 6-dp round BEFORE the threshold.
+    "q234_fellegi_sunter" ->
+      """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS blk,
+        |    c_nationkey AS f0, substring(c_name, 1, 12) AS f1,
+        |    c_acctbal > 0 AS f2
+        |  FROM customer WHERE c_custkey < 200),
+        |u0 AS (SELECT CAST(SUM(n*n) AS DOUBLE)
+        |    / CAST(SUM(n) * SUM(n) AS DOUBLE) AS u0
+        |  FROM (SELECT COUNT(*) AS n FROM c GROUP BY f0)),
+        |u1 AS (SELECT CAST(SUM(n*n) AS DOUBLE)
+        |    / CAST(SUM(n) * SUM(n) AS DOUBLE) AS u1
+        |  FROM (SELECT COUNT(*) AS n FROM c GROUP BY f1)),
+        |u2 AS (SELECT CAST(SUM(n*n) AS DOUBLE)
+        |    / CAST(SUM(n) * SUM(n) AS DOUBLE) AS u2
+        |  FROM (SELECT COUNT(*) AS n FROM c GROUP BY f2)),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    a.f0 IS NOT DISTINCT FROM b.f0 AS g_nation,
+        |    a.f1 IS NOT DISTINCT FROM b.f1 AS g_name_pfx,
+        |    a.f2 IS NOT DISTINCT FROM b.f2 AS g_bal_pos
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id),
+        |s AS (SELECT id_a, id_b, g_nation, g_name_pfx, g_bal_pos,
+        |  ROUND(
+        |    (CASE WHEN g_nation THEN ln(0.95 / u0)
+        |      ELSE ln((CAST(1 AS DOUBLE) - 0.95)
+        |              / (CAST(1 AS DOUBLE) - u0)) END)
+        |    + (CASE WHEN g_name_pfx THEN ln(0.9 / u1)
+        |      ELSE ln((CAST(1 AS DOUBLE) - 0.9)
+        |              / (CAST(1 AS DOUBLE) - u1)) END)
+        |    + (CASE WHEN g_bal_pos THEN ln(0.8 / u2)
+        |      ELSE ln((CAST(1 AS DOUBLE) - 0.8)
+        |              / (CAST(1 AS DOUBLE) - u2)) END), 6) AS score
+        |  FROM p CROSS JOIN u0 CROSS JOIN u1 CROSS JOIN u2)
+        |SELECT id_a, id_b, g_nation, g_name_pfx, g_bal_pos, score,
+        |  score >= 3.0 AS is_match
+        |FROM s""".stripMargin,
 
     // Ties at equal t: the -1 sorts first (half-open intervals); rows
     // tied on (t, dd) carry the same delta so the cumsum VALUE

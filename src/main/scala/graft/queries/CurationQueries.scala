@@ -596,7 +596,20 @@ object CurationQueries {
     // ratio, NULL on degenerate margins.
     "q232_chi2_tokens" -> ((s, d) =>
       graft.llm.TextClassify.chi2Tokens(documents(s, d), "doc_id",
-        "text", col("lang") === "en"))
+        "text", col("lang") === "en")),
+
+    // Interpolated Kneser-Ney bigram LM: reference counts from the
+    // even doc_ids (the q167 split, so the unseen-context and
+    // unseen-continuation branches fire), every document scored -
+    // absolute discount + continuation-mass interpolation, the
+    // smoothing one step up from q167's stupid backoff.
+    "q233_kneser_ney" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.llm.TextStats.kneserNeyNll(
+        docs, "doc_id", "text",
+        statsDf = docs.filter(col("doc_id") % 2 === 0),
+        statsTextCol = "text")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1817,6 +1830,52 @@ object CurationQueries {
          |      / (CAST((a + b) * (cc + dd) AS DOUBLE)
          |         * CAST((a + cc) * (b + dd) AS DOUBLE)), 6)
          |  END AS chi2
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // Kneser-Ney: every probability is integer-count algebra in the
+    // same fixed factor order (discounted bigram mass + (D * fanout)
+    // * continuation, over context totals); -ln terms sum through
+    // DECIMAL(30,6).
+    "q233_kneser_ney" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len($toks) - 1),
+         |      i -> array_to_string(list_slice($toks, i + 1, i + 2), ' ')))
+         |      AS gram
+         |  FROM documents),
+         |gs AS (SELECT doc_id, gram,
+         |         string_split(gram, ' ')[1] AS w1,
+         |         string_split(gram, ' ')[2] AS w2 FROM g),
+         |c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM g
+         |       WHERE doc_id % 2 = 0 GROUP BY 1),
+         |ctx AS (SELECT string_split(gram, ' ')[1] AS w1,
+         |          CAST(SUM(c2) AS BIGINT) AS cctx,
+         |          CAST(COUNT(*) AS BIGINT) AS fwd
+         |        FROM c2 GROUP BY 1),
+         |bwd AS (SELECT string_split(gram, ' ')[2] AS w2,
+         |          CAST(COUNT(*) AS BIGINT) AS bwd
+         |        FROM c2 GROUP BY 1),
+         |ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS types FROM c2),
+         |scored AS (
+         |  SELECT gs.doc_id,
+         |    CASE WHEN ctx.cctx IS NOT NULL THEN
+         |      (greatest(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75,
+         |                CAST(0 AS DOUBLE))
+         |       + 0.75 * CAST(ctx.fwd AS DOUBLE)
+         |         * COALESCE(CAST(bwd.bwd AS DOUBLE) / types, 0.5 / types))
+         |      / CAST(ctx.cctx AS DOUBLE)
+         |    ELSE COALESCE(CAST(bwd.bwd AS DOUBLE) / types, 0.5 / types)
+         |    END AS p,
+         |    CASE WHEN ctx.cctx IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM gs
+         |  LEFT JOIN c2 ON gs.gram = c2.gram
+         |  LEFT JOIN ctx ON gs.w1 = ctx.w1
+         |  LEFT JOIN bwd ON gs.w2 = bwd.w2
+         |  CROSS JOIN ty)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(CAST(SUM(CAST(-ln(p) AS DECIMAL(30,6))) AS DOUBLE)
+         |        / COUNT(*), 4) AS kn_nll,
+         |  CAST(SUM(unseen) AS BIGINT) AS n_unseen_ctx
+         |FROM scored GROUP BY 1""".stripMargin
   )
 }

@@ -151,6 +151,35 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - exp) < 1e-3)
   }
 
+  test("kneserNeyNll: discount + continuation interpolation; unseen " +
+    "context backs off to P_cont; rows of a context sum to 1") {
+    // train "a b a b a c": c2 = {ab:2, ba:2, ac:1}; ctx a: cctx=3
+    // fwd=2, b: cctx=2 fwd=1; bwd = {b:1, a:1, c:1}; types=3.
+    val stats = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    // P(b|a) = (max(2-.75,0) + .75*2*(1/3)) / 3 = 1.75/3
+    val r1 = graft.llm.TextStats.kneserNeyNll(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      stats, "text").head()
+    assert(r1.getLong(1) == 1L && r1.getLong(3) == 0L)
+    assert(math.abs(r1.getDouble(2) - (-math.log(1.75 / 3))) < 1e-3)
+    // (z,a): unseen context z -> p = P_cont(a) = 1/3. (a,q): seen
+    // context a, unseen continuation q -> interpolation with the
+    // 0.5/types floor: (0 + .75*2*(0.5/3)) / 3
+    val r2 = graft.llm.TextStats.kneserNeyNll(
+      Seq((2L, "z a q")).toDF("doc_id", "text"), "doc_id", "text",
+      stats, "text").head()
+    assert(r2.getLong(3) == 1L)
+    val exp2 = (-math.log(1.0 / 3) +
+      -math.log((0.75 * 2 * (0.5 / 3)) / 3)) / 2
+    assert(math.abs(r2.getDouble(2) - exp2) < 1e-3)
+    // P(.|a) sums to 1 over the seen vocabulary continuations:
+    // P(b|a)+P(a|a)+P(c|a) where P(a|a) = (0 + .75*2*(1/3))/3
+    val pba = (2 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3
+    val paa = (0.75 * 2 * (1.0 / 3)) / 3
+    val pca = (1 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3
+    assert(math.abs(pba + paa + pca - 1.0) < 1e-12)
+  }
+
   test("ipwEffect: balanced stratum identifies, degenerate stratum drops") {
     val units = Seq(
       ("A", true, 10.0), ("A", true, 12.0),

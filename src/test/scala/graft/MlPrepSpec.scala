@@ -136,6 +136,31 @@ class MlPrepSpec extends SparkSpec {
     assert(out.head.getInt(4) == 1)
   }
 
+  test("Linkage.fellegiSunter: histogram u, LLR weights, threshold") {
+    val df = Seq(
+      (1L, "b", 10L, "x"), (2L, "b", 10L, "x"),
+      (3L, "b", 20L, "y"), (4L, "c", 10L, "x"))
+      .toDF("id", "blk", "f", "g")
+    val out = graft.operators.Linkage.fellegiSunter(df, "id", "blk",
+      fields = Seq(("f", col("f"), 0.9), ("g", col("g"), 0.8)),
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // blocking: only the 3 pairs inside block b
+    assert(out.size == 3)
+    // u_f = u_g = (3^2 + 1^2) / 4^2 = 0.625 over ALL records
+    val uAgree = math.log(0.9 / 0.625) + math.log(0.8 / 0.625)
+    val uDis = math.log((1.0 - 0.9) / (1.0 - 0.625)) +
+      math.log((1.0 - 0.8) / (1.0 - 0.625))
+    assert(out((1L, 2L))._1 && out((1L, 2L))._2)
+    assert(math.abs(out((1L, 2L))._3 - uAgree) < 1e-5)
+    assert(out((1L, 2L))._4)                   // 0.61 >= 0.5
+    assert(!out((1L, 3L))._1 && !out((1L, 3L))._2)
+    assert(math.abs(out((1L, 3L))._3 - uDis) < 1e-5)
+    assert(!out((1L, 3L))._4 && !out((2L, 3L))._4)
+  }
+
   test("Sweep.maxConcurrent: peak and earliest peak instant; [start,end) half-open") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
