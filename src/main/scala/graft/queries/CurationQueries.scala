@@ -609,6 +609,34 @@ object CurationQueries {
         docs, "doc_id", "text",
         statsDf = docs.filter(col("doc_id") % 2 === 0),
         statsTextCol = "text")
+    }),
+
+    // BLEU-4 over even/odd document pairs (even = candidate, odd =
+    // reference): clipped n-gram precisions with Lin-Och +1 smoothing
+    // on n>=2 and the brevity penalty - the checkpoint-eval metric.
+    "q235_bleu" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(shiftright(col("doc_id"), 1).as("pair_id"),
+                col("text").as("cand"))
+      val ref = docs.filter(col("doc_id") % 2 === 1)
+        .select(shiftright(col("doc_id"), 1).as("pair_id"),
+                col("text").as("ref"))
+      graft.llm.NgramEval.bleu(cand.join(ref, Seq("pair_id")),
+        "pair_id", "cand", "ref", maxN = 4)
+    }),
+
+    // ROUGE-1/-2 recall/precision/F1 over the same pairs, long form.
+    "q236_rouge" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(shiftright(col("doc_id"), 1).as("pair_id"),
+                col("text").as("cand"))
+      val ref = docs.filter(col("doc_id") % 2 === 1)
+        .select(shiftright(col("doc_id"), 1).as("pair_id"),
+                col("text").as("ref"))
+      graft.llm.NgramEval.rougeN(cand.join(ref, Seq("pair_id")),
+        "pair_id", "cand", "ref", maxN = 2)
     })
   )
 
@@ -1876,6 +1904,138 @@ object CurationQueries {
          |  round(CAST(SUM(CAST(-ln(p) AS DECIMAL(30,6))) AS DOUBLE)
          |        / COUNT(*), 4) AS kn_nll,
          |  CAST(SUM(unseen) AS BIGINT) AS n_unseen_ctx
-         |FROM scored GROUP BY 1""".stripMargin
+         |FROM scored GROUP BY 1""".stripMargin,
+
+    // BLEU: clipped counts from the (pair, n, gram) full-outer count
+    // join; ln terms sum in ascending-n order, ONE exp, bp multiplied
+    // last, 6-dp round — the engine's exact factor order.
+    "q235_bleu" ->
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id // 2 AS pair_id,
+         |    regexp_split_to_array(trim(a.text), '\\s+') AS ct,
+         |    regexp_split_to_array(trim(b.text), '\\s+') AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0),
+         |cg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
+         |    SELECT pair_id, 1 AS n, unnest(ct) AS gram FROM pairs
+         |    UNION ALL SELECT pair_id, 2 AS n,
+         |      unnest(list_transform(range(len(ct) - 1),
+         |        i -> array_to_string(list_slice(ct, i + 1, i + 2), ' ')))
+         |    FROM pairs
+         |    UNION ALL SELECT pair_id, 3 AS n,
+         |      unnest(list_transform(range(len(ct) - 2),
+         |        i -> array_to_string(list_slice(ct, i + 1, i + 3), ' ')))
+         |    FROM pairs
+         |    UNION ALL SELECT pair_id, 4 AS n,
+         |      unnest(list_transform(range(len(ct) - 3),
+         |        i -> array_to_string(list_slice(ct, i + 1, i + 4), ' ')))
+         |    FROM pairs)
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT pair_id, n, gram, COUNT(*) AS r FROM (
+         |    SELECT pair_id, 1 AS n, unnest(rt) AS gram FROM pairs
+         |    UNION ALL SELECT pair_id, 2 AS n,
+         |      unnest(list_transform(range(len(rt) - 1),
+         |        i -> array_to_string(list_slice(rt, i + 1, i + 2), ' ')))
+         |    FROM pairs
+         |    UNION ALL SELECT pair_id, 3 AS n,
+         |      unnest(list_transform(range(len(rt) - 2),
+         |        i -> array_to_string(list_slice(rt, i + 1, i + 3), ' ')))
+         |    FROM pairs
+         |    UNION ALL SELECT pair_id, 4 AS n,
+         |      unnest(list_transform(range(len(rt) - 3),
+         |        i -> array_to_string(list_slice(rt, i + 1, i + 4), ' ')))
+         |    FROM pairs)
+         |  GROUP BY 1, 2, 3),
+         |st AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+         |    COALESCE(cg.n, rg.n) AS n,
+         |    CAST(SUM(LEAST(COALESCE(cg.c, 0), COALESCE(rg.r, 0)))
+         |      AS BIGINT) AS m,
+         |    CAST(SUM(COALESCE(cg.c, 0)) AS BIGINT) AS t,
+         |    CAST(SUM(COALESCE(rg.r, 0)) AS BIGINT) AS tr
+         |  FROM cg FULL OUTER JOIN rg
+         |    ON cg.pair_id = rg.pair_id AND cg.n = rg.n
+         |    AND cg.gram = rg.gram
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT pair_id,
+         |    CAST(SUM(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+         |    CAST(SUM(CASE WHEN n = 1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+         |    CAST(SUM(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+         |    CAST(SUM(CASE WHEN n = 2 THEN t ELSE 0 END) AS BIGINT) AS t2,
+         |    CAST(SUM(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+         |    CAST(SUM(CASE WHEN n = 3 THEN t ELSE 0 END) AS BIGINT) AS t3,
+         |    CAST(SUM(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT) AS m4,
+         |    CAST(SUM(CASE WHEN n = 4 THEN t ELSE 0 END) AS BIGINT) AS t4,
+         |    CAST(SUM(CASE WHEN n = 1 THEN tr ELSE 0 END) AS BIGINT)
+         |      AS ref_len
+         |  FROM st GROUP BY 1)
+         |SELECT pair_id, t1 AS cand_len, ref_len,
+         |  ROUND(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS p1,
+         |  ROUND(CASE WHEN t1 >= ref_len THEN CAST(1 AS DOUBLE)
+         |    ELSE exp(CAST(1 AS DOUBLE)
+         |      - CAST(ref_len AS DOUBLE) / CAST(t1 AS DOUBLE)) END, 6)
+         |    AS bp,
+         |  CASE WHEN t1 = 0 THEN NULL
+         |    WHEN m1 = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE ROUND((CASE WHEN t1 >= ref_len THEN CAST(1 AS DOUBLE)
+         |        ELSE exp(CAST(1 AS DOUBLE)
+         |          - CAST(ref_len AS DOUBLE) / CAST(t1 AS DOUBLE)) END)
+         |      * exp((ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+         |        + ln(CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE))
+         |        + ln(CAST(m3 + 1 AS DOUBLE) / CAST(t3 + 1 AS DOUBLE))
+         |        + ln(CAST(m4 + 1 AS DOUBLE) / CAST(t4 + 1 AS DOUBLE)))
+         |        / CAST(4 AS DOUBLE)), 6)
+         |  END AS bleu
+         |FROM agg""".stripMargin,
+
+    // ROUGE-1/-2: recall/precision from the same clipped kernel; f1's
+    // harmonic mean uses the UNROUNDED ratios in the engine's exact
+    // order ((2*r)*p)/(r+p), rounded once at the end.
+    "q236_rouge" ->
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id // 2 AS pair_id,
+         |    regexp_split_to_array(trim(a.text), '\\s+') AS ct,
+         |    regexp_split_to_array(trim(b.text), '\\s+') AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0),
+         |cg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
+         |    SELECT pair_id, 1 AS n, unnest(ct) AS gram FROM pairs
+         |    UNION ALL SELECT pair_id, 2 AS n,
+         |      unnest(list_transform(range(len(ct) - 1),
+         |        i -> array_to_string(list_slice(ct, i + 1, i + 2), ' ')))
+         |    FROM pairs)
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT pair_id, n, gram, COUNT(*) AS r FROM (
+         |    SELECT pair_id, 1 AS n, unnest(rt) AS gram FROM pairs
+         |    UNION ALL SELECT pair_id, 2 AS n,
+         |      unnest(list_transform(range(len(rt) - 1),
+         |        i -> array_to_string(list_slice(rt, i + 1, i + 2), ' ')))
+         |    FROM pairs)
+         |  GROUP BY 1, 2, 3),
+         |st AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+         |    COALESCE(cg.n, rg.n) AS n,
+         |    CAST(SUM(LEAST(COALESCE(cg.c, 0), COALESCE(rg.r, 0)))
+         |      AS BIGINT) AS m,
+         |    CAST(SUM(COALESCE(cg.c, 0)) AS BIGINT) AS t,
+         |    CAST(SUM(COALESCE(rg.r, 0)) AS BIGINT) AS tr
+         |  FROM cg FULL OUTER JOIN rg
+         |    ON cg.pair_id = rg.pair_id AND cg.n = rg.n
+         |    AND cg.gram = rg.gram
+         |  GROUP BY 1, 2)
+         |SELECT pair_id, n,
+         |  ROUND(CASE WHEN tr > 0
+         |    THEN CAST(m AS DOUBLE) / CAST(tr AS DOUBLE) END, 6) AS recall,
+         |  ROUND(CASE WHEN t > 0
+         |    THEN CAST(m AS DOUBLE) / CAST(t AS DOUBLE) END, 6) AS prec,
+         |  CASE WHEN tr = 0 OR t = 0 THEN NULL
+         |    WHEN CAST(m AS DOUBLE) / CAST(tr AS DOUBLE)
+         |       + CAST(m AS DOUBLE) / CAST(t AS DOUBLE) = 0
+         |      THEN CAST(0 AS DOUBLE)
+         |    ELSE ROUND(CAST(2 AS DOUBLE)
+         |      * (CAST(m AS DOUBLE) / CAST(tr AS DOUBLE))
+         |      * (CAST(m AS DOUBLE) / CAST(t AS DOUBLE))
+         |      / (CAST(m AS DOUBLE) / CAST(tr AS DOUBLE)
+         |         + CAST(m AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+         |  END AS f1
+         |FROM st""".stripMargin
   )
 }

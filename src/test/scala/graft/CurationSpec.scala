@@ -180,6 +180,37 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(pba + paa + pca - 1.0) < 1e-12)
   }
 
+  test("NgramEval.bleu/rougeN: hand-computed clipped precisions, BP, F1") {
+    val pairs = Seq(
+      (0L, "the cat sat on the mat", "the cat is on the mat"),
+      (1L, "the cat", "the cat is on the mat"))
+      .toDF("pair_id", "cand", "ref")
+    val b = graft.llm.NgramEval.bleu(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // pair 0: p1=5/6, p2'=4/6, p3'=2/5, p4'=1/4, bp=1
+    // -> bleu = (5/6 * 4/6 * 2/5 * 1/4)^(1/4) = (1/18)^(1/4)
+    assert(b(0L).getLong(1) == 6 && b(0L).getLong(2) == 6)
+    assert(math.abs(b(0L).getDouble(3) - 5.0 / 6) < 2e-6)
+    assert(b(0L).getDouble(4) == 1.0)
+    assert(math.abs(b(0L).getDouble(5) -
+      math.exp(math.log(1.0 / 18) / 4)) < 2e-6)
+    // pair 1 ("the cat"): every clipped precision is 1 (the n>=2
+    // zero-gram rows smooth to (0+1)/(0+1)), so bleu IS the brevity
+    // penalty exp(1 - 6/2)
+    assert(math.abs(b(1L).getDouble(4) - math.exp(-2.0)) < 2e-6)
+    assert(math.abs(b(1L).getDouble(5) - math.exp(-2.0)) < 2e-6)
+    val r = graft.llm.NgramEval.rougeN(pairs, "pair_id", "cand", "ref")
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x).toMap
+    assert(math.abs(r((0L, 1)).getDouble(2) - 5.0 / 6) < 2e-6)
+    assert(math.abs(r((0L, 1)).getDouble(4) - 5.0 / 6) < 2e-6)
+    assert(math.abs(r((0L, 2)).getDouble(2) - 0.6) < 2e-6)
+    assert(math.abs(r((0L, 2)).getDouble(4) - 0.6) < 2e-6)
+    // short candidate: ROUGE-2 recall 1/5, precision 1/1, f1 harmonic
+    assert(math.abs(r((1L, 2)).getDouble(2) - 0.2) < 2e-6)
+    assert(math.abs(r((1L, 2)).getDouble(3) - 1.0) < 2e-6)
+    assert(math.abs(r((1L, 2)).getDouble(4) - 1.0 / 3) < 2e-6)
+  }
+
   test("ipwEffect: balanced stratum identifies, degenerate stratum drops") {
     val units = Seq(
       ("A", true, 10.0), ("A", true, 12.0),
