@@ -544,6 +544,63 @@ object TextStats {
              .as("n_unseen_ctx"))
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * two corpus slices (Lin 1991) — the distribution-shift audit a
+    * training pipeline runs between the held corpus and an incoming
+    * batch (or between domains in a mixture): symmetric, bounded by
+    * ln 2, and defined WITHOUT smoothing because the mixture
+    * M = (P+Q)/2 is positive wherever either side is (the 0·ln 0
+    * terms drop by convention).
+    *
+    *   JSD = ½ KL(P‖M) + ½ KL(Q‖M),  KL(P‖M) = Σ p ln(p/m)
+    *
+    * Scale shape: one token-count aggregate per side (map-side
+    * combined), ONE vocabulary-bounded full-outer join, the two
+    * 1-row totals broadcast — the corpus never shuffles except into
+    * its count fold.
+    *
+    * Determinism: each KL is summed as Σ c·ln(p/m) (integer count ×
+    * an O(1) log-ratio, exact under the DECIMAL(30,6) term
+    * quantization of [[graft.util.Exact.exactSum]]) and divided by
+    * the total count ONCE at the end — summing p·ln(p/m) directly
+    * would quantize ~1e-5 terms to 6 decimals and lose the value.
+    * Output 1 row: (vocab, n_tokens_a, n_tokens_b, kl_pm, kl_qm,
+    * jsd), each rounded to 6. */
+  def jsDivergence(dfA: org.apache.spark.sql.DataFrame,
+                   dfB: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    def cnt(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.select(tokens(col(textCol)).as("__toks"))
+        .select(explode(col("__toks")).as("__w"))
+        .groupBy(col("__w")).agg(count(lit(1)).as(out))
+    val j = cnt(dfA, "__ca").join(cnt(dfB, "__cb"), Seq("__w"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("ca"),
+              coalesce(col("__cb"), lit(0L)).as("cb"))
+    val tot = j.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val withM = j.crossJoin(broadcast(tot))
+      .withColumn("p", col("ca").cast("double") / col("ta").cast("double"))
+      .withColumn("q", col("cb").cast("double") / col("tb").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    withM.agg(
+        count(lit(1)).as("vocab"), max(col("ta")).as("ta"),
+        max(col("tb")).as("tb"),
+        graft.util.Exact.exactSum(
+          when(col("ca") > 0,
+               col("ca").cast("double") * log(col("p") / col("m")))
+            .otherwise(lit(0.0))).as("ka"),
+        graft.util.Exact.exactSum(
+          when(col("cb") > 0,
+               col("cb").cast("double") * log(col("q") / col("m")))
+            .otherwise(lit(0.0))).as("kb"))
+      .select(col("vocab"), col("ta").as("n_tokens_a"),
+              col("tb").as("n_tokens_b"),
+              round(col("ka") / col("ta").cast("double"), 6).as("kl_pm"),
+              round(col("kb") / col("tb").cast("double"), 6).as("kl_qm"),
+              round((col("ka") / col("ta").cast("double") +
+                     col("kb") / col("tb").cast("double")) / lit(2.0), 6)
+                .as("jsd"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

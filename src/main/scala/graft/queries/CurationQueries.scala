@@ -637,6 +637,16 @@ object CurationQueries {
                 col("text").as("ref"))
       graft.llm.NgramEval.rougeN(cand.join(ref, Seq("pair_id")),
         "pair_id", "cand", "ref", maxN = 2)
+    }),
+
+    // Jensen-Shannon divergence between the en and non-en unigram
+    // distributions - the corpus-shift audit between two slices;
+    // symmetric, smoothing-free (mixture M > 0 wherever P or Q is).
+    "q237_js_divergence" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.llm.TextStats.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
     })
   )
 
@@ -2036,6 +2046,45 @@ object CurationQueries {
          |      / (CAST(m AS DOUBLE) / CAST(tr AS DOUBLE)
          |         + CAST(m AS DOUBLE) / CAST(t AS DOUBLE)), 6)
          |  END AS f1
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+
+    // JSD: each KL summed as c*ln(p/m) through DECIMAL(30,6) and
+    // divided by the total ONCE at the end (the engine's
+    // quantization-safe order); m = (p+q)/2 in doubles.
+    "q237_js_divergence" ->
+      s"""WITH ac AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ca FROM (
+         |    SELECT unnest($toks) AS w FROM documents WHERE lang = 'en')
+         |  GROUP BY 1),
+         |bc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+         |    SELECT unnest($toks) AS w FROM documents WHERE lang <> 'en')
+         |  GROUP BY 1),
+         |j AS (SELECT COALESCE(ac.ca, 0) AS ca, COALESCE(bc.cb, 0) AS cb
+         |  FROM ac FULL OUTER JOIN bc ON ac.w = bc.w),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+         |        CAST(SUM(cb) AS BIGINT) AS tb FROM j),
+         |m AS (SELECT ca, cb, ta, tb,
+         |    CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+         |    CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS q,
+         |    (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+         |     + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+         |      / CAST(2 AS DOUBLE) AS mm
+         |  FROM j CROSS JOIN t),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+         |    MAX(ta) AS ta, MAX(tb) AS tb,
+         |    CAST(SUM(CAST(CASE WHEN ca > 0
+         |        THEN CAST(ca AS DOUBLE) * ln(p / mm)
+         |        ELSE CAST(0 AS DOUBLE) END AS DECIMAL(30,6)))
+         |      AS DOUBLE) AS ka,
+         |    CAST(SUM(CAST(CASE WHEN cb > 0
+         |        THEN CAST(cb AS DOUBLE) * ln(q / mm)
+         |        ELSE CAST(0 AS DOUBLE) END AS DECIMAL(30,6)))
+         |      AS DOUBLE) AS kb
+         |  FROM m)
+         |SELECT vocab, ta AS n_tokens_a, tb AS n_tokens_b,
+         |  ROUND(ka / CAST(ta AS DOUBLE), 6) AS kl_pm,
+         |  ROUND(kb / CAST(tb AS DOUBLE), 6) AS kl_qm,
+         |  ROUND((ka / CAST(ta AS DOUBLE) + kb / CAST(tb AS DOUBLE))
+         |    / CAST(2 AS DOUBLE), 6) AS jsd
+         |FROM agg""".stripMargin
   )
 }

@@ -211,6 +211,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r((1L, 2)).getDouble(4) - 1.0 / 3) < 2e-6)
   }
 
+  test("jsDivergence: hand-computed KLs; identical slices give 0") {
+    // A = "a a b": p = {a:2/3, b:1/3}; B = "a c": q = {a:1/2, c:1/2}
+    // m = {a:7/12, b:1/6, c:1/4}
+    val a = Seq((1L, "a a b")).toDF("id", "text")
+    val b = Seq((2L, "a c")).toDF("id", "text")
+    val r = graft.llm.TextStats.jsDivergence(a, b, "text").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    val kl1 = (2.0 / 3) * math.log((2.0 / 3) / (7.0 / 12)) +
+      (1.0 / 3) * math.log(2)
+    val kl2 = 0.5 * math.log(0.5 / (7.0 / 12)) + 0.5 * math.log(2)
+    assert(math.abs(r.getDouble(3) - kl1) < 1e-4)
+    assert(math.abs(r.getDouble(4) - kl2) < 1e-4)
+    assert(math.abs(r.getDouble(5) - (kl1 + kl2) / 2) < 1e-4)
+    val same = graft.llm.TextStats.jsDivergence(a, a, "text").head()
+    assert(same.getDouble(5) == 0.0)
+  }
+
   test("ipwEffect: balanced stratum identifies, degenerate stratum drops") {
     val units = Seq(
       ("A", true, 10.0), ("A", true, 12.0),
