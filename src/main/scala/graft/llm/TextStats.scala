@@ -601,6 +601,48 @@ object TextStats {
                 .as("jsd"))
   }
 
+  /** Zipf rank–frequency fit (Zipf 1949): OLS of ln(freq) on ln(rank)
+    * over the full vocabulary — slope ≈ −1 on natural language, and a
+    * corpus whose slope drifts (template spam flattens it, boilerplate
+    * steepens it) fails the curation gate. Rank is (freq desc, token
+    * asc) position computed by
+    * [[graft.operators.OrderedStats.cumsumExclusive]]'s two-phase
+    * bucketed prefix count — NO single-partition window even though
+    * the frequency frame is vocabulary-bounded (the same discipline as
+    * q193's rank stats). The fit runs the textbook closed form on
+    * exact decimal moment sums; every engine-vs-oracle double travels
+    * the identical factor order. Output 1 row:
+    * (vocab, slope, intercept, r2), 6-dp. */
+  def zipfFit(df: org.apache.spark.sql.DataFrame,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val freq = df.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(col("__toks")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .withColumn("__negf", -col("__f"))
+      .withColumn("__one", lit(1L))
+    val ranked = graft.operators.OrderedStats.cumsumExclusive(
+      freq, "__negf", Seq("__w"), "__one", "__r0")
+    val pts = ranked.select(
+      log(col("__r0").cast("double") + lit(1.0)).as("x"),
+      log(col("__f").cast("double")).as("y"))
+    val s = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      graft.util.Exact.exactSum(col("x")).as("sx"),
+      graft.util.Exact.exactSum(col("y")).as("sy"),
+      graft.util.Exact.exactSum(col("x") * col("x")).as("sxx"),
+      graft.util.Exact.exactSum(col("x") * col("y")).as("sxy"),
+      graft.util.Exact.exactSum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy  = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / vx
+    s.select(col("n").cast("long").as("vocab"),
+             round(slope, 6).as("slope"),
+             round((col("sy") - slope * col("sx")) / col("n"), 6)
+               .as("intercept"),
+             round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic a
     * BPE tokenizer trainer maximizes at each merge step (the top pair
     * IS the next merge). Each word contributes its length-1 pairs;

@@ -647,7 +647,13 @@ object CurationQueries {
       graft.llm.TextStats.jsDivergence(
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "text")
-    })
+    }),
+
+    // Zipf rank-frequency fit: ln(freq) on ln(rank) OLS over the full
+    // vocabulary; rank via the two-phase bucketed prefix count, never
+    // a single-partition window.
+    "q238_zipf" -> ((s, d) =>
+      graft.llm.TextStats.zipfFit(documents(s, d), "text"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2085,6 +2091,31 @@ object CurationQueries {
          |  ROUND(kb / CAST(tb AS DOUBLE), 6) AS kl_qm,
          |  ROUND((ka / CAST(ta AS DOUBLE) + kb / CAST(tb AS DOUBLE))
          |    / CAST(2 AS DOUBLE), 6) AS jsd
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // Zipf: rank = ROW_NUMBER over (freq desc, token asc); moments
+    // through DECIMAL(30,6); slope/intercept/r2 in the engine's exact
+    // factor order.
+    "q238_zipf" ->
+      s"""WITH f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC)
+         |        AS rnk FROM f),
+         |p AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+         |        ln(CAST(f AS DOUBLE)) AS y FROM r),
+         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+         |  FROM p)
+         |SELECT CAST(n AS BIGINT) AS vocab,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+         |    / n, 6) AS intercept,
+         |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM s""".stripMargin
   )
 }

@@ -228,6 +228,27 @@ class CurationSpec extends SparkSpec {
     assert(same.getDouble(5) == 0.0)
   }
 
+  test("zipfFit: exact power law recovers slope -1, intercept ln(c), r2 1") {
+    // f(a)=6, f(b)=3, f(c)=2 at ranks 1,2,3: ln f = ln 6 - ln rank
+    val docs = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+    val r = graft.llm.TextStats.zipfFit(docs, "text").head()
+    assert(r.getLong(0) == 3)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-4)
+    assert(math.abs(r.getDouble(2) - math.log(6.0)) < 1e-4)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4)
+    // ties rank by token asc: f(a)=f(b)=2, f(c)=1 -> ranks a=1,b=2,c=3
+    val t = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val rt = graft.llm.TextStats.zipfFit(t, "text").head()
+    val (x, y) = (Seq(0.0, math.log(2), math.log(3)),
+                  Seq(math.log(2), math.log(2), 0.0))
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a2, b2) => a2 * b2 }.sum
+    val sxx = x.map(v => v * v).sum
+    val exp = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rt.getDouble(1) - exp) < 1e-3)
+  }
+
   test("ipwEffect: balanced stratum identifies, degenerate stratum drops") {
     val units = Seq(
       ("A", true, 10.0), ("A", true, 12.0),
