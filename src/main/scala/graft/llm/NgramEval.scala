@@ -29,16 +29,21 @@ object NgramEval {
   /** (id, n, gram, cnt) counts for n = 1..maxN over a text column —
     * the shared explode kernel. One projection stages the token split
     * so the regex runs once per row (the q74 CollapseProject lesson,
-    * TextStats.ngramsOfTokens doc). */
+    * TextStats.ngramsOfTokens doc), and all maxN gram orders ride ONE
+    * flattened (n, gram) struct array through ONE explode — a per-n
+    * union would scan the corpus maxN times, which at 100 TB is maxN
+    * full passes for one metric. */
   private def gramCounts(df: DataFrame, idCol: String, textCol: String,
                          maxN: Int): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
                          TextStats.tokens(col(textCol)).as("__toks"))
-    (1 to maxN).map { n =>
-      toks.select(col("__id"), lit(n).as("__n"),
-                  explode(TextStats.ngramsOfTokens(col("__toks"), n))
-                    .as("__gram"))
-    }.reduce(_ unionAll _)
+    toks.select(col("__id"),
+        explode(flatten(array((1 to maxN).map(n =>
+          transform(TextStats.ngramsOfTokens(col("__toks"), n),
+                    g => struct(lit(n).as("__n"), g.as("__gram")))): _*)))
+          .as("__s"))
+      .select(col("__id"), col("__s.__n").as("__n"),
+              col("__s.__gram").as("__gram"))
       .groupBy(col("__id"), col("__n"), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
   }
