@@ -82,13 +82,15 @@ object NgramEval {
       .otherwise(lit(0L)))
     val tN = (n: Int) => sum(when(col("__n") === n, col("__t"))
       .otherwise(lit(0L)))
+    // ref_len (the reference side's t_1) rides the SAME per-id fold as
+    // the moment columns — a separate aggregate would re-evaluate the
+    // whole clipped-count subtree (8 scans instead of 4 in the dumped
+    // plan) and add a join.
     val aggCols = (1 to maxN).flatMap(n =>
-      Seq(mN(n).as(s"m$n"), tN(n).as(s"t$n")))
+      Seq(mN(n).as(s"m$n"), tN(n).as(s"t$n"))) :+
+      sum(when(col("__n") === 1, col("__tr")).otherwise(lit(0L)))
+        .as("ref_len")
     val agg = st.groupBy(col("__id")).agg(aggCols.head, aggCols.tail: _*)
-    // ref_len = t_1 of the reference side, folded in the same kernel
-    val refLen = st.groupBy(col("__id"))
-      .agg(sum(when(col("__n") === 1, col("__tr")).otherwise(lit(0L)))
-        .as("ref_len"))
     // ln p1 + Σ ln pn' in ascending-n order, one exp, bp multiplied
     // last — the fixed factor order the oracle mirrors.
     val lnSum = (2 to maxN).foldLeft(
@@ -100,7 +102,7 @@ object NgramEval {
     val bp = when(col("t1") >= col("ref_len"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
                      col("t1").cast("double")))
-    agg.join(refLen, Seq("__id"))
+    agg
       .select(col("__id").as(idCol),
               col("t1").as("cand_len"), col("ref_len"),
               round(col("m1").cast("double") / col("t1").cast("double"), 6)
