@@ -35,8 +35,13 @@ object NgramEval {
     * full passes for one metric. */
   private def gramCounts(df: DataFrame, idCol: String, textCol: String,
                          maxN: Int): DataFrame = {
+    // Empty-token guard: TextStats.tokens returns [""] for
+    // empty/whitespace text, which would give an empty candidate
+    // cand_len = 1 and two empty texts BLEU 1.0 — the same
+    // `length > 0` filter negativeTable/naiveBayesModel/wordTypes use.
     val toks = df.select(col(idCol).as("__id"),
-                         TextStats.tokens(col(textCol)).as("__toks"))
+                         filter(TextStats.tokens(col(textCol)),
+                                t => length(t) > 0).as("__toks"))
     toks.select(col("__id"),
         explode(flatten(array((1 to maxN).map(n =>
           transform(TextStats.ngramsOfTokens(col("__toks"), n),

@@ -82,19 +82,29 @@ object SkipGram {
       .withColumn("u",
         round(sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
           * 1e6, 0).cast("long"))
+    // logScale: "c" is Zipfian — linear bucketing would drop nearly the
+    // whole vocabulary into bucket 0 and degenerate phase 3 to a
+    // near-single-partition window; log-spacing spreads the tail.
     val cum = graft.operators.OrderedStats.cumsumExclusive(
       words, sortCol = "c", tieCols = Seq("w"), valueCol = "u",
-      outCol = "cum")
+      outCol = "cum", logScale = true)
     val tot = words.agg(sum(col("u")).cast("long").as("uu"))
+    // Bucket via a precomputed width W = uu div buckets + 1 (divide
+    // BEFORE multiply): bucket(x) = x div W stays in Int64 for any
+    // uu < 2^63, where the naive (x * buckets) div uu form wraps
+    // negative once uu exceeds ~1.4e17 micro-units (~1.4e11 tokens).
+    // x < uu ⇒ x div W ≤ (uu-1) div W < buckets, so the range holds.
     val wb = cum.crossJoin(broadcast(tot))
+      .withColumn("__bw", expr(s"uu div $buckets + 1"))
       .withColumn("b", explode(expr(
-        s"sequence((cum * $buckets) div uu, ((cum + u - 1) * $buckets) div uu)")))
+        "sequence(cum div __bw, (cum + u - 1) div __bw)")))
+      .drop("__bw")
     val draws = docs.sparkSession.range(0, nDraws)
       .select(col("id").as("j")).crossJoin(broadcast(tot))
       .withColumn("tt", pmod(
         Similarity.lcg(col("j") * 2) * lit(2147483648L) +
           Similarity.lcg(col("j") * 2 + 1), col("uu")))
-      .withColumn("b", expr(s"(tt * $buckets) div uu"))
+      .withColumn("b", expr(s"tt div (uu div $buckets + 1)"))
     val assigned = draws.join(wb, Seq("b"))
       .filter(col("tt") >= col("cum") && col("tt") < col("cum") + col("u"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))

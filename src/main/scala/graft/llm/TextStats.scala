@@ -572,6 +572,7 @@ object TextStats {
     def cnt(df: org.apache.spark.sql.DataFrame, out: String) =
       df.select(tokens(col(textCol)).as("__toks"))
         .select(explode(col("__toks")).as("__w"))
+        .filter(length(col("__w")) > 0)
         .groupBy(col("__w")).agg(count(lit(1)).as(out))
     val j = cnt(dfA, "__ca").join(cnt(dfB, "__cb"), Seq("__w"), "full_outer")
       .select(coalesce(col("__ca"), lit(0L)).as("ca"),
@@ -604,27 +605,42 @@ object TextStats {
   /** Zipf rank–frequency fit (Zipf 1949): OLS of ln(freq) on ln(rank)
     * over the full vocabulary — slope ≈ −1 on natural language, and a
     * corpus whose slope drifts (template spam flattens it, boilerplate
-    * steepens it) fails the curation gate. Rank is (freq desc, token
-    * asc) position computed by
-    * [[graft.operators.OrderedStats.cumsumExclusive]]'s two-phase
-    * bucketed prefix count — NO single-partition window even though
-    * the frequency frame is vocabulary-bounded (the same discipline as
-    * q193's rank stats). The fit runs the textbook closed form on
-    * exact decimal moment sums; every engine-vs-oracle double travels
-    * the identical factor order. Output 1 row:
-    * (vocab, slope, intercept, r2), 6-dp. */
+    * steepens it) fails the curation gate.
+    *
+    * Rank shape: the fit consumes only the MULTISET of (rank, freq)
+    * points, which is invariant to tie order — so ranking runs on the
+    * distinct-FREQUENCY frame (O(√tokens) rows), not per word. A
+    * per-word rank would put the hapax tie group (~half the vocabulary
+    * under Zipf) into ONE window partition regardless of bucketing;
+    * here [[graft.operators.OrderedStats.cumsumExclusive]] only
+    * assigns each tie group its rank-range START, and the ranks
+    * explode back in 64k chunks repartitioned by (freq, chunk) so the
+    * hapax group's ln(rank) terms spread across tasks. The fit runs
+    * the textbook closed form on exact decimal moment sums (order-
+    * independent); every engine-vs-oracle double travels the identical
+    * factor order. Output 1 row: (vocab, slope, intercept, r2), 6-dp. */
   def zipfFit(df: org.apache.spark.sql.DataFrame,
               textCol: String): org.apache.spark.sql.DataFrame = {
     val freq = df.select(tokens(col(textCol)).as("__toks"))
       .select(explode(col("__toks")).as("__w"))
+      .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val byF = freq.groupBy(col("__f")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__negf", -col("__f"))
-      .withColumn("__one", lit(1L))
     val ranked = graft.operators.OrderedStats.cumsumExclusive(
-      freq, "__negf", Seq("__w"), "__one", "__r0")
-    val pts = ranked.select(
-      log(col("__r0").cast("double") + lit(1.0)).as("x"),
-      log(col("__f").cast("double")).as("y"))
+      byF, "__negf", Seq.empty, "__cnt", "__r0")
+    val ch = 65536L
+    val pts = ranked
+      .withColumn("__k",
+        explode(sequence(lit(0L), expr(s"(__cnt - 1) div $ch"))))
+      .repartition(col("__f"), col("__k"))
+      .select(col("__f"),
+        explode(sequence(col("__r0") + col("__k") * lit(ch) + lit(1L),
+                         least(col("__r0") + col("__cnt"),
+                               col("__r0") + (col("__k") + lit(1L)) * lit(ch))))
+          .as("__r"))
+      .select(log(col("__r").cast("double")).as("x"),
+              log(col("__f").cast("double")).as("y"))
     val s = pts.agg(
       count(lit(1)).cast("double").as("n"),
       graft.util.Exact.exactSum(col("x")).as("sx"),

@@ -45,7 +45,12 @@ object UrlCanon {
     val stripped =
       regexp_replace(regexp_replace(pathRaw, "/index\\.html$", "/"), "/+$", "")
     val path = when(stripped === "", lit("/")).otherwise(stripped)
-    val qRaw = regexp_extract(url, "\\?([^#]*)", 1)
+    // Anchored to the pre-fragment prefix: a bare "\\?([^#]*)" matches
+    // the first '?' ANYWHERE, including inside a fragment, so
+    // `http://a/p#frag?x=1` would resurrect `x=1` as a query and break
+    // the fragment-dropped contract. The lazy "[^#]*?" prefix pins the
+    // match to the first '?' that precedes any '#'.
+    val qRaw = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = array_sort(filter(split(qRaw, "&"),
       p => p =!= "" && !p.startsWith("utm_")))
     val qs = array_join(params, "&")

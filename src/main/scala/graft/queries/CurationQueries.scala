@@ -1631,7 +1631,7 @@ object CurationQueries {
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
         |    regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pathraw,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS qraw
+        |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS qraw
         |  FROM u),
         |c2 AS (SELECT doc_id, url, scheme,
         |    regexp_replace(
@@ -1928,8 +1928,10 @@ object CurationQueries {
     "q235_bleu" ->
       s"""WITH pairs AS (
          |  SELECT a.doc_id // 2 AS pair_id,
-         |    regexp_split_to_array(trim(a.text), '\\s+') AS ct,
-         |    regexp_split_to_array(trim(b.text), '\\s+') AS rt
+         |    list_filter(regexp_split_to_array(trim(a.text), '\\s+'),
+         |      t -> len(t) > 0) AS ct,
+         |    list_filter(regexp_split_to_array(trim(b.text), '\\s+'),
+         |      t -> len(t) > 0) AS rt
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |  WHERE a.doc_id % 2 = 0),
          |cg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
@@ -2009,8 +2011,10 @@ object CurationQueries {
     "q236_rouge" ->
       s"""WITH pairs AS (
          |  SELECT a.doc_id // 2 AS pair_id,
-         |    regexp_split_to_array(trim(a.text), '\\s+') AS ct,
-         |    regexp_split_to_array(trim(b.text), '\\s+') AS rt
+         |    list_filter(regexp_split_to_array(trim(a.text), '\\s+'),
+         |      t -> len(t) > 0) AS ct,
+         |    list_filter(regexp_split_to_array(trim(b.text), '\\s+'),
+         |      t -> len(t) > 0) AS rt
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |  WHERE a.doc_id % 2 = 0),
          |cg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
@@ -2060,10 +2064,10 @@ object CurationQueries {
     "q237_js_divergence" ->
       s"""WITH ac AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ca FROM (
          |    SELECT unnest($toks) AS w FROM documents WHERE lang = 'en')
-         |  GROUP BY 1),
+         |  WHERE len(w) > 0 GROUP BY 1),
          |bc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cb FROM (
          |    SELECT unnest($toks) AS w FROM documents WHERE lang <> 'en')
-         |  GROUP BY 1),
+         |  WHERE len(w) > 0 GROUP BY 1),
          |j AS (SELECT COALESCE(ac.ca, 0) AS ca, COALESCE(bc.cb, 0) AS cb
          |  FROM ac FULL OUTER JOIN bc ON ac.w = bc.w),
          |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
@@ -2098,7 +2102,8 @@ object CurationQueries {
     // factor order.
     "q238_zipf" ->
       s"""WITH f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
-         |    SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |    SELECT unnest($toks) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1),
          |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC)
          |        AS rnk FROM f),
          |p AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,

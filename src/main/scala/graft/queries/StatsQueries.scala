@@ -1389,7 +1389,9 @@ object StatsQueries {
         |t2 AS (SELECT d, CASE WHEN nw = 7
         |    THEN round(CAST(sw AS DOUBLE) / 7.0, 9) END AS trend FROM tr),
         |det AS (SELECT days.d, days.c,
-        |    ((days.d - DATE '1992-01-01') % 7) AS wd,
+        |    -- (((x % 7) + 7) % 7 mirrors Spark pmod exactly: DuckDB's
+        |    -- bare % is negative for dates before the anchor.
+        |    ((((days.d - DATE '1992-01-01') % 7) + 7) % 7) AS wd,
         |    round(CAST(days.c AS DOUBLE) - trend, 9) AS detr, trend
         |  FROM days JOIN t2 USING (d)),
         |se AS (SELECT wd,
