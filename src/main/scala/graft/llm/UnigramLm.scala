@@ -1,0 +1,215 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword vocabulary selection (Kudo 2018, the
+  * SentencePiece trainer) — the LIKELIHOOD-based counterpart to
+  * [[WordPiece.trainVocab]]'s frequency stand-in: candidate units are
+  * scored by how often the corpus-likelihood-optimal (Viterbi)
+  * segmentation actually USES them under an EM-refitted unigram model,
+  * not by how often they merely occur as substrings. A substring can
+  * be frequent yet never optimal (every occurrence dominated by a
+  * longer unit covering it) — frequency keeps it, likelihood prunes
+  * it; the CurationSpec disagreement case pins that divergence.
+  *
+  * Reference scope: no reference counterpart (the reference has no
+  * tokenizer surface); driver training-data-pipeline mandate, closing
+  * the documented stand-in note on [[WordPiece]].
+  *
+  * Algorithm (two unrolled EM rounds, deterministic and
+  * oracle-replayable):
+  *   1. Seed: every positional-form substring of length 1..MaxSubLen
+  *      over the word-TYPE frame, weighted by word frequency —
+  *      p₀(u) = c(u)/Σc.
+  *   2. E-step 1: Viterbi-segment each word type under
+  *      cost(u) = −ln p₀(u); usage counts n₁(u) = Σ_w f(w)·uses_w(u).
+  *   3. M-step + prune: counts₂(u) = n₁(u) for multi-char units
+  *      (unused ⇒ pruned from the model), max(n₁(u), 1) for
+  *      single-char units (the smoothing floor that keeps every word
+  *      segmentable — SentencePiece likewise never prunes the
+  *      character alphabet).
+  *   4. E-step 2: Viterbi under cost(u) = −ln(counts₂(u)/Σcounts₂)
+  *      → n₂(u); the vocabulary keeps all singles plus the topK
+  *      multi-char units by (n₂ desc, unit asc).
+  *
+  * Determinism contract: unit costs are −ln(p) in integer MICRO-nats
+  * (round(−ln(c/C)·1e6) as BIGINT — the q176 fixed-point pattern), so
+  * every DP sum and comparison is exact 64-bit integer arithmetic on
+  * both engines; the only doubles are the per-unit ln calls, identical
+  * after 1e-6 quantization. DP ties break to the SHORTEST last piece
+  * (candidates probed l = 1..MaxSubLen, strict-minimum select), a
+  * total order the oracle's CASE chain mirrors.
+  *
+  * Scale shape: the corpus folds ONCE to the word-type frame; seeding,
+  * both Viterbi passes and the selection ride that vocabulary-bounded
+  * frame. Each Viterbi pass is one equi-join of the (word, slot)
+  * candidate frame against the unit-cost frame plus a per-word
+  * `aggregate` fold (≤ MaxWordLen steps, ≤ MaxWordLen·MaxSubLen-entry
+  * per-word cost map — no UDF, no driver loop, no per-word join
+  * inside the fold). The forward DP rides the fold's ZERO argument and
+  * the backward walk its FINISH lambda, so the forward pass is
+  * evaluated exactly once per word even though higher-order functions
+  * evaluate interpreted (a staged projection would re-inline under
+  * CollapseProject and re-run the forward fold at every backward
+  * step).
+  */
+object UnigramLm {
+
+  /** Words longer than this are excluded from training (the
+    * [[WordPiece.MaxWordLen]] convention, shared bound). */
+  val MaxWordLen: Int = WordPiece.MaxWordLen
+
+  /** Longest candidate unit; the DP probes l = 1..MaxSubLen. */
+  val MaxSubLen: Int = WordPiece.MaxSubLen
+
+  /** Unreachable-cost sentinel: far above any reachable path cost
+    * (≤ MaxWordLen · ln(Σc) micro-nats ≈ 20 · ~50e6) yet safe from
+    * Int64 overflow even when several sentinels add up. */
+  private val Big = 1000000000000L
+
+  /** Positional unit form: word-initial units are the raw substring,
+    * continuations carry the `##` prefix ([[WordPiece]] parity). */
+  private def unitAt(w: Column, start: Column, l: Column): Column =
+    when(start === 1, w.substr(lit(1), l))
+      .otherwise(concat(lit("##"), w.substr(start, l)))
+
+  /** Dense slot key for the per-word cost map: start·32 + l (start ≤
+    * MaxWordLen < 32, so keys are unique per word). */
+  private def slotKey(start: Column, l: Column): Column =
+    start * lit(32) + l
+
+  /** Candidate slots of every word type: one row per (word, start, l)
+    * with the positional unit string. Columns: (w, f, key, tok). */
+  private def candidates(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("f"),
+        explode(array((1 to MaxSubLen).map(lit(_)): _*)).as("__l"))
+      .filter(length(col("w")) >= col("__l"))
+      .select(col("w"), col("f"),
+        explode(transform(
+          sequence(lit(1), length(col("w")) - col("__l") + 1),
+          s => struct(slotKey(s, col("__l")).as("key"),
+                      unitAt(col("w"), s, col("__l")).as("tok"))))
+          .as("__c"))
+      .select(col("w"), col("f"),
+              col("__c.key").as("key"), col("__c.tok").as("tok"))
+
+  /** Micro-nat unit costs from a (tok, c) count frame:
+    * round(−ln(c/Σc)·1e6) as BIGINT — the fixed-point form both
+    * engines quantize identically. */
+  private def microCosts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("c")).cast("long").as("__tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("__tc").cast("double"))
+          * lit(1e6), 0).cast("long").as("cost"))
+  }
+
+  /** One Viterbi E-step: usage counts (tok, n) of the cost-optimal
+    * segmentation of every word type, weighted by word frequency.
+    * Units absent from `costs` price at the [[Big]] sentinel (pruned —
+    * never optimal while any single-char path exists). */
+  private[llm] def viterbiCounts(words: DataFrame, cands: DataFrame,
+                                 costs: DataFrame): DataFrame = {
+    val maps = cands.join(costs, Seq("tok"), "left")
+      .withColumn("__cost", coalesce(col("cost"), lit(Big)))
+      .groupBy(col("w"))
+      .agg(map_from_entries(
+        collect_list(struct(col("key"), col("__cost")))).as("cm"))
+    val dp = words.join(maps, "w")
+    val w = col("w"); val n = length(w); val cm = col("cm")
+
+    // Forward DP: best[j] = min cost of the length-(j−1) prefix;
+    // lens[j] = length of the last piece achieving it (ties → smallest
+    // l, probed in 1..MaxSubLen order with a strict-minimum CASE).
+    val fwd = aggregate(
+      sequence(lit(1), lit(MaxWordLen)),
+      struct(array(lit(0L)).as("best"), array(lit(0)).as("lens")),
+      (acc, i) => {
+        val best = acc.getField("best"); val lens = acc.getField("lens")
+        def cand(l: Int): Column =
+          when(lit(l) <= i,
+            element_at(best, i - lit(l) + 1) +
+              coalesce(element_at(cm, slotKey(i - lit(l) + 1, lit(l))),
+                       lit(Big)))
+            .otherwise(lit(Big))
+        val c = (1 to MaxSubLen).map(cand)
+        val minc = least(c: _*)
+        val pickL = (1 until MaxSubLen).foldRight(lit(MaxSubLen)) {
+          (l, rest) => when(c(l - 1) === minc, lit(l)).otherwise(rest)
+        }
+        when(i > n, acc).otherwise(struct(
+          concat(best, array(minc)).as("best"),
+          concat(lens, array(pickL)).as("lens")))
+      })
+
+    // Backward walk over lens[], riding the SAME aggregate's finish
+    // lambda so fwd is the zero argument — evaluated once per word
+    // (see the object doc on CollapseProject re-inlining).
+    val units = aggregate(
+      array().cast("array<int>"),
+      fwd,
+      (acc, _) => acc,
+      f => {
+        val lens = f.getField("lens")
+        aggregate(
+          sequence(lit(1), lit(MaxWordLen)),
+          struct(n.cast("int").as("p"),
+                 array().cast("array<string>").as("toks")),
+          (acc, _) => {
+            val p = acc.getField("p"); val toks = acc.getField("toks")
+            val l = element_at(lens, p + 1)
+            when(p <= 0, acc).otherwise(struct(
+              (p - l).as("p"),
+              concat(toks, array(unitAt(w, p - l + 1, l))).as("toks")))
+          }).getField("toks")
+      })
+
+    dp.select(col("f"), explode(units).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("f")).as("n"))
+  }
+
+  /** Full selection pipeline over a text column. Output one row per
+    * candidate unit that survives round 1 (or is single-char):
+    * (unit, is_single, seed_c, n_em1, n_em2, kept). */
+  def selectVocab(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 1000000,
+      s"UnigramLm.selectVocab: topK in [1, 1e6], got $topK")
+    val words = WordPiece.wordTypes(docs, textCol)
+      .filter(length(col("w")) <= MaxWordLen)
+      .localCheckpoint()
+    val cands = candidates(words).localCheckpoint()
+    val seed = cands.groupBy(col("tok")).agg(sum(col("f")).as("c"))
+      .localCheckpoint()
+    val isSingle = (length(col("tok")) === 1) ||
+      (col("tok").startsWith("##") && length(col("tok")) === 3)
+
+    val n1 = viterbiCounts(words, cands, microCosts(seed))
+      .withColumnRenamed("n", "n1").localCheckpoint()
+
+    val counts2 = seed.join(n1, Seq("tok"), "left")
+      .select(col("tok"),
+        when(isSingle, greatest(coalesce(col("n1"), lit(0L)), lit(1L)))
+          .otherwise(coalesce(col("n1"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+    val n2 = viterbiCounts(words, cands, microCosts(counts2))
+      .withColumnRenamed("n", "n2").localCheckpoint()
+
+    val out = seed
+      .join(n1, Seq("tok"), "left").join(n2, Seq("tok"), "left")
+      .select(col("tok"), isSingle.as("is_single"),
+        col("c").as("seed_c"),
+        coalesce(col("n1"), lit(0L)).as("n_em1"),
+        coalesce(col("n2"), lit(0L)).as("n_em2"))
+      .filter(col("is_single") || col("n_em1") > 0)
+    val topMulti = out.filter(!col("is_single") && col("n_em2") > 0)
+      .orderBy(col("n_em2").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), lit(true).as("__kept"))
+    out.join(topMulti, Seq("tok"), "left")
+      .select(col("tok").as("unit"), col("is_single"), col("seed_c"),
+        col("n_em1"), col("n_em2"),
+        (col("is_single") || coalesce(col("__kept"), lit(false)))
+          .as("kept"))
+  }
+}

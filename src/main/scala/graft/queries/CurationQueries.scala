@@ -653,7 +653,38 @@ object CurationQueries {
     // vocabulary; rank via the two-phase bucketed prefix count, never
     // a single-partition window.
     "q238_zipf" -> ((s, d) =>
-      graft.llm.TextStats.zipfFit(documents(s, d), "text"))
+      graft.llm.TextStats.zipfFit(documents(s, d), "text")),
+
+    // Corpus tokenization under the TRAINED tokenizer feeding packing:
+    // learn 6 BPE merges (q174's loop), apply them per word across the
+    // corpus (plan-literal replace chain, zero extra shuffle), and
+    // first-fit-pack documents by their MODEL-token counts — packed
+    // sequence lengths in model tokens, not whitespace tokens, which
+    // is the number a training pipeline actually budgets. The oracle
+    // replays merge learning (recursive CTE), per-doc BPE token sums,
+    // and the first-fit recursion end to end.
+    "q239_bpe_packing" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.llm.BpeTrain
+        .learnMerges(docs, "text", nMerges = 6)
+        .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+      val counted = graft.llm.BpeTrain
+        .applyMerges(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tok"))
+      graft.llm.Packing.packBinsFirstFit(counted, "doc_id", "n_bpe_tok",
+        budget = 2048, nShards = 8, Seq(col("doc_id").asc))
+    }),
+
+    // Unigram-LM (SentencePiece-style) vocabulary selection BY
+    // LIKELIHOOD: two EM rounds of Viterbi segmentation over the
+    // word-type frame in exact micro-nat integer costs, keeping the
+    // topK multi-char units by EM usage — not raw substring frequency
+    // (a frequent-but-always-dominated substring gets n_em = 0 and is
+    // pruned; the frequency stand-in would keep it). The oracle
+    // replays seeding, both DP rounds (recursive CTEs), the backward
+    // walks, and the selection cut.
+    "q240_unigram_lm" -> ((s, d) =>
+      graft.llm.UnigramLm.selectVocab(documents(s, d), "text", topK = 20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2121,6 +2152,199 @@ object CurationQueries {
          |    / n, 6) AS intercept,
          |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
          |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // q239: the q175 merge-learning recursion supplies each word
+    // type's model-token count; per-doc sums feed the q59 first-fit
+    // recursion at budget 2048 on MODEL tokens.
+    "q239_bpe_packing" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT w, COUNT(*) AS cnt FROM (
+         |        SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |v0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ')
+         |              || ' ' AS sp, cnt FROM w),
+         |it AS (
+         |  SELECT w, sp, cnt, 0 AS step FROM v0
+         |  UNION ALL
+         |  SELECT it.w,
+         |         replace(it.sp, ' ' || tp.a || '  ' || tp.b || ' ',
+         |                 ' ' || tp.a || tp.b || ' '),
+         |         it.cnt, it.step + 1
+         |  FROM it, (
+         |    SELECT string_split(pair, ' ')[1] AS a,
+         |           string_split(pair, ' ')[2] AS b
+         |    FROM (
+         |      SELECT pair, SUM(cnt) AS pc FROM (
+         |        SELECT unnest(list_transform(
+         |          range(len(string_split(trim(sp), '  ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(trim(sp), '  '),
+         |                                          i + 1, i + 2), ' ')))
+         |          AS pair, cnt
+         |        FROM it) z
+         |      GROUP BY 1
+         |      ORDER BY pc DESC, pair LIMIT 1)) tp
+         |  WHERE it.step < 6),
+         |map AS (SELECT w, len(string_split(trim(sp), '  ')) AS n_bpe
+         |        FROM it WHERE step = 6),
+         |dt AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |d AS (SELECT doc_id, CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         |        (${lcgSql("doc_id")})%8 AS shard
+         |      FROM dt JOIN map ON dt.w = map.w GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard
+         |        ORDER BY doc_id) AS rn FROM d),
+         |f AS (
+         |  SELECT shard, rn, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tokens > 2048
+         |         THEN f.bin + 1 ELSE f.bin END,
+         |    CASE WHEN f.fill > 0 AND f.fill + r.n_tokens > 2048
+         |         THEN r.n_tokens ELSE f.fill + r.n_tokens END
+         |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         |SELECT shard, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // q240: full unigram-LM replay — seed counts, micro-nat costs
+    // (round(-ln(c/C)*1e6) BIGINT: exact integer DP on both engines),
+    // forward Viterbi per word (recursive CTE; ties -> shortest last
+    // piece via the CASE order), backward walk, EM usage counts, the
+    // single-char smoothing floor, round 2, and the (n2 desc, unit
+    // asc) top-20 cut.
+    "q240_unigram_lm" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |        SELECT unnest($toks) AS w FROM documents)
+         |      WHERE len(w) > 0 AND len(w) <= 20 GROUP BY 1),
+         |cand AS (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
+         |         FROM (SELECT w.w, w.f, unnest([1, 2, 3, 4]) AS l FROM w)
+         |         WHERE len(w) >= l),
+         |c2 AS (SELECT w, f,
+         |         CASE WHEN s = 1 THEN substr(w, 1, l)
+         |              ELSE '##' || substr(w, s, l) END AS tok
+         |       FROM cand),
+         |seed AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
+         |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
+         |k1 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+         |       FROM seed, t1),
+         |dp1 AS (
+         |  SELECT w, f, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS lens
+         |  FROM w
+         |  UNION ALL
+         |  SELECT w, f, i,
+         |    list_append(best, LEAST(x1, x2, x3, x4)),
+         |    list_append(lens, CASE WHEN x1 = LEAST(x1, x2, x3, x4) THEN 1
+         |                           WHEN x2 = LEAST(x1, x2, x3, x4) THEN 2
+         |                           WHEN x3 = LEAST(x1, x2, x3, x4) THEN 3
+         |                           ELSE 4 END)
+         |  FROM (
+         |    SELECT d.w, d.f, d.i + 1 AS i, d.best, d.lens,
+         |      d.best[d.i + 1] + COALESCE(ca.cost, 1000000000000) AS x1,
+         |      CASE WHEN d.i >= 1 THEN d.best[d.i]
+         |        + COALESCE(cb.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x2,
+         |      CASE WHEN d.i >= 2 THEN d.best[d.i - 1]
+         |        + COALESCE(cc.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x3,
+         |      CASE WHEN d.i >= 3 THEN d.best[d.i - 2]
+         |        + COALESCE(cd.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x4
+         |    FROM dp1 d
+         |    LEFT JOIN k1 ca ON ca.tok = CASE WHEN d.i = 0
+         |      THEN substr(d.w, 1, 1) ELSE '##' || substr(d.w, d.i + 1, 1) END
+         |    LEFT JOIN k1 cb ON d.i >= 1 AND cb.tok = CASE WHEN d.i = 1
+         |      THEN substr(d.w, 1, 2) ELSE '##' || substr(d.w, d.i, 2) END
+         |    LEFT JOIN k1 cc ON d.i >= 2 AND cc.tok = CASE WHEN d.i = 2
+         |      THEN substr(d.w, 1, 3) ELSE '##' || substr(d.w, d.i - 1, 3) END
+         |    LEFT JOIN k1 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
+         |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
+         |    WHERE d.i < len(d.w)) z),
+         |fin1 AS (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
+         |bk1 AS (
+         |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
+         |  FROM fin1
+         |  UNION ALL
+         |  SELECT w, f, p - lens[p + 1], lens,
+         |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
+         |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
+         |  FROM bk1 WHERE p > 0),
+         |n1 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
+         |       WHERE tok IS NOT NULL GROUP BY 1),
+         |cnt2 AS (SELECT s.tok,
+         |           CASE WHEN len(s.tok) = 1
+         |                  OR (s.tok LIKE '##%' AND len(s.tok) = 3)
+         |                THEN GREATEST(COALESCE(n1.n, 0), 1)
+         |                ELSE COALESCE(n1.n, 0) END AS c
+         |         FROM seed s LEFT JOIN n1 USING (tok)),
+         |cnt2f AS (SELECT tok, c FROM cnt2 WHERE c > 0),
+         |t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
+         |k2 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+         |       FROM cnt2f, t2),
+         |dp2 AS (
+         |  SELECT w, f, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS lens
+         |  FROM w
+         |  UNION ALL
+         |  SELECT w, f, i,
+         |    list_append(best, LEAST(x1, x2, x3, x4)),
+         |    list_append(lens, CASE WHEN x1 = LEAST(x1, x2, x3, x4) THEN 1
+         |                           WHEN x2 = LEAST(x1, x2, x3, x4) THEN 2
+         |                           WHEN x3 = LEAST(x1, x2, x3, x4) THEN 3
+         |                           ELSE 4 END)
+         |  FROM (
+         |    SELECT d.w, d.f, d.i + 1 AS i, d.best, d.lens,
+         |      d.best[d.i + 1] + COALESCE(ca.cost, 1000000000000) AS x1,
+         |      CASE WHEN d.i >= 1 THEN d.best[d.i]
+         |        + COALESCE(cb.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x2,
+         |      CASE WHEN d.i >= 2 THEN d.best[d.i - 1]
+         |        + COALESCE(cc.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x3,
+         |      CASE WHEN d.i >= 3 THEN d.best[d.i - 2]
+         |        + COALESCE(cd.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x4
+         |    FROM dp2 d
+         |    LEFT JOIN k2 ca ON ca.tok = CASE WHEN d.i = 0
+         |      THEN substr(d.w, 1, 1) ELSE '##' || substr(d.w, d.i + 1, 1) END
+         |    LEFT JOIN k2 cb ON d.i >= 1 AND cb.tok = CASE WHEN d.i = 1
+         |      THEN substr(d.w, 1, 2) ELSE '##' || substr(d.w, d.i, 2) END
+         |    LEFT JOIN k2 cc ON d.i >= 2 AND cc.tok = CASE WHEN d.i = 2
+         |      THEN substr(d.w, 1, 3) ELSE '##' || substr(d.w, d.i - 1, 3) END
+         |    LEFT JOIN k2 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
+         |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
+         |    WHERE d.i < len(d.w)) z),
+         |fin2 AS (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
+         |bk2 AS (
+         |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
+         |  FROM fin2
+         |  UNION ALL
+         |  SELECT w, f, p - lens[p + 1], lens,
+         |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
+         |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
+         |  FROM bk2 WHERE p > 0),
+         |n2 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
+         |       WHERE tok IS NOT NULL GROUP BY 1),
+         |sel AS (SELECT s.tok,
+         |          (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3)) AS is_single,
+         |          s.c AS seed_c, COALESCE(n1.n, 0) AS n_em1,
+         |          COALESCE(n2.n, 0) AS n_em2
+         |        FROM seed s LEFT JOIN n1 USING (tok)
+         |          LEFT JOIN n2 USING (tok)
+         |        WHERE (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3))
+         |          OR COALESCE(n1.n, 0) > 0),
+         |topm AS (SELECT tok FROM sel WHERE NOT is_single AND n_em2 > 0
+         |         ORDER BY n_em2 DESC, tok ASC LIMIT 20)
+         |SELECT sel.tok AS unit, sel.is_single,
+         |  CAST(sel.seed_c AS BIGINT) AS seed_c,
+         |  CAST(sel.n_em1 AS BIGINT) AS n_em1,
+         |  CAST(sel.n_em2 AS BIGINT) AS n_em2,
+         |  (sel.is_single OR topm.tok IS NOT NULL) AS kept
+         |FROM sel LEFT JOIN topm ON sel.tok = topm.tok""".stripMargin
   )
 }

@@ -600,6 +600,55 @@ class CurationSpec extends SparkSpec {
     assert(m == Seq((1L, "a a", 5L), (2L, "aa aa", 2L)))
   }
 
+  test("trained-tokenizer packing bins respect the budget in MODEL tokens") {
+    // "ababab" = 6 chars-as-tokens but 3 model tokens once (a,b)->ab is
+    // learned; packing at budget 6 must fit TWO such docs per bin under
+    // model-token counts (whitespace/char counts would split them).
+    val docs = Seq((1L, "ababab"), (2L, "ababab"), (3L, "ababab"),
+                   (4L, "ababab")).toDF("doc_id", "text")
+    val merges = graft.llm.BpeTrain.learnMerges(docs, "text", nMerges = 1)
+      .orderBy("round").collect().map(_.getString(1)).toSeq
+    assert(merges == Seq("a b"))
+    val counted = graft.llm.BpeTrain
+      .applyMerges(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tok"))
+    assert(counted.collect().forall(_.getLong(1) == 3L))
+    val bins = graft.llm.Packing.packBinsFirstFit(counted, "doc_id",
+        "n_bpe_tok", budget = 6, nShards = 1, Seq(col("doc_id").asc))
+      .collect()
+    assert(bins.length == 2) // 4 docs x 3 model tokens / budget 6
+    assert(bins.forall(_.getAs[Long]("sum_tokens") == 6L))
+    assert(bins.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
+  test("unigram-LM selection prunes frequent-but-dominated substrings (likelihood vs frequency disagree)") {
+    // every word is "abcd": the substring "##bc" is exactly as
+    // FREQUENT as every other candidate, but the Viterbi-optimal
+    // segmentation is always the single unit "abcd" — so "##bc" has
+    // EM usage 0 and the likelihood trainer prunes it, while the
+    // frequency stand-in keeps it at the same topK.
+    val docs = Seq((1L, "abcd abcd abcd"), (2L, "abcd abcd"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.UnigramLm.selectVocab(docs, "text", topK = 10)
+      .collect()
+    val byUnit = out.map(r => r.getString(0) -> r).toMap
+    assert(!byUnit.contains("##bc")) // pruned: n_em1 = 0, not single
+    assert(byUnit("abcd").getAs[Boolean]("kept"))
+    assert(byUnit("abcd").getAs[Long]("n_em1") == 5L)
+    assert(byUnit("abcd").getAs[Long]("n_em2") == 5L)
+    // the character alphabet survives with zero usage (smoothing floor)
+    for (s <- Seq("a", "##b", "##c", "##d")) {
+      assert(byUnit(s).getAs[Boolean]("is_single"))
+      assert(byUnit(s).getAs[Boolean]("kept"))
+      assert(byUnit(s).getAs[Long]("n_em1") == 0L)
+    }
+    assert(out.length == 5) // abcd + the 4 single-char units
+    // the frequency-based stand-in keeps "##bc" on the SAME corpus
+    val freq = graft.llm.WordPiece.trainVocab(
+      graft.llm.WordPiece.wordTypes(docs, "text"), topK = 10)
+    assert(freq.contains("##bc"))
+  }
+
   test("rankingMetrics truncates retrieved lists deeper than k") {
     val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("qid", "doc", "rank")
