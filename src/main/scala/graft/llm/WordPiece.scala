@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * scan that always takes the LONGEST vocabulary unit matching at the
   * cursor. Vocabulary selection here is frequency-based (the top-K
   * most frequent multi-char substrings in their positional form,
-  * weighted by word frequency) rather than likelihood-based — a
-  * deterministic, engine-replayable stand-in for the proprietary
-  * WordPiece objective that preserves the data structure and the
-  * apply semantics exactly.
+  * weighted by word frequency); the LIKELIHOOD-based selection — the
+  * real WordPiece/SentencePiece objective — is [[UnigramLm]], which
+  * scores candidates by EM-refitted Viterbi usage instead and can
+  * feed its kept units into this object's greedy apply.
   *
   * Scale shape: the corpus folds ONCE to the word-TYPE frame
   * (localCheckpointed — substring counting, the single-char alphabet
@@ -75,8 +75,9 @@ object WordPiece {
     * pieces space-joined in order. */
   def segmentCorpus(docs: DataFrame, textCol: String,
                     topK: Int): DataFrame = {
+    val spark = docs.sparkSession
     val words = wordTypes(docs, textCol).localCheckpoint()
-    val vocab = typedLit(trainVocab(words, topK).toSeq)
+    val vocab = trainVocab(words, topK).toSeq
     val w = col("w")
     val n = length(w)
     val folded = aggregate(
@@ -86,8 +87,16 @@ object WordPiece {
         val pos = acc.getField("p")
         val toks = acc.getField("toks")
         def cand(l: Int) = unit(w, pos, lit(l))
+        // O(1) native hash-set probe: array_contains over a vocab
+        // literal is an O(|vocab|) scan PER CURSOR STEP (~3·MaxWordLen
+        // probes per word type — ~2M comparisons per word at a
+        // realistic 30k-unit vocabulary), and isInCollection stays a
+        // |vocab|-child In chain inside HOF lambdas (OptimizeIn never
+        // reaches them). See StringSetContains' scaladoc for the
+        // measured 10k-vocab numbers.
         def ok(l: Int) =
-          pos + lit(l - 1) <= n && array_contains(vocab, cand(l))
+          pos + lit(l - 1) <= n &&
+            graft.plans.StringSetNative.inStringSet(spark, cand(l), vocab)
         val pick = when(ok(4), 4).when(ok(3), 3).when(ok(2), 2).otherwise(1)
         val tok = when(ok(4), cand(4)).when(ok(3), cand(3))
           .when(ok(2), cand(2)).otherwise(cand(1))
