@@ -143,6 +143,81 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  /** FULL non-interlaced 8-bit PALETTE PNG (RFC 2083 color type 3):
+    * PLTE triples, 1-byte-per-pixel indices through the same y % 5
+    * filter cycle as [[pngFull]], optionally a tRNS chunk (which the
+    * decoder must accept and ignore — the RGB plane contract drops
+    * alpha). `idx(x, y)` must return a valid palette index. */
+  def pngPalette(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
+                 idx: (Int, Int) => Int,
+                 withTrns: Boolean = false): Array[Byte] = {
+    require(palette.nonEmpty && palette.size <= 256, "PLTE size in [1, 256]")
+    val raw = Array.tabulate(height, width)((y, x) => idx(x, y) & 0xFF)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = y % 5
+      filtered.write(f)
+      val cur = raw(y)
+      val pri = if (y == 0) new Array[Int](width) else raw(y - 1)
+      for (i <- 0 until width) {
+        val left = if (i >= 1) cur(i - 1) else 0
+        val up = pri(i)
+        val ul = if (i >= 1) pri(i - 1) else 0
+        val v = f match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case _ => cur(i) - paeth(left, up, ul)
+        }
+        filtered.write(v & 0xFF)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new ByteArrayOutputStream()
+    while (!defl.finished()) {
+      val n = defl.deflate(buf); idat.write(buf, 0, n)
+    }
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      o.write(tb); o.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      o.write(be32(crc.getValue.toInt))
+      o.toByteArray
+    }
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(width)); ihdr.write(be32(height))
+    ihdr.write(8); ihdr.write(3) // bit depth, color type 3 = palette
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compr/filter/interlace
+    val plte = new ByteArrayOutputStream()
+    palette.foreach { case (r, g, b) =>
+      plte.write(r & 0xFF); plte.write(g & 0xFF); plte.write(b & 0xFF)
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("PLTE", plte.toByteArray))
+    if (withTrns) // alpha 255 - i per entry; decoder must skip it
+      out.write(chunk("tRNS",
+        palette.indices.map(i => (255 - i).toByte).toArray))
+    out.write(chunk("IDAT", idat.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   /** PNG signature + IHDR chunk (CRC zeroed — the parser reads
     * dimensions, not checksums). */
   def png(width: Int, height: Int): Array[Byte] = {

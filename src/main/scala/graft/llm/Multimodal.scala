@@ -57,9 +57,10 @@ object Multimodal {
     * 24-bit uncompressed BMP ("image": bottom-up row flip, BGR→RGB
     * reorder, 4-byte row padding — returns row-major top-down
     * [r,g,b, r,g,b, …] as floats), non-interlaced 8-bit truecolor
-    * RGB(A) PNG ("image", sniffed by signature: JDK-Inflater zlib
-    * IDAT + per-scanline filter undo — same plane contract, alpha
-    * dropped), and 16-bit PCM WAV ("audio": RIFF chunk walk with
+    * RGB(A) or palette-indexed (PLTE) PNG ("image", sniffed by
+    * signature: JDK-Inflater zlib IDAT + per-scanline filter undo —
+    * same plane contract, alpha/tRNS dropped), and 16-bit PCM WAV
+    * ("audio": RIFF chunk walk with
     * odd-size pad bytes, interleaved little-endian signed frames —
     * returns raw sample values). Anything else (JPEG/video codecs
     * need real codec libraries) falls back to [[FakeDecoder]] behind
@@ -88,20 +89,25 @@ object Multimodal {
     }
 
     /** REAL PNG pixel decode, dependency-free: non-interlaced 8-bit
-      * truecolor RGB(A) per RFC 2083 — chunk walk, all IDAT chunks
-      * concatenated into ONE zlib stream (§2.3) and inflated with JDK
-      * `java.util.zip.Inflater`, then the five per-scanline filters
-      * (None/Sub/Up/Average/Paeth, §6) undone against the
-      * reconstructed prior scanline. Returns row-major top-down
-      * [r,g,b, …] floats, alpha dropped — the same plane contract as
-      * [[decodeBmp]], so resize/phash pipelines compose unchanged.
-      * Palette, 16-bit, grayscale and Adam7-interlaced PNGs refuse
-      * loudly (production drops in a codec library for those). */
+      * truecolor RGB(A) or palette-indexed PNG per RFC 2083 — chunk
+      * walk, all IDAT chunks concatenated into ONE zlib stream (§2.3)
+      * and inflated with JDK `java.util.zip.Inflater`, then the five
+      * per-scanline filters (None/Sub/Up/Average/Paeth, §6) undone
+      * against the reconstructed prior scanline; palette indices
+      * (color type 3, 1 byte/pixel after unfiltering) map through the
+      * PLTE triples. Returns row-major top-down [r,g,b, …] floats,
+      * alpha dropped — the same plane contract as [[decodeBmp]], so
+      * resize/phash pipelines compose unchanged; an optional tRNS
+      * chunk is accepted and ignored for the same reason (it only
+      * carries the alpha this contract drops). 16-bit, grayscale,
+      * sub-8-bit-palette and Adam7-interlaced PNGs refuse loudly
+      * (production drops in a codec library for those). */
     private[graft] def decodePngWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) = {
       require(isPng(b), "not a PNG")
       var pos = 8
-      var w = 0; var h = 0; var bpp = 0
+      var w = 0; var h = 0; var bpp = 0; var color = -1
+      var palette: Array[Int] = null // flat [r,g,b, …]
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done && pos + 8 <= b.length) {
@@ -113,23 +119,28 @@ object Multimodal {
           case "IHDR" =>
             w = be32(b, pos + 8); h = be32(b, pos + 12)
             val depth = b(pos + 16) & 0xFF
-            val color = b(pos + 17) & 0xFF
+            color = b(pos + 17) & 0xFF
             require(depth == 8,
               s"only 8-bit PNG decodes dependency-free (depth $depth)")
-            require(color == 2 || color == 6,
-              s"only truecolor RGB(A) PNG (color type $color)")
+            require(color == 2 || color == 6 || color == 3,
+              s"only truecolor RGB(A) or palette PNG (color type $color)")
             require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0,
               "nonstandard PNG compression/filter method")
             require((b(pos + 20) & 0xFF) == 0,
               "interlaced (Adam7) PNG not supported")
-            bpp = if (color == 6) 4 else 3
+            bpp = if (color == 6) 4 else if (color == 3) 1 else 3
+          case "PLTE" =>
+            require(len > 0 && len % 3 == 0 && len <= 768,
+              s"PLTE length $len not a multiple of 3 in (0, 768]")
+            palette = Array.tabulate(len)(i => b(pos + 8 + i) & 0xFF)
           case "IDAT" => idat.write(b, pos + 8, len)
           case "IEND" => done = true
-          case _      => // ancillary chunk — skip
+          case _      => // ancillary chunk (tRNS included) — skip
         }
         pos += 12 + len
       }
       require(w > 0 && h > 0 && idat.size > 0, "PNG missing IHDR/IDAT")
+      require(color != 3 || palette != null, "palette PNG missing PLTE")
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       val stride = w * bpp
@@ -172,9 +183,18 @@ object Multimodal {
         var px = 0
         while (px < w) {
           val ob = (y * w + px) * 3
-          out(ob) = cur(px * bpp).toFloat
-          out(ob + 1) = cur(px * bpp + 1).toFloat
-          out(ob + 2) = cur(px * bpp + 2).toFloat
+          if (color == 3) {
+            val idx = cur(px)
+            require(idx * 3 + 2 < palette.length,
+              s"palette index $idx beyond the ${palette.length / 3}-entry PLTE")
+            out(ob) = palette(idx * 3).toFloat
+            out(ob + 1) = palette(idx * 3 + 1).toFloat
+            out(ob + 2) = palette(idx * 3 + 2).toFloat
+          } else {
+            out(ob) = cur(px * bpp).toFloat
+            out(ob + 1) = cur(px * bpp + 1).toFloat
+            out(ob + 2) = cur(px * bpp + 2).toFloat
+          }
           px += 1
         }
         System.arraycopy(cur, 0, pri, 0, stride)

@@ -286,9 +286,16 @@ object StatsQueries {
       val pix = (x: Int, y: Int) =>
         ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
          (x + y * 2 + 101) % 256)
-      val ds = Seq((1L, 9, 7, false), (2L, 16, 11, true), (3L, 5, 13, true))
+      // image 4: PALETTE (PLTE) PNG with a tRNS chunk the decoder must
+      // skip — 16 deterministic palette entries, index (x*3 + y*7) % 16
+      val pal = (0 until 16).map(i =>
+        ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
+      val ds = (Seq((1L, 9, 7, false), (2L, 16, 11, true), (3L, 5, 13, true))
         .map { case (id, w, h, rgba) => graft.llm.Multimodal.MediaRow(
-          id, graft.llm.ImageFixtures.pngFull(w, h, pix, rgba), "image") }
+          id, graft.llm.ImageFixtures.pngFull(w, h, pix, rgba), "image") } :+
+        graft.llm.Multimodal.MediaRow(4L,
+          graft.llm.ImageFixtures.pngPalette(8, 9, pal,
+            (x, y) => (x * 3 + y * 7) % 16, withTrns = true), "image"))
         .toDS()
       graft.llm.Multimodal.extractFeatures(ds,
           graft.llm.Multimodal.BmpWavDecoder).toDF()
@@ -922,12 +929,23 @@ object StatsQueries {
         |                                    (3, 5, 13)) t(image_id, w, h)),
         |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
         |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
-        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx)
-        |SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx),
+        |tc AS (SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
         |  CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
         |            WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
         |            ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
-        |FROM cc""".stripMargin,
+        |FROM cc),
+        |py AS (SELECT unnest(range(9)) AS y),
+        |px AS (SELECT y, unnest(range(8)) AS x FROM py),
+        |pc AS (SELECT y, x, (x*3 + y*7) % 16 AS i,
+        |              unnest(range(3)) AS c FROM px),
+        |pal AS (SELECT 4 AS image_id, CAST((y * 8 + x) * 3 + c AS INT) AS pos,
+        |  CAST(CASE WHEN c = 0 THEN (i*11) % 256
+        |            WHEN c = 1 THEN (i*29 + 3) % 256
+        |            ELSE (i*53 + 7) % 256 END AS DOUBLE) AS value
+        |FROM pc)
+        |SELECT image_id, pos, value FROM tc
+        |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
 
     "q212_wav_spectral" ->
       """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),

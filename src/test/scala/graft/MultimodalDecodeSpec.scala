@@ -74,6 +74,44 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodePng palette: indices map through PLTE, filters undo, tRNS skipped") {
+    val pal = (0 until 16).map(i =>
+      ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
+    val idx = (x: Int, y: Int) => (x * 3 + y * 7) % 16
+    // h >= 5 cycles all five filters over the 1-byte-per-pixel rows;
+    // withTrns on one variant proves the ancillary chunk is skipped
+    for (trns <- Seq(false, true); (w, h) <- Seq((8, 9), (1, 5))) {
+      val (gw, gh, out) = BmpWavDecoder.decodePngWithDims(
+        ImageFixtures.pngPalette(w, h, pal, idx, withTrns = trns))
+      assert((gw, gh) === ((w, h)))
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (y * w + x) * 3
+        val (r, g, b) = pal(idx(x, y))
+        assert(out(base) == r.toFloat && out(base + 1) == g.toFloat &&
+          out(base + 2) == b.toFloat, s"at ($x,$y) trns=$trns")
+      }
+    }
+  }
+
+  test("decodePng palette refusals: missing PLTE, index beyond the palette") {
+    val pal = Seq((10, 20, 30), (40, 50, 60))
+    val withPlte = ImageFixtures.pngPalette(3, 3, pal, (x, y) => (x + y) % 2)
+    // surgically drop the PLTE chunk (12 + 6 bytes after the 8-byte
+    // signature + 25-byte IHDR chunk)
+    val plteStart = 8 + 25
+    val noPlte = withPlte.take(plteStart) ++ withPlte.drop(plteStart + 12 + 6)
+    val e1 = intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodePng(noPlte)
+    }
+    assert(e1.getMessage.contains("missing PLTE"))
+    // an index pointing past the 2-entry palette
+    val e2 = intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodePng(
+        ImageFixtures.pngPalette(3, 3, pal, (x, y) => 2 + ((x + y) % 2)))
+    }
+    assert(e2.getMessage.contains("beyond"))
+  }
+
   test("image dispatch sniffs the container: PNG and BMP through one decode call") {
     val fromPng = BmpWavDecoder.decode(ImageFixtures.pngFull(4, 3, pix), "image")
     val fromBmp = BmpWavDecoder.decode(ImageFixtures.bmp(4, 3, pix), "image")
