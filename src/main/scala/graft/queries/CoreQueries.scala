@@ -800,6 +800,31 @@ object CoreQueries {
              exactSum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // K2 at BUCKETED scale: generic keyed MERGE over hash-bucketed
+    // state (SURVEY §7.4) — three out-of-order batches fold into a
+    // bucket-partitioned store (only touched buckets read/rewritten),
+    // one batch REPLAYED to prove idempotence, and the final state
+    // must hash-match the oracle's single keep-latest over all events
+    // (merge chain == full rebuild). Batches split by event_id % 3, so
+    // no batch is "newest" for its keys — the general merge path, not
+    // the newest-batch fast path.
+    "q241_bucketed_merge" -> ((s, d) => {
+      val ev = events(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bucketed-merge").toString
+      val store = new graft.sources.BucketedStateStore(
+        s, root, Seq("user_id", "event_type"), nBuckets = 16)
+      val order = Seq(col("ts").desc, col("event_id").desc)
+      store.merge(ev.filter(col("event_id") % 3 === 0), order)
+      store.merge(ev.filter(col("event_id") % 3 === 1), order)
+      store.merge(ev.filter(col("event_id") % 3 === 2), order)
+      // replay: newest-wins is idempotent — the hash proves it
+      store.merge(ev.filter(col("event_id") % 3 === 1), order)
+      store.read()
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("value"))
+    }),
+
     // A4-adjacent distinct counting (exact — the oracle-checkable form).
     "q35_distinct_stats" -> ((s, d) => {
       orders(s, d).groupBy(col("o_orderstatus"))
@@ -1533,6 +1558,14 @@ object CoreQueries {
          |GROUP BY l_returnflag""".stripMargin,
 
     "q6_keep_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // q241: the bucketed merge chain (with one replayed batch) must
+    // equal ONE keep-latest over the full log — the full-rebuild proof.
+    "q241_bucketed_merge" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
