@@ -62,12 +62,15 @@ object Multimodal {
     * same plane contract, alpha/tRNS dropped), and 16-bit PCM WAV
     * ("audio": RIFF chunk walk with
     * odd-size pad bytes, interleaved little-endian signed frames —
-    * returns raw sample values). Anything else (JPEG/video codecs
-    * need real codec libraries) falls back to [[FakeDecoder]] behind
-    * the same interface. The q189/q190/q215 oracles recompute the
-    * expected pixel/sample streams from the fixtures' generative
-    * formulas in SQL, so a flip, channel-order, filter or padding
-    * mistake breaks the hash match. */
+    * returns raw sample values), and baseline JPEG ("image", SOI
+    * sniff → [[JpegCodec]]: Huffman + dequantize + IDCT + YCbCr).
+    * Anything else (video codecs need real codec libraries) falls
+    * back to [[FakeDecoder]] behind the same interface. The
+    * q189/q190/q215 oracles recompute the expected pixel/sample
+    * streams from the fixtures' generative formulas in SQL, so a
+    * flip, channel-order, filter or padding mistake breaks the hash
+    * match; q242 bounds the lossy JPEG path with invariant booleans
+    * the oracle expects TRUE. */
   object BmpWavDecoder extends MediaDecoder {
     private def u16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -278,15 +281,16 @@ object Multimodal {
     }
 
     /** Container-sniffed image decode: PNG signature → Inflater PNG
-      * path, else 24-bpp BMP. */
+      * path, SOI → baseline [[JpegCodec]], else 24-bpp BMP. */
     private[graft] def decodeImageWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) =
-      if (isPng(b)) decodePngWithDims(b) else decodeBmpWithDims(b)
+      if (isPng(b)) decodePngWithDims(b)
+      else if (JpegCodec.isJpeg(b)) JpegCodec.decode(b)
+      else decodeBmpWithDims(b)
 
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
       kind match {
-        case "image" => if (isPng(bytes)) decodePng(bytes)
-                        else decodeBmp(bytes)
+        case "image" => decodeImageWithDims(bytes)._3
         case "audio" => decodeWavPcm16(bytes)
         case other   => FakeDecoder.decode(bytes, other)
       }

@@ -305,6 +305,50 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // Baseline JPEG decode through the full dispatch (SOI sniff ->
+    // JpegCodec: Huffman + dequantize + IDCT + YCbCr), q29-style
+    // invariant envelope: three own-encoder fixtures (one
+    // non-multiple-of-8, one with restart markers) decode back to the
+    // generative smooth plane within the quantization error bound.
+    // JPEG is lossy, so the oracle pins the exact value count from the
+    // dims and expects the error booleans TRUE - a Huffman, zigzag,
+    // IDCT or upsample bug blows the bound (structural errors measure
+    // 128+), a dims bug breaks n_values.
+    "q242_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val smooth = (x: Int, y: Int) =>
+        (96 + x * 2 + y, 80 + x + y * 2, 120 + x - y / 2)
+      val imgs = Seq((1L, 24, 16, 0), (2L, 17, 13, 0), (3L, 24, 24, 2))
+      val ds = imgs.map { case (id, w, h, ri) =>
+        graft.llm.Multimodal.MediaRow(id,
+          graft.llm.JpegCodec.encode(w, h, smooth, quality = 95,
+            restartInterval = ri), "image")
+      }.toDS()
+      val dec = graft.llm.Multimodal
+        .extractFeatures(ds, graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+      val exp = imgs.map { case (id, w, h, _) => (id, w, h) }
+        .toDF("image_id", "w", "h")
+        .withColumn("y", explode(sequence(lit(0), col("h") - 1)))
+        .withColumn("x", explode(sequence(lit(0), col("w") - 1)))
+        .withColumn("c", explode(sequence(lit(0), lit(2))))
+        .select(col("image_id"),
+          ((col("y") * col("w") + col("x")) * 3 + col("c")).as("pos"),
+          when(col("c") === 0, lit(96) + col("x") * 2 + col("y"))
+            .when(col("c") === 1, lit(80) + col("x") + col("y") * 2)
+            .otherwise(lit(120) + col("x") - expr("y div 2"))
+            .cast("double").as("expected"))
+      dec.join(exp, Seq("image_id", "pos"))
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_values"),
+             max(abs(col("v").cast("double") - col("expected"))).as("__maxe"),
+             avg(abs(col("v").cast("double") - col("expected"))).as("__meane"))
+        .select(col("image_id"), col("n_values"),
+                (col("__maxe") <= 6.0).as("max_err_le_6"),
+                (col("__meane") <= 2.0).as("mean_err_le_2"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -946,6 +990,17 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q242: value count exact from the dims; error booleans are claims
+    // the Spark side CHECKS against the generative plane (the q29/q36
+    // envelope pattern for a lossy codec).
+    "q242_jpeg_decode" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 24, 16), (2, 17, 13),
+        |                                    (3, 24, 24)) t(image_id, w, h))
+        |SELECT CAST(image_id AS BIGINT) AS image_id,
+        |  CAST(w * h * 3 AS BIGINT) AS n_values,
+        |  TRUE AS max_err_le_6, TRUE AS mean_err_le_2
+        |FROM imgs""".stripMargin,
 
     "q212_wav_spectral" ->
       """WITH clips AS (SELECT * FROM (VALUES (1, 1000, 37, 0),
