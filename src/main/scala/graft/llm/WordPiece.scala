@@ -75,9 +75,26 @@ object WordPiece {
     * pieces space-joined in order. */
   def segmentCorpus(docs: DataFrame, textCol: String,
                     topK: Int): DataFrame = {
-    val spark = docs.sparkSession
     val words = wordTypes(docs, textCol).localCheckpoint()
-    val vocab = trainVocab(words, topK).toSeq
+    segmentWords(docs.sparkSession, words, trainVocab(words, topK).toSeq)
+  }
+
+  /** Greedy longest-match segmentation under a CALLER-SUPPLIED
+    * vocabulary (positional `##` form) — the apply half alone, so a
+    * likelihood-trained vocabulary ([[UnigramLm.selectVocab]]'s kept
+    * units) rides the same fold the frequency-trained path uses. The
+    * vocabulary must contain every single-char unit of the corpus or
+    * segmentation dead-ends into repeated single chars (it still
+    * terminates: the l=1 fallback always advances the cursor). */
+  def segmentWithVocab(docs: DataFrame, textCol: String,
+                       vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "WordPiece.segmentWithVocab: empty vocabulary")
+    segmentWords(docs.sparkSession, wordTypes(docs, textCol), vocab)
+  }
+
+  private def segmentWords(spark: org.apache.spark.sql.SparkSession,
+                           words: DataFrame,
+                           vocab: Seq[String]): DataFrame = {
     val w = col("w")
     val n = length(w)
     val folded = aggregate(

@@ -684,7 +684,22 @@ object CurationQueries {
     // replays seeding, both DP rounds (recursive CTEs), the backward
     // walks, and the selection cut.
     "q240_unigram_lm" -> ((s, d) =>
-      graft.llm.UnigramLm.selectVocab(documents(s, d), "text", topK = 20))
+      graft.llm.UnigramLm.selectVocab(documents(s, d), "text", topK = 20)),
+
+    // The two tokenizer halves COMPOSED: q240's likelihood-selected
+    // vocabulary (kept units) drives q225's greedy longest-match
+    // segmentation — corpus segmentation under the EM-trained
+    // tokenizer. The oracle chains the full q240 selection replay into
+    // the q225 greedy-cursor recursion.
+    "q243_unigram_segment" -> ((s, d) => {
+      val docs = documents(s, d)
+      val kept = graft.util.Bounded.collect(
+          graft.llm.UnigramLm.selectVocab(docs, "text", topK = 20)
+            .filter(col("kept")).select(col("unit")),
+          20 + 4096, "q243 unigram-LM vocabulary")
+        .map(_.getString(0)).toSeq.sorted
+      graft.llm.WordPiece.segmentWithVocab(docs, "text", kept)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -2345,6 +2360,182 @@ object CurationQueries {
          |  CAST(sel.n_em1 AS BIGINT) AS n_em1,
          |  CAST(sel.n_em2 AS BIGINT) AS n_em2,
          |  (sel.is_single OR topm.tok IS NOT NULL) AS kept
-         |FROM sel LEFT JOIN topm ON sel.tok = topm.tok""".stripMargin
+         |FROM sel LEFT JOIN topm ON sel.tok = topm.tok""".stripMargin,
+
+    // q243: the q240 selection replay (word frame renamed wt) chained
+    // into the q225 greedy-cursor recursion over the KEPT vocabulary.
+    "q243_unigram_segment" ->
+      s"""WITH RECURSIVE
+         |wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |        SELECT unnest($toks) AS w FROM documents)
+         |      WHERE len(w) > 0 AND len(w) <= 20 GROUP BY 1),
+         |cand AS (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
+         |         FROM (SELECT wt.w, wt.f, unnest([1, 2, 3, 4]) AS l FROM wt)
+         |         WHERE len(w) >= l),
+         |c2 AS (SELECT w, f,
+         |         CASE WHEN s = 1 THEN substr(w, 1, l)
+         |              ELSE '##' || substr(w, s, l) END AS tok
+         |       FROM cand),
+         |seed AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
+         |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
+         |k1 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+         |       FROM seed, t1),
+         |dp1 AS (
+         |  SELECT w, f, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS lens
+         |  FROM wt
+         |  UNION ALL
+         |  SELECT w, f, i,
+         |    list_append(best, LEAST(x1, x2, x3, x4)),
+         |    list_append(lens, CASE WHEN x1 = LEAST(x1, x2, x3, x4) THEN 1
+         |                           WHEN x2 = LEAST(x1, x2, x3, x4) THEN 2
+         |                           WHEN x3 = LEAST(x1, x2, x3, x4) THEN 3
+         |                           ELSE 4 END)
+         |  FROM (
+         |    SELECT d.w, d.f, d.i + 1 AS i, d.best, d.lens,
+         |      d.best[d.i + 1] + COALESCE(ca.cost, 1000000000000) AS x1,
+         |      CASE WHEN d.i >= 1 THEN d.best[d.i]
+         |        + COALESCE(cb.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x2,
+         |      CASE WHEN d.i >= 2 THEN d.best[d.i - 1]
+         |        + COALESCE(cc.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x3,
+         |      CASE WHEN d.i >= 3 THEN d.best[d.i - 2]
+         |        + COALESCE(cd.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x4
+         |    FROM dp1 d
+         |    LEFT JOIN k1 ca ON ca.tok = CASE WHEN d.i = 0
+         |      THEN substr(d.w, 1, 1) ELSE '##' || substr(d.w, d.i + 1, 1) END
+         |    LEFT JOIN k1 cb ON d.i >= 1 AND cb.tok = CASE WHEN d.i = 1
+         |      THEN substr(d.w, 1, 2) ELSE '##' || substr(d.w, d.i, 2) END
+         |    LEFT JOIN k1 cc ON d.i >= 2 AND cc.tok = CASE WHEN d.i = 2
+         |      THEN substr(d.w, 1, 3) ELSE '##' || substr(d.w, d.i - 1, 3) END
+         |    LEFT JOIN k1 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
+         |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
+         |    WHERE d.i < len(d.w)) z),
+         |fin1 AS (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
+         |bk1 AS (
+         |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
+         |  FROM fin1
+         |  UNION ALL
+         |  SELECT w, f, p - lens[p + 1], lens,
+         |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
+         |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
+         |  FROM bk1 WHERE p > 0),
+         |n1 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
+         |       WHERE tok IS NOT NULL GROUP BY 1),
+         |cnt2 AS (SELECT s.tok,
+         |           CASE WHEN len(s.tok) = 1
+         |                  OR (s.tok LIKE '##%' AND len(s.tok) = 3)
+         |                THEN GREATEST(COALESCE(n1.n, 0), 1)
+         |                ELSE COALESCE(n1.n, 0) END AS c
+         |         FROM seed s LEFT JOIN n1 USING (tok)),
+         |cnt2f AS (SELECT tok, c FROM cnt2 WHERE c > 0),
+         |t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
+         |k2 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+         |       FROM cnt2f, t2),
+         |dp2 AS (
+         |  SELECT w, f, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS lens
+         |  FROM wt
+         |  UNION ALL
+         |  SELECT w, f, i,
+         |    list_append(best, LEAST(x1, x2, x3, x4)),
+         |    list_append(lens, CASE WHEN x1 = LEAST(x1, x2, x3, x4) THEN 1
+         |                           WHEN x2 = LEAST(x1, x2, x3, x4) THEN 2
+         |                           WHEN x3 = LEAST(x1, x2, x3, x4) THEN 3
+         |                           ELSE 4 END)
+         |  FROM (
+         |    SELECT d.w, d.f, d.i + 1 AS i, d.best, d.lens,
+         |      d.best[d.i + 1] + COALESCE(ca.cost, 1000000000000) AS x1,
+         |      CASE WHEN d.i >= 1 THEN d.best[d.i]
+         |        + COALESCE(cb.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x2,
+         |      CASE WHEN d.i >= 2 THEN d.best[d.i - 1]
+         |        + COALESCE(cc.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x3,
+         |      CASE WHEN d.i >= 3 THEN d.best[d.i - 2]
+         |        + COALESCE(cd.cost, 1000000000000)
+         |        ELSE 1000000000000 END AS x4
+         |    FROM dp2 d
+         |    LEFT JOIN k2 ca ON ca.tok = CASE WHEN d.i = 0
+         |      THEN substr(d.w, 1, 1) ELSE '##' || substr(d.w, d.i + 1, 1) END
+         |    LEFT JOIN k2 cb ON d.i >= 1 AND cb.tok = CASE WHEN d.i = 1
+         |      THEN substr(d.w, 1, 2) ELSE '##' || substr(d.w, d.i, 2) END
+         |    LEFT JOIN k2 cc ON d.i >= 2 AND cc.tok = CASE WHEN d.i = 2
+         |      THEN substr(d.w, 1, 3) ELSE '##' || substr(d.w, d.i - 1, 3) END
+         |    LEFT JOIN k2 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
+         |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
+         |    WHERE d.i < len(d.w)) z),
+         |fin2 AS (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
+         |bk2 AS (
+         |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
+         |  FROM fin2
+         |  UNION ALL
+         |  SELECT w, f, p - lens[p + 1], lens,
+         |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
+         |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
+         |  FROM bk2 WHERE p > 0),
+         |n2 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
+         |       WHERE tok IS NOT NULL GROUP BY 1),
+         |sel AS (SELECT s.tok,
+         |          (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3)) AS is_single,
+         |          COALESCE(n1.n, 0) AS n_em1, COALESCE(n2.n, 0) AS n_em2
+         |        FROM seed s LEFT JOIN n1 USING (tok)
+         |          LEFT JOIN n2 USING (tok)
+         |        WHERE (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3))
+         |          OR COALESCE(n1.n, 0) > 0),
+         |topm AS (SELECT tok FROM sel WHERE NOT is_single AND n_em2 > 0
+         |         ORDER BY n_em2 DESC, tok ASC LIMIT 20),
+         |kept AS (SELECT DISTINCT tok FROM (
+         |          SELECT tok FROM sel WHERE is_single
+         |          UNION ALL SELECT tok FROM topm)),
+         |vl AS (SELECT list(tok) AS vs FROM kept),
+         |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest($toks) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1),
+         |it AS (
+         |  SELECT w, f, length(w) AS n, 1 AS p, '' AS pieces
+         |  FROM wf WHERE length(w) <= 20
+         |  UNION ALL
+         |  SELECT w, f, n, p + pick AS p,
+         |    CASE WHEN pieces = '' THEN tok
+         |         ELSE pieces || ' ' || tok END AS pieces
+         |  FROM (
+         |    SELECT w, f, n, p, pieces,
+         |      CASE WHEN ok4 THEN 4 WHEN ok3 THEN 3
+         |           WHEN ok2 THEN 2 ELSE 1 END AS pick,
+         |      CASE WHEN ok4 THEN c4 WHEN ok3 THEN c3
+         |           WHEN ok2 THEN c2 ELSE c1 END AS tok
+         |    FROM (
+         |      SELECT it.w, it.f, it.n, it.p, it.pieces,
+         |        (it.p + 3 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 4)
+         |               ELSE '##' || substring(it.w, it.p, 4) END)) AS ok4,
+         |        (it.p + 2 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 3)
+         |               ELSE '##' || substring(it.w, it.p, 3) END)) AS ok3,
+         |        (it.p + 1 <= it.n AND list_contains(vs,
+         |          CASE WHEN it.p = 1 THEN substring(it.w, 1, 2)
+         |               ELSE '##' || substring(it.w, it.p, 2) END)) AS ok2,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 4)
+         |             ELSE '##' || substring(it.w, it.p, 4) END AS c4,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 3)
+         |             ELSE '##' || substring(it.w, it.p, 3) END AS c3,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 2)
+         |             ELSE '##' || substring(it.w, it.p, 2) END AS c2,
+         |        CASE WHEN it.p = 1 THEN substring(it.w, 1, 1)
+         |             ELSE '##' || substring(it.w, it.p, 1) END AS c1
+         |      FROM it, vl
+         |      WHERE it.p <= it.n)))
+         |SELECT w AS word, f AS cnt, pieces,
+         |  CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+         |FROM it WHERE p > n
+         |UNION ALL
+         |SELECT w AS word, f AS cnt, '[UNK]' AS pieces,
+         |  CAST(1 AS BIGINT) AS n_pieces
+         |FROM wf WHERE length(w) > 20""".stripMargin
   )
 }
