@@ -349,6 +349,46 @@ object StatsQueries {
                 (col("__meane") <= 2.0).as("mean_err_le_2"))
     }),
 
+    // Codec-parity invariant for the full multimodal pipeline: the
+    // SAME generative plane encoded losslessly (PNG) and lossily
+    // (JPEG q95) rides decode -> bilinear 8x8 -> aHash on BOTH codec
+    // paths, and the perceptual hashes must agree within a small
+    // Hamming envelope (measured max 2 / mean 0.35 across the 60
+    // planes; pinned at <= 6). A JPEG Huffman/IDCT/upsample bug or a
+    // dispatch regression blows the bound (unrelated planes sit near
+    // 32 bits apart); the oracle pins the image set and expects the
+    // booleans TRUE (the q29/q36 envelope pattern - the hash value
+    // itself is deterministic but oracle-opaque for a lossy codec).
+    "q244_jpeg_phash_parity" -> ((s, d) => {
+      import s.implicits._
+      val rows = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 60).as[Long].flatMap { id =>
+          val g = (id % 10).toInt; val dd = (id % 4).toInt
+          val w = 8 + g; val h = 5 + (g % 5)
+          val pix = (x: Int, y: Int) => (
+            (x * 7 + y * 13 + g * 37) % 256,
+            (x * 3 + y * 5 + 17 + g * 53) % 256,
+            (x + y * 2 + 101 + g * 11 + dd * 29) % 256)
+          Seq(
+            graft.llm.Multimodal.MediaRow(id,
+              graft.llm.ImageFixtures.pngFull(w, h, pix), "image"),
+            graft.llm.Multimodal.MediaRow(id + 1000L,
+              graft.llm.JpegCodec.encode(w, h, pix, quality = 95), "image"))
+        }
+      val hashes = graft.llm.Multimodal.perceptualHash64(
+        graft.llm.Multimodal.extractResizedBmp(rows, 8, 8).toDF(),
+        "id", "features")
+      val png = hashes.filter(col("image_id") < 1000)
+        .select(col("image_id").as("image_id"), col("bits").as("pb"))
+      val jpg = hashes.filter(col("image_id") >= 1000)
+        .select((col("image_id") - 1000).as("image_id"),
+                col("bits").as("jb"))
+      png.join(jpg, "image_id")
+        .select(col("image_id"),
+          (graft.llm.NearDup.hammingBits(col("pb"), col("jb")) <= 6)
+            .as("phash_within_6_bits"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -990,6 +1030,12 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q244: the image-id set pinned exactly; the parity boolean is the
+    // Spark-side claim (lossy hash value is oracle-opaque).
+    "q244_jpeg_phash_parity" ->
+      """SELECT doc_id AS image_id, TRUE AS phash_within_6_bits
+        |FROM documents WHERE doc_id < 60""".stripMargin,
 
     // q242: value count exact from the dims; error booleans are claims
     // the Spark side CHECKS against the generative plane (the q29/q36

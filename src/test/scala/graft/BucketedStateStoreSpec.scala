@@ -83,6 +83,47 @@ class BucketedStateStoreSpec extends SparkSpec {
     assert(store.read().filter(col("k") === 777L).count() == 1L)
   }
 
+  test("streamed keyed merge over two micro-batches equals the batch keep-latest; replay converges") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpDir("stream-merge-table")
+    val b1 = Seq(row(1L, 10L, "2024-06-05 00:00:00", 1.0),
+                 row(2L, 11L, "2024-06-01 00:00:00", 2.0))
+    val b2 = Seq(row(1L, 9L, "2024-06-04 00:00:00", 9.9), // stale: loses
+                 row(3L, 12L, "2024-06-02 00:00:00", 3.0))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("k", "id", "ts", "v")
+    val ckpt = tmpDir("stream-merge-ckpt")
+    mem.addData(b1: _*)
+    graft.streaming.StreamingKeyedMerge.availableNowMerge(
+      stream, root, ckpt, Seq("k"), order, nBuckets = 8)
+      .awaitTermination(60000)
+    mem.addData(b2: _*)
+    graft.streaming.StreamingKeyedMerge.availableNowMerge(
+      stream, root, ckpt, Seq("k"), order, nBuckets = 8)
+      .awaitTermination(60000)
+    def state() = spark.read.parquet(root)
+      .select(col("k"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expected = graft.operators.Dedup
+      .keepLatest((b1 ++ b2).toDF("k", "id", "ts", "v"), Seq("k"), order)
+      .select(col("k"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(state() == expected)
+    // at-least-once replay (failure between store write and checkpoint
+    // commit): a fresh checkpoint re-delivers EVERYTHING; newest-wins
+    // idempotence converges to the same state
+    val mem2 = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    mem2.addData((b1 ++ b2): _*)
+    graft.streaming.StreamingKeyedMerge.availableNowMerge(
+      mem2.toDF().toDF("k", "id", "ts", "v"), root,
+      tmpDir("stream-merge-ckpt2"), Seq("k"), order, nBuckets = 8)
+      .awaitTermination(60000)
+    assert(state() == expected)
+  }
+
   test("refusals: empty keys, absurd bucket counts, read before first merge") {
     intercept[IllegalArgumentException] {
       new BucketedStateStore(spark, tmpDir("x"), Nil, 8)
