@@ -125,6 +125,36 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: seeded-random planes — our decoder agrees with ImageIO on our stream within IDCT variance") {
+    // arbitrary (not smooth) content, deterministic seeds: validates
+    // Huffman/zigzag/DCT against the independent JDK codec on inputs
+    // with full-range coefficients, where a table or scan bug cannot
+    // hide behind smoothness
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val bytes = JpegCodec.encode(w, h, (x, y) => px(y)(x),
+        quality = 50 + rnd.nextInt(48))
+      val (gw, gh, mine) = JpegCodec.decode(bytes)
+      assert((gw, gh) === ((w, h)), s"seed $seed dims")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"seed $seed: ImageIO rejected the stream")
+      val theirs = new Array[Float](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        theirs(o) = ((rgb >> 16) & 0xFF).toFloat
+        theirs(o + 1) = ((rgb >> 8) & 0xFF).toFloat
+        theirs(o + 2) = (rgb & 0xFF).toFloat
+      }
+      val err = maxErr(mine, theirs)
+      assert(err <= 2.0f, s"seed $seed (${w}x$h): decoder disagreement $err")
+    }
+  }
+
   test("sharp (sawtooth) plane still decodes and bounds its error by the quant step") {
     val sharp = (x: Int, y: Int) =>
       ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
