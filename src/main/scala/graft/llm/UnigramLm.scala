@@ -81,7 +81,7 @@ object UnigramLm {
 
   /** Candidate slots of every word type: one row per (word, start, l)
     * with the positional unit string. Columns: (w, f, key, tok). */
-  private def candidates(words: DataFrame): DataFrame =
+  private[graft] def candidates(words: DataFrame): DataFrame =
     words
       .select(col("w"), col("f"),
         explode(array((1 to MaxSubLen).map(lit(_)): _*)).as("__l"))
@@ -110,7 +110,7 @@ object UnigramLm {
     * segmentation of every word type, weighted by word frequency.
     * Units absent from `costs` price at the [[Big]] sentinel (pruned —
     * never optimal while any single-char path exists). */
-  private[llm] def viterbiCounts(words: DataFrame, cands: DataFrame,
+  private[graft] def viterbiCounts(words: DataFrame, cands: DataFrame,
                                  costs: DataFrame): DataFrame = {
     val maps = cands.join(costs, Seq("tok"), "left")
       .withColumn("__cost", coalesce(col("cost"), lit(Big)))

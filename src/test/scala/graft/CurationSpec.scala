@@ -649,6 +649,26 @@ class CurationSpec extends SparkSpec {
     assert(freq.contains("##bc"))
   }
 
+  test("unigram-LM Viterbi ties break to the SHORTEST last piece (micro-nat-exact tie)") {
+    // cost(ab) = -ln(2/8), cost(a) = cost(##b) = -ln(4/8): the 1-piece
+    // and 2-piece paths tie EXACTLY — ln4 = 2·ln2 in reals, and in
+    // micro-nats round(ln4·1e6) = 1386294 = 2·round(ln2·1e6) — so the
+    // deterministic contract (probe l = 1..4, strict minimum) must
+    // pick the SINGLE-char step first: segmentation [a, ##b], not [ab].
+    val words = Seq(("ab", 1L)).toDF("w", "f")
+    val costs = Seq("ab" -> 2L, "a" -> 4L, "##b" -> 4L)
+      .toDF("tok", "__c")
+      .select(col("tok"),
+        round(-log(col("__c").cast("double") / lit(8.0)) * lit(1e6), 0)
+          .cast("long").as("cost"))
+    val byTok = costs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTok("ab") == byTok("a") + byTok("##b")) // the tie is real
+    val n = graft.llm.UnigramLm
+      .viterbiCounts(words, graft.llm.UnigramLm.candidates(words), costs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("a" -> 1L, "##b" -> 1L)) // NOT Map("ab" -> 1L)
+  }
+
   test("rankingMetrics truncates retrieved lists deeper than k") {
     val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("qid", "doc", "rank")
