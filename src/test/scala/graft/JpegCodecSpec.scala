@@ -103,6 +103,40 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(errOrig <= 16.0f, s"vs original plane: $errOrig")
   }
 
+  test("grayscale (1-component) JPEG decodes; gray replicates across RGB") {
+    val w = 17; val h = 11
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      // write the RASTER sample directly: setRGB on TYPE_BYTE_GRAY
+      // color-converts through sRGB gamma and would skew the stored
+      // plane away from the formula
+      img.getRaster.setSample(x, y, 0, 60 + x * 4 + y * 3)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (gw, gh, mine) = JpegCodec.decode(bytes)
+    assert((gw, gh) === ((w, h)))
+    for (i <- 0 until w * h) { // replication contract
+      assert(mine(i * 3) == mine(i * 3 + 1) && mine(i * 3) == mine(i * 3 + 2))
+    }
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val theirs = new Array[Float](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val g = back.getRaster.getSample(x, y, 0).toFloat // raw gray sample
+      theirs(o) = g; theirs(o + 1) = g; theirs(o + 2) = g
+    }
+    assert(maxErr(mine, theirs) <= 2.0f)
+    // and against the original plane: smooth gradient, tight bound
+    val orig = planeOf(w, h, (x, y) => {
+      val g = 60 + x * 4 + y * 3; (g, g, g)
+    })
+    assert(maxErr(mine, orig) <= 6.0f)
+  }
+
   test("refusals: progressive, truncated, not-a-JPEG, 12-bit") {
     val good = JpegCodec.encode(16, 16, smooth, 90)
     // patch SOF0 (FFC0) -> SOF2 (FFC2): progressive must refuse
