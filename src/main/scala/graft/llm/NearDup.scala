@@ -422,6 +422,12 @@ object NearDup {
       .select(col(idCol),
               explode(TextStats.ngramsOfTokens(col("__toks"), k)).as("gram"))
       .select(col(idCol), md5(col("gram")).as("gh"))
+      // ONE explicit gh-exchange shared by the dup-gram aggregation
+      // and the join below (ReusedExchange): without it AQE broadcasts
+      // the dup-gram side and the narrow tokenize+ngram+md5 pipeline
+      // re-evaluates per consumer — two full corpus scans instead of
+      // one scan + one compact (id, 16-byte-hash) shuffle
+      .repartition(col("gh"))
     val dupGrams = grams
       .groupBy(col("gh"))
       .agg(count_distinct(col(idCol)).as("nd"))

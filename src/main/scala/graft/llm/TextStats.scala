@@ -238,11 +238,19 @@ object TextStats {
       .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") <= dfCap)
     val nDocs = df.select(count(lit(1)).as("n_docs"))
+    // localCheckpoint: the weight frame IS the inverted index — it
+    // feeds both sides of the pair self-join AND the norm fold, and
+    // each consumer would otherwise re-run tokenize + tf + the idf
+    // joins (the q93 narrow-pipeline lesson: exchanges dedup via
+    // ReusedExchange, narrow subtrees re-evaluate). Materializing it
+    // once costs one write of the (id, token, w) index — the same
+    // order as the shuffle the pair join pays anyway.
     val weights = tf.join(broadcast(docFreq), "token")
       .crossJoin(broadcast(nDocs))
       .select(col("id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")),
               6).as("w"))
+      .localCheckpoint()
     val norms = weights.groupBy(col("id"))
       .agg(sqrt(sum(quant9(col("w") * col("w"))).cast("double") / lit(1e9))
              .as("nrm"))

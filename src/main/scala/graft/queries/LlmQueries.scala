@@ -804,6 +804,9 @@ object LlmQueries {
         .select(col("doc_id"),
                 array_distinct(TextStats.ngramsOfTokens(col("__toks"), 3))
                   .as("g"))
+        // three consumers (both self-join sides + the size frame)
+        // otherwise re-run the regex split + trigram build each
+        .localCheckpoint()
       val e = docs.select(col("doc_id"), explode(col("g")).as("t"))
       val cnt = docs.select(col("doc_id"), size(col("g")).as("n"))
       val inter = e.as("a").join(e.as("b"),
