@@ -64,6 +64,10 @@ object Robust {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPoints)
       .select(kc :+ col("__rn") :+ col(valueCol).cast("double").as("__v"): _*)
+      // maxPoints-bounded per key; BOTH self-join sides consume it, and
+      // while the key exchange is reused, the window sort + rank above
+      // it would re-run per side (the narrow-pipeline lesson)
+      .localCheckpoint()
     val a = seq0.toDF(seq0.columns.map(c => if (c.startsWith("__")) c + "a" else c): _*)
     val b = seq0.toDF(seq0.columns.map(c => if (c.startsWith("__")) c + "b" else c): _*)
     val slopes = a.join(b, keys)
