@@ -477,6 +477,8 @@ object JpegCodec {
   def encode(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
              quality: Int = 95, restartInterval: Int = 0): Array[Byte] = {
     require(width >= 1 && height >= 1, "empty image")
+    require(width <= 65535 && height <= 65535,
+      "JPEG dimensions are 16-bit (T.81 B.2.2)")
     require(quality >= 1 && quality <= 100, "quality in [1, 100]")
     require(restartInterval >= 0, "restartInterval >= 0")
     val qLum = scaleQ(QLumBase, quality)
