@@ -2,31 +2,49 @@ package graft.llm
 
 import java.io.ByteArrayOutputStream
 
-/** Baseline JPEG (ITU T.81 sequential DCT, 8-bit) codec with zero
-  * library dependencies — the JDK-only sibling of the Inflater-backed
-  * PNG path, closing the "JPEG absent" gap in the multimodal decode
-  * surface.
+/** JPEG (ITU T.81, 8-bit) codec with zero library dependencies — the
+  * JDK-only sibling of the Inflater-backed PNG path, closing the
+  * "JPEG absent" gap in the multimodal decode surface.
   *
-  * DECODER ([[decode]]): marker walk (skips APPn/COM), multi-table DQT
-  * (8- and 16-bit precisions) and DHT segments, SOF0 frames with 1 or
-  * 3 components at sampling factors 1–2 (4:4:4, 4:2:2, 4:4:0, 4:2:0),
-  * DRI/RSTn restart handling, byte-unstuffing (FF 00), per-MCU Huffman
-  * decode of DC categories + AC run/size symbols, dequantize, zigzag
-  * undo, double-precision separable IDCT, chroma upsample by
-  * replication, JFIF YCbCr→RGB with clamp — returns row-major
-  * top-down [r,g,b, …] floats, the [[Multimodal.BmpWavDecoder]] plane
-  * contract. Progressive (SOF2), arithmetic-coded, 12-bit and
-  * 4-component (CMYK) streams refuse loudly.
+  * DECODER ([[decode]]): a unified multi-scan coefficient-accumulating
+  * design — the marker walk (length-less markers TEM/RSTn/SOI/EOI
+  * handled standalone, segment-declared table counts re-checked
+  * against the segment bound) parses multi-table DQT (8- and 16-bit
+  * precisions) and DHT segments, SOF0/1 (baseline/extended
+  * sequential) AND SOF2 (progressive) frames with 1 or 3 components
+  * at sampling factors 1–2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), DRI/RSTn
+  * restart handling, and byte-unstuffing (FF 00). Every SOS decodes
+  * into per-component zigzag-order coefficient blocks: baseline in
+  * one interleaved pass; progressive via spectral selection
+  * (Ss..Se bands) and successive approximation (Ah/Al first +
+  * refinement passes, EOB-run skips) per T.81 Annex G — DC first/
+  * refine, AC first/refine with correction bits, interleaved DC and
+  * single-component AC scan geometry (non-interleaved scans traverse
+  * ceil(compW/8)×ceil(compH/8) blocks of the padded grid). At EOI the
+  * accumulated coefficients dequantize, zigzag-undo, and IDCT once —
+  * so a baseline stream and a progressive re-ordering of the SAME
+  * quantized coefficients decode to IDENTICAL pixels (asserted by
+  * JpegCodecSpec). Chroma upsamples by replication, JFIF YCbCr→RGB
+  * with clamp — returns row-major top-down [r,g,b, …] floats, the
+  * [[Multimodal.BmpWavDecoder]] plane contract. Arithmetic-coded,
+  * lossless, hierarchical, 12-bit and 4-component (CMYK) streams
+  * refuse loudly.
   *
-  * ENCODER ([[encode]]): 4:4:4, quality-scaled Annex-K quantization
-  * tables (the libjpeg 5000/q | 200−2q scaling), and SELF-DECLARED
-  * canonical Huffman tables embedded in DHT — DC categories as twelve
-  * 5-bit codes, AC run/size symbols as 162 8-bit codes (compression is
-  * modest, correctness is exact, and every spec-compliant decoder
-  * reads the tables from the stream; the all-ones code stays unused at
-  * both lengths as T.81 recommends). The encoder exists to stage
-  * pixel-exact-known fixtures: q242's oracle replays the original
-  * plane formula and bounds the decode error by the quantization step.
+  * ENCODER ([[encode]]): quality-scaled Annex-K quantization tables
+  * (the libjpeg 5000/q | 200−2q scaling), SELF-DECLARED canonical
+  * Huffman tables embedded in DHT — DC categories as twelve 5-bit
+  * codes, AC run/size symbols as 8-bit codes (plus the fourteen EOBn
+  * symbols when encoding progressive; the all-ones code stays unused
+  * at both lengths as T.81 recommends). Luma sampling factors
+  * (sampH, sampV) ∈ {1, 2}² stage 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+  * streams (chroma box-averaged), and `progressive = true` emits
+  * SOF2 with a spectral-selection scan script (interleaved DC scan,
+  * then one full-band AC scan per component with EOB-run coding) over
+  * the SAME quantized coefficients as the sequential mode. The
+  * encoder exists to stage pixel-exact-known fixtures: q242/q245's
+  * oracles replay the original plane formula and bound the decode
+  * error by the quantization step; the default-argument path
+  * (4:4:4 sequential) is byte-identical to prior rounds.
   *
   * Decoder/encoder rounding is pinned (Math.round + clamp at every
   * stage), so the round-trip is deterministic on any JVM; T.81 allows
@@ -164,11 +182,12 @@ object JpegCodec {
     private var acc = 0
     private var nbits = 0
     var atMarker: Int = -1 // set when FFxx (xx != 0) interrupts the scan
+    var synthEoi = false   // buffer ended without a real marker
 
     def bit(): Int = {
       if (nbits == 0) {
         if (atMarker >= 0) return 0 // draining past a marker: pad bits
-        if (pos >= b.length) { atMarker = 0xD9; return 0 }
+        if (pos >= b.length) { atMarker = 0xD9; synthEoi = true; return 0 }
         var v = b(pos) & 0xFF
         pos += 1
         if (v == 0xFF) {
@@ -232,160 +251,348 @@ object JpegCodec {
     b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
       (b(2) & 0xFF) == 0xFF
 
-  /** Decode a baseline JPEG to (width, height, row-major RGB floats). */
+  /** Decode a baseline or progressive JPEG to (width, height,
+    * row-major RGB floats). */
   def decode(b: Array[Byte]): (Int, Int, Array[Float]) = {
     require(isJpeg(b), "not a JPEG (no SOI)")
     val quant = Array.ofDim[Int](4, 64) // natural order
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var comps: Array[Comp] = null
+    var progressive = false
     var w = 0; var h = 0
     var restartInterval = 0
+    // coefficient accumulators, allocated at SOF (zigzag order per block)
+    var coefs: Array[Array[Int]] = null
+    var bpl: Array[Int] = null // padded blocks per line  (mcusX * c.h)
+    var bpc: Array[Int] = null // padded blocks per column (mcusY * c.v)
+    var blocksW: Array[Int] = null // non-interleaved scan width in blocks
+    var blocksH: Array[Int] = null
+    var maxH = 1; var maxV = 1
+    var mcusX = 0; var mcusY = 0
+    var sawScan = false
     var pos = 2
 
     def u16(o: Int) = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
 
-    var scanStart = -1
-    while (scanStart < 0) {
-      require(pos + 4 <= b.length, "truncated JPEG before SOS")
-      require((b(pos) & 0xFF) == 0xFF, s"JPEG marker expected at $pos")
-      // T.81 B.1.1.2: any number of FF fill bytes may precede a marker
-      while (pos + 4 <= b.length && (b(pos + 1) & 0xFF) == 0xFF) pos += 1
-      val m = b(pos + 1) & 0xFF
-      val len = u16(pos + 2)
-      require(pos + 2 + len <= b.length, s"truncated JPEG segment $m")
-      m match {
-        case 0xC0 | 0xC1 => // SOF0/1: baseline (extended-seq decodes the same)
-          require((b(pos + 4) & 0xFF) == 8, "only 8-bit JPEG")
-          h = u16(pos + 5); w = u16(pos + 7)
-          val nc = b(pos + 9) & 0xFF
-          require(nc == 1 || nc == 3,
-            s"only grayscale or YCbCr JPEG ($nc components)")
-          comps = Array.tabulate(nc) { i =>
-            val o = pos + 10 + i * 3
-            val hv = b(o + 1) & 0xFF
-            val c = Comp(b(o) & 0xFF, (hv >> 4) & 0xF, hv & 0xF, b(o + 2) & 0xFF)
-            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
-              s"unsupported sampling ${c.h}x${c.v}")
-            c
+    // ---- one entropy-coded scan (baseline full-band or progressive
+    // band/approximation pass); returns the stream position of the
+    // next marker's FF, or -1 when the stream ends without one.
+    def decodeScan(segStart: Int, segLen: Int): Int = {
+      require(comps != null, "JPEG SOS before SOF")
+      val ns = b(segStart) & 0xFF
+      require(ns >= 1 && ns <= comps.length, s"bad SOS component count $ns")
+      val scanComps = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val cid = b(segStart + 1 + 2 * i) & 0xFF
+        val tt = b(segStart + 2 + 2 * i) & 0xFF
+        val ci = comps.indexWhere(_.id == cid)
+        require(ci >= 0, "SOS names unknown component")
+        comps(ci).dcTab = (tt >> 4) & 0xF
+        comps(ci).acTab = tt & 0xF
+        scanComps(i) = ci
+        i += 1
+      }
+      val so = segStart + 1 + 2 * ns
+      val ss = b(so) & 0xFF
+      val se = b(so + 1) & 0xFF
+      val ah = (b(so + 2) >> 4) & 0xF
+      val al = b(so + 2) & 0xF
+      if (!progressive) {
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "sequential JPEG scan must cover the full band")
+        require(ns == comps.length, "partial-scan sequential JPEG not supported")
+      } else {
+        require(se >= ss && se <= 63 && ah <= 13 && al <= 13, "bad progressive scan band")
+        require(ah == 0 || ah == al + 1, "non-contiguous successive approximation")
+        if (ss == 0) require(se == 0, "progressive scan mixes DC and AC")
+        else require(ns == 1, "progressive AC scan must be non-interleaved")
+      }
+      val dcScan = ss == 0
+      val acScan = se > 0 // baseline scans decode both parts per block
+
+      val br = new BitReader(b, segStart + segLen - 2) // start of entropy data
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+
+      // --- per-block coefficient passes (coef = 64 zigzag ints at off)
+      def dcFirst(ci: Int, cf: Array[Int], off: Int): Unit = {
+        val sDc = br.decodeSym(dcTabs(comps(ci).dcTab))
+        require(sDc <= 11, "bad DC category")
+        dcPred(ci) += extend(br.bits(sDc), sDc)
+        cf(off) = dcPred(ci) << al
+      }
+      def dcRefine(cf: Array[Int], off: Int): Unit =
+        if (br.bit() == 1) cf(off) |= (1 << al)
+      def acFirst(ci: Int, cf: Array[Int], off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = math.max(ss, 1)
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decodeSym(acTabs(comps(ci).acTab))
+          val r = (rs >> 4) & 0xF; val s = rs & 0xF
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { eobrun = (1 << r) - 1 + br.bits(r); done = true } // EOBn
+          } else {
+            k += r
+            require(k <= se, "AC run past band end")
+            cf(off + k) = extend(br.bits(s), s) << al
+            k += 1
           }
-        case 0xC2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported")
-        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-          throw new IllegalArgumentException(
-            f"unsupported JPEG frame type FFC${m & 0xF}%X")
-        case 0xC4 => // DHT (possibly several tables)
-          var o = pos + 4
-          while (o < pos + 2 + len) {
-            val tc = (b(o) >> 4) & 0xF; val th = b(o) & 0xF
-            require(tc <= 1 && th <= 3, "bad DHT header")
-            val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xFF)
-            val n = bits.sum
-            val vals = Array.tabulate(n)(i => b(o + 17 + i) & 0xFF)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
-            o += 17 + n
-          }
-        case 0xDB => // DQT (possibly several tables, 8- or 16-bit)
-          var o = pos + 4
-          while (o < pos + 2 + len) {
-            val pq = (b(o) >> 4) & 0xF; val tq = b(o) & 0xF
-            require(pq <= 1 && tq <= 3, "bad DQT header")
-            var i = 0
-            while (i < 64) {
-              val v = if (pq == 0) b(o + 1 + i) & 0xFF
-                      else u16(o + 1 + 2 * i)
-              quant(tq)(ZigZag(i)) = v
-              i += 1
+        }
+      }
+      // T.81 G.1.2.3 successive-approximation AC refinement: one
+      // correction bit per nonzero-history coefficient passed, new
+      // ±1<<Al coefficients placed after their declared zero-run.
+      def acRefine(ci: Int, cf: Array[Int], off: Int): Unit = {
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = br.decodeSym(acTabs(comps(ci).acTab))
+            var r = (rs >> 4) & 0xF; val s = rs & 0xF
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) { eobrun = (1 << r) + br.bits(r); brk = true }
+              // r == 15 (ZRL): pass over 16 zero-history coefficients
+            } else {
+              require(s == 1, "refinement AC size must be 1")
+              newVal = if (br.bit() == 1) p1 else m1
             }
-            o += 1 + (if (pq == 0) 64 else 128)
-          }
-        case 0xDD => restartInterval = u16(pos + 4)
-        case 0xDA => // SOS
-          require(comps != null, "JPEG SOS before SOF")
-          val ns = b(pos + 4) & 0xFF
-          require(ns == comps.length, "partial-scan JPEG not supported")
-          for (i <- 0 until ns) {
-            val cid = b(pos + 5 + 2 * i) & 0xFF
-            val tt = b(pos + 6 + 2 * i) & 0xFF
-            val c = comps.find(_.id == cid).getOrElse(
-              throw new IllegalArgumentException("SOS names unknown component"))
-            c.dcTab = (tt >> 4) & 0xF; c.acTab = tt & 0xF
-          }
-          scanStart = pos + 2 + len
-        case _ => // APPn / COM / others: skip
-      }
-      if (scanStart < 0) pos += 2 + len
-    }
-
-    require(w > 0 && h > 0, "JPEG missing SOF dimensions")
-    val maxH = comps.map(_.h).max
-    val maxV = comps.map(_.v).max
-    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded planes at natural resolution
-    val planes = comps.map(c => new Array[Int](mcusX * c.h * 8 * mcusY * c.v * 8))
-    val planeW = comps.map(c => mcusX * c.h * 8)
-
-    val br = new BitReader(b, scanStart)
-    val dcPred = new Array[Int](comps.length)
-    val coeffs = new Array[Double](64)
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.expectRestart()
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      val my = mcu / mcusX; val mx = mcu % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            // --- one 8x8 block ---
-            java.util.Arrays.fill(coeffs, 0.0)
-            val sDc = br.decodeSym(dcTabs(c.dcTab))
-            require(sDc <= 11, "bad DC category")
-            dcPred(ci) += extend(br.bits(sDc), sDc)
-            coeffs(0) = dcPred(ci).toDouble * quant(c.tq)(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = br.decodeSym(acTabs(c.acTab))
-              val r = (rs >> 4) & 0xF; val s = rs & 0xF
-              if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true      // EOB
-              } else {
-                k += r
-                require(k < 64, "AC run past block end")
-                coeffs(ZigZag(k)) =
-                  extend(br.bits(s), s).toDouble * quant(c.tq)(ZigZag(k))
+            if (!brk) {
+              var placed = false
+              while (k <= se && !placed) {
+                val c = cf(off + k)
+                if (c != 0) {
+                  if (br.bit() == 1 && (c & p1) == 0)
+                    cf(off + k) = if (c >= 0) c + p1 else c + m1
+                } else {
+                  if (r == 0) {
+                    if (s != 0) cf(off + k) = newVal
+                    placed = true
+                  } else r -= 1
+                }
                 k += 1
               }
             }
-            val px = idct(coeffs)
-            val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                planes(ci)((oy + yy) * planeW(ci) + ox + xx) =
-                  clamp255(math.round(px(yy * 8 + xx) + 128.0))
-                xx += 1
-              }
-              yy += 1
-            }
-            bx += 1
           }
-          by += 1
         }
-        ci += 1
+        if (eobrun > 0) {
+          while (k <= se) {
+            val c = cf(off + k)
+            if (c != 0 && br.bit() == 1 && (c & p1) == 0)
+              cf(off + k) = if (c >= 0) c + p1 else c + m1
+            k += 1
+          }
+          eobrun -= 1
+        }
       }
-      mcu += 1
+      def baselineBlock(ci: Int, cf: Array[Int], off: Int): Unit = {
+        dcFirst(ci, cf, off)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decodeSym(acTabs(comps(ci).acTab))
+          val r = (rs >> 4) & 0xF; val s = rs & 0xF
+          if (s == 0) {
+            if (r == 15) k += 16 else eob = true
+          } else {
+            k += r
+            require(k < 64, "AC run past block end")
+            cf(off + k) = extend(br.bits(s), s)
+            k += 1
+          }
+        }
+      }
+      def decodeBlock(ci: Int, blockRow: Int, blockCol: Int): Unit = {
+        val off = (blockRow * bpl(ci) + blockCol) * 64
+        val cf = coefs(ci)
+        if (!progressive) baselineBlock(ci, cf, off)
+        else if (dcScan) { if (ah == 0) dcFirst(ci, cf, off) else dcRefine(cf, off) }
+        else { if (ah == 0) acFirst(ci, cf, off) else acRefine(ci, cf, off) }
+      }
+
+      val interleaved = ns > 1
+      val totalMcus =
+        if (interleaved) mcusX * mcusY
+        else blocksW(scanComps(0)) * blocksH(scanComps(0))
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.expectRestart()
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val my = mcu / mcusX; val mx = mcu % mcusX
+          var si = 0
+          while (si < ns) {
+            val ci = scanComps(si)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(ci, my * c.v + by, mx * c.h + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+        } else {
+          // non-interleaved scan: MCU = one block over the component's
+          // own ceil(compW/8) × ceil(compH/8) grid (T.81 A.2.2)
+          val ci = scanComps(0)
+          decodeBlock(ci, mcu / blocksW(ci), mcu % blocksW(ci))
+        }
+        mcu += 1
+      }
+      sawScan = true
+      // locate the next marker (the bit reader may have consumed it)
+      if (br.synthEoi) -1
+      else if (br.atMarker >= 0) br.pos - 2
+      else {
+        var p = br.pos
+        var found = -1
+        while (found < 0 && p + 1 < b.length) {
+          val v0 = b(p) & 0xFF; val v1 = b(p + 1) & 0xFF
+          if (v0 == 0xFF && v1 != 0x00 && v1 != 0xFF) found = p else p += 1
+        }
+        found
+      }
+    }
+
+    // ---- marker walk: headers, tables, and scans until EOI
+    var done = false
+    while (!done) {
+      require(pos + 2 <= b.length, "truncated JPEG before EOI")
+      require((b(pos) & 0xFF) == 0xFF, s"JPEG marker expected at $pos")
+      // T.81 B.1.1.2: any number of FF fill bytes may precede a marker
+      while (pos + 2 <= b.length && (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD9) { done = true } // EOI
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) {
+        pos += 2 // length-less marker (TEM / stray RSTn / SOI): skip
+      } else {
+        require(pos + 4 <= b.length, "truncated JPEG segment header")
+        val len = u16(pos + 2)
+        require(len >= 2 && pos + 2 + len <= b.length,
+          f"truncated JPEG segment FF$m%02X")
+        val segEnd = pos + 2 + len
+        m match {
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
+            require(comps == null, "multiple JPEG frames")
+            progressive = m == 0xC2
+            require((b(pos + 4) & 0xFF) == 8, "only 8-bit JPEG")
+            h = u16(pos + 5); w = u16(pos + 7)
+            require(w > 0 && h > 0, "JPEG missing SOF dimensions")
+            val nc = b(pos + 9) & 0xFF
+            require(nc == 1 || nc == 3,
+              s"only grayscale or YCbCr JPEG ($nc components)")
+            comps = Array.tabulate(nc) { i =>
+              val o = pos + 10 + i * 3
+              val hv = b(o + 1) & 0xFF
+              val c = Comp(b(o) & 0xFF, (hv >> 4) & 0xF, hv & 0xF, b(o + 2) & 0xFF)
+              require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+                s"unsupported sampling ${c.h}x${c.v}")
+              c
+            }
+            maxH = comps.map(_.h).max
+            maxV = comps.map(_.v).max
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            bpl = comps.map(c => mcusX * c.h)
+            bpc = comps.map(c => mcusY * c.v)
+            blocksW = comps.map(c => ((w * c.h + maxH - 1) / maxH + 7) / 8)
+            blocksH = comps.map(c => ((h * c.v + maxV - 1) / maxV + 7) / 8)
+            coefs = comps.indices.toArray.map(i => new Array[Int](bpl(i) * bpc(i) * 64))
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG frame type FFC${m & 0xF}%X")
+          case 0xC4 => // DHT (possibly several tables)
+            var o = pos + 4
+            while (o < segEnd) {
+              val tc = (b(o) >> 4) & 0xF; val th = b(o) & 0xF
+              require(tc <= 1 && th <= 3, "bad DHT header")
+              require(o + 17 <= segEnd, "DHT BITS past segment end")
+              val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xFF)
+              val n = bits.sum
+              require(o + 17 + n <= segEnd, "DHT symbol count past segment end")
+              val vals = Array.tabulate(n)(i => b(o + 17 + i) & 0xFF)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              o += 17 + n
+            }
+          case 0xDB => // DQT (possibly several tables, 8- or 16-bit)
+            var o = pos + 4
+            while (o < segEnd) {
+              val pq = (b(o) >> 4) & 0xF; val tq = b(o) & 0xF
+              require(pq <= 1 && tq <= 3, "bad DQT header")
+              require(o + 1 + (if (pq == 0) 64 else 128) <= segEnd,
+                "DQT table past segment end")
+              var i = 0
+              while (i < 64) {
+                val v = if (pq == 0) b(o + 1 + i) & 0xFF
+                        else u16(o + 1 + 2 * i)
+                quant(tq)(ZigZag(i)) = v
+                i += 1
+              }
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xDD => restartInterval = u16(pos + 4)
+          case 0xDA => // SOS: decode the scan, resume at the next marker
+            val next = decodeScan(pos + 4, len)
+            if (next < 0) done = true else pos = next
+          case _ => // APPn / COM / DNL / others: skip
+        }
+        if (!done && m != 0xDA) pos = segEnd
+      }
+    }
+
+    require(comps != null, "JPEG missing SOF")
+    require(sawScan, "JPEG missing SOS")
+
+    // ---- dequantize + IDCT every accumulated block into the planes
+    val planes = comps.indices.toArray.map(i => new Array[Int](bpl(i) * 8 * bpc(i) * 8))
+    val planeW = comps.indices.toArray.map(i => bpl(i) * 8)
+    val block = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).tq)
+      val cf = coefs(ci)
+      var br2 = 0
+      while (br2 < bpc(ci)) {
+        var bc = 0
+        while (bc < bpl(ci)) {
+          val off = (br2 * bpl(ci) + bc) * 64
+          java.util.Arrays.fill(block, 0.0)
+          var k = 0
+          while (k < 64) {
+            val c = cf(off + k)
+            if (c != 0) block(ZigZag(k)) = c.toDouble * q(ZigZag(k))
+            k += 1
+          }
+          val px = idct(block)
+          val ox = bc * 8; val oy = br2 * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((oy + yy) * planeW(ci) + ox + xx) =
+                clamp255(math.round(px(yy * 8 + xx) + 128.0))
+              xx += 1
+            }
+            yy += 1
+          }
+          bc += 1
+        }
+        br2 += 1
+      }
+      ci += 1
     }
 
     val out = new Array[Float](w * h * 3)
@@ -418,11 +625,13 @@ object JpegCodec {
   }
 
   // ------------------------------------------------------------------
-  // Encoder (4:4:4, self-declared canonical Huffman tables)
+  // Encoder (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0; sequential or progressive
+  // spectral-selection; self-declared canonical Huffman tables)
   // ------------------------------------------------------------------
 
   /** DC symbols 0..11 as 5-bit canonical codes; AC symbols (EOB, ZRL,
-    * every run/size) as 8-bit canonical codes — the all-ones code is
+    * every run/size — plus the fourteen EOBn run symbols when
+    * progressive) as 8-bit canonical codes — the all-ones code is
     * unused at both lengths. */
   private val DcBits: Array[Int] =
     Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -432,6 +641,10 @@ object JpegCodec {
       .sorted.toArray
   private val AcBits: Array[Int] =
     Array(0, 0, 0, 0, 0, 0, 0, AcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] =
+    (AcVals ++ (1 to 14).map(r => r << 4)).sorted.toArray
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
 
   /** (code, length) per symbol from BITS/HUFFVAL. */
   private def encTable(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
@@ -471,32 +684,89 @@ object JpegCodec {
     s
   }
 
-  /** Encode an RGB formula plane as a 4:4:4 baseline JPEG;
+  /** Encode an RGB formula plane as a baseline (or, with
+    * `progressive = true`, spectral-selection SOF2) JPEG. Luma
+    * sampling factors (sampH, sampV) ∈ {1, 2}² select 4:4:4 / 4:2:2 /
+    * 4:4:0 / 4:2:0 (chroma box-averaged over the sampH×sampV cell);
     * `restartInterval` > 0 adds DRI + RSTn markers every that many
-    * MCUs (exercises the decoder's restart path). */
+    * MCUs (sequential only — exercises the decoder's restart path).
+    * The default-argument path emits bytes identical to the
+    * pre-progressive encoder. */
   def encode(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
-             quality: Int = 95, restartInterval: Int = 0): Array[Byte] = {
+             quality: Int = 95, restartInterval: Int = 0,
+             sampH: Int = 1, sampV: Int = 1,
+             progressive: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1, "empty image")
     require(width <= 65535 && height <= 65535,
       "JPEG dimensions are 16-bit (T.81 B.2.2)")
     require(quality >= 1 && quality <= 100, "quality in [1, 100]")
     require(restartInterval >= 0, "restartInterval >= 0")
+    require(sampH >= 1 && sampH <= 2 && sampV >= 1 && sampV <= 2,
+      "luma sampling factors in {1, 2}")
+    require(!progressive || restartInterval == 0,
+      "restart markers unsupported in the progressive encoder")
     val qLum = scaleQ(QLumBase, quality)
     val qChrom = scaleQ(QChromBase, quality)
-    val dcEnc = encTable(DcBits, DcVals)
-    val acEnc = encTable(AcBits, AcVals)
 
-    // color transform to full-resolution Y/Cb/Cr planes
-    val planes = Array.ofDim[Int](3, width * height)
+    // ---- color transform: full-res Y, box-averaged chroma planes
+    val yPlane = new Array[Int](width * height)
+    val cbFull = new Array[Int](width * height)
+    val crFull = new Array[Int](width * height)
     for (y <- 0 until height; x <- 0 until width) {
       val (r0, g0, b0) = pix(x, y)
       val r = r0 & 0xFF; val g = g0 & 0xFF; val bb = b0 & 0xFF
       val o = y * width + x
-      planes(0)(o) = clamp255(math.round(0.299 * r + 0.587 * g + 0.114 * bb))
-      planes(1)(o) = clamp255(math.round(
+      yPlane(o) = clamp255(math.round(0.299 * r + 0.587 * g + 0.114 * bb))
+      cbFull(o) = clamp255(math.round(
         -0.168736 * r - 0.331264 * g + 0.5 * bb + 128.0))
-      planes(2)(o) = clamp255(math.round(
+      crFull(o) = clamp255(math.round(
         0.5 * r - 0.418688 * g - 0.081312 * bb + 128.0))
+    }
+    val cw = (width + sampH - 1) / sampH
+    val ch = (height + sampV - 1) / sampV
+    def downsample(full: Array[Int]): Array[Int] = {
+      if (sampH == 1 && sampV == 1) return full
+      val out = new Array[Int](cw * ch)
+      for (cy <- 0 until ch; cx <- 0 until cw) {
+        var s = 0; var n = 0
+        for (dy <- 0 until sampV; dx <- 0 until sampH) {
+          val sx = cx * sampH + dx; val sy = cy * sampV + dy
+          if (sx < width && sy < height) { s += full(sy * width + sx); n += 1 }
+        }
+        out(cy * cw + cx) = clamp255(math.round(s.toDouble / n))
+      }
+      out
+    }
+    val cbPlane = downsample(cbFull)
+    val crPlane = downsample(crFull)
+
+    val mcusX = (width + 8 * sampH - 1) / (8 * sampH)
+    val mcusY = (height + 8 * sampV - 1) / (8 * sampV)
+    // per-component geometry: (plane, planeW, planeH, q, blocksPerLine)
+    val compPlanes = Array(yPlane, cbPlane, crPlane)
+    val compW = Array(width, cw, cw)
+    val compH = Array(height, ch, ch)
+    val compQ = Array(qLum, qChrom, qChrom)
+    val compBpl = Array(mcusX * sampH, mcusX, mcusX)
+    val compBpc = Array(mcusY * sampV, mcusY, mcusY)
+
+    // ---- quantized zigzag coefficients for every padded-grid block
+    val coefBlocks = Array.tabulate(3) { ci =>
+      val out = new Array[Int](compBpl(ci) * compBpc(ci) * 64)
+      val block = new Array[Double](64)
+      for (brow <- 0 until compBpc(ci); bcol <- 0 until compBpl(ci)) {
+        for (yy <- 0 until 8; xx <- 0 until 8) {
+          // edge blocks replicate the last row/column (the usual pad)
+          val sx = math.min(bcol * 8 + xx, compW(ci) - 1)
+          val sy = math.min(brow * 8 + yy, compH(ci) - 1)
+          block(yy * 8 + xx) = compPlanes(ci)(sy * compW(ci) + sx) - 128.0
+        }
+        val f = fdct(block)
+        val off = (brow * compBpl(ci) + bcol) * 64
+        for (i <- 0 until 64)
+          out(off + i) = math.round(f(ZigZag(i)) / compQ(ci)(ZigZag(i))).toInt
+      }
+      out
     }
 
     val out = new ByteArrayOutputStream()
@@ -508,82 +778,150 @@ object JpegCodec {
     marker(0xDB); be16(2 + 2 * 65)
     out.write(0x00); ZigZag.foreach(i => out.write(qLum(i)))
     out.write(0x01); ZigZag.foreach(i => out.write(qChrom(i)))
-    // SOF0: 3 components, 1x1 sampling each
-    marker(0xC0); be16(8 + 3 * 3); out.write(8)
+    // SOF0 (sequential) or SOF2 (progressive)
+    marker(if (progressive) 0xC2 else 0xC0)
+    be16(8 + 3 * 3); out.write(8)
     be16(height); be16(width); out.write(3)
-    out.write(1); out.write(0x11); out.write(0) // Y  -> q0
-    out.write(2); out.write(0x11); out.write(1) // Cb -> q1
-    out.write(3); out.write(0x11); out.write(1) // Cr -> q1
+    out.write(1); out.write((sampH << 4) | sampV); out.write(0) // Y  -> q0
+    out.write(2); out.write(0x11); out.write(1)                 // Cb -> q1
+    out.write(3); out.write(0x11); out.write(1)                 // Cr -> q1
     // DHT: same canonical tables declared for ids 0 and 1, DC and AC
     def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xC4); be16(2 + 1 + 16 + vals.length)
       out.write((tc << 4) | th); bits.foreach(out.write); vals.foreach(out.write)
     }
-    dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
-    dht(0, 1, DcBits, DcVals); dht(1, 1, AcBits, AcVals)
+    val acBits = if (progressive) ProgAcBits else AcBits
+    val acVals = if (progressive) ProgAcVals else AcVals
+    dht(0, 0, DcBits, DcVals); dht(1, 0, acBits, acVals)
+    dht(0, 1, DcBits, DcVals); dht(1, 1, acBits, acVals)
     if (restartInterval > 0) { marker(0xDD); be16(4); be16(restartInterval) }
-    // SOS
-    marker(0xDA); be16(6 + 2 * 3); out.write(3)
-    out.write(1); out.write(0x00)
-    out.write(2); out.write(0x11)
-    out.write(3); out.write(0x11)
-    out.write(0); out.write(63); out.write(0) // Ss/Se/Ah-Al (baseline)
+    val dcEnc = encTable(DcBits, DcVals)
+    val acEnc = encTable(acBits, acVals)
 
-    val bw = new BitWriter(out)
-    val dcPred = new Array[Int](3)
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
-    val block = new Array[Double](64)
-    var rstCount = 0
-    for (m <- 0 until blocksX * blocksY) {
-      val by = m / blocksX; val bx = m % blocksX
-      if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
-        bw.flush()
-        marker(0xD0 + (rstCount % 8)); rstCount += 1
-        java.util.Arrays.fill(dcPred, 0)
+    def sos(scanComps: Seq[Int], ss: Int, se: Int): Unit = {
+      marker(0xDA); be16(6 + 2 * scanComps.length)
+      out.write(scanComps.length)
+      scanComps.foreach { ci =>
+        out.write(ci + 1)
+        out.write(if (ci == 0) 0x00 else 0x11)
       }
-      for (ci <- 0 until 3) {
-      val q = if (ci == 0) qLum else qChrom
-      // edge blocks replicate the last row/column (the usual pad)
-      for (yy <- 0 until 8; xx <- 0 until 8) {
-        val sx = math.min(bx * 8 + xx, width - 1)
-        val sy = math.min(by * 8 + yy, height - 1)
-        block(yy * 8 + xx) = planes(ci)(sy * width + sx) - 128.0
-      }
-      val f = fdct(block)
-      val qz = new Array[Int](64)
-      for (i <- 0 until 64)
-        qz(i) = math.round(f(ZigZag(i)) / q(ZigZag(i))).toInt
-      // DC
-      val diff = qz(0) - dcPred(ci)
-      dcPred(ci) = qz(0)
+      out.write(ss); out.write(se); out.write(0) // Ah/Al = 0 (no approx)
+    }
+    def putDc(bw: BitWriter, diff: Int): Unit = {
       val s = category(diff)
       val (dc, dl) = dcEnc(s)
       bw.put(dc, dl)
       if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      // AC with run-lengths
-      var k = 1
-      while (k < 64) {
-        var run = 0
-        while (k < 64 && qz(k) == 0) { run += 1; k += 1 }
-        if (k == 64) {
-          val (c, l) = acEnc(0x00); bw.put(c, l) // EOB
-        } else {
-          while (run > 15) {
-            val (c, l) = acEnc(0xF0); bw.put(c, l); run -= 16 // ZRL
+    }
+
+    if (!progressive) {
+      // ---- single interleaved full-band scan
+      sos(Seq(0, 1, 2), 0, 63)
+      val bw = new BitWriter(out)
+      val dcPred = new Array[Int](3)
+      var rstCount = 0
+      for (m <- 0 until mcusX * mcusY) {
+        if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+          bw.flush()
+          marker(0xD0 + (rstCount % 8)); rstCount += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val my = m / mcusX; val mx = m % mcusX
+        for (ci <- 0 until 3) {
+          val (nh, nv) = if (ci == 0) (sampH, sampV) else (1, 1)
+          for (by <- 0 until nv; bx <- 0 until nh) {
+            val off = ((my * nv + by) * compBpl(ci) + mx * nh + bx) * 64
+            val qz = coefBlocks(ci)
+            putDc(bw, qz(off) - dcPred(ci))
+            dcPred(ci) = qz(off)
+            var k = 1
+            while (k < 64) {
+              var run = 0
+              while (k < 64 && qz(off + k) == 0) { run += 1; k += 1 }
+              if (k == 64) {
+                val (c, l) = acEnc(0x00); bw.put(c, l) // EOB
+              } else {
+                while (run > 15) {
+                  val (c, l) = acEnc(0xF0); bw.put(c, l); run -= 16 // ZRL
+                }
+                val v = qz(off + k)
+                val sz = category(v)
+                require(sz <= 10, "AC coefficient out of baseline range")
+                val (c, l) = acEnc((run << 4) | sz)
+                bw.put(c, l)
+                bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+                k += 1
+              }
+            }
           }
-          val v = qz(k)
-          val sz = category(v)
-          require(sz <= 10, "AC coefficient out of baseline range")
-          val (c, l) = acEnc((run << 4) | sz)
-          bw.put(c, l)
-          bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          k += 1
         }
       }
+      bw.flush()
+    } else {
+      // ---- spectral-selection scan script: interleaved DC scan, then
+      // one full-band AC scan per component (EOB-run coded)
+      sos(Seq(0, 1, 2), 0, 0)
+      val bw = new BitWriter(out)
+      val dcPred = new Array[Int](3)
+      for (m <- 0 until mcusX * mcusY) {
+        val my = m / mcusX; val mx = m % mcusX
+        for (ci <- 0 until 3) {
+          val (nh, nv) = if (ci == 0) (sampH, sampV) else (1, 1)
+          for (by <- 0 until nv; bx <- 0 until nh) {
+            val off = ((my * nv + by) * compBpl(ci) + mx * nh + bx) * 64
+            putDc(bw, coefBlocks(ci)(off) - dcPred(ci))
+            dcPred(ci) = coefBlocks(ci)(off)
+          }
+        }
+      }
+      bw.flush()
+      for (ci <- 0 until 3) {
+        sos(Seq(ci), 1, 63)
+        val bw = new BitWriter(out)
+        // non-interleaved geometry: ceil(compW/8) × ceil(compH/8)
+        val bw8 = (compW(ci) + 7) / 8
+        val bh8 = (compH(ci) + 7) / 8
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1 // largest r with 1<<r <= eobrun
+          val (c, l) = acEnc(r << 4)
+          bw.put(c, l)
+          if (r > 0) bw.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        for (brow <- 0 until bh8; bcol <- 0 until bw8) {
+          val off = (brow * compBpl(ci) + bcol) * 64
+          val qz = coefBlocks(ci)
+          var last = 0
+          for (k <- 1 until 64) if (qz(off + k) != 0) last = k
+          if (last == 0) {
+            eobrun += 1
+            if (eobrun == 32767) flushEob()
+          } else {
+            flushEob()
+            var k = 1
+            while (k <= last) {
+              var run = 0
+              while (qz(off + k) == 0) { run += 1; k += 1 }
+              while (run > 15) {
+                val (c, l) = acEnc(0xF0); bw.put(c, l); run -= 16 // ZRL
+              }
+              val v = qz(off + k)
+              val sz = category(v)
+              require(sz <= 10, "AC coefficient out of range")
+              val (c, l) = acEnc((run << 4) | sz)
+              bw.put(c, l)
+              bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              k += 1
+            }
+            if (last < 63) eobrun += 1 // trailing zeros: start an EOB run
+          }
+        }
+        flushEob()
+        bw.flush()
       }
     }
-    bw.flush()
     marker(0xD9) // EOI
     out.toByteArray
   }
