@@ -13,11 +13,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * codec library, whole-stage codegen (oracle-checked by q88/q92 over
   * known-parameter fixture bytes). Sample DECODE is real for the
   * formats decodable with the JDK alone — 24-bpp uncompressed BMP,
-  * 16-bit PCM WAV, and non-interlaced 8-bit truecolor PNG (zlib IDAT
-  * via `java.util.zip.Inflater` + the five scanline filters;
-  * [[BmpWavDecoder]], oracle-checked by q189/q190/q215) — and stubbed
-  * behind the same `MediaDecoder` interface for codecs that genuinely
-  * need a library (JPEG/video), where production would drop in a
+  * 16-bit PCM WAV, non-interlaced 8-bit truecolor/palette PNG (zlib
+  * IDAT via `java.util.zip.Inflater` + the five scanline filters;
+  * [[BmpWavDecoder]], oracle-checked by q189/q190/q215), baseline AND
+  * progressive JPEG ([[JpegCodec]], q242/q245), and MJPEG-in-AVI
+  * video frames ([[AviMjpeg]], q246) — and stubbed behind the same
+  * `MediaDecoder` interface only for codecs that genuinely need a
+  * library (H.264/VP9/…), where production would drop in a
   * JNI/FFM-backed decoder.
   * `mapPartitions` + `grouped(batchSize)` is the Scala analogue of a
   * vectorized (pandas-UDF-style) batch boundary: a real decoder
@@ -292,7 +294,13 @@ object Multimodal {
       kind match {
         case "image" => decodeImageWithDims(bytes)._3
         case "audio" => decodeWavPcm16(bytes)
-        case other   => FakeDecoder.decode(bytes, other)
+        case "video" if AviMjpeg.isMjpegAvi(bytes) =>
+          // REAL video decode (MJPEG-in-AVI rides JpegCodec): the
+          // single-vector MediaDecoder contract gets the FIRST frame's
+          // plane (the thumbnail convention); per-frame pipelines use
+          // [[Multimodal.extractVideoFrames]] instead
+          AviMjpeg.decodeFrames(bytes).head._3
+        case other => FakeDecoder.decode(bytes, other)
       }
   }
 
@@ -312,11 +320,42 @@ object Multimodal {
   }
 
   /** Frame sampling stub for video kinds: every `stride`-th fixed-size
-    * chunk of the byte stream stands in for a decoded frame. */
+    * chunk of the byte stream stands in for a decoded frame. Retained
+    * for formats with no real decode path; MJPEG-in-AVI uses
+    * [[extractVideoFrames]] (real frames) instead. */
   def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
+
+  /** One decoded frame of a video row: `frame` is the 0-based index in
+    * stream order (post-stride), (w, h, features) is the same
+    * row-major RGB plane contract as image decode. */
+  case class VideoFrameRow(id: Long, frame: Int, w: Int, h: Int,
+                           features: Array[Float])
+
+  /** REAL video frame decode + sampling for MJPEG-in-AVI rows: each
+    * video explodes into every `stride`-th frame, decoded through
+    * [[AviMjpeg]] → [[JpegCodec]] to full RGB planes (then resize /
+    * phash / near-dup compose exactly like the image pipeline).
+    * Narrow — one input row yields its frames inside the same task,
+    * no shuffle; `batchSize` bounds per-task decoded-frame memory the
+    * same way [[extractFeatures]] bounds decoder state. */
+  def extractVideoFrames(ds: Dataset[MediaRow], stride: Int = 1,
+                         batchSize: Int = 8): Dataset[VideoFrameRow] = {
+    require(stride >= 1, "stride >= 1")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          AviMjpeg.decodeFrames(r.media).zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => (f, i / stride) }
+            .map { case ((w, h, px), i) => VideoFrameRow(r.id, i, w, h, px) }
+        }
+      }
+    }
+  }
 
   /** REAL bilinear resize of a decoded interleaved-RGB plane (w×h →
     * tw×th) — the image-pipeline resize done properly: each target

@@ -76,13 +76,76 @@ object VideoFixtures {
   def webm: Array[Byte] =
     Array(0x1A, 0x45, 0xDF, 0xA3, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
 
-  /** RIFF AVI magic — detected, not parsed. */
+  /** RIFF AVI magic only — header-less (the detect-by-magic branch). */
   def avi: Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("RIFF".getBytes("US-ASCII"))
     out.write(Array[Byte](0, 1, 0, 0))
     out.write("AVI ".getBytes("US-ASCII"))
     out.toByteArray
+  }
+
+  // ---- RIFF little-endian building blocks (AVI MJPEG writer) ----
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ le32(payload.length.toLong) ++ payload ++ pad
+  }
+  private def list(listType: String, children: Array[Byte]*): Array[Byte] =
+    chunk("LIST", fourcc(listType) ++ children.flatten.toArray)
+
+  /** A complete playable MJPEG AVI: `LIST hdrl` (avih main header +
+    * `strl` with a 'vids'/'MJPG' stream header and BITMAPINFOHEADER),
+    * `LIST movi` with one baseline-JPEG `00dc` chunk per frame (frame
+    * f rendered from `pix(f)`), and an idx1 keyframe index — exactly
+    * the structure [[AviMjpeg]] walks and [[graft.plans.VideoMeta]]
+    * reads dimensions/duration from. `recGroups` wraps each frame in
+    * a `LIST rec ` group (the interleaved-stream layout some muxers
+    * emit). */
+  def aviMjpeg(w: Int, h: Int, nFrames: Int,
+               pix: Int => (Int, Int) => (Int, Int, Int),
+               quality: Int = 95, fps: Int = 10,
+               recGroups: Boolean = false,
+               progressiveFrames: Boolean = false): Array[Byte] = {
+    require(nFrames >= 1 && fps >= 1, "need frames and a rate")
+    val usPerFrame = 1000000L / fps
+    val frames = (0 until nFrames).map(f =>
+      graft.llm.JpegCodec.encode(w, h, pix(f), quality,
+        progressive = progressiveFrames))
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // HASINDEX
+        le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+        le32(nFrames.toLong) ++ le32(0) ++ le32(0xFFFFFFFFL) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val moviChildren =
+      if (recGroups) frameChunks.map(fc => list("rec ", fc))
+      else frameChunks
+    val movi = list("movi", moviChildren: _*)
+    // idx1 offsets are relative to the 'movi' fourcc (first chunk at 4)
+    val offsets = moviChildren.scanLeft(4L)((o, c) => o + c.length)
+    val idx1 = chunk("idx1",
+      frames.indices.flatMap { i =>
+        fourcc("00dc") ++ le32(0x10) ++
+          le32(offsets(i) + (if (recGroups) 12 else 0)) ++
+          le32(frames(i).length.toLong)
+      }.toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fourcc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
   def garbage: Array[Byte] = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
@@ -95,5 +158,7 @@ object VideoFixtures {
     4L -> mp4FtypOnly("isom"),
     5L -> webm,
     6L -> avi,
-    7L -> garbage)
+    7L -> garbage,
+    8L -> aviMjpeg(12, 8, 2,
+      f => (x, y) => (30 + x * 3 + f * 5, 40 + y * 4 + f * 3, 50 + x + y + f)))
 }

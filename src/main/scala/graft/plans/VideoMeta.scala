@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * timescale/duration, and first-track pixel dimensions parsed
   * straight out of the header with no codec library. MP4/ISO BMFF
   * (ISO 14496-12 box walk: ftyp → moov → mvhd/trak → tkhd, both mvhd
-  * versions, 64-bit largesize boxes) is parsed fully; EBML
-  * (WebM/Matroska) and RIFF AVI are detected by magic. Frame DECODE
-  * stays behind [[graft.llm.Multimodal.MediaDecoder]] exactly as for
-  * images and audio.
+  * versions, 64-bit largesize boxes) is parsed fully; RIFF AVI reads
+  * dimensions/frame count from the avih main header (duration in a
+  * fixed µs timescale); EBML (WebM/Matroska) is detected by magic.
+  * Frame DECODE stays behind [[graft.llm.Multimodal.MediaDecoder]]
+  * exactly as for images and audio — REAL for MJPEG-in-AVI via
+  * [[graft.llm.AviMjpeg]] + [[graft.llm.JpegCodec]].
   *
   * Returned struct: (format, brand, timescale, duration, width,
   * height). Numeric fields are null when the needed box is truncated
@@ -68,6 +70,10 @@ object VideoMeta {
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
 
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
 
@@ -98,9 +104,37 @@ object VideoMeta {
     if (b.length >= 4 && (b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
         (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)
       return row("webm", null, null, null, null, null)
-    // RIFF AVI
-    if (tag(b, 0, "RIFF") && tag(b, 8, "AVI "))
+    // RIFF AVI: dimensions and duration from the avih main header
+    // (LIST hdrl → avih: dwMicroSecPerFrame, dwTotalFrames, dwWidth,
+    // dwHeight) — duration expressed in a fixed µs timescale so
+    // duration_ms composes the same way as for MP4. Header-less AVI
+    // magic (or any truncation) degrades to the null-field row.
+    if (tag(b, 0, "RIFF") && tag(b, 8, "AVI ")) {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        val payload = i + 8
+        if (payload + size > b.length)
+          return row("avi", null, null, null, null, null)
+        if (tag(b, i, "LIST") && tag(b, payload, "hdrl")) {
+          val e = (payload + size).toInt
+          var j = payload + 4
+          while (j + 8 <= e) {
+            val cs = le32(b, j + 4)
+            val cp = j + 8
+            if (cp + cs > e) return row("avi", null, null, null, null, null)
+            if (tag(b, j, "avih") && cs >= 40)
+              return row("avi", null, 1000000L,
+                le32(b, cp) * le32(b, cp + 16),
+                le32(b, cp + 32).toInt, le32(b, cp + 36).toInt)
+            j = (cp + cs + (cs & 1)).toInt
+          }
+          return row("avi", null, null, null, null, null)
+        }
+        i = (payload + size + (size & 1)).toInt
+      }
       return row("avi", null, null, null, null, null)
+    }
     // ISO BMFF: the first top-level box must carry a known type; an
     // ftyp anywhere in the top-level walk names the brand.
     if (!tag(b, 4, "ftyp") && !tag(b, 4, "moov") && !tag(b, 4, "mdat") &&

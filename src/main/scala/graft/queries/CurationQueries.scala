@@ -188,8 +188,9 @@ object CurationQueries {
     // Video sibling of q88/q92: MP4 box-walk metadata (ftyp brand,
     // mvhd v0/v1 timescale+duration, tkhd 16.16 dimensions, largesize
     // boxes) from raw bytes by the dependency-free VideoMeta
-    // expression; EBML/AVI detected by magic. duration_ms composes
-    // from the parsed fields in BOTH engines.
+    // expression; AVI reads dims + µs duration from the avih main
+    // header (fixture 8, a real MJPEG AVI), EBML detected by magic.
+    // duration_ms composes from the parsed fields in BOTH engines.
     "q173_video_meta" -> ((s, d) => {
       import s.implicits._
       val df = graft.llm.VideoFixtures.all.toDF("video_id", "bytes")
@@ -202,6 +203,52 @@ object CurationQueries {
                 col("m.width").as("width"), col("m.height").as("height"))
         .withColumn("duration_ms",
           expr("(duration * 1000) DIV timescale"))
+    }),
+
+    // REAL video frame decode: MJPEG-in-AVI fixtures (one flat-movi
+    // with sequential frames, one LIST-rec-grouped with PROGRESSIVE
+    // frames) ride AviMjpeg's RIFF walk into JpegCodec per frame, one
+    // output row per (video, frame). The oracle pins the exact frame
+    // set and per-frame value counts; the per-frame generative-plane
+    // error bound is the Spark-side claim (q242's lossy-codec
+    // envelope) — a container-walk, frame-order or codec bug breaks
+    // the row set or blows the bound.
+    "q246_mjpeg_frames" -> ((s, d) => {
+      import s.implicits._
+      val mk = (f: Int) => (x: Int, y: Int) =>
+        (96 + x * 2 + y + 5 * f, 80 + x + y * 2 + 3 * f,
+         120 + x - y / 2 + 7 * f)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          graft.llm.VideoFixtures.aviMjpeg(16, 12, 3, mk, quality = 95),
+          "video"),
+        graft.llm.Multimodal.MediaRow(2L,
+          graft.llm.VideoFixtures.aviMjpeg(13, 9, 2, mk, quality = 95,
+            recGroups = true, progressiveFrames = true), "video")).toDS()
+      val dec = graft.llm.Multimodal.extractVideoFrames(ds).toDF()
+        .select(col("id").as("video_id"), col("frame"), col("w"), col("h"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+      val exp = Seq((1L, 16, 12, 3), (2L, 13, 9, 2))
+        .toDF("video_id", "w", "h", "n")
+        .withColumn("frame", explode(sequence(lit(0), col("n") - 1)))
+        .withColumn("y", explode(sequence(lit(0), col("h") - 1)))
+        .withColumn("x", explode(sequence(lit(0), col("w") - 1)))
+        .withColumn("c", explode(sequence(lit(0), lit(2))))
+        .select(col("video_id"), col("frame"),
+          ((col("y") * col("w") + col("x")) * 3 + col("c")).as("pos"),
+          when(col("c") === 0,
+               lit(96) + col("x") * 2 + col("y") + lit(5) * col("frame"))
+            .when(col("c") === 1,
+               lit(80) + col("x") + col("y") * 2 + lit(3) * col("frame"))
+            .otherwise(lit(120) + col("x") - expr("y div 2") +
+               lit(7) * col("frame"))
+            .cast("double").as("expected"))
+      dec.join(exp, Seq("video_id", "frame", "pos"))
+        .groupBy(col("video_id"), col("frame"))
+        .agg(count(lit(1)).as("n_values"),
+             max(abs(col("v").cast("double") - col("expected"))).as("__maxe"))
+        .select(col("video_id"), col("frame").as("frame_idx"),
+                col("n_values"), (col("__maxe") <= 6.0).as("max_err_le_6"))
     }),
 
     // BPE tokenizer TRAINING: 6 greedy merge rounds on the word-type
@@ -1045,6 +1092,17 @@ object CurationQueries {
         |WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
         |GROUP BY 1""".stripMargin,
 
+    // q246: frame set and value counts exact; the error bound is the
+    // Spark-side claim against the generative per-frame plane.
+    "q246_mjpeg_frames" ->
+      """WITH v AS (SELECT * FROM (VALUES (1, 16, 12, 3), (2, 13, 9, 2))
+        |             t(video_id, w, h, n)),
+        |f AS (SELECT video_id, w, h, unnest(range(n)) AS frame_idx FROM v)
+        |SELECT CAST(video_id AS BIGINT) AS video_id,
+        |  CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(w * h * 3 AS BIGINT) AS n_values, TRUE AS max_err_le_6
+        |FROM f""".stripMargin,
+
     "q173_video_meta" ->
       """SELECT CAST(video_id AS BIGINT) AS video_id, format, brand,
         |  CAST(timescale AS BIGINT) AS timescale,
@@ -1058,7 +1116,8 @@ object CurationQueries {
         |  (4, 'mp4', 'isom', NULL, NULL, NULL, NULL),
         |  (5, 'webm', NULL, NULL, NULL, NULL, NULL),
         |  (6, 'avi', NULL, NULL, NULL, NULL, NULL),
-        |  (7, 'unknown', NULL, NULL, NULL, NULL, NULL)
+        |  (7, 'unknown', NULL, NULL, NULL, NULL, NULL),
+        |  (8, 'avi', NULL, 1000000, 200000, 12, 8)
         |) AS t(video_id, format, brand, timescale, duration, width,
         |       height)""".stripMargin,
 

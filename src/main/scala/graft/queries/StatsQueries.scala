@@ -389,6 +389,60 @@ object StatsQueries {
             .as("phash_within_6_bits"))
     }),
 
+    // JPEG mode matrix through the full dispatch: the SAME generative
+    // plane staged at all three subsampled layouts (4:2:2, 4:4:0,
+    // 4:2:0) and, per layout, as BOTH a sequential (SOF0) and a
+    // progressive (SOF2 spectral-selection) stream. Decode error vs
+    // the formula is bounded (chroma subsampling loses a little more
+    // than 4:4:4; structural Huffman/upsample bugs measure 100+), and
+    // the progressive decode must equal the sequential decode EXACTLY
+    // — spectral selection re-orders the same quantized coefficients,
+    // so the multi-scan accumulator has one right answer.
+    "q245_jpeg_modes" -> ((s, d) => {
+      import s.implicits._
+      val smooth = (x: Int, y: Int) =>
+        (96 + x * 2 + y, 80 + x + y * 2, 120 + x - y / 2)
+      val imgs = Seq((1L, 20, 14, 2, 1), (2L, 15, 18, 1, 2),
+                     (3L, 22, 17, 2, 2))
+      val ds = imgs.flatMap { case (id, w, h, sh, sv) => Seq(
+        graft.llm.Multimodal.MediaRow(id,
+          graft.llm.JpegCodec.encode(w, h, smooth, quality = 95,
+            sampH = sh, sampV = sv), "image"),
+        graft.llm.Multimodal.MediaRow(id + 100L,
+          graft.llm.JpegCodec.encode(w, h, smooth, quality = 95,
+            sampH = sh, sampV = sv, progressive = true), "image"))
+      }.toDS()
+      val dec = graft.llm.Multimodal
+        .extractFeatures(ds, graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id"), posexplode(col("features")).as(Seq("pos", "v")))
+      val seqDec = dec.filter(col("id") < 100)
+        .select(col("id").as("image_id"), col("pos"),
+                col("v").cast("double").as("v"))
+      val progDec = dec.filter(col("id") >= 100)
+        .select((col("id") - 100).as("image_id"), col("pos"),
+                col("v").cast("double").as("pv"))
+      val exp = imgs.map { case (id, w, h, _, _) => (id, w, h) }
+        .toDF("image_id", "w", "h")
+        .withColumn("y", explode(sequence(lit(0), col("h") - 1)))
+        .withColumn("x", explode(sequence(lit(0), col("w") - 1)))
+        .withColumn("c", explode(sequence(lit(0), lit(2))))
+        .select(col("image_id"),
+          ((col("y") * col("w") + col("x")) * 3 + col("c")).as("pos"),
+          when(col("c") === 0, lit(96) + col("x") * 2 + col("y"))
+            .when(col("c") === 1, lit(80) + col("x") + col("y") * 2)
+            .otherwise(lit(120) + col("x") - expr("y div 2"))
+            .cast("double").as("expected"))
+      seqDec.join(progDec, Seq("image_id", "pos"))
+        .join(exp, Seq("image_id", "pos"))
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_values"),
+             max(abs(col("v") - col("expected"))).as("__maxe"),
+             max(abs(col("v") - col("pv"))).as("__pd"))
+        .select(col("image_id"), col("n_values"),
+                (col("__maxe") <= 10.0).as("max_err_le_10"),
+                (col("__pd") === 0.0).as("prog_equals_seq"))
+    }),
+
     // Market-basket association: part-class pairs co-bought within an
     // order - support/confidence/lift off one basket-keyed pair join
     // (Sigma|basket|^2 bounded) + broadcast marginals.
@@ -1036,6 +1090,17 @@ object StatsQueries {
     "q244_jpeg_phash_parity" ->
       """SELECT doc_id AS image_id, TRUE AS phash_within_6_bits
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    // q245: value count exact from the dims; the error bound and the
+    // progressive==sequential equality are Spark-side CHECKS (the
+    // q242 envelope pattern for a lossy codec).
+    "q245_jpeg_modes" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 20, 14), (2, 15, 18),
+        |                                    (3, 22, 17)) t(image_id, w, h))
+        |SELECT CAST(image_id AS BIGINT) AS image_id,
+        |  CAST(w * h * 3 AS BIGINT) AS n_values,
+        |  TRUE AS max_err_le_10, TRUE AS prog_equals_seq
+        |FROM imgs""".stripMargin,
 
     // q242: value count exact from the dims; error booleans are claims
     // the Spark side CHECKS against the generative plane (the q29/q36
