@@ -62,16 +62,19 @@ object ImageFixtures {
     out.toByteArray
   }
 
-  /** FULL non-interlaced 8-bit truecolor PNG (RFC 2083: color type 2
-    * = RGB, or 6 = RGBA with alpha = (x*5 + y*3 + 29) % 256) carrying
-    * real pixel data: zlib-deflated IDAT (split across TWO chunks —
-    * one stream, RFC 2083 §2.3), real CRC32s, and scanline filters
-    * CYCLING y % 5 so every filter type (None/Sub/Up/Average/Paeth)
-    * appears — a decoder must undo all five to round-trip `pix`.
+  /** FULL 8-bit truecolor PNG (RFC 2083: color type 2 = RGB, or 6 =
+    * RGBA with alpha = (x*5 + y*3 + 29) % 256) carrying real pixel
+    * data: zlib-deflated IDAT (split across TWO chunks — one stream,
+    * RFC 2083 §2.3), real CRC32s, and scanline filters CYCLING % 5 so
+    * every filter type (None/Sub/Up/Average/Paeth) appears — a
+    * decoder must undo all five to round-trip `pix`. With
+    * `interlace = true` the stream is Adam7: seven independently
+    * filtered reduced sub-images (empty passes absent, §2.6), the
+    * filter cycle running through a global scanline counter.
     * Counterpart of [[bmp]] for [[Multimodal.BmpWavDecoder]]'s
-    * Inflater-backed PNG path (q215 / MultimodalDecodeSpec). */
+    * Inflater-backed PNG path (q215/q247 / MultimodalDecodeSpec). */
   def pngFull(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
-              rgba: Boolean = false): Array[Byte] = {
+              rgba: Boolean = false, interlace: Boolean = false): Array[Byte] = {
     val bpp = if (rgba) 4 else 3
     val raw = Array.ofDim[Int](height, width * bpp)
     for (y <- 0 until height; x <- 0 until width) {
@@ -89,24 +92,44 @@ object ImageFixtures {
       val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
+    // Adam7 reduced images (RFC 2083 §2.6) or the identity pass; each
+    // pass filters independently, the filter type keeps cycling y % 5
+    // through a GLOBAL scanline counter so every pass mixes filters
+    val passes =
+      if (interlace) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1))
     val filtered = new ByteArrayOutputStream()
-    for (y <- 0 until height) {
-      val f = y % 5
-      filtered.write(f)
-      val cur = raw(y)
-      val pri = if (y == 0) new Array[Int](width * bpp) else raw(y - 1)
-      for (i <- 0 until width * bpp) {
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = pri(i)
-        val ul = if (i >= bpp) pri(i - bpp) else 0
-        val v = f match {
-          case 0 => cur(i)
-          case 1 => cur(i) - left
-          case 2 => cur(i) - up
-          case 3 => cur(i) - (left + up) / 2
-          case _ => cur(i) - paeth(left, up, ul)
+    var globalRow = 0
+    for ((px0, py0, pdx, pdy) <- passes) {
+      val pw = if (width > px0) (width - px0 + pdx - 1) / pdx else 0
+      val ph = if (height > py0) (height - py0 + pdy - 1) / pdy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // the pass's reduced sub-image rows
+        val sub = Array.tabulate(ph, stride) { (j, i) =>
+          raw(py0 + j * pdy)((px0 + (i / bpp) * pdx) * bpp + i % bpp)
         }
-        filtered.write(v & 0xFF)
+        for (j <- 0 until ph) {
+          val f = globalRow % 5
+          globalRow += 1
+          filtered.write(f)
+          val cur = sub(j)
+          val pri = if (j == 0) new Array[Int](stride) else sub(j - 1)
+          for (i <- 0 until stride) {
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = pri(i)
+            val ul = if (i >= bpp) pri(i - bpp) else 0
+            val v = f match {
+              case 0 => cur(i)
+              case 1 => cur(i) - left
+              case 2 => cur(i) - up
+              case 3 => cur(i) - (left + up) / 2
+              case _ => cur(i) - paeth(left, up, ul)
+            }
+            filtered.write(v & 0xFF)
+          }
+        }
       }
     }
     val defl = new java.util.zip.Deflater()
@@ -131,7 +154,8 @@ object ImageFixtures {
     ihdr.write(be32(width)); ihdr.write(be32(height))
     ihdr.write(8)                      // bit depth
     ihdr.write(if (rgba) 6 else 2)     // color type
-    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compr/filter/interlace
+    ihdr.write(0); ihdr.write(0)       // compression/filter method
+    ihdr.write(if (interlace) 1 else 0)
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte))

@@ -93,25 +93,37 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** REAL PNG pixel decode, dependency-free: non-interlaced 8-bit
-      * truecolor RGB(A) or palette-indexed PNG per RFC 2083 — chunk
-      * walk, all IDAT chunks concatenated into ONE zlib stream (§2.3)
-      * and inflated with JDK `java.util.zip.Inflater`, then the five
-      * per-scanline filters (None/Sub/Up/Average/Paeth, §6) undone
-      * against the reconstructed prior scanline; palette indices
-      * (color type 3, 1 byte/pixel after unfiltering) map through the
-      * PLTE triples. Returns row-major top-down [r,g,b, …] floats,
-      * alpha dropped — the same plane contract as [[decodeBmp]], so
+    /** The Adam7 pass grid (x0, y0, dx, dy) per RFC 2083 §2.6; a
+      * non-interlaced image is the single identity pass. */
+    private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** REAL PNG pixel decode, dependency-free: 8-bit truecolor RGB(A)
+      * or palette-indexed PNG per RFC 2083, non-interlaced OR Adam7-
+      * interlaced — chunk walk, all IDAT chunks concatenated into ONE
+      * zlib stream (§2.3) and inflated with JDK
+      * `java.util.zip.Inflater`, then the five per-scanline filters
+      * (None/Sub/Up/Average/Paeth, §6) undone against the
+      * reconstructed prior scanline. Interlaced images decode as
+      * seven independently-filtered reduced sub-images (empty passes
+      * contribute no bytes, §2.6) whose pixels scatter back to
+      * (x0 + i·dx, y0 + j·dy); the non-interlaced path is the same
+      * loop over the single identity pass. Palette indices (color
+      * type 3, 1 byte/pixel after unfiltering) map through the PLTE
+      * triples. Returns row-major top-down [r,g,b, …] floats, alpha
+      * dropped — the same plane contract as [[decodeBmp]], so
       * resize/phash pipelines compose unchanged; an optional tRNS
       * chunk is accepted and ignored for the same reason (it only
-      * carries the alpha this contract drops). 16-bit, grayscale,
-      * sub-8-bit-palette and Adam7-interlaced PNGs refuse loudly
-      * (production drops in a codec library for those). */
+      * carries the alpha this contract drops). 16-bit, grayscale and
+      * sub-8-bit-palette PNGs refuse loudly (production drops in a
+      * codec library for those). */
     private[graft] def decodePngWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) = {
       require(isPng(b), "not a PNG")
       var pos = 8
       var w = 0; var h = 0; var bpp = 0; var color = -1
+      var interlaced = false
       var palette: Array[Int] = null // flat [r,g,b, …]
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
@@ -131,8 +143,9 @@ object Multimodal {
               s"only truecolor RGB(A) or palette PNG (color type $color)")
             require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0,
               "nonstandard PNG compression/filter method")
-            require((b(pos + 20) & 0xFF) == 0,
-              "interlaced (Adam7) PNG not supported")
+            val il = b(pos + 20) & 0xFF
+            require(il <= 1, s"unknown PNG interlace method $il")
+            interlaced = il == 1
             bpp = if (color == 6) 4 else if (color == 3) 1 else 3
           case "PLTE" =>
             require(len > 0 && len % 3 == 0 && len <= 768,
@@ -146,10 +159,16 @@ object Multimodal {
       }
       require(w > 0 && h > 0 && idat.size > 0, "PNG missing IHDR/IDAT")
       require(color != 3 || palette != null, "palette PNG missing PLTE")
+      val passes = if (interlaced) Adam7 else Seq((0, 0, 1, 1))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+         if (h > y0) (h - y0 + dy - 1) / dy else 0)
+      }
+      val rawLen = passDims.map { case (pw, ph) =>
+        if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+      }.sum
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
-      val stride = w * bpp
-      val rawLen = h * (1 + stride)
       val raw = new Array[Byte](rawLen)
       var off = 0
       var stalled = false
@@ -163,47 +182,53 @@ object Multimodal {
       require(off == rawLen,
         s"PNG pixel stream inflated to $off bytes, expected $rawLen")
       val out = new Array[Float](w * h * 3)
-      val cur = new Array[Int](stride)
-      val pri = new Array[Int](stride) // zeros above scanline 0 (§6.2)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (1 + stride)) & 0xFF
-        require(f <= 4, s"unknown PNG filter type $f")
-        val base = y * (1 + stride) + 1
-        var i = 0
-        while (i < stride) {
-          val x = raw(base + i) & 0xFF
-          val left = if (i >= bpp) cur(i - bpp) else 0
-          val up = pri(i)
-          val ul = if (i >= bpp) pri(i - bpp) else 0
-          cur(i) = f match {
-            case 0 => x
-            case 1 => (x + left) & 0xFF
-            case 2 => (x + up) & 0xFF
-            case 3 => (x + (left + up) / 2) & 0xFF
-            case _ => (x + paeth(left, up, ul)) & 0xFF
+      var rawOff = 0
+      for (((x0, y0, dx, dy), (pw, ph)) <- passes.zip(passDims)
+           if pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val cur = new Array[Int](stride)
+        val pri = new Array[Int](stride) // zeros above each pass's scanline 0
+        var j = 0
+        while (j < ph) {
+          val f = raw(rawOff) & 0xFF
+          require(f <= 4, s"unknown PNG filter type $f")
+          val base = rawOff + 1
+          var i = 0
+          while (i < stride) {
+            val x = raw(base + i) & 0xFF
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = pri(i)
+            val ul = if (i >= bpp) pri(i - bpp) else 0
+            cur(i) = f match {
+              case 0 => x
+              case 1 => (x + left) & 0xFF
+              case 2 => (x + up) & 0xFF
+              case 3 => (x + (left + up) / 2) & 0xFF
+              case _ => (x + paeth(left, up, ul)) & 0xFF
+            }
+            i += 1
           }
-          i += 1
-        }
-        var px = 0
-        while (px < w) {
-          val ob = (y * w + px) * 3
-          if (color == 3) {
-            val idx = cur(px)
-            require(idx * 3 + 2 < palette.length,
-              s"palette index $idx beyond the ${palette.length / 3}-entry PLTE")
-            out(ob) = palette(idx * 3).toFloat
-            out(ob + 1) = palette(idx * 3 + 1).toFloat
-            out(ob + 2) = palette(idx * 3 + 2).toFloat
-          } else {
-            out(ob) = cur(px * bpp).toFloat
-            out(ob + 1) = cur(px * bpp + 1).toFloat
-            out(ob + 2) = cur(px * bpp + 2).toFloat
+          var px = 0
+          while (px < pw) {
+            val ob = ((y0 + j * dy) * w + x0 + px * dx) * 3
+            if (color == 3) {
+              val idx = cur(px)
+              require(idx * 3 + 2 < palette.length,
+                s"palette index $idx beyond the ${palette.length / 3}-entry PLTE")
+              out(ob) = palette(idx * 3).toFloat
+              out(ob + 1) = palette(idx * 3 + 1).toFloat
+              out(ob + 2) = palette(idx * 3 + 2).toFloat
+            } else {
+              out(ob) = cur(px * bpp).toFloat
+              out(ob + 1) = cur(px * bpp + 1).toFloat
+              out(ob + 2) = cur(px * bpp + 2).toFloat
+            }
+            px += 1
           }
-          px += 1
+          System.arraycopy(cur, 0, pri, 0, stride)
+          rawOff += 1 + stride
+          j += 1
         }
-        System.arraycopy(cur, 0, pri, 0, stride)
-        y += 1
       }
       (w, h, out)
     }

@@ -389,6 +389,32 @@ object StatsQueries {
             .as("phash_within_6_bits"))
     }),
 
+    // Adam7-INTERLACED PNG decode through the full dispatch: seven
+    // independently filtered reduced sub-images scattered back to the
+    // full plane. PNG is lossless, so the oracle regenerates every
+    // channel value from the generative formula (the q215 pattern) —
+    // a pass-geometry, scatter, or per-pass filter-undo bug breaks
+    // the hash. Dims at 7x5 leave some passes EMPTY ( zero bytes),
+    // 16x11 exercises the ceil geometry, and image 3 is RGBA with the
+    // alpha channel dropped by the plane contract.
+    "q247_png_adam7" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq((1L, 16, 11, false), (2L, 7, 5, false), (3L, 9, 12, true))
+        .map { case (id, w, h, rgba) => graft.llm.Multimodal.MediaRow(
+          id, graft.llm.ImageFixtures.pngFull(w, h, pix, rgba,
+            interlace = true), "image") }
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // JPEG mode matrix through the full dispatch: the SAME generative
     // plane staged at all three subsampled layouts (4:2:2, 4:4:0,
     // 4:2:0) and, per layout, as BOTH a sequential (SOF0) and a
@@ -1084,6 +1110,20 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q247: lossless codec — the oracle replays every channel value
+    // from the generative formula; interlacing must be invisible.
+    "q247_png_adam7" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 16, 11), (2, 7, 5),
+        |                                    (3, 9, 12)) t(image_id, w, h)),
+        |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
+        |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
+        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx)
+        |SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |  CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |            WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |            ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |FROM cc""".stripMargin,
 
     // q244: the image-id set pinned exactly; the parity boolean is the
     // Spark-side claim (lossy hash value is oracle-opaque).

@@ -74,6 +74,39 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodePng Adam7: interlaced decode equals the non-interlaced plane, incl. empty-pass dims") {
+    // dims below 8 leave some of the seven passes EMPTY (zero bytes);
+    // odd dims exercise the ceil pass geometry
+    for ((w, h) <- Seq((16, 11), (8, 8), (7, 5), (3, 2), (1, 1), (2, 9),
+                       (9, 1)); rgba <- Seq(false, true)) {
+      val plain = BmpWavDecoder.decodePngWithDims(
+        ImageFixtures.pngFull(w, h, pix, rgba))
+      val inter = BmpWavDecoder.decodePngWithDims(
+        ImageFixtures.pngFull(w, h, pix, rgba, interlace = true))
+      assert((inter._1, inter._2) === ((w, h)), s"$w x $h rgba=$rgba dims")
+      assert(inter._3.toSeq == plain._3.toSeq, s"$w x $h rgba=$rgba plane")
+    }
+  }
+
+  test("decodePng Adam7: the independent JDK PNG reader decodes our interlaced fixture identically") {
+    // PNG is lossless, so the cross-check is EXACT equality
+    for ((w, h) <- Seq((16, 11), (7, 5))) {
+      val bytes = ImageFixtures.pngFull(w, h, pix, interlace = true)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        "ImageIO rejected the interlaced fixture")
+      val mine = BmpWavDecoder.decodePng(bytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(mine(o) == ((rgb >> 16) & 0xFF).toFloat &&
+               mine(o + 1) == ((rgb >> 8) & 0xFF).toFloat &&
+               mine(o + 2) == (rgb & 0xFF).toFloat, s"($x,$y) of $w x $h")
+      }
+    }
+  }
+
   test("decodePng palette: indices map through PLTE, filters undo, tRNS skipped") {
     val pal = (0 until 16).map(i =>
       ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
