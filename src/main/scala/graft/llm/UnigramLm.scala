@@ -17,21 +17,21 @@ import org.apache.spark.sql.functions._
   * tokenizer surface); driver training-data-pipeline mandate, closing
   * the documented stand-in note on [[WordPiece]].
   *
-  * Algorithm (two unrolled EM rounds, deterministic and
-  * oracle-replayable):
+  * Algorithm (`emRounds` Viterbi-EM rounds, deterministic and
+  * oracle-replayable — the gate unrolls the same recurrence in SQL
+  * round for round):
   *   1. Seed: every positional-form substring of length 1..MaxSubLen
   *      over the word-TYPE frame, weighted by word frequency —
   *      p₀(u) = c(u)/Σc.
-  *   2. E-step 1: Viterbi-segment each word type under
-  *      cost(u) = −ln p₀(u); usage counts n₁(u) = Σ_w f(w)·uses_w(u).
-  *   3. M-step + prune: counts₂(u) = n₁(u) for multi-char units
-  *      (unused ⇒ pruned from the model), max(n₁(u), 1) for
+  *   2. E-step r: Viterbi-segment each word type under
+  *      cost(u) = −ln p_{r−1}(u); usage n_r(u) = Σ_w f(w)·uses_w(u).
+  *   3. M-step + prune: counts(u) = n_r(u) for multi-char units
+  *      (unused ⇒ pruned from the model), max(n_r(u), 1) for
   *      single-char units (the smoothing floor that keeps every word
   *      segmentable — SentencePiece likewise never prunes the
-  *      character alphabet).
-  *   4. E-step 2: Viterbi under cost(u) = −ln(counts₂(u)/Σcounts₂)
-  *      → n₂(u); the vocabulary keeps all singles plus the topK
-  *      multi-char units by (n₂ desc, unit asc).
+  *      character alphabet); p_r = counts/Σcounts feeds round r+1.
+  *   4. After the last round the vocabulary keeps all singles plus
+  *      the topK multi-char units by (n_final desc, unit asc).
   *
   * Determinism contract: unit costs are −ln(p) in integer MICRO-nats
   * (round(−ln(c/C)·1e6) as BIGINT — the q176 fixed-point pattern), so
@@ -170,12 +170,21 @@ object UnigramLm {
       .groupBy(col("tok")).agg(sum(col("f")).as("n"))
   }
 
-  /** Full selection pipeline over a text column. Output one row per
-    * candidate unit that survives round 1 (or is single-char):
-    * (unit, is_single, seed_c, n_em1, n_em2, kept). */
-  def selectVocab(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+  /** Full selection pipeline over a text column, `emRounds` ≥ 1
+    * Viterbi-EM rounds (each round re-fits costs from the previous
+    * round's usage counts with the single-char smoothing floor, then
+    * re-segments; every iterate rides the localCheckpointed
+    * vocabulary-bounded frame, so round count never touches the
+    * corpus). Output one row per candidate unit that survives round 1
+    * (or is single-char): (unit, is_single, seed_c, n_em1,
+    * n_em_final, kept) — n_em_final is the LAST round's usage, the
+    * count the topK cut ranks by. */
+  def selectVocab(docs: DataFrame, textCol: String, topK: Int,
+                  emRounds: Int = 2): DataFrame = {
     require(topK >= 1 && topK <= 1000000,
       s"UnigramLm.selectVocab: topK in [1, 1e6], got $topK")
+    require(emRounds >= 1 && emRounds <= 8,
+      s"UnigramLm.selectVocab: emRounds in [1, 8], got $emRounds")
     val words = WordPiece.wordTypes(docs, textCol)
       .filter(length(col("w")) <= MaxWordLen)
       .localCheckpoint()
@@ -185,30 +194,34 @@ object UnigramLm {
     val isSingle = (length(col("tok")) === 1) ||
       (col("tok").startsWith("##") && length(col("tok")) === 3)
 
-    val n1 = viterbiCounts(words, cands, microCosts(seed))
-      .withColumnRenamed("n", "n1").localCheckpoint()
-
-    val counts2 = seed.join(n1, Seq("tok"), "left")
-      .select(col("tok"),
-        when(isSingle, greatest(coalesce(col("n1"), lit(0L)), lit(1L)))
-          .otherwise(coalesce(col("n1"), lit(0L))).as("c"))
-      .filter(col("c") > 0)
-    val n2 = viterbiCounts(words, cands, microCosts(counts2))
-      .withColumnRenamed("n", "n2").localCheckpoint()
+    // EM: n_r = Viterbi usage under the round-(r−1) model; the next
+    // model is n_r floored at 1 for singles, pruned at 0 for multis
+    def refit(n: DataFrame): DataFrame =
+      seed.join(n.withColumnRenamed("n", "__n"), Seq("tok"), "left")
+        .select(col("tok"),
+          when(isSingle, greatest(coalesce(col("__n"), lit(0L)), lit(1L)))
+            .otherwise(coalesce(col("__n"), lit(0L))).as("c"))
+        .filter(col("c") > 0)
+    val n1 = viterbiCounts(words, cands, microCosts(seed)).localCheckpoint()
+    var nLast = n1
+    for (_ <- 2 to emRounds)
+      nLast = viterbiCounts(words, cands, microCosts(refit(nLast)))
+        .localCheckpoint()
 
     val out = seed
-      .join(n1, Seq("tok"), "left").join(n2, Seq("tok"), "left")
+      .join(n1.withColumnRenamed("n", "n1"), Seq("tok"), "left")
+      .join(nLast.withColumnRenamed("n", "nf"), Seq("tok"), "left")
       .select(col("tok"), isSingle.as("is_single"),
         col("c").as("seed_c"),
         coalesce(col("n1"), lit(0L)).as("n_em1"),
-        coalesce(col("n2"), lit(0L)).as("n_em2"))
+        coalesce(col("nf"), lit(0L)).as("n_em_final"))
       .filter(col("is_single") || col("n_em1") > 0)
-    val topMulti = out.filter(!col("is_single") && col("n_em2") > 0)
-      .orderBy(col("n_em2").desc, col("tok").asc).limit(topK)
+    val topMulti = out.filter(!col("is_single") && col("n_em_final") > 0)
+      .orderBy(col("n_em_final").desc, col("tok").asc).limit(topK)
       .select(col("tok"), lit(true).as("__kept"))
     out.join(topMulti, Seq("tok"), "left")
       .select(col("tok").as("unit"), col("is_single"), col("seed_c"),
-        col("n_em1"), col("n_em2"),
+        col("n_em1"), col("n_em_final"),
         (col("is_single") || coalesce(col("__kept"), lit(false)))
           .as("kept"))
   }

@@ -733,6 +733,18 @@ object CurationQueries {
     "q240_unigram_lm" -> ((s, d) =>
       graft.llm.UnigramLm.selectVocab(documents(s, d), "text", topK = 20)),
 
+    // The parameterized-round face of q240: THREE Viterbi-EM rounds
+    // (the r10 design ran exactly two, unrolled) on a reduced corpus
+    // slice — round 3 re-fits costs from round 2's usage and
+    // re-segments, and the topK cut ranks by the round-3 counts. The
+    // oracle unrolls all three DP recursions; the slice keeps the
+    // word-type frame small enough that the extra DuckDB round stays
+    // inside the gate budget.
+    "q248_unigram_em3" -> ((s, d) =>
+      graft.llm.UnigramLm.selectVocab(
+        documents(s, d).filter(col("doc_id") < 300), "text",
+        topK = 12, emRounds = 3)),
+
     // The two tokenizer halves COMPOSED: q240's likelihood-selected
     // vocabulary (kept units) drives q225's greedy longest-match
     // segmentation — corpus segmentation under the EM-trained
@@ -749,7 +761,114 @@ object CurationQueries {
     })
   )
 
+  /** One unigram-LM Viterbi round as DuckDB CTEs (dp/fin/bk/n — the
+    * q240 recurrence, parameterized by round index so q248 unrolls
+    * round 3 from the same template the hand-written q240 pins). */
+  private def unigramRoundSql(r: Int): String =
+    s"""dp$r AS (
+       |  SELECT w, f, 0 AS i, [CAST(0 AS BIGINT)] AS best, [0] AS lens
+       |  FROM w
+       |  UNION ALL
+       |  SELECT w, f, i,
+       |    list_append(best, LEAST(x1, x2, x3, x4)),
+       |    list_append(lens, CASE WHEN x1 = LEAST(x1, x2, x3, x4) THEN 1
+       |                           WHEN x2 = LEAST(x1, x2, x3, x4) THEN 2
+       |                           WHEN x3 = LEAST(x1, x2, x3, x4) THEN 3
+       |                           ELSE 4 END)
+       |  FROM (
+       |    SELECT d.w, d.f, d.i + 1 AS i, d.best, d.lens,
+       |      d.best[d.i + 1] + COALESCE(ca.cost, 1000000000000) AS x1,
+       |      CASE WHEN d.i >= 1 THEN d.best[d.i]
+       |        + COALESCE(cb.cost, 1000000000000)
+       |        ELSE 1000000000000 END AS x2,
+       |      CASE WHEN d.i >= 2 THEN d.best[d.i - 1]
+       |        + COALESCE(cc.cost, 1000000000000)
+       |        ELSE 1000000000000 END AS x3,
+       |      CASE WHEN d.i >= 3 THEN d.best[d.i - 2]
+       |        + COALESCE(cd.cost, 1000000000000)
+       |        ELSE 1000000000000 END AS x4
+       |    FROM dp$r d
+       |    LEFT JOIN k$r ca ON ca.tok = CASE WHEN d.i = 0
+       |      THEN substr(d.w, 1, 1) ELSE '##' || substr(d.w, d.i + 1, 1) END
+       |    LEFT JOIN k$r cb ON d.i >= 1 AND cb.tok = CASE WHEN d.i = 1
+       |      THEN substr(d.w, 1, 2) ELSE '##' || substr(d.w, d.i, 2) END
+       |    LEFT JOIN k$r cc ON d.i >= 2 AND cc.tok = CASE WHEN d.i = 2
+       |      THEN substr(d.w, 1, 3) ELSE '##' || substr(d.w, d.i - 1, 3) END
+       |    LEFT JOIN k$r cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
+       |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
+       |    WHERE d.i < len(d.w)) z),
+       |fin$r AS MATERIALIZED (SELECT w, f, lens FROM dp$r WHERE i = len(w)),
+       |bk$r AS (
+       |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
+       |  FROM fin$r
+       |  UNION ALL
+       |  SELECT w, f, p - lens[p + 1], lens,
+       |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
+       |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
+       |  FROM bk$r WHERE p > 0),
+       |n$r AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk$r
+       |        WHERE tok IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** The M-step: the round-r cost model from round r−1's usage counts
+    * (single-char smoothing floor, zero-usage multis pruned). */
+  private def unigramRefitSql(r: Int): String =
+    s"""cnt$r AS MATERIALIZED (SELECT s.tok,
+       |           CASE WHEN len(s.tok) = 1
+       |                  OR (s.tok LIKE '##%' AND len(s.tok) = 3)
+       |                THEN GREATEST(COALESCE(np.n, 0), 1)
+       |                ELSE COALESCE(np.n, 0) END AS c
+       |         FROM seed s LEFT JOIN n${r - 1} np USING (tok)),
+       |cnt${r}f AS MATERIALIZED (SELECT tok, c FROM cnt$r WHERE c > 0),
+       |t$r AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt${r}f),
+       |k$r AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+       |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+       |       FROM cnt${r}f, t$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    // q248: the q240 replay at THREE EM rounds over the doc_id < 300
+    // slice — the round template generates dp1..dp3 so the unrolled
+    // SQL is the same recurrence q240 pins by hand at two rounds.
+    "q248_unigram_em3" -> (
+      s"""WITH RECURSIVE
+         |w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |        SELECT unnest($toks) AS w FROM documents
+         |        WHERE doc_id < 300)
+         |      WHERE len(w) > 0 AND len(w) <= 20 GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
+         |         FROM (SELECT w.w, w.f, unnest([1, 2, 3, 4]) AS l FROM w)
+         |         WHERE len(w) >= l),
+         |c2 AS MATERIALIZED (SELECT w, f,
+         |         CASE WHEN s = 1 THEN substr(w, 1, l)
+         |              ELSE '##' || substr(w, s, l) END AS tok
+         |       FROM cand),
+         |seed AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
+         |t1 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
+         |k1 AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
+         |       FROM seed, t1),
+         |""".stripMargin +
+      unigramRoundSql(1) + ",\n" + unigramRefitSql(2) + ",\n" +
+      unigramRoundSql(2) + ",\n" + unigramRefitSql(3) + ",\n" +
+      unigramRoundSql(3) + ",\n" +
+      s"""sel AS MATERIALIZED (SELECT s.tok,
+         |          (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3)) AS is_single,
+         |          s.c AS seed_c, COALESCE(n1.n, 0) AS n_em1,
+         |          COALESCE(n3.n, 0) AS n_emf
+         |        FROM seed s LEFT JOIN n1 USING (tok)
+         |          LEFT JOIN n3 USING (tok)
+         |        WHERE (len(s.tok) = 1
+         |            OR (s.tok LIKE '##%' AND len(s.tok) = 3))
+         |          OR COALESCE(n1.n, 0) > 0),
+         |topm AS (SELECT tok FROM sel WHERE NOT is_single AND n_emf > 0
+         |         ORDER BY n_emf DESC, tok ASC LIMIT 12)
+         |SELECT sel.tok AS unit, sel.is_single,
+         |  CAST(sel.seed_c AS BIGINT) AS seed_c,
+         |  CAST(sel.n_em1 AS BIGINT) AS n_em1,
+         |  CAST(sel.n_emf AS BIGINT) AS n_em_final,
+         |  (sel.is_single OR topm.tok IS NOT NULL) AS kept
+         |FROM sel LEFT JOIN topm ON sel.tok = topm.tok""".stripMargin),
 
     "q159_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
@@ -2290,19 +2409,19 @@ object CurationQueries {
     // asc) top-20 cut.
     "q240_unigram_lm" ->
       s"""WITH RECURSIVE
-         |w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
          |        SELECT unnest($toks) AS w FROM documents)
          |      WHERE len(w) > 0 AND len(w) <= 20 GROUP BY 1),
-         |cand AS (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
+         |cand AS MATERIALIZED (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
          |         FROM (SELECT w.w, w.f, unnest([1, 2, 3, 4]) AS l FROM w)
          |         WHERE len(w) >= l),
-         |c2 AS (SELECT w, f,
+         |c2 AS MATERIALIZED (SELECT w, f,
          |         CASE WHEN s = 1 THEN substr(w, 1, l)
          |              ELSE '##' || substr(w, s, l) END AS tok
          |       FROM cand),
-         |seed AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
-         |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
-         |k1 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |seed AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
+         |t1 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
+         |k1 AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
          |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
          |       FROM seed, t1),
          |dp1 AS (
@@ -2337,7 +2456,7 @@ object CurationQueries {
          |    LEFT JOIN k1 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
          |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
          |    WHERE d.i < len(d.w)) z),
-         |fin1 AS (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
+         |fin1 AS MATERIALIZED (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
          |bk1 AS (
          |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
          |  FROM fin1
@@ -2346,17 +2465,17 @@ object CurationQueries {
          |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
          |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
          |  FROM bk1 WHERE p > 0),
-         |n1 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
+         |n1 AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
          |       WHERE tok IS NOT NULL GROUP BY 1),
-         |cnt2 AS (SELECT s.tok,
+         |cnt2 AS MATERIALIZED (SELECT s.tok,
          |           CASE WHEN len(s.tok) = 1
          |                  OR (s.tok LIKE '##%' AND len(s.tok) = 3)
          |                THEN GREATEST(COALESCE(n1.n, 0), 1)
          |                ELSE COALESCE(n1.n, 0) END AS c
          |         FROM seed s LEFT JOIN n1 USING (tok)),
-         |cnt2f AS (SELECT tok, c FROM cnt2 WHERE c > 0),
-         |t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
-         |k2 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |cnt2f AS MATERIALIZED (SELECT tok, c FROM cnt2 WHERE c > 0),
+         |t2 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
+         |k2 AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
          |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
          |       FROM cnt2f, t2),
          |dp2 AS (
@@ -2391,7 +2510,7 @@ object CurationQueries {
          |    LEFT JOIN k2 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
          |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
          |    WHERE d.i < len(d.w)) z),
-         |fin2 AS (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
+         |fin2 AS MATERIALIZED (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
          |bk2 AS (
          |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
          |  FROM fin2
@@ -2400,9 +2519,9 @@ object CurationQueries {
          |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
          |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
          |  FROM bk2 WHERE p > 0),
-         |n2 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
+         |n2 AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
          |       WHERE tok IS NOT NULL GROUP BY 1),
-         |sel AS (SELECT s.tok,
+         |sel AS MATERIALIZED (SELECT s.tok,
          |          (len(s.tok) = 1
          |            OR (s.tok LIKE '##%' AND len(s.tok) = 3)) AS is_single,
          |          s.c AS seed_c, COALESCE(n1.n, 0) AS n_em1,
@@ -2417,7 +2536,7 @@ object CurationQueries {
          |SELECT sel.tok AS unit, sel.is_single,
          |  CAST(sel.seed_c AS BIGINT) AS seed_c,
          |  CAST(sel.n_em1 AS BIGINT) AS n_em1,
-         |  CAST(sel.n_em2 AS BIGINT) AS n_em2,
+         |  CAST(sel.n_em2 AS BIGINT) AS n_em_final,
          |  (sel.is_single OR topm.tok IS NOT NULL) AS kept
          |FROM sel LEFT JOIN topm ON sel.tok = topm.tok""".stripMargin,
 
@@ -2425,19 +2544,19 @@ object CurationQueries {
     // into the q225 greedy-cursor recursion over the KEPT vocabulary.
     "q243_unigram_segment" ->
       s"""WITH RECURSIVE
-         |wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
          |        SELECT unnest($toks) AS w FROM documents)
          |      WHERE len(w) > 0 AND len(w) <= 20 GROUP BY 1),
-         |cand AS (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
+         |cand AS MATERIALIZED (SELECT w, f, l, unnest(range(1, len(w) - l + 2)) AS s
          |         FROM (SELECT wt.w, wt.f, unnest([1, 2, 3, 4]) AS l FROM wt)
          |         WHERE len(w) >= l),
-         |c2 AS (SELECT w, f,
+         |c2 AS MATERIALIZED (SELECT w, f,
          |         CASE WHEN s = 1 THEN substr(w, 1, l)
          |              ELSE '##' || substr(w, s, l) END AS tok
          |       FROM cand),
-         |seed AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
-         |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
-         |k1 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |seed AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS c FROM c2 GROUP BY 1),
+         |t1 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM seed),
+         |k1 AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
          |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
          |       FROM seed, t1),
          |dp1 AS (
@@ -2472,7 +2591,7 @@ object CurationQueries {
          |    LEFT JOIN k1 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
          |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
          |    WHERE d.i < len(d.w)) z),
-         |fin1 AS (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
+         |fin1 AS MATERIALIZED (SELECT w, f, lens FROM dp1 WHERE i = len(w)),
          |bk1 AS (
          |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
          |  FROM fin1
@@ -2481,17 +2600,17 @@ object CurationQueries {
          |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
          |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
          |  FROM bk1 WHERE p > 0),
-         |n1 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
+         |n1 AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk1
          |       WHERE tok IS NOT NULL GROUP BY 1),
-         |cnt2 AS (SELECT s.tok,
+         |cnt2 AS MATERIALIZED (SELECT s.tok,
          |           CASE WHEN len(s.tok) = 1
          |                  OR (s.tok LIKE '##%' AND len(s.tok) = 3)
          |                THEN GREATEST(COALESCE(n1.n, 0), 1)
          |                ELSE COALESCE(n1.n, 0) END AS c
          |         FROM seed s LEFT JOIN n1 USING (tok)),
-         |cnt2f AS (SELECT tok, c FROM cnt2 WHERE c > 0),
-         |t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
-         |k2 AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+         |cnt2f AS MATERIALIZED (SELECT tok, c FROM cnt2 WHERE c > 0),
+         |t2 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM cnt2f),
+         |k2 AS MATERIALIZED (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
          |         / CAST(tc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS cost
          |       FROM cnt2f, t2),
          |dp2 AS (
@@ -2526,7 +2645,7 @@ object CurationQueries {
          |    LEFT JOIN k2 cd ON d.i >= 3 AND cd.tok = CASE WHEN d.i = 3
          |      THEN substr(d.w, 1, 4) ELSE '##' || substr(d.w, d.i - 2, 4) END
          |    WHERE d.i < len(d.w)) z),
-         |fin2 AS (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
+         |fin2 AS MATERIALIZED (SELECT w, f, lens FROM dp2 WHERE i = len(w)),
          |bk2 AS (
          |  SELECT w, f, len(w) AS p, lens, CAST(NULL AS VARCHAR) AS tok
          |  FROM fin2
@@ -2535,9 +2654,9 @@ object CurationQueries {
          |    CASE WHEN p - lens[p + 1] = 0 THEN substr(w, 1, lens[p + 1])
          |         ELSE '##' || substr(w, p - lens[p + 1] + 1, lens[p + 1]) END
          |  FROM bk2 WHERE p > 0),
-         |n2 AS (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
+         |n2 AS MATERIALIZED (SELECT tok, CAST(SUM(f) AS BIGINT) AS n FROM bk2
          |       WHERE tok IS NOT NULL GROUP BY 1),
-         |sel AS (SELECT s.tok,
+         |sel AS MATERIALIZED (SELECT s.tok,
          |          (len(s.tok) = 1
          |            OR (s.tok LIKE '##%' AND len(s.tok) = 3)) AS is_single,
          |          COALESCE(n1.n, 0) AS n_em1, COALESCE(n2.n, 0) AS n_em2
@@ -2548,11 +2667,11 @@ object CurationQueries {
          |          OR COALESCE(n1.n, 0) > 0),
          |topm AS (SELECT tok FROM sel WHERE NOT is_single AND n_em2 > 0
          |         ORDER BY n_em2 DESC, tok ASC LIMIT 20),
-         |kept AS (SELECT DISTINCT tok FROM (
+         |kept AS MATERIALIZED (SELECT DISTINCT tok FROM (
          |          SELECT tok FROM sel WHERE is_single
          |          UNION ALL SELECT tok FROM topm)),
-         |vl AS (SELECT list(tok) AS vs FROM kept),
-         |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |vl AS MATERIALIZED (SELECT list(tok) AS vs FROM kept),
+         |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
          |    SELECT unnest($toks) AS w FROM documents)
          |  WHERE length(w) > 0 GROUP BY 1),
          |it AS (

@@ -635,7 +635,7 @@ class CurationSpec extends SparkSpec {
     assert(!byUnit.contains("##bc")) // pruned: n_em1 = 0, not single
     assert(byUnit("abcd").getAs[Boolean]("kept"))
     assert(byUnit("abcd").getAs[Long]("n_em1") == 5L)
-    assert(byUnit("abcd").getAs[Long]("n_em2") == 5L)
+    assert(byUnit("abcd").getAs[Long]("n_em_final") == 5L)
     // the character alphabet survives with zero usage (smoothing floor)
     for (s <- Seq("a", "##b", "##c", "##d")) {
       assert(byUnit(s).getAs[Boolean]("is_single"))
@@ -647,6 +647,31 @@ class CurationSpec extends SparkSpec {
     val freq = graft.llm.WordPiece.trainVocab(
       graft.llm.WordPiece.wordTypes(docs, "text"), topK = 10)
     assert(freq.contains("##bc"))
+  }
+
+  test("unigram-LM EM round 3 changes the selection (emRounds is a real knob)") {
+    // found by randomized search over the recurrence: round 2's
+    // re-segmentation moves usage off "##bbb" (abbbbbbaba's tail
+    // re-splits once round-1 costs make other units cheap), so the
+    // round-3 counts rank "##aa" above it — the topK=3 cut differs
+    // between emRounds = 2 and 3. Word frequencies: abbbbbbaba ×1,
+    // baa ×11, aabbb ×16, abbabbbaa ×1.
+    val docs = Seq(
+      (1L, "abbbbbbaba abbabbbaa"),
+      (2L, (1 to 11).map(_ => "baa").mkString(" ")),
+      (3L, (1 to 16).map(_ => "aabbb").mkString(" "))).toDF("doc_id", "text")
+    def keptMulti(rounds: Int): Set[String] =
+      graft.llm.UnigramLm.selectVocab(docs, "text", topK = 3,
+          emRounds = rounds)
+        .filter(col("kept") && !col("is_single"))
+        .select("unit").collect().map(_.getString(0)).toSet
+    assert(keptMulti(2) == Set("aabb", "baa", "##bbb"))
+    assert(keptMulti(3) == Set("aabb", "baa", "##aa"))
+    // emRounds = 1 ranks by the round-1 counts themselves
+    val r1 = graft.llm.UnigramLm.selectVocab(docs, "text", topK = 3,
+      emRounds = 1).collect()
+    assert(r1.forall(r =>
+      r.getAs[Long]("n_em1") == r.getAs[Long]("n_em_final")))
   }
 
   test("unigram-LM Viterbi ties break to the SHORTEST last piece (micro-nat-exact tie)") {
