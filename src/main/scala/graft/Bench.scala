@@ -73,16 +73,13 @@ object Bench {
       // full-GC pause (~15 s on this heap) lands inside whichever
       // query happens to be running and poisons its number. Pay the
       // GC in the untimed gap and report the min of two timed runs
-      // (with the GC time that run actually paid). The judge's
-      // adjudicated audit set gets a third attempt: r9 measured q28 at
-      // 11.3/13.3 s in two independent full-bench runs vs 3.8 s on
-      // byte-identical code solo and in the r8/r10 full benches, with
-      // gc_sec < 0.25 s — transient machine-level interference, not a
-      // plan or collector effect, so one extra sample is the cheapest
-      // defense against a poisoned round number.
-      val auditSet = Set("q28_minhash_pairs", "q29_simhash",
-        "q60_dedup_groups", "q84_dedup_survivors", "q180_dbscan")
-      val timed = (1 to (if (auditSet(name)) 3 else 2)).map { _ =>
+      // (with the GC time that run actually paid). EVERY query gets
+      // the same attempt count — selectively over-sampling contested
+      // queries would bias their minima against the rest of the suite
+      // (transient-interference adjudication lives in the round
+      // notes, not in the harness; the r9 q28 incident is documented
+      // in VERDICT r10).
+      val timed = (1 to 2).map { _ =>
         System.gc()
         val g0 = gcMillis
         val t0 = System.nanoTime()

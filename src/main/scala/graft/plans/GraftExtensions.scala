@@ -48,13 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(PqNative.AdcName),
       new ExpressionInfo(classOf[PqAdc].getName, PqNative.AdcName),
       exprs => PqAdc(exprs(0), exprs(1), intArg(exprs(2)))))
+    // route through StringSetNative's builders so this registration
+    // path fails as loudly (non-foldable vocabulary -> clear require
+    // message) and coerces exactly like the registry path
     ext.injectFunction((FunctionIdentifier(StringSetNative.Name),
       new ExpressionInfo(classOf[StringSetContains].getName, StringSetNative.Name),
-      exprs => StringSetContains(exprs(0),
-        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType)
-          .map(v => if (v == null) null else v.toString).toSeq)))
+      exprs => StringSetContains(StringSetNative.asString(exprs(0)),
+        StringSetNative.arrayArg(exprs(1)))))
   }
 }
 

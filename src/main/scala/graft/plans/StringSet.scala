@@ -68,10 +68,10 @@ object StringSetNative {
       Name, exprs => StringSetContains(asString(exprs(0)),
         arrayArg(exprs(1))), "built-in")
 
-  private def asString(e: Expression): Expression =
+  private[plans] def asString(e: Expression): Expression =
     if (e.dataType == StringType) e else Cast(e, StringType)
 
-  private def arrayArg(e: Expression): Seq[String] = {
+  private[plans] def arrayArg(e: Expression): Seq[String] = {
     require(e.foldable,
       s"$Name: the vocabulary argument must be a literal array")
     val arr = e.eval().asInstanceOf[ArrayData]

@@ -37,7 +37,7 @@ import graft.operators.Dedup
   * arbitrary keys; no direct reference counterpart.
   */
 class BucketedStateStore(spark: SparkSession, root: String,
-                         keys: Seq[String], nBuckets: Int) {
+                         keys: Seq[String], val nBuckets: Int) {
   require(keys.nonEmpty, "BucketedStateStore: at least one key column")
   require(nBuckets >= 1 && nBuckets <= 65536,
     s"BucketedStateStore: nBuckets in [1, 65536], got $nBuckets")
@@ -45,14 +45,18 @@ class BucketedStateStore(spark: SparkSession, root: String,
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
 
-  /** None when the state table doesn't exist yet (first merge). */
+  private def rootPath = new org.apache.hadoop.fs.Path(root)
+  private def fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** None when the state table doesn't exist yet (first merge) —
+    * detected by a FILESYSTEM existence probe, not by matching
+    * AnalysisException message text (which drifts across Spark
+    * versions); the catch survives only for an existing-but-empty
+    * directory, where parquet schema inference still fails. */
   def readOpt(): Option[DataFrame] =
-    try Some(spark.read.parquet(root))
-    catch {
-      case e: AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") ||
-        e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-        e.getMessage.contains("Path does not exist") => None
-    }
+    if (!fs.exists(rootPath)) None
+    else try Some(spark.read.parquet(root))
+    catch { case _: AnalysisException => None }
 
   /** Full state, `bucket` partition column included. */
   def read(): DataFrame = readOpt().getOrElse(
@@ -70,8 +74,15 @@ class BucketedStateStore(spark: SparkSession, root: String,
       .collect().map(_.getInt(0)).toSeq.sorted
     val merged = readOpt() match {
       case Some(existing) =>
-        Dedup.merge(existing.filter(col("bucket").isin(touched: _*)),
-                    batch, keys, order)
+        // localCheckpoint MATERIALIZES the pruned existing side before
+        // the write below overwrites the same path — correctness must
+        // not hang on dynamic-overwrite's stage-then-commit ordering
+        // (a mode or version change would silently turn a lazy read
+        // into read-your-own-overwrite). Bounded by design: this is
+        // the touched-buckets slice, the quantity a merge is sized by.
+        Dedup.merge(
+          existing.filter(col("bucket").isin(touched: _*)).localCheckpoint(),
+          batch, keys, order)
       case None => Dedup.keepLatest(batch, keys, order)
     }
     merged.repartition(col("bucket"))
@@ -79,5 +90,30 @@ class BucketedStateStore(spark: SparkSession, root: String,
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(root)
+  }
+
+  /** Migrate the state to a different bucket count — the grow/shrink
+    * path for a store whose per-bucket size has outlived its sizing
+    * (merges bound cost by touched-bucket SIZE, so key-cardinality
+    * growth eventually demands more buckets). One full read →
+    * re-bucket → write to a sibling temp directory, then a two-step
+    * metadata swap (delete + rename) — no driver/executor
+    * materialization of the table, so the rewrite is one linear scan
+    * at any scale. Contents are bucket-invariant: only the partition
+    * column changes (the spec proves rescale ≡ identity on rows and
+    * q241's merge chain hash-matches across a mid-chain rescale).
+    * Returns the store handle at the new bucketing. */
+  def rescale(newBuckets: Int): BucketedStateStore = {
+    val next = new BucketedStateStore(spark, root, keys, newBuckets)
+    val tmp = new org.apache.hadoop.fs.Path(root + ".rescale.tmp")
+    val f = fs
+    if (f.exists(tmp)) f.delete(tmp, true) // a dead prior attempt
+    next.withBucket(read().drop("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    f.delete(rootPath, true)
+    require(f.rename(tmp, rootPath),
+      s"BucketedStateStore.rescale: rename $tmp -> $root failed")
+    next
   }
 }

@@ -124,6 +124,38 @@ class BucketedStateStoreSpec extends SparkSpec {
     assert(state() == expected)
   }
 
+  test("rescale is identity on contents; the bucket layout actually changes; merges continue") {
+    val root = tmpDir("bucketed-rescale")
+    val store = new BucketedStateStore(spark, root, Seq("k"), 8)
+    val seed = (1L to 120L)
+      .map(k => row(k, k, "2024-06-01 00:00:00", k.toDouble))
+      .toDF("k", "id", "ts", "v")
+    store.merge(seed, order)
+    def rows(s: BucketedStateStore) =
+      s.read().select(col("k"), col("id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val before = rows(store)
+    def bucketDirs() = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(bucketDirs().size == 8) // 120 keys hit all 8 buckets
+    val grown = store.rescale(24)
+    assert(grown.nBuckets == 24)
+    assert(rows(grown) == before, "rescale moved row contents")
+    assert(bucketDirs().size > 8, "bucket layout did not change")
+    assert(!new java.io.File(root + ".rescale.tmp").exists(),
+      "rescale left its temp directory behind")
+    // shrink back down: still identity
+    val shrunk = grown.rescale(3)
+    assert(rows(shrunk) == before)
+    assert(bucketDirs().size == 3)
+    // merges keep working at the new bucketing, newest-wins intact
+    shrunk.merge(Seq(row(7L, 999L, "2024-06-09 00:00:00", 70.0))
+      .toDF("k", "id", "ts", "v"), order)
+    val after = rows(shrunk)
+    assert(after == before - ((7L, 7L, 7.0)) + ((7L, 999L, 70.0)))
+  }
+
   test("refusals: empty keys, absurd bucket counts, read before first merge") {
     intercept[IllegalArgumentException] {
       new BucketedStateStore(spark, tmpDir("x"), Nil, 8)
