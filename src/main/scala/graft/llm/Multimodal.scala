@@ -308,11 +308,14 @@ object Multimodal {
     }
 
     /** Container-sniffed image decode: PNG signature → Inflater PNG
-      * path, SOI → baseline [[JpegCodec]], else 24-bpp BMP. */
+      * path, SOI → [[JpegCodec]] (baseline or progressive), GIF8x →
+      * [[GifCodec]] (first frame; animations via
+      * [[GifCodec.decodeFramesWithDims]]), else 24-bpp BMP. */
     private[graft] def decodeImageWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) =
       if (isPng(b)) decodePngWithDims(b)
       else if (JpegCodec.isJpeg(b)) JpegCodec.decode(b)
+      else if (GifCodec.isGif(b)) GifCodec.decode(b)
       else decodeBmpWithDims(b)
 
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
@@ -470,6 +473,26 @@ object Multimodal {
         batch.map { r =>
           MediaFeatures(r.id, r.kind, r.media.length,
             resizeNearest(decoder.decode(r.media, r.kind), targetLen))
+        }
+      }
+    }
+  }
+
+  /** Animated-GIF sibling of [[extractVideoFrames]]: each GIF row
+    * explodes into its composited frames ([[GifCodec]] LZW decode,
+    * disposal/transparency compositing on the logical screen) as full
+    * RGB planes. Narrow, batched, same [[VideoFrameRow]] unit. */
+  def extractGifFrames(ds: Dataset[MediaRow],
+                       batchSize: Int = 8): Dataset[VideoFrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (w, h, frames) = GifCodec.decodeFramesWithDims(r.media)
+          frames.zipWithIndex.map { case (f, i) =>
+            VideoFrameRow(r.id, i, w, h, f)
+          }
         }
       }
     }

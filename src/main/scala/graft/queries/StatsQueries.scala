@@ -389,6 +389,39 @@ object StatsQueries {
             .as("phash_within_6_bits"))
     }),
 
+    // GIF decode through the frame pipeline: a static palette GIF, an
+    // INTERLACED one (decode must be interlace-invariant), and a
+    // 2-frame ANIMATION whose second frame is a partial rect with a
+    // transparent hole — compositing must show frame 1 through it.
+    // GIF is lossless, so the oracle replays every channel value from
+    // the palette formula, compositing included: an LZW, interlace,
+    // rect-offset or transparency bug breaks the hash.
+    "q249_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val pal = (0 until 16).map(i =>
+        ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
+      val stat = (x: Int, y: Int) => (x * 3 + y * 7) % 16
+      val base = (x: Int, y: Int) => (x + y) % 16
+      val overlay = (xr: Int, yr: Int) => (xr * 5 + yr) % 16
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, graft.llm.GifCodec.encode(
+          13, 9, pal, Seq(graft.llm.GifCodec.FrameSpec(0, 0, 13, 9, stat))),
+          "image"),
+        graft.llm.Multimodal.MediaRow(2L, graft.llm.GifCodec.encode(
+          16, 11, pal, Seq(graft.llm.GifCodec.FrameSpec(0, 0, 16, 11, stat)),
+          interlace = true), "image"),
+        graft.llm.Multimodal.MediaRow(3L, graft.llm.GifCodec.encode(
+          8, 6, pal, Seq(
+            graft.llm.GifCodec.FrameSpec(0, 0, 8, 6, base),
+            graft.llm.GifCodec.FrameSpec(2, 1, 4, 3, overlay,
+              transparentIndex = 7))), "image")).toDS()
+      graft.llm.Multimodal.extractGifFrames(ds).toDF()
+        .select(col("id").as("image_id"), col("frame").as("frame_idx"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("frame_idx"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // Adam7-INTERLACED PNG decode through the full dispatch: seven
     // independently filtered reduced sub-images scattered back to the
     // full plane. PNG is lossless, so the oracle regenerates every
@@ -1110,6 +1143,39 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q249: lossless codec — every channel value replayed from the
+    // palette formula, animation compositing (rect offset +
+    // transparent hole) expressed as a CASE over frame coordinates.
+    "q249_gif_decode" ->
+      """WITH pal AS (SELECT i,
+        |    CAST((i*11) % 256 AS DOUBLE) AS r,
+        |    CAST((i*29 + 3) % 256 AS DOUBLE) AS g,
+        |    CAST((i*53 + 7) % 256 AS DOUBLE) AS b
+        |  FROM (SELECT unnest(range(16)) AS i)),
+        |imgs AS (SELECT * FROM (VALUES (1, 13, 9), (2, 16, 11))
+        |           t(image_id, w, h)),
+        |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
+        |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
+        |st AS (SELECT image_id, 0 AS frame_idx, w, x, y,
+        |         (x*3 + y*7) % 16 AS i FROM xx),
+        |a0 AS (SELECT y, unnest(range(8)) AS x
+        |       FROM (SELECT unnest(range(6)) AS y)),
+        |an AS (SELECT 3 AS image_id, f AS frame_idx, 8 AS w, x, y,
+        |         CASE WHEN f = 1 AND x BETWEEN 2 AND 5 AND y BETWEEN 1 AND 3
+        |                   AND ((x-2)*5 + (y-1)) % 16 <> 7
+        |              THEN ((x-2)*5 + (y-1)) % 16
+        |              ELSE (x + y) % 16 END AS i
+        |       FROM a0, (SELECT unnest([0, 1]) AS f)),
+        |allpx AS (SELECT * FROM st UNION ALL SELECT * FROM an),
+        |cc AS (SELECT image_id, frame_idx, w, x, y, i,
+        |         unnest(range(3)) AS c FROM allpx)
+        |SELECT CAST(cc.image_id AS BIGINT) AS image_id,
+        |  CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |  CASE WHEN c = 0 THEN pal.r WHEN c = 1 THEN pal.g
+        |       ELSE pal.b END AS value
+        |FROM cc JOIN pal ON pal.i = cc.i""".stripMargin,
 
     // q247: lossless codec — the oracle replays every channel value
     // from the generative formula; interlacing must be invisible.
