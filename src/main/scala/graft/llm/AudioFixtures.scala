@@ -88,6 +88,51 @@ object AudioFixtures {
     out.toByteArray
   }
 
+  /** RIFF/WAVE at an arbitrary encoding: `fmtCode` 1 (int PCM), 3
+    * (IEEE float), 6 (A-law), 7 (µ-law), or the raw code placed in a
+    * WAVE_FORMAT_EXTENSIBLE wrapper when `extensible` — `dataBytes`
+    * is the already-encoded sample payload, so every branch of
+    * [[Multimodal.BmpWavDecoder.decodeWav]] can be staged with
+    * byte-exact-known input (q250 / MultimodalDecodeSpec). */
+  def wavRaw(sampleRate: Int, channels: Int, fmtCode: Int,
+             bitsPerSample: Int, dataBytes: Array[Byte],
+             extensible: Boolean = false,
+             withListChunk: Boolean = false): Array[Byte] = {
+    val align = math.max(1, channels * bitsPerSample / 8)
+    val out = new ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII"))
+      out.write(le32(body.length))
+      out.write(body)
+      if (body.length % 2 == 1) out.write(0) // word-align pad
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(0)) // container size — unread by the parser
+    out.write("WAVE".getBytes("US-ASCII"))
+    if (withListChunk)
+      chunk("LIST", "INFOISFTgraft".getBytes("US-ASCII")) // odd length 13
+    val fmt = new ByteArrayOutputStream()
+    fmt.write(le16(if (extensible) 0xFFFE else fmtCode))
+    fmt.write(le16(channels))
+    fmt.write(le32(sampleRate))
+    fmt.write(le32(sampleRate.toLong * align)) // byte rate
+    fmt.write(le16(align))
+    fmt.write(le16(bitsPerSample))
+    if (extensible) {
+      fmt.write(le16(22)) // cbSize
+      fmt.write(le16(bitsPerSample)) // valid bits
+      fmt.write(le32(0)) // channel mask
+      fmt.write(le16(fmtCode)) // SubFormat GUID data1 low word
+      fmt.write(le16(0))
+      // the KSDATAFORMAT_SUBTYPE tail (fixed in the public spec)
+      fmt.write(Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+        0x00, 0x38, 0x9B, 0x71).map(_.toByte))
+    }
+    chunk("fmt ", fmt.toByteArray)
+    chunk("data", dataBytes)
+    out.toByteArray
+  }
+
   /** RIFF/WAVE magic only — a truncated file with no chunks. */
   def wavTruncated: Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -61,11 +61,12 @@ object Multimodal {
     * [r,g,b, r,g,b, …] as floats), non-interlaced 8-bit truecolor
     * RGB(A) or palette-indexed (PLTE) PNG ("image", sniffed by
     * signature: JDK-Inflater zlib IDAT + per-scanline filter undo —
-    * same plane contract, alpha/tRNS dropped), and 16-bit PCM WAV
-    * ("audio": RIFF chunk walk with
-    * odd-size pad bytes, interleaved little-endian signed frames —
-    * returns raw sample values), and baseline JPEG ("image", SOI
-    * sniff → [[JpegCodec]]: Huffman + dequantize + IDCT + YCbCr).
+    * same plane contract, alpha/tRNS dropped), WAV across the real
+    * encoding matrix ("audio": RIFF chunk walk with odd-size pad
+    * bytes — int PCM 8/16/24/32, IEEE float32/64, G.711 µ-law/A-law,
+    * WAVE_FORMAT_EXTENSIBLE; returns raw sample values), JPEG
+    * ("image", SOI sniff → [[JpegCodec]]: baseline or progressive),
+    * and GIF ("image" → [[GifCodec]]).
     * Anything else (video codecs need real codec libraries) falls
     * back to [[FakeDecoder]] behind the same interface. The
     * q189/q190/q215 oracles recompute the expected pixel/sample
@@ -274,38 +275,100 @@ object Multimodal {
       out
     }
 
-    private[graft] def decodeWavPcm16(b: Array[Byte]): Array[Float] = {
+    /** G.711 µ-law expansion to 16-bit linear (public-spec constants:
+      * complement, 0x84 bias, 3-bit exponent segments). */
+    private[graft] def mulawToLinear(code: Int): Int = {
+      val u = ~code & 0xFF
+      var t = ((u & 0x0F) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** G.711 A-law expansion to 16-bit linear (0x55 toggle, segmented
+      * mantissa — the sign bit SET means positive in A-law). */
+    private[graft] def alawToLinear(code: Int): Int = {
+      val a = (code ^ 0x55) & 0xFF
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0F) << 4
+      if (seg == 0) t += 8
+      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    /** REAL WAV sample decode across the formats a crawl actually
+      * carries: integer PCM at 8 (offset-binary → signed), 16, 24 and
+      * 32 bits, IEEE float32/float64 (format 3), G.711 µ-law (7) and
+      * A-law (6), and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the effective
+      * code read from the SubFormat GUID). Returns raw sample values
+      * as floats (float64 narrowed; G.711 expanded to 16-bit linear);
+      * anything else refuses loudly. */
+    private[graft] def decodeWav(b: Array[Byte]): Array[Float] = {
       require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E', "not a RIFF/WAVE")
       var pos = 12
-      var fmtOk = false
+      var fmtCode = -1
+      var bits = 0
       var out: Array[Float] = null
       while (out == null && pos + 8 <= b.length) {
         val id = new String(b, pos, 4, "US-ASCII")
         val size = i32(b, pos + 4)
+        require(size >= 0 && pos + 8 + size <= b.length,
+          s"truncated WAV chunk $id")
         if (id == "fmt ") {
-          require(u16(b, pos + 8) == 1 && u16(b, pos + 22) == 16,
-            "only 16-bit integer PCM decodes dependency-free")
-          fmtOk = true
-        } else if (id == "data") {
-          require(fmtOk, "WAV data chunk precedes fmt")
-          val n = size / 2
-          val s = new Array[Float](n)
-          var i = 0
-          var p = pos + 8
-          while (i < n) {
-            s(i) = (((b(p) & 0xFF) | (b(p + 1).toInt << 8)).toShort).toFloat
-            p += 2
-            i += 1
+          require(size >= 16, "short WAV fmt chunk")
+          fmtCode = u16(b, pos + 8)
+          bits = u16(b, pos + 22)
+          if (fmtCode == 0xFFFE) { // EXTENSIBLE: SubFormat's first word
+            require(size >= 40, "short WAVE_FORMAT_EXTENSIBLE fmt chunk")
+            fmtCode = u16(b, pos + 8 + 24)
           }
-          out = s
+        } else if (id == "data") {
+          require(fmtCode > 0, "WAV data chunk precedes fmt")
+          val p0 = pos + 8
+          out = (fmtCode, bits) match {
+            case (1, 8) => // offset-binary: 0x80 is zero
+              Array.tabulate(size)(i => ((b(p0 + i) & 0xFF) - 128).toFloat)
+            case (1, 16) =>
+              Array.tabulate(size / 2)(i =>
+                (((b(p0 + 2 * i) & 0xFF) |
+                  (b(p0 + 2 * i + 1).toInt << 8)).toShort).toFloat)
+            case (1, 24) =>
+              Array.tabulate(size / 3) { i =>
+                val v = (b(p0 + 3 * i) & 0xFF) |
+                  ((b(p0 + 3 * i + 1) & 0xFF) << 8) |
+                  ((b(p0 + 3 * i + 2) & 0xFF) << 16)
+                ((v << 8) >> 8).toFloat // sign-extend bit 23
+              }
+            case (1, 32) =>
+              Array.tabulate(size / 4)(i => i32(b, p0 + 4 * i).toFloat)
+            case (3, 32) =>
+              Array.tabulate(size / 4)(i =>
+                java.lang.Float.intBitsToFloat(i32(b, p0 + 4 * i)))
+            case (3, 64) =>
+              Array.tabulate(size / 8) { i =>
+                val lo = i32(b, p0 + 8 * i).toLong & 0xFFFFFFFFL
+                val hi = i32(b, p0 + 8 * i + 4).toLong
+                java.lang.Double.longBitsToDouble((hi << 32) | lo).toFloat
+              }
+            case (7, 8) =>
+              Array.tabulate(size)(i => mulawToLinear(b(p0 + i) & 0xFF).toFloat)
+            case (6, 8) =>
+              Array.tabulate(size)(i => alawToLinear(b(p0 + i) & 0xFF).toFloat)
+            case (f, w) => throw new IllegalArgumentException(
+              s"unsupported WAV encoding: format $f at $w bits")
+          }
         }
         pos += 8 + size + (size % 2) // odd chunks carry a pad byte
       }
       require(out != null, "no WAV data chunk")
       out
     }
+
+    /** Historical name for the 16-bit path — now the generalized
+      * [[decodeWav]] (the q190 gate rides it unchanged). */
+    private[graft] def decodeWavPcm16(b: Array[Byte]): Array[Float] =
+      decodeWav(b)
 
     /** Container-sniffed image decode: PNG signature → Inflater PNG
       * path, SOI → [[JpegCodec]] (baseline or progressive), GIF8x →
@@ -321,7 +384,7 @@ object Multimodal {
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
       kind match {
         case "image" => decodeImageWithDims(bytes)._3
-        case "audio" => decodeWavPcm16(bytes)
+        case "audio" => decodeWav(bytes)
         case "video" if AviMjpeg.isMjpegAvi(bytes) =>
           // REAL video decode (MJPEG-in-AVI rides JpegCodec): the
           // single-vector MediaDecoder contract gets the FIRST frame's

@@ -389,6 +389,43 @@ object StatsQueries {
             .as("phash_within_6_bits"))
     }),
 
+    // WAV encoding matrix through the audio dispatch: 8-bit
+    // offset-binary, 24-bit signed, IEEE float32 (plain and inside a
+    // WAVE_FORMAT_EXTENSIBLE wrapper), and G.711 mu-law/A-law — every
+    // byte formula-generated, every decoded sample replayed by the
+    // oracle (the G.711 expansions re-derived in SQL bit arithmetic,
+    // cross-checked against the JDK codec in MultimodalDecodeSpec).
+    "q250_wav_formats" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.AudioFixtures.wavRaw
+      def le24(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte)
+      def f32(f: Float) = {
+        val i = java.lang.Float.floatToIntBits(f)
+        Array((i & 0xFF).toByte, ((i >> 8) & 0xFF).toByte,
+          ((i >> 16) & 0xFF).toByte, ((i >> 24) & 0xFF).toByte)
+      }
+      val d8 = Array.tabulate(16)(t => ((t * 37 + 5) % 256).toByte)
+      val d24 = (0 until 20).toArray.flatMap(t => le24(t * 400003 - 4000000))
+      val df = (0 until 12).toArray.flatMap(t => f32(t * 0.25f - 100f))
+      val dmu = Array.tabulate(24)(t => ((t * 7 + 13) % 256).toByte)
+      val dal = Array.tabulate(24)(t => ((t * 11 + 5) % 256).toByte)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, wavRaw(8000, 1, 1, 8, d8), "audio"),
+        graft.llm.Multimodal.MediaRow(2L, wavRaw(16000, 1, 1, 24, d24), "audio"),
+        graft.llm.Multimodal.MediaRow(3L, wavRaw(44100, 1, 3, 32, df), "audio"),
+        graft.llm.Multimodal.MediaRow(4L, wavRaw(8000, 1, 7, 8, dmu), "audio"),
+        graft.llm.Multimodal.MediaRow(5L, wavRaw(8000, 1, 6, 8, dal), "audio"),
+        graft.llm.Multimodal.MediaRow(6L,
+          wavRaw(48000, 2, 3, 32, df, extensible = true), "audio")).toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("t", "v")))
+        .select(col("clip_id"), col("t"),
+                col("v").cast("double").as("value"))
+    }),
+
     // GIF decode through the frame pipeline: a static palette GIF, an
     // INTERLACED one (decode must be interlace-invariant), and a
     // 2-frame ANIMATION whose second frame is a partial rect with a
@@ -1143,6 +1180,45 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q250: every decoded sample replayed — G.711 expansion in SQL
+    // bit arithmetic (u-law: complement, 0x84 bias, exponent shift;
+    // A-law: 0x55 toggle, segmented mantissa).
+    "q250_wav_formats" ->
+      """WITH t8 AS (SELECT 1 AS clip_id, t,
+        |    CAST((t*37 + 5) % 256 - 128 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(16)) AS t)),
+        |t24 AS (SELECT 2 AS clip_id, t,
+        |    CAST(t*400003 - 4000000 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(20)) AS t)),
+        |tf AS (SELECT 3 AS clip_id, t,
+        |    CAST(t*0.25 - 100.0 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(12)) AS t)),
+        |mu0 AS (SELECT t, 255 - ((t*7 + 13) % 256) AS u
+        |  FROM (SELECT unnest(range(24)) AS t)),
+        |mu1 AS (SELECT t, u,
+        |    ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS mag FROM mu0),
+        |mu AS (SELECT 4 AS clip_id, t,
+        |    CAST(CASE WHEN u >= 128 THEN 132 - mag ELSE mag - 132 END
+        |      AS DOUBLE) AS value FROM mu1),
+        |al0 AS (SELECT t, xor((t*11 + 5) % 256, 85) AS a
+        |  FROM (SELECT unnest(range(24)) AS t)),
+        |al1 AS (SELECT t, a, (a // 16) % 8 AS seg, (a % 16) * 16 AS t0
+        |  FROM al0),
+        |al2 AS (SELECT t, a,
+        |    CASE WHEN seg = 0 THEN t0 + 8
+        |         WHEN seg = 1 THEN t0 + 264
+        |         ELSE (t0 + 264) * (1 << (seg - 1)) END AS mag FROM al1),
+        |al AS (SELECT 5 AS clip_id, t,
+        |    CAST(CASE WHEN a >= 128 THEN mag ELSE -mag END AS DOUBLE)
+        |      AS value FROM al2),
+        |xf AS (SELECT 6 AS clip_id, t,
+        |    CAST(t*0.25 - 100.0 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(12)) AS t))
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(t AS INT) AS t, value
+        |FROM (SELECT * FROM t8 UNION ALL SELECT * FROM t24
+        |      UNION ALL SELECT * FROM tf UNION ALL SELECT * FROM mu
+        |      UNION ALL SELECT * FROM al UNION ALL SELECT * FROM xf)""".stripMargin,
 
     // q249: lossless codec — every channel value replayed from the
     // palette formula, animation compositing (rect offset +

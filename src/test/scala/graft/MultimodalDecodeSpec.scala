@@ -162,6 +162,71 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(listed.toSeq == samples.map(_.toFloat).toSeq)
   }
 
+  test("decodeWav: the full encoding matrix decodes byte-exact") {
+    import graft.llm.AudioFixtures.wavRaw
+    def le24(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)
+    def le32i(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // 8-bit offset binary: 0x80 is zero
+    val d8 = Array.tabulate(16)(t => ((t * 37 + 5) % 256).toByte)
+    assert(BmpWavDecoder.decodeWav(wavRaw(8000, 1, 1, 8, d8)).toSeq ==
+      d8.map(b => ((b & 0xFF) - 128).toFloat).toSeq)
+    // 24-bit signed LE, both signs
+    val v24 = Array.tabulate(20)(t => t * 400003 - 4000000)
+    assert(BmpWavDecoder.decodeWav(
+      wavRaw(16000, 1, 1, 24, v24.flatMap(le24))).toSeq ==
+      v24.map(_.toFloat).toSeq)
+    // 32-bit signed int
+    val v32 = Array(0, 1, -1, Int.MaxValue, Int.MinValue, 123456789)
+    assert(BmpWavDecoder.decodeWav(
+      wavRaw(16000, 1, 1, 32, v32.flatMap(le32i))).toSeq ==
+      v32.map(_.toFloat).toSeq)
+    // IEEE float32, plain and inside a WAVE_FORMAT_EXTENSIBLE wrapper
+    val vf = Array.tabulate(12)(t => t * 0.25f - 100f)
+    val df = vf.flatMap(f => le32i(java.lang.Float.floatToIntBits(f)))
+    assert(BmpWavDecoder.decodeWav(wavRaw(44100, 1, 3, 32, df)).toSeq ==
+      vf.toSeq)
+    assert(BmpWavDecoder.decodeWav(
+      wavRaw(48000, 2, 3, 32, df, extensible = true)).toSeq == vf.toSeq)
+    // IEEE float64
+    val dd = Array(1.5, -2.25, 0.0, 1e10).flatMap { d =>
+      val l = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).map(i => ((l >> (8 * i)) & 0xFF).toByte)
+    }
+    assert(BmpWavDecoder.decodeWav(wavRaw(8000, 1, 3, 64, dd)).toSeq ==
+      Seq(1.5f, -2.25f, 0.0f, 1e10f))
+    // refusals stay loud
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodeWav(wavRaw(8000, 1, 1, 12,
+        new Array[Byte](12))) // 12-bit PCM
+    }
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decodeWav(wavRaw(8000, 1, 2, 8,
+        new Array[Byte](8))) // ADPCM
+    }
+  }
+
+  test("G.711 mu-law and A-law expansion matches the independent JDK codec on all 256 codes") {
+    import graft.llm.AudioFixtures.wavRaw
+    val codes = Array.tabulate(256)(_.toByte)
+    for ((fmtCode, name) <- Seq((7, "ULAW"), (6, "ALAW"))) {
+      val wav = wavRaw(8000, 1, fmtCode, 8, codes)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false) // signed 16-bit LE
+      val pcm = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pcmFmt, ais)
+      val buf = pcm.readAllBytes()
+      assert(buf.length == 512, s"$name: JDK conversion length")
+      val theirs = Array.tabulate(256)(i =>
+        (((buf(2 * i) & 0xFF) | (buf(2 * i + 1).toInt << 8)).toShort).toFloat)
+      val mine = BmpWavDecoder.decodeWav(wav)
+      assert(mine.toSeq == theirs.toSeq, s"$name expansion table differs")
+    }
+  }
+
   test("decode dispatches by kind; unknown kinds keep the fake-decoder interface") {
     val wav = AudioFixtures.wavPcm16(8000, 1, Array[Short](5, -5))
     assert(BmpWavDecoder.decode(wav, "audio").toSeq == Seq(5.0f, -5.0f))
