@@ -643,6 +643,66 @@ object Multimodal {
               round(col("im"), 4) * round(col("im"), 4), 3).as("power"))
   }
 
+  /** Log-mel filterbank energies — the standard acoustic-model input
+    * feature, built ON TOP of [[spectralEnergies]]' portable DFT: bin
+    * powers at k = 0..nBins−1 flow through an HTK-style triangular
+    * mel filter bank (mel(f) = 2595·log10(1 + f/700), nMels filters
+    * with centers equally spaced in mel between 0 Hz and sr/2, each
+    * triangle rising from its left neighbor's center and falling to
+    * its right neighbor's) computed IN-PLAN from the formula — no
+    * precomputed table, so both engines derive identical weights.
+    *
+    * Scale shape: the DFT stage is the q212 one-exchange reduction
+    * (O(n·nBins) terms per clip — exact and oracle-replayable where
+    * an FFT is not; clips are bounded, fan-out is across clips); the
+    * filter stage joins |clips|·nBins powers against a BROADCAST
+    * nMels·nBins weight frame and reduces map-side. Portability: the
+    * quantization ladder is weights to 9 dp, per-term products to 6
+    * dp, exact DECIMAL sums, output to 3 dp; log-energy applies
+    * ln(1 + e) AFTER the 3-dp rounding so both engines take logs of
+    * identical doubles. Returns (clip_id, mel, energy, log_energy). */
+  def melEnergies(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  featuresCol: String, sampleRate: Int, nMels: Int,
+                  nBins: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    require(nMels >= 1 && nBins >= 4, "need filters and bins")
+    val spark = df.sparkSession
+    val powers = spectralEnergies(df, idCol, featuresCol, 0 until nBins)
+      .select(col("clip_id"), col("k"), col("power"))
+    // mel grid: nMels+2 points, centers back-mapped to Hz (9-dp)
+    val melMax = 2595.0 * math.log10(1.0 + sampleRate / 2.0 / 700.0)
+    val pts = spark.range(0, nMels + 2)
+      .select(col("id").cast("int").as("i"),
+        round(lit(700.0) * (pow(lit(10.0),
+          col("id") * lit(melMax) / lit((nMels + 1).toDouble) / lit(2595.0))
+          - lit(1.0)), 9).as("hz"))
+    val tri = pts.select(col("i").as("m"), col("hz").as("c"))
+      .join(pts.select((col("i") + 1).as("m"), col("hz").as("l")), "m")
+      .join(pts.select((col("i") - 1).as("m"), col("hz").as("r")), "m")
+      .filter(col("m").between(1, nMels))
+    // bin k of a length-n clip sits at f_k = k·sr/n Hz; n varies per
+    // clip, so the triangle evaluates in Hz against each clip's own
+    // bin grid (the weight frame stays nMels rows, broadcast)
+    val binHz = powers
+      .join(df.select(col(idCol).as("clip_id"),
+        size(col(featuresCol)).as("n")), "clip_id")
+      .select(col("clip_id"), col("k"), col("power"),
+        round(col("k") * lit(sampleRate.toDouble) / col("n"), 9).as("fk"))
+    val w = binHz.crossJoin(broadcast(tri))
+      .select(col("clip_id"), col("k"), col("m"), col("power"),
+        round(greatest(lit(0.0), least(
+          (col("fk") - col("l")) / (col("c") - col("l")),
+          (col("r") - col("fk")) / (col("r") - col("c")))), 9).as("w"))
+      .filter(col("w") > 0)
+    w.groupBy(col("clip_id"), col("m").as("mel"))
+      .agg(round(sum(round(col("w") * col("power"), 6)
+          .cast(DecimalType(38, 9))).cast("double"), 3).as("energy"))
+      .select(col("clip_id"), col("mel"), col("energy"),
+        round(log(lit(1.0) + greatest(col("energy"), lit(0.0))), 6)
+          .as("log_energy"))
+  }
+
   /** Shannon entropy (nats) of each blob's BYTE distribution — the
     * corruption/noise signal for opaque media columns: well-formed
     * containers sit in a mid band, encrypted/random bytes near ln 256

@@ -389,6 +389,23 @@ object StatsQueries {
             .as("phash_within_6_bits"))
     }),
 
+    // Log-mel filterbank energies over the portable DFT — the
+    // standard acoustic-model feature: HTK triangles derived in-plan
+    // from the mel formula, bin powers from the q212 spectral kernel,
+    // broadcast filter join, exact-decimal reduction. The oracle
+    // re-derives the full ladder (DFT terms, 9-dp weights, 6-dp
+    // products, 3-dp energies, post-round log).
+    "q251_mel_energies" -> ((s, d) => {
+      import s.implicits._
+      val clips = Seq((1L, 200, 37, 0), (2L, 200, 53, 11), (3L, 160, 91, 7))
+      val ds = clips.map { case (id, n, a, b) =>
+        (id, (0 until n).map(t =>
+          (((t * a + b) % 2001) - 1000).toFloat).toArray)
+      }.toDF("clip_id", "samples")
+      graft.llm.Multimodal.melEnergies(ds, "clip_id", "samples",
+        sampleRate = 8000, nMels = 8, nBins = 81)
+    }),
+
     // WAV encoding matrix through the audio dispatch: 8-bit
     // offset-binary, 24-bit signed, IEEE float32 (plain and inside a
     // WAVE_FORMAT_EXTENSIBLE wrapper), and G.711 mu-law/A-law — every
@@ -1180,6 +1197,48 @@ object StatsQueries {
         |FROM pc)
         |SELECT image_id, pos, value FROM tc
         |UNION ALL SELECT image_id, pos, value FROM pal""".stripMargin,
+
+    // q251: the q212 DFT kernel extended by the mel ladder — filter
+    // points from the mel formula (libm split absorbed by 9-dp
+    // rounding), triangles in Hz against each clip's own bin grid.
+    "q251_mel_energies" ->
+      """WITH clips AS (SELECT * FROM (VALUES (1, 200, 37, 0),
+        |    (2, 200, 53, 11), (3, 160, 91, 7)) t(clip_id, n, a, b)),
+        |s0 AS (SELECT clip_id, n, a, b, unnest(range(n)) AS t FROM clips),
+        |sv AS (SELECT clip_id, n, t,
+        |    ((t*a + b) % 2001) - 1000 AS s FROM s0),
+        |ks AS (SELECT unnest(range(81)) AS k),
+        |term AS (SELECT clip_id, n, k, t, s,
+        |    2 * pi() * k * t / n AS arg FROM sv, ks),
+        |ag AS (SELECT clip_id, n, k,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * round(cos(arg), 9), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS re,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * (-round(sin(arg), 9)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS im
+        |  FROM term GROUP BY 1, 2, 3),
+        |pw AS (SELECT clip_id, n, k,
+        |    round(round(re, 4)*round(re, 4) + round(im, 4)*round(im, 4), 3)
+        |      AS power FROM ag),
+        |pts AS (SELECT i, round(700.0 * (pow(10.0,
+        |      i * (2595.0 * log10(1.0 + 4000.0/700.0)) / 9.0 / 2595.0)
+        |      - 1.0), 9) AS hz
+        |  FROM (SELECT unnest(range(10)) AS i)),
+        |tri AS (SELECT c.i AS m, l.hz AS l, c.hz AS c, r.hz AS r
+        |  FROM pts c JOIN pts l ON l.i = c.i - 1
+        |    JOIN pts r ON r.i = c.i + 1
+        |  WHERE c.i BETWEEN 1 AND 8),
+        |wgt AS (SELECT p.clip_id, p.k, t.m, p.power,
+        |    round(GREATEST(0.0, LEAST(
+        |      (round(p.k * 8000.0 / p.n, 9) - t.l) / (t.c - t.l),
+        |      (t.r - round(p.k * 8000.0 / p.n, 9)) / (t.r - t.c))), 9) AS w
+        |  FROM pw p, tri t),
+        |en AS (SELECT clip_id, m AS mel,
+        |    round(CAST(SUM(CAST(round(w * power, 6) AS DECIMAL(38,9)))
+        |      AS DOUBLE), 3) AS energy
+        |  FROM wgt WHERE w > 0 GROUP BY 1, 2)
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(mel AS INT) AS mel,
+        |  energy, round(ln(1.0 + GREATEST(energy, 0.0)), 6) AS log_energy
+        |FROM en""".stripMargin,
 
     // q250: every decoded sample replayed — G.711 expansion in SQL
     // bit arithmetic (u-law: complement, 0x84 bias, exponent shift;

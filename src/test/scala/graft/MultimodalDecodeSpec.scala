@@ -227,6 +227,33 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("melEnergies: a pure tone lands exactly in the filters whose triangles cover its frequency") {
+    import spark.implicits._
+    val n = 200; val sr = 8000; val k0 = 30 // an exact bin: 1200 Hz, no leakage
+    val samples = Array.tabulate(n)(t =>
+      (1000.0 * math.cos(2 * math.Pi * k0 * t / n)).toFloat)
+    val df = Seq((1L, samples)).toDF("clip_id", "samples")
+    val out = graft.llm.Multimodal.melEnergies(df, "clip_id", "samples",
+      sr, nMels = 8, nBins = 81).collect()
+    val energies = out.map(r =>
+      r.getInt(1) -> r.getDouble(2)).toMap
+    val melMax = 2595.0 * math.log10(1.0 + 4000.0 / 700.0)
+    val hz = (0 to 9).map(i =>
+      700.0 * (math.pow(10.0, i * melMax / 9.0 / 2595.0) - 1.0))
+    val covering = (1 to 8).filter(m =>
+      1200.0 > hz(m - 1) && 1200.0 < hz(m + 1)).toSet
+    assert(covering.nonEmpty)
+    val hot = energies.filter(_._2 > 1.0).keySet
+    assert(hot == covering, s"hot=$hot covering=$covering")
+    assert(energies.values.forall(_ >= 0.0))
+    // log-energy is the post-rounding ln(1 + e)
+    out.foreach { r =>
+      assert(r.getDouble(3) ==
+        BigDecimal(math.log1p(math.max(r.getDouble(2), 0.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("decode dispatches by kind; unknown kinds keep the fake-decoder interface") {
     val wav = AudioFixtures.wavPcm16(8000, 1, Array[Short](5, -5))
     assert(BmpWavDecoder.decode(wav, "audio").toSeq == Seq(5.0f, -5.0f))
