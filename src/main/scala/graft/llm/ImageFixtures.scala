@@ -62,39 +62,24 @@ object ImageFixtures {
     out.toByteArray
   }
 
-  /** FULL 8-bit truecolor PNG (RFC 2083: color type 2 = RGB, or 6 =
-    * RGBA with alpha = (x*5 + y*3 + 29) % 256) carrying real pixel
-    * data: zlib-deflated IDAT (split across TWO chunks — one stream,
-    * RFC 2083 §2.3), real CRC32s, and scanline filters CYCLING % 5 so
-    * every filter type (None/Sub/Up/Average/Paeth) appears — a
-    * decoder must undo all five to round-trip `pix`. With
-    * `interlace = true` the stream is Adam7: seven independently
-    * filtered reduced sub-images (empty passes absent, §2.6), the
-    * filter cycle running through a global scanline counter.
-    * Counterpart of [[bmp]] for [[Multimodal.BmpWavDecoder]]'s
-    * Inflater-backed PNG path (q215/q247 / MultimodalDecodeSpec). */
-  def pngFull(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
-              rgba: Boolean = false, interlace: Boolean = false): Array[Byte] = {
-    val bpp = if (rgba) 4 else 3
-    val raw = Array.ofDim[Int](height, width * bpp)
-    for (y <- 0 until height; x <- 0 until width) {
-      val (r, g, b) = pix(x, y)
-      // mask to 8 bits HERE (the [[bmp]] fixture's OutputStream.write
-      // masking) — filter arithmetic below must see the stored bytes
-      raw(y)(x * bpp) = r & 0xFF
-      raw(y)(x * bpp + 1) = g & 0xFF
-      raw(y)(x * bpp + 2) = b & 0xFF
-      if (rgba) raw(y)(x * bpp + 3) = (x * 5 + y * 3 + 29) % 256
-    }
+  /** Shared PNG writer behind the pixel-data fixtures: `raw` holds
+    * one Int per sample (bpp samples per pixel), scanlines filter with
+    * the type CYCLING % 5 over a GLOBAL row counter so every filter
+    * type (None/Sub/Up/Average/Paeth) appears, Adam7 or identity
+    * passes (empty passes contribute no bytes), zlib-deflated into an
+    * IDAT split across TWO chunks (one stream, RFC 2083 §2.3), real
+    * CRC32s, plus any extra chunks (PLTE/tRNS) between IHDR and
+    * IDAT. */
+  private def pngEncode(width: Int, height: Int, bpp: Int, colorType: Int,
+                        raw: Array[Array[Int]], interlace: Boolean,
+                        extraChunks: Seq[(String, Array[Byte])] = Nil)
+      : Array[Byte] = {
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b)
       val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    // Adam7 reduced images (RFC 2083 §2.6) or the identity pass; each
-    // pass filters independently, the filter type keeps cycling y % 5
-    // through a GLOBAL scanline counter so every pass mixes filters
     val passes =
       if (interlace) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
         (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
@@ -106,7 +91,6 @@ object ImageFixtures {
       val ph = if (height > py0) (height - py0 + pdy - 1) / pdy else 0
       if (pw > 0 && ph > 0) {
         val stride = pw * bpp
-        // the pass's reduced sub-image rows
         val sub = Array.tabulate(ph, stride) { (j, i) =>
           raw(py0 + j * pdy)((px0 + (i / bpp) * pdx) * bpp + i % bpp)
         }
@@ -152,14 +136,15 @@ object ImageFixtures {
     }
     val ihdr = new ByteArrayOutputStream()
     ihdr.write(be32(width)); ihdr.write(be32(height))
-    ihdr.write(8)                      // bit depth
-    ihdr.write(if (rgba) 6 else 2)     // color type
-    ihdr.write(0); ihdr.write(0)       // compression/filter method
+    ihdr.write(8)
+    ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0)
     ihdr.write(if (interlace) 1 else 0)
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte))
     out.write(chunk("IHDR", ihdr.toByteArray))
+    extraChunks.foreach { case (t, d) => out.write(chunk(t, d)) }
     val ib = idat.toByteArray
     out.write(chunk("IDAT", ib.take(ib.length / 2)))
     out.write(chunk("IDAT", ib.drop(ib.length / 2)))
@@ -167,79 +152,62 @@ object ImageFixtures {
     out.toByteArray
   }
 
-  /** FULL non-interlaced 8-bit PALETTE PNG (RFC 2083 color type 3):
-    * PLTE triples, 1-byte-per-pixel indices through the same y % 5
-    * filter cycle as [[pngFull]], optionally a tRNS chunk (which the
-    * decoder must accept and ignore — the RGB plane contract drops
-    * alpha). `idx(x, y)` must return a valid palette index. */
+  /** FULL 8-bit truecolor PNG (RFC 2083: color type 2 = RGB, or 6 =
+    * RGBA with alpha = (x*5 + y*3 + 29) % 256) carrying real pixel
+    * data through [[pngEncode]] — a decoder must undo all five
+    * filters (and, with `interlace = true`, the Adam7 pass geometry)
+    * to round-trip `pix`. Counterpart of [[bmp]] for
+    * [[Multimodal.BmpWavDecoder]]'s Inflater-backed PNG path
+    * (q215/q247 / MultimodalDecodeSpec). */
+  def pngFull(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
+              rgba: Boolean = false, interlace: Boolean = false): Array[Byte] = {
+    val bpp = if (rgba) 4 else 3
+    val raw = Array.ofDim[Int](height, width * bpp)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = pix(x, y)
+      // mask to 8 bits HERE (the [[bmp]] fixture's OutputStream.write
+      // masking) — filter arithmetic must see the stored bytes
+      raw(y)(x * bpp) = r & 0xFF
+      raw(y)(x * bpp + 1) = g & 0xFF
+      raw(y)(x * bpp + 2) = b & 0xFF
+      if (rgba) raw(y)(x * bpp + 3) = (x * 5 + y * 3 + 29) % 256
+    }
+    pngEncode(width, height, bpp, if (rgba) 6 else 2, raw, interlace)
+  }
+
+  /** FULL 8-bit GRAYSCALE PNG (RFC 2083 color type 0, or 4 with an
+    * alpha plane = (x*5 + y*3 + 29) % 256 the decoder must drop). */
+  def pngGray(width: Int, height: Int, gray: (Int, Int) => Int,
+              withAlpha: Boolean = false,
+              interlace: Boolean = false): Array[Byte] = {
+    val bpp = if (withAlpha) 2 else 1
+    val raw = Array.ofDim[Int](height, width * bpp)
+    for (y <- 0 until height; x <- 0 until width) {
+      raw(y)(x * bpp) = gray(x, y) & 0xFF
+      if (withAlpha) raw(y)(x * bpp + 1) = (x * 5 + y * 3 + 29) % 256
+    }
+    pngEncode(width, height, bpp, if (withAlpha) 4 else 0, raw, interlace)
+  }
+
+  /** FULL 8-bit PALETTE PNG (RFC 2083 color type 3): PLTE triples,
+    * 1-byte-per-pixel indices through the shared [[pngEncode]] filter
+    * cycle, optionally a tRNS chunk (which the decoder must accept
+    * and ignore — the RGB plane contract drops alpha) and Adam7
+    * interlacing. `idx(x, y)` must return a valid palette index. */
   def pngPalette(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
                  idx: (Int, Int) => Int,
-                 withTrns: Boolean = false): Array[Byte] = {
+                 withTrns: Boolean = false,
+                 interlace: Boolean = false): Array[Byte] = {
     require(palette.nonEmpty && palette.size <= 256, "PLTE size in [1, 256]")
     val raw = Array.tabulate(height, width)((y, x) => idx(x, y) & 0xFF)
-    def paeth(a: Int, b: Int, c: Int): Int = {
-      val p = a + b - c
-      val pa = math.abs(p - a); val pb = math.abs(p - b)
-      val pc = math.abs(p - c)
-      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-    }
-    val filtered = new ByteArrayOutputStream()
-    for (y <- 0 until height) {
-      val f = y % 5
-      filtered.write(f)
-      val cur = raw(y)
-      val pri = if (y == 0) new Array[Int](width) else raw(y - 1)
-      for (i <- 0 until width) {
-        val left = if (i >= 1) cur(i - 1) else 0
-        val up = pri(i)
-        val ul = if (i >= 1) pri(i - 1) else 0
-        val v = f match {
-          case 0 => cur(i)
-          case 1 => cur(i) - left
-          case 2 => cur(i) - up
-          case 3 => cur(i) - (left + up) / 2
-          case _ => cur(i) - paeth(left, up, ul)
-        }
-        filtered.write(v & 0xFF)
-      }
-    }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered.toByteArray); defl.finish()
-    val buf = new Array[Byte](8192)
-    val idat = new ByteArrayOutputStream()
-    while (!defl.finished()) {
-      val n = defl.deflate(buf); idat.write(buf, 0, n)
-    }
-    defl.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val o = new ByteArrayOutputStream()
-      o.write(be32(data.length))
-      val tb = typ.getBytes("US-ASCII")
-      o.write(tb); o.write(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      o.write(be32(crc.getValue.toInt))
-      o.toByteArray
-    }
-    val ihdr = new ByteArrayOutputStream()
-    ihdr.write(be32(width)); ihdr.write(be32(height))
-    ihdr.write(8); ihdr.write(3) // bit depth, color type 3 = palette
-    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compr/filter/interlace
-    val plte = new ByteArrayOutputStream()
-    palette.foreach { case (r, g, b) =>
-      plte.write(r & 0xFF); plte.write(g & 0xFF); plte.write(b & 0xFF)
-    }
-    val out = new ByteArrayOutputStream()
-    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
-      .map(_.toByte))
-    out.write(chunk("IHDR", ihdr.toByteArray))
-    out.write(chunk("PLTE", plte.toByteArray))
-    if (withTrns) // alpha 255 - i per entry; decoder must skip it
-      out.write(chunk("tRNS",
-        palette.indices.map(i => (255 - i).toByte).toArray))
-    out.write(chunk("IDAT", idat.toByteArray))
-    out.write(chunk("IEND", Array.emptyByteArray))
-    out.toByteArray
+    val plte = palette.flatMap { case (r, g, b) =>
+      Seq((r & 0xFF).toByte, (g & 0xFF).toByte, (b & 0xFF).toByte)
+    }.toArray
+    val extras = Seq("PLTE" -> plte) ++
+      (if (withTrns) // alpha 255 - i per entry; decoder must skip it
+        Seq("tRNS" -> palette.indices.map(i => (255 - i).toByte).toArray)
+      else Nil)
+    pngEncode(width, height, 1, 3, raw, interlace, extras)
   }
 
   /** PNG signature + IHDR chunk (CRC zeroed — the parser reads

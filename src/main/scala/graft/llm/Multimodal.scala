@@ -112,13 +112,15 @@ object Multimodal {
       * (x0 + i·dx, y0 + j·dy); the non-interlaced path is the same
       * loop over the single identity pass. Palette indices (color
       * type 3, 1 byte/pixel after unfiltering) map through the PLTE
-      * triples. Returns row-major top-down [r,g,b, …] floats, alpha
-      * dropped — the same plane contract as [[decodeBmp]], so
-      * resize/phash pipelines compose unchanged; an optional tRNS
-      * chunk is accepted and ignored for the same reason (it only
-      * carries the alpha this contract drops). 16-bit, grayscale and
-      * sub-8-bit-palette PNGs refuse loudly (production drops in a
-      * codec library for those). */
+      * triples; grayscale (color types 0 and 4) replicates the gray
+      * sample across RGB, the decodeBmp/JPEG-grayscale convention.
+      * Returns row-major top-down [r,g,b, …] floats, alpha dropped —
+      * the same plane contract as [[decodeBmp]], so resize/phash
+      * pipelines compose unchanged; an optional tRNS chunk is
+      * accepted and ignored for the same reason (it only carries the
+      * alpha this contract drops). 16-bit and sub-8-bit-depth PNGs
+      * refuse loudly (production drops in a codec library for
+      * those). */
     private[graft] def decodePngWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) = {
       require(isPng(b), "not a PNG")
@@ -140,14 +142,20 @@ object Multimodal {
             color = b(pos + 17) & 0xFF
             require(depth == 8,
               s"only 8-bit PNG decodes dependency-free (depth $depth)")
-            require(color == 2 || color == 6 || color == 3,
-              s"only truecolor RGB(A) or palette PNG (color type $color)")
+            require(Set(0, 2, 3, 4, 6)(color),
+              s"unknown PNG color type $color")
             require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0,
               "nonstandard PNG compression/filter method")
             val il = b(pos + 20) & 0xFF
             require(il <= 1, s"unknown PNG interlace method $il")
             interlaced = il == 1
-            bpp = if (color == 6) 4 else if (color == 3) 1 else 3
+            bpp = color match {
+              case 0 => 1 // grayscale
+              case 4 => 2 // grayscale + alpha
+              case 3 => 1 // palette index
+              case 2 => 3
+              case _ => 4
+            }
           case "PLTE" =>
             require(len > 0 && len % 3 == 0 && len <= 768,
               s"PLTE length $len not a multiple of 3 in (0, 768]")
@@ -219,6 +227,9 @@ object Multimodal {
               out(ob) = palette(idx * 3).toFloat
               out(ob + 1) = palette(idx * 3 + 1).toFloat
               out(ob + 2) = palette(idx * 3 + 2).toFloat
+            } else if (color == 0 || color == 4) {
+              val g = cur(px * bpp).toFloat // alpha (type 4) dropped
+              out(ob) = g; out(ob + 1) = g; out(ob + 2) = g
             } else {
               out(ob) = cur(px * bpp).toFloat
               out(ob + 1) = cur(px * bpp + 1).toFloat

@@ -489,10 +489,19 @@ object StatsQueries {
       val pix = (x: Int, y: Int) =>
         ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
          (x + y * 2 + 101) % 256)
-      val ds = Seq((1L, 16, 11, false), (2L, 7, 5, false), (3L, 9, 12, true))
+      val gray = (x: Int, y: Int) => (x * 9 + y * 5 + 31) % 256
+      val ds = (Seq((1L, 16, 11, false), (2L, 7, 5, false), (3L, 9, 12, true))
         .map { case (id, w, h, rgba) => graft.llm.Multimodal.MediaRow(
           id, graft.llm.ImageFixtures.pngFull(w, h, pix, rgba,
-            interlace = true), "image") }
+            interlace = true), "image") } ++ Seq(
+        // grayscale color types through the SAME pass scatter: type 0
+        // interlaced, type 4 (gray+alpha) plain — gray replicates to RGB
+        graft.llm.Multimodal.MediaRow(4L,
+          graft.llm.ImageFixtures.pngGray(11, 7, gray, interlace = true),
+          "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          graft.llm.ImageFixtures.pngGray(6, 8, gray, withAlpha = true),
+          "image")))
         .toDS()
       graft.llm.Multimodal.extractFeatures(ds,
           graft.llm.Multimodal.BmpWavDecoder).toDF()
@@ -1319,12 +1328,22 @@ object StatsQueries {
         |                                    (3, 9, 12)) t(image_id, w, h)),
         |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
         |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
-        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx)
-        |SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx),
+        |tc AS (SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
         |  CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
         |            WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
         |            ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
-        |FROM cc""".stripMargin,
+        |FROM cc),
+        |gimgs AS (SELECT * FROM (VALUES (4, 11, 7), (5, 6, 8))
+        |            t(image_id, w, h)),
+        |gy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM gimgs),
+        |gx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM gy),
+        |gc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM gx),
+        |gr AS (SELECT image_id, CAST((y * w + x) * 3 + c AS INT) AS pos,
+        |  CAST((x*9 + y*5 + 31) % 256 AS DOUBLE) AS value
+        |FROM gc)
+        |SELECT image_id, pos, value FROM tc
+        |UNION ALL SELECT image_id, pos, value FROM gr""".stripMargin,
 
     // q244: the image-id set pinned exactly; the parity boolean is the
     // Spark-side claim (lossy hash value is oracle-opaque).

@@ -107,6 +107,30 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodePng grayscale (types 0 and 4): gray replicates to RGB, alpha drops, interlace composes") {
+    val g = (x: Int, y: Int) => (x * 9 + y * 5 + 31) % 256
+    for (alpha <- Seq(false, true); il <- Seq(false, true)) {
+      val bytes = ImageFixtures.pngGray(11, 7, g, withAlpha = alpha,
+        interlace = il)
+      val (w, h, out) = BmpWavDecoder.decodePngWithDims(bytes)
+      assert((w, h) === ((11, 7)))
+      for (y <- 0 until 7; x <- 0 until 11) {
+        val o = (y * 11 + x) * 3
+        val e = g(x, y).toFloat
+        assert(out(o) == e && out(o + 1) == e && out(o + 2) == e,
+          s"($x,$y) alpha=$alpha il=$il")
+      }
+      // the independent JDK reader agrees exactly (lossless) — raw
+      // RASTER samples: getRGB would gamma-convert gray through sRGB
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      for (y <- 0 until 7; x <- 0 until 11)
+        assert(img.getRaster.getSample(x, y, 0) == g(x, y),
+          s"JDK split at ($x,$y) alpha=$alpha il=$il")
+    }
+  }
+
   test("decodePng palette: indices map through PLTE, filters undo, tRNS skipped") {
     val pal = (0 until 16).map(i =>
       ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
