@@ -714,6 +714,92 @@ object Multimodal {
           .as("log_energy"))
   }
 
+  /** Area-average (box-filter) downscale of decoded planes — the
+    * anti-aliased thumbnail resize ([[resizeBilinear]] samples only
+    * four source pixels per target, so it aliases once the scale
+    * factor passes 2; a training-corpus thumbnail pipeline wants the
+    * box average): target cell (u, v) of the tw×th output averages
+    * every source pixel its box [u·w/tw, (u+1)·w/tw) ×
+    * [v·h/th, (v+1)·h/th) overlaps, weighted by the exact fractional
+    * overlap of the unit squares.
+    *
+    * Scale shape: each source pixel fans out NARROWLY to the
+    * O(1 + tw/w)·O(1 + th/h) target cells its square can touch (an
+    * integer-arithmetic `sequence` explode — never a source×target
+    * cross join), then one (image, u, v, channel) reduce.
+    * Portability: overlaps round to 9 dp, weighted terms to 6 dp into
+    * exact decimal sums, and the final division by the box area
+    * applies once per cell in a pinned order before the 4-dp output
+    * rounding — the oracle replays every cell. Input rows carry
+    * (id, w, h, plane); output is one row per (image_id, pos, value)
+    * in the row-major [r,g,b,…] layout of the tw×th plane. */
+  def resizeAreaAvg(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    wCol: String, hCol: String, featuresCol: String,
+                    tw: Int, th: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    require(tw >= 1 && th >= 1, "target dims >= 1")
+    val px = df.select(col(idCol).as("image_id"),
+        col(wCol).as("w"), col(hCol).as("h"),
+        posexplode(col(featuresCol)).as(Seq("pos", "v")))
+      .select(col("image_id"), col("w"), col("h"), col("v"),
+        expr("pos % 3").as("c"),
+        expr("(pos div 3) % w").as("sx"),
+        expr("(pos div 3) div w").as("sy"))
+    val fan = px
+      .withColumn("u", explode(sequence(
+        expr(s"(sx * $tw) div w"),
+        least(lit(tw - 1), expr(s"((sx + 1) * $tw) div w")))))
+      .withColumn("tv", explode(sequence(
+        expr(s"(sy * $th) div h"),
+        least(lit(th - 1), expr(s"((sy + 1) * $th) div h")))))
+      .withColumn("ox", round(
+        least(expr(s"(u + 1) * w / $tw.0"), col("sx") + lit(1)) -
+          greatest(expr(s"u * w / $tw.0"), col("sx").cast("double")), 9))
+      .withColumn("oy", round(
+        least(expr(s"(tv + 1) * h / $th.0"), col("sy") + lit(1)) -
+          greatest(expr(s"tv * h / $th.0"), col("sy").cast("double")), 9))
+      .filter(col("ox") > 0 && col("oy") > 0)
+    fan.groupBy(col("image_id"), col("w"), col("h"),
+        col("tv"), col("u"), col("c"))
+      .agg(sum(round(col("ox") * col("oy") * col("v").cast("double"), 6)
+        .cast(DecimalType(38, 9))).cast("double").as("__s"))
+      .select(col("image_id"),
+        ((col("tv") * lit(tw) + col("u")) * lit(3) + col("c"))
+          .cast("int").as("pos"),
+        round(col("__s") * lit(tw.toDouble) * lit(th.toDouble) /
+          (col("w") * col("h")), 4).as("value"))
+  }
+
+  /** MFCCs — the type-II DCT of the log-mel vector, the classic
+    * compact acoustic feature on top of [[melEnergies]]:
+    * c_i = Σ_{m=1..nMels} logmel_m · cos(π·i·(m−0.5)/nMels) for
+    * i = 0..nCoef−1. The cosine basis derives in-plan (9-dp rounded,
+    * the libm-absorption quantum), terms quantize to 6 dp into exact
+    * decimal sums, output to 4 dp — the same portability ladder as
+    * the filterbank, so the oracle replays coefficient-for-
+    * coefficient. Scale shape: one broadcast crossJoin of the
+    * |clips|·nMels log-mel frame against nCoef basis rows, map-side
+    * reduced. */
+  def melCepstra(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 featuresCol: String, sampleRate: Int, nMels: Int,
+                 nBins: Int, nCoef: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    require(nCoef >= 1 && nCoef <= nMels, "nCoef in [1, nMels]")
+    val lm = melEnergies(df, idCol, featuresCol, sampleRate, nMels, nBins)
+    val basis = df.sparkSession.range(0, nCoef)
+      .select(col("id").cast("int").as("i"))
+    lm.crossJoin(broadcast(basis))
+      .select(col("clip_id"), col("i"),
+        round(col("log_energy") *
+          round(cos(lit(math.Pi) * col("i") * (col("mel") - lit(0.5)) /
+            lit(nMels.toDouble)), 9), 6).as("term"))
+      .groupBy(col("clip_id"), col("i"))
+      .agg(round(sum(col("term").cast(DecimalType(38, 9))).cast("double"), 4)
+        .as("mfcc"))
+  }
+
   /** Shannon entropy (nats) of each blob's BYTE distribution — the
     * corruption/noise signal for opaque media columns: well-formed
     * containers sit in a mid band, encrypted/random bytes near ln 256

@@ -406,6 +406,43 @@ object StatsQueries {
         sampleRate = 8000, nMels = 8, nBins = 81)
     }),
 
+    // Area-average (box) downscale over REAL decoded planes (one BMP,
+    // one PNG through the container sniff): every target cell is the
+    // exact fractional-overlap average of the source pixels its box
+    // covers — the anti-aliased thumbnail op bilinear is not. Inputs
+    // are lossless, so the oracle replays every output cell from the
+    // generative formula through the same overlap/quantization ladder.
+    "q253_area_resize" -> ((s, d) => {
+      import s.implicits._
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = Seq(
+          (1L, graft.llm.ImageFixtures.bmp(13, 9, pix)),
+          (2L, graft.llm.ImageFixtures.pngFull(16, 11, pix)))
+        .toDS().map { case (id, bytes) =>
+          val (w, h, px) =
+            graft.llm.Multimodal.BmpWavDecoder.decodeImageWithDims(bytes)
+          (id, w, h, px)
+        }.toDF("image_id", "w", "h", "features")
+      graft.llm.Multimodal.resizeAreaAvg(ds, "image_id", "w", "h",
+        "features", tw = 5, th = 4)
+    }),
+
+    // MFCCs on top of the q251 filterbank: type-II DCT of the log-mel
+    // vector, basis derived in-plan — the classic compact acoustic
+    // feature, oracle-replayed coefficient-for-coefficient.
+    "q252_mfcc" -> ((s, d) => {
+      import s.implicits._
+      val clips = Seq((1L, 200, 37, 0), (2L, 200, 53, 11), (3L, 160, 91, 7))
+      val ds = clips.map { case (id, n, a, b) =>
+        (id, (0 until n).map(t =>
+          (((t * a + b) % 2001) - 1000).toFloat).toArray)
+      }.toDF("clip_id", "samples")
+      graft.llm.Multimodal.melCepstra(ds, "clip_id", "samples",
+        sampleRate = 8000, nMels = 8, nBins = 81, nCoef = 5)
+    }),
+
     // WAV encoding matrix through the audio dispatch: 8-bit
     // offset-binary, 24-bit signed, IEEE float32 (plain and inside a
     // WAVE_FORMAT_EXTENSIBLE wrapper), and G.711 mu-law/A-law — every
@@ -665,6 +702,47 @@ object StatsQueries {
         "o_orderdate")
     })
   )
+
+  // The shared q251/q252 mel-ladder CTE prefix: DFT terms -> bin
+  // powers -> in-plan HTK mel points/triangles -> per-filter energies.
+  private val melLadderSql: String =
+    """WITH clips AS (SELECT * FROM (VALUES (1, 200, 37, 0),
+        |    (2, 200, 53, 11), (3, 160, 91, 7)) t(clip_id, n, a, b)),
+        |s0 AS (SELECT clip_id, n, a, b, unnest(range(n)) AS t FROM clips),
+        |sv AS (SELECT clip_id, n, t,
+        |    ((t*a + b) % 2001) - 1000 AS s FROM s0),
+        |ks AS (SELECT unnest(range(81)) AS k),
+        |term AS (SELECT clip_id, n, k, t, s,
+        |    2 * pi() * k * t / n AS arg FROM sv, ks),
+        |ag AS (SELECT clip_id, n, k,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * round(cos(arg), 9), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS re,
+        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * (-round(sin(arg), 9)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS im
+        |  FROM term GROUP BY 1, 2, 3),
+        |pw AS (SELECT clip_id, n, k,
+        |    round(round(re, 4)*round(re, 4) + round(im, 4)*round(im, 4), 3)
+        |      AS power FROM ag),
+        |pts AS (SELECT i, round(700.0 * (pow(10.0,
+        |      i * (2595.0 * log10(1.0 + 4000.0/700.0)) / 9.0 / 2595.0)
+        |      - 1.0), 9) AS hz
+        |  FROM (SELECT unnest(range(10)) AS i)),
+        |tri AS (SELECT c.i AS m, l.hz AS l, c.hz AS c, r.hz AS r
+        |  FROM pts c JOIN pts l ON l.i = c.i - 1
+        |    JOIN pts r ON r.i = c.i + 1
+        |  WHERE c.i BETWEEN 1 AND 8),
+        |wgt AS (SELECT p.clip_id, p.k, t.m, p.power,
+        |    round(GREATEST(0.0, LEAST(
+        |      (round(p.k * 8000.0 / p.n, 9) - t.l) / (t.c - t.l),
+        |      (t.r - round(p.k * 8000.0 / p.n, 9)) / (t.r - t.c))), 9) AS w
+        |  FROM pw p, tri t),
+        |en AS (SELECT clip_id, m AS mel,
+        |    round(CAST(SUM(CAST(round(w * power, 6) AS DECIMAL(38,9)))
+        |      AS DOUBLE), 3) AS energy
+        |  FROM wgt WHERE w > 0 GROUP BY 1, 2),
+        |lm AS (SELECT clip_id, mel, energy,
+        |    round(ln(1.0 + GREATEST(energy, 0.0)), 6) AS log_energy
+        |  FROM en)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1210,44 +1288,48 @@ object StatsQueries {
     // q251: the q212 DFT kernel extended by the mel ladder — filter
     // points from the mel formula (libm split absorbed by 9-dp
     // rounding), triangles in Hz against each clip's own bin grid.
-    "q251_mel_energies" ->
-      """WITH clips AS (SELECT * FROM (VALUES (1, 200, 37, 0),
-        |    (2, 200, 53, 11), (3, 160, 91, 7)) t(clip_id, n, a, b)),
-        |s0 AS (SELECT clip_id, n, a, b, unnest(range(n)) AS t FROM clips),
-        |sv AS (SELECT clip_id, n, t,
-        |    ((t*a + b) % 2001) - 1000 AS s FROM s0),
-        |ks AS (SELECT unnest(range(81)) AS k),
-        |term AS (SELECT clip_id, n, k, t, s,
-        |    2 * pi() * k * t / n AS arg FROM sv, ks),
-        |ag AS (SELECT clip_id, n, k,
-        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * round(cos(arg), 9), 9)
-        |      AS DECIMAL(38,9))) AS DOUBLE) AS re,
-        |    CAST(SUM(CAST(round(CAST(s AS DOUBLE) * (-round(sin(arg), 9)), 9)
-        |      AS DECIMAL(38,9))) AS DOUBLE) AS im
-        |  FROM term GROUP BY 1, 2, 3),
-        |pw AS (SELECT clip_id, n, k,
-        |    round(round(re, 4)*round(re, 4) + round(im, 4)*round(im, 4), 3)
-        |      AS power FROM ag),
-        |pts AS (SELECT i, round(700.0 * (pow(10.0,
-        |      i * (2595.0 * log10(1.0 + 4000.0/700.0)) / 9.0 / 2595.0)
-        |      - 1.0), 9) AS hz
-        |  FROM (SELECT unnest(range(10)) AS i)),
-        |tri AS (SELECT c.i AS m, l.hz AS l, c.hz AS c, r.hz AS r
-        |  FROM pts c JOIN pts l ON l.i = c.i - 1
-        |    JOIN pts r ON r.i = c.i + 1
-        |  WHERE c.i BETWEEN 1 AND 8),
-        |wgt AS (SELECT p.clip_id, p.k, t.m, p.power,
-        |    round(GREATEST(0.0, LEAST(
-        |      (round(p.k * 8000.0 / p.n, 9) - t.l) / (t.c - t.l),
-        |      (t.r - round(p.k * 8000.0 / p.n, 9)) / (t.r - t.c))), 9) AS w
-        |  FROM pw p, tri t),
-        |en AS (SELECT clip_id, m AS mel,
-        |    round(CAST(SUM(CAST(round(w * power, 6) AS DECIMAL(38,9)))
-        |      AS DOUBLE), 3) AS energy
-        |  FROM wgt WHERE w > 0 GROUP BY 1, 2)
+
+    "q251_mel_energies" -> (melLadderSql + """
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(mel AS INT) AS mel,
-        |  energy, round(ln(1.0 + GREATEST(energy, 0.0)), 6) AS log_energy
-        |FROM en""".stripMargin,
+        |  energy, log_energy
+        |FROM lm""".stripMargin),
+
+    // q253: full overlap replay — both engines compute identical
+    // rounded overlaps, 6-dp terms, decimal sums, one end division.
+    "q253_area_resize" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 13, 9), (2, 16, 11))
+        |           t(image_id, w, h)),
+        |yy AS (SELECT image_id, w, h, unnest(range(h)) AS sy FROM imgs),
+        |xx AS (SELECT image_id, w, h, sy, unnest(range(w)) AS sx FROM yy),
+        |sp AS (SELECT image_id, w, h, sy, sx, c,
+        |    CAST(CASE WHEN c = 0 THEN (sx*7 + sy*13) % 256
+        |              WHEN c = 1 THEN (sx*3 + sy*5 + 17) % 256
+        |              ELSE (sx + sy*2 + 101) % 256 END AS DOUBLE) AS p
+        |  FROM xx, (SELECT unnest(range(3)) AS c)),
+        |tg AS (SELECT u, tv FROM (SELECT unnest(range(5)) AS u),
+        |                        (SELECT unnest(range(4)) AS tv)),
+        |ov AS (SELECT image_id, w, h, u, tv, c, p,
+        |    round(LEAST((u + 1) * w / 5.0, sx + 1)
+        |      - GREATEST(u * w / 5.0, CAST(sx AS DOUBLE)), 9) AS ox,
+        |    round(LEAST((tv + 1) * h / 4.0, sy + 1)
+        |      - GREATEST(tv * h / 4.0, CAST(sy AS DOUBLE)), 9) AS oy
+        |  FROM sp, tg)
+        |SELECT CAST(image_id AS BIGINT) AS image_id,
+        |  CAST((tv * 5 + u) * 3 + c AS INT) AS pos,
+        |  round(CAST(SUM(CAST(round(ox * oy * p, 6) AS DECIMAL(38,9)))
+        |    AS DOUBLE) * 5.0 * 4.0 / (w * h), 4) AS value
+        |FROM ov WHERE ox > 0 AND oy > 0
+        |GROUP BY image_id, w, h, tv, u, c""".stripMargin,
+
+    // q252: the ladder extended by the in-plan DCT-II basis.
+    "q252_mfcc" -> (melLadderSql + """,
+        |dct AS (SELECT clip_id, i,
+        |    round(log_energy * round(cos(pi() * i * (mel - 0.5) / 8.0), 9),
+        |      6) AS term
+        |  FROM lm, (SELECT unnest(range(5)) AS i))
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
+        |FROM dct GROUP BY clip_id, i""".stripMargin),
 
     // q250: every decoded sample replayed — G.711 expansion in SQL
     // bit arithmetic (u-law: complement, 0x84 bias, exponent shift;

@@ -251,6 +251,41 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("resizeAreaAvg: integer-factor boxes average exactly; constant planes stay constant; fractional boxes conserve mass") {
+    import spark.implicits._
+    def plane(w: Int, h: Int, f: (Int, Int, Int) => Int): Array[Float] =
+      Array.tabulate(w * h * 3)(p => f((p / 3) % w, (p / 3) / w, p % 3).toFloat)
+    // 4x2 -> 2x1: each target channel is the mean of its 2x2 box
+    val p1 = plane(4, 2, (x, y, c) => x * 10 + y * 40 + c)
+    val df1 = Seq((1L, 4, 2, p1)).toDF("image_id", "w", "h", "features")
+    val got = graft.llm.Multimodal
+      .resizeAreaAvg(df1, "image_id", "w", "h", "features", 2, 1)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (u <- 0 until 2; c <- 0 until 3) {
+      val exp = (for (dx <- 0 until 2; dy <- 0 until 2)
+        yield (u * 2 + dx) * 10 + dy * 40 + c).sum / 4.0
+      assert(got(u * 3 + c) == exp, s"u=$u c=$c")
+    }
+    // constant plane survives ANY fractional geometry exactly
+    val df2 = Seq((2L, 7, 5, plane(7, 5, (_, _, _) => 77)))
+      .toDF("image_id", "w", "h", "features")
+    val cst = graft.llm.Multimodal
+      .resizeAreaAvg(df2, "image_id", "w", "h", "features", 3, 2)
+      .collect()
+    assert(cst.length == 3 * 2 * 3)
+    assert(cst.forall(r => math.abs(r.getDouble(2) - 77.0) < 1e-3))
+    // mass conservation under fractional boxes: total output mass x
+    // box area equals total input mass (up to the rounding ladder)
+    val p3 = plane(7, 5, (x, y, c) => (x * 31 + y * 17 + c * 5) % 256)
+    val df3 = Seq((3L, 7, 5, p3)).toDF("image_id", "w", "h", "features")
+    val outs = graft.llm.Multimodal
+      .resizeAreaAvg(df3, "image_id", "w", "h", "features", 3, 2)
+      .collect().map(_.getDouble(2))
+    val outMass = outs.sum * (7.0 * 5.0) / (3.0 * 2.0)
+    assert(math.abs(outMass - p3.map(_.toDouble).sum) < 0.1,
+      s"mass drift: $outMass vs ${p3.sum}")
+  }
+
   test("melEnergies: a pure tone lands exactly in the filters whose triangles cover its frequency") {
     import spark.implicits._
     val n = 200; val sr = 8000; val k0 = 30 // an exact bin: 1200 Hz, no leakage
