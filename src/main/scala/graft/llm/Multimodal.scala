@@ -800,6 +800,39 @@ object Multimodal {
         .as("mfcc"))
   }
 
+  /** Linear audio resample srcRate → dstRate over decoded sample
+    * arrays — the rate normalizer a mixed-provenance audio corpus
+    * needs before any fixed-rate feature (mel/MFCC) or dedup step.
+    * Output index j samples source position j·src/dst: the integer
+    * part and fraction come from EXACT integer arithmetic
+    * (idx = (j·src) div dst, frac = (j·src mod dst)/dst), so both
+    * engines interpolate identical doubles; the last source sample
+    * clamps. Output length floor((n−1)·dst/src) + 1 covers exactly
+    * the source span. Narrow per-row transform — one explode over
+    * output indices, values via element_at, no shuffle. */
+  def resampleLinear(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     featuresCol: String, srcRate: Int,
+                     dstRate: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(srcRate >= 1 && dstRate >= 1, "rates >= 1")
+    df.select(col(idCol).as("clip_id"), col(featuresCol).as("__x"),
+        size(col(featuresCol)).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("j", explode(sequence(lit(0),
+        expr(s"((n - 1) * $dstRate) div $srcRate"))))
+      .select(col("clip_id"), col("j").cast("int").as("j"),
+        expr(s"(j * $srcRate) div $dstRate").cast("int").as("__i"),
+        expr(s"(j * $srcRate) % $dstRate").cast("double").as("__r"),
+        col("__x"), col("n"))
+      .select(col("clip_id"), col("j"),
+        round((lit(1.0) - col("__r") / lit(dstRate.toDouble)) *
+            element_at(col("__x"), col("__i") + 1).cast("double") +
+          (col("__r") / lit(dstRate.toDouble)) *
+            element_at(col("__x"),
+              least(col("__i") + 2, col("n"))).cast("double"), 6)
+          .as("value"))
+  }
+
   /** Shannon entropy (nats) of each blob's BYTE distribution — the
     * corruption/noise signal for opaque media columns: well-formed
     * containers sit in a mid band, encrypted/random bytes near ln 256

@@ -406,6 +406,76 @@ object StatsQueries {
         sampleRate = 8000, nMels = 8, nBins = 81)
     }),
 
+    // VIDEO near-dup: the full frame pipeline decode -> bilinear 8x8
+    // -> aHash over two MJPEG AVIs, the second a LOWER-QUALITY
+    // re-encode of the first — per-frame hashes must land within the
+    // re-encode Hamming envelope (measured 1-6, pinned <= 12) while
+    // DIFFERENT frames stay far apart (measured 28-49, pinned >= 20).
+    // The video twin of q244's codec-parity invariant: hash values
+    // are lossy-codec-dependent, so the oracle pins the pair set and
+    // expects the booleans TRUE.
+    "q255_video_phash" -> ((s, d) => {
+      import s.implicits._
+      val mk = (f: Int) => (x: Int, y: Int) => (
+        (x * 31 + y * 47 + f * 101) % 256,
+        (x * 13 + y * 7 + f * 59 + 31) % 256,
+        (x * 5 + y * 29 + f * 151 + 7) % 256)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          graft.llm.VideoFixtures.aviMjpeg(24, 18, 3, mk, quality = 95),
+          "video"),
+        graft.llm.Multimodal.MediaRow(2L,
+          graft.llm.VideoFixtures.aviMjpeg(24, 18, 3, mk, quality = 70),
+          "video")).toDS()
+      val frames = graft.llm.Multimodal.extractVideoFrames(ds)
+        .map(r => (r.id * 100 + r.frame,
+          graft.llm.Multimodal.resizeBilinear(r.features, r.w, r.h, 8, 8)))
+        .toDF("key", "features")
+      val hashes = graft.llm.Multimodal
+        .perceptualHash64(frames, "key", "features")
+      val h1 = hashes.filter(col("image_id") < 200)
+        .select((col("image_id") - 100).as("f"), col("bits").as("b1"))
+      val h2 = hashes.filter(col("image_id") >= 200)
+        .select((col("image_id") - 200).as("f"), col("bits").as("b2"))
+      val re = h1.join(h2, "f")
+        .select(lit("reencode").as("kind"), col("f").cast("int").as("a"),
+          col("f").cast("int").as("b"),
+          (graft.llm.NearDup.hammingBits(col("b1"), col("b2")) <= 12)
+            .as("holds"))
+      val cross = h1.join(h1.select(col("f").as("g"), col("b1").as("bg")),
+          col("f") < col("g"))
+        .select(lit("cross").as("kind"), col("f").cast("int").as("a"),
+          col("g").cast("int").as("b"),
+          (graft.llm.NearDup.hammingBits(col("b1"), col("bg")) >= 20)
+            .as("holds"))
+      re.unionByName(cross)
+    }),
+
+    // Linear resample 8000 -> 5000 Hz and 8000 -> 16000 Hz (down- and
+    // up-sampling through one exact-rational kernel) over decoded
+    // 16-bit WAV samples — the rate normalizer; the oracle replays
+    // every interpolated value from the sample formula with the same
+    // integer idx/frac arithmetic.
+    "q254_resample" -> ((s, d) => {
+      import s.implicits._
+      val clips = Seq((1L, 60, 97, 3), (2L, 41, 211, 17))
+      val ds = clips.map { case (id, n, a, b) =>
+        val samples = Array.tabulate(n)(t => (((t * a + b) % 2001) - 1000).toShort)
+        graft.llm.Multimodal.MediaRow(id,
+          graft.llm.AudioFixtures.wavPcm16(8000, 1, samples), "audio")
+      }.toDS()
+      val dec = graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"), col("features"))
+      graft.llm.Multimodal
+        .resampleLinear(dec, "clip_id", "features", 8000, 5000)
+        .select(col("clip_id"), lit(5000).as("dst_rate"), col("j"), col("value"))
+        .unionByName(graft.llm.Multimodal
+          .resampleLinear(dec, "clip_id", "features", 8000, 16000)
+          .select(col("clip_id"), lit(16000).as("dst_rate"), col("j"),
+                  col("value")))
+    }),
+
     // Area-average (box) downscale over REAL decoded planes (one BMP,
     // one PNG through the container sniff): every target cell is the
     // exact fractional-overlap average of the source pixels its box
@@ -1293,6 +1363,39 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(mel AS INT) AS mel,
         |  energy, log_energy
         |FROM lm""".stripMargin),
+
+    // q255: the pair set pinned exactly; both Hamming envelopes are
+    // Spark-side claims (lossy hash values are oracle-opaque).
+    "q255_video_phash" ->
+      """SELECT 'reencode' AS kind, CAST(f AS INT) AS a, CAST(f AS INT) AS b,
+        |  TRUE AS holds
+        |FROM (SELECT unnest(range(3)) AS f)
+        |UNION ALL
+        |SELECT 'cross' AS kind, CAST(f AS INT) AS a, CAST(g AS INT) AS b,
+        |  TRUE AS holds
+        |FROM (SELECT unnest(range(3)) AS f), (SELECT unnest(range(3)) AS g)
+        |WHERE f < g""".stripMargin,
+
+    // q254: idx/frac from the same integer arithmetic; the clamped
+    // last-sample branch exercised by the upsampling tail.
+    "q254_resample" ->
+      """WITH clips AS (SELECT * FROM (VALUES (1, 60, 97, 3),
+        |    (2, 41, 211, 17)) t(clip_id, n, a, b)),
+        |rates AS (SELECT unnest([5000, 16000]) AS dst),
+        |js AS (SELECT clip_id, n, a, b, dst,
+        |    unnest(range(((n - 1) * dst) // 8000 + 1)) AS j
+        |  FROM clips, rates),
+        |ix AS (SELECT clip_id, n, a, b, dst, j,
+        |    (j * 8000) // dst AS i, (j * 8000) % dst AS r FROM js),
+        |sv AS (SELECT clip_id, dst, j,
+        |    CAST(((i*a + b) % 2001) - 1000 AS DOUBLE) AS x0,
+        |    CAST(((LEAST(i + 1, n - 1)*a + b) % 2001) - 1000 AS DOUBLE) AS x1,
+        |    CAST(r AS DOUBLE) / dst AS f
+        |  FROM ix)
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(dst AS INT)
+        |    AS dst_rate, CAST(j AS INT) AS j,
+        |  round((1.0 - f) * x0 + f * x1, 6) AS value
+        |FROM sv""".stripMargin,
 
     // q253: full overlap replay — both engines compute identical
     // rounded overlaps, 6-dp terms, decimal sums, one end division.
