@@ -268,6 +268,65 @@ object ImageFixtures {
     * both PNG paths, both GIF versions, baseline + progressive JPEG
     * (the latter behind a COM segment the walk must skip), a truncated
     * PNG, and non-image bytes. */
+  /** RIFF/WEBP with one dimension-carrying chunk: kind "lossy"
+    * (VP8 with the 9D 01 2A start code and 14-bit LE fields),
+    * "lossless" (VP8L, 0x2F + packed minus-one fields), or "x"
+    * (VP8X extended header, 24-bit LE canvas minus-one fields) —
+    * exactly the three layouts [[graft.plans.ImageMeta]] reads; an
+    * ICCP chunk precedes the size chunk in the "x" case to exercise
+    * the chunk walk. */
+  def webp(width: Int, height: Int, kind: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII"))
+      out.write(le32(body.length))
+      out.write(body)
+      if (body.length % 2 == 1) out.write(0)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(0)) // container size — unread by the parser
+    out.write("WEBP".getBytes("US-ASCII"))
+    kind match {
+      case "lossy" =>
+        val body = new ByteArrayOutputStream()
+        body.write(Array[Byte](0, 0, 0)) // frame tag (key frame bits unread)
+        body.write(0x9D); body.write(0x01); body.write(0x2A)
+        body.write(le16(width & 0x3FFF)); body.write(le16(height & 0x3FFF))
+        chunk("VP8 ", body.toByteArray)
+      case "lossless" =>
+        val bits = ((width - 1) & 0x3FFF) | (((height - 1) & 0x3FFF) << 14)
+        chunk("VP8L", Array(0x2F.toByte) ++ le32(bits))
+      case "x" =>
+        chunk("ICCP", Array[Byte](1, 2, 3)) // walked over (odd: pads)
+        val body = new ByteArrayOutputStream()
+        body.write(le32(0)) // flags + reserved
+        val wm = width - 1; val hm = height - 1
+        body.write(wm & 0xFF); body.write((wm >> 8) & 0xFF)
+        body.write((wm >> 16) & 0xFF)
+        body.write(hm & 0xFF); body.write((hm >> 8) & 0xFF)
+        body.write((hm >> 16) & 0xFF)
+        chunk("VP8X", body.toByteArray)
+      case other => throw new IllegalArgumentException(s"kind $other")
+    }
+    out.toByteArray
+  }
+
+  /** AVIF header: ftyp(avif) + meta full box → iprp → ipco → ispe
+    * carrying the spatial extents — the box path
+    * [[graft.plans.ImageMeta]] walks (a pitm box before iprp
+    * exercises the sibling skip). */
+  def avif(width: Int, height: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ispe = box("ispe", Array[Byte](0, 0, 0, 0) ++ be32(width) ++ be32(height))
+    val ipco = box("ipco", ispe)
+    val iprp = box("iprp", ipco)
+    val pitm = box("pitm", Array[Byte](0, 0, 0, 0, 0, 1))
+    val meta = box("meta", Array[Byte](0, 0, 0, 0) ++ pitm ++ iprp)
+    box("ftyp", "avif".getBytes("US-ASCII") ++ be32(0) ++
+      "mif1".getBytes("US-ASCII")) ++ meta
+  }
+
   def all: Seq[(Long, Array[Byte])] = Seq(
     1L -> png(640, 480),
     2L -> png(1, 1),
@@ -276,5 +335,9 @@ object ImageFixtures {
     5L -> jpeg(1024, 768),
     6L -> jpeg(800, 600, sofMarker = 0xC2, comment = Some("graft fixture")),
     7L -> pngTruncated,
-    8L -> "not an image at all".getBytes("UTF-8"))
+    8L -> "not an image at all".getBytes("UTF-8"),
+    9L -> webp(1920, 1080, "lossy"),
+    10L -> webp(333, 77, "lossless"),
+    11L -> webp(16384, 8192, "x"),
+    12L -> avif(1152, 768))
 }

@@ -11,16 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Dependency-free image metadata from raw bytes: container format and
   * pixel dimensions parsed straight out of the header — PNG (IHDR
-  * chunk), JPEG (SOFn segment walk), GIF (logical screen descriptor) —
-  * with no codec library. This makes the multimodal binary column's
-  * `width`/`height`/`format` REAL metadata (the pixel-decode step
-  * stays behind [[graft.llm.Multimodal.MediaDecoder]], which this
-  * container can't satisfy; header inspection needs no decoder).
+  * chunk), JPEG (SOFn segment walk), GIF (logical screen descriptor),
+  * WebP (RIFF chunk walk: VP8X canvas, VP8 lossy start-code fields,
+  * VP8L lossless packed fields), AVIF (ISO-BMFF box walk to the first
+  * meta → iprp → ipco → ispe property) — with no codec library. This
+  * makes the multimodal binary column's `width`/`height`/`format`
+  * REAL metadata (the pixel-decode step stays behind
+  * [[graft.llm.Multimodal.MediaDecoder]]; WebP/AVIF pixels genuinely
+  * need VP8/AV1 codecs, but header inspection does not).
   *
   * The returned struct is (format, width, height): format is "png" /
-  * "jpeg" / "gif" when the magic bytes match (dimensions null if the
-  * header is truncated or, for JPEG, no SOF frame is found), and
-  * "unknown" with null dimensions otherwise. Null bytes → null struct.
+  * "jpeg" / "gif" / "webp" / "avif" when the magic bytes match
+  * (dimensions null if the header is truncated or the size-carrying
+  * chunk is absent), and "unknown" with null dimensions otherwise.
+  * Null bytes → null struct.
   *
   * Scale shape: a pure per-row expression — at 100 TB the metadata
   * pass reads only header bytes of each value, stays inside
@@ -115,8 +119,108 @@ object ImageMeta {
       }
       return row("jpeg", null, null)
     }
+    // WebP: RIFF container with a 'WEBP' form type; dimensions come
+    // from whichever first chunk carries them — VP8X (extended: 24-bit
+    // LE canvas minus-one fields), VP8 (lossy: 0x9D012A start code,
+    // 14-bit LE fields), or VP8L (lossless: 0x2F signature, 14-bit
+    // packed minus-one fields).
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        val p = i + 8
+        if (size < 0 || p + size > b.length) return row("webp", null, null)
+        if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8') {
+          (b(i + 3): @annotation.switch) match {
+            case 'X' => // extended header: canvas size at payload +4
+              if (size >= 10)
+                return row("webp",
+                  (le16(b, p + 4) | ((b(p + 6) & 0xFF) << 16)) + 1,
+                  (le16(b, p + 7) | ((b(p + 9) & 0xFF) << 16)) + 1)
+              return row("webp", null, null)
+            case ' ' => // lossy: frame tag (3), start code 9D 01 2A
+              if (size >= 10 && (b(p + 3) & 0xFF) == 0x9D &&
+                  (b(p + 4) & 0xFF) == 0x01 && (b(p + 5) & 0xFF) == 0x2A)
+                return row("webp", le16(b, p + 6) & 0x3FFF,
+                  le16(b, p + 8) & 0x3FFF)
+              return row("webp", null, null)
+            case 'L' => // lossless: 0x2F, then 2x 14-bit minus-one
+              if (size >= 5 && (b(p) & 0xFF) == 0x2F) {
+                val bits = le32(b, p + 1)
+                return row("webp", (bits & 0x3FFF).toInt + 1,
+                  ((bits >> 14) & 0x3FFF).toInt + 1)
+              }
+              return row("webp", null, null)
+            case _ => // fall through to the next chunk
+          }
+        }
+        i = p + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+      }
+      return row("webp", null, null)
+    }
+    // AVIF: ISO-BMFF with an 'avif'/'avis' ftyp brand; dimensions are
+    // the first 'ispe' (image spatial extents) property inside
+    // meta → iprp → ipco. meta is a FULL box (4-byte version/flags).
+    if (b.length >= 12 && be32top(b, 4) == fourcc("ftyp") &&
+        (be32top(b, 8) == fourcc("avif") || be32top(b, 8) == fourcc("avis"))) {
+      var i = 0
+      while (i + 8 <= b.length) {
+        val sz = be32len(b, i)
+        if (sz < 8 || i + sz > b.length) return row("avif", null, null)
+        if (be32top(b, i + 4) == fourcc("meta")) {
+          var j = i + 12 // header + version/flags (full box)
+          val me = i + sz
+          while (j + 8 <= me) {
+            val s2 = be32len(b, j)
+            if (s2 < 8 || j + s2 > me) return row("avif", null, null)
+            if (be32top(b, j + 4) == fourcc("iprp")) {
+              var k = j + 8
+              val pe = j + s2
+              while (k + 8 <= pe) {
+                val s3 = be32len(b, k)
+                if (s3 < 8 || k + s3 > pe) return row("avif", null, null)
+                if (be32top(b, k + 4) == fourcc("ipco")) {
+                  var m = k + 8
+                  val ce = k + s3
+                  while (m + 8 <= ce) {
+                    val s4 = be32len(b, m)
+                    if (s4 < 8 || m + s4 > ce) return row("avif", null, null)
+                    if (be32top(b, m + 4) == fourcc("ispe") && s4 >= 20)
+                      return row("avif", be32(b, m + 12), be32(b, m + 16))
+                    m += s4
+                  }
+                }
+                k += s3
+              }
+            }
+            j += s2
+          }
+          return row("avif", null, null)
+        }
+        i += sz
+      }
+      return row("avif", null, null)
+    }
     row("unknown", null, null)
   }
+
+  private def fourcc(s: String): Int =
+    (s(0) << 24) | (s(1) << 16) | (s(2) << 8) | s(3)
+
+  private def be32top(b: Array[Byte], i: Int): Int =
+    if (i + 4 > b.length) 0
+    else ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  /** Box length as Int; 0/1 (to-end / largesize) unsupported here —
+    * header fixtures and real still-image AVIFs use plain sizes. */
+  private def be32len(b: Array[Byte], i: Int): Int = be32top(b, i)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 }
 
 object ImageMetaNative {

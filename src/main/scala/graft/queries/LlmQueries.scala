@@ -2105,7 +2105,11 @@ object LlmQueries {
         |  (5, 'jpeg', 1024, 768),
         |  (6, 'jpeg', 800, 600),
         |  (7, 'png', NULL, NULL),
-        |  (8, 'unknown', NULL, NULL)
+        |  (8, 'unknown', NULL, NULL),
+        |  (9, 'webp', 1920, 1080),
+        |  (10, 'webp', 333, 77),
+        |  (11, 'webp', 16384, 8192),
+        |  (12, 'avif', 1152, 768)
         |) AS t(img_id, format, width, height)""".stripMargin,
 
     "q92_audio_meta" ->

@@ -27,6 +27,35 @@ class ImageHeadersSpec extends SparkSpec {
     assert(parsed("plain text".getBytes("UTF-8")) === (("unknown", None, None)))
   }
 
+  test("webp: VP8 lossy, VP8L lossless, VP8X canvas (chunk walk over a preceding ICCP)") {
+    assert(parsed(ImageFixtures.webp(1920, 1080, "lossy")) ===
+      (("webp", Some(1920), Some(1080))))
+    assert(parsed(ImageFixtures.webp(333, 77, "lossless")) ===
+      (("webp", Some(333), Some(77))))
+    assert(parsed(ImageFixtures.webp(16384, 8192, "x")) ===
+      (("webp", Some(16384), Some(8192))))
+    // one-pixel lossless: the minus-one packing must round-trip 1x1
+    assert(parsed(ImageFixtures.webp(1, 1, "lossless")) ===
+      (("webp", Some(1), Some(1))))
+    // RIFF WEBP magic with no size chunk: format known, dims null
+    val magicOnly = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII")
+    assert(parsed(magicOnly) === (("webp", None, None)))
+    // a corrupted lossy start code keeps the format, nulls the dims
+    val bad = ImageFixtures.webp(64, 48, "lossy")
+    bad(23) = 0x00 // first start-code byte (0x9D)
+    assert(parsed(bad) === (("webp", None, None)))
+  }
+
+  test("avif: ispe spatial extents through meta -> iprp -> ipco; missing ispe nulls dims") {
+    assert(parsed(ImageFixtures.avif(1152, 768)) ===
+      (("avif", Some(1152), Some(768))))
+    assert(parsed(ImageFixtures.avif(1, 1)) === (("avif", Some(1), Some(1))))
+    // ftyp only: brand identifies the format, no meta box -> nulls
+    val ftypOnly = ImageFixtures.avif(10, 10).take(20)
+    assert(parsed(ftypOnly) === (("avif", None, None)))
+  }
+
   test("large dimensions and format edges") {
     // PNG dimensions are 31-bit per spec; parser must not sign-extend.
     assert(parsed(ImageFixtures.png(0x7FFFFFFF, 2)) ===
