@@ -159,10 +159,45 @@ object AudioFixtures {
     out.toByteArray
   }
 
+  /** MP3 header bytes: an optional ID3v2.3 tag (28-bit syncsafe size
+    * over `id3Pad` payload bytes) followed by one MPEG audio frame
+    * header. `version` is the header field value (3 = MPEG-1,
+    * 2 = MPEG-2, 0 = MPEG-2.5); `srIdx` indexes that version's
+    * sample-rate table; layer III, bitrate index 9, no CRC. */
+  def mp3(version: Int, srIdx: Int, mono: Boolean,
+          withId3: Boolean = false, id3Pad: Int = 17): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    if (withId3) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0) // v2.3, flags
+      out.write((id3Pad >> 21) & 0x7F); out.write((id3Pad >> 14) & 0x7F)
+      out.write((id3Pad >> 7) & 0x7F); out.write(id3Pad & 0x7F)
+      out.write(new Array[Byte](id3Pad))
+    }
+    out.write(0xFF)
+    out.write(0xE0 | ((version & 3) << 3) | (1 << 1) | 1) // layer III, no CRC
+    out.write((9 << 4) | ((srIdx & 3) << 2))
+    out.write((if (mono) 3 else 0) << 6)
+    out.toByteArray
+  }
+
+  /** An ID3v2 tag followed by garbage (no MPEG frame): the format is
+    * identifiable, the fields are not. */
+  def mp3Id3Only: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(4)
+    out.write(new Array[Byte](4))
+    out.write("junk".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
   /** The q92 staging set: (audio_id, bytes) covering the WAV chunk
     * walk (canonical + skipped odd LIST chunk), a truncated WAV, both
-    * FLAC reads (CD-quality and a 96 kHz/24-bit studio shape), and
-    * non-audio bytes. */
+    * FLAC reads (CD-quality and a 96 kHz/24-bit studio shape), MP3
+    * frame headers (bare V1 stereo, ID3-prefixed V2 mono, and an ID3
+    * tag with no frame), and non-audio bytes. */
   def all: Seq[(Long, Array[Byte])] = Seq(
     1L -> wav(44100, 2, 16, 1000),
     2L -> wav(16000, 1, 8, 12345, withListChunk = true),
@@ -170,5 +205,8 @@ object AudioFixtures {
     4L -> wavTruncated,
     5L -> flac(44100, 2, 16, 88200L),
     6L -> flac(96000, 8, 24, 123456789L),
-    7L -> "not audio in any way".getBytes("UTF-8"))
+    7L -> "not audio in any way".getBytes("UTF-8"),
+    8L -> mp3(version = 3, srIdx = 0, mono = false),
+    9L -> mp3(version = 2, srIdx = 2, mono = true, withId3 = true),
+    10L -> mp3Id3Only)
 }

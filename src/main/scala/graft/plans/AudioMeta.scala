@@ -116,6 +116,36 @@ object AudioMeta {
       }
       return row("flac", null, null, null, null)
     }
+    // MP3: an optional ID3v2 tag (10-byte header, 28-bit syncsafe
+    // size) followed by an MPEG audio frame header — 11 sync bits,
+    // then version (V1/V2/V2.5 select the sample-rate table), layer,
+    // bitrate/samplerate indices, and the channel mode (11 = mono).
+    // Lossy frames have no bit depth and the frame count needs a full
+    // scan, so both stay null — honest header-only metadata.
+    {
+      val hasId3 = tag(b, 0, "ID3")
+      val off =
+        if (hasId3 && b.length >= 10)
+          10 + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+            ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+        else 0
+      val sync = off >= 0 && off + 4 <= b.length &&
+        (b(off) & 0xFF) == 0xFF && (b(off + 1) & 0xE0) == 0xE0
+      if (hasId3 || sync) {
+        if (!sync) return row("mp3", null, null, null, null)
+        val version = (b(off + 1) >> 3) & 3 // 3=V1, 2=V2, 0=V2.5
+        val layer = (b(off + 1) >> 1) & 3   // 0 = reserved
+        val srIdx = (b(off + 2) >> 2) & 3   // 3 = reserved
+        val mode = (b(off + 3) >> 6) & 3
+        if (version == 1 || layer == 0 || srIdx == 3)
+          return row("mp3", null, null, null, null)
+        val base =
+          if (version == 3) Array(44100, 48000, 32000)
+          else if (version == 2) Array(22050, 24000, 16000)
+          else Array(11025, 12000, 8000)
+        return row("mp3", base(srIdx), if (mode == 3) 1 else 2, null, null)
+      }
+    }
     row("unknown", null, null, null, null)
   }
 }

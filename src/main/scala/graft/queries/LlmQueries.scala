@@ -2126,7 +2126,10 @@ object LlmQueries {
         |  (4, 'wav', NULL, NULL, NULL, NULL),
         |  (5, 'flac', 44100, 2, 16, 88200),
         |  (6, 'flac', 96000, 8, 24, 123456789),
-        |  (7, 'unknown', NULL, NULL, NULL, NULL)
+        |  (7, 'unknown', NULL, NULL, NULL, NULL),
+        |  (8, 'mp3', 44100, 2, NULL, NULL),
+        |  (9, 'mp3', 16000, 1, NULL, NULL),
+        |  (10, 'mp3', NULL, NULL, NULL, NULL)
         |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin,
 
     // The q47-verified chunk kernel with stride == size; duplication is

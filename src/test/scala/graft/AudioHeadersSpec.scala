@@ -34,6 +34,26 @@ class AudioHeadersSpec extends SparkSpec {
       (("unknown", None, None, None, None)))
   }
 
+  test("mp3: frame-header fields across versions; ID3 skip; reserved indices null") {
+    import graft.llm.AudioFixtures.mp3
+    // V1 table: 44100 / 48000 / 32000
+    assert(parsed(mp3(3, 0, mono = false)) === (("mp3", Some(44100), Some(2), None, None)))
+    assert(parsed(mp3(3, 1, mono = true)) === (("mp3", Some(48000), Some(1), None, None)))
+    // V2 and V2.5 tables
+    assert(parsed(mp3(2, 0, mono = false)) === (("mp3", Some(22050), Some(2), None, None)))
+    assert(parsed(mp3(0, 2, mono = true)) === (("mp3", Some(8000), Some(1), None, None)))
+    // ID3-prefixed: the syncsafe size skips to the frame
+    assert(parsed(mp3(3, 2, mono = true, withId3 = true, id3Pad = 300)) ===
+      (("mp3", Some(32000), Some(1), None, None)))
+    // reserved sample-rate index (3) and reserved version (1): format
+    // identified, fields null
+    assert(parsed(mp3(3, 3, mono = false)) === (("mp3", None, None, None, None)))
+    assert(parsed(mp3(1, 0, mono = false)) === (("mp3", None, None, None, None)))
+    // ID3 tag with no frame after it
+    assert(parsed(graft.llm.AudioFixtures.mp3Id3Only) ===
+      (("mp3", None, None, None, None)))
+  }
+
   test("packed-field edges: FLAC max fields, WAV 36-bit-safe frame math") {
     // FLAC bit-field extremes: 20-bit rate ceiling, 8 channels, 32-bit
     // depth, 36-bit total-sample count — no field may bleed into its
