@@ -310,7 +310,6 @@ object JpegCodec {
         else require(ns == 1, "progressive AC scan must be non-interleaved")
       }
       val dcScan = ss == 0
-      val acScan = se > 0 // baseline scans decode both parts per block
 
       val br = new BitReader(b, segStart + segLen - 2) // start of entropy data
       val dcPred = new Array[Int](comps.length)
