@@ -55,28 +55,42 @@ object AviMjpeg {
     }
   }
 
-  /** True when the container is AVI and declares an 'MJPG' video
-    * stream handler (hdrl → strl → strh fccType 'vids'). */
-  def isMjpegAvi(b: Array[Byte]): Boolean = {
-    if (!isAvi(b)) return false
-    var found = false
+  /** Stream index (strl declaration order) of the first 'MJPG' video
+    * stream, or -1 when the header declares none. */
+  private def mjpegStreamIndex(b: Array[Byte]): Int = {
+    var idx = -1
+    var nStreams = 0
     walkChunks(b, 12, b.length) { (id, listType, payload, end) =>
-      if (id == "strh" && payload + 8 <= end &&
-          tag(b, payload, "vids") && tag(b, payload + 4, "MJPG"))
-        found = true
+      if (id == "strh") {
+        if (idx < 0 && payload + 8 <= end &&
+            tag(b, payload, "vids") && tag(b, payload + 4, "MJPG"))
+          idx = nStreams
+        nStreams += 1
+      }
       id == "LIST" && (listType == "hdrl" || listType == "strl")
     }
-    found
+    idx
   }
 
-  /** The raw JPEG payloads of every video data chunk (`##dc`/`##db`)
-    * in stream order, including chunks grouped under `LIST rec `. */
+  /** True when the container is AVI and declares an 'MJPG' video
+    * stream handler (hdrl → strl → strh fccType 'vids'). */
+  def isMjpegAvi(b: Array[Byte]): Boolean =
+    isAvi(b) && mjpegStreamIndex(b) >= 0
+
+  /** The raw JPEG payloads of the MJPG stream's data chunks
+    * (`##dc`/`##db`, matched to THAT stream's number so a second
+    * stream's frames never interleave — review finding) in stream
+    * order, including chunks grouped under `LIST rec `. Headerless
+    * files (no hdrl) fall back to accepting any video chunk. */
   def frameBytes(b: Array[Byte]): Seq[Array[Byte]] = {
     require(isAvi(b), "not a RIFF AVI")
+    val si = mjpegStreamIndex(b)
+    val prefix = if (si >= 0) f"$si%02d" else null
     val out = Seq.newBuilder[Array[Byte]]
     walkChunks(b, 12, b.length) { (id, listType, payload, end) =>
       if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-          (id.endsWith("dc") || id.endsWith("db")))
+          (id.endsWith("dc") || id.endsWith("db")) &&
+          (prefix == null || id.startsWith(prefix)))
         out += java.util.Arrays.copyOfRange(b, payload, end)
       id == "LIST" && (listType == "movi" || listType == "rec ")
     }

@@ -282,6 +282,7 @@ object JpegCodec {
       require(comps != null, "JPEG SOS before SOF")
       val ns = b(segStart) & 0xFF
       require(ns >= 1 && ns <= comps.length, s"bad SOS component count $ns")
+      require(segLen >= 2 + 1 + 2 * ns + 3, "short SOS segment")
       val scanComps = new Array[Int](ns)
       var i = 0
       while (i < ns) {
@@ -492,6 +493,7 @@ object JpegCodec {
             val nc = b(pos + 9) & 0xFF
             require(nc == 1 || nc == 3,
               s"only grayscale or YCbCr JPEG ($nc components)")
+            require(len >= 8 + 3 * nc, "short SOF segment")
             comps = Array.tabulate(nc) { i =>
               val o = pos + 10 + i * 3
               val hv = b(o + 1) & 0xFF
@@ -542,7 +544,9 @@ object JpegCodec {
               }
               o += 1 + (if (pq == 0) 64 else 128)
             }
-          case 0xDD => restartInterval = u16(pos + 4)
+          case 0xDD =>
+            require(len >= 4, "short DRI segment") // u16 stays in-segment
+            restartInterval = u16(pos + 4)
           case 0xDA => // SOS: decode the scan, resume at the next marker
             val next = decodeScan(pos + 4, len)
             if (next < 0) done = true else pos = next

@@ -167,6 +167,8 @@ object Multimodal {
         pos += 12 + len
       }
       require(w > 0 && h > 0 && idat.size > 0, "PNG missing IHDR/IDAT")
+      require(w.toLong * h <= 64000000L,
+        s"PNG $w x $h too large to decode dependency-free")
       require(color != 3 || palette != null, "palette PNG missing PLTE")
       val passes = if (interlaced) Adam7 else Seq((0, 0, 1, 1))
       val passDims = passes.map { case (x0, y0, dx, dy) =>
@@ -324,8 +326,8 @@ object Multimodal {
       while (out == null && pos + 8 <= b.length) {
         val id = new String(b, pos, 4, "US-ASCII")
         val size = i32(b, pos + 4)
-        require(size >= 0 && pos + 8 + size <= b.length,
-          s"truncated WAV chunk $id")
+        require(size >= 0 && pos + 8L + size <= b.length, // Long: a crafted
+          s"truncated WAV chunk $id")                     // size must not wrap
         if (id == "fmt ") {
           require(size >= 16, "short WAV fmt chunk")
           fmtCode = u16(b, pos + 8)
@@ -401,7 +403,9 @@ object Multimodal {
           // single-vector MediaDecoder contract gets the FIRST frame's
           // plane (the thumbnail convention); per-frame pipelines use
           // [[Multimodal.extractVideoFrames]] instead
-          AviMjpeg.decodeFrames(bytes).head._3
+          val frames = AviMjpeg.decodeFrames(bytes)
+          require(frames.nonEmpty, "MJPEG AVI carries no video frames")
+          frames.head._3
         case other => FakeDecoder.decode(bytes, other)
       }
   }
@@ -818,11 +822,15 @@ object Multimodal {
     df.select(col(idCol).as("clip_id"), col(featuresCol).as("__x"),
         size(col(featuresCol)).as("n"))
       .filter(col("n") > 0)
-      .withColumn("j", explode(sequence(lit(0),
-        expr(s"((n - 1) * $dstRate) div $srcRate"))))
+      // 64-bit index arithmetic: (n-1)*dstRate overflows Int for
+      // clips past ~minutes of audio (review finding)
+      .withColumn("j", explode(sequence(lit(0L),
+        expr(s"((cast(n as bigint) - 1) * $dstRate) div $srcRate"))))
       .select(col("clip_id"), col("j").cast("int").as("j"),
-        expr(s"(j * $srcRate) div $dstRate").cast("int").as("__i"),
-        expr(s"(j * $srcRate) % $dstRate").cast("double").as("__r"),
+        expr(s"(cast(j as bigint) * $srcRate) div $dstRate")
+          .cast("int").as("__i"),
+        expr(s"(cast(j as bigint) * $srcRate) % $dstRate")
+          .cast("double").as("__r"),
         col("__x"), col("n"))
       .select(col("clip_id"), col("j"),
         round((lit(1.0) - col("__r") / lit(dstRate.toDouble)) *

@@ -51,12 +51,17 @@ class BucketedStateStore(spark: SparkSession, root: String,
   /** None when the state table doesn't exist yet (first merge) —
     * detected by a FILESYSTEM existence probe, not by matching
     * AnalysisException message text (which drifts across Spark
-    * versions); the catch survives only for an existing-but-empty
-    * directory, where parquet schema inference still fails. */
+    * versions). An existing-but-EMPTY directory also reads as no
+    * table; any other analysis failure on a non-empty directory stays
+    * LOUD — silently returning None would let merge()'s overwrite
+    * discard surviving state (review finding). */
   def readOpt(): Option[DataFrame] =
     if (!fs.exists(rootPath)) None
     else try Some(spark.read.parquet(root))
-    catch { case _: AnalysisException => None }
+    catch {
+      case e: AnalysisException =>
+        if (fs.listStatus(rootPath).isEmpty) None else throw e
+    }
 
   /** Full state, `bucket` partition column included. */
   def read(): DataFrame = readOpt().getOrElse(
@@ -106,14 +111,27 @@ class BucketedStateStore(spark: SparkSession, root: String,
   def rescale(newBuckets: Int): BucketedStateStore = {
     val next = new BucketedStateStore(spark, root, keys, newBuckets)
     val tmp = new org.apache.hadoop.fs.Path(root + ".rescale.tmp")
+    val old = new org.apache.hadoop.fs.Path(root + ".rescale.old")
     val f = fs
-    if (f.exists(tmp)) f.delete(tmp, true) // a dead prior attempt
+    // crash recovery: a prior attempt that died between its two
+    // renames left the ONLY complete copy at .old with root missing —
+    // restore it before anything else (a naive delete-then-rename swap
+    // would have no recovery point at all; review finding)
+    if (f.exists(old) && !f.exists(rootPath))
+      require(f.rename(old, rootPath),
+        s"BucketedStateStore.rescale: crash recovery $old -> $root failed")
+    if (f.exists(old)) f.delete(old, true) // completed attempt's leftover
+    if (f.exists(tmp)) f.delete(tmp, true) // dead attempt's partial output
     next.withBucket(read().drop("bucket"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)
-    f.delete(rootPath, true)
+    // two-rename swap: at every crash point either root or .old holds
+    // a complete copy, and the recovery above knows which
+    require(f.rename(rootPath, old),
+      s"BucketedStateStore.rescale: rename $root -> $old failed")
     require(f.rename(tmp, rootPath),
       s"BucketedStateStore.rescale: rename $tmp -> $root failed")
+    f.delete(old, true)
     next
   }
 }
