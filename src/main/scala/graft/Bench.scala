@@ -99,8 +99,11 @@ object Bench {
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum
     // `cpus` rides along so runs at different local[N] settings can't
-    // be compared unknowingly (the r2→r3 local[4] lesson).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir"}"""
+    // be compared unknowingly (the r2→r3 local[4] lesson). Static
+    // per-query measurement caveats ride in `notes` so timing
+    // semantics survive in the artifact, not just a source comment.
+    val notes = """{"q241_bucketed_merge":"timed portion = final read-back of the merged store; the 4-batch merge chain + mid-chain 16->24 rescale run at DataFrame construction and land in warmup_sec"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir","notes":$notes}"""
     println(full)
     // The full line is ~2.5 KB and the driver keeps only a ~2 KB tail
     // of stdout, so it can never parse the per-query map from the

@@ -687,6 +687,25 @@ object Multimodal {
       .select(col("clip_id"), col("k"), col("power"))
     // mel grid: nMels+2 points, centers back-mapped to Hz (9-dp)
     val melMax = 2595.0 * math.log10(1.0 + sampleRate / 2.0 / 700.0)
+    // degenerate-parameter guard: with nMels large relative to the
+    // sample rate, adjacent 9-dp-rounded points can COINCIDE; the
+    // triangle slopes then divide by zero and the resulting NaN
+    // weights would PASS `w > 0` under Spark's NaN ordering (NaN
+    // sorts above every number), silently corrupting energies. The
+    // Hz gaps of an equal-mel grid grow geometrically, so the FIRST
+    // gap (hz(1) − hz(0), with hz(0) = 0) is the smallest; if it
+    // exceeds 1e-9 every pair of 9-dp-rounded points stays strictly
+    // apart (two doubles more than one grid step apart round to
+    // different grid points). Analytic, O(1) — a loop over nMels+2
+    // points would itself be the DoS at the nMels that trigger this.
+    locally {
+      val firstGapHz = 700.0 * (math.pow(10.0,
+        melMax / (nMels + 1).toDouble / 2595.0) - 1.0)
+      require(firstGapHz > 1e-9,
+        s"melEnergies: nMels=$nMels too dense for sampleRate=" +
+          s"$sampleRate — adjacent 9-dp mel points would coincide " +
+          "and the triangle slopes divide by zero")
+    }
     val pts = spark.range(0, nMels + 2)
       .select(col("id").cast("int").as("i"),
         round(lit(700.0) * (pow(lit(10.0),

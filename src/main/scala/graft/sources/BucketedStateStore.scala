@@ -48,6 +48,20 @@ class BucketedStateStore(spark: SparkSession, root: String,
   private def rootPath = new org.apache.hadoop.fs.Path(root)
   private def fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Crash recovery for an interrupted [[rescale]]: a process that
+    * died between rescale's two renames left the ONLY complete copy at
+    * `.rescale.old` with root missing. Run from EVERY access path —
+    * not just the next rescale() — because a readOpt()/merge() that
+    * sees root missing would otherwise treat the store as brand-new
+    * and strand the surviving copy (review finding). */
+  private def recoverInterruptedRescale(): Unit = {
+    val old = new org.apache.hadoop.fs.Path(root + ".rescale.old")
+    val f = fs
+    if (f.exists(old) && !f.exists(rootPath))
+      require(f.rename(old, rootPath),
+        s"BucketedStateStore: crash recovery $old -> $root failed")
+  }
+
   /** None when the state table doesn't exist yet (first merge) —
     * detected by a FILESYSTEM existence probe, not by matching
     * AnalysisException message text (which drifts across Spark
@@ -55,13 +69,15 @@ class BucketedStateStore(spark: SparkSession, root: String,
     * table; any other analysis failure on a non-empty directory stays
     * LOUD — silently returning None would let merge()'s overwrite
     * discard surviving state (review finding). */
-  def readOpt(): Option[DataFrame] =
+  def readOpt(): Option[DataFrame] = {
+    recoverInterruptedRescale()
     if (!fs.exists(rootPath)) None
     else try Some(spark.read.parquet(root))
     catch {
       case e: AnalysisException =>
         if (fs.listStatus(rootPath).isEmpty) None else throw e
     }
+  }
 
   /** Full state, `bucket` partition column included. */
   def read(): DataFrame = readOpt().getOrElse(
@@ -113,13 +129,10 @@ class BucketedStateStore(spark: SparkSession, root: String,
     val tmp = new org.apache.hadoop.fs.Path(root + ".rescale.tmp")
     val old = new org.apache.hadoop.fs.Path(root + ".rescale.old")
     val f = fs
-    // crash recovery: a prior attempt that died between its two
-    // renames left the ONLY complete copy at .old with root missing —
-    // restore it before anything else (a naive delete-then-rename swap
-    // would have no recovery point at all; review finding)
-    if (f.exists(old) && !f.exists(rootPath))
-      require(f.rename(old, rootPath),
-        s"BucketedStateStore.rescale: crash recovery $old -> $root failed")
+    // crash recovery first (shared with readOpt — see
+    // recoverInterruptedRescale; a naive delete-then-rename swap would
+    // have no recovery point at all)
+    recoverInterruptedRescale()
     if (f.exists(old)) f.delete(old, true) // completed attempt's leftover
     if (f.exists(tmp)) f.delete(tmp, true) // dead attempt's partial output
     next.withBucket(read().drop("bucket"))

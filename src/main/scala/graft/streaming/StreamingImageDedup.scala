@@ -50,8 +50,14 @@ object StreamingImageDedup {
     if (!fs.exists(path)) empty
     else try spark.read.parquet(storeDir)
       .select(col("band"), col("band_key"), col("bits").as("__st_bits"))
-    catch { // an existing-but-empty directory (no files yet)
-      case _: org.apache.spark.sql.AnalysisException => empty
+    catch {
+      // empty ONLY for an existing-but-empty directory (no files yet);
+      // any other analysis failure over real files stays LOUD — a
+      // schema drift or corrupt store silently reading as "no history"
+      // would disable dedup-against-history and let duplicates into
+      // accept() (the BucketedStateStore.readOpt lesson, mirrored)
+      case e: org.apache.spark.sql.AnalysisException =>
+        if (fs.listStatus(path).isEmpty) empty else throw e
     }
   }
 

@@ -156,6 +156,40 @@ class BucketedStateStoreSpec extends SparkSpec {
     assert(after == before - ((7L, 7L, 7.0)) + ((7L, 999L, 70.0)))
   }
 
+  test("an interrupted rescale is recovered by the NEXT READ, not just the next rescale") {
+    // crash window: rescale renamed root -> .rescale.old and died
+    // before renaming .tmp -> root. The sole complete copy sits at
+    // .old; a readOpt()/merge() that treated root-missing as
+    // brand-new would strand it and rebuild state from one batch.
+    val root = tmpDir("bucketed-crash")
+    val store = new BucketedStateStore(spark, root, Seq("k"), 8)
+    val seed = (1L to 40L)
+      .map(k => row(k, k, "2024-06-01 00:00:00", k.toDouble))
+      .toDF("k", "id", "ts", "v")
+    store.merge(seed, order)
+    val before = store.read().select(col("k"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // simulate the mid-swap crash
+    assert(new java.io.File(root)
+      .renameTo(new java.io.File(root + ".rescale.old")))
+    assert(!new java.io.File(root).exists())
+    // a plain read recovers the surviving copy first
+    val got = store.read().select(col("k"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == before, "recovery lost rows")
+    assert(new java.io.File(root).exists())
+    assert(!new java.io.File(root + ".rescale.old").exists())
+    // and a merge after the same crash folds INTO the recovered state
+    assert(new java.io.File(root)
+      .renameTo(new java.io.File(root + ".rescale.old")))
+    store.merge(Seq(row(99L, 500L, "2024-06-09 00:00:00", 9.0))
+      .toDF("k", "id", "ts", "v"), order)
+    assert(store.read().count() == 41L,
+      "merge after an interrupted rescale rebuilt state from one batch")
+  }
+
   test("refusals: empty keys, absurd bucket counts, read before first merge") {
     intercept[IllegalArgumentException] {
       new BucketedStateStore(spark, tmpDir("x"), Nil, 8)

@@ -313,6 +313,26 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("melEnergies refuses mel grids too dense for 9-dp rounding (NaN-weight guard)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("clip_id", "samples")
+    // sampleRate 1 Hz with ~2^31 filters: the first mel gap rounds to
+    // zero width, the triangle slope would divide by zero and the NaN
+    // weight would PASS w > 0 under Spark NaN ordering — must refuse
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.melEnergies(df, "clip_id", "samples",
+        sampleRate = 1, nMels = Int.MaxValue - 2, nBins = 4)
+    }
+    // degenerate sample rate: every mel point is 0 Hz
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.melEnergies(df, "clip_id", "samples",
+        sampleRate = 0, nMels = 8, nBins = 4)
+    }
+    // sane parameters still pass the guard
+    assert(graft.llm.Multimodal.melEnergies(df, "clip_id", "samples",
+      sampleRate = 8000, nMels = 8, nBins = 4).count() > 0)
+  }
+
   test("decode dispatches by kind; unknown kinds keep the fake-decoder interface") {
     val wav = AudioFixtures.wavPcm16(8000, 1, Array[Short](5, -5))
     assert(BmpWavDecoder.decode(wav, "audio").toSeq == Seq(5.0f, -5.0f))

@@ -72,6 +72,33 @@ class StreamingImageDedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 4 * 8) // store unchanged
   }
 
+  test("a corrupt history store fails LOUDLY instead of silently disabling dedup") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // a store directory with real files but the WRONG schema (no
+    // band/band_key/bits) — reading it must rethrow, never read as
+    // "no history" (which would let every duplicate into accept)
+    val store = tmpDir("img-dedup-corrupt-store")
+    Seq((1L, "not-a-band-row")).toDF("some_id", "junk")
+      .write.mode("overwrite").parquet(store)
+    val accepted = collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData((1L, png(1)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingImageDedup.run(
+        mem.toDF().toDF("image_id", "media"), "image_id", "media",
+        store, tmpDir("img-dedup-corrupt-ckpt")) { df =>
+        accepted ++= df.select(col("image_id").cast("long"))
+          .collect().map(_.getLong(0))
+      }.awaitTermination(120000)
+    }
+    assert(accepted.isEmpty,
+      s"corrupt store silently accepted $accepted")
+    // the failure names the missing column, not a generic stream error
+    assert(ex.getMessage.contains("band") || ex.getMessage.contains("bits"),
+      s"unexpected failure: ${ex.getMessage.take(300)}")
+  }
+
   test("streaming result equals the batch recompute (parity)") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
