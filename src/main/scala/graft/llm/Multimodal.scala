@@ -397,7 +397,9 @@ object Multimodal {
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
       kind match {
         case "image" => decodeImageWithDims(bytes)._3
-        case "audio" => decodeWav(bytes)
+        case "audio" =>
+          if (FlacCodec.isFlac(bytes)) FlacCodec.decode(bytes)
+          else decodeWav(bytes)
         case "video" if AviMjpeg.isMjpegAvi(bytes) =>
           // REAL video decode (MJPEG-in-AVI rides JpegCodec): the
           // single-vector MediaDecoder contract gets the FIRST frame's

@@ -513,6 +513,56 @@ object StatsQueries {
         sampleRate = 8000, nMels = 8, nBins = 81, nCoef = 5)
     }),
 
+    // FLAC sample decode through the audio dispatch (container
+    // sniffed off the fLaC magic): constant/fixed/LPC/escape
+    // subframes, wasted bits, multi-frame streams, mid/side and
+    // left/side stereo — all generatively encoded by the fixture
+    // encoder, STREAMINFO-MD5-verified on decode, and because FLAC is
+    // LOSSLESS the oracle replays every sample from the integer
+    // formulas without knowing FLAC exists: any Rice, predictor,
+    // decorrelation, CRC or framing bug breaks the hash.
+    "q256_flac_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.FlacCodec
+      def ramp(n: Int, a: Long, b: Long, m: Long): Array[Int] =
+        Array.tabulate(n)(t => ((t * a + b) % m - m / 2).toInt)
+      // 1: mono 16-bit, three frames (48+48+34), auto fixed predictors
+      val c1 = FlacCodec.encode(8000, 1, 16,
+        Array.tabulate(130)(t => (t * 37 + 11) % 4001 - 2000), blockSize = 48)
+      // 2: wasted bits — every sample shares 3 trailing zero bits
+      val c2 = FlacCodec.encode(8000, 1, 16,
+        Array.tabulate(64)(t => ((t * 13 + 7) % 257 - 128) * 8))
+      // 3: stereo mid/side (side one bit deeper)
+      val c3 = FlacCodec.encode(48000, 2, 16,
+        Array.tabulate(160)(i =>
+          if (i % 2 == 0) (i / 2 * 29 + 3) % 3001 - 1500
+          else (i / 2 * 17 + 19) % 2501 - 1250), stereo = "mid_side")
+      // 4: 24-bit forced-LPC (arbitrary quantized coefficients)
+      val c4 = FlacCodec.encode(16000, 1, 24,
+        ramp(200, 400003L, 7L, 8388607L),
+        mode = FlacCodec.ForceLpc(Array(120, -60, 31, -5, 1),
+          shift = 6, precision = 9))
+      // 5: 8-bit, raw-binary ESCAPE partitions at order 2
+      val c5 = FlacCodec.encode(8000, 1, 8,
+        Array.tabulate(64)(t => (t * 77 + 13) % 251 - 125),
+        partitionOrder = 2, forceEscape = true)
+      // 6: stereo left/side across two frames
+      val c6 = FlacCodec.encode(44100, 2, 16,
+        Array.tabulate(120)(i =>
+          if (i % 2 == 0) (i / 2 * 53 + 5) % 2001 - 1000
+          else (i / 2 * 31 + 29) % 1801 - 900),
+        blockSize = 40, stereo = "left_side")
+      val ds = Seq(c1, c2, c3, c4, c5, c6).zipWithIndex.map {
+        case (bytes, i) =>
+          graft.llm.Multimodal.MediaRow(i + 1L, bytes, "audio") }.toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("t", "v")))
+        .select(col("clip_id"), col("t"),
+                col("v").cast("double").as("value"))
+    }),
+
     // WAV encoding matrix through the audio dispatch: 8-bit
     // offset-binary, 24-bit signed, IEEE float32 (plain and inside a
     // WAVE_FORMAT_EXTENSIBLE wrapper), and G.711 mu-law/A-law — every
@@ -1433,6 +1483,35 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
         |FROM dct GROUP BY clip_id, i""".stripMargin),
+
+    // q256: FLAC is lossless, so the oracle replays every decoded
+    // sample straight from the generative integer formulas — it never
+    // needs to know FLAC exists; the codec must be exactly invertible.
+    "q256_flac_decode" ->
+      """WITH c1 AS (SELECT 1 AS clip_id, t,
+        |    CAST((t*37 + 11) % 4001 - 2000 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(130)) AS t)),
+        |c2 AS (SELECT 2 AS clip_id, t,
+        |    CAST(((t*13 + 7) % 257 - 128) * 8 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(64)) AS t)),
+        |c3 AS (SELECT 3 AS clip_id, t,
+        |    CAST(CASE WHEN t % 2 = 0 THEN (t//2*29 + 3) % 3001 - 1500
+        |              ELSE (t//2*17 + 19) % 2501 - 1250 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(160)) AS t)),
+        |c4 AS (SELECT 4 AS clip_id, t,
+        |    CAST((t*400003 + 7) % 8388607 - 4194303 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(200)) AS t)),
+        |c5 AS (SELECT 5 AS clip_id, t,
+        |    CAST((t*77 + 13) % 251 - 125 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(64)) AS t)),
+        |c6 AS (SELECT 6 AS clip_id, t,
+        |    CAST(CASE WHEN t % 2 = 0 THEN (t//2*53 + 5) % 2001 - 1000
+        |              ELSE (t//2*31 + 29) % 1801 - 900 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(120)) AS t))
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(t AS INT) AS t, value
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |      UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6)""".stripMargin,
 
     // q250: every decoded sample replayed — G.711 expansion in SQL
     // bit arithmetic (u-law: complement, 0x84 bias, exponent shift;
