@@ -63,22 +63,51 @@ object ImageFixtures {
   }
 
   /** Shared PNG writer behind the pixel-data fixtures: `raw` holds
-    * one Int per sample (bpp samples per pixel), scanlines filter with
-    * the type CYCLING % 5 over a GLOBAL row counter so every filter
-    * type (None/Sub/Up/Average/Paeth) appears, Adam7 or identity
-    * passes (empty passes contribute no bytes), zlib-deflated into an
-    * IDAT split across TWO chunks (one stream, RFC 2083 §2.3), real
+    * one Int per SAMPLE (`channels` samples per pixel, each in
+    * [0, 2^depth)); samples pack into scanline bytes per the spec
+    * (sub-byte MSB-first within each byte, 16-bit as big-endian
+    * pairs), scanlines filter BYTE-wise (step = whole bytes per
+    * pixel, floored at 1 — RFC 2083 §6.2) with the type CYCLING % 5
+    * over a GLOBAL row counter so every filter type
+    * (None/Sub/Up/Average/Paeth) appears, Adam7 or identity passes
+    * (empty passes contribute no bytes), zlib-deflated into an IDAT
+    * split across TWO chunks (one stream, RFC 2083 §2.3), real
     * CRC32s, plus any extra chunks (PLTE/tRNS) between IHDR and
     * IDAT. */
-  private def pngEncode(width: Int, height: Int, bpp: Int, colorType: Int,
+  private def pngEncode(width: Int, height: Int, channels: Int, colorType: Int,
                         raw: Array[Array[Int]], interlace: Boolean,
-                        extraChunks: Seq[(String, Array[Byte])] = Nil)
+                        extraChunks: Seq[(String, Array[Byte])] = Nil,
+                        depth: Int = 8)
       : Array[Byte] = {
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b)
       val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val bitspp = depth * channels
+    val bpp = math.max(1, bitspp / 8) // filter step in bytes
+    /** One pass scanline, packed to bytes. */
+    def packRow(y: Int, px0: Int, pdx: Int, pw: Int): Array[Int] = {
+      val stride = (pw * bitspp + 7) / 8
+      val out = new Array[Int](stride)
+      if (depth == 8) {
+        for (px <- 0 until pw; c <- 0 until channels)
+          out(px * channels + c) = raw(y)((px0 + px * pdx) * channels + c)
+      } else if (depth == 16) {
+        for (px <- 0 until pw; c <- 0 until channels) {
+          val v = raw(y)((px0 + px * pdx) * channels + c)
+          out((px * channels + c) * 2) = (v >> 8) & 0xFF
+          out((px * channels + c) * 2 + 1) = v & 0xFF
+        }
+      } else {
+        for (px <- 0 until pw) { // sub-byte ⇒ single channel
+          val v = raw(y)(px0 + px * pdx) & ((1 << depth) - 1)
+          val bitOff = px * depth
+          out(bitOff >> 3) |= v << (8 - depth - (bitOff & 7))
+        }
+      }
+      out
     }
     val passes =
       if (interlace) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
@@ -90,10 +119,8 @@ object ImageFixtures {
       val pw = if (width > px0) (width - px0 + pdx - 1) / pdx else 0
       val ph = if (height > py0) (height - py0 + pdy - 1) / pdy else 0
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
-        val sub = Array.tabulate(ph, stride) { (j, i) =>
-          raw(py0 + j * pdy)((px0 + (i / bpp) * pdx) * bpp + i % bpp)
-        }
+        val stride = (pw * bitspp + 7) / 8
+        val sub = Array.tabulate(ph)(j => packRow(py0 + j * pdy, px0, pdx, pw))
         for (j <- 0 until ph) {
           val f = globalRow % 5
           globalRow += 1
@@ -136,7 +163,7 @@ object ImageFixtures {
     }
     val ihdr = new ByteArrayOutputStream()
     ihdr.write(be32(width)); ihdr.write(be32(height))
-    ihdr.write(8)
+    ihdr.write(depth)
     ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0)
     ihdr.write(if (interlace) 1 else 0)
@@ -160,33 +187,44 @@ object ImageFixtures {
     * [[Multimodal.BmpWavDecoder]]'s Inflater-backed PNG path
     * (q215/q247 / MultimodalDecodeSpec). */
   def pngFull(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int),
-              rgba: Boolean = false, interlace: Boolean = false): Array[Byte] = {
-    val bpp = if (rgba) 4 else 3
-    val raw = Array.ofDim[Int](height, width * bpp)
+              rgba: Boolean = false, interlace: Boolean = false,
+              depth: Int = 8): Array[Byte] = {
+    require(depth == 8 || depth == 16, s"truecolor depth $depth")
+    val mask = (1 << depth) - 1
+    val ch = if (rgba) 4 else 3
+    val raw = Array.ofDim[Int](height, width * ch)
     for (y <- 0 until height; x <- 0 until width) {
       val (r, g, b) = pix(x, y)
-      // mask to 8 bits HERE (the [[bmp]] fixture's OutputStream.write
-      // masking) — filter arithmetic must see the stored bytes
-      raw(y)(x * bpp) = r & 0xFF
-      raw(y)(x * bpp + 1) = g & 0xFF
-      raw(y)(x * bpp + 2) = b & 0xFF
-      if (rgba) raw(y)(x * bpp + 3) = (x * 5 + y * 3 + 29) % 256
+      // mask to the sample width HERE (the [[bmp]] fixture's
+      // OutputStream.write masking) — filter arithmetic must see the
+      // stored bytes
+      raw(y)(x * ch) = r & mask
+      raw(y)(x * ch + 1) = g & mask
+      raw(y)(x * ch + 2) = b & mask
+      if (rgba) raw(y)(x * ch + 3) = (x * 5 + y * 3 + 29) % 256
     }
-    pngEncode(width, height, bpp, if (rgba) 6 else 2, raw, interlace)
+    pngEncode(width, height, ch, if (rgba) 6 else 2, raw, interlace,
+      depth = depth)
   }
 
-  /** FULL 8-bit GRAYSCALE PNG (RFC 2083 color type 0, or 4 with an
-    * alpha plane = (x*5 + y*3 + 29) % 256 the decoder must drop). */
+  /** FULL GRAYSCALE PNG (RFC 2083 color type 0 at depth 1/2/4/8/16,
+    * or 4 at 8/16 with an alpha plane = (x*5 + y*3 + 29) % 256 the
+    * decoder must drop). `gray` values are masked to the depth. */
   def pngGray(width: Int, height: Int, gray: (Int, Int) => Int,
               withAlpha: Boolean = false,
-              interlace: Boolean = false): Array[Byte] = {
-    val bpp = if (withAlpha) 2 else 1
-    val raw = Array.ofDim[Int](height, width * bpp)
+              interlace: Boolean = false,
+              depth: Int = 8): Array[Byte] = {
+    require(Set(1, 2, 4, 8, 16)(depth), s"gray depth $depth")
+    require(!withAlpha || depth >= 8, s"gray+alpha needs depth >= 8")
+    val mask = (1 << depth) - 1
+    val ch = if (withAlpha) 2 else 1
+    val raw = Array.ofDim[Int](height, width * ch)
     for (y <- 0 until height; x <- 0 until width) {
-      raw(y)(x * bpp) = gray(x, y) & 0xFF
-      if (withAlpha) raw(y)(x * bpp + 1) = (x * 5 + y * 3 + 29) % 256
+      raw(y)(x * ch) = gray(x, y) & mask
+      if (withAlpha) raw(y)(x * ch + 1) = (x * 5 + y * 3 + 29) % 256
     }
-    pngEncode(width, height, bpp, if (withAlpha) 4 else 0, raw, interlace)
+    pngEncode(width, height, ch, if (withAlpha) 4 else 0, raw, interlace,
+      depth = depth)
   }
 
   /** FULL 8-bit PALETTE PNG (RFC 2083 color type 3): PLTE triples,
@@ -197,8 +235,12 @@ object ImageFixtures {
   def pngPalette(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
                  idx: (Int, Int) => Int,
                  withTrns: Boolean = false,
-                 interlace: Boolean = false): Array[Byte] = {
+                 interlace: Boolean = false,
+                 depth: Int = 8): Array[Byte] = {
     require(palette.nonEmpty && palette.size <= 256, "PLTE size in [1, 256]")
+    require(Set(1, 2, 4, 8)(depth), s"palette depth $depth")
+    require(palette.size <= (1 << depth),
+      s"${palette.size}-entry PLTE needs more than $depth-bit indices")
     val raw = Array.tabulate(height, width)((y, x) => idx(x, y) & 0xFF)
     val plte = palette.flatMap { case (r, g, b) =>
       Seq((r & 0xFF).toByte, (g & 0xFF).toByte, (b & 0xFF).toByte)
@@ -207,7 +249,7 @@ object ImageFixtures {
       (if (withTrns) // alpha 255 - i per entry; decoder must skip it
         Seq("tRNS" -> palette.indices.map(i => (255 - i).toByte).toArray)
       else Nil)
-    pngEncode(width, height, 1, 3, raw, interlace, extras)
+    pngEncode(width, height, 1, 3, raw, interlace, extras, depth = depth)
   }
 
   /** PNG signature + IHDR chunk (CRC zeroed — the parser reads

@@ -100,8 +100,10 @@ object Multimodal {
       (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
       (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    /** REAL PNG pixel decode, dependency-free: 8-bit truecolor RGB(A)
-      * or palette-indexed PNG per RFC 2083, non-interlaced OR Adam7-
+    /** REAL PNG pixel decode, dependency-free, across the spec's FULL
+      * legal (color type, bit depth) matrix per RFC 2083 §4.1.1:
+      * grayscale at 1/2/4/8/16 bits, palette at 1/2/4/8, truecolor
+      * RGB(A) and gray+alpha at 8/16 — non-interlaced OR Adam7-
       * interlaced — chunk walk, all IDAT chunks concatenated into ONE
       * zlib stream (§2.3) and inflated with JDK
       * `java.util.zip.Inflater`, then the five per-scanline filters
@@ -118,14 +120,17 @@ object Multimodal {
       * the same plane contract as [[decodeBmp]], so resize/phash
       * pipelines compose unchanged; an optional tRNS chunk is
       * accepted and ignored for the same reason (it only carries the
-      * alpha this contract drops). 16-bit and sub-8-bit-depth PNGs
-      * refuse loudly (production drops in a codec library for
-      * those). */
+      * alpha this contract drops). Sample values stay RAW
+      * (0..2^depth−1 — the JDK raster convention, byte-identical to
+      * `Raster.getSample`), so losslessness is oracle-checkable at
+      * every depth; sub-byte samples unpack MSB-first within each
+      * byte and 16-bit samples are big-endian pairs, while the filter
+      * step stays whole bytes (bpp floored at 1, §6.2). */
     private[graft] def decodePngWithDims(b: Array[Byte])
         : (Int, Int, Array[Float]) = {
       require(isPng(b), "not a PNG")
       var pos = 8
-      var w = 0; var h = 0; var bpp = 0; var color = -1
+      var w = 0; var h = 0; var color = -1; var depth = 0
       var interlaced = false
       var palette: Array[Int] = null // flat [r,g,b, …]
       val idat = new java.io.ByteArrayOutputStream()
@@ -138,24 +143,23 @@ object Multimodal {
         typ match {
           case "IHDR" =>
             w = be32(b, pos + 8); h = be32(b, pos + 12)
-            val depth = b(pos + 16) & 0xFF
+            depth = b(pos + 16) & 0xFF
             color = b(pos + 17) & 0xFF
-            require(depth == 8,
-              s"only 8-bit PNG decodes dependency-free (depth $depth)")
             require(Set(0, 2, 3, 4, 6)(color),
               s"unknown PNG color type $color")
+            // the spec's legal (color, depth) matrix (RFC 2083 §4.1.1)
+            val okDepths = color match {
+              case 0 => Set(1, 2, 4, 8, 16)
+              case 3 => Set(1, 2, 4, 8)
+              case _ => Set(8, 16)
+            }
+            require(okDepths(depth),
+              s"illegal PNG depth $depth for color type $color")
             require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0,
               "nonstandard PNG compression/filter method")
             val il = b(pos + 20) & 0xFF
             require(il <= 1, s"unknown PNG interlace method $il")
             interlaced = il == 1
-            bpp = color match {
-              case 0 => 1 // grayscale
-              case 4 => 2 // grayscale + alpha
-              case 3 => 1 // palette index
-              case 2 => 3
-              case _ => 4
-            }
           case "PLTE" =>
             require(len > 0 && len % 3 == 0 && len <= 768,
               s"PLTE length $len not a multiple of 3 in (0, 768]")
@@ -170,13 +174,22 @@ object Multimodal {
       require(w.toLong * h <= 64000000L,
         s"PNG $w x $h too large to decode dependency-free")
       require(color != 3 || palette != null, "palette PNG missing PLTE")
+      // sample geometry: channels × depth bits per pixel; the filter
+      // step is whole BYTES per pixel, floored at one (RFC 2083 §6.2
+      // — sub-byte depths filter byte-wise with bpp = 1)
+      val chans = color match {
+        case 0 | 3 => 1; case 4 => 2; case 2 => 3; case _ => 4
+      }
+      val bitspp = depth * chans
+      val bpp = math.max(1, bitspp / 8)
       val passes = if (interlaced) Adam7 else Seq((0, 0, 1, 1))
       val passDims = passes.map { case (x0, y0, dx, dy) =>
         (if (w > x0) (w - x0 + dx - 1) / dx else 0,
          if (h > y0) (h - y0 + dy - 1) / dy else 0)
       }
+      def strideOf(pw: Int): Int = (pw * bitspp + 7) / 8
       val rawLen = passDims.map { case (pw, ph) =>
-        if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+        if (pw == 0 || ph == 0) 0 else ph * (1 + strideOf(pw))
       }.sum
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -196,7 +209,7 @@ object Multimodal {
       var rawOff = 0
       for (((x0, y0, dx, dy), (pw, ph)) <- passes.zip(passDims)
            if pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = strideOf(pw)
         val cur = new Array[Int](stride)
         val pri = new Array[Int](stride) // zeros above each pass's scanline 0
         var j = 0
@@ -219,23 +232,37 @@ object Multimodal {
             }
             i += 1
           }
+          // channel c of pixel px out of the unfiltered bytes: 16-bit
+          // samples are big-endian pairs, sub-byte samples pack
+          // MSB-first within the byte; values stay RAW (0..2^depth−1,
+          // the JDK raster convention) — no rescale, so the lossless
+          // oracle replays them exactly
+          def sample(px: Int, c: Int): Int =
+            if (depth == 16)
+              (cur(px * bpp + c * 2) << 8) | cur(px * bpp + c * 2 + 1)
+            else if (depth == 8) cur(px * bpp + c)
+            else {
+              val bitOff = px * bitspp // sub-byte ⇒ single channel
+              (cur(bitOff >> 3) >> (8 - depth - (bitOff & 7))) &
+                ((1 << depth) - 1)
+            }
           var px = 0
           while (px < pw) {
             val ob = ((y0 + j * dy) * w + x0 + px * dx) * 3
             if (color == 3) {
-              val idx = cur(px)
+              val idx = sample(px, 0)
               require(idx * 3 + 2 < palette.length,
                 s"palette index $idx beyond the ${palette.length / 3}-entry PLTE")
               out(ob) = palette(idx * 3).toFloat
               out(ob + 1) = palette(idx * 3 + 1).toFloat
               out(ob + 2) = palette(idx * 3 + 2).toFloat
             } else if (color == 0 || color == 4) {
-              val g = cur(px * bpp).toFloat // alpha (type 4) dropped
+              val g = sample(px, 0).toFloat // alpha (type 4) dropped
               out(ob) = g; out(ob + 1) = g; out(ob + 2) = g
             } else {
-              out(ob) = cur(px * bpp).toFloat
-              out(ob + 1) = cur(px * bpp + 1).toFloat
-              out(ob + 2) = cur(px * bpp + 2).toFloat
+              out(ob) = sample(px, 0).toFloat
+              out(ob + 1) = sample(px, 1).toFloat
+              out(ob + 2) = sample(px, 2).toFloat
             }
             px += 1
           }

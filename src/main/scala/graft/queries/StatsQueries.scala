@@ -633,6 +633,45 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // PNG bit-depth matrix through the full dispatch: grayscale at
+    // 1/2/4/16 bits (sub-byte samples MSB-packed, 16-bit big-endian
+    // pairs), 16-bit truecolor, and 2-bit palette indices — sample
+    // values stay RAW (the JDK raster convention,
+    // MultimodalDecodeSpec cross-checks every depth), and PNG is
+    // lossless, so the oracle replays each value from the generative
+    // formula: a packing-order, endianness, filter-step or scatter
+    // bug at any depth breaks the hash. Images 2 and 6 are Adam7.
+    "q257_png_depths" -> ((s, d) => {
+      import s.implicits._
+      val g = (x: Int, y: Int) => x * 7 + y * 3 + 1 // masked per depth
+      val pix16 = (x: Int, y: Int) =>
+        (x * 2021 + y * 977, x * 313 + y * 57 + 40000, x + y * 4099 + 7)
+      val pal = (0 until 4).map(i =>
+        ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          graft.llm.ImageFixtures.pngGray(13, 9, g, depth = 1), "image"),
+        graft.llm.Multimodal.MediaRow(2L,
+          graft.llm.ImageFixtures.pngGray(11, 7, g, interlace = true,
+            depth = 2), "image"),
+        graft.llm.Multimodal.MediaRow(3L,
+          graft.llm.ImageFixtures.pngGray(10, 8, g, depth = 4), "image"),
+        graft.llm.Multimodal.MediaRow(4L,
+          graft.llm.ImageFixtures.pngGray(9, 6, g, depth = 16), "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          graft.llm.ImageFixtures.pngFull(11, 6, pix16, depth = 16), "image"),
+        graft.llm.Multimodal.MediaRow(6L,
+          graft.llm.ImageFixtures.pngPalette(10, 7, pal,
+            (x, y) => (x * 3 + y * 5) % 4, interlace = true, depth = 2),
+          "image")).toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // Adam7-INTERLACED PNG decode through the full dispatch: seven
     // independently filtered reduced sub-images scattered back to the
     // full plane. PNG is lossless, so the oracle regenerates every
@@ -1584,6 +1623,40 @@ object StatsQueries {
         |  CASE WHEN c = 0 THEN pal.r WHEN c = 1 THEN pal.g
         |       ELSE pal.b END AS value
         |FROM cc JOIN pal ON pal.i = cc.i""".stripMargin,
+
+    // q257: lossless at every depth — raw samples replay as the
+    // generative formula mod 2^depth; palette entries re-derived.
+    "q257_png_depths" ->
+      """WITH gimgs AS (SELECT * FROM (VALUES (1, 13, 9, 2), (2, 11, 7, 4),
+        |    (3, 10, 8, 16), (4, 9, 6, 65536)) t(image_id, w, h, m)),
+        |gy AS (SELECT image_id, w, h, m, unnest(range(h)) AS y FROM gimgs),
+        |gx AS (SELECT image_id, w, m, y, unnest(range(w)) AS x FROM gy),
+        |gc AS (SELECT image_id, w, m, y, x, unnest(range(3)) AS c FROM gx),
+        |gray AS (SELECT image_id, CAST((y*w + x)*3 + c AS INT) AS pos,
+        |    CAST((x*7 + y*3 + 1) % m AS DOUBLE) AS value FROM gc),
+        |t5y AS (SELECT unnest(range(6)) AS y),
+        |t5x AS (SELECT y, unnest(range(11)) AS x FROM t5y),
+        |t5c AS (SELECT y, x, unnest(range(3)) AS c FROM t5x),
+        |tc AS (SELECT 5 AS image_id, CAST((y*11 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*2021 + y*977) % 65536
+        |              WHEN c = 1 THEN (x*313 + y*57 + 40000) % 65536
+        |              ELSE (x + y*4099 + 7) % 65536 END AS DOUBLE) AS value
+        |  FROM t5c),
+        |pal AS (SELECT i, CAST((i*11) % 256 AS DOUBLE) AS r,
+        |    CAST((i*29 + 3) % 256 AS DOUBLE) AS g,
+        |    CAST((i*53 + 7) % 256 AS DOUBLE) AS b
+        |  FROM (SELECT unnest(range(4)) AS i)),
+        |p6y AS (SELECT unnest(range(7)) AS y),
+        |p6x AS (SELECT y, unnest(range(10)) AS x FROM p6y),
+        |p6c AS (SELECT y, x, unnest(range(3)) AS c,
+        |    (x*3 + y*5) % 4 AS i FROM p6x),
+        |p6 AS (SELECT 6 AS image_id, CAST((y*10 + x)*3 + c AS INT) AS pos,
+        |    CASE WHEN c = 0 THEN pal.r WHEN c = 1 THEN pal.g
+        |         ELSE pal.b END AS value
+        |  FROM p6c JOIN pal ON pal.i = p6c.i)
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM gray UNION ALL SELECT * FROM tc
+        |      UNION ALL SELECT * FROM p6)""".stripMargin,
 
     // q247: lossless codec — the oracle replays every channel value
     // from the generative formula; interlacing must be invisible.

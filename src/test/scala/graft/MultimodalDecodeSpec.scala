@@ -131,6 +131,71 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodePng bit-depth matrix: 1/2/4/16-bit samples raster-exact vs the JDK") {
+    val g = (x: Int, y: Int) => x * 7 + y * 3 + 1 // fixture masks to depth
+    // grayscale at every sub-byte depth plus 16-bit, plain and Adam7
+    for (depth <- Seq(1, 2, 4, 16); il <- Seq(false, true)) {
+      val bytes = ImageFixtures.pngGray(13, 9, g, interlace = il,
+        depth = depth)
+      val (w, h, out) = BmpWavDecoder.decodePngWithDims(bytes)
+      assert((w, h) === ((13, 9)), s"d=$depth il=$il dims")
+      val mask = (1 << depth) - 1
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected d=$depth il=$il")
+      for (y <- 0 until 9; x <- 0 until 13) {
+        val e = (g(x, y) & mask).toFloat
+        val o = (y * 13 + x) * 3
+        assert(out(o) == e && out(o + 1) == e && out(o + 2) == e,
+          s"($x,$y) d=$depth il=$il")
+        assert(img.getRaster.getSample(x, y, 0) == (g(x, y) & mask),
+          s"JDK split at ($x,$y) d=$depth il=$il")
+      }
+    }
+    // 16-bit truecolor RGB and RGBA (alpha dropped), plain and Adam7
+    val pix16 = (x: Int, y: Int) =>
+      (x * 2021 + y * 977, x * 313 + y * 57 + 40000, x + y * 4099 + 7)
+    for (rgba <- Seq(false, true); il <- Seq(false, true)) {
+      val bytes = ImageFixtures.pngFull(11, 6, pix16, rgba, il, depth = 16)
+      val (w, h, out) = BmpWavDecoder.decodePngWithDims(bytes)
+      assert((w, h) === ((11, 6)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      for (y <- 0 until 6; x <- 0 until 11; c <- 0 until 3) {
+        val (r, gg, b) = pix16(x, y)
+        val e = (Seq(r, gg, b)(c) & 0xFFFF).toFloat
+        assert(out((y * 11 + x) * 3 + c) == e,
+          s"($x,$y,$c) rgba=$rgba il=$il")
+        assert(img.getRaster.getSample(x, y, c).toFloat == e,
+          s"JDK split at ($x,$y,$c) rgba=$rgba il=$il")
+      }
+    }
+    // sub-byte PALETTE indices (2- and 4-bit) through the PLTE
+    val pal = (0 until 16).map(i =>
+      ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
+    for (depth <- Seq(2, 4); il <- Seq(false, true)) {
+      val nIdx = 1 << depth
+      val idx = (x: Int, y: Int) => (x * 3 + y * 5) % nIdx
+      val bytes = ImageFixtures.pngPalette(10, 7, pal.take(nIdx), idx,
+        interlace = il, depth = depth)
+      val (w, h, out) = BmpWavDecoder.decodePngWithDims(bytes)
+      assert((w, h) === ((10, 7)))
+      for (y <- 0 until 7; x <- 0 until 10) {
+        val (r, gg, b) = pal(idx(x, y))
+        val o = (y * 10 + x) * 3
+        assert(out(o) == r.toFloat && out(o + 1) == gg.toFloat &&
+          out(o + 2) == b.toFloat, s"($x,$y) d=$depth il=$il")
+      }
+    }
+    // the legality matrix still refuses what the spec forbids
+    intercept[IllegalArgumentException] { // 2-bit truecolor: illegal
+      val bad = ImageFixtures.pngGray(4, 4, g, depth = 2)
+      bad(25) = 2 // color type byte inside IHDR: 0 -> 2
+      BmpWavDecoder.decodePngWithDims(bad)
+    }
+  }
+
   test("decodePng palette: indices map through PLTE, filters undo, tRNS skipped") {
     val pal = (0 until 16).map(i =>
       ((i * 11) % 256, (i * 29 + 3) % 256, (i * 53 + 7) % 256))
