@@ -9,8 +9,9 @@ import java.io.ByteArrayOutputStream
   * to 12 bits, the KwKwK case), four-pass GIF interlacing, and
   * multi-frame ANIMATIONS composited per the GIF89a graphic-control
   * disposal semantics (1/none = draw over, 2 = restore background,
-  * 3 = restore previous refuses loudly; transparent pixels keep the
-  * underlying canvas). Returns the [[Multimodal.BmpWavDecoder]] plane
+  * 3 = restore previous via a pre-draw canvas snapshot; transparent
+  * pixels keep the underlying canvas). Returns the
+  * [[Multimodal.BmpWavDecoder]] plane
   * contract — row-major top-down [r,g,b, …] floats, transparency
   * dropped after compositing.
   *
@@ -143,6 +144,10 @@ object GifCodec {
     val canvas = new Array[Int](w * h)
     // previous frame's rect, for disposal-2 restores (call-local)
     var lastRect: Option[(Int, Int, Int, Int)] = None
+    // canvas snapshot taken BEFORE drawing a disposal-3 frame, so the
+    // next frame can restore-previous (one buffer, cloned only when a
+    // frame actually asks for disposal 3)
+    var saved: Array[Int] = null
     val bg = if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
     java.util.Arrays.fill(canvas, bg)
 
@@ -213,8 +218,16 @@ object GifCodec {
               y += 1
             }
           }
-          if (lastDisposal == 3) throw new IllegalArgumentException(
-            "GIF disposal 3 (restore previous) not supported")
+          if (lastDisposal == 3) {
+            // restore-previous: the canvas reverts to its state before
+            // the disposal-3 frame drew (snapshot taken below)
+            require(saved != null,
+              "GIF disposal 3 with no prior frame to restore")
+            System.arraycopy(saved, 0, canvas, 0, canvas.length)
+          }
+          // this frame itself asks for restore-previous afterwards:
+          // snapshot the composited state it is about to draw over
+          if (disposal == 3) saved = canvas.clone()
           val order = rowOrder(fh, (ip & 0x40) != 0)
           var src = 0
           order.foreach { fy =>

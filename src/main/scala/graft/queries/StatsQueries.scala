@@ -625,7 +625,17 @@ object StatsQueries {
           8, 6, pal, Seq(
             graft.llm.GifCodec.FrameSpec(0, 0, 8, 6, base),
             graft.llm.GifCodec.FrameSpec(2, 1, 4, 3, overlay,
-              transparentIndex = 7))), "image")).toDS()
+              transparentIndex = 7))), "image"),
+        // disposal-3 (restore previous): frame 1's overlay must VANISH
+        // under frame 2 — the canvas reverts to the pre-draw snapshot,
+        // not to background (a disposal-2 confusion breaks the hash)
+        graft.llm.Multimodal.MediaRow(4L, graft.llm.GifCodec.encode(
+          8, 6, pal, Seq(
+            graft.llm.GifCodec.FrameSpec(0, 0, 8, 6, base),
+            graft.llm.GifCodec.FrameSpec(2, 1, 4, 3, overlay,
+              disposal = 3),
+            graft.llm.GifCodec.FrameSpec(1, 2, 3, 2,
+              (xr, yr) => (xr * 7 + yr * 3 + 2) % 16))), "image")).toDS()
       graft.llm.Multimodal.extractGifFrames(ds).toDF()
         .select(col("id").as("image_id"), col("frame").as("frame_idx"),
                 posexplode(col("features")).as(Seq("pos", "v")))
@@ -1614,7 +1624,15 @@ object StatsQueries {
         |              THEN ((x-2)*5 + (y-1)) % 16
         |              ELSE (x + y) % 16 END AS i
         |       FROM a0, (SELECT unnest([0, 1]) AS f)),
-        |allpx AS (SELECT * FROM st UNION ALL SELECT * FROM an),
+        |a4 AS (SELECT 4 AS image_id, f AS frame_idx, 8 AS w, x, y,
+        |         CASE WHEN f = 1 AND x BETWEEN 2 AND 5 AND y BETWEEN 1 AND 3
+        |              THEN ((x-2)*5 + (y-1)) % 16
+        |              WHEN f = 2 AND x BETWEEN 1 AND 3 AND y BETWEEN 2 AND 3
+        |              THEN ((x-1)*7 + (y-2)*3 + 2) % 16
+        |              ELSE (x + y) % 16 END AS i
+        |       FROM a0, (SELECT unnest([0, 1, 2]) AS f)),
+        |allpx AS (SELECT * FROM st UNION ALL SELECT * FROM an
+        |          UNION ALL SELECT * FROM a4),
         |cc AS (SELECT image_id, frame_idx, w, x, y, i,
         |         unnest(range(3)) AS c FROM allpx)
         |SELECT CAST(cc.image_id AS BIGINT) AS image_id,

@@ -129,13 +129,29 @@ class GifCodecSpec extends AnyFunSuite {
     assert(px(frames(2), 2, 2) == ((10, 20, 30)))
     assert(px(frames(2), 4, 0) == ((0, 0, 100))) // the new frame drew
     assert(px(frames(2), 0, 0) == ((100, 0, 0))) // outside both rects
-    // disposal 3 refuses loudly (only when a LATER frame must undo it)
-    val d3 = GifCodec.encode(6, 4, pal, Seq(
+    // disposal 3 restores the PRE-DRAW canvas — frame 1's pixels come
+    // back under frame 2's rect (disposal 2 would restore BACKGROUND
+    // there instead: the two must be distinguishable or the snapshot
+    // path isn't real)
+    val d3 = GifCodec.encode(6, 4, pal, Seq(f1,
+      FrameSpec(1, 1, 2, 2, (_, _) => 2, disposal = 3), f3))
+    val (_, _, fr3) = GifCodec.decodeFramesWithDims(d3)
+    def px3(f: Array[Float], x: Int, y: Int) =
+      (f((y * 6 + x) * 3).toInt, f((y * 6 + x) * 3 + 1).toInt,
+       f((y * 6 + x) * 3 + 2).toInt)
+    assert(px3(fr3(1), 1, 1) == ((0, 100, 0)), "frame 2 drew its rect")
+    assert(px3(fr3(2), 1, 1) == ((100, 0, 0)),
+      "restore-previous must bring frame 1 back, not background")
+    assert(px3(fr3(2), 2, 2) == ((100, 0, 0)))
+    assert(px3(fr3(2), 4, 0) == ((0, 0, 100))) // frame 3's own pixel
+    // disposal 3 on the FIRST frame restores the background canvas
+    // (the pre-draw state of frame 1 IS the background fill)
+    val d3first = GifCodec.encode(6, 4, pal, Seq(
       FrameSpec(0, 0, 6, 4, (_, _) => 1, disposal = 3), f3))
-    val e = intercept[IllegalArgumentException] {
-      GifCodec.decodeFramesWithDims(d3)
-    }
-    assert(e.getMessage.contains("disposal 3"))
+    val (_, _, frFirst) = GifCodec.decodeFramesWithDims(d3first)
+    assert(px3(frFirst(1), 1, 1) == ((10, 20, 30)),
+      "restoring past frame 1 yields the background canvas")
+    assert(px3(frFirst(1), 4, 0) == ((0, 0, 100)))
   }
 
   test("dispatch: the image decode path sniffs GIF; refusals are loud") {
