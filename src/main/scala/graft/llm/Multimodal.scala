@@ -419,6 +419,7 @@ object Multimodal {
       if (isPng(b)) decodePngWithDims(b)
       else if (JpegCodec.isJpeg(b)) JpegCodec.decode(b)
       else if (GifCodec.isGif(b)) GifCodec.decode(b)
+      else if (Vp8lCodec.isVp8l(b)) Vp8lCodec.decode(b)
       else decodeBmpWithDims(b)
 
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =

@@ -643,6 +643,55 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // VP8L (lossless WebP) decode through the full dispatch: plain
+    // literals, LZ77 backrefs + color cache, the stacked
+    // subtract-green/predictor/color transforms, 2-bit-bundled color
+    // indexing, and two meta prefix-code groups — all generatively
+    // encoded by the fixture encoder, and because VP8L is LOSSLESS
+    // the oracle replays every channel value from the pixel formulas
+    // without knowing WebP exists: a prefix-code, LZ77-distance,
+    // cache-hash, transform or bundling bug breaks the hash.
+    "q258_vp8l_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.Vp8lCodec
+      val pix = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val runs = (x: Int, y: Int) =>
+        ((x / 7) * 31 % 256, (y / 3) * 53 % 256, 77)
+      val pal = (0 until 4).map(i =>
+        ((i * 37 + 11) % 256, (i * 73 + 5) % 256, (i * 151 + 97) % 256))
+      val palPx = (x: Int, y: Int) =>
+        if (y == 0 && x < 4) pal(x) else pal((x * 3 + y * 7) % 4)
+      val split = (x: Int, y: Int) =>
+        if (x < 16) ((x + y) % 4, (x * y) % 4, 3)
+        else ((x * 31 + y * 7) % 256, (x * 13 + y * 3) % 256, (x + y) % 256)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          Vp8lCodec.encode(13, 9, pix,
+            Vp8lCodec.Options(useLz77 = false)), "image"),
+        graft.llm.Multimodal.MediaRow(2L,
+          Vp8lCodec.encode(24, 18, runs,
+            Vp8lCodec.Options(cacheBits = 4)), "image"),
+        graft.llm.Multimodal.MediaRow(3L,
+          Vp8lCodec.encode(19, 12, pix,
+            Vp8lCodec.Options(subtractGreen = true, predictorMode = 5,
+              colorMults = Some((0x30, 0x15, 0x08)))), "image"),
+        graft.llm.Multimodal.MediaRow(4L,
+          Vp8lCodec.encode(15, 8, palPx,
+            Vp8lCodec.Options(paletteSize = 4)), "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          Vp8lCodec.encode(32, 12, split,
+            Vp8lCodec.Options(metaGroups = 2, cacheBits = 5)), "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // PNG bit-depth matrix through the full dispatch: grayscale at
     // 1/2/4/16 bits (sub-byte samples MSB-packed, 16-bit big-endian
     // pairs), 16-bit truecolor, and 2-bit palette indices — sample
@@ -1641,6 +1690,56 @@ object StatsQueries {
         |  CASE WHEN c = 0 THEN pal.r WHEN c = 1 THEN pal.g
         |       ELSE pal.b END AS value
         |FROM cc JOIN pal ON pal.i = cc.i""".stripMargin,
+
+    // q258: lossless WebP — the oracle replays every channel from the
+    // pixel formulas; the codec (prefix codes, LZ77, cache, all four
+    // transforms, meta groups) must be exactly invertible.
+    "q258_vp8l_decode" ->
+      """WITH imgs AS (SELECT * FROM (VALUES (1, 13, 9), (3, 19, 12))
+        |    t(image_id, w, h)),
+        |yy AS (SELECT image_id, w, h, unnest(range(h)) AS y FROM imgs),
+        |xx AS (SELECT image_id, w, y, unnest(range(w)) AS x FROM yy),
+        |cc AS (SELECT image_id, w, y, x, unnest(range(3)) AS c FROM xx),
+        |plain AS (SELECT image_id, CAST((y*w + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |  FROM cc),
+        |r0 AS (SELECT unnest(range(18)) AS y),
+        |r1 AS (SELECT y, unnest(range(24)) AS x FROM r0),
+        |r2 AS (SELECT y, x, unnest(range(3)) AS c FROM r1),
+        |runs AS (SELECT 2 AS image_id, CAST((y*24 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN ((x//7)*31) % 256
+        |              WHEN c = 1 THEN ((y//3)*53) % 256
+        |              ELSE 77 END AS DOUBLE) AS value
+        |  FROM r2),
+        |pal AS (SELECT i, CAST((i*37 + 11) % 256 AS DOUBLE) AS r,
+        |    CAST((i*73 + 5) % 256 AS DOUBLE) AS g,
+        |    CAST((i*151 + 97) % 256 AS DOUBLE) AS b
+        |  FROM (SELECT unnest(range(4)) AS i)),
+        |p0 AS (SELECT unnest(range(8)) AS y),
+        |p1 AS (SELECT y, unnest(range(15)) AS x FROM p0),
+        |p2 AS (SELECT y, x, unnest(range(3)) AS c,
+        |    CASE WHEN y = 0 AND x < 4 THEN x ELSE (x*3 + y*7) % 4 END AS i
+        |  FROM p1),
+        |palpx AS (SELECT 4 AS image_id, CAST((y*15 + x)*3 + c AS INT) AS pos,
+        |    CASE WHEN c = 0 THEN pal.r WHEN c = 1 THEN pal.g
+        |         ELSE pal.b END AS value
+        |  FROM p2 JOIN pal ON pal.i = p2.i),
+        |m0 AS (SELECT unnest(range(12)) AS y),
+        |m1 AS (SELECT y, unnest(range(32)) AS x FROM m0),
+        |m2 AS (SELECT y, x, unnest(range(3)) AS c FROM m1),
+        |meta AS (SELECT 5 AS image_id, CAST((y*32 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN x < 16 AND c = 0 THEN (x + y) % 4
+        |              WHEN x < 16 AND c = 1 THEN (x * y) % 4
+        |              WHEN x < 16 THEN 3
+        |              WHEN c = 0 THEN (x*31 + y*7) % 256
+        |              WHEN c = 1 THEN (x*13 + y*3) % 256
+        |              ELSE (x + y) % 256 END AS DOUBLE) AS value
+        |  FROM m2)
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM plain UNION ALL SELECT * FROM runs
+        |      UNION ALL SELECT * FROM palpx UNION ALL SELECT * FROM meta)""".stripMargin,
 
     // q257: lossless at every depth — raw samples replay as the
     // generative formula mod 2^depth; palette entries re-derived.
