@@ -97,8 +97,13 @@ object AudioFixtures {
   def wavRaw(sampleRate: Int, channels: Int, fmtCode: Int,
              bitsPerSample: Int, dataBytes: Array[Byte],
              extensible: Boolean = false,
-             withListChunk: Boolean = false): Array[Byte] = {
-    val align = math.max(1, channels * bitsPerSample / 8)
+             withListChunk: Boolean = false,
+             alignOverride: Int = -1): Array[Byte] = {
+    // block-based codecs (ADPCM) carry a BLOCK size in nBlockAlign,
+    // not channels·bits/8 — callers override it there
+    val align =
+      if (alignOverride > 0) alignOverride
+      else math.max(1, channels * bitsPerSample / 8)
     val out = new ByteArrayOutputStream()
     def chunk(id: String, body: Array[Byte]): Unit = {
       out.write(id.getBytes("US-ASCII"))

@@ -13,10 +13,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * codec library, whole-stage codegen (oracle-checked by q88/q92 over
   * known-parameter fixture bytes). Sample DECODE is real for the
   * formats decodable with the JDK alone — 24-bpp uncompressed BMP,
-  * 16-bit PCM WAV, non-interlaced 8-bit truecolor/palette PNG (zlib
+  * the WAV encoding matrix, FLAC ([[FlacCodec]], q256), PNG across
+  * the full (color type, bit depth) matrix, plain or Adam7 (zlib
   * IDAT via `java.util.zip.Inflater` + the five scanline filters;
-  * [[BmpWavDecoder]], oracle-checked by q189/q190/q215), baseline AND
-  * progressive JPEG ([[JpegCodec]], q242/q245), and MJPEG-in-AVI
+  * [[BmpWavDecoder]], oracle-checked by q189/q190/q215/q247/q257),
+  * baseline AND progressive JPEG ([[JpegCodec]], q242/q245), GIF
+  * incl. animations ([[GifCodec]], q249), lossless WebP
+  * ([[Vp8lCodec]], q258), and MJPEG-in-AVI
   * video frames ([[AviMjpeg]], q246) — and stubbed behind the same
   * `MediaDecoder` interface only for codecs that genuinely need a
   * library (H.264/VP9/…), where production would drop in a
@@ -64,9 +67,12 @@ object Multimodal {
     * same plane contract, alpha/tRNS dropped), WAV across the real
     * encoding matrix ("audio": RIFF chunk walk with odd-size pad
     * bytes — int PCM 8/16/24/32, IEEE float32/64, G.711 µ-law/A-law,
-    * WAVE_FORMAT_EXTENSIBLE; returns raw sample values), JPEG
+    * WAVE_FORMAT_EXTENSIBLE; returns raw sample values), FLAC
+    * ("audio", fLaC sniff → [[FlacCodec]]: the full lossless
+    * bitstream, MD5-verified), JPEG
     * ("image", SOI sniff → [[JpegCodec]]: baseline or progressive),
-    * and GIF ("image" → [[GifCodec]]).
+    * GIF ("image" → [[GifCodec]]), and lossless WebP ("image",
+    * RIFF/VP8L sniff → [[Vp8lCodec]]).
     * Anything else (video codecs need real codec libraries) falls
     * back to [[FakeDecoder]] behind the same interface. The
     * q189/q190/q215 oracles recompute the expected pixel/sample
@@ -335,12 +341,113 @@ object Multimodal {
       if ((a & 0x80) != 0) t else -t
     }
 
+    /** The IMA/DVI ADPCM step table (the normative 89-entry table from
+      * the IMA Recommended Practices; MultimodalDecodeSpec pins its
+      * endpoints, length, and the ~1.1 growth-ratio property). */
+    private[graft] val ImaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+      19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+      50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+      337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+      876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+      5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA ADPCM nibble through the (predictor, index) state:
+      * shift-add diff (the spec's exact integer form, NOT the
+      * (2d+1)·step/8 approximation), sign bit 8, clamps at ±32767/-32768
+      * and [0, 88]. Returns the new state; the new predictor IS the
+      * decoded sample. */
+    private[graft] def imaStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+      val step = ImaStep(idx)
+      val delta = nibble & 7
+      var diff = step >> 3
+      if ((delta & 4) != 0) diff += step
+      if ((delta & 2) != 0) diff += step >> 1
+      if ((delta & 1) != 0) diff += step >> 2
+      val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+      val clamped = math.max(-32768, math.min(32767, p))
+      val ni = math.max(0, math.min(88, idx + ImaIndex(delta)))
+      (clamped, ni)
+    }
+
+    /** IMA ADPCM (WAV format 0x11) block decode: per block and
+      * channel a 4-byte header (int16 initial predictor = the first
+      * output sample, uint8 step index, reserved), then nibble data —
+      * LOW nibble first within each byte; stereo interleaves the data
+      * in 4-byte (8-nibble) per-channel groups after the headers. */
+    private def decodeImaAdpcm(b: Array[Byte], p0: Int, size: Int,
+                               blockAlign: Int, channels: Int): Array[Float] = {
+      require(channels >= 1 && channels <= 2,
+        s"IMA ADPCM with $channels channels")
+      require(blockAlign > 4 * channels && blockAlign % (4 * channels) == 0,
+        s"IMA ADPCM block align $blockAlign")
+      val out = Array.newBuilder[Float]
+      var blk = p0
+      val end = p0 + size
+      while (blk + 4 * channels <= end) {
+        val blockEnd = math.min(blk + blockAlign, end)
+        val pred = new Array[Int](channels)
+        val idx = new Array[Int](channels)
+        for (c <- 0 until channels) {
+          val o = blk + 4 * c
+          pred(c) = ((b(o) & 0xFF) | (b(o + 1).toInt << 8)).toShort.toInt
+          idx(c) = b(o + 2) & 0xFF
+          require(idx(c) <= 88, s"IMA ADPCM step index ${idx(c)}")
+        }
+        if (channels == 1) {
+          out += pred(0).toFloat
+          var i = blk + 4
+          while (i < blockEnd) {
+            val byte = b(i) & 0xFF
+            val (p1, i1) = imaStep(pred(0), idx(0), byte & 0xF)
+            out += p1.toFloat
+            val (p2, i2) = imaStep(p1, i1, byte >> 4)
+            out += p2.toFloat
+            pred(0) = p2; idx(0) = i2
+            i += 1
+          }
+        } else {
+          // stereo: headers, then alternating 4-byte per-channel
+          // groups; each group carries 8 consecutive samples of its
+          // channel — buffered so the output interleaves L,R per frame
+          out += pred(0).toFloat; out += pred(1).toFloat
+          var i = blk + 8
+          while (i + 8 <= blockEnd) {
+            val frame = Array.ofDim[Float](2, 8)
+            for (c <- 0 to 1) {
+              var k = 0
+              while (k < 4) {
+                val byte = b(i + 4 * c + k) & 0xFF
+                val (p1, i1) = imaStep(pred(c), idx(c), byte & 0xF)
+                frame(c)(2 * k) = p1.toFloat
+                val (p2, i2) = imaStep(p1, i1, byte >> 4)
+                frame(c)(2 * k + 1) = p2.toFloat
+                pred(c) = p2; idx(c) = i2
+                k += 1
+              }
+            }
+            for (s <- 0 until 8) { out += frame(0)(s); out += frame(1)(s) }
+            i += 8
+          }
+        }
+        blk += blockAlign
+      }
+      out.result()
+    }
+
     /** REAL WAV sample decode across the formats a crawl actually
       * carries: integer PCM at 8 (offset-binary → signed), 16, 24 and
       * 32 bits, IEEE float32/float64 (format 3), G.711 µ-law (7) and
-      * A-law (6), and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the effective
-      * code read from the SubFormat GUID). Returns raw sample values
-      * as floats (float64 narrowed; G.711 expanded to 16-bit linear);
+      * A-law (6), IMA/DVI ADPCM (0x11 — 4-byte block headers,
+      * low-nibble-first shift-add state machine, stereo 8-sample
+      * group interleave), and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the
+      * effective code read from the SubFormat GUID). Returns raw
+      * sample values as floats (float64 narrowed; G.711 expanded to
+      * 16-bit linear; ADPCM expanded to 16-bit);
       * anything else refuses loudly. */
     private[graft] def decodeWav(b: Array[Byte]): Array[Float] = {
       require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -349,6 +456,8 @@ object Multimodal {
       var pos = 12
       var fmtCode = -1
       var bits = 0
+      var align = 0
+      var nChannels = 0
       var out: Array[Float] = null
       while (out == null && pos + 8 <= b.length) {
         val id = new String(b, pos, 4, "US-ASCII")
@@ -358,6 +467,8 @@ object Multimodal {
         if (id == "fmt ") {
           require(size >= 16, "short WAV fmt chunk")
           fmtCode = u16(b, pos + 8)
+          nChannels = u16(b, pos + 10)
+          align = u16(b, pos + 20)
           bits = u16(b, pos + 22)
           if (fmtCode == 0xFFFE) { // EXTENSIBLE: SubFormat's first word
             require(size >= 40, "short WAVE_FORMAT_EXTENSIBLE fmt chunk")
@@ -395,6 +506,8 @@ object Multimodal {
               Array.tabulate(size)(i => mulawToLinear(b(p0 + i) & 0xFF).toFloat)
             case (6, 8) =>
               Array.tabulate(size)(i => alawToLinear(b(p0 + i) & 0xFF).toFloat)
+            case (0x11, 4) =>
+              decodeImaAdpcm(b, p0, size, align, nChannels)
             case (f, w) => throw new IllegalArgumentException(
               s"unsupported WAV encoding: format $f at $w bits")
           }

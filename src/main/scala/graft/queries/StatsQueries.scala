@@ -513,6 +513,42 @@ object StatsQueries {
         sampleRate = 8000, nMels = 8, nBins = 81, nCoef = 5)
     }),
 
+    // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
+    // compressed-but-exactly-specified block format (4-byte headers
+    // carrying the initial predictor + step index, low-nibble-first
+    // shift-add state machine, stereo 8-sample group interleave).
+    // Unlike the lossless codecs the oracle cannot replay a pixel
+    // formula — it replays the STATE MACHINE itself as a recursive
+    // CTE over the nibble stream (the q240 DP-oracle pattern), with
+    // the 89-entry step table embedded as a list literal: a clamp,
+    // sign, table or interleave bug breaks the hash.
+    "q259_adpcm_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.AudioFixtures.wavRaw
+      def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      // clip 1: mono, one 40-byte block (4 header + 36 data = 73 samples)
+      val mono = wavRaw(8000, 1, 0x11, 4,
+        (le16(123) ++ Seq(17.toByte, 0.toByte) ++
+          (0 until 36).map(k => ((k * 37 + 11) % 256).toByte)).toArray,
+        alignOverride = 40)
+      // clip 2: stereo, one 24-byte block (two 4-byte headers + two
+      // 8-byte channel streams in 4-byte groups = 17 frames)
+      val stereo = wavRaw(8000, 2, 0x11, 4,
+        (le16(1000) ++ Seq(30.toByte, 0.toByte) ++
+          le16(-800) ++ Seq(44.toByte, 0.toByte) ++
+          (0 until 16).map(k => ((k * 53 + 7) % 256).toByte)).toArray,
+        alignOverride = 24)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, mono, "audio"),
+        graft.llm.Multimodal.MediaRow(2L, stereo, "audio")).toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("t", "v")))
+        .select(col("clip_id"), col("t"),
+                col("v").cast("double").as("value"))
+    }),
+
     // FLAC sample decode through the audio dispatch (container
     // sniffed off the fLaC magic): constant/fixed/LPC/escape
     // subframes, wasted bits, multi-frame streams, mid/side and
@@ -1581,6 +1617,62 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
         |FROM dct GROUP BY clip_id, i""".stripMargin),
+
+    // q259: the oracle replays the IMA state machine as a recursive
+    // CTE — step table as a list literal, shift-add diff, both
+    // clamps — over nibble streams derived from the byte formulas;
+    // the stereo recursion carries the channel as a seed column.
+    "q259_adpcm_decode" ->
+      """WITH RECURSIVE st AS (SELECT [7,8,9,10,11,12,13,14,16,17,
+        |  19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+        |  130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,
+        |  544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+        |  1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+        |  5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |  16818,18500,20350,22385,24623,27086,29794,32767] AS tbl),
+        |nib1 AS (SELECT i, CASE WHEN i % 2 = 0
+        |      THEN (((i//2)*37 + 11) % 256) % 16
+        |      ELSE (((i//2)*37 + 11) % 256) // 16 END AS n
+        |  FROM (SELECT unnest(range(72)) AS i)),
+        |dec1(s, pred, idx) AS (
+        |  SELECT 0, 123, 17
+        |  UNION ALL
+        |  SELECT dec1.s + 1,
+        |    GREATEST(-32768, LEAST(32767, dec1.pred +
+        |      (CASE WHEN nib1.n >= 8 THEN -1 ELSE 1 END) *
+        |      (tbl[dec1.idx+1]//8
+        |       + CASE WHEN nib1.n % 8 >= 4 THEN tbl[dec1.idx+1] ELSE 0 END
+        |       + CASE WHEN nib1.n % 4 >= 2 THEN tbl[dec1.idx+1]//2 ELSE 0 END
+        |       + CASE WHEN nib1.n % 2 = 1 THEN tbl[dec1.idx+1]//4 ELSE 0 END))),
+        |    GREATEST(0, LEAST(88, dec1.idx +
+        |      ([-1,-1,-1,-1,2,4,6,8])[(nib1.n % 8) + 1]))
+        |  FROM dec1, st, nib1 WHERE nib1.i = dec1.s AND dec1.s < 72),
+        |nib2 AS (SELECT c, i,
+        |    CASE WHEN i % 2 = 0 THEN by % 16 ELSE by // 16 END AS n
+        |  FROM (SELECT c, i,
+        |      (((((i//2)//4)*8 + c*4 + ((i//2) % 4))*53 + 7) % 256) AS by
+        |    FROM (SELECT unnest(range(2)) AS c),
+        |         (SELECT unnest(range(16)) AS i))),
+        |dec2(c, s, pred, idx) AS (
+        |  SELECT * FROM (VALUES (0, 0, 1000, 30), (1, 0, -800, 44))
+        |    t(c, s, pred, idx)
+        |  UNION ALL
+        |  SELECT dec2.c, dec2.s + 1,
+        |    GREATEST(-32768, LEAST(32767, dec2.pred +
+        |      (CASE WHEN nib2.n >= 8 THEN -1 ELSE 1 END) *
+        |      (tbl[dec2.idx+1]//8
+        |       + CASE WHEN nib2.n % 8 >= 4 THEN tbl[dec2.idx+1] ELSE 0 END
+        |       + CASE WHEN nib2.n % 4 >= 2 THEN tbl[dec2.idx+1]//2 ELSE 0 END
+        |       + CASE WHEN nib2.n % 2 = 1 THEN tbl[dec2.idx+1]//4 ELSE 0 END))),
+        |    GREATEST(0, LEAST(88, dec2.idx +
+        |      ([-1,-1,-1,-1,2,4,6,8])[(nib2.n % 8) + 1]))
+        |  FROM dec2, st, nib2
+        |  WHERE nib2.c = dec2.c AND nib2.i = dec2.s AND dec2.s < 16)
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(t AS INT) AS t,
+        |       CAST(value AS DOUBLE) AS value
+        |FROM (SELECT 1 AS clip_id, s AS t, pred AS value FROM dec1
+        |      UNION ALL
+        |      SELECT 2 AS clip_id, s*2 + c AS t, pred AS value FROM dec2)""".stripMargin,
 
     // q256: FLAC is lossless, so the oracle replays every decoded
     // sample straight from the generative integer formulas — it never

@@ -296,6 +296,69 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("IMA ADPCM: hand-worked steps, table properties, block resets, stereo interleave, clamps") {
+    // hand-worked shift-add anchors (pred, idx) -> nibble -> (pred', idx')
+    // step[20] = 50: delta 3 -> 6+25+12 = 43; step[19] = 45: delta 4,
+    // sign -> -(5+45) = -50
+    assert(BmpWavDecoder.imaStep(100, 20, 3) == ((143, 19)))
+    assert(BmpWavDecoder.imaStep(143, 19, 12) == ((93, 21)))
+    assert(BmpWavDecoder.imaStep(0, 0, 7) == ((11, 8)))
+    // clamps at both rails and index 0/88
+    assert(BmpWavDecoder.imaStep(32000, 88, 7)._1 == 32767)
+    assert(BmpWavDecoder.imaStep(-32000, 88, 15)._1 == -32768)
+    assert(BmpWavDecoder.imaStep(0, 0, 0)._2 == 0)
+    assert(BmpWavDecoder.imaStep(0, 88, 7)._2 == 88)
+    // the normative step table: 89 entries, 7..32767, strictly
+    // increasing at ~1.1x per step — a transcription typo breaks this
+    val st = BmpWavDecoder.ImaStep
+    assert(st.length == 89 && st.head == 7 && st.last == 32767)
+    assert(st.sliding(2).forall(p => p(1) > p(0)))
+    assert(st.drop(8).sliding(2).forall { p =>
+      val r = p(1).toDouble / p(0); r >= 1.05 && r <= 1.15 })
+    // block headers RESET state: two mono blocks, the second block's
+    // first output sample must be exactly its header predictor
+    def le16b(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val blk1 = le16b(900) ++ Seq(17.toByte, 0.toByte) ++
+      (0 until 8).map(k => ((k * 37 + 11) % 256).toByte)
+    val blk2 = le16b(-5) ++ Seq(3.toByte, 0.toByte) ++
+      (0 until 8).map(k => ((k * 91 + 5) % 256).toByte)
+    val wav = AudioFixtures.wavRaw(8000, 1, 0x11, 4,
+      (blk1 ++ blk2).toArray, alignOverride = 12)
+    val out = BmpWavDecoder.decode(wav, "audio")
+    assert(out.length == 34) // (1 + 16) x 2 blocks
+    assert(out(0) == 900.0f && out(17) == -5.0f,
+      "block 2's header sample must reset the state")
+    // stereo: one block, 8-sample group interleave; frame 0 is the
+    // two header predictors in channel order
+    val hdrs = le16b(1000) ++ Seq(30.toByte, 0.toByte) ++
+      le16b(-800) ++ Seq(44.toByte, 0.toByte)
+    val data = (0 until 16).map(k => ((k * 53 + 7) % 256).toByte)
+    val st2 = AudioFixtures.wavRaw(8000, 2, 0x11, 4,
+      (hdrs ++ data).toArray, alignOverride = 24)
+    val sOut = BmpWavDecoder.decode(st2, "audio")
+    assert(sOut.length == 34) // 17 frames x 2 channels
+    assert(sOut(0) == 1000.0f && sOut(1) == -800.0f)
+    // channel independence: decoding L's bytes as a MONO stream with
+    // L's header must reproduce the interleaved stream's L channel
+    val lBytes = (0 until 8).map(j =>
+      (((j / 4) * 8 + (j % 4)) * 53 + 7) % 256).map(_.toByte)
+    val lMono = AudioFixtures.wavRaw(8000, 1, 0x11, 4,
+      (le16b(1000) ++ Seq(30.toByte, 0.toByte) ++ lBytes).toArray,
+      alignOverride = 12)
+    val lOut = BmpWavDecoder.decode(lMono, "audio")
+    assert((0 until 17).forall(s => lOut(s) == sOut(2 * s)),
+      "stereo group de-interleave drifted from the mono state machine")
+    // refusals: bad block align, channel counts beyond the surface
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decode(AudioFixtures.wavRaw(8000, 1, 0x11, 4,
+        blk1.toArray, alignOverride = 10), "audio") // not 4-aligned
+    }
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decode(AudioFixtures.wavRaw(8000, 3, 0x11, 4,
+        (blk1 ++ blk1 ++ blk1).toArray, alignOverride = 36), "audio")
+    }
+  }
+
   test("G.711 mu-law and A-law expansion matches the independent JDK codec on all 256 codes") {
     import graft.llm.AudioFixtures.wavRaw
     val codes = Array.tabulate(256)(_.toByte)
