@@ -439,15 +439,94 @@ object Multimodal {
       out.result()
     }
 
+    /** The MS ADPCM standard coefficient pairs and adaptation table
+      * (the normative constants from the Microsoft WAVE spec;
+      * MultimodalDecodeSpec pins them by hand-worked state steps). */
+    private[graft] val MsCoef: Array[(Int, Int)] = Array(
+      (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+    private[graft] val MsAdapt: Array[Int] = Array(
+      230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+
+    /** One MS ADPCM nibble through the (sample1, sample2, delta)
+      * state: C-truncating /256 prediction (NOT a floor shift — the
+      * two differ on negative sums), signed 4-bit error scaled by
+      * delta, int16 clamp, and the table-adapted delta floored at
+      * 16. Returns (newSample, newDelta); callers shift the sample
+      * history. */
+    private[graft] def msStep(s1: Int, s2: Int, delta: Int, coef: Int,
+                              nibble: Int): (Int, Int) = {
+      val (c1, c2) = MsCoef(coef)
+      val pred = (s1 * c1 + s2 * c2) / 256 // Scala / truncates like C
+      val signed = if (nibble >= 8) nibble - 16 else nibble
+      val sample = math.max(-32768, math.min(32767, pred + signed * delta))
+      val nd = math.max(16, (MsAdapt(nibble) * delta) / 256)
+      (sample, nd)
+    }
+
+    /** MS ADPCM (WAV format 0x02) block decode: per block a
+      * field-interleaved header (per channel: uint8 coef-pair index,
+      * int16 initial delta, int16 sample1, int16 sample2 — sample2 is
+      * the OLDER sample and plays first), then one byte per stereo
+      * frame with the HIGH nibble first (left channel) — the opposite
+      * nibble order of IMA. */
+    private def decodeMsAdpcm(b: Array[Byte], p0: Int, size: Int,
+                              blockAlign: Int, channels: Int): Array[Float] = {
+      require(channels >= 1 && channels <= 2,
+        s"MS ADPCM with $channels channels")
+      require(blockAlign > 7 * channels,
+        s"MS ADPCM block align $blockAlign")
+      def s16(o: Int): Int = ((b(o) & 0xFF) | (b(o + 1).toInt << 8)).toShort.toInt
+      val out = Array.newBuilder[Float]
+      var blk = p0
+      val end = p0 + size
+      while (blk + 7 * channels <= end) {
+        val blockEnd = math.min(blk + blockAlign, end)
+        val coef = new Array[Int](channels)
+        val delta = new Array[Int](channels)
+        val s1 = new Array[Int](channels)
+        val s2 = new Array[Int](channels)
+        for (c <- 0 until channels) {
+          coef(c) = b(blk + c) & 0xFF
+          require(coef(c) < MsCoef.length, s"MS ADPCM coef index ${coef(c)}")
+          delta(c) = s16(blk + channels + 2 * c)
+          s1(c) = s16(blk + 3 * channels + 2 * c)
+          s2(c) = s16(blk + 5 * channels + 2 * c)
+        }
+        // the two header samples play oldest-first
+        for (c <- 0 until channels) out += s2(c).toFloat
+        for (c <- 0 until channels) out += s1(c).toFloat
+        var i = blk + 7 * channels
+        while (i < blockEnd) {
+          val byte = b(i) & 0xFF
+          // high nibble first: channel 0 (or the next mono sample)
+          var nib = 0
+          while (nib < 2) {
+            val c = if (channels == 2) nib else 0
+            val n = if (nib == 0) byte >> 4 else byte & 0xF
+            val (smp, nd) = msStep(s1(c), s2(c), delta(c), coef(c), n)
+            s2(c) = s1(c); s1(c) = smp; delta(c) = nd
+            out += smp.toFloat
+            nib += 1
+          }
+          i += 1
+        }
+        blk += blockAlign
+      }
+      out.result()
+    }
+
     /** REAL WAV sample decode across the formats a crawl actually
       * carries: integer PCM at 8 (offset-binary → signed), 16, 24 and
       * 32 bits, IEEE float32/float64 (format 3), G.711 µ-law (7) and
-      * A-law (6), IMA/DVI ADPCM (0x11 — 4-byte block headers,
-      * low-nibble-first shift-add state machine, stereo 8-sample
-      * group interleave), and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the
-      * effective code read from the SubFormat GUID). Returns raw
-      * sample values as floats (float64 narrowed; G.711 expanded to
-      * 16-bit linear; ADPCM expanded to 16-bit);
+      * A-law (6), MS ADPCM (2 — coefficient-pair predictor,
+      * high-nibble-first, table-adapted delta), IMA/DVI ADPCM (0x11 —
+      * 4-byte block headers, low-nibble-first shift-add state
+      * machine, stereo 8-sample group interleave), and
+      * WAVE_FORMAT_EXTENSIBLE (0xFFFE — the effective code read from
+      * the SubFormat GUID). Returns raw sample values as floats
+      * (float64 narrowed; G.711 and ADPCM expanded to 16-bit linear);
       * anything else refuses loudly. */
     private[graft] def decodeWav(b: Array[Byte]): Array[Float] = {
       require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -508,6 +587,8 @@ object Multimodal {
               Array.tabulate(size)(i => alawToLinear(b(p0 + i) & 0xFF).toFloat)
             case (0x11, 4) =>
               decodeImaAdpcm(b, p0, size, align, nChannels)
+            case (2, 4) =>
+              decodeMsAdpcm(b, p0, size, align, nChannels)
             case (f, w) => throw new IllegalArgumentException(
               s"unsupported WAV encoding: format $f at $w bits")
           }

@@ -549,6 +549,40 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // MS ADPCM WAV decode through the audio dispatch: the OTHER
+    // ubiquitous ADPCM — coefficient-pair prediction with C-TRUNCATING
+    // /256 (not a floor shift; they differ on negative sums, and the
+    // oracle encodes the truncation explicitly), signed 4-bit error
+    // scaled by a table-adapted delta floored at 16, header samples
+    // playing oldest-first, high-nibble-first frames (opposite of
+    // IMA), stereo one-frame-per-byte. The oracle replays the state
+    // machine as a recursive CTE, channel-seeded for stereo.
+    "q260_ms_adpcm_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.AudioFixtures.wavRaw
+      def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      // clip 1: mono, coef pair 1 (512,-256), one 20-byte block
+      val mono = wavRaw(8000, 1, 2, 4,
+        (Seq(1.toByte) ++ le16(32) ++ le16(500) ++ le16(-300) ++
+          (0 until 13).map(k => ((k * 37 + 11) % 256).toByte)).toArray,
+        alignOverride = 20)
+      // clip 2: stereo, coef pairs 0 and 4, one 22-byte block
+      val stereo = wavRaw(8000, 2, 2, 4,
+        (Seq(0.toByte, 4.toByte) ++ le16(40) ++ le16(25) ++
+          le16(800) ++ le16(-650) ++ le16(-120) ++ le16(90) ++
+          (0 until 8).map(k => ((k * 91 + 5) % 256).toByte)).toArray,
+        alignOverride = 22)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, mono, "audio"),
+        graft.llm.Multimodal.MediaRow(2L, stereo, "audio")).toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("t", "v")))
+        .select(col("clip_id"), col("t"),
+                col("v").cast("double").as("value"))
+    }),
+
     // FLAC sample decode through the audio dispatch (container
     // sniffed off the fLaC magic): constant/fixed/LPC/escape
     // subframes, wasted bits, multi-frame streams, mid/side and
@@ -1617,6 +1651,59 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
         |FROM dct GROUP BY clip_id, i""".stripMargin),
+
+    // q260: the MS ADPCM state machine as a recursive CTE — the
+    // truncating division spelled out (DuckDB // floors), the adapt
+    // table as a list literal, header samples emitted oldest-first.
+    "q260_ms_adpcm_decode" ->
+      """WITH RECURSIVE ad AS (SELECT [230,230,230,230,307,409,512,614,
+        |    768,614,512,409,307,230,230,230] AS tbl),
+        |nib1 AS (SELECT i, CASE WHEN i % 2 = 0
+        |      THEN (((i//2)*37 + 11) % 256) // 16
+        |      ELSE (((i//2)*37 + 11) % 256) % 16 END AS n
+        |  FROM (SELECT unnest(range(26)) AS i)),
+        |dec1(s, s1, s2, dl) AS (
+        |  SELECT 0, 500, -300, 32
+        |  UNION ALL
+        |  SELECT dec1.s + 1,
+        |    GREATEST(-32768, LEAST(32767,
+        |      (CASE WHEN dec1.s1*512 + dec1.s2*(-256) < 0
+        |            THEN -((-(dec1.s1*512 + dec1.s2*(-256))) // 256)
+        |            ELSE (dec1.s1*512 + dec1.s2*(-256)) // 256 END)
+        |      + (CASE WHEN nib1.n >= 8 THEN nib1.n - 16 ELSE nib1.n END)
+        |        * dec1.dl)),
+        |    dec1.s1,
+        |    GREATEST(16, (tbl[nib1.n + 1] * dec1.dl) // 256)
+        |  FROM dec1, ad, nib1 WHERE nib1.i = dec1.s AND dec1.s < 26),
+        |nib2 AS (SELECT c, f, CASE WHEN c = 0
+        |      THEN ((f*91 + 5) % 256) // 16
+        |      ELSE ((f*91 + 5) % 256) % 16 END AS n
+        |  FROM (SELECT unnest(range(2)) AS c),
+        |       (SELECT unnest(range(8)) AS f)),
+        |dec2(c, c1, c2, s, s1, s2, dl) AS (
+        |  SELECT * FROM (VALUES (0, 256, 0, 0, 800, -120, 40),
+        |                        (1, 240, 0, 0, -650, 90, 25))
+        |    t(c, c1, c2, s, s1, s2, dl)
+        |  UNION ALL
+        |  SELECT dec2.c, dec2.c1, dec2.c2, dec2.s + 1,
+        |    GREATEST(-32768, LEAST(32767,
+        |      (CASE WHEN dec2.s1*dec2.c1 + dec2.s2*dec2.c2 < 0
+        |            THEN -((-(dec2.s1*dec2.c1 + dec2.s2*dec2.c2)) // 256)
+        |            ELSE (dec2.s1*dec2.c1 + dec2.s2*dec2.c2) // 256 END)
+        |      + (CASE WHEN nib2.n >= 8 THEN nib2.n - 16 ELSE nib2.n END)
+        |        * dec2.dl)),
+        |    dec2.s1,
+        |    GREATEST(16, (tbl[nib2.n + 1] * dec2.dl) // 256)
+        |  FROM dec2, ad, nib2
+        |  WHERE nib2.c = dec2.c AND nib2.f = dec2.s AND dec2.s < 8)
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(t AS INT) AS t,
+        |       CAST(value AS DOUBLE) AS value
+        |FROM (SELECT 1 AS clip_id, 0 AS t, -300 AS value
+        |      UNION ALL SELECT 1, 1, 500
+        |      UNION ALL SELECT 1, s + 1, s1 FROM dec1 WHERE s >= 1
+        |      UNION ALL SELECT 2, c, s2 FROM dec2 WHERE s = 0
+        |      UNION ALL SELECT 2, 2 + c, s1 FROM dec2 WHERE s = 0
+        |      UNION ALL SELECT 2, (s + 1)*2 + c, s1 FROM dec2 WHERE s >= 1)""".stripMargin,
 
     // q259: the oracle replays the IMA state machine as a recursive
     // CTE — step table as a list literal, shift-add diff, both

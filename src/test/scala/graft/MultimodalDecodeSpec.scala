@@ -359,6 +359,54 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("MS ADPCM: hand-worked steps, truncating division, delta floor, header order, stereo nibbles") {
+    // hand-worked anchors: coef 0 (256,0) and 1 (512,-256)
+    assert(BmpWavDecoder.msStep(100, 50, 20, 0, 3) == ((160, 17)))
+    assert(BmpWavDecoder.msStep(100, 50, 20, 1, 12) == ((70, 23)))
+    // C-truncating /256 on a NEGATIVE prediction sum: coef 3 (192,64),
+    // sum -19264 -> -75 (floor would give -76)
+    assert(BmpWavDecoder.msStep(-100, -1, 20, 3, 0)._1 == -75)
+    // int16 clamp and the delta floor at 16
+    assert(BmpWavDecoder.msStep(32000, 31000, 500, 1, 7) == ((32767, 1199)))
+    assert(BmpWavDecoder.msStep(0, 0, 16, 0, 0)._2 == 16)
+    // normative tables pinned
+    assert(BmpWavDecoder.MsCoef.toSeq == Seq((256, 0), (512, -256), (0, 0),
+      (192, 64), (240, 0), (460, -208), (392, -232)))
+    assert(BmpWavDecoder.MsAdapt.toSeq == Seq(230, 230, 230, 230, 307, 409,
+      512, 614, 768, 614, 512, 409, 307, 230, 230, 230))
+    // mono block: header samples play OLDEST first; high nibble first
+    def le16b(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val hdr = Seq(1.toByte) ++ le16b(32) ++ le16b(500) ++ le16b(-300)
+    val data = (0 until 13).map(k => ((k * 37 + 11) % 256).toByte)
+    val wav = AudioFixtures.wavRaw(8000, 1, 2, 4,
+      (hdr ++ data).toArray, alignOverride = 20)
+    val out = BmpWavDecoder.decode(wav, "audio")
+    assert(out.length == 28 && out(0) == -300.0f && out(1) == 500.0f)
+    // first decoded sample replays the hand state machine: byte 11 ->
+    // high nibble 0
+    val (e2, _) = BmpWavDecoder.msStep(500, -300, 32, 1, 11 >> 4)
+    assert(out(2) == e2.toFloat)
+    // stereo: field-interleaved header, one frame per byte (hi=L lo=R)
+    val sh = Seq(0.toByte, 4.toByte) ++ le16b(40) ++ le16b(25) ++
+      le16b(800) ++ le16b(-650) ++ le16b(-120) ++ le16b(90)
+    val sdata = (0 until 8).map(k => ((k * 91 + 5) % 256).toByte)
+    val st2 = AudioFixtures.wavRaw(8000, 2, 2, 4,
+      (sh ++ sdata).toArray, alignOverride = 22)
+    val sOut = BmpWavDecoder.decode(st2, "audio")
+    assert(sOut.length == 20)
+    assert(sOut(0) == -120.0f && sOut(1) == 90.0f) // sample2 frame
+    assert(sOut(2) == 800.0f && sOut(3) == -650.0f) // sample1 frame
+    val (l0, _) = BmpWavDecoder.msStep(800, -120, 40, 0, (5 >> 4) & 0xF)
+    val (r0, _) = BmpWavDecoder.msStep(-650, 90, 25, 4, 5 & 0xF)
+    assert(sOut(4) == l0.toFloat && sOut(5) == r0.toFloat)
+    // refusal: coefficient index beyond the 7 standard pairs
+    intercept[IllegalArgumentException] {
+      BmpWavDecoder.decode(AudioFixtures.wavRaw(8000, 1, 2, 4,
+        (Seq(9.toByte) ++ hdr.tail ++ data).toArray,
+        alignOverride = 20), "audio")
+    }
+  }
+
   test("G.711 mu-law and A-law expansion matches the independent JDK codec on all 256 codes") {
     import graft.llm.AudioFixtures.wavRaw
     val codes = Array.tabulate(256)(_.toByte)
