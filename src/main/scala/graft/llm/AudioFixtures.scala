@@ -203,6 +203,85 @@ object AudioFixtures {
     * FLAC reads (CD-quality and a 96 kHz/24-bit studio shape), MP3
     * frame headers (bare V1 stereo, ID3-prefixed V2 mono, and an ID3
     * tag with no frame), and non-audio bytes. */
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** The 80-bit extended float AIFF sample rates live in: explicit
+    * integer bit, so mantissa = rate normalized to the top bit,
+    * exponent = 16383 + (63 − leading zeros). */
+  private[graft] def extended80(rate: Int): Array[Byte] = {
+    require(rate > 0, s"rate $rate")
+    val lz = java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    val mant = rate.toLong << lz
+    val exp = 16383 + (63 - lz)
+    be16(exp) ++ (0 until 8).map(i =>
+      ((mant >>> (56 - 8 * i)) & 0xFF).toByte)
+  }
+
+  /** AIFF (comp = "NONE" → plain AIFF) or AIFF-C (any other 4CC:
+    * sowt/fl32/fl64/ulaw/alaw) with real sample bytes. `ssndOffset`
+    * > 0 inserts pad bytes the SSND offset field declares — OUR
+    * decoder honors it; the JDK reader ignores the field, so the
+    * JDK cross-check fixtures keep it 0. */
+  def aiff(sampleRate: Int, channels: Int, bits: Int,
+           dataBytes: Array[Byte], comp: String = "NONE",
+           frames: Long = -1, ssndOffset: Int = 0): Array[Byte] = {
+    require(comp.length == 4, s"compression 4CC: '$comp'")
+    val aifc = comp != "NONE"
+    val out = new ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      out.write(id.getBytes("US-ASCII"))
+      out.write(be32(body.length))
+      out.write(body)
+      if (body.length % 2 == 1) out.write(0) // word-align pad
+    }
+    out.write("FORM".getBytes("US-ASCII"))
+    out.write(be32(0)) // container size — unread by the parser
+    out.write((if (aifc) "AIFC" else "AIFF").getBytes("US-ASCII"))
+    if (aifc) chunk("FVER", be32(0xA2805140L)) // AIFC version 1
+    val nFrames =
+      if (frames >= 0) frames
+      else dataBytes.length.toLong / math.max(1, channels * bits / 8)
+    val comm = new ByteArrayOutputStream()
+    comm.write(be16(channels))
+    comm.write(be32(nFrames))
+    comm.write(be16(bits))
+    comm.write(extended80(sampleRate))
+    if (aifc) {
+      comm.write(comp.getBytes("US-ASCII"))
+      comm.write(Array[Byte](0, 0)) // empty pascal-string name (padded)
+    }
+    chunk("COMM", comm.toByteArray)
+    val ssnd = new ByteArrayOutputStream()
+    ssnd.write(be32(ssndOffset))
+    ssnd.write(be32(0)) // block size
+    (0 until ssndOffset).foreach(_ => ssnd.write(9)) // offset padding
+    ssnd.write(dataBytes)
+    chunk("SSND", ssnd.toByteArray)
+    out.toByteArray
+  }
+
+  /** Sun/NeXT .au: ".snd" magic + 24-byte header + data; `offset`
+    * beyond 24 inserts annotation bytes the decoder must skip. */
+  def au(sampleRate: Int, channels: Int, encoding: Int,
+         dataBytes: Array[Byte], offset: Int = 28): Array[Byte] = {
+    require(offset >= 24, s"offset $offset")
+    val out = new ByteArrayOutputStream()
+    out.write(".snd".getBytes("US-ASCII"))
+    out.write(be32(offset))
+    out.write(be32(dataBytes.length))
+    out.write(be32(encoding))
+    out.write(be32(sampleRate))
+    out.write(be32(channels))
+    (24 until offset).foreach(_ => out.write(7)) // annotation filler
+    out.write(dataBytes)
+    out.toByteArray
+  }
+
   def all: Seq[(Long, Array[Byte])] = Seq(
     1L -> wav(44100, 2, 16, 1000),
     2L -> wav(16000, 1, 8, 12345, withListChunk = true),

@@ -604,6 +604,159 @@ object Multimodal {
     private[graft] def decodeWavPcm16(b: Array[Byte]): Array[Float] =
       decodeWav(b)
 
+    private def be16s(b: Array[Byte], o: Int): Int =
+      ((b(o) << 8) | (b(o + 1) & 0xFF)).toShort.toInt
+    private def be32u(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+    /** The 80-bit IEEE 754 extended float AIFF stores its sample rate
+      * in: sign(1) + exponent(15, bias 16383) + mantissa(64 with an
+      * EXPLICIT integer bit). Integer-exact for every real audio rate
+      * (value = mantissa >>> (63 − unbiased exponent)); refuses
+      * rates that are not positive integers in range. */
+    private[graft] def extended80ToInt(b: Array[Byte], o: Int): Int = {
+      val se = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+      require((se & 0x8000) == 0, "negative AIFF sample rate")
+      val exp = se & 0x7FFF
+      var mant = 0L
+      var i = 0
+      while (i < 8) { mant = (mant << 8) | (b(o + 2 + i) & 0xFFL); i += 1 }
+      require(mant != 0 && exp != 0, "zero AIFF sample rate")
+      val unbiased = exp - 16383
+      require(unbiased >= 0 && unbiased <= 31,
+        s"AIFF sample rate exponent $unbiased out of integer range")
+      val shift = 63 - unbiased
+      require(shift >= 0 && (mant & ((1L << shift) - 1)) == 0,
+        "non-integer AIFF sample rate")
+      (mant >>> shift).toInt
+    }
+
+    /** REAL AIFF / AIFF-C sample decode (the big-endian sibling of
+      * [[decodeWav]], per the Apple AIFF-1.3/AIFF-C specs): FORM
+      * container walk with word-aligned chunks, COMM (channels,
+      * frames, bits, 80-bit extended-float rate, and for AIFC the
+      * compression 4CC), SSND with its offset field honored.
+      * Compression matrix: NONE (big-endian signed PCM 8/16/24/32 —
+      * AIFF 8-bit is SIGNED, unlike WAV's offset-binary), sowt
+      * (little-endian 16-bit, the Mac-era byte swap), fl32/FL32/fl64
+      * (big-endian IEEE floats), ulaw/alaw (the same G.711 expanders
+      * the WAV path uses, JDK-validated there). */
+    private[graft] def decodeAiff(b: Array[Byte]): Array[Float] = {
+      require(b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M', "not an AIFF FORM")
+      val kind = new String(b, 8, 4, "US-ASCII")
+      require(kind == "AIFF" || kind == "AIFC", s"FORM type $kind")
+      var pos = 12
+      var bits = 0
+      var comp = if (kind == "AIFC") "" else "NONE"
+      var out: Array[Float] = null
+      var sawComm = false
+      while (out == null && pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = be32u(b, pos + 4)
+        require(size >= 0 && pos + 8L + size <= b.length,
+          s"truncated AIFF chunk $id")
+        if (id == "COMM") {
+          require(size >= 18, "short AIFF COMM chunk")
+          bits = ((b(pos + 14) & 0xFF) << 8) | (b(pos + 15) & 0xFF)
+          extended80ToInt(b, pos + 16) // validated; value used by AudioMeta
+          if (kind == "AIFC") {
+            require(size >= 22, "AIFC COMM missing compression type")
+            comp = new String(b, pos + 26, 4, "US-ASCII")
+          }
+          sawComm = true
+        } else if (id == "SSND") {
+          require(sawComm, "AIFF SSND precedes COMM")
+          require(size >= 8, "short AIFF SSND chunk")
+          val dataOff = be32u(b, pos + 8)
+          require(dataOff >= 0 && 8 + dataOff <= size, "bad SSND offset")
+          val p0 = (pos + 16 + dataOff).toInt
+          val n = (size - 8 - dataOff).toInt
+          out = (comp, bits) match {
+            case ("NONE", 8) =>
+              Array.tabulate(n)(i => b(p0 + i).toFloat) // SIGNED 8-bit
+            case ("NONE", 16) =>
+              Array.tabulate(n / 2)(i => be16s(b, p0 + 2 * i).toFloat)
+            case ("NONE", 24) =>
+              Array.tabulate(n / 3) { i =>
+                val v = ((b(p0 + 3 * i) & 0xFF) << 16) |
+                  ((b(p0 + 3 * i + 1) & 0xFF) << 8) |
+                  (b(p0 + 3 * i + 2) & 0xFF)
+                ((v << 8) >> 8).toFloat
+              }
+            case ("NONE", 32) =>
+              Array.tabulate(n / 4)(i => be32u(b, p0 + 4 * i).toInt.toFloat)
+            case ("sowt", 16) =>
+              Array.tabulate(n / 2)(i =>
+                (((b(p0 + 2 * i) & 0xFF) |
+                  (b(p0 + 2 * i + 1).toInt << 8)).toShort).toFloat)
+            case ("fl32" | "FL32", 32) =>
+              Array.tabulate(n / 4)(i =>
+                java.lang.Float.intBitsToFloat(be32u(b, p0 + 4 * i).toInt))
+            case ("fl64" | "FL64", 64) =>
+              Array.tabulate(n / 8) { i =>
+                val hi = be32u(b, p0 + 8 * i); val lo = be32u(b, p0 + 8 * i + 4)
+                java.lang.Double.longBitsToDouble((hi << 32) | lo).toFloat
+              }
+            case ("ulaw" | "ULAW", _) =>
+              Array.tabulate(n)(i => mulawToLinear(b(p0 + i) & 0xFF).toFloat)
+            case ("alaw" | "ALAW", _) =>
+              Array.tabulate(n)(i => alawToLinear(b(p0 + i) & 0xFF).toFloat)
+            case (c, w) => throw new IllegalArgumentException(
+              s"unsupported AIFF compression '$c' at $w bits")
+          }
+        }
+        pos += 8 + size.toInt + (size.toInt & 1) // chunks word-align
+      }
+      require(out != null, "no AIFF SSND chunk")
+      out
+    }
+
+    /** REAL Sun/NeXT .au decode (the trivial big-endian header: magic
+      * ".snd", data offset, data size, encoding, rate, channels):
+      * G.711 µ/A-law, signed PCM 8/16/24/32 BE, IEEE float32/64 BE. */
+    private[graft] def decodeAu(b: Array[Byte]): Array[Float] = {
+      require(b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+        b(3) == 'd', "not a .au stream")
+      val off = be32u(b, 4)
+      val dataSize = be32u(b, 8)
+      val enc = be32u(b, 12).toInt
+      require(off >= 24 && off <= b.length, s"bad .au data offset $off")
+      val n = (if (dataSize == 0xFFFFFFFFL) b.length - off
+               else math.min(dataSize, b.length - off)).toInt
+      val p0 = off.toInt
+      enc match {
+        case 1 => Array.tabulate(n)(i => mulawToLinear(b(p0 + i) & 0xFF).toFloat)
+        case 27 => Array.tabulate(n)(i => alawToLinear(b(p0 + i) & 0xFF).toFloat)
+        case 2 => Array.tabulate(n)(i => b(p0 + i).toFloat)
+        case 3 => Array.tabulate(n / 2)(i => be16s(b, p0 + 2 * i).toFloat)
+        case 4 => Array.tabulate(n / 3) { i =>
+          val v = ((b(p0 + 3 * i) & 0xFF) << 16) |
+            ((b(p0 + 3 * i + 1) & 0xFF) << 8) | (b(p0 + 3 * i + 2) & 0xFF)
+          ((v << 8) >> 8).toFloat
+        }
+        case 5 => Array.tabulate(n / 4)(i => be32u(b, p0 + 4 * i).toInt.toFloat)
+        case 6 => Array.tabulate(n / 4)(i =>
+          java.lang.Float.intBitsToFloat(be32u(b, p0 + 4 * i).toInt))
+        case 7 => Array.tabulate(n / 8) { i =>
+          val hi = be32u(b, p0 + 8 * i); val lo = be32u(b, p0 + 8 * i + 4)
+          java.lang.Double.longBitsToDouble((hi << 32) | lo).toFloat
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported .au encoding $other")
+      }
+    }
+
+    private[graft] def isAiff(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && b(0) == 'F' && b(1) == 'O' &&
+        b(2) == 'R' && b(3) == 'M' &&
+        { val k = new String(b, 8, 4, "US-ASCII"); k == "AIFF" || k == "AIFC" }
+
+    private[graft] def isAu(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && b(0) == '.' && b(1) == 's' &&
+        b(2) == 'n' && b(3) == 'd'
+
     /** Container-sniffed image decode: PNG signature → Inflater PNG
       * path, SOI → [[JpegCodec]] (baseline or progressive), GIF8x →
       * [[GifCodec]] (first frame; animations via
@@ -621,6 +774,8 @@ object Multimodal {
         case "image" => decodeImageWithDims(bytes)._3
         case "audio" =>
           if (FlacCodec.isFlac(bytes)) FlacCodec.decode(bytes)
+          else if (isAiff(bytes)) decodeAiff(bytes)
+          else if (isAu(bytes)) decodeAu(bytes)
           else decodeWav(bytes)
         case "video" if AviMjpeg.isMjpegAvi(bytes) =>
           // REAL video decode (MJPEG-in-AVI rides JpegCodec): the

@@ -549,6 +549,54 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // AIFF/AIFF-C and Sun AU decode through the audio dispatch — the
+    // big-endian container family (cross-validated BOTH directions
+    // against the JDK sound stack in MultimodalDecodeSpec): BE PCM
+    // (AIFF 8-bit is SIGNED, unlike WAV), the sowt little-endian
+    // AIFC byte swap, BE float32, the 80-bit extended-float sample
+    // rate, and AU's offset-skipping header. Lossless sample layout,
+    // so the oracle replays every sample from the integer formulas.
+    "q261_be_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.AudioFixtures.{aiff, au}
+      def be16(v: Int) = Seq(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      def be24(v: Int) = Seq(((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def be32f(f: Float) = {
+        val i = java.lang.Float.floatToIntBits(f)
+        Seq(((i >> 24) & 0xFF).toByte, ((i >> 16) & 0xFF).toByte,
+          ((i >> 8) & 0xFF).toByte, (i & 0xFF).toByte)
+      }
+      val s16 = Array.tabulate(40)(t => (t * 29 + 3) % 3001 - 1500)
+      val s8 = Array.tabulate(16)(t => t * 15 - 120)
+      val sw = Array.tabulate(12)(t => t * 531 - 3000)
+      val fl = Array.tabulate(9)(t => t * 0.25f - 1f)
+      val a16 = Array.tabulate(20)(t => (t * 53 + 7) % 2001 - 1000)
+      val a24 = Array.tabulate(10)(t => t * 400003 - 1500000)
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          aiff(8000, 1, 16, s16.flatMap(be16).toArray), "audio"),
+        graft.llm.Multimodal.MediaRow(2L,
+          aiff(8000, 1, 8, s8.map(_.toByte)), "audio"),
+        graft.llm.Multimodal.MediaRow(3L,
+          aiff(44100, 1, 16, sw.flatMap(le16).toArray,
+            comp = "sowt"), "audio"),
+        graft.llm.Multimodal.MediaRow(4L,
+          aiff(48000, 1, 32, fl.flatMap(be32f).toArray,
+            comp = "fl32"), "audio"),
+        graft.llm.Multimodal.MediaRow(5L,
+          au(8000, 1, 3, a16.flatMap(be16).toArray), "audio"),
+        graft.llm.Multimodal.MediaRow(6L,
+          au(16000, 1, 4, a24.flatMap(be24).toArray), "audio")).toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("clip_id"),
+                posexplode(col("features")).as(Seq("t", "v")))
+        .select(col("clip_id"), col("t"),
+                col("v").cast("double").as("value"))
+    }),
+
     // MS ADPCM WAV decode through the audio dispatch: the OTHER
     // ubiquitous ADPCM — coefficient-pair prediction with C-TRUNCATING
     // /256 (not a floor shift; they differ on negative sums, and the
@@ -1651,6 +1699,32 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
         |FROM dct GROUP BY clip_id, i""".stripMargin),
+
+    // q261: lossless big-endian layouts — every sample replays from
+    // the integer formulas; float32 bit patterns round-trip exactly.
+    "q261_be_audio_decode" ->
+      """WITH c1 AS (SELECT 1 AS clip_id, t,
+        |    CAST((t*29 + 3) % 3001 - 1500 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(40)) AS t)),
+        |c2 AS (SELECT 2 AS clip_id, t,
+        |    CAST(t*15 - 120 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(16)) AS t)),
+        |c3 AS (SELECT 3 AS clip_id, t,
+        |    CAST(t*531 - 3000 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(12)) AS t)),
+        |c4 AS (SELECT 4 AS clip_id, t,
+        |    CAST(t*0.25 - 1.0 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS t)),
+        |c5 AS (SELECT 5 AS clip_id, t,
+        |    CAST((t*53 + 7) % 2001 - 1000 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(20)) AS t)),
+        |c6 AS (SELECT 6 AS clip_id, t,
+        |    CAST(t*400003 - 1500000 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(10)) AS t))
+        |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(t AS INT) AS t, value
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |      UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6)""".stripMargin,
 
     // q260: the MS ADPCM state machine as a recursive CTE — the
     // truncating division spelled out (DuckDB // floors), the adapt

@@ -407,6 +407,117 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("AIFF/AU: cross-validated BOTH directions against the independent JDK sound stack") {
+    import javax.sound.sampled._
+    val samples = Array.tabulate(40)(t => ((t * 29 + 3) % 3001) - 1500)
+    val be = samples.flatMap(s =>
+      Seq(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte))
+    val mine = AudioFixtures.aiff(8000, 1, 16, be)
+    // the JDK parses OUR container: the 80-bit extended-float rate,
+    // channels, bits, and the SSND offset all survive
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(mine))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && fmt.isBigEndian)
+    assert(ais.readAllBytes().toSeq == be.toSeq,
+      "JDK extracted different sample bytes from our AIFF")
+    assert(BmpWavDecoder.decode(mine, "audio").toSeq ==
+      samples.map(_.toFloat).toSeq)
+    // reverse: the JDK WRITES the AIFF, we decode it bit-exact
+    def jdkFile(tpe: AudioFileFormat.Type): Array[Byte] = {
+      val f = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        11025f, 16, 1, 2, 11025f, true)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(be), f, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(src, tpe, bos)
+      bos.toByteArray
+    }
+    assert(BmpWavDecoder.decode(jdkFile(AudioFileFormat.Type.AIFF),
+      "audio").toSeq == samples.map(_.toFloat).toSeq)
+    assert(BmpWavDecoder.decode(jdkFile(AudioFileFormat.Type.AU),
+      "audio").toSeq == samples.map(_.toFloat).toSeq)
+    // our AU fixture through the JDK reader (incl. the offset skip)
+    val myAu = AudioFixtures.au(8000, 1, 3, be)
+    val ais2 = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(myAu))
+    assert(ais2.getFormat.getSampleRate == 8000f)
+    assert(ais2.readAllBytes().toSeq == be.toSeq)
+  }
+
+  test("AIFF/AU: the full compression matrix decodes byte-exact; refusals are loud") {
+    // 80-bit extended float round-trips every real rate exactly
+    for (r <- Seq(1, 8000, 11025, 22050, 44100, 48000, 96000, 192000)) {
+      val enc = AudioFixtures.extended80(r)
+      assert(BmpWavDecoder.extended80ToInt(enc, 0) == r, s"rate $r")
+    }
+    def be24(v: Int) = Seq(((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32b(v: Int) = Seq(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // the SSND offset field is honored (the JDK reader ignores it,
+    // so this is our-decoder-only coverage)
+    val off16 = Array.tabulate(6)(t => t * 1000 - 2500)
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 16,
+      off16.flatMap(v => Seq(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)),
+      ssndOffset = 4), "audio").toSeq == off16.map(_.toFloat).toSeq)
+    // AIFF signed 8-bit (WAV's is offset-binary; a sign confusion
+    // would shift everything by 128)
+    val s8 = Array.tabulate(16)(t => (t * 15 - 120))
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 8,
+      s8.map(_.toByte)), "audio").toSeq == s8.map(_.toFloat).toSeq)
+    // 24/32-bit BE PCM
+    val s24 = Array.tabulate(10)(t => t * 400003 - 1500000)
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 24,
+      s24.flatMap(be24)), "audio").toSeq == s24.map(_.toFloat).toSeq)
+    val s32 = Array.tabulate(8)(t => t * 100000007 - 350000000)
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 32,
+      s32.flatMap(be32b)), "audio").toSeq == s32.map(_.toFloat).toSeq)
+    // sowt: little-endian 16 inside AIFC
+    val s16 = Array.tabulate(12)(t => (t * 531 - 3000))
+    val sowtBytes = s16.flatMap(v =>
+      Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(44100, 1, 16,
+      sowtBytes, comp = "sowt"), "audio").toSeq == s16.map(_.toFloat).toSeq)
+    // fl32 + fl64 big-endian floats
+    val fs = Array.tabulate(9)(t => t * 0.25f - 1f)
+    val f32b = fs.flatMap(f => be32b(java.lang.Float.floatToIntBits(f)))
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(48000, 1, 32,
+      f32b, comp = "fl32"), "audio").toSeq == fs.toSeq)
+    val f64b = fs.flatMap { f =>
+      val l = java.lang.Double.doubleToLongBits(f.toDouble)
+      be32b((l >>> 32).toInt) ++ be32b(l.toInt)
+    }
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(48000, 1, 64,
+      f64b, comp = "fl64"), "audio").toSeq == fs.toSeq)
+    // G.711 inside AIFC rides the JDK-validated expanders
+    val codes = Array.tabulate(24)(t => ((t * 7 + 13) % 256).toByte)
+    assert(BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 16,
+      codes, comp = "ulaw"), "audio").toSeq ==
+      codes.map(c => BmpWavDecoder.mulawToLinear(c & 0xFF).toFloat).toSeq)
+    // AU encodings: mu-law, signed 8, float32
+    assert(BmpWavDecoder.decode(AudioFixtures.au(8000, 1, 1, codes),
+      "audio").toSeq ==
+      codes.map(c => BmpWavDecoder.mulawToLinear(c & 0xFF).toFloat).toSeq)
+    assert(BmpWavDecoder.decode(AudioFixtures.au(8000, 1, 2,
+      s8.map(_.toByte)), "audio").toSeq == s8.map(_.toFloat).toSeq)
+    assert(BmpWavDecoder.decode(AudioFixtures.au(8000, 1, 6, f32b),
+      "audio").toSeq == fs.toSeq)
+    // refusals
+    intercept[IllegalArgumentException] { // unknown compression 4CC
+      BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 16, sowtBytes,
+        comp = "ima4"), "audio")
+    }
+    intercept[IllegalArgumentException] { // unknown AU encoding
+      BmpWavDecoder.decode(AudioFixtures.au(8000, 1, 23, codes), "audio")
+    }
+    intercept[IllegalArgumentException] { // truncated FORM
+      BmpWavDecoder.decode(AudioFixtures.aiff(8000, 1, 16, sowtBytes,
+        comp = "sowt").take(30), "audio")
+    }
+  }
+
   test("G.711 mu-law and A-law expansion matches the independent JDK codec on all 256 codes") {
     import graft.llm.AudioFixtures.wavRaw
     val codes = Array.tabulate(256)(_.toByte)
