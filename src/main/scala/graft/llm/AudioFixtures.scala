@@ -292,5 +292,13 @@ object AudioFixtures {
     7L -> "not audio in any way".getBytes("UTF-8"),
     8L -> mp3(version = 3, srIdx = 0, mono = false),
     9L -> mp3(version = 2, srIdx = 2, mono = true, withId3 = true),
-    10L -> mp3Id3Only)
+    10L -> mp3Id3Only,
+    // 25 stereo 16-bit frames = 100 data bytes; frames read from COMM
+    11L -> aiff(22050, 2, 16, new Array[Byte](100)),
+    // AIFC marker with a sowt body (metadata reads the same COMM)
+    12L -> aiff(48000, 1, 16, new Array[Byte](24), comp = "sowt"),
+    // .au: 16-bit BE mono, 30 frames = 60 data bytes
+    13L -> au(8000, 1, 3, new Array[Byte](60)),
+    // .au mu-law stereo with an annotation region to skip
+    14L -> au(44100, 2, 1, new Array[Byte](50), offset = 40))
 }

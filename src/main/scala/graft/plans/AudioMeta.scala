@@ -13,9 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * of [[ImageMeta]]: container format, sample rate, channel count,
   * bit depth, and total frame count parsed straight out of the header
   * with no codec library. WAV (RIFF chunk walk to "fmt " and "data",
-  * per the WAVE spec's little-endian layout) and FLAC (the 34-byte
+  * per the WAVE spec's little-endian layout), FLAC (the 34-byte
   * STREAMINFO metadata block's packed bit fields, per the FLAC format
-  * spec). Sample DECODE stays behind
+  * spec), AIFF/AIFF-C (FORM walk to COMM, the 80-bit extended-float
+  * sample rate), Sun .au (fixed big-endian header), and MP3 frame
+  * headers (rate/channels only — the honest lossy boundary). Sample
+  * DECODE stays behind
   * [[graft.llm.Multimodal.MediaDecoder]] exactly as for images.
   *
   * Returned struct: (format, sample_rate, channels, bits_per_sample,
@@ -115,6 +118,57 @@ object AudioMeta {
         return row("flac", rate20, channels, bits, frames)
       }
       return row("flac", null, null, null, null)
+    }
+    // AIFF / AIFF-C: FORM walk to COMM — channels, frame count, bit
+    // depth, and the 80-bit extended-float sample rate (parsed
+    // integer-exact by the same routine the decoder uses).
+    if (tag(b, 0, "FORM") && b.length >= 12 &&
+        (tag(b, 8, "AIFF") || tag(b, 8, "AIFC"))) {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = ((b(i + 4) & 0xFFL) << 24) | ((b(i + 5) & 0xFFL) << 16) |
+          ((b(i + 6) & 0xFFL) << 8) | (b(i + 7) & 0xFFL)
+        if (size < 0 || i + 8L + size > b.length)
+          return row("aiff", null, null, null, null)
+        if (tag(b, i, "COMM") && size >= 18) {
+          val ch = ((b(i + 8) & 0xFF) << 8) | (b(i + 9) & 0xFF)
+          val frames = ((b(i + 10) & 0xFFL) << 24) |
+            ((b(i + 11) & 0xFFL) << 16) | ((b(i + 12) & 0xFFL) << 8) |
+            (b(i + 13) & 0xFFL)
+          val bits = ((b(i + 14) & 0xFF) << 8) | (b(i + 15) & 0xFF)
+          val rate =
+            try graft.llm.Multimodal.BmpWavDecoder.extended80ToInt(b, i + 16)
+            catch { case _: IllegalArgumentException =>
+              return row("aiff", null, ch, bits, frames) }
+          return row("aiff", rate, ch, bits, frames)
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return row("aiff", null, null, null, null)
+    }
+    // Sun/NeXT .au: fixed big-endian header; bit depth from the
+    // encoding code, frames from data size / frame bytes.
+    if (tag(b, 0, ".snd")) {
+      if (b.length < 24) return row("au", null, null, null, null)
+      def be32(o: Int): Long = ((b(o) & 0xFFL) << 24) |
+        ((b(o + 1) & 0xFFL) << 16) | ((b(o + 2) & 0xFFL) << 8) |
+        (b(o + 3) & 0xFFL)
+      val dataSize = be32(8)
+      val enc = be32(12).toInt
+      val rate = be32(16).toInt
+      val ch = be32(20).toInt
+      val width = enc match {
+        case 1 | 2 | 27 => 1
+        case 3 => 2
+        case 4 => 3
+        case 5 | 6 => 4
+        case 7 => 8
+        case _ => 0
+      }
+      if (width == 0 || ch <= 0) return row("au", rate, ch, null, null)
+      val frames: Any =
+        if (dataSize == 0xFFFFFFFFL) null else dataSize / (width.toLong * ch)
+      return row("au", rate, ch, width * 8, frames)
     }
     // MP3: an optional ID3v2 tag (10-byte header, 28-bit syncsafe
     // size) followed by an MPEG audio frame header — 11 sync bits,

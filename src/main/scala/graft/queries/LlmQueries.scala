@@ -2129,7 +2129,11 @@ object LlmQueries {
         |  (7, 'unknown', NULL, NULL, NULL, NULL),
         |  (8, 'mp3', 44100, 2, NULL, NULL),
         |  (9, 'mp3', 16000, 1, NULL, NULL),
-        |  (10, 'mp3', NULL, NULL, NULL, NULL)
+        |  (10, 'mp3', NULL, NULL, NULL, NULL),
+        |  (11, 'aiff', 22050, 2, 16, 25),
+        |  (12, 'aiff', 48000, 1, 16, 12),
+        |  (13, 'au', 8000, 1, 16, 30),
+        |  (14, 'au', 44100, 2, 8, 25)
         |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin,
 
     // The q47-verified chunk kernel with stride == size; duplication is

@@ -68,6 +68,30 @@ class AudioHeadersSpec extends SparkSpec {
     assert(parsed(Array.emptyByteArray) === (("unknown", None, None, None, None)))
   }
 
+  test("AIFF and AU headers: COMM/80-bit rate, AU encoding widths, truncation") {
+    assert(parsed(AudioFixtures.aiff(22050, 2, 16, new Array[Byte](100))) ===
+      (("aiff", Some(22050), Some(2), Some(16), Some(25L))))
+    // AIFC wrapper (sowt): same COMM metadata
+    assert(parsed(AudioFixtures.aiff(48000, 1, 16, new Array[Byte](24),
+      comp = "sowt")) === (("aiff", Some(48000), Some(1), Some(16), Some(12L))))
+    // frames come from COMM, not the data size, when declared
+    assert(parsed(AudioFixtures.aiff(8000, 1, 16, new Array[Byte](10),
+      frames = 777L)) === (("aiff", Some(8000), Some(1), Some(16), Some(777L))))
+    // truncated FORM: format recognized, fields null
+    assert(parsed(AudioFixtures.aiff(8000, 1, 16,
+      new Array[Byte](10)).take(14)) === (("aiff", None, None, None, None)))
+    // AU widths per encoding: 16-bit BE, mu-law (8), float64
+    assert(parsed(AudioFixtures.au(8000, 1, 3, new Array[Byte](60))) ===
+      (("au", Some(8000), Some(1), Some(16), Some(30L))))
+    assert(parsed(AudioFixtures.au(44100, 2, 1, new Array[Byte](50),
+      offset = 40)) === (("au", Some(44100), Some(2), Some(8), Some(25L))))
+    assert(parsed(AudioFixtures.au(8000, 1, 7, new Array[Byte](80))) ===
+      (("au", Some(8000), Some(1), Some(64), Some(10L))))
+    // unknown encoding: rate/channels survive, width-derived fields null
+    assert(parsed(AudioFixtures.au(8000, 1, 23, new Array[Byte](8))) ===
+      (("au", Some(8000), Some(1), None, None)))
+  }
+
   test("dataframe path (codegen) agrees with the static parser, null-safe") {
     val rows = AudioFixtures.all
     val df = rows.toDF("audio_id", "bytes")
