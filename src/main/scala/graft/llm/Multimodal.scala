@@ -767,6 +767,8 @@ object Multimodal {
       else if (JpegCodec.isJpeg(b)) JpegCodec.decode(b)
       else if (GifCodec.isGif(b)) GifCodec.decode(b)
       else if (Vp8lCodec.isVp8l(b)) Vp8lCodec.decode(b)
+      else if (TiffCodec.isTiff(b)) TiffCodec.decode(b)
+      else if (IcoCodec.isIco(b)) IcoCodec.decode(b)
       else decodeBmpWithDims(b)
 
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =

@@ -203,6 +203,21 @@ object ImageMeta {
       }
       return row("avif", null, null)
     }
+    // TIFF: "II*\0" / "MM\0*", then ImageWidth (256) / ImageLength
+    // (257) out of the first IFD — the codec's defensive walk, with
+    // malformed files degrading to null dims rather than throwing.
+    if (graft.llm.TiffCodec.isTiff(b)) {
+      try {
+        val (_, tags) = graft.llm.TiffCodec.parseIfd(b)
+        (tags.get(256), tags.get(257)) match {
+          case (Some(w), Some(h)) =>
+            return row("tiff", w.vals.head.toInt, h.vals.head.toInt)
+          case _ => return row("tiff", null, null)
+        }
+      } catch {
+        case _: IllegalArgumentException => return row("tiff", null, null)
+      }
+    }
     row("unknown", null, null)
   }
 

@@ -513,6 +513,54 @@ object StatsQueries {
         sampleRate = 8000, nMels = 8, nBins = 81, nCoef = 5)
     }),
 
+    // Baseline-TIFF decode through the full image dispatch: the scan/
+    // archive-crawl workhorse across its honest matrix — LZW (early
+    // width change) + horizontal predictor, PackBits multi-strip
+    // big-endian RGB, Deflate grayscale, raw 16-bit samples, 16-bit-
+    // ColorMap palette expansion, MSB-packed bilevel. Every supported
+    // compression is lossless, so the oracle replays each sample from
+    // the generative formulas; TiffCodecSpec additionally pins the
+    // codec against the JDK's independent TIFF plugin in BOTH
+    // directions (our bytes → ImageIO; ImageIO's LZW/PackBits/
+    // Deflate output → our decoder).
+    "q262_tiff_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TiffCodec
+      import graft.llm.TiffCodec.Options
+      val rgb = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val runs = (x: Int, y: Int) =>
+        ((x / 9) * 31 % 256, (y / 4) * 53 % 256, 77)
+      val g8 = (x: Int, y: Int) => (x * 11 + y * 17 + 3) % 256
+      val g16 = (x: Int, y: Int) => (x * 2021 + y * 977 + 11) % 65536
+      val pal = (0 until 5).map(i =>
+        ((i * 37 + 11) % 256, (i * 73 + 5) % 256, (i * 151 + 97) % 256))
+      val pidx = (x: Int, y: Int) => (x * 3 + y * 7) % 5
+      val b1 = (x: Int, y: Int) => (x * x + y * 3) % 2
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, TiffCodec.encodeRgb(21, 13, rgb,
+          Options(compression = 5, predictor = 2)), "image"),
+        graft.llm.Multimodal.MediaRow(2L, TiffCodec.encodeRgb(24, 18, runs,
+          Options(littleEndian = false, compression = 32773,
+            rowsPerStrip = 5)), "image"),
+        graft.llm.Multimodal.MediaRow(3L, TiffCodec.encodeGray(17, 9, g8,
+          opts = Options(compression = 8)), "image"),
+        graft.llm.Multimodal.MediaRow(4L, TiffCodec.encodeGray(12, 7, g16,
+          bits = 16, opts = Options(littleEndian = false)), "image"),
+        graft.llm.Multimodal.MediaRow(5L, TiffCodec.encodePalette(14, 8,
+          pal, pidx, opts = Options(compression = 5)), "image"),
+        graft.llm.Multimodal.MediaRow(6L, TiffCodec.encodeGray(19, 11, b1,
+          bits = 1, opts = Options(compression = 32773)), "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
     // compressed-but-exactly-specified block format (4-byte headers
     // carrying the initial predictor + step index, low-nibble-first
@@ -1699,6 +1747,52 @@ object StatsQueries {
         |SELECT CAST(clip_id AS BIGINT) AS clip_id, CAST(i AS INT) AS i,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 4) AS mfcc
         |FROM dct GROUP BY clip_id, i""".stripMargin),
+
+    // q262: every TIFF compression in the decode matrix is lossless,
+    // so each sample replays from its generative formula — an LZW
+    // width-change, predictor, strip, ColorMap or bit-packing bug in
+    // the codec breaks the hash. Channel counts differ per image
+    // (RGB/palette 3, grayscale/bilevel 1), mirroring the decoder's
+    // raw-sample contract.
+    "q262_tiff_decode" ->
+      """WITH rgb1 AS (SELECT 1 AS image_id, CAST((y*21 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(13)) AS y),
+        |       (SELECT unnest(range(21)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |rgb2 AS (SELECT 2 AS image_id, CAST((y*24 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN ((x//9)*31) % 256
+        |              WHEN c = 1 THEN ((y//4)*53) % 256
+        |              ELSE 77 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(18)) AS y),
+        |       (SELECT unnest(range(24)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |g3 AS (SELECT 3 AS image_id, CAST(y*17 + x AS INT) AS pos,
+        |    CAST((x*11 + y*17 + 3) % 256 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(17)) AS x)),
+        |g4 AS (SELECT 4 AS image_id, CAST(y*12 + x AS INT) AS pos,
+        |    CAST((x*2021 + y*977 + 11) % 65536 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(7)) AS y),
+        |       (SELECT unnest(range(12)) AS x)),
+        |p5 AS (SELECT 5 AS image_id, CAST((y*14 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (((x*3 + y*7) % 5)*37 + 11) % 256
+        |              WHEN c = 1 THEN (((x*3 + y*7) % 5)*73 + 5) % 256
+        |              ELSE (((x*3 + y*7) % 5)*151 + 97) % 256
+        |         END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(8)) AS y),
+        |       (SELECT unnest(range(14)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |b6 AS (SELECT 6 AS image_id, CAST(y*19 + x AS INT) AS pos,
+        |    CAST((x*x + y*3) % 2 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(11)) AS y),
+        |       (SELECT unnest(range(19)) AS x))
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM rgb1 UNION ALL SELECT * FROM rgb2
+        |      UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4
+        |      UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM b6)""".stripMargin,
 
     // q261: lossless big-endian layouts — every sample replays from
     // the integer formulas; float32 bit patterns round-trip exactly.

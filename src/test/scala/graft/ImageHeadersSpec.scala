@@ -27,6 +27,18 @@ class ImageHeadersSpec extends SparkSpec {
     assert(parsed("plain text".getBytes("UTF-8")) === (("unknown", None, None)))
   }
 
+  test("tiff: IFD dimensions in both byte orders; malformed IFDs null dims") {
+    import graft.llm.TiffCodec
+    assert(parsed(TiffCodec.encodeGray(321, 97, (x, y) => (x + y) % 256)) ===
+      (("tiff", Some(321), Some(97))))
+    assert(parsed(TiffCodec.encodeRgb(44, 33, (x, y) => (x, y, 7),
+      TiffCodec.Options(littleEndian = false))) ===
+      (("tiff", Some(44), Some(33))))
+    // header only: valid magic, IFD offset pointing past the buffer
+    assert(parsed(Array[Byte]('I', 'I', 42, 0, 99, 0, 0, 0)) ===
+      (("tiff", None, None)))
+  }
+
   test("webp: VP8 lossy, VP8L lossless, VP8X canvas (chunk walk over a preceding ICCP)") {
     assert(parsed(ImageFixtures.webp(1920, 1080, "lossy")) ===
       (("webp", Some(1920), Some(1080))))
