@@ -806,6 +806,36 @@ object Multimodal {
     }
   }
 
+  /** One orientation-normalized image row: EXIF-aware decode —
+    * stored pixels remapped to DISPLAY pixels per the container's
+    * orientation metadata (JPEG APP1 or TIFF tag 274), so hashes and
+    * embeddings agree across camera-rotated re-encodes of the same
+    * photo. `orient` is the tag that was applied; (w, h) are the
+    * POST-transform dimensions (swapped for orientations 5-8).
+    * Narrow per-row map, no shuffle — the 100 TB shape. */
+  case class OrientedImage(id: Long, orient: Int, w: Int, h: Int,
+                           features: Array[Float])
+
+  /** Decode through the full image dispatch, then normalize display
+    * orientation via [[Exif.applyOrientation]]. Absent metadata is
+    * orientation 1 (identity) — every image row flows through. */
+  def extractOriented(ds: Dataset[MediaRow],
+                      batchSize: Int = 64): Dataset[OrientedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, px) = BmpWavDecoder.decodeImageWithDims(r.media)
+          val chans = px.length / (w * h)
+          val o = Exif.orientation(r.media)
+          val (dw, dh, out) = Exif.applyOrientation(w, h, chans, px, o)
+          OrientedImage(r.id, o, dw, dh, out)
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub for video kinds: every `stride`-th fixed-size
     * chunk of the byte stream stands in for a decoded frame. Retained
     * for formats with no real decode path; MJPEG-in-AVI uses

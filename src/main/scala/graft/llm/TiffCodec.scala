@@ -441,7 +441,8 @@ object TiffCodec {
   case class Options(littleEndian: Boolean = true,
                      compression: Int = 1,
                      predictor: Int = 1,
-                     rowsPerStrip: Int = 0) // 0 = single strip
+                     rowsPerStrip: Int = 0, // 0 = single strip
+                     orientation: Int = 0)  // 0 = omit tag 274
 
   /** RGB 8-bit chunky. */
   def encodeRgb(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int),
@@ -590,6 +591,7 @@ object TiffCodec {
       E(284, 3, Seq(1L))
     )
     if (opts.predictor == 2) entries :+= E(317, 3, Seq(2L))
+    if (opts.orientation > 0) entries :+= E(274, 3, Seq(opts.orientation))
     if (cm != null) entries :+= E(320, 3, cm.map(_.toLong).toSeq)
     // strip offsets/counts get placeholders patched below
     entries :+= E(273, 4, Seq.fill(nStrips)(0L))

@@ -561,6 +561,76 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // ICO (favicon) decode through the full image dispatch: the
+    // container at nearly every site root. The matrix covers 32-bpp
+    // DIB with a real alpha byte, 24-bpp + AND-mask transparency,
+    // 8-bpp BGRA palette, an embedded-PNG entry (riding the JDK-
+    // cross-validated PNG path, alpha lifted to 255), and best-entry
+    // selection over a multi-image directory (largest area, deepest
+    // bit-count). Lossless throughout — the oracle replays every
+    // RGBA sample from the generative formulas.
+    "q263_ico_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.IcoCodec
+      import graft.llm.IcoCodec.{DibEntry, PngEntry}
+      val rgb = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val a32 = (x: Int, y: Int) => (x * 29 + y * 41) % 256
+      val mask = (x: Int, y: Int) => if ((x + y) % 3 == 0) 0 else 255
+      val pal = (0 until 16).map(i =>
+        ((i * 37 + 11) % 256, (i * 73 + 5) % 256, (i * 151 + 97) % 256))
+      val pidx = (x: Int, y: Int) => (x * 3 + y * 7) % 16
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L, IcoCodec.encode(Seq(
+          DibEntry(13, 9, 32, rgb = rgb, alpha = a32))), "image"),
+        graft.llm.Multimodal.MediaRow(2L, IcoCodec.encode(Seq(
+          DibEntry(13, 7, 24, rgb = rgb, alpha = mask))), "image"),
+        graft.llm.Multimodal.MediaRow(3L, IcoCodec.encode(Seq(
+          DibEntry(11, 6, 8, palette = pal, idx = pidx,
+            alpha = mask))), "image"),
+        graft.llm.Multimodal.MediaRow(4L, IcoCodec.encode(Seq(
+          PngEntry(graft.llm.ImageFixtures.pngFull(10, 8, rgb), 10, 8))),
+          "image"),
+        graft.llm.Multimodal.MediaRow(5L, IcoCodec.encode(Seq(
+          DibEntry(8, 8, 32, rgb = (_, _) => (1, 2, 3)),
+          DibEntry(16, 16, 8, palette = Seq((5, 5, 5)), idx = (_, _) => 0),
+          DibEntry(16, 16, 24, rgb = (_, _) => (9, 8, 7)))), "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
+    // EXIF-orientation-normalized decode: eight lossless TIFFs, one
+    // per orientation value, through the tag-aware pipeline (parse
+    // tag 274, decode, remap stored→display pixels, dims swapping
+    // for 5-8). The oracle replays the coordinate remap symbolically
+    // — a transposed axis, missed flip or un-swapped dimension moves
+    // every pixel and breaks the hash. ExifSpec additionally pins
+    // all eight remaps against the JDK's AffineTransformOp and the
+    // JPEG APP1 parse path in both byte orders.
+    "q264_exif_orient" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TiffCodec
+      val rgb = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val ds = (1 to 8).map { o =>
+        graft.llm.Multimodal.MediaRow(o.toLong,
+          TiffCodec.encodeRgb(9, 5, rgb,
+            TiffCodec.Options(compression = 5, orientation = o)), "image")
+      }.toDS()
+      graft.llm.Multimodal.extractOriented(ds).toDF()
+        .select(col("id").as("image_id"), col("orient"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("orient"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
     // compressed-but-exactly-specified block format (4-byte headers
     // carrying the initial predictor + step index, low-nibble-first
@@ -1793,6 +1863,82 @@ object StatsQueries {
         |FROM (SELECT * FROM rgb1 UNION ALL SELECT * FROM rgb2
         |      UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4
         |      UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM b6)""".stripMargin,
+
+    // q263: ICO decode is lossless RGBA — each image replays its
+    // generative formula; image 5 must surface ONLY the best entry
+    // (16x16 24-bpp constant (9,8,7), alpha 255): a selection,
+    // AND-mask, palette or bottom-up bug breaks the hash.
+    "q263_ico_decode" ->
+      """WITH i1 AS (SELECT 1 AS image_id, CAST((y*13 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |              ELSE (x*29 + y*41) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(13)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |i2 AS (SELECT 2 AS image_id, CAST((y*13 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |              ELSE CASE WHEN (x + y) % 3 = 0 THEN 0 ELSE 255 END
+        |         END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(7)) AS y),
+        |       (SELECT unnest(range(13)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |i3 AS (SELECT 3 AS image_id, CAST((y*11 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (((x*3 + y*7) % 16)*37 + 11) % 256
+        |              WHEN c = 1 THEN (((x*3 + y*7) % 16)*73 + 5) % 256
+        |              WHEN c = 2 THEN (((x*3 + y*7) % 16)*151 + 97) % 256
+        |              ELSE CASE WHEN (x + y) % 3 = 0 THEN 0 ELSE 255 END
+        |         END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(6)) AS y),
+        |       (SELECT unnest(range(11)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |i4 AS (SELECT 4 AS image_id, CAST((y*10 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |              ELSE 255 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(8)) AS y),
+        |       (SELECT unnest(range(10)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |i5 AS (SELECT 5 AS image_id, CAST((y*16 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN 9 WHEN c = 1 THEN 8
+        |              WHEN c = 2 THEN 7 ELSE 255 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(16)) AS y),
+        |       (SELECT unnest(range(16)) AS x),
+        |       (SELECT unnest(range(4)) AS c))
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2
+        |      UNION ALL SELECT * FROM i3 UNION ALL SELECT * FROM i4
+        |      UNION ALL SELECT * FROM i5)""".stripMargin,
+
+    // q264: the display remap is pure coordinate algebra over a
+    // lossless decode — the oracle inverts each orientation
+    // symbolically (sx, sy per CIPA DC-008 §4.6.4) and replays the
+    // generative formula at the source coordinate.
+    "q264_exif_orient" ->
+      """WITH o AS (SELECT unnest(range(1, 9)) AS o),
+        |g AS (SELECT o, CASE WHEN o >= 5 THEN 5 ELSE 9 END AS dw,
+        |             CASE WHEN o >= 5 THEN 9 ELSE 5 END AS dh FROM o),
+        |grid AS (SELECT o, dw, dh, y, x
+        |  FROM g, (SELECT unnest(range(9)) AS y), (SELECT unnest(range(9)) AS x)
+        |  WHERE y < dh AND x < dw),
+        |m AS (SELECT o, dw, x, y,
+        |    CASE o WHEN 1 THEN x WHEN 2 THEN 8 - x WHEN 3 THEN 8 - x
+        |           WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN y
+        |           WHEN 7 THEN 8 - y ELSE 8 - y END AS sx,
+        |    CASE o WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN 4 - y
+        |           WHEN 4 THEN 4 - y WHEN 5 THEN x WHEN 6 THEN 4 - x
+        |           WHEN 7 THEN 4 - x ELSE x END AS sy
+        |  FROM grid)
+        |SELECT CAST(o AS BIGINT) AS image_id, CAST(o AS INT) AS orient,
+        |  CAST((y*dw + x)*3 + c AS INT) AS pos,
+        |  CAST(CASE WHEN c = 0 THEN (sx*7 + sy*13) % 256
+        |            WHEN c = 1 THEN (sx*3 + sy*5 + 17) % 256
+        |            ELSE (sx + sy*2 + 101) % 256 END AS DOUBLE) AS value
+        |FROM m, (SELECT unnest(range(3)) AS c)""".stripMargin,
 
     // q261: lossless big-endian layouts — every sample replays from
     // the integer formulas; float32 bit patterns round-trip exactly.
