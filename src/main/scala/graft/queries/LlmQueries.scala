@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.llm.{AudioFixtures, Chunking, ImageFixtures, Multimodal, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
+import graft.llm.{AudioFixtures, Chunking, Dsir, ImageFixtures, Multimodal, NearDup, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 import graft.util.Exact.exactSum
 
 /** LLM-training-data operators (driver mandate, SURVEY §7.4) over the
@@ -635,6 +635,23 @@ object LlmQueries {
     // arrays and recomputes the distinct-doc counts exactly.
     "q91_kgram_dedup" -> ((s, d) => {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
+    }),
+
+    // DSIR (arXiv:2302.03169): importance-resample raw docs toward a
+    // target profile — hashed unigram+bigram multinomials with
+    // add-one smoothing, per-doc log-likelihood-ratio scores on the
+    // exact-decimal grid, deterministic top-k through the bounded-
+    // buffer aggregator (no global window sort). The oracle refits
+    // the whole model from first principles in SQL: bucket hashing,
+    // smoothing, score quantization and the (score DESC, id ASC)
+    // selection order all must agree.
+    "q265_dsir" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dsir.selectTopK(
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 340),
+        docs.filter(col("doc_id") < 40),
+        "doc_id", "text", buckets = 256, k = 50)
+        .select(col("rank"), col("id").as("doc_id"), col("score"))
     }),
 
     // Byte-distribution Shannon entropy over a binary column — the
@@ -1883,6 +1900,49 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q265: the full DSIR fit replayed from first principles — gram
+    // extraction (unigrams + bigrams), the 14-hex-char md5 bucket
+    // hash, add-one smoothing over 256 bins, DECIMAL(30,6) per-term
+    // quantization, and the deterministic (score DESC, id ASC) top-50.
+    "q265_dsir" ->
+      s"""WITH tws AS (SELECT doc_id, $toks AS ws FROM documents
+         |  WHERE doc_id < 40),
+         |rws AS (SELECT doc_id, $toks AS ws FROM documents
+         |  WHERE doc_id >= 40 AND doc_id < 340),
+         |tg AS (SELECT unnest(ws) AS g FROM tws
+         |  UNION ALL
+         |  SELECT ws[i + 1] || ' ' || ws[i + 2] AS g
+         |  FROM (SELECT ws, unnest(range(greatest(len(ws) - 1, 0))) AS i
+         |        FROM tws)),
+         |rg AS (SELECT doc_id, unnest(ws) AS g FROM rws
+         |  UNION ALL
+         |  SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS g
+         |  FROM (SELECT doc_id, ws,
+         |        unnest(range(greatest(len(ws) - 1, 0))) AS i FROM rws)),
+         |tbk AS (SELECT CAST(('0x' || substr(md5(g), 1, 14)) AS UBIGINT)
+         |    % 256 AS bucket FROM tg),
+         |rbk AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(g), 1, 14)) AS UBIGINT) % 256 AS bucket
+         |  FROM rg),
+         |tc AS (SELECT bucket, COUNT(*) AS tc FROM tbk GROUP BY bucket),
+         |rc AS (SELECT bucket, COUNT(*) AS rc FROM rbk GROUP BY bucket),
+         |tot AS (SELECT (SELECT COUNT(*) FROM tbk) AS tt,
+         |               (SELECT COUNT(*) FROM rbk) AS rt),
+         |model AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         |    ln((COALESCE(tc, 0) + 1.0) / (tt + 256))
+         |      - ln((COALESCE(rc, 0) + 1.0) / (rt + 256)) AS lr
+         |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tot),
+         |db AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+         |  FROM rbk GROUP BY doc_id, bucket),
+         |sc AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(cnt * lr AS DECIMAL(30,6))) AS DOUBLE), 4)
+         |      AS score
+         |  FROM db JOIN model USING (bucket) GROUP BY doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  CAST(doc_id AS BIGINT) AS doc_id, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
     "q91_kgram_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
          |g AS (SELECT doc_id,
