@@ -769,7 +769,13 @@ object Multimodal {
       else if (Vp8lCodec.isVp8l(b)) Vp8lCodec.decode(b)
       else if (TiffCodec.isTiff(b)) TiffCodec.decode(b)
       else if (IcoCodec.isIco(b)) IcoCodec.decode(b)
-      else decodeBmpWithDims(b)
+      else if (PnmCodec.isPnm(b)) PnmCodec.decode(b)
+      // TGA has no magic: real magics above win first, then 'BM',
+      // then the stb_image-style header-consistency sniff
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+        decodeBmpWithDims(b)
+      else if (TgaCodec.isTga(b)) TgaCodec.decode(b)
+      else decodeBmpWithDims(b) // loud "not a BMP" on unknown bytes
 
     override def decode(bytes: Array[Byte], kind: String): Array[Float] =
       kind match {

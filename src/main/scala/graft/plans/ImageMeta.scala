@@ -203,6 +203,36 @@ object ImageMeta {
       }
       return row("avif", null, null)
     }
+    // ICO: reserved 0 + type 1/2 + entry count; dims are the BEST
+    // directory entry (largest area, then deepest bit-count — the
+    // selection IcoCodec.decode returns), width/height byte 0 = 256.
+    if (graft.llm.IcoCodec.isIco(b)) {
+      val n = le16(b, 4)
+      var bw = 0; var bh = 0; var bbits = -1
+      var i = 0
+      while (i < n) {
+        val e = 6 + 16 * i
+        val w = if ((b(e) & 0xFF) == 0) 256 else b(e) & 0xFF
+        val h = if ((b(e + 1) & 0xFF) == 0) 256 else b(e + 1) & 0xFF
+        val bits = le16(b, e + 6)
+        if (w.toLong * h > bw.toLong * bh ||
+            (w.toLong * h == bw.toLong * bh && bits > bbits)) {
+          bw = w; bh = h; bbits = bits
+        }
+        i += 1
+      }
+      return row("ico", bw, bh)
+    }
+    // PNM: P1-P6, then ASCII width/height tokens (comments skipped);
+    // header-only — no raster walk.
+    if (graft.llm.PnmCodec.isPnm(b)) {
+      try {
+        val (w, h) = graft.llm.PnmCodec.dims(b)
+        return row("pnm", w, h)
+      } catch {
+        case _: IllegalArgumentException => return row("pnm", null, null)
+      }
+    }
     // TIFF: "II*\0" / "MM\0*", then ImageWidth (256) / ImageLength
     // (257) out of the first IFD — the codec's defensive walk, with
     // malformed files degrading to null dims rather than throwing.
@@ -218,6 +248,10 @@ object ImageMeta {
         case _: IllegalArgumentException => return row("tiff", null, null)
       }
     }
+    // TGA last: the format has no magic, so the header-consistency
+    // sniff only runs when nothing above matched.
+    if (graft.llm.TgaCodec.isTga(b))
+      return row("tga", le16(b, 12), le16(b, 14))
     row("unknown", null, null)
   }
 

@@ -637,6 +637,74 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // WARC (ISO 28500) parse — the Common Crawl container. A fixture
+    // archive is built from REAL document text (entity-encoded into
+    // HTML pages, one gzip member per record, warcinfo + request
+    // records interleaved so the reader must skip them), then walked
+    // back through the record parser with the HTTP envelope split
+    // off. The oracle reconstructs every page byte-for-byte from the
+    // documents table. The 60-row collect builds the FIXTURE, not
+    // the result — WarcHtmlSpec covers the distributed binaryFile
+    // scan path.
+    "q267_warc_parse" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Warc
+      val pages = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val enc = r.getString(1).replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          (s"http://example.com/doc/$id",
+           s"<html><head><title>doc $id</title><script>var x=1;" +
+             s"</script></head><body><p>$enc</p><div>" +
+             "<a href=\"/x\">more link text here</a></div>" +
+             "<!-- footer --></body></html>")
+        }.toSeq
+      val warc = Warc.fixture(pages, gzipPerRecord = true)
+      Seq(("fixture.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .select(col("targetUri").as("target_uri"),
+                col("httpStatus").as("http_status"),
+                col("contentType").as("content_type"), col("body"))
+    }),
+
+    // WARC → HTML → training text, composed end-to-end: parse the
+    // q267 archive, strip boilerplate (script subtree, comment,
+    // block tags), decode entities back to the ORIGINAL document
+    // text, measure link density. The oracle replays the expected
+    // extraction symbolically from the documents table — title word,
+    // the round-tripped text, the anchor chrome, and the link-char
+    // fraction.
+    "q268_html_extract" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Warc
+      import graft.llm.HtmlText
+      val pages = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val enc = r.getString(1).replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          (s"http://example.com/doc/$id",
+           s"<html><head><title>doc $id</title><script>var x=1;" +
+             s"</script></head><body><p>$enc</p><div>" +
+             "<a href=\"/x\">more link text here</a></div>" +
+             "<!-- footer --></body></html>")
+        }.toSeq
+      val warc = Warc.fixture(pages, gzipPerRecord = true)
+      val parsed = Seq(("fixture.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc/(\\d+)$", 1)
+                  .cast("long").as("doc_id"),
+                col("body"))
+      HtmlText.extract(parsed, "doc_id", "body")
+        .select(col("id").as("doc_id"), col("text").as("extracted"),
+                col("link_density"))
+    }),
+
     // DSIR (arXiv:2302.03169): importance-resample raw docs toward a
     // target profile — hashed unigram+bigram multinomials with
     // add-one smoothing, per-doc log-likelihood-ratio scores on the
@@ -1900,6 +1968,35 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q267: every WARC response body reconstructs byte-for-byte from
+    // the documents table (entity encoding replayed with the same
+    // &-first replace order) — a record-walk, Content-Length, gzip-
+    // member or HTTP-split bug breaks the hash.
+    "q267_warc_parse" ->
+      """SELECT 'http://example.com/doc/' || doc_id AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  '<html><head><title>doc ' || doc_id ||
+        |    '</title><script>var x=1;</script></head><body><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'),
+        |            '<', '&lt;'), '>', '&gt;') ||
+        |    '</p><div><a href="/x">more link text here</a></div>' ||
+        |    '<!-- footer --></body></html>' AS body
+        |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    // q268: the extraction must return the ORIGINAL text (the
+    // entity round-trip), prefixed by the title word and suffixed by
+    // the anchor chrome, whitespace-collapsed; link density is the
+    // 19-char anchor over the extracted length.
+    "q268_html_extract" ->
+      """WITH x AS (SELECT doc_id,
+        |    trim(regexp_replace('doc ' || doc_id || ' ' || text ||
+        |      ' more link text here', '[ \t\r\n]+', ' ', 'g')) AS extracted
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id, extracted,
+        |  round(19.0 / len(extracted), 4) AS link_density
+        |FROM x""".stripMargin,
+
     // q265: the full DSIR fit replayed from first principles — gram
     // extraction (unigrams + bigrams), the 14-hex-char md5 bucket
     // hash, add-one smoothing over 256 bins, DECIMAL(30,6) per-term

@@ -631,6 +631,91 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // Netpbm P1-P6 through the full image dispatch: ASCII and binary
+    // variants, 8- and 16-bit maxvals, header comments, MSB-packed
+    // bitmaps. Zero compression — the oracle replays every raw
+    // sample from the generative formulas.
+    "q266_pnm_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.PnmCodec
+      val rgb = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val g8 = (x: Int, y: Int) => (x * 11 + y * 17 + 3) % 256
+      val g16 = (x: Int, y: Int) => (x * 2021 + y * 977 + 11) % 65536
+      val p16 = (x: Int, y: Int) =>
+        (g16(x, y), (g16(x, y) + 7) % 65536, x * 999 + y)
+      val bit = (x: Int, y: Int) => (x * x + y * 3) % 2
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          PnmCodec.encodeGray(17, 9, g8, comment = Some("gray8")), "image"),
+        graft.llm.Multimodal.MediaRow(2L,
+          PnmCodec.encodeGray(12, 7, g16, maxval = 65535, binary = false),
+          "image"),
+        graft.llm.Multimodal.MediaRow(3L,
+          PnmCodec.encodeRgb(13, 8, rgb), "image"),
+        graft.llm.Multimodal.MediaRow(4L,
+          PnmCodec.encodeRgb(6, 5, p16, maxval = 65535, binary = false),
+          "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          PnmCodec.encodeGray(19, 11, bit, maxval = 1), "image"),
+        graft.llm.Multimodal.MediaRow(6L,
+          PnmCodec.encodeGray(9, 4, bit, maxval = 1, binary = false),
+          "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
+    // TGA decode through the full image dispatch (the format has no
+    // magic — the stb_image-style header-consistency sniff runs
+    // after every real magic): truecolor 24/32-bit BGR[A], RLE runs
+    // + literals, bottom-up AND top-down row order, 8-bit grayscale,
+    // palette with an alpha-bearing 32-bit map widening to RGBA, an
+    // ID field to skip. Lossless — the oracle replays every sample.
+    "q269_tga_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TgaCodec
+      import graft.llm.TgaCodec.Options
+      val rgb = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val runs = (x: Int, y: Int) =>
+        ((x / 9) * 31 % 256, (y / 4) * 53 % 256, 77)
+      val g8 = (x: Int, y: Int) => (x * 11 + y * 17 + 3) % 256
+      val a8 = (x: Int, y: Int) => (x * 29 + y * 41) % 256
+      val pal = (0 until 7).map(i => ((i * 37 + 11) % 256,
+        (i * 73 + 5) % 256, (i * 151 + 97) % 256,
+        ((i * 37 + 11) % 256 + (i * 73 + 5) % 256) % 256))
+      val pidx = (x: Int, y: Int) => (x * 3 + y * 7) % 7
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          TgaCodec.encodeRgb(21, 13, rgb, opts = Options(idField = "graft")),
+          "image"),
+        graft.llm.Multimodal.MediaRow(2L,
+          TgaCodec.encodeRgb(40, 24, runs, opts = Options(rle = true)),
+          "image"),
+        graft.llm.Multimodal.MediaRow(3L,
+          TgaCodec.encodeRgb(21, 13, rgb, alpha = a8,
+            opts = Options(rle = true, topDown = true)), "image"),
+        graft.llm.Multimodal.MediaRow(4L,
+          TgaCodec.encodeGray(17, 9, g8, Options(rle = true)), "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          TgaCodec.encodePalette(14, 8, pal, pidx, mapBits = 32,
+            Options(rle = true)), "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
     // compressed-but-exactly-specified block format (4-byte headers
     // carrying the initial predictor + step index, low-nibble-first
@@ -1939,6 +2024,89 @@ object StatsQueries {
         |            WHEN c = 1 THEN (sx*3 + sy*5 + 17) % 256
         |            ELSE (sx + sy*2 + 101) % 256 END AS DOUBLE) AS value
         |FROM m, (SELECT unnest(range(3)) AS c)""".stripMargin,
+
+    // q266: PNM carries no compression at all — a header-tokenizer,
+    // endianness, bit-packing or ASCII-raster bug is the only way to
+    // break the replay.
+    "q266_pnm_decode" ->
+      """WITH g1 AS (SELECT 1 AS image_id, CAST(y*17 + x AS INT) AS pos,
+        |    CAST((x*11 + y*17 + 3) % 256 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(17)) AS x)),
+        |g2 AS (SELECT 2 AS image_id, CAST(y*12 + x AS INT) AS pos,
+        |    CAST((x*2021 + y*977 + 11) % 65536 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(7)) AS y),
+        |       (SELECT unnest(range(12)) AS x)),
+        |c3 AS (SELECT 3 AS image_id, CAST((y*13 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(8)) AS y),
+        |       (SELECT unnest(range(13)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |c4 AS (SELECT 4 AS image_id, CAST((y*6 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*2021 + y*977 + 11) % 65536
+        |              WHEN c = 1 THEN (x*2021 + y*977 + 18) % 65536
+        |              ELSE x*999 + y END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(5)) AS y),
+        |       (SELECT unnest(range(6)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |b5 AS (SELECT 5 AS image_id, CAST(y*19 + x AS INT) AS pos,
+        |    CAST((x*x + y*3) % 2 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(11)) AS y),
+        |       (SELECT unnest(range(19)) AS x)),
+        |b6 AS (SELECT 6 AS image_id, CAST(y*9 + x AS INT) AS pos,
+        |    CAST((x*x + y*3) % 2 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(4)) AS y),
+        |       (SELECT unnest(range(9)) AS x))
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |      UNION ALL SELECT * FROM b5 UNION ALL SELECT * FROM b6)""".stripMargin,
+
+    // q269: TGA is lossless (RLE only) — every sample replays; a
+    // BGR-swap, RLE-packet, row-order or map-alpha bug breaks it.
+    "q269_tga_decode" ->
+      """WITH t1 AS (SELECT 1 AS image_id, CAST((y*21 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(13)) AS y),
+        |       (SELECT unnest(range(21)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |t2 AS (SELECT 2 AS image_id, CAST((y*40 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN ((x//9)*31) % 256
+        |              WHEN c = 1 THEN ((y//4)*53) % 256
+        |              ELSE 77 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(24)) AS y),
+        |       (SELECT unnest(range(40)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |t3 AS (SELECT 3 AS image_id, CAST((y*21 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |              ELSE (x*29 + y*41) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(13)) AS y),
+        |       (SELECT unnest(range(21)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |t4 AS (SELECT 4 AS image_id, CAST(y*17 + x AS INT) AS pos,
+        |    CAST((x*11 + y*17 + 3) % 256 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(17)) AS x)),
+        |t5 AS (SELECT 5 AS image_id, CAST((y*14 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (((x*3 + y*7) % 7)*37 + 11) % 256
+        |              WHEN c = 1 THEN (((x*3 + y*7) % 7)*73 + 5) % 256
+        |              WHEN c = 2 THEN (((x*3 + y*7) % 7)*151 + 97) % 256
+        |              ELSE ((((x*3 + y*7) % 7)*37 + 11) % 256
+        |                    + (((x*3 + y*7) % 7)*73 + 5) % 256) % 256
+        |         END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(8)) AS y),
+        |       (SELECT unnest(range(14)) AS x),
+        |       (SELECT unnest(range(4)) AS c))
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        |      UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+        |      UNION ALL SELECT * FROM t5)""".stripMargin,
 
     // q261: lossless big-endian layouts — every sample replays from
     // the integer formulas; float32 bit patterns round-trip exactly.

@@ -27,6 +27,20 @@ class ImageHeadersSpec extends SparkSpec {
     assert(parsed("plain text".getBytes("UTF-8")) === (("unknown", None, None)))
   }
 
+  test("ico/pnm/tga: directory best-entry, header tokens, magicless sniff") {
+    import graft.llm.{IcoCodec, PnmCodec, TgaCodec}
+    val ico = IcoCodec.encode(Seq(
+      IcoCodec.DibEntry(16, 16, 32, rgb = (_, _) => (1, 2, 3)),
+      IcoCodec.DibEntry(48, 48, 24, rgb = (_, _) => (4, 5, 6))))
+    assert(parsed(ico) === (("ico", Some(48), Some(48))))
+    assert(parsed(PnmCodec.encodeGray(321, 97, (x, y) => (x + y) % 256,
+      comment = Some("c"))) === (("pnm", Some(321), Some(97))))
+    assert(parsed(TgaCodec.encodeRgb(44, 33, (x, y) => (x % 256, y % 256, 7)))
+      === (("tga", Some(44), Some(33))))
+    // 'BM' bytes never reach the TGA sniff
+    assert(parsed("BMxxxxxxxxxxxxxxxxxx".getBytes("US-ASCII"))._1 == "unknown")
+  }
+
   test("tiff: IFD dimensions in both byte orders; malformed IFDs null dims") {
     import graft.llm.TiffCodec
     assert(parsed(TiffCodec.encodeGray(321, 97, (x, y) => (x + y) % 256)) ===
