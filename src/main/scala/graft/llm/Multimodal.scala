@@ -770,6 +770,7 @@ object Multimodal {
       else if (TiffCodec.isTiff(b)) TiffCodec.decode(b)
       else if (IcoCodec.isIco(b)) IcoCodec.decode(b)
       else if (PnmCodec.isPnm(b)) PnmCodec.decode(b)
+      else if (QoiCodec.isQoi(b)) QoiCodec.decode(b)
       // TGA has no magic: real magics above win first, then 'BM',
       // then the stb_image-style header-consistency sniff
       else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
@@ -985,6 +986,27 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val (w, h, frames) = GifCodec.decodeFramesWithDims(r.media)
+          frames.zipWithIndex.map { case (f, i) =>
+            VideoFrameRow(r.id, i, w, h, f)
+          }
+        }
+      }
+    }
+  }
+
+  /** Animated-PNG sibling of [[extractGifFrames]]: each APNG row
+    * explodes into its composited RGBA canvases ([[ApngCodec]]
+    * blend/dispose semantics). Same narrow batched shape; the planes
+    * are 4-channel (APNG compositing is alpha-aware, unlike the
+    * 3-channel GIF screen). */
+  def extractApngFrames(ds: Dataset[MediaRow],
+                        batchSize: Int = 8): Dataset[VideoFrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (w, h, frames) = ApngCodec.decodeFrames(r.media)
           frames.zipWithIndex.map { case (f, i) =>
             VideoFrameRow(r.id, i, w, h, f)
           }

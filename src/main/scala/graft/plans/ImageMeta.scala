@@ -248,6 +248,9 @@ object ImageMeta {
         case _: IllegalArgumentException => return row("tiff", null, null)
       }
     }
+    // QOI: "qoif" magic, big-endian dims at 4/8.
+    if (graft.llm.QoiCodec.isQoi(b))
+      return row("qoi", be32(b, 4), be32(b, 8))
     // TGA last: the format has no magic, so the header-consistency
     // sniff only runs when nothing above matched.
     if (graft.llm.TgaCodec.isTga(b))

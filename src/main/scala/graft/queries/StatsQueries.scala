@@ -716,6 +716,69 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // APNG frame decode + compositing: acTL/fcTL/fdAT walk, the
+    // default image as frame 0, SOURCE blends across all three
+    // dispose ops (none / background-clear / restore-previous) on an
+    // RGBA canvas. SOURCE compositing is exact integer state, so the
+    // oracle replays the per-frame canvas symbolically — a rect
+    // offset, dispose order or fdAT sequence bug moves pixels and
+    // breaks the hash. ApngCodecSpec covers OVER blending (double
+    // arithmetic) and container validity via the JDK's PNG reader.
+    "q270_apng_frames" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.ApngCodec
+      import graft.llm.ApngCodec.FrameSpec
+      val base = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256,
+         (x + y * 2 + 101) % 256)
+      val apng = ApngCodec.encode(Seq(
+        FrameSpec(16, 10, 0, 0, base),
+        FrameSpec(4, 3, 2, 1, (_, _) => (200, 10, 20), dispose = 1),
+        FrameSpec(5, 4, 8, 5, (_, _) => (5, 15, 220), dispose = 2),
+        FrameSpec(2, 2, 0, 0, (_, _) => (200, 10, 20))))
+      val ds = Seq(graft.llm.Multimodal.MediaRow(1L, apng, "image")).toDS()
+      graft.llm.Multimodal.extractApngFrames(ds).toDF()
+        .select(col("frame"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("frame"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
+    // QOI decode through the full image dispatch: the one-page
+    // lossless format's full op set — DIFF/LUMA deltas on a smooth
+    // gradient, literals on a noise field, RUN packing, INDEX hits
+    // on a repeating palette, RGBA with alpha switches, wraparound
+    // deltas at the 255->0 crossing. Lossless — every sample replays
+    // from the generative formulas.
+    "q271_qoi_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.QoiCodec
+      val ds = Seq(
+        graft.llm.Multimodal.MediaRow(1L,
+          QoiCodec.encode(23, 17, (x, y) => (x + y, x + y + 1, x + y)),
+          "image"),
+        graft.llm.Multimodal.MediaRow(2L,
+          QoiCodec.encode(21, 13, (x, y) => ((x * 149 + y * 211) % 256,
+            (x * 83 + y * 59) % 256, (x * 7 + y * 131) % 256)), "image"),
+        graft.llm.Multimodal.MediaRow(3L,
+          QoiCodec.encode(40, 24, (x, y) => ((x / 9) * 31 % 256,
+            (y / 4) * 53 % 256, 77)), "image"),
+        graft.llm.Multimodal.MediaRow(4L,
+          QoiCodec.encode(31, 9, (x, y) => { val i = (x + y * 3) % 4
+            (i * 61 % 256, i * 97 % 256, i * 193 % 256) }), "image"),
+        graft.llm.Multimodal.MediaRow(5L,
+          QoiCodec.encode(19, 11, (x, y) => ((x * 7 + y * 13) % 256,
+            (x * 3 + y * 5 + 17) % 256, (x + y * 2 + 101) % 256),
+            (x, y) => if ((x + y) % 5 == 0) 128 else 255), "image"))
+        .toDS()
+      graft.llm.Multimodal.extractFeatures(ds,
+          graft.llm.Multimodal.BmpWavDecoder).toDF()
+        .select(col("id").as("image_id"),
+                posexplode(col("features")).as(Seq("pos", "v")))
+        .select(col("image_id"), col("pos"),
+                col("v").cast("double").as("value"))
+    }),
+
     // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
     // compressed-but-exactly-specified block format (4-byte headers
     // carrying the initial predictor + step index, low-nibble-first
@@ -2107,6 +2170,86 @@ object StatsQueries {
         |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
         |      UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
         |      UNION ALL SELECT * FROM t5)""".stripMargin,
+
+    // q270: SOURCE compositing is exact integer state, so each
+    // frame's full RGBA canvas replays symbolically — the rect
+    // membership tests encode the dispose semantics (background-
+    // cleared R1 stays transparent from frame 2 on; the previous-
+    // disposed R2 reverts by frame 3).
+    "q270_apng_frames" ->
+      """WITH g AS (SELECT f, y, x, c,
+        |    (x BETWEEN 2 AND 5 AND y BETWEEN 1 AND 3) AS r1,
+        |    (x BETWEEN 8 AND 12 AND y BETWEEN 5 AND 8) AS r2,
+        |    (x <= 1 AND y <= 1) AS r3
+        |  FROM (SELECT unnest(range(4)) AS f),
+        |       (SELECT unnest(range(10)) AS y),
+        |       (SELECT unnest(range(16)) AS x),
+        |       (SELECT unnest(range(4)) AS c)),
+        |v AS (SELECT f, y, x, c,
+        |    CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |         WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |         WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |         ELSE 255 END AS base,
+        |    CASE WHEN c = 0 THEN 200 WHEN c = 1 THEN 10
+        |         WHEN c = 2 THEN 20 ELSE 255 END AS red,
+        |    CASE WHEN c = 0 THEN 5 WHEN c = 1 THEN 15
+        |         WHEN c = 2 THEN 220 ELSE 255 END AS blue,
+        |    r1, r2, r3
+        |  FROM g)
+        |SELECT CAST(f AS INT) AS frame, CAST((y*16 + x)*4 + c AS INT) AS pos,
+        |  CAST(CASE
+        |    WHEN f = 0 THEN base
+        |    WHEN f = 1 THEN CASE WHEN r1 THEN red ELSE base END
+        |    WHEN f = 2 THEN CASE WHEN r2 THEN blue WHEN r1 THEN 0
+        |                         ELSE base END
+        |    ELSE CASE WHEN r3 THEN red WHEN r1 THEN 0 ELSE base END
+        |  END AS DOUBLE) AS value
+        |FROM v""".stripMargin,
+
+    // q271: QOI is lossless — an op-decode, index-hash, wraparound
+    // or run-split bug breaks the replay. Image 1's x+y+256 edge
+    // masks to (x+y)%256 per the 8-bit channel contract.
+    "q271_qoi_decode" ->
+      """WITH q1 AS (SELECT 1 AS image_id, CAST((y*23 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 1 THEN (x + y + 1) % 256
+        |         ELSE (x + y) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(17)) AS y),
+        |       (SELECT unnest(range(23)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |q2 AS (SELECT 2 AS image_id, CAST((y*21 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*149 + y*211) % 256
+        |              WHEN c = 1 THEN (x*83 + y*59) % 256
+        |              ELSE (x*7 + y*131) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(13)) AS y),
+        |       (SELECT unnest(range(21)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |q3 AS (SELECT 3 AS image_id, CAST((y*40 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN ((x//9)*31) % 256
+        |              WHEN c = 1 THEN ((y//4)*53) % 256
+        |              ELSE 77 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(24)) AS y),
+        |       (SELECT unnest(range(40)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |q4 AS (SELECT 4 AS image_id, CAST((y*31 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (((x + y*3) % 4)*61) % 256
+        |              WHEN c = 1 THEN (((x + y*3) % 4)*97) % 256
+        |              ELSE (((x + y*3) % 4)*193) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(31)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |q5 AS (SELECT 5 AS image_id, CAST((y*19 + x)*4 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              WHEN c = 2 THEN (x + y*2 + 101) % 256
+        |              ELSE CASE WHEN (x + y) % 5 = 0 THEN 128 ELSE 255 END
+        |         END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(11)) AS y),
+        |       (SELECT unnest(range(19)) AS x),
+        |       (SELECT unnest(range(4)) AS c))
+        |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
+        |FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+        |      UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+        |      UNION ALL SELECT * FROM q5)""".stripMargin,
 
     // q261: lossless big-endian layouts — every sample replays from
     // the integer formulas; float32 bit patterns round-trip exactly.

@@ -39,6 +39,8 @@ class ImageHeadersSpec extends SparkSpec {
       === (("tga", Some(44), Some(33))))
     // 'BM' bytes never reach the TGA sniff
     assert(parsed("BMxxxxxxxxxxxxxxxxxx".getBytes("US-ASCII"))._1 == "unknown")
+    assert(parsed(graft.llm.QoiCodec.encode(77, 31, (x, y) => (x, y, 0)))
+      === (("qoi", Some(77), Some(31))))
   }
 
   test("tiff: IFD dimensions in both byte orders; malformed IFDs null dims") {
