@@ -143,12 +143,21 @@ object Warc {
 
   // ---------------------------------------------------------------- fixture
 
+  /** One fixture page; non-200 statuses and non-html content types
+    * exercise downstream intake filters. */
+  case class Page(uri: String, html: String, status: Int = 200,
+                  contentType: String = "text/html; charset=utf-8")
+
   /** Fixture writer: a warcinfo record, then per page a request
     * record (which the reader must skip) and a response record
     * wrapping an HTTP 200 message. `gzipPerRecord` concatenates one
     * gzip member per record — the Common Crawl layout. */
   def fixture(pages: Seq[(String, String)],
-              gzipPerRecord: Boolean = false): Array[Byte] = {
+              gzipPerRecord: Boolean = false): Array[Byte] =
+    fixtureOf(pages.map { case (u, h) => Page(u, h) }, gzipPerRecord)
+
+  def fixtureOf(pages: Seq[Page],
+                gzipPerRecord: Boolean = false): Array[Byte] = {
     def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
       val h = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
@@ -161,21 +170,23 @@ object Warc {
       "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
       "software: graft-fixture\r\n".getBytes("US-ASCII"))
     val recs = ArrayBuffer[Array[Byte]](info)
-    pages.zipWithIndex.foreach { case ((uri, html), i) =>
+    pages.zipWithIndex.foreach { case (pg, i) =>
       recs += record(Seq(
         "WARC-Type" -> "request",
-        "WARC-Target-URI" -> uri,
+        "WARC-Target-URI" -> pg.uri,
         "WARC-Date" -> "2026-01-01T00:00:00Z",
         "WARC-Record-ID" -> f"<urn:uuid:req-$i%08d>"),
-        s"GET $uri HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("US-ASCII"))
-      val payload = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val http = ("HTTP/1.1 200 OK\r\n" +
-        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"GET ${pg.uri} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+          .getBytes("US-ASCII"))
+      val payload = pg.html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val reason = if (pg.status == 200) "OK" else "NOK"
+      val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
+        s"Content-Type: ${pg.contentType}\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
         payload
       recs += record(Seq(
         "WARC-Type" -> "response",
-        "WARC-Target-URI" -> uri,
+        "WARC-Target-URI" -> pg.uri,
         "WARC-Date" -> "2026-01-01T00:00:00Z",
         "WARC-Record-ID" -> f"<urn:uuid:resp-$i%08d>"),
         http)

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Warc
+import graft.llm.HtmlText
+
+/** Streaming crawl intake: WARC segment files land in a directory;
+  * each micro-batch parses the new files' response records, extracts
+  * boilerplate-stripped text, applies the cheap quality gate, and
+  * exact-dedups against ALL accepted history before handing fresh
+  * documents to `accept` — the full Common-Crawl-shaped ingest path
+  * (archive → HTTP filter → text → quality → dedup) as ONE streaming
+  * pipeline over the repo's batch pieces ([[graft.sources.Warc]],
+  * [[graft.llm.HtmlText]], the [[StreamingCorpusDedup]] store
+  * contract).
+  *
+  * The source is Structured Streaming's file source over binaryFile
+  * (one task per newly-seen segment file — the same per-file grain
+  * as the batch scan; records never shuffle; the checkpoint tracks
+  * which files are committed, so a restart never re-parses them).
+  *
+  * Quality gate: HTTP 200 + an html content type, extracted length
+  * within [minChars, maxChars], link density ≤ maxLinkDensity — the
+  * standard first-pass crawl filters; deeper scoring (Gopher rules,
+  * lang-ID, NLL) composes downstream on the accepted frame.
+  *
+  * Delivery: foreachBatch is AT-LEAST-ONCE — `accept` must be a
+  * keyed idempotent upsert (the [[StreamingCorpusDedup]] contract:
+  * replay before the store append re-forwards the same fresh set;
+  * replay after it forwards an empty set because the batch's hashes
+  * now hit the store).
+  *
+  * Scale: the history store holds one md5 + uri per accepted page
+  * (~50 bytes vs the page's tens of KB); the anti-join is the only
+  * exchange per batch. At 10^10 pages, bucket the store by
+  * content_hash exactly as [[StreamingCorpusDedup.runBucketed]]
+  * lays out.
+  */
+object StreamingWarcIntake {
+
+  private def storedHashes(spark: SparkSession, storeDir: String): DataFrame =
+    try spark.read.parquet(storeDir).select(col("content_hash"))
+    catch {
+      case e: AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.emptyDataFrame.select(lit("").as("content_hash")).limit(0)
+    }
+
+  /** Parse + extract + gate one batch of (path, content) WARC files.
+    * Exposed for spec parity checks against the batch path. */
+  def extractBatch(files: DataFrame, minChars: Int, maxChars: Int,
+                   maxLinkDensity: Double): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val responses = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => Warc.parseFile(path, bytes) }
+      .toDF()
+      .filter(col("httpStatus") === 200 &&
+        col("contentType").startsWith("text/html"))
+    // crawl pages key by uri (HtmlText.extract keys by long id — a
+    // stable numeric id gets assigned post-accept), so run the same
+    // narrow per-row map directly
+    responses.select(col("targetUri").as("uri"), col("warcDate"),
+        col("body"))
+      .as[(String, String, String)]
+      .mapPartitions(_.map { case (uri, date, body) =>
+        (uri, date, HtmlText.extractText(body), HtmlText.linkDensity(body))
+      })
+      .toDF("uri", "warc_date", "text", "link_density")
+      .filter(length(col("text")).between(minChars, maxChars) &&
+        col("link_density") <= maxLinkDensity)
+  }
+
+  /** Start the intake over a directory glob of .warc[.gz] files.
+    * `accept` receives (uri, warc_date, text, link_density,
+    * content_hash) frames of ONLY fresh pages. */
+  def run(spark: SparkSession, warcGlob: String, storeDir: String,
+          checkpoint: String, minChars: Int = 1, maxChars: Int = 1000000,
+          maxLinkDensity: Double = 0.9)
+         (accept: DataFrame => Unit): StreamingQuery =
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
+        "content BINARY")
+      .load(warcGlob)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val extracted =
+          extractBatch(batch, minChars, maxChars, maxLinkDensity)
+            .withColumn("content_hash", md5(col("text")))
+        // unique within the batch (arrival order is arbitrary across
+        // an unordered batch: deterministic pick = min struct, i.e.
+        // lexicographically smallest uri per hash)
+        val inBatch = extracted
+          .groupBy(col("content_hash"))
+          .agg(min(struct(col("uri"), col("warc_date"), col("text"),
+            col("link_density"))).as("r"))
+          .select(col("r.uri").as("uri"), col("r.warc_date").as("warc_date"),
+            col("r.text").as("text"),
+            col("r.link_density").as("link_density"), col("content_hash"))
+        val fresh = inBatch.join(storedHashes(s, storeDir),
+          Seq("content_hash"), "left_anti")
+        fresh.persist()
+        try {
+          accept(fresh)
+          fresh.select(col("content_hash"))
+            .write.mode("append").parquet(storeDir)
+        } finally fresh.unpersist()
+      }
+      .start()
+}
