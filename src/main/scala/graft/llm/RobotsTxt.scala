@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309) — the crawl-permission filter an honest
+  * web-scale intake runs before fetching or keeping a page.
+  *
+  * Parsing: `#` comments strip anywhere, field names are
+  * case-insensitive, consecutive `User-agent` lines open one group,
+  * `Allow`/`Disallow` rules attach to the open group(s), unknown
+  * fields (Crawl-delay, Sitemap) are ignored per spec. Group
+  * selection: the group naming the crawler's product token
+  * (case-insensitive exact token) wins over the `*` group; no match
+  * → everything is allowed.
+  *
+  * Matching (RFC 9309 §2.2.2): rule paths match as prefixes with
+  * `*` wildcards and a `$` end anchor; the decision is the matching
+  * rule with the LONGEST pattern (octet length), ties broken in
+  * favor of Allow; no matching rule → allowed. Empty `Disallow:` is
+  * a no-op rule (matches nothing).
+  *
+  * The Spark path keeps rule frames tiny ((host, rule) rows — a few
+  * per host) and BROADCASTS them into the URL frame: per-URL work is
+  * a narrow regexp over the handful of host rules, aggregated by
+  * max((length, allow)) — no window, no shuffle of the corpus.
+  */
+object RobotsTxt {
+
+  case class Rule(allow: Boolean, pattern: String)
+
+  private[graft] case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  private[graft] def parseGroups(content: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer[Group]()
+    var agents = scala.collection.mutable.ArrayBuffer[String]()
+    var rules = scala.collection.mutable.ArrayBuffer[Rule]()
+    var inAgents = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      agents = scala.collection.mutable.ArrayBuffer[String]()
+      rules = scala.collection.mutable.ArrayBuffer[Rule]()
+    }
+    content.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            agents += value.toLowerCase
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (value.nonEmpty) rules += Rule(field == "allow", value)
+          case _ => inAgents = false // crawl-delay, sitemap, …
+        }
+      }
+    }
+    flush()
+    groups.toSeq
+  }
+
+  /** The rules governing `agent`: its named group if one exists,
+    * else the `*` group, else no rules (all allowed). */
+  def rulesFor(content: String, agent: String): Seq[Rule] = {
+    val groups = parseGroups(content)
+    val a = agent.toLowerCase
+    groups.find(_.agents.contains(a))
+      .orElse(groups.find(_.agents.contains("*")))
+      .map(_.rules).getOrElse(Seq.empty)
+  }
+
+  /** RFC 9309 pattern → a FULL-match regex over the whole path:
+    * `*` is any run, a trailing `$` anchors the end (no trailing
+    * `.*`), everything else is literal prefix-matched (so the
+    * unanchored form ends `.*`). */
+  def toRegex(pattern: String): String = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case ch if "\\.[]{}()+-?^$|".indexOf(ch) >= 0 =>
+        sb.append('\\').append(ch)
+      case ch => sb.append(ch)
+    }
+    if (!anchored) sb.append(".*")
+    sb.toString
+  }
+
+  /** Longest-match decision for one path (Allow wins ties). */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    val hits = rules.filter(r => path.matches(toRegex(r.pattern)))
+    if (hits.isEmpty) true
+    else hits.maxBy(r => (r.pattern.length, r.allow)).allow
+  }
+
+  /** (host, allow, pattern, regex, pat_len) rule rows for `agent`
+    * from a (hostCol, contentCol) robots frame — the broadcastable
+    * unit. */
+  def ruleFrame(robots: DataFrame, hostCol: String, contentCol: String,
+                agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).as("host"), col(contentCol).as("content"))
+      .as[(String, String)]
+      .flatMap { case (host, content) =>
+        rulesFor(content, agent).map(r =>
+          (host, r.allow, r.pattern, toRegex(r.pattern),
+           r.pattern.length))
+      }
+      .toDF("host", "allow", "pattern", "regex", "pat_len")
+  }
+
+  /** Filter a URL frame by robots permission: left-join the
+    * broadcast rule frame on host, regexp-match each rule against
+    * the path (RFC prefix semantics: the anchored regex matches a
+    * PREFIX, so match against path with `.*` appended unless the
+    * rule anchors), take the longest-match decision per URL, keep
+    * allowed (hosts without robots rows allow everything). Adds an
+    * `allowed` boolean; callers filter or audit. */
+  def withAllowed(urls: DataFrame, hostCol: String, pathCol: String,
+                  robots: DataFrame, robotsHostCol: String,
+                  robotsContentCol: String, agent: String): DataFrame = {
+    val rules = ruleFrame(robots, robotsHostCol, robotsContentCol, agent)
+    val u = urls
+    u.join(broadcast(rules), u(hostCol) === rules("host"), "left")
+      .withColumn("__hit",
+        col("regex").isNotNull && regexp_like(u(pathCol), col("regex")))
+      .groupBy(u.columns.map(u(_)): _*)
+      .agg(coalesce(
+        max(when(col("__hit"),
+          struct(col("pat_len").as("l"), col("allow").cast("int").as("a"))))
+          .getField("a") === 1,
+        lit(true)).as("allowed"))
+  }
+}

@@ -637,6 +637,35 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // robots.txt (RFC 9309) crawl-permission filter: named-agent
+    // group selection over the * fallback, wildcard + $-anchored
+    // rules, longest-match with the Allow tie-break, ruleless hosts
+    // allowing everything — over URLs synthesized from doc_ids so
+    // every branch is hit. The rule frame broadcasts; the oracle
+    // hardcodes the same rules WITH their regex translations and
+    // replays the decision as max(2*len + allow) parity.
+    "q272_robots_filter" -> ((s, d) => {
+      import graft.llm.RobotsTxt
+      val aRobots = "User-agent: *\nDisallow: /sec1\n" +
+        "Allow: /sec1/page1*\nDisallow: /sec2/*3$\n"
+      val bRobots = "User-agent: graftbot\nDisallow: /sec5\n" +
+        "User-agent: *\nDisallow: /\n"
+      val sess = s
+      import sess.implicits._
+      val robots = Seq(("a.com", aRobots), ("b.com", bRobots))
+        .toDF("rhost", "content")
+      val urls = documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit(""), element_at(
+            typedLit(Seq("a.com", "b.com", "c.com")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("host"),
+          concat(lit("/sec"), col("doc_id") % 7, lit("/page"),
+            col("doc_id") % 13).as("path"))
+      RobotsTxt.withAllowed(urls, "host", "path", robots,
+          "rhost", "content", "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+    }),
+
     // WARC (ISO 28500) parse — the Common Crawl container. A fixture
     // archive is built from REAL document text (entity-encoded into
     // HTML pages, one gzip member per record, warcinfo + request
@@ -1968,6 +1997,30 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q272: the oracle carries the SAME rule set with its regex
+    // translations as literals (graftbot resolves a.com to the *
+    // group, b.com to its named group; c.com has no robots) and
+    // replays longest-match-allow-tie as max(2*len + allow) parity.
+    "q272_robots_filter" ->
+      """WITH urls AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+        |         ELSE 'c.com' END AS host,
+        |    '/sec' || (doc_id % 7) || '/page' || (doc_id % 13) AS path
+        |  FROM documents WHERE doc_id < 400),
+        |rules AS (SELECT * FROM (VALUES
+        |    ('a.com', 0, '^/sec1.*', 5),
+        |    ('a.com', 1, '^/sec1/page1.*', 12),
+        |    ('a.com', 0, '^/sec2/.*3$', 9),
+        |    ('b.com', 0, '^/sec5.*', 5))
+        |  t(host, allow, regex, len)),
+        |hits AS (SELECT u.doc_id, r.len*2 + r.allow AS sc
+        |  FROM urls u JOIN rules r ON u.host = r.host
+        |  WHERE regexp_matches(u.path, r.regex)),
+        |best AS (SELECT doc_id, MAX(sc) AS sc FROM hits GROUP BY doc_id)
+        |SELECT u.doc_id, u.host, u.path,
+        |  COALESCE(b.sc % 2 = 1, TRUE) AS allowed
+        |FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id""".stripMargin,
+
     // q267: every WARC response body reconstructs byte-for-byte from
     // the documents table (entity encoding replayed with the same
     // &-first replace order) — a record-walk, Content-Length, gzip-

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.RobotsTxt
+import graft.llm.RobotsTxt.Rule
+
+/** RFC 9309 robots engine: grouping, agent selection, wildcard/$
+  * translation, longest-match with the Allow tie-break, and the
+  * broadcast Spark filter path. Worked decisions follow the RFC's
+  * own §2.2.2 and §5.2 examples. */
+class RobotsTxtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robots =
+    """# crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok*
+      |
+      |User-agent: *
+      |Disallow: /tmp/*.bak$
+      |Disallow: /search
+      |Allow: /search/about
+      |Crawl-delay: 5
+      |Sitemap: http://x/sitemap.xml
+      |""".stripMargin
+
+  test("agent group selection: named beats *, unknown agent gets *") {
+    val named = RobotsTxt.rulesFor(robots, "GraftBot")
+    assert(named == Seq(Rule(false, "/private/"), Rule(true, "/private/ok*")))
+    val star = RobotsTxt.rulesFor(robots, "otherbot")
+    assert(star == Seq(Rule(false, "/tmp/*.bak$"),
+      Rule(false, "/search"), Rule(true, "/search/about")))
+    assert(RobotsTxt.rulesFor("User-agent: x\nDisallow: /", "y").isEmpty)
+  }
+
+  test("longest-match decisions, wildcards, anchors, Allow tie-break") {
+    val r = RobotsTxt.rulesFor(robots, "otherbot")
+    assert(RobotsTxt.isAllowed(r, "/index.html"))
+    assert(!RobotsTxt.isAllowed(r, "/search"))
+    assert(!RobotsTxt.isAllowed(r, "/search/results?q=1"))
+    assert(RobotsTxt.isAllowed(r, "/search/about"))      // longer Allow wins
+    assert(!RobotsTxt.isAllowed(r, "/tmp/a.bak"))        // $ anchors
+    assert(RobotsTxt.isAllowed(r, "/tmp/a.bak.txt"))     // past the anchor
+    val g = RobotsTxt.rulesFor(robots, "graftbot")
+    assert(!RobotsTxt.isAllowed(g, "/private/x"))
+    assert(RobotsTxt.isAllowed(g, "/private/ok/page"))   // wildcard Allow
+    // Allow wins an exact-length tie (RFC 9309 §2.2.2)
+    val tie = Seq(Rule(false, "/page"), Rule(true, "/page"))
+    assert(RobotsTxt.isAllowed(tie, "/page/x"))
+    // regex metacharacters in paths are literal
+    val meta = Seq(Rule(false, "/a.b(c)+"))
+    assert(!RobotsTxt.isAllowed(meta, "/a.b(c)+/d"))
+    assert(RobotsTxt.isAllowed(meta, "/aXb(c)+/d"))
+  }
+
+  test("withAllowed: broadcast rule join, per-URL decision, ruleless hosts allow") {
+    val robotsDf = Seq(
+      ("x.com", robots),
+      ("empty.com", "User-agent: *\n")).toDF("host", "content")
+    val urls = Seq(
+      (1L, "x.com", "/index.html"),
+      (2L, "x.com", "/search"),
+      (3L, "x.com", "/search/about"),
+      (4L, "x.com", "/tmp/old.bak"),
+      (5L, "empty.com", "/anything"),
+      (6L, "norobots.com", "/whatever")).toDF("id", "host", "path")
+    val got = RobotsTxt.withAllowed(urls, "host", "path",
+        robotsDf, "host", "content", "otherbot")
+      .select(col("id"), col("allowed")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true))
+    val plan = RobotsTxt.withAllowed(urls, "host", "path",
+      robotsDf, "host", "content", "otherbot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rules must broadcast")
+  }
+}
