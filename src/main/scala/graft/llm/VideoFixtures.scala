@@ -72,6 +72,57 @@ object VideoFixtures {
   /** ftyp only — a moov-less (truncated upload) file. */
   def mp4FtypOnly(brand: String): Array[Byte] = ftyp(brand)
 
+  /** MP4 with a COMPLETE sample table — the [[graft.sources.Mp4Index]]
+    * unit. One video track: mdhd timescale, stsd with a minimal
+    * 36-byte visual sample entry (codec fourcc + dims at the spec
+    * offsets 32/34), stts delta runs, stsz (uniform when `sizes` has
+    * one distinct value and `forceUniform`), stsc chunk-run map,
+    * stco (or co64 when `useCo64`) chunk offsets, and an optional
+    * stss sync set (1-based sample numbers). */
+  def mp4Stbl(brand: String, timescale: Long, codec: String,
+              w: Int, h: Int, sttsRuns: Seq[(Int, Long)],
+              sizes: Seq[Long], stscRuns: Seq[(Int, Int)],
+              chunkOffsets: Seq[Long], sync: Option[Seq[Int]] = None,
+              forceUniform: Boolean = false,
+              useCo64: Boolean = false): Array[Byte] = {
+    def full(tpe: String, body: Array[Byte]): Array[Byte] =
+      boxOf(tpe, be32(0) ++ body) // version 0, flags 0
+    val mdhd = full("mdhd",
+      be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(sttsRuns.map { case (c, d) => c * d }.sum))
+    val entry = be32(36) ++ codec.getBytes("US-ASCII") ++
+      Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++ // data_reference_index
+      Array.fill[Byte](16)(0) ++
+      Array(((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+            ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte)
+    val stsd = full("stsd", be32(1) ++ entry)
+    val stts = full("stts", be32(sttsRuns.size) ++
+      sttsRuns.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+    val stsz =
+      if (forceUniform && sizes.distinct.size == 1)
+        full("stsz", be32(sizes.head) ++ be32(sizes.size))
+      else full("stsz", be32(0) ++ be32(sizes.size) ++
+        sizes.flatMap(be32).toArray)
+    val stsc = full("stsc", be32(stscRuns.size) ++
+      stscRuns.flatMap { case (first, per) =>
+        be32(first) ++ be32(per) ++ be32(1)
+      }.toArray)
+    val offsets =
+      if (useCo64) full("co64", be32(chunkOffsets.size) ++
+        chunkOffsets.flatMap(be64).toArray)
+      else full("stco", be32(chunkOffsets.size) ++
+        chunkOffsets.flatMap(be32).toArray)
+    val stss = sync.map(ss => full("stss", be32(ss.size) ++
+      ss.flatMap(s => be32(s.toLong)).toArray)).getOrElse(Array.empty[Byte])
+    val stbl = boxOf("stbl",
+      stsd ++ stts ++ stsz ++ stsc ++ offsets ++ stss)
+    val minf = boxOf("minf", stbl)
+    val mdia = boxOf("mdia", mdhd ++ minf)
+    val trakBox = boxOf("trak", tkhdV0(w, h) ++ mdia)
+    ftyp(brand) ++ moov(mvhdV0(timescale,
+      sttsRuns.map { case (c, d) => c * d }.sum), trakBox)
+  }
+
   /** EBML magic (WebM/Matroska) — detected, not parsed. */
   def webm: Array[Byte] =
     Array(0x1A, 0x45, 0xDF, 0xA3, 0x01, 0x00, 0x00, 0x00).map(_.toByte)

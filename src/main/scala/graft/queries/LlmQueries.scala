@@ -637,6 +637,59 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // Charset-resolution ladder over crawl bytes: BOMs (UTF-8/16LE/
+    // 16BE), the HTTP charset param, the meta prescan, strict-UTF-8
+    // content sniff, windows-1252 fallback — each branch staged with
+    // bytes that DISTINGUISH it (0xE9 is invalid UTF-8 but é in
+    // latin-1; 0x93/0x94 are cp1252 curly quotes). The oracle builds
+    // the expected Unicode strings via chr() codepoints, so a ladder-
+    // order or mapping bug changes the text hash.
+    "q275_charset_decode" -> ((s, d) => {
+      import graft.llm.Charsets
+      val sess = s
+      import sess.implicits._
+      def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      val rows = Seq(
+        (1L, b(0xEF, 0xBB, 0xBF) ++ "doc1 ☃".getBytes("UTF-8"), ""),
+        (2L, b(0xFF, 0xFE) ++ "doc2 wide".getBytes("UTF-16LE"), ""),
+        (3L, "doc3 café".getBytes("ISO-8859-1"),
+          "text/html; charset=ISO-8859-1"),
+        (4L, "<meta charset='ISO-8859-1'>doc4 caf".getBytes("US-ASCII")
+          ++ b(0xE9), "text/html"),
+        (5L, "doc5 plain ☃".getBytes("UTF-8"), "text/html"),
+        (6L, "doc6 ".getBytes("US-ASCII") ++ b(0x93) ++
+          "q".getBytes("US-ASCII") ++ b(0x94), "text/html"))
+      Charsets.decodeFrame(rows.toDF("doc_id", "body", "ctype"),
+          "doc_id", "body", "ctype")
+        .select(col("id").as("doc_id"), col("charset"), col("text"))
+    }),
+
+    // sitemaps.org frontier parse: five urlset documents built from
+    // doc_id formulas (optional lastmod/changefreq/priority fields
+    // masked per entry, XML-escaped locs), flatMapped back through
+    // the XXE-hardened DOM parse. The oracle reconstructs every
+    // field symbolically — a field-masking, escaping or locality bug
+    // breaks the hash. SitemapSpec covers sitemapindex, hostile
+    // DOCTYPE refusal and junk-priority nulling.
+    "q273_sitemap_parse" -> ((s, d) => {
+      import graft.sources.Sitemap
+      val sess = s
+      import sess.implicits._
+      val freq = Seq("daily", "weekly", "monthly")
+      val sites = (0 until 5).map { site =>
+        val urls = (site * 40 until (site + 1) * 40).map { id =>
+          (s"http://example.com/doc/$id?a=1&b=2",
+           if (id % 4 != 1) Some(f"2026-01-${id % 28 + 1}%02d") else None,
+           if (id % 3 != 2) Some(freq(id % 3)) else None,
+           if (id % 5 != 0) Some((id % 10) / 10.0) else None)
+        }
+        (site.toLong, Sitemap.fixture(urls))
+      }
+      Sitemap.entries(sites.toDF("site_id", "xml"), "site_id", "xml")
+        .select(col("id").as("site_id"), col("kind"), col("loc"),
+                col("lastmod"), col("changefreq"), col("priority"))
+    }),
+
     // robots.txt (RFC 9309) crawl-permission filter: named-agent
     // group selection over the * fallback, wildcard + $-anchored
     // rules, longest-match with the Allow tie-break, ruleless hosts
@@ -1997,6 +2050,36 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q275: expected strings assemble from chr() codepoints (9731 ☃,
+    // 233 é, 8220/8221 curly quotes) so both engines compare
+    // identical Unicode, never bytes.
+    "q275_charset_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'utf-8', 'doc1 ' || chr(9731)),
+        |  (CAST(2 AS BIGINT), 'utf-16le', 'doc2 wide'),
+        |  (CAST(3 AS BIGINT), 'iso-8859-1', 'doc3 caf' || chr(233)),
+        |  (CAST(4 AS BIGINT), 'iso-8859-1',
+        |   '<meta charset=''ISO-8859-1''>doc4 caf' || chr(233)),
+        |  (CAST(5 AS BIGINT), 'utf-8', 'doc5 plain ' || chr(9731)),
+        |  (CAST(6 AS BIGINT), 'windows-1252',
+        |   'doc6 ' || chr(8220) || 'q' || chr(8221)))
+        |t(doc_id, charset, text)""".stripMargin,
+
+    // q273: every sitemap entry reconstructs from the id formulas —
+    // field masks, the zero-padded lastmod, the frequency cycle and
+    // the exact k/10 priority double all must agree.
+    "q273_sitemap_parse" ->
+      """WITH ids AS (SELECT unnest(range(200)) AS id)
+        |SELECT CAST(id // 40 AS BIGINT) AS site_id, 'url' AS kind,
+        |  'http://example.com/doc/' || id || '?a=1&b=2' AS loc,
+        |  CASE WHEN id % 4 != 1
+        |       THEN '2026-01-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+        |  END AS lastmod,
+        |  CASE WHEN id % 3 = 0 THEN 'daily'
+        |       WHEN id % 3 = 1 THEN 'weekly' END AS changefreq,
+        |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority
+        |FROM ids""".stripMargin,
+
     // q272: the oracle carries the SAME rule set with its regex
     // translations as literals (graftbot resolves a.com to the *
     // group, b.com to its named group; c.com has no robots) and

@@ -779,6 +779,36 @@ object StatsQueries {
                 col("v").cast("double").as("value"))
     }),
 
+    // MP4 sample-table indexing: per-sample (dts, duration, size,
+    // absolute offset, keyframe) straight from moov/stbl metadata —
+    // the random-access frame index a video pipeline computes
+    // WITHOUT a codec. Video 1 exercises multi-run stts, per-sample
+    // stsz, a two-run stsc chunk map and an stss sync set; video 2
+    // exercises uniform stsz, co64 (64-bit offsets past 2^32) and
+    // the all-sync default. The oracle replays dts as closed-form
+    // run arithmetic and offsets as within-chunk window cumsums.
+    "q274_mp4_index" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.VideoFixtures
+      val v1 = VideoFixtures.mp4Stbl("isom", 600, "avc1", 320, 180,
+        sttsRuns = Seq((10, 100L), (20, 150L), (10, 120L)),
+        sizes = (0 until 40).map(i => 100L + (i % 7) * 3),
+        stscRuns = Seq((1, 4), (6, 5)),
+        chunkOffsets = (0 until 9).map(c => 10000L + c * 1000),
+        sync = Some(Seq(1, 9, 17, 25, 33)))
+      val v2 = VideoFixtures.mp4Stbl("isom", 90000, "hvc1", 64, 64,
+        sttsRuns = Seq((6, 3000L)), sizes = Seq.fill(6)(500L),
+        stscRuns = Seq((1, 6)), chunkOffsets = Seq(5000000000L),
+        forceUniform = true, useCo64 = true)
+      graft.sources.Mp4Index.index(
+        Seq((1L, v1), (2L, v2)).toDF("video_id", "bytes"),
+        "video_id", "bytes")
+        .select(col("id").as("video_id"), col("track"), col("codec"),
+          col("width"), col("height"), col("timescale"), col("sample"),
+          col("dts"), col("duration"), col("size"), col("offset"),
+          col("keyframe"))
+    }),
+
     // IMA/DVI ADPCM WAV decode through the audio dispatch: the lossy-
     // compressed-but-exactly-specified block format (4-byte headers
     // carrying the initial predictor + step index, low-nibble-first
@@ -2250,6 +2280,41 @@ object StatsQueries {
         |FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2
         |      UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
         |      UNION ALL SELECT * FROM q5)""".stripMargin,
+
+    // q274: the sample table replays symbolically — dts by run
+    // arithmetic, offsets as chunk base + within-chunk cumulative
+    // size, keyframes from the 1-based stss set; a chunk-map or
+    // cumsum bug shifts every downstream byte range.
+    "q274_mp4_index" ->
+      """WITH s1 AS (SELECT i,
+        |    CASE WHEN i < 10 THEN 100 WHEN i < 30 THEN 150
+        |         ELSE 120 END AS duration,
+        |    CASE WHEN i < 10 THEN i*100 WHEN i < 30 THEN 1000 + (i-10)*150
+        |         ELSE 4000 + (i-30)*120 END AS dts,
+        |    100 + (i % 7)*3 AS sz,
+        |    CASE WHEN i < 20 THEN i // 4 ELSE 5 + (i-20) // 5 END AS chunk,
+        |    (i IN (0, 8, 16, 24, 32)) AS kf
+        |  FROM (SELECT unnest(range(40)) AS i)),
+        |o1 AS (SELECT i, duration, dts, sz, chunk, kf,
+        |    10000 + chunk*1000 +
+        |      COALESCE(SUM(sz) OVER (PARTITION BY chunk ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM s1),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS video_id, 0 AS track,
+        |    'avc1' AS codec, 320 AS width, 180 AS height,
+        |    CAST(600 AS BIGINT) AS timescale, CAST(i AS INT) AS sample,
+        |    CAST(dts AS BIGINT) AS dts, CAST(duration AS BIGINT) AS duration,
+        |    CAST(sz AS BIGINT) AS size, CAST(off AS BIGINT) AS offset, kf AS keyframe
+        |  FROM o1),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS video_id, 0 AS track,
+        |    'hvc1' AS codec, 64 AS width, 64 AS height,
+        |    CAST(90000 AS BIGINT) AS timescale, CAST(i AS INT) AS sample,
+        |    CAST(i*3000 AS BIGINT) AS dts, CAST(3000 AS BIGINT) AS duration,
+        |    CAST(500 AS BIGINT) AS size,
+        |    CAST(5000000000 + i*500 AS BIGINT) AS offset, TRUE AS keyframe
+        |  FROM (SELECT unnest(range(6)) AS i))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
 
     // q261: lossless big-endian layouts — every sample replays from
     // the integer formulas; float32 bit patterns round-trip exactly.

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org protocol parser — the crawl-frontier complement to
+  * robots.txt: sites publish `<urlset>` documents of `<url>` entries
+  * (loc, lastmod, changefreq, priority) and `<sitemapindex>`
+  * documents of child `<sitemap>` locations.
+  *
+  * Parsing uses the JDK's DOM with XXE hardened off (external
+  * general/parameter entities and DOCTYPE declarations disabled —
+  * crawled XML is untrusted input, an external-entity fetch from a
+  * parser worker would be an SSRF primitive). Namespaces are
+  * accepted but not required; element matching is on local names.
+  *
+  * `entries` is the Spark path: a (id, xml) frame flatMaps narrowly
+  * to one row per url/sitemap entry — no shuffle; sitemap files are
+  * small (≤50k URLs by spec) so one task handles many. Missing
+  * optional fields surface as nulls; priority parses as double
+  * (nulls on malformed — crawled XML lies).
+  */
+object Sitemap {
+
+  case class Entry(kind: String, // "url" | "sitemap"
+                   loc: String, lastmod: String,
+                   changefreq: String, priority: Option[Double])
+
+  private def builder() = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature(
+      "http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature(
+      "http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.setNamespaceAware(true)
+    f.newDocumentBuilder()
+  }
+
+  def parse(xml: String): Seq[Entry] = {
+    require(xml != null && xml.trim.nonEmpty, "empty sitemap document")
+    val doc = builder().parse(new java.io.ByteArrayInputStream(
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val root = doc.getDocumentElement
+    val (container, child) = root.getLocalName match {
+      case "urlset" => ("urlset", "url")
+      case "sitemapindex" => ("sitemapindex", "sitemap")
+      case other =>
+        throw new IllegalArgumentException(s"not a sitemap root: $other")
+    }
+    val kind = if (container == "urlset") "url" else "sitemap"
+    val nodes = root.getChildNodes
+    (0 until nodes.getLength).flatMap { i =>
+      val n = nodes.item(i)
+      if (n.getNodeType == org.w3c.dom.Node.ELEMENT_NODE &&
+          n.getLocalName == child) {
+        def field(name: String): String = {
+          val kids = n.getChildNodes
+          (0 until kids.getLength).collectFirst {
+            case j if kids.item(j).getNodeType ==
+                org.w3c.dom.Node.ELEMENT_NODE &&
+                kids.item(j).getLocalName == name =>
+              kids.item(j).getTextContent.trim
+          }.orNull
+        }
+        val loc = field("loc")
+        if (loc == null || loc.isEmpty) None // spec: loc is required
+        else Some(Entry(kind, loc, field("lastmod"), field("changefreq"),
+          Option(field("priority")).flatMap(p =>
+            scala.util.Try(p.toDouble).toOption)))
+      } else None
+    }
+  }
+
+  /** (id, kind, loc, lastmod, changefreq, priority) — one row per
+    * entry, narrow flatMap. */
+  def entries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(xmlCol))
+      .as[(Long, String)]
+      .flatMap { case (id, xml) =>
+        parse(xml).map(e =>
+          (id, e.kind, e.loc, e.lastmod, e.changefreq, e.priority))
+      }
+      .toDF("id", "kind", "loc", "lastmod", "changefreq", "priority")
+  }
+
+  /** Fixture writer: a namespaced urlset (or index) with optional
+    * fields present per the mask functions; XML-escapes locs. */
+  def fixture(urls: Seq[(String, Option[String], Option[String],
+                         Option[Double])],
+              index: Boolean = false): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val (root, child) =
+      if (index) ("sitemapindex", "sitemap") else ("urlset", "url")
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= s"""<$root xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n"""
+    urls.foreach { case (loc, lastmod, changefreq, priority) =>
+      sb ++= s"  <$child><loc>${esc(loc)}</loc>"
+      lastmod.foreach(v => sb ++= s"<lastmod>$v</lastmod>")
+      changefreq.foreach(v => sb ++= s"<changefreq>$v</changefreq>")
+      priority.foreach(v => sb ++= s"<priority>$v</priority>")
+      sb ++= s"</$child>\n"
+    }
+    sb ++= s"</$root>\n"
+    sb.toString
+  }
+}

@@ -53,8 +53,10 @@ object Warc {
         val uri = headers.getOrElse("warc-target-uri", "")
         val date = headers.getOrElse("warc-date", "")
         val (status, ctype, payload) = splitHttp(raw, bodyStart, len)
+        // charset-aware decode (BOM > header param > meta prescan >
+        // strict-UTF-8 sniff > windows-1252) — see graft.llm.Charsets
         out += WarcResponse(name, ordinal, uri, date, status, ctype,
-          new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+          graft.llm.Charsets.decodeHtml(payload, ctype)._1)
       }
       ordinal += 1
       pos = bodyStart + len

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sitemap
+
+/** Sitemap protocol: urlset + sitemapindex parse, optional fields,
+  * XML escaping round-trip, XXE refusal, the narrow Spark path. */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlset and sitemapindex round-trip with optional fields") {
+    val xml = Sitemap.fixture(Seq(
+      ("http://x/a?p=1&q=2", Some("2026-01-02"), Some("daily"), Some(0.8)),
+      ("http://x/b", None, None, None),
+      ("http://x/<odd>", Some("2026-02-03"), None, Some(0.5))))
+    val got = Sitemap.parse(xml)
+    assert(got.size == 3)
+    assert(got(0) == Sitemap.Entry("url", "http://x/a?p=1&q=2",
+      "2026-01-02", "daily", Some(0.8)))
+    assert(got(1) == Sitemap.Entry("url", "http://x/b", null, null, None))
+    assert(got(2).loc == "http://x/<odd>") // escape round-trip
+    val idx = Sitemap.parse(Sitemap.fixture(
+      Seq(("http://x/sitemap1.xml", Some("2026-01-01"), None, None)),
+      index = true))
+    assert(idx == Seq(Sitemap.Entry("sitemap", "http://x/sitemap1.xml",
+      "2026-01-01", null, None)))
+  }
+
+  test("hostile input: DOCTYPE/XXE refused, wrong root refused, junk priority nulls") {
+    val xxe = """<?xml version="1.0"?>
+      |<!DOCTYPE urlset [<!ENTITY x SYSTEM "file:///etc/passwd">]>
+      |<urlset><url><loc>http://x/&x;</loc></url></urlset>""".stripMargin
+    intercept[Exception] { Sitemap.parse(xxe) }
+    intercept[IllegalArgumentException] {
+      Sitemap.parse("<html><body/></html>")
+    }
+    val junk = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc>http://x/a</loc><priority>soon</priority></url>
+      |<url><lastmod>2026-01-01</lastmod></url>
+      |</urlset>""".stripMargin
+    val got = Sitemap.parse(junk)
+    assert(got == Seq(Sitemap.Entry("url", "http://x/a", null, null, None)))
+  }
+
+  test("entries(): one narrow row per entry") {
+    val df = Seq(
+      (1L, Sitemap.fixture(Seq(("http://x/a", Some("2026-01-01"), None,
+        Some(0.3)), ("http://x/b", None, None, None)))),
+      (2L, Sitemap.fixture(Seq(("http://x/child.xml", None, None, None)),
+        index = true))).toDF("site_id", "xml")
+    val got = Sitemap.entries(df, "site_id", "xml")
+      .orderBy(col("id"), col("loc")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "url", "http://x/a"),
+      (1L, "url", "http://x/b"), (2L, "sitemap", "http://x/child.xml")))
+  }
+}
