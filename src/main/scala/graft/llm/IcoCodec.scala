@@ -164,9 +164,25 @@ object IcoCodec {
     decodeEntry(b, best)
   }
 
-  /** All entries, for pipelines that want the full favicon ladder. */
-  def decodeAll(b: Array[Byte]): Seq[(Int, Int, Array[Float])] =
-    directory(b).map(decodeEntry(b, _))
+  /** All entries, for pipelines that want the full favicon ladder.
+    * The cumulative-pixel cap guards the PNG-entry path: a small
+    * hostile directory can reference deflate streams that each
+    * inflate to the per-image limit, and 1024 of those OOM a task
+    * even though every single entry is legal. Directory dims bound
+    * real decoded dims for DIB entries and honest PNGs alike. */
+  def decodeAll(b: Array[Byte]): Seq[(Int, Int, Array[Float])] = {
+    val dirs = directory(b)
+    require(dirs.map(d => d.w.toLong * d.h).sum <= 64000000L,
+      s"ICO directory declares ${dirs.size} entries beyond the pixel cap")
+    var seen = 0L // REAL decoded pixels — directories lie, so check
+    dirs.map { d => // as each entry lands (each is singly capped)
+      val e = decodeEntry(b, d)
+      seen += e._1.toLong * e._2
+      require(seen <= 64000000L,
+        "ICO decoded pixel volume exceeds the cap (lying directory)")
+      e
+    }
+  }
 
   // ---------------------------------------------------------------- encode
 

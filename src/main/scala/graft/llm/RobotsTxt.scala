@@ -54,7 +54,15 @@ object RobotsTxt {
             inAgents = true
           case "allow" | "disallow" =>
             inAgents = false
-            if (value.nonEmpty) rules += Rule(field == "allow", value)
+            // implementer limits (RFC 9309 §2.5 sanctions them): a
+            // hostile pattern of interleaved wildcards is a regex-
+            // backtracking DoS primitive, and a hostile file can
+            // carry millions of rules — skip past both bounds,
+            // matching the conservative reading (unparsed rules
+            // don't disallow)
+            if (value.nonEmpty && value.length <= 1024 &&
+                rules.size < 2000)
+              rules += Rule(field == "allow", value)
           case _ => inAgents = false // crawl-delay, sitemap, …
         }
       }

@@ -108,14 +108,20 @@ object Mp4Index {
       }
     }.getOrElse(("", 0, 0))
 
-    // stts: (count, delta) runs -> per-sample durations
+    // stts: (count, delta) runs -> per-sample durations. Sum the run
+    // counts BEFORE materializing anything — a hostile 1 KiB box can
+    // declare billions of samples, and the cap must fire before the
+    // allocation, not after.
     val durations = find(b, stblS, stblE, "stts").map { case (s, e) =>
       val n = be32(b, s + 4).toInt
       require(s + 8 + 8L * n <= e, "truncated stts")
+      val total = (0 until n).map(i => be32(b, s + 8 + 8 * i)).sum
+      require(total >= 0 && total <= 8000000,
+        s"stts declares $total samples (cap 8M per track — a 2 h\n" +
+          "60 fps track is ~450k; per-sample rows cost ~150 B each)")
       (0 until n).flatMap { i =>
         val cnt = be32(b, s + 8 + 8 * i).toInt
         val delta = be32(b, s + 12 + 8 * i)
-        require(cnt >= 0 && cnt <= 10000000, s"stts run $cnt out of range")
         Seq.fill(cnt)(delta)
       }
     }.getOrElse(return Seq.empty)

@@ -41,6 +41,8 @@ object Sitemap {
 
   def parse(xml: String): Seq[Entry] = {
     require(xml != null && xml.trim.nonEmpty, "empty sitemap document")
+    require(xml.length <= 52428800, // the protocol's own 50 MB cap
+      s"sitemap document ${xml.length} chars exceeds the 50 MB limit")
     val doc = builder().parse(new java.io.ByteArrayInputStream(
       xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val root = doc.getDocumentElement

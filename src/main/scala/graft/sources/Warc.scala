@@ -20,8 +20,9 @@ import scala.collection.mutable.ArrayBuffer
   * (warcinfo, request, metadata) are filtered at parse time so the
   * scan emits only what a text pipeline consumes.
   *
-  * Bodies decode as UTF-8 with malformed bytes replaced (the crawl
-  * convention) via the String constructor's REPLACE semantics.
+  * Bodies decode charset-aware ([[graft.llm.Charsets.decodeHtml]]:
+  * BOM > HTTP charset param > meta prescan > strict-UTF-8 sniff >
+  * windows-1252 fallback), so legacy pages don't silently mangle.
   */
 object Warc {
 
@@ -43,11 +44,16 @@ object Warc {
       val (headers, bodyStart) = readHeaders(raw, pos, "WARC record")
       require(headers.getOrElse("__version", "").startsWith("WARC/1"),
         s"$name: record at $pos lacks a WARC/1.x version line")
-      val len = headers.getOrElse("content-length",
+      val lenStr = headers.getOrElse("content-length",
         throw new IllegalArgumentException(
-          s"$name: record at $pos lacks Content-Length")).trim.toInt
-      require(len >= 0 && bodyStart + len <= raw.length,
-        s"$name: record at $pos truncated (len=$len)")
+          s"$name: record at $pos lacks Content-Length")).trim
+      require(lenStr.nonEmpty && lenStr.length <= 18 &&
+        lenStr.forall(_.isDigit),
+        s"$name: record at $pos has malformed Content-Length '$lenStr'")
+      val lenL = lenStr.toLong
+      require(lenL <= Int.MaxValue && bodyStart + lenL <= raw.length,
+        s"$name: record at $pos truncated (len=$lenL)")
+      val len = lenL.toInt
       val wtype = headers.getOrElse("warc-type", "")
       if (wtype == "response") {
         val uri = headers.getOrElse("warc-target-uri", "")
@@ -119,14 +125,26 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
 
-  /** Inflate ALL members of a concatenated gzip stream. */
-  private[sources] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  /** Inflate ALL members of a concatenated gzip stream, with a hard
+    * expansion cap — crawl archives are untrusted, and an unbounded
+    * inflate is a decompression-bomb OOM primitive inside a task.
+    * 2 GiB-per-file is ~2000x a typical segment's record; real WARCs
+    * never approach it, bombs hit it immediately and fail loudly. */
+  private[graft] def gunzipAll(b: Array[Byte],
+                                 maxBytes: Long = 2L << 30): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](65536)
+    var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      total += n
+      require(total <= maxBytes,
+        s"gzip expansion exceeds $maxBytes bytes (decompression bomb?)")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 

@@ -63,5 +63,12 @@ class Mp4IndexSpec extends SparkSpec {
     // NOT an error (tracks without sample tables are skipped)
     assert(Mp4Index.parse(
       VideoFixtures.mp4V0("isom", 600, 1200, 64, 64)).isEmpty)
+    // a tiny hostile stts declaring 2^31-ish samples refuses BEFORE
+    // any allocation (the cap checks the run-count sum first)
+    val bomb = VideoFixtures.mp4Stbl("isom", 600, "avc1", 8, 8,
+      sttsRuns = Seq((1000000000, 1L), (1000000000, 1L)),
+      sizes = Seq(1L), stscRuns = Seq((1, 1)), chunkOffsets = Seq(0L))
+    val ex = intercept[IllegalArgumentException] { Mp4Index.parse(bomb) }
+    assert(ex.getMessage.contains("cap 8M"))
   }
 }

@@ -52,6 +52,11 @@ class RobotsTxtSpec extends SparkSpec {
     val meta = Seq(Rule(false, "/a.b(c)+"))
     assert(!RobotsTxt.isAllowed(meta, "/a.b(c)+/d"))
     assert(RobotsTxt.isAllowed(meta, "/aXb(c)+/d"))
+    // implementer limits: a hostile kilobyte-plus wildcard pattern is
+    // skipped at parse (conservative: unparsed rules don't disallow)
+    val hostile = "User-agent: *\nDisallow: /" + ("a*" * 600) + "\n" +
+      "Disallow: /real\n"
+    assert(RobotsTxt.rulesFor(hostile, "x") == Seq(Rule(false, "/real")))
   }
 
   test("withAllowed: broadcast rule join, per-URL decision, ruleless hosts allow") {

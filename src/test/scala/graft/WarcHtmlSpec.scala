@@ -50,6 +50,25 @@ class WarcHtmlSpec extends SparkSpec {
       .getBytes("US-ASCII")
     val r = Warc.parseFile("f", resource)
     assert(r.size == 1 && r.head.httpStatus == 0 && r.head.body == "hello")
+    // hostile Content-Length values refuse loudly, never overflow
+    for (cl <- Seq("99999999999999999999", "-3", "12x")) {
+      intercept[IllegalArgumentException] {
+        Warc.parseFile("f", ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"Content-Length: $cl\r\n\r\nhello\r\n\r\n").getBytes("US-ASCII"))
+      }
+    }
+  }
+
+  test("gzip expansion cap fires on decompression bombs") {
+    // 1 MiB of zeros compresses to ~1 KiB; a 1000-byte cap must trip
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(new Array[Byte](1 << 20)); gz.close()
+    intercept[IllegalArgumentException] {
+      Warc.gunzipAll(bos.toByteArray, maxBytes = 1000)
+    }
+    // and stays silent for honest payloads
+    assert(Warc.gunzipAll(bos.toByteArray).length == (1 << 20))
   }
 
   test("extractText: dead subtrees, blocks, entities, single-pass decode") {
