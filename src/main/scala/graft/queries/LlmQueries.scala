@@ -637,6 +637,57 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // The crawl pipeline END-TO-END in one plan: documents → WARC
+    // archive (per-record gzip members) → record parse with the
+    // charset ladder → boilerplate-stripped extraction → RFC 9309
+    // robots decision on the synthesized host/path — the composition
+    // a user of this library actually runs, gated as one row. Every
+    // stage reuses the individually-proven kernels (q267/q268/q272),
+    // and the oracle recomputes the whole chain symbolically.
+    "q276_crawl_pipeline" -> ((s, d) => {
+      import graft.sources.Warc
+      import graft.llm.{HtmlText, RobotsTxt}
+      val sess = s
+      import sess.implicits._
+      val hosts = Seq("a.com", "b.com", "c.com")
+      val pages = documents(s, d).filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val enc = r.getString(1).replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          (s"http://${hosts((id % 3).toInt)}/sec${id % 7}/doc$id",
+           s"<html><head><title>doc $id</title><script>var x=1;" +
+             s"</script></head><body><p>$enc</p><div>" +
+             "<a href=\"/x\">more link text here</a></div>" +
+             "<!-- footer --></body></html>")
+        }.toSeq
+      val warc = Warc.fixture(pages, gzipPerRecord = true)
+      val parsed = Seq(("crawl.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .filter(col("httpStatus") === 200)
+        .select(
+          regexp_extract(col("targetUri"), "/doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("targetUri"), "^http://([^/]+)", 1).as("host"),
+          regexp_extract(col("targetUri"), "^http://[^/]+(/.*)$", 1)
+            .as("path"),
+          col("body"))
+      val extracted = HtmlText.extract(parsed, "doc_id", "body")
+        .select(col("id").as("doc_id"), col("text"), col("link_density"))
+        .join(parsed.select(col("doc_id"), col("host"), col("path")),
+          Seq("doc_id"))
+      val robots = Seq(
+        ("a.com", "User-agent: *\nDisallow: /sec1\nAllow: /sec1/doc4*\n"),
+        ("b.com", "User-agent: graftbot\nDisallow: /sec5\n" +
+          "User-agent: *\nDisallow: /\n")).toDF("rhost", "content")
+      RobotsTxt.withAllowed(extracted, "host", "path", robots,
+          "rhost", "content", "graftbot")
+        .select(col("doc_id"), col("host"), col("allowed"),
+          length(col("text")).as("n_chars"), col("link_density"))
+    }),
+
     // Charset-resolution ladder over crawl bytes: BOMs (UTF-8/16LE/
     // 16BE), the HTTP charset param, the meta prescan, strict-UTF-8
     // content sniff, windows-1252 fallback — each branch staged with
@@ -2050,6 +2101,28 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q276: the chain recomputed symbolically — extraction length
+    // from the q268 round-trip expression, link density as the
+    // 19-char anchor fraction, and the robots decision replayed as
+    // per-host CASE logic (graftbot gets a.com's * group and b.com's
+    // named group; c.com has no robots).
+    "q276_crawl_pipeline" ->
+      """WITH x AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+        |         ELSE 'c.com' END AS host,
+        |    trim(regexp_replace('doc ' || doc_id || ' ' || text ||
+        |      ' more link text here', '[ \t\r\n]+', ' ', 'g')) AS extracted
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, host,
+        |  CASE host
+        |    WHEN 'a.com' THEN CASE WHEN doc_id % 7 = 1
+        |      THEN starts_with(CAST(doc_id AS VARCHAR), '4') ELSE TRUE END
+        |    WHEN 'b.com' THEN doc_id % 7 != 5
+        |    ELSE TRUE END AS allowed,
+        |  CAST(len(extracted) AS INT) AS n_chars,
+        |  round(19.0 / len(extracted), 4) AS link_density
+        |FROM x""".stripMargin,
+
     // q275: expected strings assemble from chr() codepoints (9731 ☃,
     // 233 é, 8220/8221 curly quotes) so both engines compare
     // identical Unicode, never bytes.
