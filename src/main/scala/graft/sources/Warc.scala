@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.mutable.ArrayBuffer
 
 /** WARC (ISO 28500) reader — the container web crawls (Common Crawl)
   * actually ship. A WARC file is a sequence of records, each
@@ -11,77 +10,283 @@ import scala.collection.mutable.ArrayBuffer
   * its own member and concatenate, which `GZIPInputStream` walks
   * natively.
   *
-  * `records` is the Spark path: a binaryFile scan over the .warc[.gz]
-  * glob, one task per file (the Common Crawl layout — thousands of
-  * ~1 GB segment files — parallelizes at file grain; records never
-  * shuffle), flatMapping each file into response rows with the HTTP
-  * envelope split off: (file, record_offset ordinal, target_uri,
-  * warc_date, http_status, content_type, body). Non-response records
-  * (warcinfo, request, metadata) are filtered at parse time so the
-  * scan emits only what a text pipeline consumes.
+  * The walk is a STREAMING record iterator ([[responses]]): parse one
+  * record's headers, read exactly Content-Length payload bytes, emit,
+  * move on — per-task memory is O(largest record), never O(file).
+  * Real Common-Crawl segments are ~1 GB gzip expanding 3-5x; the old
+  * inflate-whole-file-then-index shape demanded that whole expansion
+  * per concurrent task, this shape never holds more than one record
+  * plus stream buffers. A cumulative decompressed-byte cap still
+  * guards the decompression-bomb OOM primitive.
   *
-  * Bodies decode charset-aware ([[graft.llm.Charsets.decodeHtml]]:
-  * BOM > HTTP charset param > meta prescan > strict-UTF-8 sniff >
-  * windows-1252 fallback), so legacy pages don't silently mangle.
+  * `records` is the Spark path: the driver lists the glob (file
+  * STATUSES only — thousands of segment names, not bytes), and each
+  * task opens its files via Hadoop FileSystem streams, feeding the
+  * record walker directly — the file's bytes are never materialized
+  * either compressed or decompressed, and files larger than the
+  * 2 GiB `binaryFile` ceiling stream fine. One task per file (the
+  * Common Crawl layout parallelizes at file grain; records never
+  * shuffle). Non-response records (warcinfo, request, metadata) are
+  * filtered at parse time.
+  *
+  * Textual bodies decode charset-aware
+  * ([[graft.llm.Charsets.decodeHtml]]: BOM > HTTP charset param >
+  * meta prescan > strict-UTF-8 sniff > windows-1252 fallback), so
+  * legacy pages don't silently mangle; clearly-binary content types
+  * (application/pdf, images, …) keep raw payload bytes in
+  * `bodyBytes` instead — a charset ladder over a PDF would destroy
+  * it.
   */
 object Warc {
 
   case class WarcResponse(file: String, ordinal: Int, targetUri: String,
                           warcDate: String, httpStatus: Int,
-                          contentType: String, body: String)
+                          contentType: String, body: String,
+                          bodyBytes: Array[Byte])
 
-  /** All records of one (possibly multi-member-gzipped) WARC file. */
-  def parseFile(name: String, bytes: Array[Byte]): Seq[WarcResponse] = {
-    val raw = if (isGzip(bytes)) gunzipAll(bytes) else bytes
-    val out = ArrayBuffer[WarcResponse]()
-    var pos = 0
-    var ordinal = 0
-    while (pos < raw.length) {
-      // tolerate stray CRLF padding between records
-      while (pos < raw.length && (raw(pos) == '\r' || raw(pos) == '\n'))
-        pos += 1
-      if (pos >= raw.length) return out.toSeq
-      val (headers, bodyStart) = readHeaders(raw, pos, "WARC record")
-      require(headers.getOrElse("__version", "").startsWith("WARC/1"),
-        s"$name: record at $pos lacks a WARC/1.x version line")
-      val lenStr = headers.getOrElse("content-length",
-        throw new IllegalArgumentException(
-          s"$name: record at $pos lacks Content-Length")).trim
-      require(lenStr.nonEmpty && lenStr.length <= 18 &&
-        lenStr.forall(_.isDigit),
-        s"$name: record at $pos has malformed Content-Length '$lenStr'")
-      val lenL = lenStr.toLong
-      require(lenL <= Int.MaxValue && bodyStart + lenL <= raw.length,
-        s"$name: record at $pos truncated (len=$lenL)")
-      val len = lenL.toInt
-      val wtype = headers.getOrElse("warc-type", "")
-      if (wtype == "response") {
-        val uri = headers.getOrElse("warc-target-uri", "")
-        val date = headers.getOrElse("warc-date", "")
-        val (status, ctype, payload) = splitHttp(raw, bodyStart, len)
-        // charset-aware decode (BOM > header param > meta prescan >
-        // strict-UTF-8 sniff > windows-1252) — see graft.llm.Charsets
-        out += WarcResponse(name, ordinal, uri, date, status, ctype,
-          graft.llm.Charsets.decodeHtml(payload, ctype)._1)
-      }
-      ordinal += 1
-      pos = bodyStart + len
-    }
-    out.toSeq
+  /** Default cumulative decompressed-byte cap per file. Crawl
+    * archives are untrusted; an unbounded inflate is a
+    * decompression-bomb OOM primitive inside a task. Real segments
+    * never approach 2 GiB decoded; bombs hit it and fail loudly. */
+  private[graft] val MaxExpansion: Long = 2L << 30
+
+  private val MaxHeaderBlock = 1 << 20 // hostile-input bound per record
+
+  /** All records of one (possibly multi-member-gzipped) WARC file,
+    * materialized — fixture/spec ergonomics. The Spark paths use the
+    * streaming [[responses]] directly so rows flow through without
+    * the per-file Seq. */
+  def parseFile(name: String, bytes: Array[Byte]): Seq[WarcResponse] =
+    responses(name, new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** The streaming record walker. Detects per-record-member gzip by
+    * magic, then iterates records incrementally; at most ONE
+    * record's payload is in memory at a time. All structural
+    * violations (missing version line, malformed or >Int.MaxValue
+    * Content-Length, truncation mid-record, oversized header block,
+    * cumulative decompression beyond `maxBytes`) refuse loudly with
+    * IllegalArgumentException. */
+  def responses(name: String, rawIn: java.io.InputStream,
+                maxBytes: Long = MaxExpansion): Iterator[WarcResponse] = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(rawIn, 65536), 2)
+    val b0 = pb.read()
+    val b1 = if (b0 >= 0) pb.read() else -1
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    // the bomb cap meters DECOMPRESSED bytes; plain streams are not
+    // amplified so they pass through unmetered (records stay
+    // individually bounded by the Content-Length cap)
+    val decoded: java.io.InputStream =
+      if (b0 == 0x1F && b1 == 0x8B)
+        new BoundedInput(
+          new java.util.zip.GZIPInputStream(pb, 65536), name, maxBytes)
+      else pb
+    new RecordIterator(name,
+      new java.io.PushbackInputStream(decoded, 1))
   }
 
-  /** header block at `pos`: first line is kept under `__version`,
-    * the rest lowercase-keyed; returns (headers, body offset). */
-  private def readHeaders(b: Array[Byte], pos: Int,
-                          what: String): (Map[String, String], Int) = {
-    var i = pos
-    var first = true
+  /** Counts bytes read and refuses past `max` — the decompression-
+    * bomb guard, applied to the inflated side of the gzip stream. */
+  private final class BoundedInput(in: java.io.InputStream, name: String,
+                                   max: Long) extends java.io.InputStream {
+    private var total = 0L
+    private def bump(n: Int): Unit = {
+      total += n
+      require(total <= max,
+        s"$name: gzip expansion exceeds $max bytes (decompression bomb?)")
+    }
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) bump(1); b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); if (n > 0) bump(n); n
+    }
+    override def close(): Unit = in.close()
+  }
+
+  private final class RecordIterator(name: String,
+                                     in: java.io.PushbackInputStream)
+      extends Iterator[WarcResponse] {
+    private var nextResp: WarcResponse = null
+    private var done = false
+    private var ordinal = 0
+    private var pos = 0L // decoded-stream offset, for loud messages
+
+    private def read1(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+
+    // lazy by one: nothing is read from the stream until asked — a
+    // consumer that stops after k records never pays for record k+1
+    def hasNext: Boolean = {
+      if (nextResp == null && !done) advance()
+      nextResp != null
+    }
+
+    def next(): WarcResponse = {
+      if (!hasNext) throw new NoSuchElementException("WARC iterator")
+      val r = nextResp
+      nextResp = null
+      r
+    }
+
+    private def advance(): Unit = {
+      nextResp = null
+      while (nextResp == null && !done) {
+        // tolerate stray CRLF padding between records
+        var b = read1()
+        while (b == '\r' || b == '\n') b = read1()
+        if (b < 0) { done = true; return }
+        in.unread(b); pos -= 1
+        val recStart = pos
+        val headers = readHeaderBlock(recStart)
+        require(headers.getOrElse("__version", "").startsWith("WARC/1"),
+          s"$name: record at $recStart lacks a WARC/1.x version line")
+        val lenStr = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"$name: record at $recStart lacks Content-Length")).trim
+        require(lenStr.nonEmpty && lenStr.length <= 18 &&
+          lenStr.forall(_.isDigit),
+          s"$name: record at $recStart has malformed Content-Length '$lenStr'")
+        val lenL = lenStr.toLong
+        require(lenL <= Int.MaxValue,
+          s"$name: record at $recStart declares a $lenL-byte payload " +
+            s"(per-record cap ${Int.MaxValue})")
+        val len = lenL.toInt
+        if (headers.getOrElse("warc-type", "") == "response") {
+          val rec = readFully(len, recStart)
+          val uri = headers.getOrElse("warc-target-uri", "")
+          val date = headers.getOrElse("warc-date", "")
+          val (status, ctype, payload) = splitHttp(rec)
+          if (isTextual(ctype))
+            // charset-aware decode (BOM > header param > meta prescan
+            // > strict-UTF-8 sniff > windows-1252) — graft.llm.Charsets
+            nextResp = WarcResponse(name, ordinal, uri, date, status,
+              ctype, graft.llm.Charsets.decodeHtml(payload, ctype)._1, null)
+          else
+            nextResp = WarcResponse(name, ordinal, uri, date, status,
+              ctype, null, payload)
+        } else skipFully(len, recStart)
+        ordinal += 1
+      }
+    }
+
+    /** header lines to the blank terminator; first line keeps its
+      * raw form under `__version`, the rest lowercase-keyed. */
+    private def readHeaderBlock(recStart: Long): Map[String, String] = {
+      val m = Map.newBuilder[String, String]
+      var first = true
+      var total = 0
+      while (true) {
+        val line = readLine()
+        total += line.length + 2
+        require(total <= MaxHeaderBlock,
+          s"$name: record at $recStart header block exceeds $MaxHeaderBlock bytes")
+        if (line.isEmpty) return m.result()
+        if (first) { m += "__version" -> line; first = false }
+        else {
+          val c = line.indexOf(':')
+          if (c > 0)
+            m += line.substring(0, c).toLowerCase.trim ->
+              line.substring(c + 1).trim
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** One CRLF-terminated line; a lone CR stays in the line. Bytes
+      * above 0x7F decode as U+FFFD (US-ASCII semantics — WARC headers
+      * are ASCII by spec). */
+    private def readLine(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var b = read1()
+      while (true) {
+        require(b >= 0, s"$name: unterminated WARC record header")
+        if (b == '\r') {
+          val n = read1()
+          if (n == '\n') return sb.toString
+          require(n >= 0, s"$name: unterminated WARC record header")
+          sb.append('\r')
+          b = n
+        } else {
+          sb.append(if (b <= 0x7F) b.toChar else '\uFFFD')
+          b = read1()
+        }
+      }
+      ""
+    }
+
+    private def readFully(len: Int, recStart: Long): Array[Byte] = {
+      val buf = new Array[Byte](len)
+      var got = 0
+      while (got < len) {
+        val n = in.read(buf, got, len - got)
+        require(n >= 0, s"$name: record at $recStart truncated (len=$len)")
+        got += n
+        pos += n
+      }
+      buf
+    }
+
+    private def skipFully(len: Int, recStart: Long): Unit = {
+      val scratch = new Array[Byte](math.min(len, 65536))
+      var got = 0
+      while (got < len) {
+        val n = in.read(scratch, 0, math.min(scratch.length, len - got))
+        require(n >= 0, s"$name: record at $recStart truncated (len=$len)")
+        got += n
+        pos += n
+      }
+    }
+  }
+
+  /** Content types whose payload goes through the charset ladder;
+    * everything else (pdf, images, audio, …) stays raw bytes. */
+  private[graft] def isTextual(ctype: String): Boolean = {
+    val c = ctype.toLowerCase(java.util.Locale.ROOT)
+    c.isEmpty || c.startsWith("text/") || c.contains("html") ||
+      c.contains("xml") || c.contains("json")
+  }
+
+  /** Split an HTTP response message into (status, content-type,
+    * payload). The record's bytes are standalone, so the header scan
+    * is bounded by the record: a body that looks like HTTP but never
+    * terminates its header block inside the record (it would have
+    * run into the NEXT record under an unbounded scan) comes back as
+    * non-HTTP — status 0 with the raw body, like resource records. */
+  private[graft] def splitHttp(rec: Array[Byte]): (Int, String, Array[Byte]) = {
+    if (rec.length < 12 || !(rec(0) == 'H' && rec(1) == 'T' &&
+        rec(2) == 'T' && rec(3) == 'P'))
+      return (0, "", rec)
+    val term = blankLineAt(rec)
+    if (term < 0) return (0, "", rec)
+    val headers = parseHttpHeaders(rec, term)
+    val status = headers.getOrElse("__version", "").split(' ') match {
+      case parts if parts.length >= 2 && parts(1).nonEmpty &&
+          parts(1).forall(_.isDigit) && parts(1).length <= 9 =>
+        parts(1).toInt
+      case _ => 0
+    }
+    (status, headers.getOrElse("content-type", ""),
+      java.util.Arrays.copyOfRange(rec, term + 4, rec.length))
+  }
+
+  /** Offset of the `\r\n\r\n` header terminator, or -1. */
+  private def blankLineAt(rec: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < rec.length) {
+      if (rec(i) == '\r' && rec(i + 1) == '\n' &&
+          rec(i + 2) == '\r' && rec(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseHttpHeaders(rec: Array[Byte],
+                               term: Int): Map[String, String] = {
+    val block = new String(rec, 0, term, java.nio.charset.StandardCharsets.US_ASCII)
     val m = Map.newBuilder[String, String]
-    while (true) {
-      val eol = lineEnd(b, i)
-      require(eol >= 0, s"unterminated $what header")
-      val line = new String(b, i, eol - i, "US-ASCII")
-      if (line.isEmpty) return (m.result(), eol + 2)
+    var first = true
+    block.split("\r\n").foreach { line =>
       if (first) { m += "__version" -> line; first = false }
       else {
         val c = line.indexOf(':')
@@ -89,77 +294,54 @@ object Warc {
           m += line.substring(0, c).toLowerCase.trim ->
             line.substring(c + 1).trim
       }
-      i = eol + 2
     }
-    throw new IllegalStateException("unreachable")
+    m.result()
   }
 
-  private def lineEnd(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 1 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n') return i
-      i += 1
-    }
-    -1
-  }
-
-  /** Split an HTTP response message into (status, content-type,
-    * payload). A record whose body is not HTTP (e.g. resource
-    * records) comes back as status 0 with the raw body. */
-  private def splitHttp(b: Array[Byte], start: Int,
-                        len: Int): (Int, String, Array[Byte]) = {
-    val end = start + len
-    if (len < 12 || !(b(start) == 'H' && b(start + 1) == 'T' &&
-        b(start + 2) == 'T' && b(start + 3) == 'P'))
-      return (0, "", java.util.Arrays.copyOfRange(b, start, end))
-    val (headers, bodyStart) = readHeaders(b, start, "HTTP response")
-    val status = headers("__version").split(' ') match {
-      case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
-        parts(1).toInt
-      case _ => 0
-    }
-    (status, headers.getOrElse("content-type", ""),
-      java.util.Arrays.copyOfRange(b, math.min(bodyStart, end), end))
-  }
-
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
-
-  /** Inflate ALL members of a concatenated gzip stream, with a hard
-    * expansion cap — crawl archives are untrusted, and an unbounded
-    * inflate is a decompression-bomb OOM primitive inside a task.
-    * 2 GiB-per-file is ~2000x a typical segment's record; real WARCs
-    * never approach it, bombs hit it immediately and fail loudly. */
-  private[graft] def gunzipAll(b: Array[Byte],
-                                 maxBytes: Long = 2L << 30): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var total = 0L
-    var n = in.read(buf)
-    while (n >= 0) {
-      total += n
-      require(total <= maxBytes,
-        s"gzip expansion exceeds $maxBytes bytes (decompression bomb?)")
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    out.toByteArray
-  }
-
-  /** The distributed scan: binaryFile over the glob, one flatMap task
-    * per file. Filters (status, content-type) are cheap post-parse
-    * selections — at crawl scale, push a path-level partition filter
-    * into the glob instead. */
+  /** The distributed scan: the driver expands the glob to file names
+    * (statuses only — cheap even at 100k segment files), tasks open
+    * Hadoop FileSystem streams and walk records incrementally.
+    * Filters (status, content-type) are cheap post-parse selections —
+    * at crawl scale, push a path-level partition filter into the glob
+    * instead. */
   def records(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => parseFile(path, bytes) }
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = glob.getFileSystem(conf.value)
+    val matched = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    val bconf = spark.sparkContext.broadcast(conf)
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val fp = new org.apache.hadoop.fs.Path(p)
+          val in = fp.getFileSystem(bconf.value.value).open(fp)
+          closeOnExhaust(responses(p, in), in)
+        }
+      }
       .toDF()
   }
+
+  /** Wraps a record iterator so the underlying stream closes when
+    * the walk completes (or the file is empty). */
+  private def closeOnExhaust(it: Iterator[WarcResponse],
+                             in: java.io.InputStream): Iterator[WarcResponse] =
+    new Iterator[WarcResponse] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; in.close() }
+        h
+      }
+      def next(): WarcResponse = it.next()
+    }
 
   // ---------------------------------------------------------------- fixture
 
@@ -168,21 +350,37 @@ object Warc {
   case class Page(uri: String, html: String, status: Int = 200,
                   contentType: String = "text/html; charset=utf-8")
 
+  /** One fixture response with a raw byte payload — binary content
+    * types (application/pdf, …). */
+  case class RawPage(uri: String, payload: Array[Byte], status: Int = 200,
+                     contentType: String = "application/octet-stream")
+
   /** Fixture writer: a warcinfo record, then per page a request
     * record (which the reader must skip) and a response record
-    * wrapping an HTTP 200 message. `gzipPerRecord` concatenates one
-    * gzip member per record — the Common Crawl layout. */
+    * wrapping an HTTP message. `gzipPerRecord` concatenates one gzip
+    * member per record — the Common Crawl layout. */
   def fixture(pages: Seq[(String, String)],
               gzipPerRecord: Boolean = false): Array[Byte] =
     fixtureOf(pages.map { case (u, h) => Page(u, h) }, gzipPerRecord)
 
   def fixtureOf(pages: Seq[Page],
-                gzipPerRecord: Boolean = false): Array[Byte] = {
-    def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+                gzipPerRecord: Boolean = false): Array[Byte] =
+    fixtureRaw(pages.map { pg =>
+      RawPage(pg.uri,
+        pg.html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        pg.status, pg.contentType)
+    }, gzipPerRecord)
+
+  def fixtureRaw(pages: Seq[RawPage],
+                 gzipPerRecord: Boolean = false): Array[Byte] = {
+    import scala.collection.mutable.ArrayBuffer
+    def record(headers: Seq[(String, String)],
+               body: Array[Byte]): Array[Byte] = {
       val h = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
       h.append(s"Content-Length: ${body.length}\r\n\r\n")
-      h.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+      h.toString.getBytes("US-ASCII") ++ body ++
+        "\r\n\r\n".getBytes("US-ASCII")
     }
     val info = record(Seq(
       "WARC-Type" -> "warcinfo",
@@ -198,12 +396,11 @@ object Warc {
         "WARC-Record-ID" -> f"<urn:uuid:req-$i%08d>"),
         s"GET ${pg.uri} HTTP/1.1\r\nHost: example.com\r\n\r\n"
           .getBytes("US-ASCII"))
-      val payload = pg.html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val reason = if (pg.status == 200) "OK" else "NOK"
       val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
         s"Content-Type: ${pg.contentType}\r\n" +
-        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
-        payload
+        s"Content-Length: ${pg.payload.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ pg.payload
       recs += record(Seq(
         "WARC-Type" -> "response",
         "WARC-Target-URI" -> pg.uri,

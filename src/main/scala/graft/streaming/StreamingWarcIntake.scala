@@ -59,7 +59,10 @@ object StreamingWarcIntake {
     import spark.implicits._
     val responses = files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => Warc.parseFile(path, bytes) }
+      // streaming record walk: rows flow out of the iterator one at
+      // a time, never a per-file Seq of decoded pages
+      .flatMap { case (path, bytes) =>
+        Warc.responses(path, new java.io.ByteArrayInputStream(bytes)) }
       .toDF()
       .filter(col("httpStatus") === 200 &&
         col("contentType").startsWith("text/html"))

@@ -59,17 +59,9 @@ class WarcHtmlSpec extends SparkSpec {
     }
   }
 
-  test("gzip expansion cap fires on decompression bombs") {
-    // 1 MiB of zeros compresses to ~1 KiB; a 1000-byte cap must trip
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(new Array[Byte](1 << 20)); gz.close()
-    intercept[IllegalArgumentException] {
-      Warc.gunzipAll(bos.toByteArray, maxBytes = 1000)
-    }
-    // and stays silent for honest payloads
-    assert(Warc.gunzipAll(bos.toByteArray).length == (1 << 20))
-  }
+  // NOTE: the decompression-bomb cap, record laziness and the
+  // bounded HTTP header scan are covered in WarcStreamingSpec (the
+  // walker replaced the whole-file gunzipAll in round 13).
 
   test("extractText: dead subtrees, blocks, entities, single-pass decode") {
     val html = """<html><head><title>T</title><script>var a = "<p>";</script>
@@ -82,6 +74,51 @@ class WarcHtmlSpec extends SparkSpec {
     assert(HtmlText.extractText("no tags at all") == "no tags at all")
     // unknown entity stays literal; unterminated & stays literal
     assert(HtmlText.extractText("<p>&bogus; A&B</p>") == "&bogus; A&B")
+  }
+
+  test("entities: HTML 4 Latin-1 + punctuation blocks decode; surrogates stay literal") {
+    assert(HtmlText.extractText("caf&eacute; &mdash; fin&hellip;") ==
+      "café — fin…")
+    assert(HtmlText.extractText("&copy; &laquo;x&raquo; &euro;5 &trade;") ==
+      "© «x» €5 ™")
+    assert(HtmlText.extractText("&Eacute;&szlig;&ndash;&ldquo;q&rdquo;") ==
+      "Éß–“q”")
+    // numeric refs in the surrogate range stay literal (a lone
+    // surrogate is malformed UTF-16); boundaries still decode
+    assert(HtmlText.extractText("a&#xD800;b&#55296;c") ==
+      "a&#xD800;b&#55296;c")
+    assert(HtmlText.extractText("&#xD7FF;&#xE000;") == "\uD7FF\uE000")
+  }
+
+  test("hostile input: thousands of unclosed dead openers stay linear") {
+    // Each unclosed <script> made the old reluctant regex rescan to
+    // EOF: 50k openers x 500 KB ~ minutes. The linear scan memoizes
+    // the exhausted close-search, so this completes in millis; the
+    // output contract (openers stripped as plain tags, text kept)
+    // is unchanged from the regex semantics.
+    val hostile = "<script>" * 50000 + "x" * 100000
+    val t0 = System.nanoTime()
+    val got = HtmlText.extractText(hostile)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got == "x" * 100000)
+    assert(sec < 20.0, f"dead-subtree strip took $sec%.1f s")
+    // unclosed comment floods are the same window; same bound
+    // (smaller than the script flood: with no '>' in the input the
+    // generic tag-strip regex is itself quadratic, which is not the
+    // pass under test here)
+    val t1 = System.nanoTime()
+    val got2 = HtmlText.extractText("<!--" * 5000 + "y")
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    assert(got2.endsWith("y") && sec2 < 20.0)
+    // and complete subtrees/comments still strip to one space
+    assert(HtmlText.extractText(
+      "a<script >var j;</script>b<!-- c -->d<style>s</style>e") == "a b d e")
+    // mixed-case close, whitespace before '>', attrs on the opener
+    assert(HtmlText.extractText(
+      "a<SCRIPT src='x'>j</ScRiPt >b<noscript>n</NOSCRIPT>c") == "a b c")
+    // unclosed opener stays literal as a tag (stripped by the plain
+    // tag pass, which inserts no space), content kept
+    assert(HtmlText.extractText("a<script>rest shows") == "arest shows")
   }
 
   test("linkDensity: anchored fraction of extracted characters") {
