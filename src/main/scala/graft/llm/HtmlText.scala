@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * SUBTREES (their text is never content), (3) block-level tags
   * (p/div/br/h1-6/li/tr/table/…) become newlines so words from
   * adjacent blocks don't fuse, (4) every remaining tag is stripped,
-  * (5) character entities decode in ONE left-to-right pass (named
-  * core set + decimal/hex numeric — single-pass means `&amp;lt;`
-  * decodes to the literal `&lt;`, never double-decodes), (6)
+  * (5) character entities decode in ONE left-to-right pass (the
+  * core set + the HTML 4 Latin-1 and punctuation blocks +
+  * decimal/hex numeric, surrogate refs excluded — single-pass means
+  * `&amp;lt;` decodes to the literal `&lt;`, never double-decodes), (6)
   * ASCII whitespace collapses to single spaces (ASCII-only so SQL
   * oracles can replay the normalization byte-for-byte).
   *
@@ -27,16 +28,143 @@ import org.apache.spark.sql.functions._
   */
 object HtmlText {
 
-  private val Comment = "(?s)<!--.*?-->".r
-  private val Dead = "(?is)<(script|style|noscript)\\b[^>]*>.*?</\\1\\s*>".r
   private val Block = ("(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|" +
     "section|article|header|footer|blockquote|pre|form|nav|aside)\\b[^>]*>").r
   private val AnyTag = "(?s)<[^>]*>".r
   private val Anchor = "(?is)<a\\b[^>]*>(.*?)</a\\s*>".r
   private val Ws = "[ \\t\\r\\n]+".r
 
-  private val Named = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
-    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+  /** Comment removal as a single left-to-right scan: each complete
+    * `<!-- -->` becomes one space; an unclosed `<!--` stays literal
+    * (the later tag strip eats its prefix) — the same semantics the
+    * old reluctant regex had, without its hostile-input cost (a page
+    * of N unclosed `<!--` openers made the regex rescan to EOF per
+    * opener, O(N * page)). */
+  private[graft] def stripComments(s: String): String = {
+    var i = s.indexOf("<!--")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (i >= 0) {
+      val close = s.indexOf("-->", i + 4)
+      if (close < 0) i = -1 // unclosed: rest stays literal
+      else {
+        sb.append(s, pos, i).append(' ')
+        pos = close + 3
+        i = s.indexOf("<!--", pos)
+      }
+    }
+    sb.append(s, pos, s.length)
+    sb.toString
+  }
+
+  private val DeadTags = Array("script", "style", "noscript")
+
+  /** Dead-subtree (script/style/noscript) removal as a linear scan.
+    * Matches the old regex contract exactly — a complete
+    * `<tag ...> ... </tag >` subtree (case-insensitive, minimal
+    * close) becomes one space; an opener with no valid close stays
+    * literal — but amortizes to O(n): once a close-search for a tag
+    * exhausts the document, later openers of that tag skip the
+    * search (`noClose`), killing the O(n*k) window a page of
+    * thousands of unclosed `<script>` tags opened against the
+    * reluctant regex. */
+  private[graft] def stripDead(s: String): String = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length)
+    val noClose = new Array[Boolean](DeadTags.length)
+    var pos = 0
+    var i = lower.indexOf('<')
+    while (i >= 0) {
+      var matchedEnd = -1
+      var t = 0
+      while (matchedEnd < 0 && t < DeadTags.length) {
+        val tag = DeadTags(t)
+        val after = i + 1 + tag.length
+        // `<tag` + word boundary (the regex's \b), then `[^>]*>`
+        if (lower.startsWith(tag, i + 1) &&
+            (after >= lower.length || !isWordChar(lower.charAt(after)))) {
+          val gt = lower.indexOf('>', after)
+          if (gt >= 0 && !noClose(t)) {
+            val closeTok = "</" + tag
+            var closeEnd = -1
+            var c = lower.indexOf(closeTok, gt + 1)
+            while (closeEnd < 0 && c >= 0) {
+              var j = c + closeTok.length
+              while (j < lower.length && (lower.charAt(j) == ' ' ||
+                     lower.charAt(j) == '\t' || lower.charAt(j) == '\r' ||
+                     lower.charAt(j) == '\n')) j += 1
+              if (j < lower.length && lower.charAt(j) == '>') closeEnd = j + 1
+              else c = lower.indexOf(closeTok, c + 1)
+            }
+            if (closeEnd >= 0) matchedEnd = closeEnd
+            else noClose(t) = true
+          }
+        }
+        t += 1
+      }
+      if (matchedEnd >= 0) {
+        sb.append(s, pos, i).append(' ')
+        pos = matchedEnd
+        i = lower.indexOf('<', matchedEnd)
+      } else i = lower.indexOf('<', i + 1)
+    }
+    if (pos == 0) s
+    else { sb.append(s, pos, s.length); sb.toString }
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+    (c >= '0' && c <= '9') || c == '_'
+
+  private def stripDeadAndComments(s: String): String =
+    stripDead(stripComments(s))
+
+  /** HTML 4 Latin-1 entity names, in codepoint order 0xA1..0xFF. */
+  private val Latin1Names = Array(
+    "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect", "uml",
+    "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+    "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+    "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+    "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+    "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+    "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+    "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+    "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+    "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth",
+    "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+    "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn",
+    "yuml")
+
+  /** HTML 4 "special" punctuation / Latin Extended block — the
+    * entities legacy pages actually use (&mdash; &hellip; &euro; …)
+    * that previously survived as literals into training text. */
+  private val SpecialNames: Map[String, Int] = Map(
+    "OElig" -> 0x152, "oelig" -> 0x153, "Scaron" -> 0x160,
+    "scaron" -> 0x161, "Yuml" -> 0x178, "fnof" -> 0x192,
+    "circ" -> 0x2C6, "tilde" -> 0x2DC, "ensp" -> 0x2002,
+    "emsp" -> 0x2003, "thinsp" -> 0x2009, "zwnj" -> 0x200C,
+    "zwj" -> 0x200D, "lrm" -> 0x200E, "rlm" -> 0x200F,
+    "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+    "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+    "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+    "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+    "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+    "lsaquo" -> 0x2039, "rsaquo" -> 0x203A, "oline" -> 0x203E,
+    "frasl" -> 0x2044, "euro" -> 0x20AC, "trade" -> 0x2122,
+    "minus" -> 0x2212)
+
+  // nbsp maps to a PLAIN space deliberately: the extractor's output
+  // is whitespace-normalized training text, and a U+00A0 surviving
+  // ASCII-only collapse would fuse words across the nbsp.
+  private val Named: Map[String, Char] = {
+    require(Latin1Names.length == 95, s"Latin-1 table ${Latin1Names.length}")
+    Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
+        "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ') ++
+      Latin1Names.zipWithIndex.map { case (n, k) => n -> (0xA1 + k).toChar } ++
+      SpecialNames.map { case (n, cp) => n -> cp.toChar }
+  }
 
   /** One left-to-right entity-decode pass; unknown entities stay
     * literal. */
@@ -62,7 +190,11 @@ object HtmlText {
               else if (num.nonEmpty && num.forall(_.isDigit))
                 Some(num.toInt)
               else None
-            cp.filter(v => v > 0 && v < 0x10000).map(_.toChar)
+            // surrogate codepoints (0xD800-0xDFFF) stay literal: a
+            // lone surrogate is malformed UTF-16 that breaks
+            // downstream encoders/hashes on the extracted text
+            cp.filter(v => v > 0 &&
+              (v < 0xD800 || (v >= 0xE000 && v < 0x10000))).map(_.toChar)
           } else None
         decoded match {
           case Some(ch) => sb.append(ch); i = semi + 1
@@ -79,7 +211,7 @@ object HtmlText {
   /** The extracted, entity-decoded, whitespace-collapsed text. */
   def extractText(html: String): String = {
     if (html == null) return null
-    val noDead = Dead.replaceAllIn(Comment.replaceAllIn(html, " "), " ")
+    val noDead = stripDeadAndComments(html)
     val blocked = Block.replaceAllIn(noDead, "\n")
     val stripped = AnyTag.replaceAllIn(blocked, "")
     Ws.replaceAllIn(decodeEntities(stripped), " ").trim
@@ -89,7 +221,7 @@ object HtmlText {
     * 0.0 for link-free or empty documents. */
   def linkDensity(html: String): Double = {
     if (html == null) return 0.0
-    val noDead = Dead.replaceAllIn(Comment.replaceAllIn(html, " "), " ")
+    val noDead = stripDeadAndComments(html)
     val total = extractText(html).length
     if (total == 0) return 0.0
     val linked = Anchor.findAllMatchIn(noDead).map { m =>

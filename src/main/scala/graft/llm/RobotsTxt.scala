@@ -71,6 +71,20 @@ object RobotsTxt {
     groups.toSeq
   }
 
+  /** `Sitemap:` directives — RFC 9309 non-group records, global to
+    * the file and independent of any user-agent group. These seed
+    * the crawl-frontier walk (see [[graft.sources.Frontier]]);
+    * hostile-length values are skipped like oversized rules. */
+  def sitemaps(content: String): Seq[String] =
+    content.split("\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty && v.length <= 2048) Some(v) else None
+      } else None
+    }
+
   /** The rules governing `agent`: its named group if one exists,
     * else the `*` group, else no rules (all allowed). */
   def rulesFor(content: String, agent: String): Seq[Rule] = {
@@ -81,10 +95,15 @@ object RobotsTxt {
       .map(_.rules).getOrElse(Seq.empty)
   }
 
-  /** RFC 9309 pattern → a FULL-match regex over the whole path:
-    * `*` is any run, a trailing `$` anchors the end (no trailing
-    * `.*`), everything else is literal prefix-matched (so the
-    * unanchored form ends `.*`). */
+  /** RFC 9309 pattern → a regex over the whole path: `*` is any
+    * run, a trailing `$` anchors the end (kept as a literal `$` in
+    * the regex — harmless under full-match `String.matches`, and
+    * REQUIRED under find-semantics matchers like Spark's
+    * `regexp_like`, where an unanchored `^/a/.*3` from the rule
+    * "slash-a-slash-star-3-dollar" would wrongly prefix-match
+    * `/a/x3.txt`), everything
+    * else is literal prefix-matched (the unanchored form ends
+    * `.*`). */
   def toRegex(pattern: String): String = {
     val anchored = pattern.endsWith("$")
     val body = if (anchored) pattern.dropRight(1) else pattern
@@ -95,7 +114,7 @@ object RobotsTxt {
         sb.append('\\').append(ch)
       case ch => sb.append(ch)
     }
-    if (!anchored) sb.append(".*")
+    sb.append(if (anchored) "$" else ".*")
     sb.toString
   }
 

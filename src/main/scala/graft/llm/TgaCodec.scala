@@ -58,11 +58,14 @@ object TgaCodec {
     require(w.toLong * h <= 64000000L, s"TGA $w x $h too large")
 
     var pos = 18 + idLen
+    require(pos <= b.length, s"TGA ID field (len=$idLen) overruns the file")
     val cm: Array[Int] = if (cmType == 1) {
       require(cmLen > 0 && cmLen <= 256 && cmFirst == 0,
         s"TGA color map first=$cmFirst len=$cmLen unsupported")
       require(cmBits == 24 || cmBits == 32, s"TGA map entry $cmBits bits")
       val bytes = cmBits / 8
+      require(pos + cmLen.toLong * bytes <= b.length,
+        s"TGA color map ($cmLen x $bytes bytes) overruns the file")
       val m = new Array[Int](cmLen * 4)
       var i = 0
       while (i < cmLen) {

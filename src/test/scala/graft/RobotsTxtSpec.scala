@@ -68,6 +68,9 @@ class RobotsTxtSpec extends SparkSpec {
       (2L, "x.com", "/search"),
       (3L, "x.com", "/search/about"),
       (4L, "x.com", "/tmp/old.bak"),
+      // $-anchored rule must NOT match a path extending past the
+      // anchor under regexp_like's find semantics (the Spark path)
+      (7L, "x.com", "/tmp/old.bak.txt"),
       (5L, "empty.com", "/anything"),
       (6L, "norobots.com", "/whatever")).toDF("id", "host", "path")
     val got = RobotsTxt.withAllowed(urls, "host", "path",
@@ -75,7 +78,7 @@ class RobotsTxtSpec extends SparkSpec {
       .select(col("id"), col("allowed")).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
-      5L -> true, 6L -> true))
+      7L -> true, 5L -> true, 6L -> true))
     val plan = RobotsTxt.withAllowed(urls, "host", "path",
       robotsDf, "host", "content", "otherbot")
       .queryExecution.executedPlan.toString

@@ -74,5 +74,13 @@ class TgaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TgaCodec.decode(java.util.Arrays.copyOf(rle, rle.length - 4))
     }
+    // truncated color map refuses loudly (IllegalArgumentException,
+    // not an array bounds error): cut a palette fixture mid-map
+    val pal = (0 until 16).map(i => (i * 16, 255 - i * 16, i, 255))
+    val palTga = TgaCodec.encodePalette(4, 4, pal,
+      (x, y) => (x + y) % 16)
+    intercept[IllegalArgumentException] {
+      TgaCodec.decode(java.util.Arrays.copyOf(palTga, 18 + 8))
+    }
   }
 }
