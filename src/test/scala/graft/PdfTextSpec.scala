@@ -1,0 +1,157 @@
+package graft
+
+import graft.llm.PdfText
+
+/** PDF text extraction: fixture round-trips (raw + Flate, WinAnsi
+  * high bytes through octal escapes, multi-page), the content-stream
+  * operator contract (Td, TD, T-star, Tm, quote ops, TJ, hex
+  * strings), /Differences
+  * encodings, and the loud refusals (encryption, xref streams,
+  * non-Flate filters, Type0, MacRoman). */
+class PdfTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixture round-trip: lines, pages, flate x raw, indirect /Length") {
+    for (flate <- Seq(false, true)) {
+      val pdf = PdfText.fixture(Seq(
+        Seq("first line", "second (with) parens", "back\\slash"),
+        Seq("page two")), flate = flate)
+      assert(PdfText.isPdf(pdf))
+      val pages = PdfText.pages(pdf)
+      assert(pages == Seq(
+        "first line\nsecond (with) parens\nback\\slash", "page two"),
+        s"flate=$flate")
+      assert(PdfText.extractText(pdf) ==
+        "first line\nsecond (with) parens\nback\\slash\n\npage two")
+    }
+  }
+
+  test("WinAnsi high bytes survive the octal-escape round trip") {
+    val text = "café — €5 ™ Šœž"
+    val pdf = PdfText.fixture(Seq(Seq(text)))
+    assert(PdfText.extractText(pdf) == text)
+    // unmappable chars refuse at WRITE time (fixture is honest)
+    intercept[IllegalArgumentException] {
+      PdfText.fixture(Seq(Seq("snowman ☃")))
+    }
+  }
+
+  // ---- hand-built single-page PDFs for operator-level control ----
+
+  private def rawPdf(content: String,
+                     fontDict: String = "<< /Type /Font /Subtype /Type1 " +
+                       "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+                     filterStr: String = "",
+                     trailerExtra: String = ""): Array[Byte] = {
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+      s"<< /Length ${content.length}$filterStr >>\nstream\n$content\nendstream",
+      fontDict)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = objs.zipWithIndex.map { case (o, i) =>
+      val off = sb.length
+      sb.append(s"${i + 1} 0 obj\n$o\nendobj\n")
+      off
+    }
+    val xref = sb.length
+    sb.append(s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R " +
+      s"$trailerExtra>>\nstartxref\n$xref\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  test("operator contract: Td/TD/T*/Tm line moves, '/\"/TJ shows, hex strings") {
+    val content = "BT /F1 12 Tf 72 720 Td (first) Tj " +
+      "10 0 Td ( same line) Tj " +
+      "0 -14 Td (second) Tj " +
+      "T* (third) Tj " +
+      "1 0 0 1 72 600 Tm (fourth) Tj " +
+      "(fifth) ' " +
+      "(x) (y) (sixth) \" " +
+      "[(kerned) -150 (words) 20 (glued)] TJ " +
+      "T* <68656C6C6F> Tj " +
+      "T* (\\101\\102 \\(esc\\)) Tj ET"
+    assert(PdfText.extractText(rawPdf(content)) ==
+      "first same line\nsecond\nthird\nfourth\nfifth\n" +
+      "sixthkerned wordsglued\nhello\nAB (esc)")
+  }
+
+  test("encodings: Standard quotes by default; /Differences override") {
+    // no /Encoding => StandardEncoding: 0x27 is quoteright, 0x60 quoteleft
+    val std = rawPdf("BT /F1 12 Tf (it's \\140quoted\\47) Tj ET",
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    assert(PdfText.extractText(std) == "it’s ‘quoted’")
+    val diff = rawPdf("BT /F1 12 Tf (AB C) Tj ET",
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 65 /eacute /emdash /unknowable ] >> >>")
+    // A->é, B->—, C (67) -> the unknown glyph maps to U+FFFD
+    assert(PdfText.extractText(diff) == "é— �")
+  }
+
+  test("refusals: encryption, xref streams, filters, Type0, MacRoman") {
+    val enc = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT (x) Tj ET",
+        trailerExtra = "/Encrypt 5 0 R "))
+    }
+    assert(enc.getMessage.contains("encrypted"))
+    val xs = intercept[IllegalArgumentException] {
+      // startxref pointing at an object => 1.5-style xref stream shape
+      PdfText.extractText(
+        "%PDF-1.4\n1 0 obj\n<< >>\nendobj\nstartxref\n9\n%%EOF\n"
+          .getBytes("US-ASCII"))
+    }
+    assert(xs.getMessage.contains("STREAMS"))
+    val flt = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT (x) Tj ET",
+        filterStr = " /Filter /LZWDecode"))
+    }
+    assert(flt.getMessage.contains("filter"))
+    val t0 = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
+        fontDict = "<< /Type /Font /Subtype /Type0 /BaseFont /X >>"))
+    }
+    assert(t0.getMessage.contains("Type0"))
+    val mac = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
+        fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /MacRomanEncoding >>"))
+    }
+    assert(mac.getMessage.contains("MacRoman"))
+    intercept[IllegalArgumentException] {
+      PdfText.extractText("not a pdf".getBytes("US-ASCII"))
+    }
+  }
+
+  test("incremental update: /Prev xref chain, newest entry wins") {
+    val base = new String(rawPdf("BT /F1 12 Tf (old text) Tj ET"),
+      "ISO-8859-1")
+    val oldXref = "startxref\\n(\\d+)".r.findFirstMatchIn(base).get.group(1)
+    val newContent = "BT /F1 12 Tf (new text) Tj ET"
+    val sb = new StringBuilder(base)
+    val obj4Off = sb.length
+    sb.append(s"4 0 obj\n<< /Length ${newContent.length} >>\n" +
+      s"stream\n$newContent\nendstream\nendobj\n")
+    val xref2 = sb.length
+    sb.append(f"xref\n4 1\n$obj4Off%010d 00000 n \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xref2\n%%EOF\n")
+    assert(PdfText.extractText(sb.toString.getBytes("ISO-8859-1")) ==
+      "new text")
+  }
+
+  test("extract(): narrow dataframe path") {
+    val rows = Seq(
+      (1L, PdfText.fixture(Seq(Seq("doc one", "line two")))),
+      (2L, PdfText.fixture(Seq(Seq("p1"), Seq("p2"), Seq("p3")))))
+      .toDF("doc_id", "pdf")
+    val got = PdfText.extract(rows, "doc_id", "pdf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(got(0) == ((1L, 1, "doc one\nline two")))
+    assert(got(1) == ((2L, 3, "p1\n\np2\n\np3")))
+  }
+}
