@@ -5,14 +5,16 @@ import scala.collection.mutable.ArrayBuffer
 /** Dependency-free baseline-TIFF codec (TIFF 6.0).
   *
   * Decode covers the honest web/scan-crawl matrix: both byte orders
-  * (`II`/`MM`), strip-organized chunky data, compressions 1 (none),
-  * 5 (TIFF-variant LZW with early code-width change), 8/32946
-  * (Deflate/ZLib), 32773 (PackBits), horizontal-differencing
-  * predictor 2, photometric 0/1 (bilevel + grayscale, raw samples),
-  * 2 (RGB) and 3 (palette, expanded through the 16-bit ColorMap),
-  * at 1/8/16-bit sample depths. Tiled TIFF, planar configuration 2
-  * and CCITT/JPEG-in-TIFF refuse loudly — the latter are genuinely
-  * codec-bound.
+  * (`II`/`MM`), strip- AND tile-organized chunky data (tags 322-325,
+  * edge tiles clip-scattered), compressions 1 (none), 2/3/4 (CCITT
+  * MH / T.4 1-D / T.6 — see [[CcittCodec]]; the scanned-document
+  * corpus staple), 5 (TIFF-variant LZW with early code-width
+  * change), 8/32946 (Deflate/ZLib), 32773 (PackBits),
+  * horizontal-differencing predictor 2, photometric 0/1 (bilevel +
+  * grayscale, raw samples), 2 (RGB) and 3 (palette, expanded through
+  * the 16-bit ColorMap), at 1/8/16-bit sample depths. Planar
+  * configuration 2, G3 2-D and JPEG-in-TIFF refuse loudly — the
+  * last is genuinely codec-bound.
   *
   * The encoder exists for fixtures (the GIF/JPEG pattern): it writes
   * the same matrix so specs can cross-validate bit-exactly against
@@ -131,7 +133,19 @@ object TiffCodec {
     val comp = one(259, 1L).toInt
     val photo = one(262, 1L).toInt
     require(photo >= 0 && photo <= 3,
-      s"TIFF photometric $photo unsupported (CCITT/YCbCr are codec-bound)")
+      s"TIFF photometric $photo unsupported (YCbCr is codec-bound)")
+    val t4Opts = one(292, 0L)
+    if (comp == 2 || comp == 3 || comp == 4) {
+      require(bits == 1 && spp == 1 && photo == 0,
+        s"TIFF CCITT needs bilevel WhiteIsZero (bits=$bits spp=$spp photo=$photo)")
+      // T4Options: bit 0 = 2-D coding (supported), bit 2 = fill bits
+      // (tolerated by the EOL scanner); uncompressed-mode bit 1 and
+      // anything else refuse. T6Options must be 0.
+      require(comp != 3 || (t4Opts & ~5L) == 0L,
+        s"TIFF T4Options $t4Opts unsupported")
+      require(comp != 4 || one(293, 0L) == 0L,
+        s"TIFF T6Options ${one(293, 0L)} unsupported")
+    }
     require(photo != 3 || (spp == 1 && bits <= 8), "malformed palette TIFF")
     val planar = one(284, 1L).toInt
     require(planar == 1, s"TIFF planar configuration $planar unsupported")
@@ -140,21 +154,6 @@ object TiffCodec {
       s"TIFF predictor $predictor unsupported")
     require(predictor == 1 || bits == 8,
       s"TIFF predictor 2 with $bits-bit samples unsupported")
-    require(!tags.contains(322) && !tags.contains(323),
-      "tiled TIFF unsupported (strip organization only)")
-
-    val offsets = all(273)
-    val counts = all(279)
-    require(offsets.size == counts.size && offsets.nonEmpty,
-      "TIFF strip offsets/counts mismatch")
-    val rps0 = one(278, 0xFFFFFFFFL)
-    val rps = if (rps0 <= 0 || rps0 > h) h else rps0.toInt
-    require((h + rps - 1) / rps == offsets.size,
-      s"TIFF strip count ${offsets.size} inconsistent with rows-per-strip $rps")
-
-    val rowBytes = (w.toLong * spp * bits + 7) / 8
-    require(rowBytes <= Int.MaxValue / 2, "TIFF row too wide")
-
     val cm: Array[Int] = if (photo == 3) {
       val raw = all(320)
       val n = 1 << bits
@@ -164,32 +163,36 @@ object TiffCodec {
 
     val chans = if (photo == 3) 3 else spp
     val out = new Array[Float](w * h * chans)
-    var row = 0
-    var strip = 0
-    while (strip < offsets.size) {
-      val sRows = math.min(rps, h - row)
-      val expect = (rowBytes * sRows).toInt
-      val off = offsets(strip)
-      val len = counts(strip)
-      require(off + len <= b.length, s"TIFF strip $strip out of range")
-      val data = comp match {
+
+    /** Decompress one segment (strip or tile) of segW x segRows. */
+    def segment(off: Long, len: Long, segW: Int, segRows: Int,
+                segRowBytes: Int, what: String): Array[Byte] = {
+      require(off + len <= b.length, s"TIFF $what out of range")
+      val expect = segRowBytes * segRows
+      comp match {
         case 1 =>
-          require(len >= expect, s"TIFF strip $strip short (${len} < $expect)")
+          require(len >= expect, s"TIFF $what short ($len < $expect)")
           java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + expect)
+        case 2 | 3 | 4 =>
+          CcittCodec.decode(b, off.toInt, len.toInt, segW, segRows, comp,
+            g3TwoD = comp == 3 && (t4Opts & 1L) != 0L)
         case 5 => lzwDecode(b, off.toInt, len.toInt, expect)
         case 8 | 32946 => inflate(b, off.toInt, len.toInt, expect)
         case 32773 => packBitsDecode(b, off.toInt, len.toInt, expect)
         case c => throw new IllegalArgumentException(
-          s"TIFF compression $c unsupported (1/5/8/32773/32946)")
+          s"TIFF compression $c unsupported (1/2/3/4/5/8/32773/32946)")
       }
-      if (predictor == 2) undoPredictor(data, rowBytes.toInt, sRows, spp)
-      // scatter the strip's samples into the output plane
+    }
+
+    /** Clip-scatter a decoded segment at (rowOff, colOff). */
+    def scatter(data: Array[Byte], segRows: Int, segRowBytes: Int,
+                rowOff: Int, colOff: Int, segW: Int): Unit = {
       var r = 0
-      while (r < sRows) {
-        val base = r * rowBytes.toInt
+      while (r < segRows && rowOff + r < h) {
+        val base = r * segRowBytes
         var x = 0
-        while (x < w) {
-          val pix = (row + r) * w + x
+        while (x < segW && colOff + x < w) {
+          val pix = (rowOff + r) * w + (colOff + x)
           if (photo == 3) {
             val idx = sampleAt(data, base, x, 0, 1, bits, rd.le)
             require(idx < (1 << bits), "palette index out of range")
@@ -209,8 +212,59 @@ object TiffCodec {
         }
         r += 1
       }
-      row += sRows
-      strip += 1
+    }
+
+    val tiled = tags.contains(322) || tags.contains(324)
+    if (tiled) {
+      val tw = one(322).toInt
+      val th = one(323).toInt
+      require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+        s"TIFF tile geometry $tw x $th (must be positive multiples of 16)")
+      val tOffs = all(324)
+      val tCnts = all(325)
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      require(tOffs.size == across.toLong * down &&
+        tCnts.size == tOffs.size,
+        s"TIFF tile count ${tOffs.size} != $across x $down")
+      val tileRowBytes = (tw.toLong * spp * bits + 7) / 8
+      require(tileRowBytes * th <= Int.MaxValue / 2, "TIFF tile too large")
+      var ty = 0
+      while (ty < down) {
+        var tx = 0
+        while (tx < across) {
+          val ti = ty * across + tx
+          val data = segment(tOffs(ti), tCnts(ti), tw, th,
+            tileRowBytes.toInt, s"tile $ti")
+          if (predictor == 2)
+            undoPredictor(data, tileRowBytes.toInt, th, spp)
+          scatter(data, th, tileRowBytes.toInt, ty * th, tx * tw, tw)
+          tx += 1
+        }
+        ty += 1
+      }
+    } else {
+      val offsets = all(273)
+      val counts = all(279)
+      require(offsets.size == counts.size && offsets.nonEmpty,
+        "TIFF strip offsets/counts mismatch")
+      val rps0 = one(278, 0xFFFFFFFFL)
+      val rps = if (rps0 <= 0 || rps0 > h) h else rps0.toInt
+      require((h + rps - 1) / rps == offsets.size,
+        s"TIFF strip count ${offsets.size} inconsistent with rows-per-strip $rps")
+      val rowBytes = (w.toLong * spp * bits + 7) / 8
+      require(rowBytes <= Int.MaxValue / 2, "TIFF row too wide")
+      var row = 0
+      var strip = 0
+      while (strip < offsets.size) {
+        val sRows = math.min(rps, h - row)
+        val data = segment(offsets(strip), counts(strip), w, sRows,
+          rowBytes.toInt, s"strip $strip")
+        if (predictor == 2) undoPredictor(data, rowBytes.toInt, sRows, spp)
+        scatter(data, sRows, rowBytes.toInt, row, 0, w)
+        row += sRows
+        strip += 1
+      }
     }
     (w, h, out)
   }
@@ -269,7 +323,7 @@ object TiffCodec {
     while (i < end && o < expect) {
       val n = b(i).toInt; i += 1
       if (n >= 0) { // literal run of n + 1 bytes
-        require(i + n < end + 1 && o + n + 1 <= expect, "PackBits overrun")
+        require(i + n + 1 <= end && o + n + 1 <= expect, "PackBits overrun")
         System.arraycopy(b, i, out, o, n + 1); i += n + 1; o += n + 1
       } else if (n != -128) { // repeat next byte 1 - n times
         require(i < end && o + (1 - n) <= expect, "PackBits overrun")
@@ -435,14 +489,18 @@ object TiffCodec {
 
   // ---------------------------------------------------------------- encode
 
-  /** Fixture-encoder options. `compression`: 1 none, 5 LZW, 8
+  /** Fixture-encoder options. `compression`: 1 none, 2/3/4 CCITT
+    * (MH / T.4 1-D / T.6 — bilevel WhiteIsZero only), 5 LZW, 8
     * Deflate, 32773 PackBits. `predictor` 2 requires 8-bit samples
-    * and LZW/Deflate (the spec's pairing). */
+    * and LZW/Deflate (the spec's pairing). `tile` > 0 writes tiled
+    * organization (tag 322/323/324/325) with that square tile edge
+    * (a multiple of 16) instead of strips. */
   case class Options(littleEndian: Boolean = true,
                      compression: Int = 1,
                      predictor: Int = 1,
                      rowsPerStrip: Int = 0, // 0 = single strip
-                     orientation: Int = 0)  // 0 = omit tag 274
+                     orientation: Int = 0,  // 0 = omit tag 274
+                     tile: Int = 0)         // 0 = strips
 
   /** RGB 8-bit chunky. */
   def encodeRgb(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int),
@@ -548,23 +606,77 @@ object TiffCodec {
     require(opts.predictor == 1 ||
       (bits == 8 && (opts.compression == 5 || opts.compression == 8)),
       "predictor 2 pairs with 8-bit LZW/Deflate")
+    val ccitt = opts.compression == 2 || opts.compression == 3 ||
+      opts.compression == 4
+    require(!ccitt || (bits == 1 && spp == 1 && photo == 0 &&
+      opts.predictor == 1),
+      "CCITT encodes bilevel WhiteIsZero only")
     val le = opts.littleEndian
     val rowBytes = (w * spp * bits + 7) / 8
-    val rps = if (opts.rowsPerStrip <= 0) h else math.min(opts.rowsPerStrip, h)
-    val nStrips = (h + rps - 1) / rps
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rps, h - s * rps)
-      var d = java.util.Arrays.copyOfRange(raw, s * rps * rowBytes,
-        (s * rps + rows) * rowBytes)
-      if (opts.predictor == 2) d = applyPredictor(d, rowBytes, rows, spp)
+
+    def compress(d: Array[Byte], segW: Int, segRows: Int): Array[Byte] =
       opts.compression match {
         case 1 => d
+        case 2 | 3 | 4 => CcittCodec.encode(d, segW, segRows, opts.compression)
         case 5 => lzwEncode(d)
         case 8 => deflate(d)
         case 32773 => packBitsEncode(d)
         case c => throw new IllegalArgumentException(s"encoder compression $c")
       }
+
+    val tiled = opts.tile > 0
+    require(!tiled || opts.tile % 16 == 0, "tile edge must be a multiple of 16")
+    val (segs, rps, tilesAcross, tilesDown) = if (tiled) {
+      val t = opts.tile
+      val across = (w + t - 1) / t
+      val down = (h + t - 1) / t
+      val tileRowBytes = (t * spp * bits + 7) / 8
+      val out = for (ty <- 0 until down; tx <- 0 until across) yield {
+        // full t x t tile, zero-padded at right/bottom edges
+        val buf = new Array[Byte](tileRowBytes * t)
+        var r = 0
+        while (r < t && ty * t + r < h) {
+          if (bits % 8 == 0) {
+            val bytesPerPix = spp * bits / 8
+            val n = math.min(t, w - tx * t) * bytesPerPix
+            System.arraycopy(raw,
+              (ty * t + r) * rowBytes + tx * t * bytesPerPix,
+              buf, r * tileRowBytes, n)
+          } else { // 1-bit: re-pack bit by bit across the column cut
+            var x = 0
+            while (x < t && tx * t + x < w) {
+              val srcX = tx * t + x
+              val bit = (raw((ty * t + r) * rowBytes + (srcX >> 3)) >>
+                (7 - (srcX & 7))) & 1
+              if (bit != 0) {
+                val i = r * tileRowBytes + (x >> 3)
+                buf(i) = (buf(i) | (1 << (7 - (x & 7)))).toByte
+              }
+              x += 1
+            }
+          }
+          r += 1
+        }
+        var d = buf
+        if (opts.predictor == 2) d = applyPredictor(d, tileRowBytes, t, spp)
+        compress(d, t, t)
+      }
+      (out, 0, across, down)
+    } else {
+      val rps0 = if (opts.rowsPerStrip <= 0) h
+                 else math.min(opts.rowsPerStrip, h)
+      val nStrips = (h + rps0 - 1) / rps0
+      val out = (0 until nStrips).map { s =>
+        val rows = math.min(rps0, h - s * rps0)
+        var d = java.util.Arrays.copyOfRange(raw, s * rps0 * rowBytes,
+          (s * rps0 + rows) * rowBytes)
+        if (opts.predictor == 2) d = applyPredictor(d, rowBytes, rows, spp)
+        compress(d, w, rows)
+      }
+      (out, rps0, 0, 0)
     }
+    val strips = segs
+    val nStrips = segs.size
 
     val out = new ArrayBuffer[Byte]()
     def w16(v: Int): Unit =
@@ -587,15 +699,25 @@ object TiffCodec {
       E(259, 3, Seq(opts.compression)),
       E(262, 3, Seq(photo)),
       E(277, 3, Seq(spp)),
-      E(278, 4, Seq(rps)),
       E(284, 3, Seq(1L))
     )
     if (opts.predictor == 2) entries :+= E(317, 3, Seq(2L))
     if (opts.orientation > 0) entries :+= E(274, 3, Seq(opts.orientation))
     if (cm != null) entries :+= E(320, 3, cm.map(_.toLong).toSeq)
-    // strip offsets/counts get placeholders patched below
-    entries :+= E(273, 4, Seq.fill(nStrips)(0L))
-    entries :+= E(279, 4, strips.map(_.length.toLong))
+    if (opts.compression == 3) entries :+= E(292, 4, Seq(0L)) // 1-D, no fill
+    if (opts.compression == 4) entries :+= E(293, 4, Seq(0L))
+    // segment offsets get placeholders patched below
+    val offsetsTag = if (tiled) 324 else 273
+    if (tiled) {
+      entries :+= E(322, 3, Seq(opts.tile.toLong))
+      entries :+= E(323, 3, Seq(opts.tile.toLong))
+      entries :+= E(324, 4, Seq.fill(nStrips)(0L))
+      entries :+= E(325, 4, strips.map(_.length.toLong))
+    } else {
+      entries :+= E(278, 4, Seq(rps))
+      entries :+= E(273, 4, Seq.fill(nStrips)(0L))
+      entries :+= E(279, 4, strips.map(_.length.toLong))
+    }
     entries = entries.sortBy(_.tag)
 
     val ifdAt = out.length
@@ -649,7 +771,7 @@ object TiffCodec {
         bytes(at + 3) = (vv & 0xFF).toByte
       }
     }
-    val at273 = entryAt(273)
+    val at273 = entryAt(offsetsTag)
     if (nStrips == 1) patch32(at273, stripAt(0))
     else {
       // indirect: the offset field points at the tail array we wrote

@@ -203,6 +203,17 @@ class TiffCodecSpec extends AnyFunSuite {
     check(bos.toByteArray, w, h, want, "jdk-written uncompressed")
   }
 
+  test("PackBits literal run is bounded by the strip, not its neighbor") {
+    // [2, a, b, c] = literal run of 3: legal when it ends the strip
+    val buf = Array[Byte](9, 9, 2, 10, 11, 12, 7, 7)
+    assert(TiffCodec.packBitsDecode(buf, 2, 4, 3).toSeq == Seq(10, 11, 12))
+    // declared len 3 but the run needs 4 bytes: must refuse, never
+    // read the neighbor byte (the old off-by-one allowed i+n == end)
+    intercept[IllegalArgumentException] {
+      TiffCodec.packBitsDecode(buf, 2, 3, 3)
+    }
+  }
+
   test("unsupported shapes refuse loudly") {
     intercept[IllegalArgumentException] {
       TiffCodec.decode(Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0))
