@@ -637,6 +637,143 @@ object LlmQueries {
       NearDup.crossDocGramStats(documents(s, d), "doc_id", "text", k = 8)
     }),
 
+    // PDF text extraction, gated sample-exact: fixture PDFs built
+    // from REAL document text (two pages, Flate streams, indirect
+    // /Length, a WinAnsi high-byte line through octal escapes),
+    // walked back through xref → page tree → content-stream
+    // interpreter. The oracle reconstructs every page's text
+    // symbolically — chr() for the non-ASCII — so an xref, Flate,
+    // escape, encoding or line-contract bug breaks the hash. The
+    // 50-row collect builds the FIXTURE, not the result.
+    "q278_pdf_extract" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixture(Seq(
+            Seq(s"doc $id", r.getString(1), "café — fin"),
+            Seq(s"page two of doc $id"))))
+        }.toSeq
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("n_pages"), col("text"))
+    }),
+
+    // Crawl content-type branch: one WARC archive carrying BOTH
+    // text/html and application/pdf responses (per-record gzip
+    // members); html bodies ride the charset ladder into HtmlText,
+    // pdf bodies stay raw bytes into PdfText — the dispatch a real
+    // intake runs. Oracle replays both branches from the documents
+    // table.
+    "q279_crawl_pdf_branch" -> ((s, d) => {
+      import graft.sources.Warc
+      import graft.llm.{HtmlText, PdfText}
+      val sess = s
+      import sess.implicits._
+      val pages = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          if (id % 2 == 0)
+            Warc.RawPage(s"http://example.com/doc$id.pdf",
+              PdfText.fixture(Seq(Seq(s"doc $id", r.getString(1)))),
+              contentType = "application/pdf")
+          else {
+            val enc = r.getString(1).replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            Warc.RawPage(s"http://example.com/doc$id.html",
+              s"<html><body><p>$enc</p></body></html>"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              contentType = "text/html; charset=utf-8")
+          }
+        }.toSeq
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      val parsed = Seq(("mixed.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) =>
+          Warc.responses(n, new java.io.ByteArrayInputStream(b)) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+          col("contentType"), col("body"), col("bodyBytes"))
+      val htmlSide = HtmlText.extract(
+          parsed.filter(col("contentType").startsWith("text/html"))
+            .select(col("doc_id"), col("body")), "doc_id", "body")
+        .select(col("id").as("doc_id"), lit("html").as("kind"),
+          col("text"))
+      val pdfSide = PdfText.extract(
+          parsed.filter(col("contentType") === "application/pdf")
+            .select(col("doc_id"), col("bodyBytes")), "doc_id", "bodyBytes")
+        .select(col("id").as("doc_id"), lit("pdf").as("kind"), col("text"))
+      htmlSide.unionByName(pdfSide)
+    }),
+
+    // Crawl-frontier composition: robots Sitemap: directives seed a
+    // sitemapindex walk (child urlsets, a self-referencing cycle cut
+    // by the visited set, an unfetched child dropped), terminal URL
+    // entries canonicalize (utm strip, param sort, www./:80 strip)
+    // and dedup with the min-(url,source) keeper, and every kept URL
+    // carries the RFC 9309 decision for the agent. The oracle
+    // reconstructs the whole frontier from the id formulas.
+    "q277_crawl_frontier" -> ((s, d) => {
+      import graft.sources.{Frontier, Sitemap}
+      val sess = s
+      import sess.implicits._
+      val aRobots = "User-agent: *\nDisallow: /sec3\n" +
+        "Sitemap: http://a.com/smi.xml\n"
+      val bRobots = "User-agent: graftbot\nDisallow: /sec1\n\n" +
+        "User-agent: *\nDisallow: /\n" +
+        "Sitemap: http://b.com/sm0.xml\n"
+      val robots = Seq(("a.com", aRobots), ("b.com", bRobots))
+        .toDF("rhost", "content")
+      def urlset(ids: Range, host: String) = Sitemap.fixture(
+        ids.map { id =>
+          (s"http://$host/sec${id % 7}/doc$id?b=2&a=1&utm_x=1",
+           if (id % 4 != 1) Some(f"2026-02-${id % 28 + 1}%02d") else None,
+           None,
+           if (id % 5 != 0) Some((id % 10) / 10.0) else None)
+        })
+      def bareset(ids: Range, host: String) = Sitemap.fixture(
+        ids.map { id =>
+          (s"http://$host/sec${id % 7}/doc$id",
+           if (id % 4 != 1) Some(f"2026-02-${id % 28 + 1}%02d") else None,
+           None,
+           if (id % 5 != 0) Some((id % 10) / 10.0) else None)
+        })
+      val smi = Sitemap.fixture(Seq(
+        ("http://a.com/sm1.xml", None, None, None),
+        ("http://a.com/sm2.xml", None, None, None),
+        ("http://a.com/smi.xml", None, None, None), // cycle: must be cut
+        ("http://a.com/missing.xml", None, None, None)), // never fetched
+        index = true)
+      // sm2 carries pages 40-79 AND re-lists pages 0-9 under noisy
+      // spellings (www. prefix, :80 port, different utm param): the
+      // canonical dedup must fold those onto sm1's rows
+      val sm2 = Sitemap.fixture(
+        (40 until 80).map { id =>
+          (s"http://a.com/sec${id % 7}/doc$id?b=2&a=1&utm_x=1",
+           if (id % 4 != 1) Some(f"2026-02-${id % 28 + 1}%02d") else None,
+           Option.empty[String],
+           if (id % 5 != 0) Some((id % 10) / 10.0) else None)
+        } ++ (0 until 10).map { id =>
+          (s"http://www.a.com:80/sec${id % 7}/doc$id?a=1&b=2&utm_y=2",
+           Option.empty[String], Option.empty[String], Option.empty[Double])
+        })
+      val fetched = Seq(
+        ("http://a.com/smi.xml", smi),
+        ("http://a.com/sm1.xml", urlset(0 until 40, "a.com")),
+        ("http://a.com/sm2.xml", sm2),
+        ("http://b.com/sm0.xml", bareset(80 until 120, "b.com")))
+        .toDF("url", "xml")
+      Frontier.build(robots, "rhost", "content",
+          fetched, "url", "xml", "graftbot")
+        .select(col("host"), col("url"), col("canonical_url"),
+          col("source_sitemap"), col("lastmod"), col("priority"),
+          col("allowed"))
+    }),
+
     // The crawl pipeline END-TO-END in one plan: documents → WARC
     // archive (per-record gzip members) → record parse with the
     // charset ladder → boilerplate-stripped extraction → RFC 9309
@@ -823,7 +960,8 @@ object LlmQueries {
             .replace("<", "&lt;").replace(">", "&gt;")
           (s"http://example.com/doc/$id",
            s"<html><head><title>doc $id</title><script>var x=1;" +
-             s"</script></head><body><p>$enc</p><div>" +
+             s"</script></head><body><p>$enc</p>" +
+             "<p>caf&eacute; &mdash; fin&hellip;</p><div>" +
              "<a href=\"/x\">more link text here</a></div>" +
              "<!-- footer --></body></html>")
         }.toSeq
@@ -2101,6 +2239,62 @@ object LlmQueries {
     // arrays; a gram is duplicated iff it occurs in >= 2 distinct
     // docs. md5 digests only (never gram text) cross the aggregations,
     // exactly as the Spark side computes.
+    // q278: every page's text reconstructs symbolically — the title
+    // line, the raw document text (PDF extraction does NOT collapse
+    // whitespace, so the oracle uses text verbatim), the WinAnsi
+    // line via chr(), and the page separator chr(10)||chr(10).
+    "q278_pdf_extract" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_pages,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  'caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
+        |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q279: even ids went out as PDFs (title line + raw text),
+    // odd ids as HTML (entity round-trip, whitespace-collapsed).
+    "q279_crawl_pdf_branch" ->
+      """SELECT doc_id, 'pdf' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'html' AS kind,
+        |  trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
+        |FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1""".stripMargin,
+
+    // q277: the frontier reconstructs entirely from the id formulas —
+    // a.com ids 0-79 (ids 0-9's noisy re-listings fold onto sm1's
+    // rows: min-(url,source) keeper), b.com ids 80-119; canonical =
+    // utm params stripped + params sorted; allowed replays the *
+    // group for a.com (graftbot unnamed there) and the named group
+    // for b.com. The cycle and the unfetched child contribute rows
+    // ONLY if the guard fails — which would break the hash.
+    "q277_crawl_frontier" ->
+      """WITH ids AS (SELECT unnest(range(120)) AS id)
+        |SELECT 'a.com' AS host,
+        |  'http://a.com/sec' || (id % 7) || '/doc' || id ||
+        |    '?b=2&a=1&utm_x=1' AS url,
+        |  'http://a.com/sec' || (id % 7) || '/doc' || id ||
+        |    '?a=1&b=2' AS canonical_url,
+        |  CASE WHEN id < 40 THEN 'http://a.com/sm1.xml'
+        |       ELSE 'http://a.com/sm2.xml' END AS source_sitemap,
+        |  CASE WHEN id % 4 != 1
+        |       THEN '2026-02-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+        |  END AS lastmod,
+        |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
+        |  (id % 7) != 3 AS allowed
+        |FROM ids WHERE id < 80
+        |UNION ALL
+        |SELECT 'b.com' AS host,
+        |  'http://b.com/sec' || (id % 7) || '/doc' || id AS url,
+        |  'http://b.com/sec' || (id % 7) || '/doc' || id AS canonical_url,
+        |  'http://b.com/sm0.xml' AS source_sitemap,
+        |  CASE WHEN id % 4 != 1
+        |       THEN '2026-02-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+        |  END AS lastmod,
+        |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
+        |  (id % 7) != 1 AS allowed
+        |FROM ids WHERE id >= 80""".stripMargin,
+
     // q276: the chain recomputed symbolically — extraction length
     // from the q268 round-trip expression, link density as the
     // 19-char anchor fraction, and the robots decision replayed as
@@ -2194,12 +2388,16 @@ object LlmQueries {
         |FROM documents WHERE doc_id < 60""".stripMargin,
 
     // q268: the extraction must return the ORIGINAL text (the
-    // entity round-trip), prefixed by the title word and suffixed by
+    // entity round-trip), prefixed by the title word, followed by
+    // the non-core-entity paragraph (&eacute; &mdash; &hellip;
+    // decode via the HTML 4 named tables — chr() replays them) and
     // the anchor chrome, whitespace-collapsed; link density is the
     // 19-char anchor over the extracted length.
     "q268_html_extract" ->
       """WITH x AS (SELECT doc_id,
         |    trim(regexp_replace('doc ' || doc_id || ' ' || text ||
+        |      ' caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
+        |      chr(8230) ||
         |      ' more link text here', '[ \t\r\n]+', ' ', 'g')) AS extracted
         |  FROM documents WHERE doc_id < 60)
         |SELECT doc_id, extracted,

@@ -551,7 +551,19 @@ object StatsQueries {
         graft.llm.Multimodal.MediaRow(5L, TiffCodec.encodePalette(14, 8,
           pal, pidx, opts = Options(compression = 5)), "image"),
         graft.llm.Multimodal.MediaRow(6L, TiffCodec.encodeGray(19, 11, b1,
-          bits = 1, opts = Options(compression = 32773)), "image"))
+          bits = 1, opts = Options(compression = 32773)), "image"),
+        // r13: CCITT G4/G3-1D/MH (the scanned-document staple) and
+        // tiled organization with clipped edge tiles
+        graft.llm.Multimodal.MediaRow(7L, TiffCodec.encodeGray(70, 23,
+          (x, y) => (x / 5 + y / 3) % 2, bits = 1, photo = 0,
+          opts = Options(compression = 4)), "image"),
+        graft.llm.Multimodal.MediaRow(8L, TiffCodec.encodeRgb(37, 19, rgb,
+          Options(compression = 5, tile = 16)), "image"),
+        graft.llm.Multimodal.MediaRow(9L, TiffCodec.encodeGray(45, 13,
+          (x, y) => if ((x * 3 + y) % 7 < 3) 1 else 0, bits = 1, photo = 0,
+          opts = Options(compression = 3, littleEndian = false)), "image"),
+        graft.llm.Multimodal.MediaRow(10L, TiffCodec.encodeGray(30, 9, b1,
+          bits = 1, photo = 0, opts = Options(compression = 2)), "image"))
         .toDS()
       graft.llm.Multimodal.extractFeatures(ds,
           graft.llm.Multimodal.BmpWavDecoder).toDF()
@@ -2036,11 +2048,33 @@ object StatsQueries {
         |b6 AS (SELECT 6 AS image_id, CAST(y*19 + x AS INT) AS pos,
         |    CAST((x*x + y*3) % 2 AS DOUBLE) AS value
         |  FROM (SELECT unnest(range(11)) AS y),
-        |       (SELECT unnest(range(19)) AS x))
+        |       (SELECT unnest(range(19)) AS x)),
+        |g7 AS (SELECT 7 AS image_id, CAST(y*70 + x AS INT) AS pos,
+        |    CAST((x//5 + y//3) % 2 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(23)) AS y),
+        |       (SELECT unnest(range(70)) AS x)),
+        |rgb8 AS (SELECT 8 AS image_id, CAST((y*37 + x)*3 + c AS INT) AS pos,
+        |    CAST(CASE WHEN c = 0 THEN (x*7 + y*13) % 256
+        |              WHEN c = 1 THEN (x*3 + y*5 + 17) % 256
+        |              ELSE (x + y*2 + 101) % 256 END AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(19)) AS y),
+        |       (SELECT unnest(range(37)) AS x),
+        |       (SELECT unnest(range(3)) AS c)),
+        |g9 AS (SELECT 9 AS image_id, CAST(y*45 + x AS INT) AS pos,
+        |    CAST(CASE WHEN (x*3 + y) % 7 < 3 THEN 1 ELSE 0 END AS DOUBLE)
+        |      AS value
+        |  FROM (SELECT unnest(range(13)) AS y),
+        |       (SELECT unnest(range(45)) AS x)),
+        |g10 AS (SELECT 10 AS image_id, CAST(y*30 + x AS INT) AS pos,
+        |    CAST((x*x + y*3) % 2 AS DOUBLE) AS value
+        |  FROM (SELECT unnest(range(9)) AS y),
+        |       (SELECT unnest(range(30)) AS x))
         |SELECT CAST(image_id AS BIGINT) AS image_id, pos, value
         |FROM (SELECT * FROM rgb1 UNION ALL SELECT * FROM rgb2
         |      UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4
-        |      UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM b6)""".stripMargin,
+        |      UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM b6
+        |      UNION ALL SELECT * FROM g7 UNION ALL SELECT * FROM rgb8
+        |      UNION ALL SELECT * FROM g9 UNION ALL SELECT * FROM g10)""".stripMargin,
 
     // q263: ICO decode is lossless RGBA — each image replays its
     // generative formula; image 5 must surface ONLY the best entry
