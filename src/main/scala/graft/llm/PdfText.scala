@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * `application/pdf` responses).
   *
   * Honest dependency-free subset (PDF 32000-1):
-  *   - classic `xref` tables with `/Prev` chains (§7.5.4); trailer
+  *   - classic `xref` tables with `/Prev` chains (§7.5.4), PDF 1.5+
+  *     cross-reference STREAMS (/W widths, /Index ranges, type-2
+  *     entries) and /Type/ObjStm object streams — what modern
+  *     writers actually emit — plus hybrid /XRefStm files; trailer
   *     `/Root` → page-tree walk with inherited `/Resources`
   *   - streams raw or `/FlateDecode` via the JDK Inflater (the same
-  *     path the PNG/TIFF codecs use), expansion-capped
+  *     path the PNG/TIFF codecs use), expansion-capped, with the
+  *     PNG row predictors (/DecodeParms Predictor 10-15) xref
+  *     streams routinely carry
   *   - content-stream text operators: `BT/ET`, `Tf`, `Td`, `TD`,
   *     `T-star`, `Tm` (line moves), `Tj/'/"/TJ` (shows; TJ kern
   *     adjustments ≤ -100 units surface as a word space)
@@ -22,9 +27,8 @@ import org.apache.spark.sql.functions._
   *     decode as U+FFFD (extraction is loss-tolerant at glyph
   *     granularity)
   *   - REFUSES loudly (the VP8 pattern — never silently wrong):
-  *     encryption (`/Encrypt`), cross-reference streams / object
-  *     streams (PDF 1.5+), non-Flate filters, predictor
-  *     `/DecodeParms`, composite `/Type0` (CID) fonts, and
+  *     encryption (`/Encrypt`), non-Flate filters, the TIFF
+  *     predictor, composite `/Type0` (CID) fonts, and
   *     `/MacRomanEncoding`
   *
   * Deterministic line contract (so SQL oracles can replay the
@@ -106,9 +110,15 @@ object PdfText {
         v
     }
 
-    private def parseObjAt(num: Int): Any = {
-      val off = offsets.getOrElse(num,
-        throw new IllegalArgumentException(s"PDF object $num not in xref"))
+    private def parseObjAt(num: Int): Any =
+      offsets.getOrElse(num,
+        throw new IllegalArgumentException(s"PDF object $num not in xref")
+      ) match {
+        case Left(off) => parseObjAtOffset(num, off)
+        case Right((stmNum, _)) => objFromStream(num, stmNum)
+      }
+
+    private def parseObjAtOffset(num: Int, off: Long): Any = {
       val lx = new Lexer(b, off.toInt)
       val n1 = lx.token()
       val n2 = lx.token()
@@ -129,12 +139,11 @@ object PdfText {
       } else value
     }
 
-    /** Decoded stream payload — raw or FlateDecode only. */
+    /** Decoded stream payload — raw or FlateDecode, with the PNG
+      * row predictors xref streams routinely carry in /DecodeParms
+      * (Predictor ≥ 10; the TIFF predictor 2 refuses). */
     def decodedStream(s: PStream): Array[Byte] = {
-      require(!s.dict.contains("DecodeParms") &&
-        !s.dict.contains("DP"),
-        "PDF stream /DecodeParms (predictors) unsupported")
-      resolve(s.dict.getOrElse("Filter", PNull)) match {
+      val inflated = resolve(s.dict.getOrElse("Filter", PNull)) match {
         case PNull => s.raw
         case PName("FlateDecode") => inflate(s.raw)
         case v: Vector[Any] @unchecked if v.isEmpty => s.raw
@@ -145,6 +154,77 @@ object PdfText {
           throw new IllegalArgumentException(
             s"PDF stream filter $other unsupported (FlateDecode only)")
       }
+      val parms = resolve(s.dict.getOrElse("DecodeParms",
+        s.dict.getOrElse("DP", PNull))) match {
+        case m: Map[String, Any] @unchecked => m
+        case v: Vector[Any] @unchecked if v.length == 1 =>
+          resolve(v.head) match {
+            case m: Map[String, Any] @unchecked => m
+            case _ => Map.empty[String, Any]
+          }
+        case _ => Map.empty[String, Any]
+      }
+      val predictor = resolve(parms.getOrElse("Predictor",
+        java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
+      if (predictor <= 1) inflated
+      else if (predictor >= 10) {
+        val columns = resolve(parms.getOrElse("Columns",
+          java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
+        val colors = resolve(parms.getOrElse("Colors",
+          java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
+        val bpc = resolve(parms.getOrElse("BitsPerComponent",
+          java.lang.Long.valueOf(8L))).asInstanceOf[java.lang.Long].toInt
+        pngPredictorUndo(inflated, columns, colors, bpc)
+      } else throw new IllegalArgumentException(
+        s"PDF /Predictor $predictor unsupported (none or PNG)")
+    }
+
+    /** PNG row filters (each row: filter byte + data) — the same
+      * None/Sub/Up/Average/Paeth math the PNG codec undoes. */
+    private def pngPredictorUndo(data: Array[Byte], columns: Int,
+                                 colors: Int, bpc: Int): Array[Byte] = {
+      require(columns > 0 && colors > 0 && bpc > 0 &&
+        columns.toLong * colors * bpc <= (1L << 30), "predictor geometry")
+      val rowBytes = (columns.toLong * colors * bpc + 7).toInt / 8
+      val bpp = math.max(1, colors * bpc / 8)
+      val rows = data.length / (rowBytes + 1)
+      require(rows.toLong * (rowBytes + 1) == data.length,
+        s"PNG-predicted stream length ${data.length} not a multiple of " +
+          s"row ${rowBytes + 1}")
+      val out = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (rowBytes + 1)) & 0xFF
+        val src = r * (rowBytes + 1) + 1
+        val dst = r * rowBytes
+        var i = 0
+        while (i < rowBytes) {
+          val raw = data(src + i) & 0xFF
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val up = if (r > 0) out(dst - rowBytes + i) & 0xFF else 0
+          val ul = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xFF
+                   else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left
+                     else if (pb <= pc) up else ul)
+            case other => throw new IllegalArgumentException(
+              s"PNG predictor filter $other")
+          }
+          out(dst + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
     }
 
     /** Leaf /Page objects in document order, resources inherited. */
@@ -340,7 +420,10 @@ object PdfText {
 
     // ------------------------------------------------------------- xref
 
-    private def readXrefChain(): (Map[Int, Long], Map[String, Any]) = {
+    /** Where an object lives: a byte offset, or (object stream
+      * number, index within it) — xref type-2 entries. */
+    private def readXrefChain(): (Map[Int, Either[Long, (Int, Int)]],
+                                  Map[String, Any]) = {
       val tail = new String(b, math.max(0, b.length - 2048),
         math.min(2048, b.length), "ISO-8859-1")
       val sx = tail.lastIndexOf("startxref")
@@ -348,44 +431,175 @@ object PdfText {
       val numStr = tail.substring(sx + 9).trim.takeWhile(_.isDigit)
       require(numStr.nonEmpty, "PDF startxref offset unreadable")
       var off = numStr.toLong
-      val offsets = scala.collection.mutable.Map[Int, Long]()
+      val offsets =
+        scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]]()
       var trailer: Map[String, Any] = null
       val seen = scala.collection.mutable.Set[Long]()
       while (off >= 0) {
         require(off < b.length && seen.add(off), s"PDF xref offset $off invalid")
         val lx = new Lexer(b, off.toInt)
         lx.skipWs()
-        require(lx.peekKeyword("xref"),
-          "PDF cross-reference STREAMS (1.5+) unsupported (classic xref only)")
-        lx.expectKeyword("xref")
-        var tok = lx.token()
-        var total = 0L
-        while (tok != "trailer") {
-          val start = tok.asInstanceOf[java.lang.Long].toInt
-          val count = lx.token().asInstanceOf[java.lang.Long].toInt
-          total += count
-          require(count >= 0 && total <= MaxObjects,
-            s"PDF xref entry count exceeds $MaxObjects")
-          var i = 0
-          while (i < count) {
-            val o = lx.token().asInstanceOf[java.lang.Long]
-            lx.token() // generation
-            val kind = lx.token().asInstanceOf[String]
-            // newest-first chain: existing entries win over /Prev
-            if (kind == "n" && !offsets.contains(start + i))
-              offsets(start + i) = o.longValue
-            i += 1
-          }
-          tok = lx.token()
-        }
-        val tdict = lx.value(0).asInstanceOf[Map[String, Any]]
+        val tdict =
+          if (lx.peekKeyword("xref")) readClassicXref(lx, offsets)
+          else readXrefStream(lx, offsets)
         if (trailer == null) trailer = tdict
+        // hybrid-reference files: the classic trailer may point at a
+        // companion xref STREAM carrying the object-stream entries
+        tdict.get("XRefStm") match {
+          case Some(p: java.lang.Long)
+              if p.longValue >= 0 && p.longValue < b.length &&
+                seen.add(p.longValue) =>
+            readXrefStream(new Lexer(b, p.intValue), offsets)
+          case _ =>
+        }
         off = tdict.get("Prev") match {
           case Some(p: java.lang.Long) => p.longValue
           case _ => -1L
         }
       }
       (offsets.toMap, trailer)
+    }
+
+    private def readClassicXref(
+        lx: Lexer,
+        offsets: scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]])
+        : Map[String, Any] = {
+      lx.expectKeyword("xref")
+      var tok = lx.token()
+      var total = 0L
+      while (tok != "trailer") {
+        val start = tok.asInstanceOf[java.lang.Long].toInt
+        val count = lx.token().asInstanceOf[java.lang.Long].toInt
+        total += count
+        require(count >= 0 && total <= MaxObjects,
+          s"PDF xref entry count exceeds $MaxObjects")
+        var i = 0
+        while (i < count) {
+          val o = lx.token().asInstanceOf[java.lang.Long]
+          lx.token() // generation
+          val kind = lx.token().asInstanceOf[String]
+          // newest-first chain: existing entries win over /Prev
+          if (kind == "n" && !offsets.contains(start + i))
+            offsets(start + i) = Left(o.longValue)
+          i += 1
+        }
+        tok = lx.token()
+      }
+      lx.value(0).asInstanceOf[Map[String, Any]]
+    }
+
+    /** PDF 1.5 cross-reference STREAM: a stream object whose decoded
+      * payload is fixed-width binary entry rows (/W field widths,
+      * /Index subsection ranges); type-2 entries point into object
+      * streams. All dict values must be direct per spec, so this
+      * parses without the offsets map (no chicken-and-egg). */
+    private def readXrefStream(
+        lx: Lexer,
+        offsets: scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]])
+        : Map[String, Any] = {
+      lx.token() // object number
+      lx.token() // generation
+      val kw = lx.token()
+      require(kw == "obj",
+        "PDF startxref points at neither an xref table nor an xref stream")
+      val dict = lx.value(0) match {
+        case m: Map[String, Any] @unchecked => m
+        case other => throw new IllegalArgumentException(
+          s"PDF xref stream object is $other, not a dict")
+      }
+      require(dict.get("Type") == Some(PName("XRef")),
+        "PDF startxref object lacks /Type /XRef")
+      lx.skipWs()
+      require(lx.peekKeyword("stream"), "PDF xref stream has no stream")
+      val len = dict.getOrElse("Length",
+        throw new IllegalArgumentException("xref stream lacks direct /Length"))
+        .asInstanceOf[java.lang.Long].toInt
+      val data = decodedStream(PStream(dict, lx.streamBytes(len)))
+      val w = dict.getOrElse("W", Vector.empty).asInstanceOf[Vector[Any]]
+        .map(_.asInstanceOf[java.lang.Long].toInt)
+      require(w.length == 3 && w.forall(x => x >= 0 && x <= 8),
+        s"PDF xref stream /W $w")
+      val size = dict.getOrElse("Size",
+        throw new IllegalArgumentException("xref stream lacks /Size"))
+        .asInstanceOf[java.lang.Long].toInt
+      val index: Seq[(Int, Int)] = dict.get("Index") match {
+        case Some(v: Vector[Any] @unchecked) =>
+          require(v.length % 2 == 0, "odd /Index")
+          v.map(_.asInstanceOf[java.lang.Long].toInt).grouped(2)
+            .map(p => (p(0), p(1))).toSeq
+        case _ => Seq((0, size))
+      }
+      val rowLen = w.sum
+      var pos = 0
+      var totalRows = 0L
+      def field(width: Int, default: Long): Long = {
+        if (width == 0) return default
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(pos + i) & 0xFFL); i += 1 }
+        pos += width
+        v
+      }
+      index.foreach { case (start, count) =>
+        totalRows += count
+        require(count >= 0 && totalRows <= MaxObjects,
+          s"PDF xref stream entry count exceeds $MaxObjects")
+        require(pos + count.toLong * rowLen <= data.length,
+          "PDF xref stream data short for /Index")
+        var i = 0
+        while (i < count) {
+          val typ = field(w(0), 1L)
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          val num = start + i
+          if (!offsets.contains(num)) typ match {
+            case 1L => offsets(num) = Left(f2)
+            case 2L => offsets(num) = Right((f2.toInt, f3.toInt))
+            case _ => // type 0 (free) or unknown: skip per spec
+          }
+          i += 1
+        }
+      }
+      dict
+    }
+
+    /** An object living inside a /Type /ObjStm container: the stream
+      * payload starts with N (num, offset) integer pairs; object i's
+      * body begins at /First + offset_i. */
+    private def objFromStream(num: Int, stmNum: Int): Any = {
+      // a container must itself be a direct (type-1) object — an
+      // ObjStm inside an ObjStm is illegal and, unchecked, a hostile
+      // cycle (A in B, B in A) would recurse unboundedly
+      require(offsets.get(stmNum).exists(_.isLeft),
+        s"PDF object stream $stmNum is not a direct object")
+      val container = resolve(PRef(stmNum, 0)) match {
+        case s: PStream => s
+        case other => throw new IllegalArgumentException(
+          s"PDF object stream $stmNum is $other")
+      }
+      require(container.dict.get("Type") == Some(PName("ObjStm")),
+        s"PDF object $num points into non-ObjStm $stmNum")
+      val data = decodedStream(container)
+      val n = resolve(container.dict.getOrElse("N",
+        throw new IllegalArgumentException("ObjStm lacks /N")))
+        .asInstanceOf[java.lang.Long].toInt
+      val first = resolve(container.dict.getOrElse("First",
+        throw new IllegalArgumentException("ObjStm lacks /First")))
+        .asInstanceOf[java.lang.Long].toInt
+      require(n >= 0 && n <= 100000 && first >= 0 && first <= data.length,
+        s"ObjStm header out of range (N=$n First=$first)")
+      val hdr = new Lexer(data, 0)
+      var found = -1L
+      var i = 0
+      while (i < n && found < 0) {
+        val objNum = hdr.token().asInstanceOf[java.lang.Long].toInt
+        val off = hdr.token().asInstanceOf[java.lang.Long]
+        if (objNum == num) found = off.longValue
+        i += 1
+      }
+      require(found >= 0, s"PDF object $num not in object stream $stmNum")
+      require(first + found < data.length, "ObjStm offset out of range")
+      new Lexer(data, (first + found).toInt).value(0)
     }
 
     private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -809,6 +1023,44 @@ object PdfText {
 
   // ------------------------------------------------------------ fixture
 
+  private def escape(line: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(line.length + 8)
+    line.foreach { c =>
+      val code = Encodings.winAnsiInverse.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"fixture text char U+${c.toInt.toHexString} not WinAnsi-encodable"))
+      if (c == '(' || c == ')' || c == '\\') { bo.write('\\'); bo.write(code) }
+      else if (code < 0x20 || code > 0x7E) // 3-digit octal: a digit
+        bo.write(("\\" + f"$code%03o").getBytes("US-ASCII")) // may follow
+      else bo.write(code)
+    }
+    bo.toByteArray
+  }
+
+  private def content(lines: Seq[String]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write("BT\n/F1 12 Tf\n72 720 Td\n".getBytes("US-ASCII"))
+    lines.zipWithIndex.foreach { case (line, i) =>
+      bo.write('(')
+      bo.write(escape(line))
+      bo.write(')')
+      bo.write((if (i == 0) " Tj\n" else " '\n").getBytes("US-ASCII"))
+    }
+    // the first line used Tj; later shows move to new lines with '
+    bo.write("ET\n".getBytes("US-ASCII"))
+    bo.toByteArray
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bo = new java.io.ByteArrayOutputStream(raw.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+    d.end()
+    bo.toByteArray
+  }
+
   /** Minimal-but-real PDF writer for specs/oracle fixtures: one
     * content stream per page (`Tf`/`Td`/`Tj` + `'` line shows),
     * WinAnsiEncoding Helvetica, classic xref with exact offsets,
@@ -825,34 +1077,6 @@ object PdfText {
     // object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     // (4+3i) page, (5+3i) content, (6+3i) content-length
     val total = 3 + 3 * n
-
-    def escape(line: String): Array[Byte] = {
-      val bo = new java.io.ByteArrayOutputStream(line.length + 8)
-      line.foreach { c =>
-        val code = Encodings.winAnsiInverse.getOrElse(c,
-          throw new IllegalArgumentException(
-            s"fixture text char U+${c.toInt.toHexString} not WinAnsi-encodable"))
-        if (c == '(' || c == ')' || c == '\\') { bo.write('\\'); bo.write(code) }
-        else if (code < 0x20 || code > 0x7E) // 3-digit octal: a digit
-          bo.write(("\\" + f"$code%03o").getBytes("US-ASCII")) // may follow
-        else bo.write(code)
-      }
-      bo.toByteArray
-    }
-
-    def content(lines: Seq[String]): Array[Byte] = {
-      val bo = new java.io.ByteArrayOutputStream()
-      bo.write("BT\n/F1 12 Tf\n72 720 Td\n".getBytes("US-ASCII"))
-      lines.zipWithIndex.foreach { case (line, i) =>
-        bo.write('(')
-        bo.write(escape(line))
-        bo.write(')')
-        bo.write((if (i == 0) " Tj\n" else " '\n").getBytes("US-ASCII"))
-      }
-      // the first line used Tj; shift shows 2..n onto new lines with '
-      bo.write("ET\n".getBytes("US-ASCII"))
-      bo.toByteArray
-    }
 
     w("%PDF-1.4\n%\u00E2\u00E3\u00CF\u00D3\n") // binary-sniff comment
     def obj(num: Int)(body: => Unit): Unit = {
@@ -878,15 +1102,7 @@ object PdfText {
           s"/Contents $contNum 0 R >>\n")
       }
       val raw = content(lines)
-      val payload = if (!flate) raw else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val bo = new java.io.ByteArrayOutputStream(raw.length)
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
-        d.end()
-        bo.toByteArray
-      }
+      val payload = if (!flate) raw else deflateBytes(raw)
       obj(contNum) {
         val filter = if (flate) " /Filter /FlateDecode" else ""
         w(s"<< /Length $lenNum 0 R$filter >>\nstream\n")
@@ -900,6 +1116,99 @@ object PdfText {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF 1.5-layout fixture: the catalog / pages / font / page dicts
+    * live inside a `/Type/ObjStm` object stream, the cross-reference
+    * is a `/Type/XRef` STREAM whose binary rows are PNG-Up-predicted
+    * (`/DecodeParms << /Predictor 12 /Columns 5 >>`) — the layout
+    * modern PDF writers actually emit, exercising the type-2 entry,
+    * object-stream and predictor paths end to end. */
+  def fixture15(pageLines: Seq[Seq[String]]): Array[Byte] = {
+    require(pageLines.nonEmpty, "fixture needs at least one page")
+    val n = pageLines.size
+    // numbering: 1 catalog, 2 pages, 3 font, 4..3+n page dicts (all
+    // packed, type-2), S = 4+n the ObjStm, S+1..S+n content streams,
+    // X = S+n+1 the xref stream
+    val s0 = 4 + n
+    val xn = s0 + n + 1
+
+    // ---- the object stream payload
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+          2 -> (s"<< /Type /Pages /Kids [ " +
+            (0 until n).map(i => s"${4 + i} 0 R").mkString(" ") +
+            s" ] /Count $n >>"),
+          3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+            "/Encoding /WinAnsiEncoding >>")) ++
+        (0 until n).map { i =>
+          (4 + i) -> (s"<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 3 0 R >> >> " +
+            s"/Contents ${s0 + 1 + i} 0 R >>")
+        }
+    val bodies = packed.map(_._2 + "\n")
+    val objOffsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.zip(objOffsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmRaw = (header + bodies.mkString).getBytes("ISO-8859-1")
+    val stmPayload = deflateBytes(stmRaw)
+
+    // ---- assemble the file
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    w("%PDF-1.5\n%\u00E2\u00E3\u00CF\u00D3\n")
+    offsets(s0) = out.size().toLong
+    w(s"$s0 0 obj\n<< /Type /ObjStm /N ${packed.size} " +
+      s"/First ${header.length} /Length ${stmPayload.length} " +
+      s"/Filter /FlateDecode >>\nstream\n")
+    out.write(stmPayload, 0, stmPayload.length)
+    w("\nendstream\nendobj\n")
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val num = s0 + 1 + i
+      val payload = deflateBytes(content(lines))
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n<< /Length ${payload.length} " +
+        s"/Filter /FlateDecode >>\nstream\n")
+      out.write(payload, 0, payload.length)
+      w("\nendstream\nendobj\n")
+    }
+
+    // ---- xref stream rows (W = [1 2 2]), PNG-Up predicted
+    val xrefOff = out.size().toLong
+    offsets(xn) = xrefOff
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 16) & 0xFF).toByte, ((f2 >> 8) & 0xFF).toByte,
+      (f2 & 0xFF).toByte, ((f3 >> 8) & 0xFF).toByte, (f3 & 0xFF).toByte)
+    val rows: Seq[Array[Byte]] =
+      Seq(row(0, 0, 65535)) ++
+        packed.zipWithIndex.map { case ((num, _), idx) =>
+          require(num == idx + 1); row(2, s0, idx) } ++
+        Seq(row(1, offsets(s0), 0)) ++
+        (0 until n).map(i => row(1, offsets(s0 + 1 + i), 0)) ++
+        Seq(row(1, xrefOff, 0))
+    require(rows.size == xn + 1)
+    // PNG Up filter (type 2): each row stores raw - rowAbove
+    val predicted = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](6)
+    rows.foreach { r =>
+      predicted.write(2)
+      var i = 0
+      while (i < 6) {
+        predicted.write((r(i) - prev(i)) & 0xFF)
+        i += 1
+      }
+      prev = r
+    }
+    val xrefPayload = deflateBytes(predicted.toByteArray)
+    w(s"$xn 0 obj\n<< /Type /XRef /Size ${xn + 1} /W [ 1 3 2 ] " +
+      s"/Root 1 0 R /Length ${xrefPayload.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 6 >> >>\nstream\n")
+    out.write(xrefPayload, 0, xrefPayload.length)
+    w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

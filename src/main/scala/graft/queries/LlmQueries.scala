@@ -662,6 +662,29 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_pages"), col("text"))
     }),
 
+    // PDF 1.5 layout through the same extractor: cross-reference
+    // STREAM (PNG-Up-predicted /W rows), /Type/ObjStm object streams
+    // holding the catalog/pages/font/page dicts (type-2 entries) —
+    // what modern PDF writers actually emit. Same oracle shape as
+    // q278: a predictor, xref-width, ObjStm-offset or type-2 bug
+    // breaks the hash.
+    "q280_pdf15_extract" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixture15(Seq(
+            Seq(s"doc $id", r.getString(1), "café — fin"),
+            Seq(s"page two of doc $id"))))
+        }.toSeq
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("n_pages"), col("text"))
+    }),
+
     // Crawl content-type branch: one WARC archive carrying BOTH
     // text/html and application/pdf responses (per-record gzip
     // members); html bodies ride the charset ladder into HtmlText,
@@ -2244,6 +2267,15 @@ object LlmQueries {
     // whitespace, so the oracle uses text verbatim), the WinAnsi
     // line via chr(), and the page separator chr(10)||chr(10).
     "q278_pdf_extract" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_pages,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  'caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
+        |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q280: identical expected text to q278 — the 1.5 container
+    // layout must be invisible to extraction.
+    "q280_pdf15_extract" ->
       """SELECT doc_id, CAST(2 AS INT) AS n_pages,
         |  'doc ' || doc_id || chr(10) || text || chr(10) ||
         |  'caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
