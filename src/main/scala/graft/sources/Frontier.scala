@@ -52,15 +52,24 @@ object Frontier {
     var urls: Option[DataFrame] = None
     var depth = 0
     while (depth < maxDepth && !level.isEmpty) {
+      // localCheckpoint cuts the per-level lineage: without it each
+      // level's isEmpty/action re-parses the WHOLE chain above it
+      // (O(depth^2) XML parses) — the classic iterative-algorithm
+      // lineage blowup
       val entries = docs
         .join(broadcast(level), col("__url") === col("sitemap_url"))
         .select(col("host"), col("sitemap_url"), col("__xml"))
         .as[(String, String, String)]
         .flatMap { case (h, parent, xml) =>
-          Sitemap.parse(xml).map(e =>
+          // crawled sitemap documents lie: a hostile or malformed one
+          // (DOCTYPE bomb, junk bytes, wrong root) contributes nothing
+          // instead of killing the frontier job — the per-document
+          // failure domain a web-scale walk needs
+          scala.util.Try(Sitemap.parse(xml)).getOrElse(Seq.empty).map(e =>
             (h, parent, e.kind, e.loc, e.lastmod, e.priority))
         }
         .toDF("host", "source_sitemap", "kind", "loc", "lastmod", "priority")
+        .localCheckpoint()
       val urlEntries = entries.filter(col("kind") === "url")
         .select(col("host"), col("source_sitemap"), col("loc"),
                 col("lastmod"), col("priority"))

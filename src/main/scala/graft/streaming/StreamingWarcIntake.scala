@@ -52,7 +52,13 @@ object StreamingWarcIntake {
     }
 
   /** Parse + extract + gate one batch of (path, content) WARC files.
-    * Exposed for spec parity checks against the batch path. */
+    * text/html bodies ride the charset ladder into [[HtmlText]];
+    * application/pdf payloads (raw bytes — the walker never charset-
+    * decodes them) go through [[graft.llm.PdfText]], with a
+    * per-document failure domain: a hostile or unsupported PDF
+    * (encrypted, truncated, exotic filters) drops instead of killing
+    * the stream. Exposed for spec parity checks against the batch
+    * path. */
   def extractBatch(files: DataFrame, minChars: Int, maxChars: Int,
                    maxLinkDensity: Double): DataFrame = {
     val spark = files.sparkSession
@@ -64,18 +70,29 @@ object StreamingWarcIntake {
       .flatMap { case (path, bytes) =>
         Warc.responses(path, new java.io.ByteArrayInputStream(bytes)) }
       .toDF()
-      .filter(col("httpStatus") === 200 &&
-        col("contentType").startsWith("text/html"))
+      .filter(col("httpStatus") === 200)
     // crawl pages key by uri (HtmlText.extract keys by long id — a
     // stable numeric id gets assigned post-accept), so run the same
     // narrow per-row map directly
-    responses.select(col("targetUri").as("uri"), col("warcDate"),
-        col("body"))
+    val html = responses
+      .filter(col("contentType").startsWith("text/html"))
+      .select(col("targetUri").as("uri"), col("warcDate"), col("body"))
       .as[(String, String, String)]
       .mapPartitions(_.map { case (uri, date, body) =>
         (uri, date, HtmlText.extractText(body), HtmlText.linkDensity(body))
       })
       .toDF("uri", "warc_date", "text", "link_density")
+    val pdf = responses
+      .filter(col("contentType").startsWith("application/pdf"))
+      .select(col("targetUri").as("uri"), col("warcDate"),
+        col("bodyBytes"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (uri, date, bytes) =>
+        scala.util.Try(graft.llm.PdfText.extractText(bytes)).toOption
+          .map(text => (uri, date, text, 0.0))
+      })
+      .toDF("uri", "warc_date", "text", "link_density")
+    html.unionByName(pdf)
       .filter(length(col("text")).between(minChars, maxChars) &&
         col("link_density") <= maxLinkDensity)
   }

@@ -68,5 +68,26 @@ class StreamingWarcIntakeSpec extends SparkSpec {
     assert(accepted.isEmpty, s"replay re-accepted $accepted")
     assert(spark.read.parquet(store).count() == before)
     assert(before == 4) // a, b, c, d1
+
+    // segment 3: the PDF branch — one clean PDF (raw bytes through
+    // PdfText, never the charset ladder), one HOSTILE truncated PDF
+    // that must DROP (per-document failure domain, the stream
+    // survives), one more html page in the same archive
+    accepted.clear()
+    val pdf = graft.llm.PdfText.fixture(Seq(Seq("epsilon pdf content")))
+    write(dir, "part3.warc.gz", Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://z/report.pdf", pdf,
+        contentType = "application/pdf"),
+      Warc.RawPage("http://z/broken.pdf",
+        java.util.Arrays.copyOf(pdf, pdf.length / 2),
+        contentType = "application/pdf"),
+      Warc.RawPage("http://z/e", html("zeta content here")
+        .getBytes("UTF-8"), contentType = "text/html; charset=utf-8")),
+      gzipPerRecord = true))
+    runOnce(ckpt)
+    assert(accepted.map(_._1).sorted.toSeq ==
+      Seq("http://z/e", "http://z/report.pdf"), s"got $accepted")
+    assert(accepted.toMap.apply("http://z/report.pdf") ==
+      "epsilon pdf content")
   }
 }
