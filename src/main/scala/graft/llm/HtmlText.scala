@@ -31,8 +31,48 @@ object HtmlText {
   private val Block = ("(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|" +
     "section|article|header|footer|blockquote|pre|form|nav|aside)\\b[^>]*>").r
   private val AnyTag = "(?s)<[^>]*>".r
-  private val Anchor = "(?is)<a\\b[^>]*>(.*?)</a\\s*>".r
   private val Ws = "[ \\t\\r\\n]+".r
+
+  /** Anchor inner-HTML spans, as a linear scan with the same
+    * exhausted-close memoization as [[stripDead]] — the reluctant
+    * `<a ...>(.*?)</a>` regex had the identical O(n*k) hostile-input
+    * window (a page of N unclosed `<a>` openers rescans to EOF per
+    * opener). Semantics match the regex: minimal close, unclosed
+    * openers contribute nothing. */
+  private[graft] def anchorSpans(s: String): Seq[String] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var noClose = false
+    var i = lower.indexOf('<')
+    while (i >= 0) {
+      var next = -2 // sentinel: not set
+      val after = i + 2
+      if (lower.startsWith("a", i + 1) &&
+          (after >= lower.length || !isWordChar(lower.charAt(after)))) {
+        val gt = lower.indexOf('>', i + 1)
+        if (gt >= 0 && !noClose) {
+          var closeStart = -1
+          var closeEnd = -1
+          var c = lower.indexOf("</a", gt + 1)
+          while (closeEnd < 0 && c >= 0) {
+            var j = c + 3
+            while (j < lower.length && (lower.charAt(j) == ' ' ||
+                   lower.charAt(j) == '\t' || lower.charAt(j) == '\r' ||
+                   lower.charAt(j) == '\n')) j += 1
+            if (j < lower.length && lower.charAt(j) == '>') {
+              closeStart = c; closeEnd = j + 1
+            } else c = lower.indexOf("</a", c + 1)
+          }
+          if (closeEnd >= 0) {
+            out += s.substring(gt + 1, closeStart)
+            next = lower.indexOf('<', closeEnd)
+          } else noClose = true
+        }
+      }
+      i = if (next != -2) next else lower.indexOf('<', i + 1)
+    }
+    out.toSeq
+  }
 
   /** Comment removal as a single left-to-right scan: each complete
     * `<!-- -->` becomes one space; an unclosed `<!--` stays literal
@@ -224,9 +264,9 @@ object HtmlText {
     val noDead = stripDeadAndComments(html)
     val total = extractText(html).length
     if (total == 0) return 0.0
-    val linked = Anchor.findAllMatchIn(noDead).map { m =>
+    val linked = anchorSpans(noDead).map { inner =>
       Ws.replaceAllIn(decodeEntities(
-        AnyTag.replaceAllIn(Block.replaceAllIn(m.group(1), "\n"), "")),
+        AnyTag.replaceAllIn(Block.replaceAllIn(inner, "\n"), "")),
         " ").trim.length
     }.sum
     BigDecimal(linked.toDouble / total)

@@ -135,6 +135,15 @@ object TiffCodec {
     require(photo >= 0 && photo <= 3,
       s"TIFF photometric $photo unsupported (YCbCr is codec-bound)")
     val t4Opts = one(292, 0L)
+    // FillOrder 2 (LSB-first bit fill, tag 266) ships in real fax
+    // TIFFs; ignoring it would silently decode garbage. Supported by
+    // reversing each byte ahead of the bit-level CCITT reader;
+    // anything else (writers only pair it with CCITT) refuses.
+    val fillOrder = one(266, 1L).toInt
+    require(fillOrder == 1 || fillOrder == 2,
+      s"TIFF FillOrder $fillOrder invalid")
+    require(fillOrder == 1 || comp == 2 || comp == 3 || comp == 4,
+      s"TIFF FillOrder 2 with compression $comp unsupported (CCITT only)")
     if (comp == 2 || comp == 3 || comp == 4) {
       require(bits == 1 && spp == 1 && photo == 0,
         s"TIFF CCITT needs bilevel WhiteIsZero (bits=$bits spp=$spp photo=$photo)")
@@ -174,7 +183,10 @@ object TiffCodec {
           require(len >= expect, s"TIFF $what short ($len < $expect)")
           java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + expect)
         case 2 | 3 | 4 =>
-          CcittCodec.decode(b, off.toInt, len.toInt, segW, segRows, comp,
+          val src = if (fillOrder == 1) b
+                    else reverseBits(b, off.toInt, len.toInt)
+          val srcOff = if (fillOrder == 1) off.toInt else 0
+          CcittCodec.decode(src, srcOff, len.toInt, segW, segRows, comp,
             g3TwoD = comp == 3 && (t4Opts & 1L) != 0L)
         case 5 => lzwDecode(b, off.toInt, len.toInt, expect)
         case 8 | 32946 => inflate(b, off.toInt, len.toInt, expect)
@@ -267,6 +279,18 @@ object TiffCodec {
       }
     }
     (w, h, out)
+  }
+
+  private val BitReverse: Array[Byte] = Array.tabulate(256) { v =>
+    (Integer.reverse(v) >>> 24).toByte
+  }
+
+  /** LSB-first → MSB-first byte copy of a segment (FillOrder 2). */
+  private def reverseBits(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) { out(i) = BitReverse(b(off + i) & 0xFF); i += 1 }
+    out
   }
 
   /** Pull sample `c` of pixel `x` from a decompressed row starting at
@@ -500,7 +524,8 @@ object TiffCodec {
                      predictor: Int = 1,
                      rowsPerStrip: Int = 0, // 0 = single strip
                      orientation: Int = 0,  // 0 = omit tag 274
-                     tile: Int = 0)         // 0 = strips
+                     tile: Int = 0,         // 0 = strips
+                     fillOrder: Int = 1)    // 2 = LSB-first (CCITT only)
 
   /** RGB 8-bit chunky. */
   def encodeRgb(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int),
@@ -614,10 +639,15 @@ object TiffCodec {
     val le = opts.littleEndian
     val rowBytes = (w * spp * bits + 7) / 8
 
+    require(opts.fillOrder == 1 || (opts.fillOrder == 2 && ccitt),
+      "FillOrder 2 pairs with CCITT only")
+
     def compress(d: Array[Byte], segW: Int, segRows: Int): Array[Byte] =
       opts.compression match {
         case 1 => d
-        case 2 | 3 | 4 => CcittCodec.encode(d, segW, segRows, opts.compression)
+        case 2 | 3 | 4 =>
+          val enc = CcittCodec.encode(d, segW, segRows, opts.compression)
+          if (opts.fillOrder == 1) enc else reverseBits(enc, 0, enc.length)
         case 5 => lzwEncode(d)
         case 8 => deflate(d)
         case 32773 => packBitsEncode(d)
@@ -706,6 +736,7 @@ object TiffCodec {
     if (cm != null) entries :+= E(320, 3, cm.map(_.toLong).toSeq)
     if (opts.compression == 3) entries :+= E(292, 4, Seq(0L)) // 1-D, no fill
     if (opts.compression == 4) entries :+= E(293, 4, Seq(0L))
+    if (opts.fillOrder == 2) entries :+= E(266, 3, Seq(2L))
     // segment offsets get placeholders patched below
     val offsetsTag = if (tiled) 324 else 273
     if (tiled) {

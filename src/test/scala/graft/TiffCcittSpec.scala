@@ -181,6 +181,29 @@ class TiffCcittSpec extends AnyFunSuite {
     check(bos.toByteArray, 37, 19, expectRgb(37, 19, rgbPix), "jdk tiled")
   }
 
+  test("FillOrder 2: LSB-first fax streams round-trip; ImageIO agrees") {
+    val f = (x: Int, y: Int) => if ((x * 3 + y) % 7 < 3) 1 else 0
+    for (comp <- Seq(2, 3, 4)) {
+      val bytes = TiffCodec.encodeGray(45, 13, f, bits = 1, photo = 0,
+        opts = Options(compression = comp, fillOrder = 2))
+      val (_, tags) = TiffCodec.parseIfd(bytes)
+      assert(tags(266).vals.head == 2L)
+      check(bytes, 45, 13, expectBits(45, 13, f), s"fillorder2 comp=$comp")
+      // the independent JDK reader honors FillOrder 2 the same way
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO failed on fillorder2 comp=$comp")
+      for (y <- 0 until 13; x <- 0 until 45)
+        assert(img.getRaster.getSample(x, y, 0) == 1 - f(x, y),
+          s"imageio fillorder2 comp=$comp ($x,$y)")
+    }
+    // FillOrder 2 outside CCITT refuses (encoder and decoder)
+    intercept[IllegalArgumentException] {
+      TiffCodec.encodeGray(8, 8, (x, _) => x % 2, bits = 1, photo = 0,
+        opts = Options(compression = 1, fillOrder = 2))
+    }
+  }
+
   test("refusals: G3 2-D, T.6 extensions, CCITT on non-bilevel, bad tile edge") {
     val ok = TiffCodec.encodeGray(19, 11, (x, y) => (x + y) % 2, bits = 1,
       photo = 0, opts = Options(compression = 4))

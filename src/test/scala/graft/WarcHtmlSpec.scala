@@ -121,6 +121,23 @@ class WarcHtmlSpec extends SparkSpec {
     assert(HtmlText.extractText("a<script>rest shows") == "arest shows")
   }
 
+  test("linkDensity: unclosed-anchor floods stay linear, semantics keep") {
+    // same hostile class as the script flood: the old reluctant
+    // anchor regex rescanned to EOF per unclosed opener
+    val hostile = "<a href=x>" * 30000 + "y" * 50000
+    val t0 = System.nanoTime()
+    val d = HtmlText.linkDensity(hostile)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(d == 0.0) // no CLOSED anchor -> nothing linked
+    assert(sec < 20.0, f"anchor scan took $sec%.1f s")
+    // mixed-case close, whitespace before '>', nested tags inside:
+    // extracted = "12345 67890 four" (16 chars), linked = "four" (4)
+    assert(HtmlText.linkDensity(
+      "<p>12345 67890</p><A href='/x'><b>four</b></A >") ==
+      BigDecimal(4.0 / 16).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
   test("linkDensity: anchored fraction of extracted characters") {
     val html = "<body><p>twelve chars</p><a href='/x'>four</a></body>"
     // extracted = "twelve chars four" (17 chars), linked = "four" (4)
