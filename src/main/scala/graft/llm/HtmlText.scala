@@ -251,36 +251,41 @@ object HtmlText {
   /** The extracted, entity-decoded, whitespace-collapsed text. */
   def extractText(html: String): String = {
     if (html == null) return null
+    textOf(stripDeadAndComments(html))
+  }
+
+  private def textOf(noDead: String): String =
+    Ws.replaceAllIn(decodeEntities(
+      AnyTag.replaceAllIn(Block.replaceAllIn(noDead, "\n"), "")), " ").trim
+
+  /** (text, link_density) in ONE pass over the document — the
+    * hot-path form: computing them separately re-runs the dead-
+    * subtree strip and extraction (the intake calls both per crawled
+    * page). Values are bit-identical to the standalone functions. */
+  def extractWithDensity(html: String): (String, Double) = {
+    if (html == null) return (null, 0.0)
     val noDead = stripDeadAndComments(html)
-    val blocked = Block.replaceAllIn(noDead, "\n")
-    val stripped = AnyTag.replaceAllIn(blocked, "")
-    Ws.replaceAllIn(decodeEntities(stripped), " ").trim
+    val text = textOf(noDead)
+    if (text.isEmpty) return (text, 0.0)
+    val linked = anchorSpans(noDead).map(inner => textOf(inner).length).sum
+    (text, BigDecimal(linked.toDouble / text.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   /** Fraction of extracted characters inside <a> anchors, 4 dp;
     * 0.0 for link-free or empty documents. */
-  def linkDensity(html: String): Double = {
-    if (html == null) return 0.0
-    val noDead = stripDeadAndComments(html)
-    val total = extractText(html).length
-    if (total == 0) return 0.0
-    val linked = anchorSpans(noDead).map { inner =>
-      Ws.replaceAllIn(decodeEntities(
-        AnyTag.replaceAllIn(Block.replaceAllIn(inner, "\n"), "")),
-        " ").trim.length
-    }.sum
-    BigDecimal(linked.toDouble / total)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-  }
+  def linkDensity(html: String): Double = extractWithDensity(html)._2
 
-  /** (id, text, link_density) — narrow per-row extraction. */
+  /** (id, text, link_density) — narrow per-row extraction, one pass
+    * per document. */
   def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(htmlCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, html) =>
-        (id, extractText(html), linkDensity(html))
+        val (text, density) = extractWithDensity(html)
+        (id, text, density)
       })
       .toDF("id", "text", "link_density")
   }

@@ -99,21 +99,33 @@ object PdfText {
       }
     }
 
+    private val inProgress = scala.collection.mutable.Set[Int]()
+
     // explicit two-step (not getOrElseUpdate): parsing may recurse
     // into OTHER objects (indirect /Length), and reentrant updates
-    // inside getOrElseUpdate's default are not safe on a HashMap
+    // inside getOrElseUpdate's default are not safe on a HashMap.
+    // The inProgress set turns a reference CYCLE reached during that
+    // recursion (object A's /Length pointing back at A) into a loud
+    // IllegalArgumentException instead of a StackOverflowError — SOE
+    // is fatal and would escape the per-document Try in streaming
+    // callers, killing the whole query on one crafted PDF.
     private def obj(num: Int): Any = cache.get(num) match {
       case Some(v) => v
       case None =>
-        val v = parseObjAt(num)
-        cache(num) = v
-        v
+        require(inProgress.add(num),
+          s"PDF object $num participates in a reference cycle")
+        try {
+          val v = parseObjAt(num)
+          cache(num) = v
+          v
+        } finally inProgress.remove(num)
     }
 
     private def parseObjAt(num: Int): Any =
       offsets.getOrElse(num,
         throw new IllegalArgumentException(s"PDF object $num not in xref")
       ) match {
+        case Left(-1L) => PNull // freed (type-0/'f') object: null per spec
         case Left(off) => parseObjAtOffset(num, off)
         case Right((stmNum, _)) => objFromStream(num, stmNum)
       }
@@ -478,9 +490,12 @@ object PdfText {
           val o = lx.token().asInstanceOf[java.lang.Long]
           lx.token() // generation
           val kind = lx.token().asInstanceOf[String]
-          // newest-first chain: existing entries win over /Prev
-          if (kind == "n" && !offsets.contains(start + i))
-            offsets(start + i) = Left(o.longValue)
+          // newest-first chain: existing entries win over /Prev —
+          // INCLUDING free ('f') tombstones, else a deleted object
+          // resurrects from a stale offset in an older section
+          if (!offsets.contains(start + i))
+            offsets(start + i) =
+              Left(if (kind == "n") o.longValue else -1L)
           i += 1
         }
         tok = lx.token()
@@ -555,7 +570,8 @@ object PdfText {
           if (!offsets.contains(num)) typ match {
             case 1L => offsets(num) = Left(f2)
             case 2L => offsets(num) = Right((f2.toInt, f3.toInt))
-            case _ => // type 0 (free) or unknown: skip per spec
+            case 0L => offsets(num) = Left(-1L) // free: tombstone
+            case _ => // unknown types: skip per spec
           }
           i += 1
         }
@@ -1123,7 +1139,7 @@ object PdfText {
   /** PDF 1.5-layout fixture: the catalog / pages / font / page dicts
     * live inside a `/Type/ObjStm` object stream, the cross-reference
     * is a `/Type/XRef` STREAM whose binary rows are PNG-Up-predicted
-    * (`/DecodeParms << /Predictor 12 /Columns 5 >>`) — the layout
+    * (`/DecodeParms << /Predictor 12 /Columns 6 >>`) — the layout
     * modern PDF writers actually emit, exercising the type-2 entry,
     * object-stream and predictor paths end to end. */
   def fixture15(pageLines: Seq[Seq[String]]): Array[Byte] = {

@@ -44,11 +44,15 @@ object Warc {
                           contentType: String, body: String,
                           bodyBytes: Array[Byte])
 
-  /** Default cumulative decompressed-byte cap per file. Crawl
-    * archives are untrusted; an unbounded inflate is a
-    * decompression-bomb OOM primitive inside a task. Real segments
-    * never approach 2 GiB decoded; bombs hit it and fail loudly. */
-  private[graft] val MaxExpansion: Long = 2L << 30
+  /** Default cumulative decompressed-byte cap per file. With the
+    * streaming walker, memory is O(record) regardless of file size,
+    * so this cap's job is bounding RUNAWAY streams (zip bombs expand
+    * millions-fold; a crafted gzip can otherwise keep a task busy
+    * producing bytes forever) — NOT fitting the file in memory. Real
+    * Common-Crawl segments decode to 3-5 GiB; 64 GiB passes every
+    * legitimate archive with order-of-magnitude headroom while
+    * million-x bombs still die early and loudly. */
+  private[graft] val MaxExpansion: Long = 64L << 30
 
   private val MaxHeaderBlock = 1 << 20 // hostile-input bound per record
 
@@ -215,16 +219,24 @@ object Warc {
       ""
     }
 
+    /** Grow-as-delivered body read: allocation starts at 1 MiB and
+      * doubles only as bytes actually arrive, so a tiny hostile file
+      * declaring Content-Length: 2 GiB costs its real size plus one
+      * buffer — never an up-front 2 GiB allocation (the OOM
+      * primitive the old declared-length preallocation opened). */
     private def readFully(len: Int, recStart: Long): Array[Byte] = {
-      val buf = new Array[Byte](len)
+      var buf = new Array[Byte](math.min(len, 1 << 20))
       var got = 0
       while (got < len) {
-        val n = in.read(buf, got, len - got)
+        if (got == buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(len.toLong, buf.length * 2L).toInt)
+        val n = in.read(buf, got, buf.length - got)
         require(n >= 0, s"$name: record at $recStart truncated (len=$len)")
         got += n
         pos += n
       }
-      buf
+      buf // length == len: growth is capped at len exactly
     }
 
     private def skipFully(len: Int, recStart: Long): Unit = {
@@ -323,6 +335,13 @@ object Warc {
         paths.flatMap { p =>
           val fp = new org.apache.hadoop.fs.Path(p)
           val in = fp.getFileSystem(bconf.value.value).open(fp)
+          // a malformed record throws mid-walk and a downstream
+          // limit/take can abandon the iterator before exhaustion —
+          // the task-completion listener closes the handle in both
+          // cases (close is idempotent, so the eager close below is
+          // still the common path)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
           closeOnExhaust(responses(p, in), in)
         }
       }
@@ -330,17 +349,22 @@ object Warc {
   }
 
   /** Wraps a record iterator so the underlying stream closes when
-    * the walk completes (or the file is empty). */
+    * the walk completes, the file is empty, OR the walk throws. */
   private def closeOnExhaust(it: Iterator[WarcResponse],
                              in: java.io.InputStream): Iterator[WarcResponse] =
     new Iterator[WarcResponse] {
       private var closed = false
+      private def closeNow(): Unit =
+        if (!closed) { closed = true; in.close() }
       def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h && !closed) { closed = true; in.close() }
+        val h = try it.hasNext
+        catch { case e: Throwable => closeNow(); throw e }
+        if (!h) closeNow()
         h
       }
-      def next(): WarcResponse = it.next()
+      def next(): WarcResponse =
+        try it.next()
+        catch { case e: Throwable => closeNow(); throw e }
     }
 
   // ---------------------------------------------------------------- fixture

@@ -63,36 +63,30 @@ object StreamingWarcIntake {
                    maxLinkDensity: Double): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val responses = files.select(col("path"), col("content"))
+    // ONE streaming record walk per file: records flow out of the
+    // iterator one at a time and the content-type branch happens
+    // inside the same pass — two filtered branches over the parsed
+    // frame would gunzip and header-walk every segment TWICE per
+    // micro-batch (the record parse dominates the stage). Crawl
+    // pages key by uri; a stable numeric id gets assigned
+    // post-accept.
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      // streaming record walk: rows flow out of the iterator one at
-      // a time, never a per-file Seq of decoded pages
       .flatMap { case (path, bytes) =>
-        Warc.responses(path, new java.io.ByteArrayInputStream(bytes)) }
-      .toDF()
-      .filter(col("httpStatus") === 200)
-    // crawl pages key by uri (HtmlText.extract keys by long id — a
-    // stable numeric id gets assigned post-accept), so run the same
-    // narrow per-row map directly
-    val html = responses
-      .filter(col("contentType").startsWith("text/html"))
-      .select(col("targetUri").as("uri"), col("warcDate"), col("body"))
-      .as[(String, String, String)]
-      .mapPartitions(_.map { case (uri, date, body) =>
-        (uri, date, HtmlText.extractText(body), HtmlText.linkDensity(body))
-      })
+        Warc.responses(path, new java.io.ByteArrayInputStream(bytes))
+          .flatMap { r =>
+            if (r.httpStatus != 200) None
+            else if (r.contentType.startsWith("text/html")) {
+              val (text, density) = HtmlText.extractWithDensity(r.body)
+              Some((r.targetUri, r.warcDate, text, density))
+            } else if (r.contentType.startsWith("application/pdf"))
+              // per-document failure domain: a hostile PDF drops
+              scala.util.Try(graft.llm.PdfText.extractText(r.bodyBytes))
+                .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
+            else None
+          }
+      }
       .toDF("uri", "warc_date", "text", "link_density")
-    val pdf = responses
-      .filter(col("contentType").startsWith("application/pdf"))
-      .select(col("targetUri").as("uri"), col("warcDate"),
-        col("bodyBytes"))
-      .as[(String, String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (uri, date, bytes) =>
-        scala.util.Try(graft.llm.PdfText.extractText(bytes)).toOption
-          .map(text => (uri, date, text, 0.0))
-      })
-      .toDF("uri", "warc_date", "text", "link_density")
-    html.unionByName(pdf)
       .filter(length(col("text")).between(minChars, maxChars) &&
         col("link_density") <= maxLinkDensity)
   }

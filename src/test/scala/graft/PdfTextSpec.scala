@@ -42,13 +42,16 @@ class PdfTextSpec extends SparkSpec {
                      fontDict: String = "<< /Type /Font /Subtype /Type1 " +
                        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
                      filterStr: String = "",
-                     trailerExtra: String = ""): Array[Byte] = {
+                     trailerExtra: String = "",
+                     lengthOverride: String = ""): Array[Byte] = {
+    val lenStr =
+      if (lengthOverride.isEmpty) content.length.toString else lengthOverride
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
       "<< /Type /Page /Parent 2 0 R /Resources " +
         "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-      s"<< /Length ${content.length}$filterStr >>\nstream\n$content\nendstream",
+      s"<< /Length $lenStr$filterStr >>\nstream\n$content\nendstream",
       fontDict)
     val sb = new StringBuilder("%PDF-1.4\n")
     val offs = objs.zipWithIndex.map { case (o, i) =>
@@ -158,6 +161,41 @@ class PdfTextSpec extends SparkSpec {
       s"startxref\n$xref2\n%%EOF\n")
     assert(PdfText.extractText(sb.toString.getBytes("ISO-8859-1")) ==
       "new text")
+  }
+
+  test("hostile: /Length self-reference refuses loudly, never StackOverflow") {
+    // object 4's /Length points at object 4 itself: resolving it
+    // re-enters the same parse — must surface as a catchable
+    // IllegalArgumentException (SOE is fatal and would escape the
+    // streaming intake's per-document Try)
+    val ex = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT (x) Tj ET", lengthOverride = "4 0 R"))
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("free entries shadow: a newer 'f' tombstone beats an older offset") {
+    val base = new String(rawPdf("BT /F1 12 Tf (old text) Tj ET"),
+      "ISO-8859-1")
+    val oldXref = "startxref\\n(\\d+)".r.findFirstMatchIn(base).get.group(1)
+    val sb = new StringBuilder(base)
+    // update 1: replace the content object
+    val newContent = "BT /F1 12 Tf (new text) Tj ET"
+    val obj4Off = sb.length
+    sb.append(s"4 0 obj\n<< /Length ${newContent.length} >>\n" +
+      s"stream\n$newContent\nendstream\nendobj\n")
+    val xref2 = sb.length
+    sb.append(f"xref\n4 1\n$obj4Off%010d 00000 n \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xref2\n%%EOF\n")
+    // update 2: DELETE the content object (mark free). The stale
+    // offsets in both older sections must not resurrect it — the
+    // page resolves /Contents to null and extracts empty text.
+    val xref3 = sb.length
+    sb.append("xref\n4 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $xref2 >>\n" +
+      s"startxref\n$xref3\n%%EOF\n")
+    assert(PdfText.extractText(sb.toString.getBytes("ISO-8859-1")) == "")
   }
 
   test("extract(): narrow dataframe path") {
