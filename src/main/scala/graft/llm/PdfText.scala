@@ -13,22 +13,29 @@ import org.apache.spark.sql.functions._
   *     entries) and /Type/ObjStm object streams — what modern
   *     writers actually emit — plus hybrid /XRefStm files; trailer
   *     `/Root` → page-tree walk with inherited `/Resources`
-  *   - streams raw or `/FlateDecode` via the JDK Inflater (the same
-  *     path the PNG/TIFF codecs use), expansion-capped, with the
-  *     PNG row predictors (/DecodeParms Predictor 10-15) xref
-  *     streams routinely carry
+  *   - stream filter CHAINS (§7.4): `/FlateDecode` via the JDK
+  *     Inflater (the same path the PNG/TIFF codecs use),
+  *     `/LZWDecode` (with `/EarlyChange`), `/ASCIIHexDecode`,
+  *     `/ASCII85Decode`, `/RunLengthDecode` — each expansion-capped,
+  *     each stage with its own /DecodeParms PNG row predictor
+  *     (Predictor 10-15) undo, which xref streams routinely carry
   *   - content-stream text operators: `BT/ET`, `Tf`, `Td`, `TD`,
   *     `T-star`, `Tm` (line moves), `Tj/'/"/TJ` (shows; TJ kern
   *     adjustments ≤ -100 units surface as a word space)
   *   - literal strings with all escapes (octal, line continuation)
-  *     and hex strings; bytes decode through the font's encoding:
-  *     WinAnsiEncoding, StandardEncoding (Appendix D tables) and
-  *     `/Differences` over a glyph-name map — unknown glyph names
-  *     decode as U+FFFD (extraction is loss-tolerant at glyph
-  *     granularity)
+  *     and hex strings; simple-font bytes decode through the font's
+  *     encoding: WinAnsiEncoding, StandardEncoding (Appendix D
+  *     tables) and `/Differences` over a glyph-name map — unknown
+  *     glyph names decode as U+FFFD (extraction is loss-tolerant at
+  *     glyph granularity)
+  *   - composite `/Type0` (CID) fonts under `/Identity-H` with a
+  *     `/ToUnicode` CMap (bfchar + bfrange, string and array forms) —
+  *     the layout Word/LaTeX-Unicode/CJK writers actually emit;
+  *     2-byte codes map to UTF-16 targets including surrogate pairs
   *   - REFUSES loudly (the VP8 pattern — never silently wrong):
-  *     encryption (`/Encrypt`), non-Flate filters, the TIFF
-  *     predictor, composite `/Type0` (CID) fonts, and
+  *     encryption (`/Encrypt`), image/unimplementable filters
+  *     (DCTDecode, JBIG2, CCITT-in-content), the TIFF predictor,
+  *     Type0 without /ToUnicode or under a named CMap, and
   *     `/MacRomanEncoding`
   *
   * Deterministic line contract (so SQL oracles can replay the
@@ -53,6 +60,115 @@ object PdfText {
   private case class PRef(num: Int, gen: Int)
   private case object PNull
   private case class PStream(dict: Map[String, Any], raw: Array[Byte])
+
+  /** A font's show-string decoder: bytes → text appended to `sb`. */
+  private sealed trait Font {
+    def show(bytes: Array[Byte], sb: java.lang.StringBuilder): Unit
+  }
+
+  /** Simple (1-byte-code) font over a 256-entry code→char table. */
+  private final class SimpleFont(table: Array[Char]) extends Font {
+    def show(bytes: Array[Byte], sb: java.lang.StringBuilder): Unit =
+      bytes.foreach(x => sb.append(table(x & 0xFF)))
+  }
+
+  private lazy val StandardFont: Font = new SimpleFont(Encodings.standard)
+
+  /** Composite `/Type0` font under `/Identity-H`: show strings carry
+    * 2-byte big-endian codes, each mapped through the /ToUnicode
+    * CMap (a code may map to SEVERAL chars — ligature expansions,
+    * astral targets as surrogate pairs). Unmapped codes and an odd
+    * trailing byte decode as U+FFFD — extraction stays loss-tolerant
+    * at glyph granularity, exactly like unknown /Differences names. */
+  private final class Type0Font(cmap: Map[Int, String]) extends Font {
+    def show(bytes: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+        sb.append(cmap.getOrElse(code, "�"))
+        i += 2
+      }
+      if (i < bytes.length) sb.append('�')
+    }
+  }
+
+  /** /ToUnicode CMap parser (Adobe CMap syntax — the same
+    * content-stream token grammar the [[Lexer]] already speaks):
+    * `beginbfchar` pairs of <src> <dst> hex strings, `beginbfrange`
+    * triples of <lo> <hi> and either a <dst> start (last UTF-16 code
+    * unit increments across the range, per §9.10.3) or an array of
+    * one <dst> per code. Destination strings are UTF-16BE. CMap
+    * header operators (codespace ranges, findresource, def) flow
+    * through untouched. */
+  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val lx = new Lexer(data, 0)
+    val m = Map.newBuilder[Int, String]
+    var count = 0
+    def bump(): Unit = {
+      count += 1
+      require(count <= 65536, "PDF /ToUnicode CMap exceeds 65536 mappings")
+    }
+    def codeOf(t: Any): Int = t match {
+      case b: Array[Byte] if b.length >= 1 && b.length <= 2 =>
+        b.foldLeft(0)((a, x) => (a << 8) | (x & 0xFF))
+      case other => throw new IllegalArgumentException(
+        s"PDF /ToUnicode source code $other (1- or 2-byte hex expected)")
+    }
+    def utf16(t: Any): String = t match {
+      case b: Array[Byte] =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+      case other => throw new IllegalArgumentException(
+        s"PDF /ToUnicode destination $other (hex string expected)")
+    }
+    var tok = lx.tokenOrNull()
+    while (tok != null) {
+      tok match {
+        case "beginbfchar" =>
+          var t = lx.token()
+          while (t != "endbfchar") {
+            m += codeOf(t) -> utf16(lx.token())
+            bump()
+            t = lx.token()
+          }
+        case "beginbfrange" =>
+          var t = lx.token()
+          while (t != "endbfrange") {
+            val lo = codeOf(t)
+            val hi = codeOf(lx.token())
+            require(hi >= lo && hi - lo < 65536,
+              s"PDF /ToUnicode bfrange $lo..$hi")
+            lx.token() match {
+              case "[" => // one destination string per code
+                var c = lo
+                var e = lx.token()
+                while (e != "]") {
+                  require(c <= hi, "PDF /ToUnicode bfrange array overrun")
+                  m += c -> utf16(e)
+                  bump()
+                  c += 1
+                  e = lx.token()
+                }
+                require(c == hi + 1,
+                  "PDF /ToUnicode bfrange array length mismatch")
+              case dst => // start string; last code unit increments
+                val base = utf16(dst)
+                require(base.nonEmpty, "PDF /ToUnicode empty bfrange dst")
+                var k = 0
+                while (k <= hi - lo) {
+                  m += (lo + k) -> (base.substring(0, base.length - 1) +
+                    (base.charAt(base.length - 1) + k).toChar)
+                  bump()
+                  k += 1
+                }
+            }
+            t = lx.token()
+          }
+        case _ => // CMap header/footer operators: not mappings
+      }
+      tok = lx.tokenOrNull()
+    }
+    m.result()
+  }
 
   def isPdf(b: Array[Byte]): Boolean =
     b.length >= 8 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
@@ -151,44 +267,70 @@ object PdfText {
       } else value
     }
 
-    /** Decoded stream payload — raw or FlateDecode, with the PNG
-      * row predictors xref streams routinely carry in /DecodeParms
-      * (Predictor ≥ 10; the TIFF predictor 2 refuses). */
+    /** Decoded stream payload — the filter CHAIN applied left to
+      * right (§7.4: `/Filter` may be a name or an array), each stage
+      * followed by its own /DecodeParms predictor undo. Supported:
+      * FlateDecode, LZWDecode (with /EarlyChange), ASCIIHexDecode,
+      * ASCII85Decode, RunLengthDecode; PNG row predictors
+      * (Predictor ≥ 10 — what xref streams routinely carry). Refuses
+      * loudly on anything else (DCTDecode/JBIG2/CCITT-in-content,
+      * the TIFF predictor 2). */
     def decodedStream(s: PStream): Array[Byte] = {
-      val inflated = resolve(s.dict.getOrElse("Filter", PNull)) match {
-        case PNull => s.raw
-        case PName("FlateDecode") => inflate(s.raw)
-        case v: Vector[Any] @unchecked if v.isEmpty => s.raw
-        case v: Vector[Any] @unchecked
-            if v.map(resolve(_)) == Vector(PName("FlateDecode")) =>
-          inflate(s.raw)
-        case other =>
-          throw new IllegalArgumentException(
-            s"PDF stream filter $other unsupported (FlateDecode only)")
-      }
-      val parms = resolve(s.dict.getOrElse("DecodeParms",
-        s.dict.getOrElse("DP", PNull))) match {
-        case m: Map[String, Any] @unchecked => m
-        case v: Vector[Any] @unchecked if v.length == 1 =>
-          resolve(v.head) match {
+      val filters: Vector[String] =
+        resolve(s.dict.getOrElse("Filter", PNull)) match {
+          case PNull => Vector.empty
+          case PName(n) => Vector(n)
+          case v: Vector[Any] @unchecked => v.map(resolve(_) match {
+            case PName(n) => n
+            case other => throw new IllegalArgumentException(
+              s"PDF /Filter array element $other")
+          })
+          case other =>
+            throw new IllegalArgumentException(s"PDF /Filter $other")
+        }
+      // /DecodeParms aligns with the filter array positionally; a
+      // single dict belongs to a single filter
+      val parmsRaw = resolve(s.dict.getOrElse("DecodeParms",
+        s.dict.getOrElse("DP", PNull)))
+      def parmsFor(i: Int): Map[String, Any] = parmsRaw match {
+        case m: Map[String, Any] @unchecked => if (i == 0) m else Map.empty
+        case v: Vector[Any] @unchecked if i < v.length =>
+          resolve(v(i)) match {
             case m: Map[String, Any] @unchecked => m
-            case _ => Map.empty[String, Any]
+            case _ => Map.empty
           }
-        case _ => Map.empty[String, Any]
+        case _ => Map.empty
       }
-      val predictor = resolve(parms.getOrElse("Predictor",
-        java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
-      if (predictor <= 1) inflated
-      else if (predictor >= 10) {
-        val columns = resolve(parms.getOrElse("Columns",
-          java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
-        val colors = resolve(parms.getOrElse("Colors",
-          java.lang.Long.valueOf(1L))).asInstanceOf[java.lang.Long].toInt
-        val bpc = resolve(parms.getOrElse("BitsPerComponent",
-          java.lang.Long.valueOf(8L))).asInstanceOf[java.lang.Long].toInt
-        pngPredictorUndo(inflated, columns, colors, bpc)
-      } else throw new IllegalArgumentException(
-        s"PDF /Predictor $predictor unsupported (none or PNG)")
+      def intParm(parms: Map[String, Any], key: String, default: Long): Int =
+        resolve(parms.getOrElse(key, java.lang.Long.valueOf(default)))
+          .asInstanceOf[java.lang.Long].toInt
+      def undoPredictor(data: Array[Byte],
+                        parms: Map[String, Any]): Array[Byte] = {
+        val predictor = intParm(parms, "Predictor", 1L)
+        if (predictor <= 1) data
+        else if (predictor >= 10)
+          pngPredictorUndo(data, intParm(parms, "Columns", 1L),
+            intParm(parms, "Colors", 1L),
+            intParm(parms, "BitsPerComponent", 8L))
+        else throw new IllegalArgumentException(
+          s"PDF /Predictor $predictor unsupported (none or PNG)")
+      }
+      if (filters.isEmpty) undoPredictor(s.raw, parmsFor(0))
+      else filters.zipWithIndex.foldLeft(s.raw) { case (data, (name, i)) =>
+        val parms = parmsFor(i)
+        val decoded = name match {
+          case "FlateDecode" | "Fl" => inflate(data)
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(data, intParm(parms, "EarlyChange", 1L))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => ascii85Decode(data)
+          case "RunLengthDecode" | "RL" => runLengthDecode(data)
+          case other => throw new IllegalArgumentException(
+            s"PDF stream filter /$other unsupported " +
+              "(Flate/LZW/ASCIIHex/ASCII85/RunLength only)")
+        }
+        undoPredictor(decoded, parms)
+      }
     }
 
     /** PNG row filters (each row: filter byte + data) — the same
@@ -277,13 +419,13 @@ object PdfText {
     /** Text of one page: fonts from /Resources, content streams
       * concatenated, interpreted. */
     def pageText(page: Map[String, Any]): String = {
-      val fonts: Map[String, Array[Char]] =
+      val fonts: Map[String, Font] =
         resolve(page.getOrElse("Resources", PNull)) match {
           case m: Map[String, Any] @unchecked =>
             resolve(m.getOrElse("Font", PNull)) match {
               case fm: Map[String, Any] @unchecked =>
                 fm.map { case (name, fref) =>
-                  name -> encodingOf(resolve(fref).asInstanceOf[Map[String, Any]])
+                  name -> fontOf(resolve(fref).asInstanceOf[Map[String, Any]])
                 }
               case _ => Map.empty
             }
@@ -304,15 +446,31 @@ object PdfText {
       interpret(content, fonts)
     }
 
-    /** code→char table for one font object. */
-    private def encodingOf(font: Map[String, Any]): Array[Char] = {
+    /** Decoder for one font object. Simple fonts map bytes through a
+      * 256-entry code→char table; composite `/Type0` fonts are
+      * honest for the layout modern writers (Word, LaTeX with
+      * Unicode, anything CJK) actually emit — `/Identity-H` 2-byte
+      * codes mapped through the font's own `/ToUnicode` CMap — and
+      * refuse everything else (a named CMap would need the external
+      * Adobe CMap files; no /ToUnicode means the text is
+      * unrecoverable glyph indices). */
+    private def fontOf(font: Map[String, Any]): Font = {
       resolve(font.getOrElse("Subtype", PNull)) match {
         case PName("Type0") =>
-          throw new IllegalArgumentException(
-            "composite (Type0/CID) PDF fonts unsupported")
+          resolve(font.getOrElse("Encoding", PNull)) match {
+            case PName("Identity-H") =>
+            case other => throw new IllegalArgumentException(
+              s"PDF Type0 /Encoding $other unsupported (Identity-H only)")
+          }
+          return resolve(font.getOrElse("ToUnicode", PNull)) match {
+            case s: PStream => new Type0Font(parseToUnicode(decodedStream(s)))
+            case _ => throw new IllegalArgumentException(
+              "PDF Type0 font lacks /ToUnicode (codes would be " +
+                "unrecoverable glyph indices — refusing, not mis-decoding)")
+          }
         case _ =>
       }
-      resolve(font.getOrElse("Encoding", PNull)) match {
+      val table = resolve(font.getOrElse("Encoding", PNull)) match {
         case PNull => Encodings.standard
         case PName("WinAnsiEncoding") => Encodings.winAnsi
         case PName("StandardEncoding") => Encodings.standard
@@ -326,7 +484,7 @@ object PdfText {
             case other => throw new IllegalArgumentException(
               s"PDF /BaseEncoding $other unsupported")
           }
-          val table = base.clone()
+          val t = base.clone()
           resolve(m.getOrElse("Differences", Vector.empty)) match {
             case diffs: Vector[Any] @unchecked =>
               var code = 0
@@ -334,7 +492,7 @@ object PdfText {
                 case n: java.lang.Long => code = n.toInt
                 case PName(glyph) =>
                   if (code >= 0 && code < 256) {
-                    table(code) =
+                    t(code) =
                       Encodings.glyphs.getOrElse(glyph, '�')
                     code += 1
                   }
@@ -344,23 +502,23 @@ object PdfText {
             case other => throw new IllegalArgumentException(
               s"PDF /Differences $other")
           }
-          table
+          t
         case other =>
           throw new IllegalArgumentException(s"PDF /Encoding $other")
       }
+      new SimpleFont(table)
     }
 
     /** The content-stream text machine. */
     private def interpret(content: Array[Byte],
-                          fonts: Map[String, Array[Char]]): String = {
+                          fonts: Map[String, Font]): String = {
       val sb = new java.lang.StringBuilder()
-      var enc: Array[Char] = Encodings.standard
+      var enc: Font = StandardFont
       val stack = scala.collection.mutable.ArrayBuffer[Any]()
       def newline(): Unit =
         if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n')
           sb.append('\n')
-      def show(bytes: Array[Byte]): Unit =
-        bytes.foreach(x => sb.append(enc(x & 0xFF)))
+      def show(bytes: Array[Byte]): Unit = enc.show(bytes, sb)
       val lx = new Lexer(content, 0)
       var tok = lx.tokenOrNull()
       while (tok != null) {
@@ -452,18 +610,32 @@ object PdfText {
         val lx = new Lexer(b, off.toInt)
         lx.skipWs()
         val tdict =
-          if (lx.peekKeyword("xref")) readClassicXref(lx, offsets)
-          else readXrefStream(lx, offsets)
+          if (lx.peekKeyword("xref")) {
+            // hybrid-reference files: the classic trailer points at a
+            // companion xref STREAM (/XRefStm) carrying the
+            // object-stream entries, and lists those same objects as
+            // FREE in the table so pre-1.5 readers skip them. Within
+            // one section the stream's entries must win — merging the
+            // table first would let its 'f' tombstones shadow every
+            // ObjStm-packed object (catalog resolves to null). So:
+            // table into a temp map, stream into `offsets`, then the
+            // table's leftovers.
+            val table =
+              scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]]()
+            val td = readClassicXref(lx, table)
+            td.get("XRefStm") match {
+              case Some(p: java.lang.Long)
+                  if p.longValue >= 0 && p.longValue < b.length &&
+                    seen.add(p.longValue) =>
+                readXrefStream(new Lexer(b, p.intValue), offsets)
+              case _ =>
+            }
+            table.foreach { case (num, e) =>
+              if (!offsets.contains(num)) offsets(num) = e
+            }
+            td
+          } else readXrefStream(lx, offsets)
         if (trailer == null) trailer = tdict
-        // hybrid-reference files: the classic trailer may point at a
-        // companion xref STREAM carrying the object-stream entries
-        tdict.get("XRefStm") match {
-          case Some(p: java.lang.Long)
-              if p.longValue >= 0 && p.longValue < b.length &&
-                seen.add(p.longValue) =>
-            readXrefStream(new Lexer(b, p.intValue), offsets)
-          case _ =>
-        }
         off = tdict.get("Prev") match {
           case Some(p: java.lang.Long) => p.longValue
           case _ => -1L
@@ -490,9 +662,10 @@ object PdfText {
           val o = lx.token().asInstanceOf[java.lang.Long]
           lx.token() // generation
           val kind = lx.token().asInstanceOf[String]
-          // newest-first chain: existing entries win over /Prev —
-          // INCLUDING free ('f') tombstones, else a deleted object
-          // resurrects from a stale offset in an older section
+          // first subsection wins within one table; the caller merges
+          // this section's map into the chain newest-first — INCLUDING
+          // free ('f') tombstones, else a deleted object resurrects
+          // from a stale offset in an older section
           if (!offsets.contains(start + i))
             offsets(start + i) =
               Left(if (kind == "n") o.longValue else -1L)
@@ -637,6 +810,180 @@ object PdfText {
       inf.end()
       out.toByteArray
     }
+  }
+
+  // ------------------------------------------------------------- filters
+
+  /** PDF LZWDecode (§7.4.4): MSB-first codes, Clear=256, EOD=257,
+    * 9→12-bit widths. /EarlyChange 1 (the default) bumps the width
+    * when the next table slot is 2^w − 1 — the same convention as
+    * TIFF §13 ([[TiffCodec.lzwDecode]]); 0 bumps at 2^w. Output
+    * length is not declared, so this grows a buffer under the
+    * MaxInflate cap instead of TIFF's exact-`expect` contract. */
+  private[graft] def lzwDecode(data: Array[Byte],
+                               earlyChange: Int): Array[Byte] = {
+    require(earlyChange == 0 || earlyChange == 1,
+      s"PDF LZW /EarlyChange $earlyChange")
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    var bitPos = 0L
+    val bitEnd = data.length.toLong * 8
+    def read(width: Int): Int = {
+      require(bitPos + width <= bitEnd, "truncated PDF LZW stream (no EOD)")
+      var v = 0; var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        v = (v << 1) | ((data((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val buf = new Array[Byte](4096)
+    var total = 0L
+    def emit(code: Int): Byte = { // writes the string; returns first byte
+      var c = code; var n = 0
+      while (c >= 258) { buf(n) = append(c); n += 1; c = prefix(c) }
+      require(c < 256, s"corrupt PDF LZW code chain at $code")
+      total += n + 1
+      require(total <= MaxInflate,
+        s"PDF LZW expansion exceeds $MaxInflate bytes")
+      out.write(c)
+      var i = n - 1
+      while (i >= 0) { out.write(buf(i)); i -= 1 }
+      c.toByte
+    }
+    var width = 9
+    var next = 258
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code == 257) done = true
+      else if (code == 256) { width = 9; next = 258; prev = -1 }
+      else {
+        require(code < next || (code == next && prev >= 0),
+          s"PDF LZW code $code ahead of table ($next)")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK: prev string + its own first byte
+            var c = prev; while (c >= 258) c = prefix(c)
+            prefix(next) = prev; append(next) = c.toByte
+            emit(code)
+          }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; append(next) = first
+          next += 1
+          if (next == (1 << width) - earlyChange && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    * odd final digit implies a trailing 0 nibble. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      val d = Character.digit(c, 16)
+      if (c == '>') done = true
+      else if (d >= 0) {
+        if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+      } else require(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+        c == 0 || c == '\f', s"PDF ASCIIHex byte '$c'")
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` per 4 bytes base-85,
+    * `z` = four zero bytes between groups, whitespace ignored, `~>`
+    * EOD required (refuse-loudly convention), partial final group of
+    * n chars → n−1 bytes padded with `u`. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var acc = 0L
+    var n = 0
+    // tolerate the Adobe `<~` leader some tools emit
+    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '~') {
+        require(i + 1 < data.length && data(i + 1) == '>',
+          "PDF ASCII85 stream: '~' without '>'")
+        done = true
+      } else if (c == 'z') {
+        require(n == 0, "PDF ASCII85 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                 c == 0 || c == 12) {
+        // whitespace between groups
+      } else {
+        require(c >= '!' && c <= 'u', s"PDF ASCII85 byte $c out of range")
+        acc = acc * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          require(acc <= 0xFFFFFFFFL, "PDF ASCII85 group overflow")
+          out.write(((acc >> 24) & 0xFF).toInt)
+          out.write(((acc >> 16) & 0xFF).toInt)
+          out.write(((acc >> 8) & 0xFF).toInt)
+          out.write((acc & 0xFF).toInt)
+          acc = 0; n = 0
+        }
+      }
+      i += 1
+    }
+    require(done, "PDF ASCII85 stream lacks the ~> EOD marker")
+    if (n > 0) {
+      require(n >= 2, "PDF ASCII85 dangling single char in final group")
+      var k = n
+      while (k < 5) { acc = acc * 85 + 84; k += 1 }
+      require(acc <= 0xFFFFFFFFL, "PDF ASCII85 group overflow")
+      val bytes = Array(((acc >> 24) & 0xFF).toByte,
+        ((acc >> 16) & 0xFF).toByte, ((acc >> 8) & 0xFF).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0–127 copies the next
+    * len+1 bytes literally, 129–255 repeats the next byte 257−len
+    * times, 128 is EOD (required). The byte semantics match PackBits
+    * exactly except that PackBits has no EOD — the fixture encoder
+    * reuses [[TiffCodec.packBitsEncode]] + the 0x80 terminator. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (!done) {
+      require(i < data.length, "truncated PDF RunLength stream (no EOD)")
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        require(i + l + 1 <= data.length, "truncated PDF RunLength literal")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        require(i < data.length, "truncated PDF RunLength run")
+        val v = data(i) & 0xFF
+        i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(v); k -= 1 }
+      }
+      require(out.size() <= MaxInflate,
+        s"PDF RunLength expansion exceeds $MaxInflate bytes")
+    }
+    out.toByteArray
   }
 
   // -------------------------------------------------------------- lexer
@@ -1136,6 +1483,321 @@ object PdfText {
     out.toByteArray
   }
 
+  // ---- fixture-side filter encoders (decode-path cross-checks)
+
+  private[graft] def asciiHexEncode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 2 + raw.length / 40 + 2)
+    raw.zipWithIndex.foreach { case (b, i) =>
+      sb ++= f"${b & 0xFF}%02X"
+      if (i % 40 == 39) sb += '\n' // spec: whitespace is ignored
+    }
+    sb += '>'
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  private[graft] def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= raw.length) {
+      val v = ((raw(i) & 0xFFL) << 24) | ((raw(i + 1) & 0xFFL) << 16) |
+        ((raw(i + 2) & 0xFFL) << 8) | (raw(i + 3) & 0xFFL)
+      if (v == 0) sb += 'z' // the all-zero-group shortcut
+      else {
+        val cs = new Array[Char](5)
+        var d = v
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (d % 85)).toChar; d /= 85; k -= 1 }
+        sb ++= new String(cs)
+      }
+      i += 4
+      if ((i / 4) % 15 == 0) sb += '\n'
+    }
+    val rem = raw.length - i
+    if (rem > 0) { // zero-pad, truncate to rem+1 digits (btoa convention)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < rem) raw(i + k) & 0xFFL else 0L)
+        k += 1
+      }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85)).toChar; v /= 85; j -= 1 }
+      sb ++= new String(cs, 0, rem + 1)
+    }
+    sb ++= "~>"
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** PDF RunLength = PackBits + the 0x80 EOD (the repo's PackBits
+    * encoder never emits 0x80 as a header, so the terminator is
+    * unambiguous). */
+  private[graft] def runLengthEncode(raw: Array[Byte]): Array[Byte] =
+    TiffCodec.packBitsEncode(raw) :+ 0x80.toByte
+
+  private def encodeChain(raw: Array[Byte],
+                          filters: Seq[String]): Array[Byte] =
+    // encode right-to-left so the declared chain decodes left-to-right
+    filters.foldRight(raw) { (f, d) =>
+      f match {
+        case "FlateDecode" => deflateBytes(d)
+        case "LZWDecode" => TiffCodec.lzwEncode(d) // TIFF = EarlyChange 1
+        case "ASCIIHexDecode" => asciiHexEncode(d)
+        case "ASCII85Decode" => ascii85Encode(d)
+        case "RunLengthDecode" => runLengthEncode(d)
+        case other =>
+          throw new IllegalArgumentException(s"fixture filter $other")
+      }
+    }
+
+  /** Classic-layout fixture with an arbitrary filter chain on the
+    * content streams (`/Filter` as a name for one, an array for
+    * several) — the q282 gate's input. Direct /Length (q278 covers
+    * the indirect form). */
+  def fixtureFiltered(pageLines: Seq[Seq[String]],
+                      filters: Seq[String]): Array[Byte] = {
+    require(pageLines.nonEmpty, "fixture needs at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val n = pageLines.size
+    val total = 3 + 2 * n // 1 catalog, 2 pages, 3 font, then page+content
+    val filterStr =
+      if (filters.isEmpty) ""
+      else if (filters.size == 1) s" /Filter /${filters.head}"
+      else filters.mkString(" /Filter [ /", " /", " ]")
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [ $kids ] /Count $n >>\n")
+    }
+    obj(3) {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>\n")
+    }
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = pageNum + 1
+      obj(pageNum) {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents $contNum 0 R >>\n")
+      }
+      val payload = encodeChain(content(lines), filters)
+      obj(contNum) {
+        w(s"<< /Length ${payload.length}$filterStr >>\nstream\n")
+        out.write(payload, 0, payload.length)
+        w("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${total + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Type0 show bytes: 2-byte big-endian UTF-16 code units as a hex
+    * string (Identity-H; the fixture's code space IS the BMP). */
+  private def contentType0(lines: Seq[String]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write("BT\n/F1 12 Tf\n72 720 Td\n".getBytes("US-ASCII"))
+    lines.zipWithIndex.foreach { case (line, i) =>
+      bo.write('<')
+      line.foreach { c =>
+        require(!Character.isSurrogate(c),
+          "fixtureType0 is BMP-only (each code is one UTF-16 unit)")
+        bo.write(f"${c.toInt}%04X".getBytes("US-ASCII"))
+      }
+      bo.write('>')
+      bo.write((if (i == 0) " Tj\n" else " '\n").getBytes("US-ASCII"))
+    }
+    bo.write("ET\n".getBytes("US-ASCII"))
+    bo.toByteArray
+  }
+
+  /** The CMap the Type0 fixture ships: ASCII via ONE bfrange (the
+    * incrementing form), every other used char via bfchar blocks of
+    * ≤100 entries (the spec's operator cap) — both CMap operator
+    * forms exercised by construction. */
+  private def toUnicodeCMap(chars: Set[Char]): String = {
+    val sb = new StringBuilder
+    sb ++= "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+    sb ++= "/CIDSystemInfo << /Registry (graft) /Ordering (UCS) " +
+      "/Supplement 0 >> def\n"
+    sb ++= "/CMapName /graft-ucs def\n/CMapType 2 def\n"
+    sb ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    sb ++= "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+    val extras = chars.filter(c => c < 0x20 || c > 0x7E).toSeq.sorted
+    extras.grouped(100).foreach { g =>
+      sb ++= s"${g.size} beginbfchar\n"
+      g.foreach(c => sb ++= f"<${c.toInt}%04X> <${c.toInt}%04X>\n")
+      sb ++= "endbfchar\n"
+    }
+    sb ++= "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    sb.toString
+  }
+
+  /** Composite-font fixture: `/Type0` + `/Identity-H` + a
+    * CIDFontType2 descendant + a Flate-compressed /ToUnicode CMap —
+    * the shape Word/LaTeX-Unicode/CJK writers emit. Any BMP text
+    * (CJK included) round-trips; codes are UTF-16 units. */
+  def fixtureType0(pageLines: Seq[Seq[String]]): Array[Byte] = {
+    require(pageLines.nonEmpty, "fixture needs at least one page")
+    val chars = pageLines.flatten.flatMap(_.toSeq).toSet
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val n = pageLines.size
+    // 1 catalog, 2 pages, 3 Type0 font, 4 CIDFont, 5 ToUnicode,
+    // then per page i: (6+2i) page, (7+2i) content
+    val total = 5 + 2 * n
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until n).map(i => s"${6 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [ $kids ] /Count $n >>\n")
+    }
+    obj(3) {
+      w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftUni " +
+        "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] " +
+        "/ToUnicode 5 0 R >>\n")
+    }
+    obj(4) {
+      w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftUni " +
+        "/CIDSystemInfo << /Registry (graft) /Ordering (UCS) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>\n")
+    }
+    obj(5) {
+      val payload =
+        deflateBytes(toUnicodeCMap(chars).getBytes("ISO-8859-1"))
+      w(s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(payload, 0, payload.length)
+      w("\nendstream\n")
+    }
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = 6 + 2 * i
+      val contNum = pageNum + 1
+      obj(pageNum) {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents $contNum 0 R >>\n")
+      }
+      val payload = deflateBytes(contentType0(lines))
+      obj(contNum) {
+        w(s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(payload, 0, payload.length)
+        w("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${total + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Hybrid-reference fixture (Acrobat style): the catalog / pages /
+    * font / page dicts pack into an ObjStm, the CLASSIC xref table
+    * lists those objects as FREE (so pre-1.5 readers skip them) and
+    * its trailer points at the companion `/XRefStm` stream whose
+    * type-2 entries are the only live map for them. A reader that
+    * merges the table before the stream tombstones every packed
+    * object and loses the catalog — the precedence regression this
+    * fixture pins. */
+  def fixtureHybrid(pageLines: Seq[Seq[String]]): Array[Byte] = {
+    require(pageLines.nonEmpty, "fixture needs at least one page")
+    val n = pageLines.size
+    val s0 = 4 + n // the ObjStm; packed objects are 1..3+n
+    val xn = s0 + n + 1 // the xref stream object
+
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+          2 -> (s"<< /Type /Pages /Kids [ " +
+            (0 until n).map(i => s"${4 + i} 0 R").mkString(" ") +
+            s" ] /Count $n >>"),
+          3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+            "/Encoding /WinAnsiEncoding >>")) ++
+        (0 until n).map { i =>
+          (4 + i) -> (s"<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 3 0 R >> >> " +
+            s"/Contents ${s0 + 1 + i} 0 R >>")
+        }
+    val bodies = packed.map(_._2 + "\n")
+    val objOffsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.zip(objOffsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmPayload = deflateBytes(
+      (header + bodies.mkString).getBytes("ISO-8859-1"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    w("%PDF-1.5\n%âãÏÓ\n")
+    offsets(s0) = out.size().toLong
+    w(s"$s0 0 obj\n<< /Type /ObjStm /N ${packed.size} " +
+      s"/First ${header.length} /Length ${stmPayload.length} " +
+      s"/Filter /FlateDecode >>\nstream\n")
+    out.write(stmPayload, 0, stmPayload.length)
+    w("\nendstream\nendobj\n")
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val num = s0 + 1 + i
+      val payload = deflateBytes(content(lines))
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n<< /Length ${payload.length} " +
+        s"/Filter /FlateDecode >>\nstream\n")
+      out.write(payload, 0, payload.length)
+      w("\nendstream\nendobj\n")
+    }
+
+    // the companion xref STREAM: type-2 rows for the packed objects,
+    // type-1 for the ObjStm / contents / itself (W = [1 3 2])
+    val xsOff = out.size().toLong
+    offsets(xn) = xsOff
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 16) & 0xFF).toByte, ((f2 >> 8) & 0xFF).toByte,
+      (f2 & 0xFF).toByte, ((f3 >> 8) & 0xFF).toByte, (f3 & 0xFF).toByte)
+    val rows: Seq[Array[Byte]] =
+      Seq(row(0, 0, 65535)) ++
+        packed.zipWithIndex.map { case ((num, _), idx) =>
+          require(num == idx + 1); row(2, s0, idx) } ++
+        Seq(row(1, offsets(s0), 0)) ++
+        (0 until n).map(i => row(1, offsets(s0 + 1 + i), 0)) ++
+        Seq(row(1, xsOff, 0))
+    require(rows.size == xn + 1)
+    val xrefPayload = deflateBytes(rows.flatten.toArray)
+    w(s"$xn 0 obj\n<< /Type /XRef /Size ${xn + 1} /W [ 1 3 2 ] " +
+      s"/Root 1 0 R /Length ${xrefPayload.length} " +
+      s"/Filter /FlateDecode >>\nstream\n")
+    out.write(xrefPayload, 0, xrefPayload.length)
+    w("\nendstream\nendobj\n")
+
+    // the CLASSIC table startxref points at: packed objects FREE,
+    // direct objects live, trailer carrying /XRefStm
+    val tableOff = out.size().toLong
+    w(s"xref\n0 ${xn + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to 3 + n).foreach(_ => w("0000000000 65535 f \n"))
+    (s0 to xn).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${xn + 1} /Root 1 0 R /XRefStm $xsOff >>\n")
+    w(s"startxref\n$tableOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** PDF 1.5-layout fixture: the catalog / pages / font / page dicts
     * live inside a `/Type/ObjStm` object stream, the cross-reference
     * is a `/Type/XRef` STREAM whose binary rows are PNG-Up-predicted
@@ -1193,7 +1855,7 @@ object PdfText {
       w("\nendstream\nendobj\n")
     }
 
-    // ---- xref stream rows (W = [1 2 2]), PNG-Up predicted
+    // ---- xref stream rows (W = [1 3 2], 6 bytes each), PNG-Up predicted
     val xrefOff = out.size().toLong
     offsets(xn) = xrefOff
     def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(

@@ -111,14 +111,23 @@ class PdfTextSpec extends SparkSpec {
     assert(xs.getMessage.contains("XRef"))
     val flt = intercept[IllegalArgumentException] {
       PdfText.extractText(rawPdf("BT (x) Tj ET",
-        filterStr = " /Filter /LZWDecode"))
+        filterStr = " /Filter /DCTDecode"))
     }
     assert(flt.getMessage.contains("filter"))
+    // Type0 without /ToUnicode: codes are unrecoverable glyph indices
     val t0 = intercept[IllegalArgumentException] {
       PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
-        fontDict = "<< /Type /Font /Subtype /Type0 /BaseFont /X >>"))
+        fontDict = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+          "/Encoding /Identity-H >>"))
     }
-    assert(t0.getMessage.contains("Type0"))
+    assert(t0.getMessage.contains("ToUnicode"))
+    // Type0 under a named (non-Identity-H) CMap needs external files
+    val t0v = intercept[IllegalArgumentException] {
+      PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
+        fontDict = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+          "/Encoding /UniJIS-UCS2-H >>"))
+    }
+    assert(t0v.getMessage.contains("Identity-H"))
     val mac = intercept[IllegalArgumentException] {
       PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
         fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
@@ -196,6 +205,92 @@ class PdfTextSpec extends SparkSpec {
       s"trailer\n<< /Size 6 /Root 1 0 R /Prev $xref2 >>\n" +
       s"startxref\n$xref3\n%%EOF\n")
     assert(PdfText.extractText(sb.toString.getBytes("ISO-8859-1")) == "")
+  }
+
+  test("filter decoders: unit round-trips against the fixture encoders") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "hello filters".getBytes("US-ASCII"),
+      Array.fill(257)(0.toByte), // 'z' groups + a partial group
+      Array.tabulate(4096)(i => (i * 31 % 251).toByte),
+      Array.fill(1000)((rnd.nextInt(256) - 128).toByte))
+    payloads.foreach { p =>
+      assert(PdfText.asciiHexDecode(PdfText.asciiHexEncode(p)).sameElements(p))
+      assert(PdfText.ascii85Decode(PdfText.ascii85Encode(p)).sameElements(p))
+      assert(PdfText.runLengthDecode(PdfText.runLengthEncode(p))
+        .sameElements(p))
+      assert(PdfText.lzwDecode(graft.llm.TiffCodec.lzwEncode(p), 1)
+        .sameElements(p), s"lzw len=${p.length}")
+    }
+    // odd hex digit implies a trailing 0 nibble
+    assert(PdfText.asciiHexDecode("41 4>".getBytes("US-ASCII"))
+      .sameElements(Array('A'.toByte, 0x40.toByte)))
+    // ascii85 EOD is mandatory (refuse-loudly convention)
+    intercept[IllegalArgumentException] {
+      PdfText.ascii85Decode("87cUR".getBytes("US-ASCII"))
+    }
+    // runlength EOD is mandatory
+    intercept[IllegalArgumentException] {
+      PdfText.runLengthDecode(Array(2.toByte, 'a'.toByte, 'b'.toByte,
+        'c'.toByte))
+    }
+  }
+
+  test("filtered fixtures: every filter and a chain, extraction-invariant") {
+    val pages = Seq(Seq("first line", "with (parens) too", "café — end"),
+                    Seq("page two"))
+    val expected = PdfText.pages(PdfText.fixture(pages))
+    for (filters <- Seq(Seq("LZWDecode"), Seq("ASCIIHexDecode"),
+                        Seq("ASCII85Decode"), Seq("RunLengthDecode"),
+                        Seq("ASCII85Decode", "FlateDecode"),
+                        Seq("ASCIIHexDecode", "LZWDecode"))) {
+      assert(PdfText.pages(PdfText.fixtureFiltered(pages, filters))
+        == expected, s"filters=$filters")
+    }
+  }
+
+  test("Type0/Identity-H + ToUnicode: CJK and symbols round-trip") {
+    val pages = Seq(
+      Seq("doc one", "汉字文本提取", "русский текст", "∑ ≠ ☃"),
+      Seq("page two — café"))
+    val pdf = PdfText.fixtureType0(pages)
+    assert(PdfText.pages(pdf) == Seq(
+      "doc one\n汉字文本提取\nрусский текст\n∑ ≠ ☃",
+      "page two — café"))
+    // astral chars are two surrogates: the BMP-only fixture refuses
+    intercept[IllegalArgumentException] {
+      PdfText.fixtureType0(Seq(Seq("emoji 😀")))
+    }
+  }
+
+  test("ToUnicode CMap: bfrange array form, multi-char and surrogate targets") {
+    val cmap = ("1 beginbfrange\n<0001> <0003> [<0041> <FB01> <D83DDE00>]\n" +
+      "endbfrange\n2 beginbfchar\n<0010> <00660066>\n<0011> <0058>\n" +
+      "endbfchar\n").getBytes("US-ASCII")
+    val m = PdfText.parseToUnicode(cmap)
+    assert(m(1) == "A")
+    assert(m(2) == "ﬁ") // the fi ligature
+    assert(m(3) == "😀") // astral target via a surrogate pair
+    assert(m(0x10) == "ff") // one code, two chars
+    assert(m(0x11) == "X")
+    // malformed: bfrange array shorter than the range refuses
+    intercept[IllegalArgumentException] {
+      PdfText.parseToUnicode(
+        "1 beginbfrange\n<0001> <0003> [<0041>]\nendbfrange\n"
+          .getBytes("US-ASCII"))
+    }
+  }
+
+  test("hybrid reference: XRefStm wins over the table's free tombstones") {
+    val pages = Seq(
+      Seq("first line", "with (parens) too", "café — end"),
+      Seq("page two"))
+    val hybrid = PdfText.fixtureHybrid(pages)
+    assert(PdfText.isPdf(hybrid))
+    // the classic table lists the packed catalog/pages/font as FREE;
+    // only the /XRefStm stream's type-2 entries can resolve them
+    assert(PdfText.pages(hybrid) == PdfText.pages(PdfText.fixture(pages)))
   }
 
   test("extract(): narrow dataframe path") {
