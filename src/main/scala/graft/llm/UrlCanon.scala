@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanon {
 
+  /** Tracking params stripped by key (the standard click-id set:
+    * Facebook, Google Ads, Microsoft, Mailchimp, Instagram,
+    * Yandex) — these vary per CLICK, so leaving any one of them
+    * keeps every duplicate spelling distinct. `utm_*` strips by
+    * prefix. */
+  private[graft] val TrackerKeys: Seq[String] = Seq(
+    "fbclid", "gclid", "gclsrc", "dclid", "wbraid", "gbraid",
+    "msclkid", "mc_cid", "mc_eid", "igshid", "yclid")
+
   /** Canonical form of an http(s) URL:
     *   - scheme and host lowercased; `www.` prefix and default ports
     *     (`:80` http, `:443` https) dropped
     *   - fragment dropped; `/index.html` suffix and trailing slashes
     *     normalized away (empty path → `/`, path case preserved)
-    *   - query params: `utm_*` tracking params and empties dropped,
-    *     the rest sorted byte-wise for order independence
+    *   - query params: `utm_*`-prefixed keys, the [[TrackerKeys]]
+    *     click-id set, and empties dropped; the rest sorted
+    *     byte-wise for order independence
     * Malformed input (no `scheme://`) canonicalizes from whatever the
     * regexes match — empty scheme/host — rather than erroring. */
   def canonicalize(url: Column): Column = {
@@ -51,8 +61,11 @@ object UrlCanon {
     // the fragment-dropped contract. The lazy "[^#]*?" prefix pins the
     // match to the first '?' that precedes any '#'.
     val qRaw = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
-    val params = array_sort(filter(split(qRaw, "&"),
-      p => p =!= "" && !p.startsWith("utm_")))
+    val params = array_sort(filter(split(qRaw, "&"), p => {
+      // key = the part before '=' (a bare key is its own key)
+      val k = substring_index(p, "=", 1)
+      p =!= "" && !k.startsWith("utm_") && !k.isInCollection(TrackerKeys)
+    }))
     val qs = array_join(params, "&")
     concat(scheme, lit("://"), host, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))

@@ -566,9 +566,9 @@ object CurationQueries {
           .when(id % 4 === 2, lit("/index.html"))
           .otherwise(lit("")),
         when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
-          .when(id % 6 === 1, lit("?z=9&utm_campaign=x&a=1"))
+          .when(id % 6 === 1, lit("?z=9&fbclid=IwAR12345&a=1"))
           .when(id % 6 === 2, lit("?b=2&a=1"))
-          .when(id % 6 === 3, lit("?a=1&b=2"))
+          .when(id % 6 === 3, lit("?a=1&gclid=Cj0KCQjw&b=2"))
           .otherwise(lit("")))
       graft.llm.UrlCanon.dupGroups(
         documents(s, d).select(col("doc_id")).withColumn("url", url),
@@ -1843,9 +1843,9 @@ object CurationQueries {
         |             WHEN doc_id % 4 = 2 THEN '/index.html'
         |             ELSE '' END)
         |    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&b=2&a=1'
-        |             WHEN doc_id % 6 = 1 THEN '?z=9&utm_campaign=x&a=1'
+        |             WHEN doc_id % 6 = 1 THEN '?z=9&fbclid=IwAR12345&a=1'
         |             WHEN doc_id % 6 = 2 THEN '?b=2&a=1'
-        |             WHEN doc_id % 6 = 3 THEN '?a=1&b=2'
+        |             WHEN doc_id % 6 = 3 THEN '?a=1&gclid=Cj0KCQjw&b=2'
         |             ELSE '' END) AS url
         |  FROM documents),
         |c AS (SELECT doc_id, url,
@@ -1866,7 +1866,12 @@ object CurationQueries {
         |      '/+$', '') AS pathstrip,
         |    COALESCE(array_to_string(list_sort(list_filter(
         |      string_split(qraw, '&'),
-        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT list_contains(
+        |          ['fbclid', 'gclid', 'gclsrc', 'dclid', 'wbraid',
+        |           'gbraid', 'msclkid', 'mc_cid', 'mc_eid', 'igshid',
+        |           'yclid'],
+        |          string_split(x, '=')[1]))), '&'), '') AS qs
         |  FROM c),
         |canon AS (SELECT doc_id, url,
         |    scheme || '://' || host

@@ -31,7 +31,14 @@ object Frontier {
     * allowed) — one row per canonically-distinct discovered URL;
     * the keeper among duplicate spellings is the min (url,
     * source_sitemap) pair, the dedup family's deterministic-survivor
-    * convention. */
+    * convention.
+    *
+    * `xmlCol` may be a STRING column (decoded sitemap text) or a
+    * BINARY column (raw crawl payload — gunzipped by magic, so
+    * `.xml.gz` sitemaps walk too, per sitemaps.org). A string that
+    * itself carries the gzip magic (an ISO-8859-1-decoded binary
+    * payload — byte-transparent) recovers its bytes and takes the
+    * same path. */
   def build(robots: DataFrame, robotsHostCol: String, contentCol: String,
             fetched: DataFrame, urlCol: String, xmlCol: String,
             agent: String, maxDepth: Int = 3): DataFrame = {
@@ -45,31 +52,56 @@ object Frontier {
       .toDF("host", "sitemap_url")
       .distinct()
 
+    val xmlIsBinary = fetched.schema(xmlCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
     val docs = fetched.select(col(urlCol).as("__url"), col(xmlCol).as("__xml"))
+
+    // one level's (host, parent, entry…) rows; the parse carries a
+    // per-document failure domain — crawled sitemap documents lie,
+    // and a hostile or malformed one (DOCTYPE bomb, junk bytes,
+    // wrong root, a gzip bomb past the 50 MB protocol cap)
+    // contributes nothing instead of killing the frontier job
+    def parseLevel(level: DataFrame): DataFrame = {
+      val joined = docs
+        .join(broadcast(level), col("__url") === col("sitemap_url"))
+        .select(col("host"), col("sitemap_url"), col("__xml"))
+      val parsed =
+        if (xmlIsBinary)
+          joined.as[(String, String, Array[Byte])]
+            .flatMap { case (h, parent, bytes) =>
+              scala.util.Try(Sitemap.parseBytes(bytes)).getOrElse(Seq.empty)
+                .map(e => (h, parent, e.kind, e.loc, e.lastmod, e.priority))
+            }
+        else
+          joined.as[(String, String, String)]
+            .flatMap { case (h, parent, xml) =>
+              scala.util.Try {
+                if (xml != null && xml.length >= 2 && xml.charAt(0) == 0x1F
+                    && xml.charAt(1) == 0x8B.toChar)
+                  Sitemap.parseBytes(xml.getBytes(
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                else Sitemap.parse(xml)
+              }.getOrElse(Seq.empty)
+                .map(e => (h, parent, e.kind, e.loc, e.lastmod, e.priority))
+            }
+      parsed
+        .toDF("host", "source_sitemap", "kind", "loc", "lastmod", "priority")
+    }
 
     var level = seeds
     var visited = seeds
     var urls: Option[DataFrame] = None
     var depth = 0
-    while (depth < maxDepth && !level.isEmpty) {
+    var more = !level.isEmpty
+    while (depth < maxDepth && more) {
       // localCheckpoint cuts the per-level lineage: without it each
-      // level's isEmpty/action re-parses the WHOLE chain above it
+      // level's action re-parses the WHOLE chain above it
       // (O(depth^2) XML parses) — the classic iterative-algorithm
-      // lineage blowup
-      val entries = docs
-        .join(broadcast(level), col("__url") === col("sitemap_url"))
-        .select(col("host"), col("sitemap_url"), col("__xml"))
-        .as[(String, String, String)]
-        .flatMap { case (h, parent, xml) =>
-          // crawled sitemap documents lie: a hostile or malformed one
-          // (DOCTYPE bomb, junk bytes, wrong root) contributes nothing
-          // instead of killing the frontier job — the per-document
-          // failure domain a web-scale walk needs
-          scala.util.Try(Sitemap.parse(xml)).getOrElse(Seq.empty).map(e =>
-            (h, parent, e.kind, e.loc, e.lastmod, e.priority))
-        }
-        .toDF("host", "source_sitemap", "kind", "loc", "lastmod", "priority")
-        .localCheckpoint()
+      // lineage blowup. The checkpoint job is the level's ONE parse;
+      // the continue-check below scans the persisted blocks (cheap)
+      // instead of re-running the distinct + anti-join the old
+      // level.isEmpty paid per level.
+      val entries = parseLevel(level).localCheckpoint()
       val urlEntries = entries.filter(col("kind") === "url")
         .select(col("host"), col("source_sitemap"), col("loc"),
                 col("lastmod"), col("priority"))
@@ -81,6 +113,11 @@ object Frontier {
           "left_anti") // cycle cut; visited is tiny frontier metadata
       visited = visited.unionByName(children)
       level = children
+      // over-approximates children (an all-visited level costs one
+      // trivial extra iteration over an empty join) but never
+      // under-approximates — kind="sitemap" rows are the only way
+      // children can be non-empty
+      more = !entries.filter(col("kind") === "sitemap").isEmpty
       depth += 1
     }
 
@@ -89,8 +126,13 @@ object Frontier {
         .toDF("host", "source_sitemap", "loc", "lastmod", "priority")
     }
 
-    // canonical dedup: deterministic keeper = min (loc, source) pair
+    // canonical dedup: deterministic keeper = min (loc, source) pair.
+    // Relative or malformed <loc> values (no scheme://authority) are
+    // DROPPED first — they have no crawlable absolute form, and
+    // defaulting their robots path would inherit the site root's
+    // decision for a URL the agent could never fetch.
     val kept = found
+      .filter(col("loc").rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+"))
       .withColumn("canonical_url", UrlCanon.canonicalize(col("loc")))
       .groupBy(col("canonical_url"))
       .agg(min(struct(col("loc"), col("source_sitemap"), col("host"),

@@ -39,12 +39,48 @@ object Sitemap {
     f.newDocumentBuilder()
   }
 
+  private val MaxBytes = 52428800L // the protocol's own 50 MB cap
+
+  /** Raw crawl payload: sitemaps.org explicitly allows gzipped
+    * sitemaps (`sitemap.xml.gz`), so gunzip-by-magic first — bounded
+    * by the protocol's 50 MB UNCOMPRESSED cap, which doubles as the
+    * bomb guard — then hand the bytes to the XML parser (it resolves
+    * the document's own encoding declaration/BOM). */
+  def parseBytes(content: Array[Byte]): Seq[Entry] = {
+    require(content != null && content.nonEmpty, "empty sitemap document")
+    val bytes =
+      if (content.length >= 2 && (content(0) & 0xFF) == 0x1F &&
+          (content(1) & 0xFF) == 0x8B) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(content), 65536)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(content.length * 4L, MaxBytes).toInt)
+        val buf = new Array[Byte](65536)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          total += n
+          require(total <= MaxBytes,
+            s"gzipped sitemap inflates past the 50 MB protocol limit")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } else content
+    require(bytes.length <= MaxBytes,
+      s"sitemap document ${bytes.length} bytes exceeds the 50 MB limit")
+    parseDom(builder().parse(new java.io.ByteArrayInputStream(bytes)))
+  }
+
   def parse(xml: String): Seq[Entry] = {
     require(xml != null && xml.trim.nonEmpty, "empty sitemap document")
     require(xml.length <= 52428800, // the protocol's own 50 MB cap
       s"sitemap document ${xml.length} chars exceeds the 50 MB limit")
-    val doc = builder().parse(new java.io.ByteArrayInputStream(
-      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    parseDom(builder().parse(new java.io.ByteArrayInputStream(
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+  }
+
+  private def parseDom(doc: org.w3c.dom.Document): Seq[Entry] = {
     val root = doc.getDocumentElement
     val (container, child) = root.getLocalName match {
       case "urlset" => ("urlset", "url")
@@ -88,6 +124,15 @@ object Sitemap {
           (id, e.kind, e.loc, e.lastmod, e.changefreq, e.priority))
       }
       .toDF("id", "kind", "loc", "lastmod", "changefreq", "priority")
+  }
+
+  /** Fixture helper: the `.xml.gz` wire form of a sitemap document. */
+  def gzipped(xml: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
   }
 
   /** Fixture writer: a namespaced urlset (or index) with optional

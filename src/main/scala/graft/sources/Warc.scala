@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * either compressed or decompressed, and files larger than the
   * 2 GiB `binaryFile` ceiling stream fine. One task per file (the
   * Common Crawl layout parallelizes at file grain; records never
-  * shuffle). Non-response records (warcinfo, request, metadata) are
-  * filtered at parse time.
+  * shuffle). Response AND revisit records surface (with the archive's
+  * own `WARC-Payload-Digest` as a column — exact dedup without
+  * re-hashing body bytes); warcinfo/request/metadata are filtered at
+  * parse time.
   *
   * Textual bodies decode charset-aware
   * ([[graft.llm.Charsets.decodeHtml]]: BOM > HTTP charset param >
@@ -39,10 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
+  /** One parsed record. `warcType` is `response` or `revisit`
+    * (ISO 28500 §6.7 — crawls emit revisit records instead of
+    * re-storing an unchanged page); `payloadDigest` surfaces
+    * `WARC-Payload-Digest` verbatim (`""` when absent) so consumers
+    * can dedup on the ARCHIVE'S own digests instead of re-hashing
+    * gigabytes of body bytes. */
   case class WarcResponse(file: String, ordinal: Int, targetUri: String,
                           warcDate: String, httpStatus: Int,
                           contentType: String, body: String,
-                          bodyBytes: Array[Byte])
+                          bodyBytes: Array[Byte],
+                          warcType: String = "response",
+                          payloadDigest: String = "")
 
   /** Default cumulative decompressed-byte cap per file. With the
     * streaming walker, memory is O(record) regardless of file size,
@@ -156,19 +166,22 @@ object Warc {
           s"$name: record at $recStart declares a $lenL-byte payload " +
             s"(per-record cap ${Int.MaxValue})")
         val len = lenL.toInt
-        if (headers.getOrElse("warc-type", "") == "response") {
+        val wtype = headers.getOrElse("warc-type", "")
+        if (wtype == "response" || wtype == "revisit") {
           val rec = readFully(len, recStart)
           val uri = headers.getOrElse("warc-target-uri", "")
           val date = headers.getOrElse("warc-date", "")
+          val digest = headers.getOrElse("warc-payload-digest", "")
           val (status, ctype, payload) = splitHttp(rec)
           if (isTextual(ctype))
             // charset-aware decode (BOM > header param > meta prescan
             // > strict-UTF-8 sniff > windows-1252) — graft.llm.Charsets
             nextResp = WarcResponse(name, ordinal, uri, date, status,
-              ctype, graft.llm.Charsets.decodeHtml(payload, ctype)._1, null)
+              ctype, graft.llm.Charsets.decodeHtml(payload, ctype)._1,
+              null, wtype, digest)
           else
             nextResp = WarcResponse(name, ordinal, uri, date, status,
-              ctype, null, payload)
+              ctype, null, payload, wtype, digest)
         } else skipFully(len, recStart)
         ordinal += 1
       }
@@ -252,10 +265,13 @@ object Warc {
   }
 
   /** Content types whose payload goes through the charset ladder;
-    * everything else (pdf, images, audio, …) stays raw bytes. */
+    * everything else (pdf, images, audio, …) stays raw bytes. OOXML
+    * packages (docx/xlsx/pptx) carry "xml" in their type name but
+    * are ZIP binaries — a charset ladder would destroy them. */
   private[graft] def isTextual(ctype: String): Boolean = {
     val c = ctype.toLowerCase(java.util.Locale.ROOT)
-    c.isEmpty || c.startsWith("text/") || c.contains("html") ||
+    if (c.startsWith("application/vnd.openxmlformats")) false
+    else c.isEmpty || c.startsWith("text/") || c.contains("html") ||
       c.contains("xml") || c.contains("json")
   }
 
@@ -375,9 +391,21 @@ object Warc {
                   contentType: String = "text/html; charset=utf-8")
 
   /** One fixture response with a raw byte payload — binary content
-    * types (application/pdf, …). */
+    * types (application/pdf, …). `revisit = true` emits a
+    * `WARC-Type: revisit` record instead: headers + digest of
+    * `payload` (the unchanged original's bytes) but NO body — the
+    * Common Crawl dedup shape. */
   case class RawPage(uri: String, payload: Array[Byte], status: Int = 200,
-                     contentType: String = "application/octet-stream")
+                     contentType: String = "application/octet-stream",
+                     revisit: Boolean = false)
+
+  /** `md5:<hex>` over the payload — the fixture's digest scheme
+    * (symbolically replayable in the SQL oracle, unlike base32
+    * sha1). */
+  private[graft] def md5Digest(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    "md5:" + d.digest(payload).map(b => f"$b%02x").mkString
+  }
 
   /** Fixture writer: a warcinfo record, then per page a request
     * record (which the reader must skip) and a response record
@@ -421,16 +449,32 @@ object Warc {
         s"GET ${pg.uri} HTTP/1.1\r\nHost: example.com\r\n\r\n"
           .getBytes("US-ASCII"))
       val reason = if (pg.status == 200) "OK" else "NOK"
-      val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
-        s"Content-Type: ${pg.contentType}\r\n" +
-        s"Content-Length: ${pg.payload.length}\r\n\r\n")
-        .getBytes("US-ASCII") ++ pg.payload
-      recs += record(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Target-URI" -> pg.uri,
-        "WARC-Date" -> "2026-01-01T00:00:00Z",
-        "WARC-Record-ID" -> f"<urn:uuid:resp-$i%08d>"),
-        http)
+      if (pg.revisit) {
+        // headers + the ORIGINAL payload's digest, no body — what a
+        // crawler writes when the page hasn't changed
+        val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
+          s"Content-Type: ${pg.contentType}\r\n" +
+          s"Content-Length: 0\r\n\r\n").getBytes("US-ASCII")
+        recs += record(Seq(
+          "WARC-Type" -> "revisit",
+          "WARC-Target-URI" -> pg.uri,
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Payload-Digest" -> md5Digest(pg.payload),
+          "WARC-Record-ID" -> f"<urn:uuid:rvst-$i%08d>"),
+          http)
+      } else {
+        val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
+          s"Content-Type: ${pg.contentType}\r\n" +
+          s"Content-Length: ${pg.payload.length}\r\n\r\n")
+          .getBytes("US-ASCII") ++ pg.payload
+        recs += record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> pg.uri,
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Payload-Digest" -> md5Digest(pg.payload),
+          "WARC-Record-ID" -> f"<urn:uuid:resp-$i%08d>"),
+          http)
+      }
     }
     if (!gzipPerRecord) recs.flatten.toArray
     else recs.toArray.flatMap { r =>

@@ -42,6 +42,27 @@ class SitemapSpec extends SparkSpec {
     assert(got == Seq(Sitemap.Entry("url", "http://x/a", null, null, None)))
   }
 
+  test("parseBytes: gz by magic, plain bytes, bomb cap, encoding decl") {
+    val xml = Sitemap.fixture(Seq(("http://x/a", Some("2026-01-01"),
+      None, Some(0.3))))
+    val expect = Sitemap.parse(xml)
+    assert(Sitemap.parseBytes(xml.getBytes("UTF-8")) == expect)
+    assert(Sitemap.parseBytes(Sitemap.gzipped(xml)) == expect)
+    // the XML parser resolves the document's OWN encoding decl from
+    // bytes — a latin-1 sitemap with a non-ASCII loc survives
+    val latin = ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<url><loc>http://x/café</loc></url></urlset>")
+      .getBytes("ISO-8859-1")
+    assert(Sitemap.parseBytes(latin).head.loc == "http://x/café")
+    // a gzip bomb past the protocol's 50 MB uncompressed cap refuses
+    val bomb = Sitemap.gzipped(new String(Array.fill(64 << 20)(' ')))
+    val ex = intercept[IllegalArgumentException] {
+      Sitemap.parseBytes(bomb)
+    }
+    assert(ex.getMessage.contains("50 MB"))
+  }
+
   test("entries(): one narrow row per entry") {
     val df = Seq(
       (1L, Sitemap.fixture(Seq(("http://x/a", Some("2026-01-01"), None,

@@ -30,6 +30,21 @@ class UrlSkipGramSpec extends SparkSpec {
     assert(canon("https://a.org/p?utm_a=1&utm_b=2") == "https://a.org/p")
   }
 
+  test("canonicalize: click-id keys strip; lookalikes survive") {
+    // the standard click-id set strips by KEY (value irrelevant)
+    assert(canon("https://a.org/p?fbclid=IwAR123&x=1")
+      == "https://a.org/p?x=1")
+    assert(canon("https://a.org/p?gclid=Cj0&msclkid=m1&mc_eid=e&yclid=9")
+      == "https://a.org/p")
+    // bare tracker key (no '=') strips too
+    assert(canon("https://a.org/p?igshid&a=2") == "https://a.org/p?a=2")
+    // lookalike keys are NOT in the set: a PREFIX match would eat them
+    assert(canon("https://a.org/p?fbclid2=keep&gclid_x=keep")
+      == "https://a.org/p?fbclid2=keep&gclid_x=keep")
+    // tracker string in the VALUE never strips
+    assert(canon("https://a.org/p?q=fbclid") == "https://a.org/p?q=fbclid")
+  }
+
   test("dupGroups: spellings of one page collapse; keeper is min id") {
     val df = Seq(
       (3L, "HTTP://WWW.site.com:80/p/?b=2&a=1"),

@@ -111,6 +111,36 @@ class WarcStreamingSpec extends SparkSpec {
     assert(got(1).targetUri == "http://y/" && got(1).body == "hello")
   }
 
+  test("payload digests: the archive's digests substitute for re-hashing") {
+    // three pages, two distinct payloads across different uris:
+    // grouping by the surfaced WARC-Payload-Digest must equal
+    // grouping by our own md5 over the raw bytes — the intake can
+    // skip hashing gigabytes of body per segment
+    val p1 = "shared payload bytes".getBytes("UTF-8")
+    val p2 = "unique payload bytes".getBytes("UTF-8")
+    val bytes = Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://a/1", p1),
+      Warc.RawPage("http://a/2", p2),
+      Warc.RawPage("http://b/1", p1)), gzipPerRecord = true)
+    val got = Warc.parseFile("f", bytes)
+    assert(got.size == 3)
+    val byDigest = got.groupBy(_.payloadDigest)
+      .view.mapValues(_.map(_.targetUri).toSet).toMap
+    val byOwnMd5 = got.groupBy(r => Warc.md5Digest(r.bodyBytes))
+      .view.mapValues(_.map(_.targetUri).toSet).toMap
+    assert(byDigest == byOwnMd5)
+    assert(byDigest.size == 2)
+    assert(byDigest(Warc.md5Digest(p1)) == Set("http://a/1", "http://b/1"))
+
+    // a revisit record surfaces with the ORIGINAL's digest, no body
+    val rv = Warc.parseFile("f", Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://a/3", p1, revisit = true))))
+    assert(rv.size == 1)
+    assert(rv.head.warcType == "revisit")
+    assert(rv.head.payloadDigest == Warc.md5Digest(p1))
+    assert(rv.head.bodyBytes.isEmpty)
+  }
+
   test("binary content types keep raw payload bytes, no charset ladder") {
     val pdfish = Array[Byte]('%', 'P', 'D', 'F', '-', '1', '.', '4',
       0x0A, 0xE9.toByte, 0x93.toByte, 0x00)
