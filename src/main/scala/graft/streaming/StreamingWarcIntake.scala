@@ -54,11 +54,12 @@ object StreamingWarcIntake {
   /** Parse + extract + gate one batch of (path, content) WARC files.
     * text/html bodies ride the charset ladder into [[HtmlText]];
     * application/pdf payloads (raw bytes — the walker never charset-
-    * decodes them) go through [[graft.llm.PdfText]], with a
-    * per-document failure domain: a hostile or unsupported PDF
-    * (encrypted, truncated, exotic filters) drops instead of killing
-    * the stream. Exposed for spec parity checks against the batch
-    * path. */
+    * decodes them) go through [[graft.llm.PdfText]] and OOXML
+    * wordprocessing payloads through [[graft.llm.DocxText]], each
+    * with a per-document failure domain: a hostile or unsupported
+    * document (encrypted, truncated, exotic filters) drops instead
+    * of killing the stream. Exposed for spec parity checks against
+    * the batch path. */
   def extractBatch(files: DataFrame, minChars: Int, maxChars: Int,
                    maxLinkDensity: Double): DataFrame = {
     val spark = files.sparkSession
@@ -82,6 +83,13 @@ object StreamingWarcIntake {
             } else if (r.contentType.startsWith("application/pdf"))
               // per-document failure domain: a hostile PDF drops
               scala.util.Try(graft.llm.PdfText.extractText(r.bodyBytes))
+                .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
+            else if (r.contentType.startsWith(
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml"))
+              // same failure domain for DOCX (OLE-wrapped/encrypted,
+              // truncated zip, bomb-capped part — all drop)
+              scala.util.Try(graft.llm.DocxText.extractText(r.bodyBytes))
                 .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
             else None
           }

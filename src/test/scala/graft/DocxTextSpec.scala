@@ -1,0 +1,105 @@
+package graft
+
+import graft.llm.DocxText
+
+/** DOCX text extraction: fixture round-trips (split runs rejoin,
+  * preserved whitespace, unicode), the paragraph/run contract over
+  * hand-built document.xml (tables, tabs vs tab STOPS, breaks,
+  * tracked changes, hyperlinks), and the loud refusals (OLE/legacy
+  * .doc, non-zip, zip without the document part, DOCTYPE). */
+class DocxTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixture round-trip: split runs rejoin, whitespace, unicode") {
+    val paras = Seq("first paragraph", "  leading and trailing  ",
+      "汉字 — café ☃", "", "last")
+    val docx = DocxText.fixture(paras)
+    assert(DocxText.isZip(docx) && !DocxText.isOle(docx))
+    assert(DocxText.paragraphs(docx) == paras)
+    assert(DocxText.extractText(docx) == paras.mkString("\n"))
+  }
+
+  // hand-built package around an arbitrary document.xml body
+  private def docxOf(bodyXml: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    part("[Content_Types].xml", "<Types/>")
+    part("word/document.xml",
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        bodyXml + "</w:body></w:document>")
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("run contract: tabs, breaks, table cells, tracked changes, fields") {
+    val body =
+      // w:tab INSIDE a run is a tab char; w:tabs in pPr is a STOP
+      // definition and must NOT emit
+      "<w:p><w:pPr><w:tabs><w:tab/><w:tab/></w:tabs></w:pPr>" +
+        "<w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>" +
+        // tracked change: inserted text kept, deleted text dropped
+        "<w:p><w:ins><w:r><w:t>kept</w:t></w:r></w:ins>" +
+        "<w:del><w:r><w:delText>gone</w:delText></w:r></w:del></w:p>" +
+        // hyperlink wraps runs; field instruction text is plumbing
+        "<w:p><w:hyperlink><w:r><w:t>linked</w:t></w:r></w:hyperlink>" +
+        "<w:r><w:instrText>HYPERLINK \"x\"</w:instrText></w:r></w:p>" +
+        // paragraphs inside a table, document order
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell one</w:t></w:r></w:p>" +
+        "</w:tc><w:tc><w:p><w:r><w:t>cell two</w:t></w:r></w:p></w:tc>" +
+        "</w:tr></w:tbl>" +
+        "<w:p><w:r><w:t>after table</w:t></w:r></w:p>"
+    assert(DocxText.paragraphs(docxOf(body)) == Seq(
+      "a\tb\nc", "kept", "linked", "cell one", "cell two", "after table"))
+  }
+
+  test("refusals: OLE, non-zip, missing part, DOCTYPE") {
+    val ole = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
+      0, 0).map(_.toByte)
+    val e1 = intercept[IllegalArgumentException] {
+      DocxText.extractText(ole)
+    }
+    assert(e1.getMessage.contains("OLE"))
+    intercept[IllegalArgumentException] {
+      DocxText.extractText("plain text".getBytes("US-ASCII"))
+    }
+    val noPart = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
+      zos.write("<x/>".getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      DocxText.extractText(noPart)
+    }
+    assert(e2.getMessage.contains("word/document.xml"))
+    // hostile DOCTYPE (billion laughs shape) refuses at the parser
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      zos.write(("<?xml version=\"1.0\"?><!DOCTYPE x [<!ENTITY a \"b\">]>" +
+        "<w:document xmlns:w=\"n\"><w:body/></w:document>").getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    intercept[Exception] { DocxText.extractText(bomb) }
+  }
+
+  test("extract(): narrow dataframe path") {
+    val rows = Seq(
+      (1L, DocxText.fixture(Seq("doc one", "line two"))),
+      (2L, DocxText.fixture(Seq("p1", "p2", "p3"))))
+      .toDF("doc_id", "docx")
+    val got = DocxText.extract(rows, "doc_id", "docx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(got(0) == ((1L, 2, "doc one\nline two")))
+    assert(got(1) == ((2L, 3, "p1\np2\np3")))
+  }
+}

@@ -89,5 +89,27 @@ class StreamingWarcIntakeSpec extends SparkSpec {
       Seq("http://z/e", "http://z/report.pdf"), s"got $accepted")
     assert(accepted.toMap.apply("http://z/report.pdf") ==
       "epsilon pdf content")
+
+    // segment 4: the DOCX branch — one clean package (raw bytes
+    // through DocxText), one HOSTILE OLE-magic payload that must
+    // DROP (encrypted/legacy .doc shape — the refusal stays inside
+    // the per-document Try)
+    accepted.clear()
+    val DocxType = "application/vnd.openxmlformats-officedocument" +
+      ".wordprocessingml.document"
+    write(dir, "part4.warc.gz", Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://z/memo.docx",
+        graft.llm.DocxText.fixture(Seq("eta docx paragraph", "and two")),
+        contentType = DocxType),
+      Warc.RawPage("http://z/locked.docx",
+        Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1, 0, 0)
+          .map(_.toByte),
+        contentType = DocxType)),
+      gzipPerRecord = true))
+    runOnce(ckpt)
+    assert(accepted.map(_._1).sorted.toSeq ==
+      Seq("http://z/memo.docx"), s"got $accepted")
+    assert(accepted.toMap.apply("http://z/memo.docx") ==
+      "eta docx paragraph\nand two")
   }
 }
