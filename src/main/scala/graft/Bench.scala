@@ -92,6 +92,26 @@ object Bench {
     // empty bench as success.
     require(results.nonEmpty,
       s"no queries matched SPARK_GRAFT_ONLY=${only.map(_.mkString(","))}")
+
+    // The whiplash audit set (r9/r12/r13: one contended sample of
+    // these headlined three separate rounds): take ONE extra timed
+    // sample each, reported SEPARATELY in notes.audit_min3 — the
+    // headline per-query map stays uniform min-of-2 (the r11 ask:
+    // selective over-sampling would bias contested minima against
+    // the rest of the suite), while round-over-round comparison reads
+    // the min-of-3 so a single transient can't headline again.
+    val auditSet = Set("q28_minhash_pairs", "q202_cv_ols",
+      "q209_levene", "q203_perm_test")
+    val auditMin3: Seq[(String, Double)] = results
+      .filter { case (name, _) => auditSet.contains(name) }
+      .map { case (name, (best2, _)) =>
+        val fn = SparkEntry.queries(name)
+        System.gc()
+        val t0 = System.nanoTime()
+        force(name)(fn(spark, sfDir).write.mode("overwrite")
+          .format("noop").save())
+        name -> math.min(best2, (System.nanoTime() - t0) / 1e9)
+      }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, (t, _)) => k -> t })
@@ -102,7 +122,11 @@ object Bench {
     // be compared unknowingly (the r2→r3 local[4] lesson). Static
     // per-query measurement caveats ride in `notes` so timing
     // semantics survive in the artifact, not just a source comment.
-    val notes = """{"q241_bucketed_merge":"timed portion = final read-back of the merged store; the 4-batch merge chain + mid-chain 16->24 rescale run at DataFrame construction and land in warmup_sec"}"""
+    // run_label: the close-artifact convention is to snapshot from an
+    // OTHERWISE-IDLE machine; a refresh taken while other jobs run is
+    // labeled so round-over-round comparisons know which was which.
+    val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "unlabeled")
+    val notes = s"""{"q241_bucketed_merge":"timed portion = final read-back of the merged store; the 4-batch merge chain + mid-chain 16->24 rescale run at DataFrame construction and land in warmup_sec","run_label":"$runLabel","audit_min3":${jmap(auditMin3)}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir","notes":$notes}"""
     println(full)
     // The full line is ~2.5 KB and the driver keeps only a ~2 KB tail

@@ -685,6 +685,144 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_pages"), col("text"))
     }),
 
+    // Composite (Type0/CID) fonts — the layout Word/LaTeX-Unicode/
+    // CJK writers actually emit: /Identity-H 2-byte codes through a
+    // Flate-compressed /ToUnicode CMap (ASCII via ONE bfrange,
+    // non-ASCII via bfchar blocks — both operator forms exercised by
+    // construction). The oracle reconstructs every page symbolically
+    // with the CJK/symbol line via chr(), so a code-width, CMap
+    // bfchar/bfrange, or UTF-16BE bug breaks the hash.
+    "q281_pdf_type0" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixtureType0(Seq(
+            Seq(s"doc $id", r.getString(1), "汉字 — ☃ fin"),
+            Seq(s"page two of doc $id"))))
+        }.toSeq
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("n_pages"), col("text"))
+    }),
+
+    // The PDF filter matrix through ONE extractor: LZWDecode (the
+    // TIFF early-change convention), ASCIIHexDecode, ASCII85Decode,
+    // RunLengthDecode, and the [A85, Flate] CHAIN — each content
+    // stream encoded by the fixture-side encoder, decoded back by
+    // the chain walker. Identical expected text to q278: the filter
+    // must be invisible to extraction; the filter_used column pins
+    // which variant each row exercised.
+    "q282_pdf_filters" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val variants = Seq(
+        Seq("LZWDecode"), Seq("ASCIIHexDecode"), Seq("ASCII85Decode"),
+        Seq("RunLengthDecode"), Seq("ASCII85Decode", "FlateDecode"))
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val fs = variants((id % 5).toInt)
+          (id, PdfText.fixtureFiltered(Seq(
+            Seq(s"doc $id", r.getString(1), "café — fin"),
+            Seq(s"page two of doc $id")), fs))
+        }.toSeq
+      val names = typedLit(variants.map(_.mkString("+")))
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"),
+          element_at(names, (col("id") % 5 + 1).cast("int"))
+            .as("filter_used"),
+          col("n_pages"), col("text"))
+    }),
+
+    // DOCX text extraction, gated sample-exact: fixture packages
+    // built from REAL document text (three paragraphs, each split
+    // into two runs the reader must rejoin, a CJK/symbol paragraph,
+    // preserved whitespace), walked back through the JDK zip + DOM
+    // path. The oracle reconstructs every paragraph symbolically —
+    // chr() for the non-ASCII — so a zip-walk, run-joining or
+    // escaping bug breaks the hash.
+    "q283_docx_extract" -> ((s, d) => {
+      import graft.llm.DocxText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, DocxText.fixture(Seq(
+            s"doc $id", r.getString(1), "汉字 — café ☃ fin")))
+        }.toSeq
+      DocxText.extract(rows.toDF("doc_id", "docx"), "doc_id", "docx")
+        .select(col("id").as("doc_id"), col("n_paragraphs"), col("text"))
+    }),
+
+    // Crawl content-type branch, THREE ways: one WARC archive
+    // carrying text/html, application/pdf AND the OOXML wordprocessing
+    // type (per-record gzip members); html rides the charset ladder
+    // into HtmlText, pdf bytes into PdfText, docx bytes into DocxText —
+    // the full dispatch a real intake runs. Oracle replays all three
+    // branches from the documents table.
+    "q284_crawl_docx_branch" -> ((s, d) => {
+      import graft.sources.Warc
+      import graft.llm.{DocxText, HtmlText, PdfText}
+      val sess = s
+      import sess.implicits._
+      val DocxType = "application/vnd.openxmlformats-officedocument" +
+        ".wordprocessingml.document"
+      val pages = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id % 3) match {
+            case 0 =>
+              Warc.RawPage(s"http://example.com/doc$id.pdf",
+                PdfText.fixture(Seq(Seq(s"doc $id", r.getString(1)))),
+                contentType = "application/pdf")
+            case 1 =>
+              val enc = r.getString(1).replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              Warc.RawPage(s"http://example.com/doc$id.html",
+                s"<html><body><p>$enc</p></body></html>"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                contentType = "text/html; charset=utf-8")
+            case _ =>
+              Warc.RawPage(s"http://example.com/doc$id.docx",
+                DocxText.fixture(Seq(s"doc $id", r.getString(1))),
+                contentType = DocxType)
+          }
+        }.toSeq
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      val parsed = Seq(("mixed3.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) =>
+          Warc.responses(n, new java.io.ByteArrayInputStream(b)) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+          col("contentType"), col("body"), col("bodyBytes"))
+      val htmlSide = HtmlText.extract(
+          parsed.filter(col("contentType").startsWith("text/html"))
+            .select(col("doc_id"), col("body")), "doc_id", "body")
+        .select(col("id").as("doc_id"), lit("html").as("kind"),
+          col("text"))
+      val pdfSide = PdfText.extract(
+          parsed.filter(col("contentType") === "application/pdf")
+            .select(col("doc_id"), col("bodyBytes")), "doc_id", "bodyBytes")
+        .select(col("id").as("doc_id"), lit("pdf").as("kind"), col("text"))
+      val docxSide = DocxText.extract(
+          parsed.filter(col("contentType") === DocxType)
+            .select(col("doc_id"), col("bodyBytes")), "doc_id", "bodyBytes")
+        .select(col("id").as("doc_id"), lit("docx").as("kind"), col("text"))
+      htmlSide.unionByName(pdfSide).unionByName(docxSide)
+    }),
+
     // Crawl content-type branch: one WARC archive carrying BOTH
     // text/html and application/pdf responses (per-record gzip
     // members); html bodies ride the charset ladder into HtmlText,
@@ -735,10 +873,12 @@ object LlmQueries {
 
     // Crawl-frontier composition: robots Sitemap: directives seed a
     // sitemapindex walk (child urlsets, a self-referencing cycle cut
-    // by the visited set, an unfetched child dropped), terminal URL
-    // entries canonicalize (utm strip, param sort, www./:80 strip)
-    // and dedup with the min-(url,source) keeper, and every kept URL
-    // carries the RFC 9309 decision for the agent. The oracle
+    // by the visited set, an unfetched child dropped, a GZIPPED
+    // child — sitemaps.org's .xml.gz form — gunzipped by magic),
+    // terminal URL entries canonicalize (utm/click-id strip, param
+    // sort, www./:80 strip), relative <loc> junk drops, and the rest
+    // dedup with the min-(url,source) keeper, every kept URL
+    // carrying the RFC 9309 decision for the agent. The oracle
     // reconstructs the whole frontier from the id formulas.
     "q277_crawl_frontier" -> ((s, d) => {
       import graft.sources.{Frontier, Sitemap}
@@ -768,12 +908,14 @@ object LlmQueries {
       val smi = Sitemap.fixture(Seq(
         ("http://a.com/sm1.xml", None, None, None),
         ("http://a.com/sm2.xml", None, None, None),
+        ("http://a.com/sm3.xml.gz", None, None, None), // gzipped child
         ("http://a.com/smi.xml", None, None, None), // cycle: must be cut
         ("http://a.com/missing.xml", None, None, None)), // never fetched
         index = true)
-      // sm2 carries pages 40-79 AND re-lists pages 0-9 under noisy
-      // spellings (www. prefix, :80 port, different utm param): the
-      // canonical dedup must fold those onto sm1's rows
+      // sm2 carries pages 40-79, re-lists pages 0-9 under noisy
+      // spellings (www. prefix, :80 port, a utm param AND a click
+      // id — the canonical dedup must fold those onto sm1's rows),
+      // and lists one RELATIVE loc the walk must drop
       val sm2 = Sitemap.fixture(
         (40 until 80).map { id =>
           (s"http://a.com/sec${id % 7}/doc$id?b=2&a=1&utm_x=1",
@@ -781,13 +923,21 @@ object LlmQueries {
            Option.empty[String],
            if (id % 5 != 0) Some((id % 10) / 10.0) else None)
         } ++ (0 until 10).map { id =>
-          (s"http://www.a.com:80/sec${id % 7}/doc$id?a=1&b=2&utm_y=2",
+          (s"http://www.a.com:80/sec${id % 7}/doc$id" +
+            s"?a=1&b=2&utm_y=2&fbclid=IwAR99",
            Option.empty[String], Option.empty[String], Option.empty[Double])
-        })
+        } ++ Seq(("/relative/doc999", // no scheme://authority: dropped
+          Option.empty[String], Option.empty[String], Option.empty[Double])))
+      // the gzipped child ships as raw .gz bytes; the string column
+      // carries them ISO-8859-1-decoded (byte-transparent)
+      val sm3 = new String(
+        Sitemap.gzipped(bareset(120 until 140, "a.com")),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
       val fetched = Seq(
         ("http://a.com/smi.xml", smi),
         ("http://a.com/sm1.xml", urlset(0 until 40, "a.com")),
         ("http://a.com/sm2.xml", sm2),
+        ("http://a.com/sm3.xml.gz", sm3),
         ("http://b.com/sm0.xml", bareset(80 until 120, "b.com")))
         .toDF("url", "xml")
       Frontier.build(robots, "rhost", "content",
@@ -960,7 +1110,48 @@ object LlmQueries {
         .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
         .select(col("targetUri").as("target_uri"),
                 col("httpStatus").as("http_status"),
-                col("contentType").as("content_type"), col("body"))
+                col("contentType").as("content_type"), col("body"),
+                col("payloadDigest").as("payload_digest"))
+    }),
+
+    // WARC revisit records + payload digests: odd ids crawl as
+    // `WARC-Type: revisit` carrying the ORIGINAL (id-1 page's)
+    // payload digest and an empty body — the Common Crawl dedup
+    // shape, letting consumers skip re-hashing unchanged pages. The
+    // oracle replays both record kinds AND the md5 digests from the
+    // documents table (DuckDB md5 over the identical reconstructed
+    // page bytes).
+    "q285_warc_revisit" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Warc
+      def html(id: Long, text: String): Array[Byte] = {
+        val enc = text.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        (s"<html><head><title>doc $id</title></head><body><p>$enc" +
+          "</p></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val docs = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val pages = docs.keys.toSeq.sorted.map { id =>
+        if (id % 2 == 0)
+          Warc.RawPage(s"http://example.com/doc/$id", html(id, docs(id)),
+            contentType = "text/html; charset=utf-8")
+        else // unchanged since the even sibling: a revisit of ITS page
+          Warc.RawPage(s"http://example.com/doc/$id",
+            html(id - 1, docs(id - 1)),
+            contentType = "text/html; charset=utf-8", revisit = true)
+      }
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      Seq(("revisit.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warcType").as("warc_type"),
+          col("payloadDigest").as("payload_digest"),
+          length(col("body")).as("n_body_chars"))
     }),
 
     // WARC → HTML → training text, composed end-to-end: parse the
@@ -2282,6 +2473,58 @@ object LlmQueries {
         |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
+    // q281: identical page shape to q278, but the third line is
+    // CJK/symbols only a composite font can carry — 汉(27721)
+    // 字(23383) em-dash(8212) snowman(9731) via chr(). The Identity-H
+    // code path and the CMap must reproduce it exactly.
+    "q281_pdf_type0" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_pages,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  chr(27721) || chr(23383) || ' ' || chr(8212) || ' ' ||
+        |  chr(9731) || ' fin' ||
+        |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q282: expected text identical to q278 (the filter must be
+    // invisible); filter_used replays the doc_id % 5 variant cycle.
+    "q282_pdf_filters" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'LZWDecode'
+        |       WHEN 1 THEN 'ASCIIHexDecode' WHEN 2 THEN 'ASCII85Decode'
+        |       WHEN 3 THEN 'RunLengthDecode'
+        |       ELSE 'ASCII85Decode+FlateDecode' END AS filter_used,
+        |  CAST(2 AS INT) AS n_pages,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  'caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
+        |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q283: paragraphs join with chr(10); the CJK/symbol paragraph
+    // replays via chr() — 汉(27721) 字(23383) em-dash(8212) é(233)
+    // snowman(9731).
+    "q283_docx_extract" ->
+      """SELECT doc_id, CAST(3 AS INT) AS n_paragraphs,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  chr(27721) || chr(23383) || ' ' || chr(8212) || ' caf' ||
+        |  chr(233) || ' ' || chr(9731) || ' fin' AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q284: id % 3 routed pdf / html / docx; pdf and docx replay the
+    // title-line + raw-text shape, html the entity round-trip
+    // (whitespace-collapsed).
+    "q284_crawl_docx_branch" ->
+      """SELECT doc_id, 'pdf' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'html' AS kind,
+        |  trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
+        |FROM documents WHERE doc_id < 60 AND doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, 'docx' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2""".stripMargin,
+
     // q279: even ids went out as PDFs (title line + raw text),
     // odd ids as HTML (entity round-trip, whitespace-collapsed).
     "q279_crawl_pdf_branch" ->
@@ -2294,27 +2537,31 @@ object LlmQueries {
         |FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1""".stripMargin,
 
     // q277: the frontier reconstructs entirely from the id formulas —
-    // a.com ids 0-79 (ids 0-9's noisy re-listings fold onto sm1's
-    // rows: min-(url,source) keeper), b.com ids 80-119; canonical =
-    // utm params stripped + params sorted; allowed replays the *
-    // group for a.com (graftbot unnamed there) and the named group
-    // for b.com. The cycle and the unfetched child contribute rows
-    // ONLY if the guard fails — which would break the hash.
+    // a.com ids 0-79 with query strings (ids 0-9's noisy re-listings
+    // fold onto sm1's rows: min-(url,source) keeper) plus BARE ids
+    // 120-139 from the gzipped child, b.com ids 80-119; canonical =
+    // utm/click-id params stripped + params sorted; allowed replays
+    // the * group for a.com (graftbot unnamed there) and the named
+    // group for b.com. The cycle, the unfetched child and the
+    // relative loc contribute rows ONLY if a guard fails — which
+    // would break the hash.
     "q277_crawl_frontier" ->
-      """WITH ids AS (SELECT unnest(range(120)) AS id)
+      """WITH ids AS (SELECT unnest(range(140)) AS id)
         |SELECT 'a.com' AS host,
         |  'http://a.com/sec' || (id % 7) || '/doc' || id ||
-        |    '?b=2&a=1&utm_x=1' AS url,
+        |    (CASE WHEN id < 80 THEN '?b=2&a=1&utm_x=1' ELSE '' END) AS url,
         |  'http://a.com/sec' || (id % 7) || '/doc' || id ||
-        |    '?a=1&b=2' AS canonical_url,
+        |    (CASE WHEN id < 80 THEN '?a=1&b=2' ELSE '' END)
+        |    AS canonical_url,
         |  CASE WHEN id < 40 THEN 'http://a.com/sm1.xml'
-        |       ELSE 'http://a.com/sm2.xml' END AS source_sitemap,
+        |       WHEN id < 80 THEN 'http://a.com/sm2.xml'
+        |       ELSE 'http://a.com/sm3.xml.gz' END AS source_sitemap,
         |  CASE WHEN id % 4 != 1
         |       THEN '2026-02-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
         |  END AS lastmod,
         |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
         |  (id % 7) != 3 AS allowed
-        |FROM ids WHERE id < 80
+        |FROM ids WHERE id < 80 OR id >= 120
         |UNION ALL
         |SELECT 'b.com' AS host,
         |  'http://b.com/sec' || (id % 7) || '/doc' || id AS url,
@@ -2325,7 +2572,7 @@ object LlmQueries {
         |  END AS lastmod,
         |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
         |  (id % 7) != 1 AS allowed
-        |FROM ids WHERE id >= 80""".stripMargin,
+        |FROM ids WHERE id >= 80 AND id < 120""".stripMargin,
 
     // q276: the chain recomputed symbolically — extraction length
     // from the q268 round-trip expression, link density as the
@@ -2406,18 +2653,44 @@ object LlmQueries {
     // q267: every WARC response body reconstructs byte-for-byte from
     // the documents table (entity encoding replayed with the same
     // &-first replace order) — a record-walk, Content-Length, gzip-
-    // member or HTTP-split bug breaks the hash.
+    // member or HTTP-split bug breaks the hash. payload_digest is the
+    // archive's own WARC-Payload-Digest, replayed as DuckDB md5 over
+    // the SAME reconstructed page bytes.
     "q267_warc_parse" ->
-      """SELECT 'http://example.com/doc/' || doc_id AS target_uri,
-        |  CAST(200 AS INT) AS http_status,
-        |  'text/html; charset=utf-8' AS content_type,
-        |  '<html><head><title>doc ' || doc_id ||
+      """WITH x AS (SELECT doc_id,
+        |    '<html><head><title>doc ' || doc_id ||
         |    '</title><script>var x=1;</script></head><body><p>' ||
         |    replace(replace(replace(text, '&', '&amp;'),
         |            '<', '&lt;'), '>', '&gt;') ||
         |    '</p><div><a href="/x">more link text here</a></div>' ||
         |    '<!-- footer --></body></html>' AS body
-        |FROM documents WHERE doc_id < 60""".stripMargin,
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT 'http://example.com/doc/' || doc_id AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  'text/html; charset=utf-8' AS content_type, body,
+        |  'md5:' || md5(body) AS payload_digest
+        |FROM x""".stripMargin,
+
+    // q285: even ids are live responses, odd ids revisit records of
+    // the (id-1) page — warc_type, the md5 payload digest over the
+    // ORIGINAL page bytes, and the empty revisit body all replay.
+    "q285_warc_revisit" ->
+      """WITH x AS (SELECT doc_id,
+        |    '<html><head><title>doc ' || doc_id ||
+        |    '</title></head><body><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'),
+        |            '<', '&lt;'), '>', '&gt;') ||
+        |    '</p></body></html>' AS body
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, 'response' AS warc_type,
+        |  'md5:' || md5(body) AS payload_digest,
+        |  CAST(len(body) AS INT) AS n_body_chars
+        |FROM x WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT o.doc_id + 1 AS doc_id, 'revisit' AS warc_type,
+        |  'md5:' || md5(o.body) AS payload_digest,
+        |  CAST(0 AS INT) AS n_body_chars
+        |FROM x o WHERE o.doc_id % 2 = 0 AND o.doc_id + 1 < 40""".stripMargin,
 
     // q268: the extraction must return the ORIGINAL text (the
     // entity round-trip), prefixed by the title word, followed by
