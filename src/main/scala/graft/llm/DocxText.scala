@@ -42,6 +42,14 @@ object DocxText {
     * file header can declare any size; meter actual inflation. */
   private val MaxPartBytes = 256L << 20
 
+  /** Element-nesting cap for the document walk. Real documents nest
+    * tables a handful of levels; a crafted 200k-deep element chain
+    * would otherwise drive the recursion to StackOverflowError —
+    * FATAL, so it would escape the streaming intake's per-document
+    * Try and kill the whole query on one hostile .docx (the PdfText
+    * MaxDepth rationale exactly). */
+  private val MaxDepth = 64
+
   def isZip(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
       (b(2) == 3 || b(2) == 5 || b(2) == 7)
@@ -115,10 +123,13 @@ object DocxText {
   }
 
   /** Depth-first: each w:p contributes one line; containers (body,
-    * tables, content controls) recurse. Elements matched on LOCAL
-    * name — producers vary the `w:` prefix binding. */
+    * tables, content controls) recurse, depth-capped. Elements
+    * matched on LOCAL name — producers vary the `w:` prefix
+    * binding. */
   private def walk(node: org.w3c.dom.Node,
-                   out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+                   out: scala.collection.mutable.ArrayBuffer[String],
+                   depth: Int = 0): Unit = {
+    require(depth < MaxDepth, "DOCX element nesting too deep")
     val kids = node.getChildNodes
     var i = 0
     while (i < kids.getLength) {
@@ -128,7 +139,7 @@ object DocxText {
           val sb = new java.lang.StringBuilder()
           runText(k, sb)
           out += sb.toString
-        } else walk(k, out)
+        } else walk(k, out, depth + 1)
       }
       i += 1
     }
@@ -147,7 +158,9 @@ object DocxText {
   /** Text content of one paragraph subtree: w:t verbatim, w:tab TAB,
     * w:br / w:cr newline; w:delText (tracked deletions) skipped. */
   private def runText(node: org.w3c.dom.Node,
-                      sb: java.lang.StringBuilder): Unit = {
+                      sb: java.lang.StringBuilder,
+                      depth: Int = 0): Unit = {
+    require(depth < MaxDepth, "DOCX run nesting too deep")
     val kids = node.getChildNodes
     var i = 0
     while (i < kids.getLength) {
@@ -162,7 +175,7 @@ object DocxText {
           case "pPr" | "rPr" =>
           // property bags: w:pPr carries w:tabs/w:tab STOP
           // definitions — layout, not tab characters
-          case _ => runText(k, sb)
+          case _ => runText(k, sb, depth + 1)
         }
       }
       i += 1
@@ -203,7 +216,14 @@ object DocxText {
     body ++= "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
     body ++= s"""<w:document xmlns:w="$w"><w:body>"""
     paragraphs.foreach { p =>
-      val mid = p.length / 2
+      // never split inside a surrogate pair: getBytes("UTF-8") would
+      // encode each lone surrogate as '?' and corrupt the fixture
+      val half = p.length / 2
+      val mid =
+        if (half > 0 && half < p.length &&
+            Character.isHighSurrogate(p.charAt(half - 1)) &&
+            Character.isLowSurrogate(p.charAt(half))) half + 1
+        else half
       val (a, b) = p.splitAt(mid)
       body ++= "<w:p>"
       Seq(a, b).filter(_.nonEmpty).foreach { seg =>

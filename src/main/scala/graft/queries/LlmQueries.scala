@@ -801,26 +801,24 @@ object LlmQueries {
           }
         }.toSeq
       val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
-      val parsed = Seq(("mixed3.warc.gz", warc)).toDS()
+      // ONE record walk with the dispatch INSIDE it (the extractBatch
+      // shape): three filtered DataFrame branches would gunzip and
+      // header-walk the whole archive three times per execution
+      Seq(("mixed3.warc.gz", warc)).toDS()
         .flatMap { case (n, b) =>
-          Warc.responses(n, new java.io.ByteArrayInputStream(b)) }.toDF()
-        .select(regexp_extract(col("targetUri"), "/doc(\\d+)\\.", 1)
-          .cast("long").as("doc_id"),
-          col("contentType"), col("body"), col("bodyBytes"))
-      val htmlSide = HtmlText.extract(
-          parsed.filter(col("contentType").startsWith("text/html"))
-            .select(col("doc_id"), col("body")), "doc_id", "body")
-        .select(col("id").as("doc_id"), lit("html").as("kind"),
-          col("text"))
-      val pdfSide = PdfText.extract(
-          parsed.filter(col("contentType") === "application/pdf")
-            .select(col("doc_id"), col("bodyBytes")), "doc_id", "bodyBytes")
-        .select(col("id").as("doc_id"), lit("pdf").as("kind"), col("text"))
-      val docxSide = DocxText.extract(
-          parsed.filter(col("contentType") === DocxType)
-            .select(col("doc_id"), col("bodyBytes")), "doc_id", "bodyBytes")
-        .select(col("id").as("doc_id"), lit("docx").as("kind"), col("text"))
-      htmlSide.unionByName(pdfSide).unionByName(docxSide)
+          Warc.responses(n, new java.io.ByteArrayInputStream(b)).map { r =>
+            val (kind, text) =
+              if (r.contentType.startsWith("text/html"))
+                ("html", HtmlText.extractText(r.body))
+              else if (r.contentType == DocxType)
+                ("docx", DocxText.extractText(r.bodyBytes))
+              else ("pdf", PdfText.extractText(r.bodyBytes))
+            (r.targetUri, kind, text)
+          }
+        }
+        .toDF("uri", "kind", "text")
+        .select(regexp_extract(col("uri"), "/doc(\\d+)\\.", 1)
+          .cast("long").as("doc_id"), col("kind"), col("text"))
     }),
 
     // Crawl content-type branch: one WARC archive carrying BOTH

@@ -76,7 +76,12 @@ object StreamingWarcIntake {
       .flatMap { case (path, bytes) =>
         Warc.responses(path, new java.io.ByteArrayInputStream(bytes))
           .flatMap { r =>
-            if (r.httpStatus != 200) None
+            // revisit records carry the ORIGINAL's digest and no body:
+            // they are dedup metadata, never document text (without
+            // this guard a minChars=0 caller would accept phantom
+            // empty documents and poison the store with md5(""))
+            if (r.warcType != "response") None
+            else if (r.httpStatus != 200) None
             else if (r.contentType.startsWith("text/html")) {
               val (text, density) = HtmlText.extractWithDensity(r.body)
               Some((r.targetUri, r.warcDate, text, density))

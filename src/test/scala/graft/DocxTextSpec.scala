@@ -92,6 +92,40 @@ class DocxTextSpec extends SparkSpec {
     intercept[Exception] { DocxText.extractText(bomb) }
   }
 
+  test("hostile nesting refuses as IAE, never StackOverflowError") {
+    // 200k nested elements: an unbounded recursion would SOE — fatal,
+    // escaping the streaming intake's per-document Try
+    val deep = new StringBuilder
+    (0 until 200000).foreach(_ => deep ++= "<w:sdt>")
+    deep ++= "<w:p><w:r><w:t>x</w:t></w:r></w:p>"
+    (0 until 200000).foreach(_ => deep ++= "</w:sdt>")
+    val ex = intercept[IllegalArgumentException] {
+      DocxText.paragraphs(docxOf(deep.toString))
+    }
+    assert(ex.getMessage.contains("nesting"))
+    // same guard inside one paragraph's run tree
+    val deepRun = new StringBuilder("<w:p>")
+    (0 until 200000).foreach(_ => deepRun ++= "<w:smartTag>")
+    deepRun ++= "<w:r><w:t>x</w:t></w:r>"
+    (0 until 200000).foreach(_ => deepRun ++= "</w:smartTag>")
+    deepRun ++= "</w:p>"
+    intercept[IllegalArgumentException] {
+      DocxText.paragraphs(docxOf(deepRun.toString))
+    }
+  }
+
+  test("fixture never splits a surrogate pair across runs") {
+    // U+1D11E at the midpoint of a length-3 paragraph: a naive
+    // length/2 split would cut the pair into two lone surrogates and
+    // UTF-8-encode them as '?'
+    val astral = "𝄞x"
+    assert(DocxText.paragraphs(DocxText.fixture(Seq(astral)))
+      == Seq(astral))
+    val astral2 = "ab😀cd" // pair straddling length/2 = 3
+    assert(DocxText.paragraphs(DocxText.fixture(Seq(astral2)))
+      == Seq(astral2))
+  }
+
   test("extract(): narrow dataframe path") {
     val rows = Seq(
       (1L, DocxText.fixture(Seq("doc one", "line two"))),

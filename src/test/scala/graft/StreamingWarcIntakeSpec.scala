@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Warc
 import graft.sources.Warc.Page
+import graft.streaming.StreamingWarcIntake
 
 /** Streaming crawl intake: new WARC segment files are discovered by
   * the checkpointed file source, parsed, extracted, quality-gated,
@@ -111,5 +112,24 @@ class StreamingWarcIntakeSpec extends SparkSpec {
       Seq("http://z/memo.docx"), s"got $accepted")
     assert(accepted.toMap.apply("http://z/memo.docx") ==
       "eta docx paragraph\nand two")
+  }
+
+  test("revisit records never become phantom documents, even at minChars=0") {
+    import spark.implicits._
+    val payload = html("theta content here").getBytes("UTF-8")
+    val archive = Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://w/live", payload,
+        contentType = "text/html; charset=utf-8"),
+      // unchanged page: digest-only revisit, EMPTY body — without the
+      // warcType guard this row would pass a minChars=0 gate as a
+      // phantom empty document and poison the store with md5("")
+      Warc.RawPage("http://w/unchanged", payload,
+        contentType = "text/html; charset=utf-8", revisit = true)),
+      gzipPerRecord = true)
+    val files = Seq(("mem.warc.gz", archive)).toDF("path", "content")
+    val got = StreamingWarcIntake.extractBatch(files, minChars = 0,
+        maxChars = 1000000, maxLinkDensity = 1.0)
+      .select("uri").as[String].collect().toSeq
+    assert(got == Seq("http://w/live"), s"got $got")
   }
 }
