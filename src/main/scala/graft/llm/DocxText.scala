@@ -79,6 +79,44 @@ object DocxText {
     out.toSeq
   }
 
+  /** Footnote + endnote text: one string per REAL note (the
+    * separator/continuation pseudo-notes Word always writes are
+    * layout, not text — excluded by their `w:type` attribute), note
+    * paragraphs joined with newlines, footnotes part first then
+    * endnotes, each part in document order. Documents without the
+    * parts yield no notes — both are optional in the package. */
+  def notes(docx: Array[Byte]): Seq[String] = {
+    require(!isOle(docx),
+      "OLE container (legacy .doc or encrypted OOXML) unsupported " +
+        "(refusing, not mis-decoding)")
+    require(isZip(docx), "not a DOCX (missing zip magic)")
+    Seq("word/footnotes.xml", "word/endnotes.xml").flatMap { part =>
+      partBytes(docx, part).toSeq.flatMap { bytes =>
+        val doc = builder().parse(new java.io.ByteArrayInputStream(bytes))
+        val root = doc.getDocumentElement
+        val kids = root.getChildNodes
+        (0 until kids.getLength).flatMap { i =>
+          val k = kids.item(i)
+          if (k.getNodeType == org.w3c.dom.Node.ELEMENT_NODE &&
+              (localName(k) == "footnote" || localName(k) == "endnote")) {
+            // attribute matched on LOCAL name (prefix bindings vary)
+            val typ = Option(k.getAttributes).flatMap { a =>
+              (0 until a.getLength).map(a.item(_)).collectFirst {
+                case at if at.getLocalName == "type" ||
+                    at.getNodeName.endsWith(":type") => at.getNodeValue
+              }
+            }.getOrElse("")
+            if (typ.isEmpty) { // real notes carry no w:type
+              val ps = scala.collection.mutable.ArrayBuffer[String]()
+              walk(k, ps)
+              Some(ps.mkString("\n"))
+            } else None // separator / continuationSeparator / notice
+          } else None
+        }
+      }
+    }
+  }
+
   /** (id, n_paragraphs, text) — narrow per-row extraction. */
   def extract(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -92,15 +130,22 @@ object DocxText {
       .toDF("id", "n_paragraphs", "text")
   }
 
-  /** The inflated word/document.xml bytes, bomb-capped. Walks the
-    * local stream (ZipInputStream — no temp file for crawl bytes). */
-  private def documentPart(docx: Array[Byte]): Array[Byte] = {
+  /** The inflated word/document.xml bytes, bomb-capped. */
+  private def documentPart(docx: Array[Byte]): Array[Byte] =
+    partBytes(docx, "word/document.xml").getOrElse(
+      throw new IllegalArgumentException(
+        "not a DOCX (no word/document.xml in the archive)"))
+
+  /** One named part's inflated bytes, bomb-capped. Walks the local
+    * stream (ZipInputStream — no temp file for crawl bytes). */
+  private def partBytes(docx: Array[Byte],
+                        name: String): Option[Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(docx))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName == "word/document.xml") {
+        if (e.getName == name) {
           val out = new java.io.ByteArrayOutputStream(8192)
           val buf = new Array[Byte](65536)
           var total = 0L
@@ -108,17 +153,16 @@ object DocxText {
           while (n >= 0) {
             total += n
             require(total <= MaxPartBytes,
-              s"word/document.xml inflates past $MaxPartBytes bytes " +
+              s"$name inflates past $MaxPartBytes bytes " +
                 "(decompression bomb?)")
             out.write(buf, 0, n)
             n = zin.read(buf)
           }
-          return out.toByteArray
+          return Some(out.toByteArray)
         }
         e = zin.getNextEntry
       }
-      throw new IllegalArgumentException(
-        "not a DOCX (no word/document.xml in the archive)")
+      None
     } finally zin.close()
   }
 
@@ -206,16 +250,17 @@ object DocxText {
     }
 
   /** Minimal-but-real .docx writer for specs/oracle fixtures: the
-    * three-part OOXML package (content types, rels, document). Each
+    * three-part OOXML package (content types, rels, document), plus
+    * a word/footnotes.xml part when `footnotes` is non-empty —
+    * complete with the separator/continuationSeparator pseudo-notes
+    * Word always writes (the reader must exclude them). Each
     * paragraph splits into two runs at the midpoint (the reader must
     * rejoin them seamlessly); `xml:space="preserve"` keeps edge
     * whitespace honest. */
-  def fixture(paragraphs: Seq[String]): Array[Byte] = {
+  def fixture(paragraphs: Seq[String],
+              footnotes: Seq[String] = Nil): Array[Byte] = {
     val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
-    val body = new StringBuilder
-    body ++= "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
-    body ++= s"""<w:document xmlns:w="$w"><w:body>"""
-    paragraphs.foreach { p =>
+    def para(sb: StringBuilder, p: String): Unit = {
       // never split inside a surrogate pair: getBytes("UTF-8") would
       // encode each lone surrogate as '?' and corrupt the fixture
       val half = p.length / 2
@@ -225,15 +270,34 @@ object DocxText {
             Character.isLowSurrogate(p.charAt(half))) half + 1
         else half
       val (a, b) = p.splitAt(mid)
-      body ++= "<w:p>"
+      sb ++= "<w:p>"
       Seq(a, b).filter(_.nonEmpty).foreach { seg =>
-        body ++= "<w:r><w:t xml:space=\"preserve\">"
-        body ++= xmlEscape(seg)
-        body ++= "</w:t></w:r>"
+        sb ++= "<w:r><w:t xml:space=\"preserve\">"
+        sb ++= xmlEscape(seg)
+        sb ++= "</w:t></w:r>"
       }
-      body ++= "</w:p>"
+      sb ++= "</w:p>"
     }
+    val body = new StringBuilder
+    body ++= "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+    body ++= s"""<w:document xmlns:w="$w"><w:body>"""
+    paragraphs.foreach(p => para(body, p))
     body ++= "</w:body></w:document>"
+    val fnPart = if (footnotes.isEmpty) None else Some {
+      val fn = new StringBuilder
+      fn ++= "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+      fn ++= s"""<w:footnotes xmlns:w="$w">"""
+      fn ++= """<w:footnote w:type="separator" w:id="-1"><w:p/></w:footnote>"""
+      fn ++= """<w:footnote w:type="continuationSeparator" w:id="0">""" +
+        "<w:p/></w:footnote>"
+      footnotes.zipWithIndex.foreach { case (note, i) =>
+        fn ++= s"""<w:footnote w:id="${i + 1}">"""
+        para(fn, note)
+        fn ++= "</w:footnote>"
+      }
+      fn ++= "</w:footnotes>"
+      fn.toString
+    }
 
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
@@ -255,6 +319,7 @@ object DocxText {
       """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>""" +
       """</Relationships>""")
     part("word/document.xml", body.toString)
+    fnPart.foreach(part("word/footnotes.xml", _))
     zos.close()
     bos.toByteArray
   }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *     (Predictor 10-15) undo, which xref streams routinely carry
   *   - content-stream text operators: `BT/ET`, `Tf`, `Td`, `TD`,
   *     `T-star`, `Tm` (line moves), `Tj/'/"/TJ` (shows; TJ kern
-  *     adjustments ≤ -100 units surface as a word space)
+  *     adjustments ≤ -100 units surface as a word space), and `Do`
+  *     over `/Subtype /Form` XObjects — the letterhead/stamp layout
+  *     executes recursively at its invocation point (depth-capped),
+  *     with the Form's own resources (caller's inherited when a
+  *     writer omits them); Image XObjects are not text and skip
   *   - literal strings with all escapes (octal, line continuation)
   *     and hex strings; simple-font bytes decode through the font's
   *     encoding: WinAnsiEncoding, StandardEncoding (Appendix D
@@ -416,21 +420,38 @@ object PdfText {
       out.toSeq
     }
 
-    /** Text of one page: fonts from /Resources, content streams
-      * concatenated, interpreted. */
-    def pageText(page: Map[String, Any]): String = {
-      val fonts: Map[String, Font] =
-        resolve(page.getOrElse("Resources", PNull)) match {
-          case m: Map[String, Any] @unchecked =>
-            resolve(m.getOrElse("Font", PNull)) match {
-              case fm: Map[String, Any] @unchecked =>
-                fm.map { case (name, fref) =>
-                  name -> fontOf(resolve(fref).asInstanceOf[Map[String, Any]])
-                }
-              case _ => Map.empty
+    /** One resource dictionary's decoded lookups: the fonts and the
+      * XObjects content streams can name. */
+    private case class PageRes(fonts: Map[String, Font],
+                               xobjects: Map[String, PStream])
+
+    private def resourcesOf(res: Any): PageRes = resolve(res) match {
+      case m: Map[String, Any] @unchecked =>
+        val fonts = resolve(m.getOrElse("Font", PNull)) match {
+          case fm: Map[String, Any] @unchecked =>
+            fm.map { case (name, fref) =>
+              name -> fontOf(resolve(fref).asInstanceOf[Map[String, Any]])
             }
-          case _ => Map.empty
+          case _ => Map.empty[String, Font]
         }
+        val xs = resolve(m.getOrElse("XObject", PNull)) match {
+          case xm: Map[String, Any] @unchecked =>
+            xm.flatMap { case (name, xref) =>
+              resolve(xref) match {
+                case s: PStream => Some(name -> s)
+                case _ => None
+              }
+            }
+          case _ => Map.empty[String, PStream]
+        }
+        PageRes(fonts, xs)
+      case _ => PageRes(Map.empty, Map.empty)
+    }
+
+    /** Text of one page: fonts + XObjects from /Resources, content
+      * streams concatenated, interpreted. */
+    def pageText(page: Map[String, Any]): String = {
+      val res = resourcesOf(page.getOrElse("Resources", PNull))
       val content = resolve(page.getOrElse("Contents", PNull)) match {
         case PNull => Array.emptyByteArray
         case s: PStream => decodedStream(s)
@@ -443,7 +464,7 @@ object PdfText {
         case other =>
           throw new IllegalArgumentException(s"PDF /Contents $other")
       }
-      interpret(content, fonts)
+      interpret(content, res)
     }
 
     /** Decoder for one font object. Simple fonts map bytes through a
@@ -509,10 +530,23 @@ object PdfText {
       new SimpleFont(table)
     }
 
-    /** The content-stream text machine. */
-    private def interpret(content: Array[Byte],
-                          fonts: Map[String, Font]): String = {
+    /** The content-stream text machine. Form XObjects (`Do`) execute
+      * recursively into the SAME buffer at their invocation point —
+      * letterheads, stamps, and whole-page-in-a-Form layouts stop
+      * losing their text silently. */
+    private def interpret(content: Array[Byte], res: PageRes): String = {
       val sb = new java.lang.StringBuilder()
+      run(content, res, sb, 0)
+      // drop the trailing line-move newline, if any
+      while (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
+        sb.setLength(sb.length - 1)
+      sb.toString
+    }
+
+    private def run(content: Array[Byte], res: PageRes,
+                    sb: java.lang.StringBuilder, depth: Int): Unit = {
+      require(depth < MaxDepth, "PDF Form XObject nesting too deep")
+      val fonts = res.fonts
       var enc: Font = StandardFont
       val stack = scala.collection.mutable.ArrayBuffer[Any]()
       def newline(): Unit =
@@ -575,6 +609,24 @@ object PdfText {
                     case _ =>
                   }
                 }
+              case "Do" => stack.lastOption.collect {
+                  case PName(x) => res.xobjects.get(x).foreach { s =>
+                    // Form XObjects carry text; Image XObjects don't.
+                    // A Form SHOULD ship its own /Resources — when a
+                    // writer omits them, inherit the caller's (common
+                    // in the wild); cycles bound at MaxDepth.
+                    if (resolve(s.dict.getOrElse("Subtype", PNull)) ==
+                        PName("Form")) {
+                      val own = resourcesOf(
+                        s.dict.getOrElse("Resources", PNull))
+                      val inner = PageRes(
+                        if (own.fonts.isEmpty) res.fonts else own.fonts,
+                        if (own.xobjects.isEmpty) res.xobjects
+                        else own.xobjects)
+                      run(decodedStream(s), inner, sb, depth + 1)
+                    }
+                  }
+                }
               case _ => // graphics/state operator: ignore
             }
             stack.clear()
@@ -582,10 +634,6 @@ object PdfText {
         }
         tok = lx.tokenOrNull()
       }
-      // drop the trailing line-move newline, if any
-      while (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
-        sb.setLength(sb.length - 1)
-      sb.toString
     }
 
     // ------------------------------------------------------------- xref
@@ -1600,6 +1648,55 @@ object PdfText {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Single-page fixture whose page content draws `bodyLines` and
+    * then invokes a `/Subtype /Form` XObject (`/X1 Do`) carrying
+    * `stampLines` with its OWN resource dictionary — the letterhead/
+    * stamp layout real writers emit, exercising the recursive `Do`
+    * path. */
+  def fixtureWithForm(bodyLines: Seq[String],
+                      stampLines: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\n") }
+    obj(3) {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>\n")
+    }
+    obj(4) {
+      w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        "/Resources << /Font << /F1 3 0 R >> " +
+        "/XObject << /X1 6 0 R >> >> /Contents 5 0 R >>\n")
+    }
+    val body = content(bodyLines) ++ "/X1 Do\n".getBytes("US-ASCII")
+    obj(5) {
+      w(s"<< /Length ${body.length} >>\nstream\n")
+      out.write(body, 0, body.length)
+      w("\nendstream\n")
+    }
+    val stamp = deflateBytes(content(stampLines))
+    obj(6) {
+      w(s"<< /Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Length ${stamp.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(stamp, 0, stamp.length)
+      w("\nendstream\n")
+    }
+    val xrefOff = out.size()
+    w("xref\n0 7\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w("trailer\n<< /Size 7 /Root 1 0 R >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Parsing: `#` comments strip anywhere, field names are
   * case-insensitive, consecutive `User-agent` lines open one group,
-  * `Allow`/`Disallow` rules attach to the open group(s), unknown
-  * fields (Crawl-delay, Sitemap) are ignored per spec. Group
+  * `Allow`/`Disallow` rules and the de-facto `Crawl-delay` attach to
+  * the open group(s) (`Sitemap:` is a global record — see
+  * [[sitemaps]]); other unknown fields are ignored per spec. Group
   * selection: the group naming the crawler's product token
   * (case-insensitive exact token) wins over the `*` group; no match
   * → everything is allowed.
@@ -29,17 +30,20 @@ object RobotsTxt {
 
   case class Rule(allow: Boolean, pattern: String)
 
-  private[graft] case class Group(agents: Seq[String], rules: Seq[Rule])
+  private[graft] case class Group(agents: Seq[String], rules: Seq[Rule],
+                                  crawlDelay: Option[Double] = None)
 
   private[graft] def parseGroups(content: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = scala.collection.mutable.ArrayBuffer[String]()
     var rules = scala.collection.mutable.ArrayBuffer[Rule]()
+    var delay: Option[Double] = None
     var inAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer[String]()
       rules = scala.collection.mutable.ArrayBuffer[Rule]()
+      delay = None
     }
     content.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -63,12 +67,46 @@ object RobotsTxt {
             if (value.nonEmpty && value.length <= 1024 &&
                 rules.size < 2000)
               rules += Rule(field == "allow", value)
-          case _ => inAgents = false // crawl-delay, sitemap, …
+          case "crawl-delay" =>
+            // de-facto extension (Bing/Yandex honor it; not RFC 9309
+            // but group-scoped by universal convention). First value
+            // in a group wins; junk or negative values ignore —
+            // crawled robots files lie. Clamped to a day so one
+            // hostile file can't park a scheduler.
+            inAgents = false
+            if (delay.isEmpty)
+              delay = value.toDoubleOption
+                .filter(d => d >= 0 && d <= 86400 && !d.isNaN)
+          case _ => inAgents = false // sitemap, host, …
         }
       }
     }
     flush()
     groups.toSeq
+  }
+
+  /** `Crawl-delay` (seconds) governing `agent`: its named group's
+    * value if one exists, else the `*` group's — the SAME group
+    * selection as [[rulesFor]] (a named group with no delay means
+    * "no delay for you", never a fall-through to `*`). */
+  def crawlDelay(content: String, agent: String): Option[Double] = {
+    val groups = parseGroups(content)
+    val a = agent.toLowerCase
+    groups.find(_.agents.contains(a))
+      .orElse(groups.find(_.agents.contains("*")))
+      .flatMap(_.crawlDelay)
+  }
+
+  /** (host, crawl_delay) rows for `agent` — null where the selected
+    * group carries no delay; the scheduler's broadcastable unit. */
+  def crawlDelayFrame(robots: DataFrame, hostCol: String,
+                      contentCol: String, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).as("host"), col(contentCol).as("content"))
+      .as[(String, String)]
+      .map { case (host, content) => (host, crawlDelay(content, agent)) }
+      .toDF("host", "crawl_delay")
   }
 
   /** `Sitemap:` directives — RFC 9309 non-group records, global to

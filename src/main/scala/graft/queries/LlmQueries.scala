@@ -741,6 +741,76 @@ object LlmQueries {
           col("n_pages"), col("text"))
     }),
 
+    // Form XObjects: page content draws the body then invokes a
+    // /Subtype/Form XObject (the letterhead/stamp layout) whose text
+    // previously would have been LOST silently — `Do` now executes
+    // the Form recursively at its invocation point with the Form's
+    // own resources. Oracle replays body + stamp symbolically.
+    "q286_pdf_form_xobject" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixtureWithForm(
+            Seq(s"doc $id", r.getString(1)),
+            Seq(s"stamp for doc $id — café")))
+        }.toSeq
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("n_pages"), col("text"))
+    }),
+
+    // Crawl-delay surfacing: the de-facto scheduler directive,
+    // group-scoped with the SAME named-beats-* selection as the
+    // rules — a named group without a delay yields null, never a
+    // fall-through; junk/negative/parked-forever values null. The
+    // oracle replays the per-host branch formulas.
+    "q287_crawl_delay" -> ((s, d) => {
+      import graft.llm.RobotsTxt
+      val sess = s
+      import sess.implicits._
+      val robots = (0 until 12).map { i =>
+        val content = (i % 4) match {
+          case 0 => s"User-agent: graftbot\nCrawl-delay: $i.5\n" +
+            "Disallow: /x\n\nUser-agent: *\nCrawl-delay: 99\n"
+          case 1 => s"User-agent: *\nCrawl-delay: $i\nDisallow: /\n"
+          case 2 => "User-agent: graftbot\nDisallow: /a\n\n" +
+            "User-agent: *\nCrawl-delay: 42\n"
+          case _ => "User-agent: *\nCrawl-delay: soon\n"
+        }
+        (s"h$i.com", content)
+      }.toDF("host", "content")
+      RobotsTxt.crawlDelayFrame(robots, "host", "content", "graftbot")
+    }),
+
+    // DOCX footnotes/endnotes: real notes surface (paragraphs joined
+    // within a note, notes joined with a blank line), Word's
+    // separator/continuationSeparator pseudo-notes excluded. The
+    // oracle replays both notes symbolically.
+    "q288_docx_footnotes" -> ((s, d) => {
+      import graft.llm.DocxText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, DocxText.fixture(Seq(s"doc $id", r.getString(1)),
+            footnotes = Seq(s"note one for doc $id",
+              "second note — café ☃")))
+        }.toSeq
+      rows.toDF("doc_id", "docx").as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          val ns = DocxText.notes(b)
+          (id, ns.length, ns.mkString("\n\n"))
+        }
+        .toDF("doc_id", "n_notes", "notes_text")
+    }),
+
     // DOCX text extraction, gated sample-exact: fixture packages
     // built from REAL document text (three paragraphs, each split
     // into two runs the reader must rejoin, a CJK/symbol paragraph,
@@ -2495,6 +2565,36 @@ object LlmQueries {
         |  'doc ' || doc_id || chr(10) || text || chr(10) ||
         |  'caf' || chr(233) || ' ' || chr(8212) || ' fin' ||
         |  chr(10) || chr(10) || 'page two of doc ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q286: the Form XObject's stamp line appends at the Do
+    // invocation point, after the body's line contract.
+    "q286_pdf_form_xobject" ->
+      """SELECT doc_id, CAST(1 AS INT) AS n_pages,
+        |  'doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  'stamp for doc ' || doc_id || ' ' || chr(8212) || ' caf' ||
+        |  chr(233) AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q287: the per-host delay replays the i % 4 branch — named
+    // group's own value, * fallback, named-without-delay null (no
+    // fall-through), junk null.
+    "q287_crawl_delay" ->
+      """WITH ids AS (SELECT unnest(range(12)) AS i)
+        |SELECT 'h' || i || '.com' AS host,
+        |  CASE i % 4 WHEN 0 THEN i + 0.5
+        |       WHEN 1 THEN CAST(i AS DOUBLE) END AS crawl_delay
+        |FROM ids""".stripMargin,
+
+    // q288: two real notes per document — the id-bearing note and
+    // the symbol note via chr() — joined by a blank line; the
+    // separator pseudo-notes contribute rows ONLY if the w:type
+    // exclusion fails, which would break the hash.
+    "q288_docx_footnotes" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_notes,
+        |  'note one for doc ' || doc_id || chr(10) || chr(10) ||
+        |  'second note ' || chr(8212) || ' caf' || chr(233) || ' ' ||
+        |  chr(9731) AS notes_text
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // q283: paragraphs join with chr(10); the CJK/symbol paragraph

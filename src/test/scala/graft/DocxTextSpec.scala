@@ -92,6 +92,43 @@ class DocxTextSpec extends SparkSpec {
     intercept[Exception] { DocxText.extractText(bomb) }
   }
 
+  test("footnotes/endnotes: real notes only, separators excluded") {
+    // fixture path: footnotes part with the separator pseudo-notes
+    val docx = DocxText.fixture(Seq("body para"),
+      footnotes = Seq("first note", "second — café"))
+    assert(DocxText.paragraphs(docx) == Seq("body para"))
+    assert(DocxText.notes(docx) == Seq("first note", "second — café"))
+    // no parts at all: no notes, never an error
+    assert(DocxText.notes(DocxText.fixture(Seq("only body"))).isEmpty)
+
+    // hand-built: an endnotes part too, multi-paragraph notes, and
+    // the w:type-carrying pseudo-notes dropped from BOTH parts
+    val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    part("word/document.xml",
+      s"""<w:document xmlns:w="$w"><w:body><w:p><w:r><w:t>b</w:t></w:r></w:p></w:body></w:document>""")
+    part("word/footnotes.xml",
+      s"""<w:footnotes xmlns:w="$w">""" +
+        """<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>SEP</w:t></w:r></w:p></w:footnote>""" +
+        """<w:footnote w:id="1"><w:p><w:r><w:t>fn line one</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t>fn line two</w:t></w:r></w:p></w:footnote>""" +
+        "</w:footnotes>")
+    part("word/endnotes.xml",
+      s"""<w:endnotes xmlns:w="$w">""" +
+        """<w:endnote w:type="continuationSeparator" w:id="0"><w:p/></w:endnote>""" +
+        """<w:endnote w:id="1"><w:p><w:r><w:t>en text</w:t></w:r></w:p></w:endnote>""" +
+        "</w:endnotes>")
+    zos.close()
+    val got = DocxText.notes(bos.toByteArray)
+    assert(got == Seq("fn line one\nfn line two", "en text"))
+  }
+
   test("hostile nesting refuses as IAE, never StackOverflowError") {
     // 200k nested elements: an unbounded recursion would SOE — fatal,
     // escaping the streaming intake's per-document Try

@@ -293,6 +293,60 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.pages(hybrid) == PdfText.pages(PdfText.fixture(pages)))
   }
 
+  test("Form XObjects: Do executes recursively; images skip; cycles refuse") {
+    val pdf = PdfText.fixtureWithForm(
+      Seq("body line one", "body (two)"), Seq("stamp — café"))
+    assert(PdfText.extractText(pdf) ==
+      "body line one\nbody (two)\nstamp — café")
+
+    // hand-built: a Form WITHOUT its own /Resources inherits the
+    // caller's fonts; an Image XObject is silently not-text; an
+    // unknown XObject name is ignored
+    val inner = "BT /F1 12 Tf 0 -14 Td (inherited) Tj ET"
+    val content = "BT /F1 12 Tf 72 720 Td (outer) Tj ET /X1 Do /IMG Do " +
+      "/Nope Do"
+    def pdfWith(xobjDicts: String, streams: Seq[(Int, String, String)])
+        : Array[Byte] = {
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offs = scala.collection.mutable.ArrayBuffer[Int]()
+      def obj(num: Int, body: String): Unit = {
+        offs += sb.length
+        sb.append(s"$num 0 obj\n$body\nendobj\n")
+      }
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R /Resources " +
+        s"<< /Font << /F1 5 0 R >> /XObject << $xobjDicts >> >> " +
+        "/Contents 4 0 R >>")
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>")
+      streams.foreach { case (num, dict, body) =>
+        obj(num, s"<< $dict /Length ${body.length} >>\nstream\n$body\nendstream")
+      }
+      val xref = sb.length
+      sb.append(s"xref\n0 ${offs.size + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size ${offs.size + 1} /Root 1 0 R >>\n" +
+        s"startxref\n$xref\n%%EOF\n")
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    val mixed = pdfWith("/X1 6 0 R /IMG 7 0 R",
+      Seq((6, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]", inner),
+          (7, "/Type /XObject /Subtype /Image /Width 1 /Height 1", "x")))
+    assert(PdfText.extractText(mixed) == "outer\ninherited")
+
+    // a self-referencing Form (cycle) dies at the depth cap as a
+    // catchable IAE, never a stack overflow
+    val cyclic = pdfWith("/X1 6 0 R",
+      Seq((6, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]",
+        "(loop) Tj /X1 Do")))
+    val ex = intercept[IllegalArgumentException] {
+      PdfText.extractText(cyclic)
+    }
+    assert(ex.getMessage.contains("nesting too deep"))
+  }
+
   test("extract(): narrow dataframe path") {
     val rows = Seq(
       (1L, PdfText.fixture(Seq(Seq("doc one", "line two")))),

@@ -34,6 +34,39 @@ class RobotsTxtSpec extends SparkSpec {
     assert(RobotsTxt.rulesFor("User-agent: x\nDisallow: /", "y").isEmpty)
   }
 
+  test("crawl-delay: group-scoped, named-group selection, junk ignored") {
+    val content =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /
+        |""".stripMargin
+    assert(RobotsTxt.crawlDelay(content, "graftbot") == Some(2.5))
+    assert(RobotsTxt.crawlDelay(content, "GraftBot") == Some(2.5))
+    assert(RobotsTxt.crawlDelay(content, "other") == Some(10.0))
+    // a named group WITHOUT a delay never falls through to * (same
+    // group selection as the rules)
+    val noDelay = "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: *\nCrawl-delay: 7\n"
+    assert(RobotsTxt.crawlDelay(noDelay, "graftbot").isEmpty)
+    assert(RobotsTxt.crawlDelay(noDelay, "anyone") == Some(7.0))
+    // junk, negative, and parked-forever values ignore; first wins
+    assert(RobotsTxt.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon\n", "x").isEmpty)
+    assert(RobotsTxt.crawlDelay(
+      "User-agent: *\nCrawl-delay: -3\n", "x").isEmpty)
+    assert(RobotsTxt.crawlDelay(
+      "User-agent: *\nCrawl-delay: 9999999\n", "x").isEmpty)
+    assert(RobotsTxt.crawlDelay(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n", "x") == Some(3.0))
+    // and the directive still doesn't disturb rule parsing
+    assert(RobotsTxt.rulesFor(content, "graftbot") ==
+      Seq(RobotsTxt.Rule(false, "/x")))
+  }
+
   test("longest-match decisions, wildcards, anchors, Allow tie-break") {
     val r = RobotsTxt.rulesFor(robots, "otherbot")
     assert(RobotsTxt.isAllowed(r, "/index.html"))
