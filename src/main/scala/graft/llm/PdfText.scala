@@ -188,6 +188,51 @@ object PdfText {
     doc.pageObjects().map(p => doc.pageText(p))
   }
 
+  /** Document-information dictionary (/Info) — the metadata a
+    * curation pipeline filters and dedups on (Title, Author,
+    * Subject, Keywords, Creator, Producer, CreationDate, ModDate;
+    * only string-valued entries surface). Text strings decode per
+    * §7.9.2.2: UTF-16BE when the bytes open with the FE FF BOM, else
+    * PDFDocEncoding — whose printable-ASCII range this maps 1:1 and
+    * whose high half decodes as U+FFFD (the table is CLOSE to
+    * WinAnsi but not identical, and a plausibly-wrong table is worse
+    * than a loud replacement char — the /Differences policy). */
+  def info(pdf: Array[Byte]): Map[String, String] = {
+    require(isPdf(pdf), "not a PDF (missing %PDF- header)")
+    new Doc(pdf).infoStrings()
+  }
+
+  private[graft] def decodeTextString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    else {
+      val sb = new java.lang.StringBuilder(b.length)
+      b.foreach { x =>
+        val c = x & 0xFF
+        if ((c >= 0x20 && c <= 0x7E) || c == '\n' || c == '\r' || c == '\t')
+          sb.append(c.toChar)
+        else sb.append('�')
+      }
+      sb.toString
+    }
+
+  /** (id, title, author, subject, producer) — narrow per-row
+    * metadata extraction; missing entries are null. */
+  def extractInfo(df: DataFrame, idCol: String,
+                  bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = info(bytes)
+        (id, m.get("Title").orNull, m.get("Author").orNull,
+          m.get("Subject").orNull, m.get("Producer").orNull)
+      })
+      .toDF("id", "title", "author", "subject", "producer")
+  }
+
   /** (id, n_pages, text) — narrow per-row extraction. */
   def extract(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -384,6 +429,19 @@ object PdfText {
       }
       out
     }
+
+    /** String-valued /Info entries, decoded per §7.9.2.2. */
+    def infoStrings(): Map[String, String] =
+      resolve(trailer.getOrElse("Info", PNull)) match {
+        case m: Map[String, Any] @unchecked =>
+          m.flatMap { case (k, v) =>
+            resolve(v) match {
+              case b: Array[Byte] => Some(k -> decodeTextString(b))
+              case _ => None // non-string entries: not metadata text
+            }
+          }
+        case _ => Map.empty
+      }
 
     /** Leaf /Page objects in document order, resources inherited. */
     def pageObjects(): Seq[Map[String, Any]] = {
@@ -1648,6 +1706,69 @@ object PdfText {
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Classic fixture plus a document-information dictionary: each
+    * entry writes as a UTF-16BE-BOM hex string when it carries
+    * non-ASCII (the §7.9.2.2 shape real writers emit for titles) and
+    * as an escaped literal string otherwise. */
+  def fixtureWithInfo(pageLines: Seq[Seq[String]],
+                      infoEntries: Seq[(String, String)]): Array[Byte] = {
+    require(pageLines.nonEmpty, "fixture needs at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val n = pageLines.size
+    val total = 4 + 2 * n // catalog, pages, font, info, page+content
+    def infoString(v: String): String =
+      if (v.forall(c => c >= 0x20 && c <= 0x7E))
+        "(" + v.flatMap {
+          case c @ ('(' | ')' | '\\') => "\\" + c
+          case c => c.toString
+        } + ")"
+      else // UTF-16BE with BOM as a hex string (surrogate pairs
+        // encode as their two code units — already valid UTF-16BE)
+        "<FEFF" + v.flatMap(c => f"${c.toInt}%04X") + ">"
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [ $kids ] /Count $n >>\n")
+    }
+    obj(3) {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>\n")
+    }
+    obj(4) {
+      w(infoEntries.map { case (k, v) => s"/$k ${infoString(v)}" }
+        .mkString("<< ", " ", " >>\n"))
+    }
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = 5 + 2 * i
+      val contNum = pageNum + 1
+      obj(pageNum) {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents $contNum 0 R >>\n")
+      }
+      val payload = deflateBytes(content(lines))
+      obj(contNum) {
+        w(s"<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(payload, 0, payload.length)
+        w("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${total + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R /Info 4 0 R >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

@@ -763,6 +763,31 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_pages"), col("text"))
     }),
 
+    // PDF /Info document metadata — what curation pipelines filter
+    // and dedup on before touching page text. Titles go out as
+    // UTF-16BE-BOM hex strings (the §7.9.2.2 shape real writers
+    // emit for non-ASCII), authors as escaped literals; the oracle
+    // replays both, CJK/accents via chr().
+    "q289_pdf_info" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixtureWithInfo(
+            Seq(Seq(s"doc $id", r.getString(1))),
+            Seq("Title" -> s"Résumé $id — 完了",
+                "Author" -> s"author ($id)",
+                "Producer" -> "graft")))
+        }.toSeq
+      PdfText.extractInfo(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("title"), col("author"),
+          col("subject"), col("producer"))
+    }),
+
     // Crawl-delay surfacing: the de-facto scheduler directive,
     // group-scoped with the SAME named-beats-* selection as the
     // rules — a named group without a delay yields null, never a
@@ -2574,6 +2599,17 @@ object LlmQueries {
         |  'doc ' || doc_id || chr(10) || text || chr(10) ||
         |  'stamp for doc ' || doc_id || ' ' || chr(8212) || ' caf' ||
         |  chr(233) AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q289: title replays with é(233), —(8212), 完(23436), 了(20102)
+    // via chr(); subject is absent → null.
+    "q289_pdf_info" ->
+      """SELECT doc_id,
+        |  'R' || chr(233) || 'sum' || chr(233) || ' ' || doc_id ||
+        |    ' ' || chr(8212) || ' ' || chr(23436) || chr(20102) AS title,
+        |  'author (' || doc_id || ')' AS author,
+        |  CAST(NULL AS VARCHAR) AS subject,
+        |  'graft' AS producer
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // q287: the per-host delay replays the i % 4 branch — named

@@ -347,6 +347,37 @@ class PdfTextSpec extends SparkSpec {
     assert(ex.getMessage.contains("nesting too deep"))
   }
 
+  test("/Info metadata: UTF-16BE titles, ASCII strings, FFFD high bytes") {
+    val pdf = PdfText.fixtureWithInfo(
+      Seq(Seq("body text")),
+      Seq("Title" -> "Résumé — 完了 😀", // non-ASCII → UTF-16BE hex
+          "Author" -> "plain (ascii) au\\thor",
+          "Producer" -> "graft 1.0"))
+    val m = PdfText.info(pdf)
+    assert(m("Title") == "Résumé — 完了 😀")
+    assert(m("Author") == "plain (ascii) au\\thor")
+    assert(m("Producer") == "graft 1.0")
+    // extraction of the page text is untouched by /Info
+    assert(PdfText.extractText(pdf) == "body text")
+    // a PDF without /Info yields no metadata, never an error
+    assert(PdfText.info(PdfText.fixture(Seq(Seq("x")))).isEmpty)
+    // /Info rides the same xref discipline: a dangling reference
+    // fails loudly instead of inventing empty metadata
+    intercept[IllegalArgumentException] {
+      PdfText.info(rawPdf("BT (x) Tj ET",
+        trailerExtra = "/Info 9 0 R "))
+    }
+    // PDFDocEncoding high bytes decode as U+FFFD (loud, not
+    // plausibly-wrong — the table is close to WinAnsi but not it)
+    val direct = PdfText.decodeTextString(
+      "café".getBytes("ISO-8859-1"))
+    assert(direct == "caf�")
+    // UTF-16BE BOM path, astral pair survives
+    val utf = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      "A😀".getBytes("UTF-16BE")
+    assert(PdfText.decodeTextString(utf) == "A😀")
+  }
+
   test("extract(): narrow dataframe path") {
     val rows = Seq(
       (1L, PdfText.fixture(Seq(Seq("doc one", "line two")))),
