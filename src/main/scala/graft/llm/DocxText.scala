@@ -106,7 +106,9 @@ object DocxText {
                     at.getNodeName.endsWith(":type") => at.getNodeValue
               }
             }.getOrElse("")
-            if (typ.isEmpty) { // real notes carry no w:type
+            // ST_FtnEdn: "normal" is the schema DEFAULT — Word omits
+            // it but other generators legally write it explicitly
+            if (typ.isEmpty || typ == "normal") {
               val ps = scala.collection.mutable.ArrayBuffer[String]()
               walk(k, ps)
               Some(ps.mkString("\n"))

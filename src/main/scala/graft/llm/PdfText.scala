@@ -57,6 +57,14 @@ object PdfText {
   private val MaxObjects = 10000000 // xref entry cap
   private val MaxPages = 100000
   private val MaxDepth = 64 // value-nesting / page-tree recursion cap
+  // A depth cap alone does NOT bound Form-XObject work: 40 forms
+  // each invoking the next TWICE stay at depth 40 while running
+  // 2^40 times — an exponential CPU/OOM primitive in a few-KB file.
+  // Work and output are budgeted per DOCUMENT; generous for any
+  // real layout (a letterhead on every page of a MaxPages doc is
+  // 100k invocations).
+  private val MaxDoInvocations = 200000
+  private val MaxTextChars = 64 << 20 // extracted-text growth cap
 
   // ------------------------------------------------------------- model
 
@@ -591,21 +599,46 @@ object PdfText {
     /** The content-stream text machine. Form XObjects (`Do`) execute
       * recursively into the SAME buffer at their invocation point —
       * letterheads, stamps, and whole-page-in-a-Form layouts stop
-      * losing their text silently. */
+      * losing their text silently. Per §8.10.2 a form runs under the
+      * graphics state at `Do` (the caller's current font carries in;
+      * the form's own state changes don't leak back out). */
     private def interpret(content: Array[Byte], res: PageRes): String = {
       val sb = new java.lang.StringBuilder()
-      run(content, res, sb, 0)
+      run(content, res, sb, 0, StandardFont)
       // drop the trailing line-move newline, if any
       while (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
         sb.setLength(sb.length - 1)
       sb.toString
     }
 
+    // per-DOCUMENT budgets: see MaxDoInvocations
+    private var doInvocations = 0
+    // a letterhead Form re-invoked per page must not re-inflate its
+    // stream per page; identity-keyed because the object cache
+    // already dedups PStream instances by object number. Cumulative
+    // size cap: past it, decode correctness keeps, caching stops.
+    private val formCache =
+      new java.util.IdentityHashMap[PStream, Array[Byte]]()
+    private var formCacheBytes = 0L
+    private def decodedForm(s: PStream): Array[Byte] = {
+      val hit = formCache.get(s)
+      if (hit != null) hit
+      else {
+        val d = decodedStream(s)
+        if (formCacheBytes + d.length <= MaxInflate) {
+          formCache.put(s, d)
+          formCacheBytes += d.length
+        }
+        d
+      }
+    }
+
     private def run(content: Array[Byte], res: PageRes,
-                    sb: java.lang.StringBuilder, depth: Int): Unit = {
+                    sb: java.lang.StringBuilder, depth: Int,
+                    initFont: Font): Unit = {
       require(depth < MaxDepth, "PDF Form XObject nesting too deep")
       val fonts = res.fonts
-      var enc: Font = StandardFont
+      var enc: Font = initFont
       val stack = scala.collection.mutable.ArrayBuffer[Any]()
       def newline(): Unit =
         if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n')
@@ -672,16 +705,27 @@ object PdfText {
                     // Form XObjects carry text; Image XObjects don't.
                     // A Form SHOULD ship its own /Resources — when a
                     // writer omits them, inherit the caller's (common
-                    // in the wild); cycles bound at MaxDepth.
+                    // in the wild); cycles bound at MaxDepth, total
+                    // fan-out at MaxDoInvocations (the exponential
+                    // 2-children-per-level shape stays at shallow
+                    // depth), output growth at MaxTextChars
                     if (resolve(s.dict.getOrElse("Subtype", PNull)) ==
                         PName("Form")) {
+                      doInvocations += 1
+                      require(doInvocations <= MaxDoInvocations,
+                        s"PDF Form XObject invocations exceed " +
+                          s"$MaxDoInvocations (hostile form fan-out?)")
+                      require(sb.length <= MaxTextChars,
+                        s"PDF extracted text exceeds $MaxTextChars chars")
                       val own = resourcesOf(
                         s.dict.getOrElse("Resources", PNull))
                       val inner = PageRes(
                         if (own.fonts.isEmpty) res.fonts else own.fonts,
                         if (own.xobjects.isEmpty) res.xobjects
                         else own.xobjects)
-                      run(decodedStream(s), inner, sb, depth + 1)
+                      // §8.10.2: the form sees the CALLER's current
+                      // font; its own Tf changes stay inside
+                      run(decodedForm(s), inner, sb, depth + 1, enc)
                     }
                   }
                 }

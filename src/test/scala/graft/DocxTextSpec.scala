@@ -127,6 +127,21 @@ class DocxTextSpec extends SparkSpec {
     zos.close()
     val got = DocxText.notes(bos.toByteArray)
     assert(got == Seq("fn line one\nfn line two", "en text"))
+
+    // ST_FtnEdn: "normal" is the schema default — Word omits it, but
+    // an explicit w:type="normal" is a REAL note, not a separator
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val zos2 = new java.util.zip.ZipOutputStream(bos2)
+    zos2.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos2.write(
+      s"""<w:document xmlns:w="$w"><w:body/></w:document>""".getBytes("UTF-8"))
+    zos2.closeEntry()
+    zos2.putNextEntry(new java.util.zip.ZipEntry("word/footnotes.xml"))
+    zos2.write((s"""<w:footnotes xmlns:w="$w">""" +
+      """<w:footnote w:type="normal" w:id="1"><w:p><w:r><w:t>explicit""" +
+      """</w:t></w:r></w:p></w:footnote></w:footnotes>""").getBytes("UTF-8"))
+    zos2.closeEntry(); zos2.close()
+    assert(DocxText.notes(bos2.toByteArray) == Seq("explicit"))
   }
 
   test("hostile nesting refuses as IAE, never StackOverflowError") {

@@ -303,10 +303,8 @@ class PdfTextSpec extends SparkSpec {
     // caller's fonts; an Image XObject is silently not-text; an
     // unknown XObject name is ignored
     val inner = "BT /F1 12 Tf 0 -14 Td (inherited) Tj ET"
-    val content = "BT /F1 12 Tf 72 720 Td (outer) Tj ET /X1 Do /IMG Do " +
-      "/Nope Do"
-    def pdfWith(xobjDicts: String, streams: Seq[(Int, String, String)])
-        : Array[Byte] = {
+    def pdfWith(content: String, xobjDicts: String,
+                streams: Seq[(Int, String, String)]): Array[Byte] = {
       val sb = new StringBuilder("%PDF-1.4\n")
       val offs = scala.collection.mutable.ArrayBuffer[Int]()
       def obj(num: Int, body: String): Unit = {
@@ -331,20 +329,51 @@ class PdfTextSpec extends SparkSpec {
         s"startxref\n$xref\n%%EOF\n")
       sb.toString.getBytes("ISO-8859-1")
     }
-    val mixed = pdfWith("/X1 6 0 R /IMG 7 0 R",
+    val outer = "BT /F1 12 Tf 72 720 Td (outer) Tj ET /X1 Do /IMG Do " +
+      "/Nope Do"
+    val mixed = pdfWith(outer, "/X1 6 0 R /IMG 7 0 R",
       Seq((6, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]", inner),
           (7, "/Type /XObject /Subtype /Image /Width 1 /Height 1", "x")))
     assert(PdfText.extractText(mixed) == "outer\ninherited")
 
+    // §8.10.2 state inheritance: a Form without its own Tf decodes
+    // show strings through the CALLER's current font — 0xE9 is é
+    // under the page's WinAnsi F1 but Ø under a reset-to-Standard
+    // table (the silent-wrong-text regression)
+    val inherit = pdfWith(
+      "BT /F1 12 Tf 72 720 Td (caf) Tj ET /XF Do",
+      "/XF 6 0 R",
+      Seq((6, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]",
+        "BT 0 -14 Td (\\351) Tj ET")))
+    assert(PdfText.extractText(inherit) == "caf\né")
+
     // a self-referencing Form (cycle) dies at the depth cap as a
     // catchable IAE, never a stack overflow
-    val cyclic = pdfWith("/X1 6 0 R",
+    val cyclic = pdfWith(outer, "/X1 6 0 R",
       Seq((6, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]",
         "(loop) Tj /X1 Do")))
     val ex = intercept[IllegalArgumentException] {
       PdfText.extractText(cyclic)
     }
     assert(ex.getMessage.contains("nesting too deep"))
+
+    // exponential fan-out: 26 forms each invoking the NEXT one
+    // TWICE — depth stays at 26 (inside MaxDepth) while invocations
+    // double per level (2^26 without a budget, a CPU/OOM primitive
+    // in a few-KB file); the work budget refuses as catchable IAE
+    val fanStreams = (0 until 26).map { i =>
+      val body =
+        if (i == 25) "BT (x) Tj ET"
+        else s"/G${i + 1} Do /G${i + 1} Do"
+      (6 + i, "/Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ]", body)
+    }
+    val fanDicts = (0 until 26).map(i => s"/G$i ${6 + i} 0 R")
+      .mkString(" ")
+    val bomb = pdfWith("/G0 Do", fanDicts, fanStreams)
+    val exb = intercept[IllegalArgumentException] {
+      PdfText.extractText(bomb)
+    }
+    assert(exb.getMessage.contains("invocations"))
   }
 
   test("/Info metadata: UTF-16BE titles, ASCII strings, FFFD high bytes") {
