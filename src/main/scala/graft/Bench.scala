@@ -127,7 +127,11 @@ object Bench {
     // labeled so round-over-round comparisons know which was which.
     // sanitized: the label lands inside a JSON string literal, and a
     // quote/backslash in the env var must not corrupt the artifact
-    val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "unlabeled")
+    // default "refresh": driver-initiated runs (which never set the
+    // env var) are exactly the possibly-contended refresh runs the
+    // label discipline exists to distinguish; "idle" is only ever
+    // claimed EXPLICITLY by a builder snapshotting an idle machine
+    val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "refresh")
       .replaceAll("[^A-Za-z0-9 ._-]", "_")
     val notes = s"""{"q241_bucketed_merge":"timed portion = final read-back of the merged store; the 4-batch merge chain + mid-chain 16->24 rescale run at DataFrame construction and land in warmup_sec","run_label":"$runLabel","audit_min3":${jmap(auditMin3)}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total_sec":$gcTotal,"warmup_sec":$warmupTotal,"cpus":$cpus,"sf":"$sfDir","notes":$notes}"""

@@ -282,6 +282,92 @@ object AudioFixtures {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------- ogg
+
+  /** OGG page CRC: CRC-32 poly 0x04C11DB7, init 0, no reflection, no
+    * final xor (the Xiph variant — NOT zlib's CRC32), computed over
+    * the whole page with the checksum field zeroed. */
+  private def oggCrc(page: Array[Byte]): Long = {
+    var crc = 0L
+    page.foreach { byte =>
+      crc ^= (byte & 0xFFL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L)
+              else crc << 1
+        crc &= 0xFFFFFFFFL
+        k += 1
+      }
+    }
+    crc
+  }
+
+  /** One OGG page wrapping `packet` (≤ 255*255 bytes, laced 255-ful
+    * segments + remainder per the spec), real checksum. */
+  private def oggPage(packet: Array[Byte], granule: Long, serial: Int,
+                      seq: Int, headerType: Int): Array[Byte] = {
+    val full = packet.length / 255
+    val rem = packet.length % 255
+    val lacing = Array.fill[Byte](full)(255.toByte) :+ rem.toByte
+    val out = new ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0) // version
+    out.write(headerType) // 2 = BOS, 4 = EOS
+    (0 until 8).foreach(k => out.write(((granule >>> (8 * k)) & 0xFF).toInt))
+    out.write(le32(serial))
+    out.write(le32(seq))
+    out.write(le32(0)) // CRC placeholder
+    out.write(lacing.length)
+    out.write(lacing)
+    out.write(packet)
+    val page = out.toByteArray
+    val crc = oggCrc(page)
+    (0 until 4).foreach(k => page(22 + k) = ((crc >>> (8 * k)) & 0xFF).toByte)
+    page
+  }
+
+  /** Ogg Vorbis shell: the `\x01vorbis` identification header on a
+    * BOS page, a dummy audio page, and an EOS page carrying the
+    * total-PCM-samples granule — header-honest (no packet decode). */
+  def oggVorbis(sampleRate: Int, channels: Int,
+                totalSamples: Long): Array[Byte] = {
+    val id = new ByteArrayOutputStream()
+    id.write(1); id.write("vorbis".getBytes("US-ASCII"))
+    id.write(le32(0)) // vorbis version
+    id.write(channels)
+    id.write(le32(sampleRate))
+    id.write(le32(-1)); id.write(le32(128000)); id.write(le32(-1))
+    id.write(0xB8); id.write(1) // blocksizes + framing bit
+    oggPage(id.toByteArray, 0, 0x6772, 0, 2) ++
+      oggPage(Array.fill[Byte](64)(0x5A), totalSamples / 2, 0x6772, 1, 0) ++
+      oggPage(Array.fill[Byte](48)(0x5A), totalSamples, 0x6772, 2, 4)
+  }
+
+  /** Ogg Opus shell: `OpusHead` on a BOS page plus an EOS page whose
+    * granule (48 kHz domain) INCLUDES the pre-skip the reader must
+    * subtract. */
+  def oggOpus(channels: Int, preSkip: Int,
+              samples48k: Long): Array[Byte] = {
+    val id = new ByteArrayOutputStream()
+    id.write("OpusHead".getBytes("US-ASCII"))
+    id.write(1) // version
+    id.write(channels)
+    id.write(preSkip & 0xFF); id.write((preSkip >> 8) & 0xFF)
+    id.write(le32(48000)) // informational input rate
+    id.write(0); id.write(0) // output gain
+    id.write(0) // channel mapping family 0
+    oggPage(id.toByteArray, 0, 0x6F70, 0, 2) ++
+      oggPage(Array.fill[Byte](32)(0x3C), samples48k + preSkip,
+        0x6F70, 1, 4)
+  }
+
+  /** BOS page truncated mid-body: rate/channels survive, duration
+    * nulls (the broken-chain convention). */
+  def oggTruncated: Array[Byte] = {
+    val whole = oggVorbis(32000, 2, 99999L)
+    whole.take(whole.length - 20)
+  }
+
   def all: Seq[(Long, Array[Byte])] = Seq(
     1L -> wav(44100, 2, 16, 1000),
     2L -> wav(16000, 1, 8, 12345, withListChunk = true),
@@ -300,5 +386,12 @@ object AudioFixtures {
     // .au: 16-bit BE mono, 30 frames = 60 data bytes
     13L -> au(8000, 1, 3, new Array[Byte](60)),
     // .au mu-law stereo with an annotation region to skip
-    14L -> au(44100, 2, 1, new Array[Byte](50), offset = 40))
+    14L -> au(44100, 2, 1, new Array[Byte](50), offset = 40),
+    // OGG: Vorbis id header + EOS granule = total PCM samples
+    15L -> oggVorbis(44100, 2, 88200L),
+    16L -> oggVorbis(8000, 1, 4000L),
+    // Opus: fixed 48 kHz output; EOS granule minus pre-skip
+    17L -> oggOpus(2, 312, 96000L),
+    // truncated page chain: id header reads, duration nulls
+    18L -> oggTruncated)
 }

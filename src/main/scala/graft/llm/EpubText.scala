@@ -1,0 +1,262 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EPUB text extraction — books are prime LLM training data, and an
+  * EPUB (EPUB 3 / OCF) is a ZIP of XHTML chapters behind two levels
+  * of indirection this walks honestly:
+  *
+  *   1. `META-INF/container.xml` names the package document
+  *      (`<rootfile full-path=… media-type="application/
+  *      oebps-package+xml"/>`),
+  *   2. the OPF package maps manifest ids to hrefs and the `<spine>`
+  *      lists the READING ORDER as `<itemref idref=…>` entries,
+  *   3. each spine item's XHTML resolves relative to the OPF's own
+  *      directory and extracts through the existing [[HtmlText]]
+  *      boilerplate-stripping pipeline.
+  *
+  * Non-XHTML spine items (images in the spine are legal) skip;
+  * `linear="no"` auxiliary items skip too — they are not the book's
+  * reading flow. REFUSES loudly: DRM (`META-INF/encryption.xml`
+  * present — mis-decoding encrypted chapters would be silent
+  * garbage), non-zip payloads, OLE containers, packages missing
+  * container.xml / the OPF / a spine chapter, hostile entry counts,
+  * and cumulative inflation past the bomb cap. XML parsing is
+  * XXE-hardened like [[graft.sources.Sitemap]].
+  *
+  * Scale shape: [[extract]] is a narrow per-row map (bytes in, text
+  * out) — the crawl-intake shape shared by [[PdfText]]/[[DocxText]]/
+  * [[PptxText]]; one zip pass collects all parts.
+  */
+object EpubText {
+
+  private val MaxTotalBytes = 512L << 20 // cumulative inflation cap
+  private val MaxEntries = 10000 // hostile part-count bound
+
+  /** One string per spine chapter, spine order. */
+  def chapters(epub: Array[Byte]): Seq[String] = {
+    val parts = readParts(epub)
+    require(!parts.contains("META-INF/encryption.xml"),
+      "DRM-protected EPUB (META-INF/encryption.xml present) " +
+        "unsupported (refusing, not mis-decoding)")
+    val container = parts.getOrElse("META-INF/container.xml",
+      throw new IllegalArgumentException(
+        "not an EPUB (no META-INF/container.xml)"))
+    val opfPath = rootfilePath(container)
+    val opf = parts.getOrElse(opfPath,
+      throw new IllegalArgumentException(
+        s"EPUB container names missing package document '$opfPath'"))
+    val opfDir = {
+      val c = opfPath.lastIndexOf('/')
+      if (c >= 0) opfPath.substring(0, c + 1) else ""
+    }
+    spineHrefs(opf).map { href =>
+      val path = normalize(opfDir + href)
+      val bytes = parts.getOrElse(path,
+        throw new IllegalArgumentException(
+          s"EPUB spine names missing chapter '$path'"))
+      // chapters declare their encoding in the XML decl; EPUB 3
+      // mandates UTF-8 and EPUB 2 overwhelmingly ships it
+      HtmlText.extractText(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** All chapters joined with a blank line, spine order. */
+  def extractText(epub: Array[Byte]): String =
+    chapters(epub).mkString("\n\n")
+
+  /** (id, n_chapters, text) — narrow per-row extraction; fail-fast
+    * per row like its siblings (callers over untrusted crawl bytes
+    * wrap rows in their own Try). */
+  def extract(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val cs = chapters(bytes)
+        (id, cs.length, cs.mkString("\n\n"))
+      })
+      .toDF("id", "n_chapters", "text")
+  }
+
+  /** ONE zip pass → name → inflated bytes, bomb- and count-capped. */
+  private def readParts(epub: Array[Byte]): Map[String, Array[Byte]] = {
+    require(!DocxText.isOle(epub),
+      "OLE container unsupported (refusing, not mis-decoding)")
+    require(DocxText.isZip(epub), "not an EPUB (missing zip magic)")
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(epub))
+    val m = Map.newBuilder[String, Array[Byte]]
+    var count = 0
+    var total = 0L
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        count += 1
+        require(count <= MaxEntries, s"EPUB entry count exceeds $MaxEntries")
+        if (!e.isDirectory) {
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](65536)
+          var n = zin.read(buf)
+          while (n >= 0) {
+            total += n
+            require(total <= MaxTotalBytes,
+              s"EPUB inflates past $MaxTotalBytes bytes " +
+                "(decompression bomb?)")
+            out.write(buf, 0, n)
+            n = zin.read(buf)
+          }
+          m += e.getName -> out.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    m.result()
+  }
+
+  /** container.xml → the first package-document rootfile's
+    * full-path (OCF §3.5.2.1: the first rootfile is the default
+    * rendition). */
+  private def rootfilePath(container: Array[Byte]): String = {
+    val doc = builder().parse(new java.io.ByteArrayInputStream(container))
+    val nodes = doc.getElementsByTagNameNS("*", "rootfile")
+    val hit = (0 until nodes.getLength).map(nodes.item(_)).collectFirst {
+      case e: org.w3c.dom.Element
+          if e.getAttribute("media-type") ==
+            "application/oebps-package+xml" &&
+            e.getAttribute("full-path").nonEmpty =>
+        e.getAttribute("full-path")
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      "EPUB container.xml lacks a package-document rootfile"))
+  }
+
+  /** OPF → spine hrefs in reading order: manifest id→(href,
+    * media-type), spine itemrefs resolve through it; non-XHTML and
+    * linear="no" items skip. */
+  private def spineHrefs(opf: Array[Byte]): Seq[String] = {
+    val doc = builder().parse(new java.io.ByteArrayInputStream(opf))
+    val items = doc.getElementsByTagNameNS("*", "item")
+    val manifest = (0 until items.getLength).map(items.item(_)).collect {
+      case e: org.w3c.dom.Element if e.getAttribute("id").nonEmpty =>
+        e.getAttribute("id") ->
+          (e.getAttribute("href"), e.getAttribute("media-type"))
+    }.toMap
+    val refs = doc.getElementsByTagNameNS("*", "itemref")
+    (0 until refs.getLength).map(refs.item(_)).collect {
+      case e: org.w3c.dom.Element
+          if e.getAttribute("linear") != "no" &&
+            e.getAttribute("idref").nonEmpty =>
+        e.getAttribute("idref")
+    }.flatMap { idref =>
+      val (href, mtype) = manifest.getOrElse(idref,
+        throw new IllegalArgumentException(
+          s"EPUB spine itemref '$idref' missing from the manifest"))
+      // spine images/audio are legal; only document items carry text
+      if (mtype == "application/xhtml+xml" || mtype == "text/html")
+        Some(href)
+      else None
+    }
+  }
+
+  /** Resolve `./` and `a/../b` segments — OPF hrefs are relative
+    * URLs; a traversal escaping the archive root refuses. */
+  private def normalize(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    path.split('/').foreach {
+      case "" | "." =>
+      case ".." =>
+        require(out.nonEmpty,
+          s"EPUB href '$path' escapes the archive root")
+        out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    out.mkString("/")
+  }
+
+  private def builder() = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature(
+      "http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature(
+      "http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.setNamespaceAware(true)
+    f.newDocumentBuilder()
+  }
+
+  // ------------------------------------------------------------ fixture
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  /** Minimal-but-real .epub writer: mimetype (stored first, the OCF
+    * convention), container.xml pointing at a NESTED OPF
+    * (`OEBPS/content.opf` — chapter hrefs must resolve relative to
+    * it), one XHTML chapter per element of `chapterParas`, spine in
+    * REVERSE manifest order (the reader must follow the spine, not
+    * the manifest or zip order), plus a spine-listed cover image and
+    * a linear="no" item the reader must skip. `drm = true` plants
+    * META-INF/encryption.xml (the reader must refuse). */
+  def fixture(chapterParas: Seq[Seq[String]],
+              drm: Boolean = false): Array[Byte] = {
+    require(chapterParas.nonEmpty, "fixture needs at least one chapter")
+    val n = chapterParas.size
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    part("mimetype", "application/epub+zip")
+    part("META-INF/container.xml",
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+      """<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>""" +
+      """</rootfiles></container>""")
+    if (drm)
+      part("META-INF/encryption.xml",
+        """<?xml version="1.0"?><encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:container"/>""")
+    val manifest = (1 to n).map(i =>
+      s"""<item id="ch$i" href="text/ch$i.xhtml" media-type="application/xhtml+xml"/>""")
+      .mkString +
+      """<item id="cover" href="img/cover.png" media-type="image/png"/>""" +
+      """<item id="notes" href="text/notes.xhtml" media-type="application/xhtml+xml"/>"""
+    val spine = """<itemref idref="cover"/>""" + // non-XHTML: skipped
+      (1 to n).map(i => s"""<itemref idref="ch$i"/>""").mkString +
+      """<itemref idref="notes" linear="no"/>""" // aux: skipped
+    part("OEBPS/content.opf",
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="uid">""" +
+      """<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+      """<dc:identifier id="uid">graft-fixture</dc:identifier><dc:title>t</dc:title></metadata>""" +
+      s"<manifest>$manifest</manifest><spine>$spine</spine></package>")
+    part("OEBPS/img/cover.png", "not really a png")
+    part("OEBPS/text/notes.xhtml",
+      chapterXhtml(Seq("NON-LINEAR NOTES — must not surface")))
+    // chapters land in the zip in REVERSE order; the spine re-orders
+    chapterParas.indices.reverse.foreach { i =>
+      part(s"OEBPS/text/ch${i + 1}.xhtml", chapterXhtml(chapterParas(i)))
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  private def chapterXhtml(paras: Seq[String]): String =
+    """<?xml version="1.0" encoding="UTF-8"?>""" +
+      "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>" +
+      "<title>ch</title></head><body>" +
+      paras.map(p => s"<p>${xmlEscape(p)}</p>").mkString +
+      "</body></html>"
+}

@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions._
   *     adjustments ≤ -100 units surface as a word space), and `Do`
   *     over `/Subtype /Form` XObjects — the letterhead/stamp layout
   *     executes recursively at its invocation point (depth-capped),
-  *     with the Form's own resources (caller's inherited when a
-  *     writer omits them); Image XObjects are not text and skip
+  *     with the Form's own resources falling back PER NAME to the
+  *     caller's (a partial /Font dict doesn't orphan page-level
+  *     names); Image XObjects are not text and skip
   *   - literal strings with all escapes (octal, line continuation)
   *     and hex strings; simple-font bytes decode through the font's
-  *     encoding: WinAnsiEncoding, StandardEncoding (Appendix D
-  *     tables) and `/Differences` over a glyph-name map — unknown
-  *     glyph names decode as U+FFFD (extraction is loss-tolerant at
-  *     glyph granularity)
+  *     encoding: WinAnsiEncoding, MacRomanEncoding, StandardEncoding
+  *     (Appendix D tables) and `/Differences` over a glyph-name
+  *     map — unknown glyph names decode as U+FFFD (extraction is
+  *     loss-tolerant at glyph granularity)
   *   - composite `/Type0` (CID) fonts under `/Identity-H` with a
   *     `/ToUnicode` CMap (bfchar + bfrange, string and array forms) —
   *     the layout Word/LaTeX-Unicode/CJK writers actually emit;
@@ -39,8 +40,7 @@ import org.apache.spark.sql.functions._
   *   - REFUSES loudly (the VP8 pattern — never silently wrong):
   *     encryption (`/Encrypt`), image/unimplementable filters
   *     (DCTDecode, JBIG2, CCITT-in-content), the TIFF predictor,
-  *     Type0 without /ToUnicode or under a named CMap, and
-  *     `/MacRomanEncoding`
+  *     and Type0 without /ToUnicode or under a named CMap
   *
   * Deterministic line contract (so SQL oracles can replay the
   * extraction symbolically): every line-move operator appends one
@@ -214,6 +214,13 @@ object PdfText {
     if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
       new String(b, 2, b.length - 2,
         java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xEF &&
+        (b(1) & 0xFF) == 0xBB && (b(2) & 0xFF) == 0xBF)
+      // PDF 2.0 §7.9.2.2 also admits UTF-8 text strings behind the
+      // EF BB BF BOM — modern writers emit them; without this branch
+      // their /Info entries decode as FFFD-laced PDFDocEncoding
+      new String(b, 3, b.length - 3,
+        java.nio.charset.StandardCharsets.UTF_8)
     else {
       val sb = new java.lang.StringBuilder(b.length)
       b.foreach { x =>
@@ -226,7 +233,16 @@ object PdfText {
     }
 
   /** (id, title, author, subject, producer) — narrow per-row
-    * metadata extraction; missing entries are null. */
+    * metadata extraction; missing entries are null.
+    *
+    * Failure contract: FAIL-FAST per partition — one corrupt or
+    * non-PDF blob throws and fails the job (same contract as
+    * [[extract]] and the DocxText/PptxText/EpubText siblings).
+    * Callers batching untrusted crawl bytes should wrap rows in
+    * their own `Try`, exactly as
+    * [[graft.streaming.StreamingWarcIntake.extractBatch]] does —
+    * the per-document failure domain lives at the intake layer,
+    * where drop-vs-fail policy belongs. */
   def extractInfo(df: DataFrame, idCol: String,
                   bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -561,12 +577,11 @@ object PdfText {
         case PNull => Encodings.standard
         case PName("WinAnsiEncoding") => Encodings.winAnsi
         case PName("StandardEncoding") => Encodings.standard
-        case PName("MacRomanEncoding") =>
-          throw new IllegalArgumentException(
-            "MacRomanEncoding unsupported (WinAnsi/Standard only)")
+        case PName("MacRomanEncoding") => Encodings.macRoman
         case m: Map[String, Any] @unchecked =>
           val base = resolve(m.getOrElse("BaseEncoding", PNull)) match {
             case PName("WinAnsiEncoding") => Encodings.winAnsi
+            case PName("MacRomanEncoding") => Encodings.macRoman
             case PName("StandardEncoding") | PNull => Encodings.standard
             case other => throw new IllegalArgumentException(
               s"PDF /BaseEncoding $other unsupported")
@@ -719,10 +734,15 @@ object PdfText {
                         s"PDF extracted text exceeds $MaxTextChars chars")
                       val own = resourcesOf(
                         s.dict.getOrElse("Resources", PNull))
+                      // per-NAME fallback (§7.8.3 reading real
+                      // readers apply): a form shipping a partial
+                      // /Font dict that also names a page-level font
+                      // must not lose the page's entries — the old
+                      // all-or-nothing map swap silently decoded
+                      // such names through a stale font
                       val inner = PageRes(
-                        if (own.fonts.isEmpty) res.fonts else own.fonts,
-                        if (own.xobjects.isEmpty) res.xobjects
-                        else own.xobjects)
+                        res.fonts ++ own.fonts,
+                        res.xobjects ++ own.xobjects)
                       // §8.10.2: the form sees the CALLER's current
                       // font; its own Tf changes stay inside
                       run(decodedForm(s), inner, sb, depth + 1, enc)
@@ -1528,20 +1548,74 @@ object PdfText {
       (basicLetters ++ digits).toMap ++ punct ++ latin1
     }
 
+    /** MacRomanEncoding per PDF 32000 Appendix D (the pre-2005
+      * Mac-authored-PDF default): ASCII for 20-7E, the Mac OS Roman
+      * accented/punctuation set in the high half — note 0xDB is
+      * `currency` in the PDF table (Appendix D predates Mac OS
+      * Roman's Euro swap) — unmapped slots (Adobe's table leaves the
+      * math-symbol and apple-logo positions empty) → U+FFFD. */
+    val macRoman: Array[Char] = {
+      val t = Array.fill[Char](256)('�')
+      (0x20 to 0x7E).foreach(i => t(i) = i.toChar)
+      val hi = Map(
+        0x80 -> 0x00C4, 0x81 -> 0x00C5, 0x82 -> 0x00C7, 0x83 -> 0x00C9,
+        0x84 -> 0x00D1, 0x85 -> 0x00D6, 0x86 -> 0x00DC, 0x87 -> 0x00E1,
+        0x88 -> 0x00E0, 0x89 -> 0x00E2, 0x8A -> 0x00E4, 0x8B -> 0x00E3,
+        0x8C -> 0x00E5, 0x8D -> 0x00E7, 0x8E -> 0x00E9, 0x8F -> 0x00E8,
+        0x90 -> 0x00EA, 0x91 -> 0x00EB, 0x92 -> 0x00ED, 0x93 -> 0x00EC,
+        0x94 -> 0x00EE, 0x95 -> 0x00EF, 0x96 -> 0x00F1, 0x97 -> 0x00F3,
+        0x98 -> 0x00F2, 0x99 -> 0x00F4, 0x9A -> 0x00F6, 0x9B -> 0x00F5,
+        0x9C -> 0x00FA, 0x9D -> 0x00F9, 0x9E -> 0x00FB, 0x9F -> 0x00FC,
+        0xA0 -> 0x2020, 0xA1 -> 0x00B0, 0xA2 -> 0x00A2, 0xA3 -> 0x00A3,
+        0xA4 -> 0x00A7, 0xA5 -> 0x2022, 0xA6 -> 0x00B6, 0xA7 -> 0x00DF,
+        0xA8 -> 0x00AE, 0xA9 -> 0x00A9, 0xAA -> 0x2122, 0xAB -> 0x00B4,
+        0xAC -> 0x00A8, 0xAE -> 0x00C6, 0xAF -> 0x00D8,
+        0xB1 -> 0x00B1, 0xB4 -> 0x00A5, 0xB5 -> 0x00B5,
+        0xBB -> 0x00AA, 0xBC -> 0x00BA, 0xBE -> 0x00E6, 0xBF -> 0x00F8,
+        0xC0 -> 0x00BF, 0xC1 -> 0x00A1, 0xC2 -> 0x00AC, 0xC4 -> 0x0192,
+        0xC7 -> 0x00AB, 0xC8 -> 0x00BB, 0xC9 -> 0x2026, 0xCA -> 0x0020,
+        0xCB -> 0x00C0, 0xCC -> 0x00C3, 0xCD -> 0x00D5, 0xCE -> 0x0152,
+        0xCF -> 0x0153,
+        0xD0 -> 0x2013, 0xD1 -> 0x2014, 0xD2 -> 0x201C, 0xD3 -> 0x201D,
+        0xD4 -> 0x2018, 0xD5 -> 0x2019, 0xD6 -> 0x00F7, 0xD8 -> 0x00FF,
+        0xD9 -> 0x0178, 0xDA -> 0x2044, 0xDB -> 0x00A4, 0xDC -> 0x2039,
+        0xDD -> 0x203A, 0xDE -> 0xFB01, 0xDF -> 0xFB02,
+        0xE0 -> 0x2021, 0xE1 -> 0x00B7, 0xE2 -> 0x201A, 0xE3 -> 0x201E,
+        0xE4 -> 0x2030, 0xE5 -> 0x00C2, 0xE6 -> 0x00CA, 0xE7 -> 0x00C1,
+        0xE8 -> 0x00CB, 0xE9 -> 0x00C8, 0xEA -> 0x00CD, 0xEB -> 0x00CE,
+        0xEC -> 0x00CF, 0xED -> 0x00CC, 0xEE -> 0x00D3, 0xEF -> 0x00D4,
+        0xF1 -> 0x00D2, 0xF2 -> 0x00DA, 0xF3 -> 0x00DB, 0xF4 -> 0x00D9,
+        0xF5 -> 0x0131, 0xF6 -> 0x02C6, 0xF7 -> 0x02DC, 0xF8 -> 0x00AF,
+        0xF9 -> 0x02D8, 0xFA -> 0x02D9, 0xFB -> 0x02DA, 0xFC -> 0x00B8,
+        0xFD -> 0x02DD, 0xFE -> 0x02DB, 0xFF -> 0x02C7)
+      hi.foreach { case (k, v) => t(k) = v.toChar }
+      t
+    }
+
     /** char → WinAnsi byte, for the fixture writer. */
     val winAnsiInverse: Map[Char, Int] =
       winAnsi.zipWithIndex.filter(_._1 != '�')
         .map { case (c, i) => c -> i }.toMap
+
+    /** char → MacRoman byte, for the fixture writer. The 0xCA
+      * no-break-space slot also maps to ' ' — prefer the ASCII
+      * space (toMap keeps the LAST pair, and 0x20 sorts after...
+      * explicitly overridden to be deterministic). */
+    val macRomanInverse: Map[Char, Int] =
+      macRoman.zipWithIndex.filter(_._1 != '�')
+        .map { case (c, i) => c -> i }.toMap + (' ' -> 0x20)
   }
 
   // ------------------------------------------------------------ fixture
 
-  private def escape(line: String): Array[Byte] = {
+  private def escape(line: String,
+                     inv: Map[Char, Int] = Encodings.winAnsiInverse)
+      : Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream(line.length + 8)
     line.foreach { c =>
-      val code = Encodings.winAnsiInverse.getOrElse(c,
+      val code = inv.getOrElse(c,
         throw new IllegalArgumentException(
-          s"fixture text char U+${c.toInt.toHexString} not WinAnsi-encodable"))
+          s"fixture text char U+${c.toInt.toHexString} not encodable"))
       if (c == '(' || c == ')' || c == '\\') { bo.write('\\'); bo.write(code) }
       else if (code < 0x20 || code > 0x7E) // 3-digit octal: a digit
         bo.write(("\\" + f"$code%03o").getBytes("US-ASCII")) // may follow
@@ -1550,12 +1624,14 @@ object PdfText {
     bo.toByteArray
   }
 
-  private def content(lines: Seq[String]): Array[Byte] = {
+  private def content(lines: Seq[String],
+                      inv: Map[Char, Int] = Encodings.winAnsiInverse)
+      : Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     bo.write("BT\n/F1 12 Tf\n72 720 Td\n".getBytes("US-ASCII"))
     lines.zipWithIndex.foreach { case (line, i) =>
       bo.write('(')
-      bo.write(escape(line))
+      bo.write(escape(line, inv))
       bo.write(')')
       bo.write((if (i == 0) " Tj\n" else " '\n").getBytes("US-ASCII"))
     }
@@ -1576,11 +1652,20 @@ object PdfText {
 
   /** Minimal-but-real PDF writer for specs/oracle fixtures: one
     * content stream per page (`Tf`/`Td`/`Tj` + `'` line shows),
-    * WinAnsiEncoding Helvetica, classic xref with exact offsets,
-    * `/Length` written as an INDIRECT ref on the first page (the
-    * parser must resolve it), optional FlateDecode. */
-  def fixture(pageLines: Seq[Seq[String]], flate: Boolean = true): Array[Byte] = {
+    * Helvetica under `encoding` (WinAnsiEncoding default;
+    * MacRomanEncoding writes the pre-2005 Mac-authored shape),
+    * classic xref with exact offsets, `/Length` written as an
+    * INDIRECT ref on the first page (the parser must resolve it),
+    * optional FlateDecode. */
+  def fixture(pageLines: Seq[Seq[String]], flate: Boolean = true,
+              encoding: String = "WinAnsiEncoding"): Array[Byte] = {
     require(pageLines.nonEmpty, "fixture needs at least one page")
+    val inv = encoding match {
+      case "WinAnsiEncoding" => Encodings.winAnsiInverse
+      case "MacRomanEncoding" => Encodings.macRomanInverse
+      case other =>
+        throw new IllegalArgumentException(s"fixture encoding $other")
+    }
     val out = new java.io.ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1603,7 +1688,7 @@ object PdfText {
     }
     obj(3) {
       w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-        "/Encoding /WinAnsiEncoding >>\n")
+        s"/Encoding /$encoding >>\n")
     }
     pageLines.zipWithIndex.foreach { case (lines, i) =>
       val pageNum = 4 + 3 * i
@@ -1614,7 +1699,7 @@ object PdfText {
           s"/Resources << /Font << /F1 3 0 R >> >> " +
           s"/Contents $contNum 0 R >>\n")
       }
-      val raw = content(lines)
+      val raw = content(lines, inv)
       val payload = if (!flate) raw else deflateBytes(raw)
       obj(contNum) {
         val filter = if (flate) " /Filter /FlateDecode" else ""

@@ -85,17 +85,24 @@ object RobotsTxt {
     groups.toSeq
   }
 
-  /** `Crawl-delay` (seconds) governing `agent`: its named group's
-    * value if one exists, else the `*` group's — the SAME group
-    * selection as [[rulesFor]] (a named group with no delay means
-    * "no delay for you", never a fall-through to `*`). */
-  def crawlDelay(content: String, agent: String): Option[Double] = {
-    val groups = parseGroups(content)
+  /** ALL groups governing `agent` — RFC 9309 §2.2.1 merges groups
+    * sharing a user-agent token into one logical group, so a file
+    * with two `User-agent: bot` groups contributes BOTH groups'
+    * rules/delay. Named groups win over `*` (never both). */
+  private def groupsFor(groups: Seq[Group], agent: String): Seq[Group] = {
     val a = agent.toLowerCase
-    groups.find(_.agents.contains(a))
-      .orElse(groups.find(_.agents.contains("*")))
-      .flatMap(_.crawlDelay)
+    val named = groups.filter(_.agents.contains(a))
+    if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
   }
+
+  /** `Crawl-delay` (seconds) governing `agent`: the first defined
+    * value across its named groups (RFC 9309 merges same-token
+    * groups) if any name it, else across the `*` groups (a named
+    * group with no delay means "no delay for you", never a
+    * fall-through to `*`). */
+  def crawlDelay(content: String, agent: String): Option[Double] =
+    groupsFor(parseGroups(content), agent)
+      .flatMap(_.crawlDelay).headOption
 
   /** (host, crawl_delay) rows for `agent` — null where the selected
     * group carries no delay; the scheduler's broadcastable unit. */
@@ -123,15 +130,13 @@ object RobotsTxt {
       } else None
     }
 
-  /** The rules governing `agent`: its named group if one exists,
-    * else the `*` group, else no rules (all allowed). */
-  def rulesFor(content: String, agent: String): Seq[Rule] = {
-    val groups = parseGroups(content)
-    val a = agent.toLowerCase
-    groups.find(_.agents.contains(a))
-      .orElse(groups.find(_.agents.contains("*")))
-      .map(_.rules).getOrElse(Seq.empty)
-  }
+  /** The rules governing `agent`: all its named groups' rules
+    * combined (RFC 9309 §2.2.1 — same-token groups merge) if any
+    * group names it, else all `*` groups' rules, else no rules (all
+    * allowed). Longest-match decides, so combination order is
+    * immaterial. */
+  def rulesFor(content: String, agent: String): Seq[Rule] =
+    groupsFor(parseGroups(content), agent).flatMap(_.rules)
 
   /** RFC 9309 pattern → a regex over the whole path: `*` is any
     * run, a trailing `$` anchors the end (kept as a literal `$` in

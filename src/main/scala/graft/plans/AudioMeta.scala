@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per the WAVE spec's little-endian layout), FLAC (the 34-byte
   * STREAMINFO metadata block's packed bit fields, per the FLAC format
   * spec), AIFF/AIFF-C (FORM walk to COMM, the 80-bit extended-float
-  * sample rate), Sun .au (fixed big-endian header), and MP3 frame
-  * headers (rate/channels only — the honest lossy boundary). Sample
-  * DECODE stays behind
+  * sample rate), Sun .au (fixed big-endian header), MP3 frame
+  * headers (rate/channels only — the honest lossy boundary), and
+  * OGG containers (Vorbis/Opus identification headers plus the
+  * final page's granule position for total samples — a page-header
+  * walk, no packet decode). Sample DECODE stays behind
   * [[graft.llm.Multimodal.MediaDecoder]] exactly as for images.
   *
   * Returned struct: (format, sample_rate, channels, bits_per_sample,
@@ -170,6 +172,46 @@ object AudioMeta {
         if (dataSize == 0xFFFFFFFFL) null else dataSize / (width.toLong * ch)
       return row("au", rate, ch, width * 8, frames)
     }
+    // OGG: "OggS" pages (27-byte header + segment table); the first
+    // page's first packet is the codec identification header —
+    // Vorbis I (`\x01vorbis`: channels u8, rate u32le) or Opus
+    // (`OpusHead`: channels u8, pre-skip u16le; output rate is the
+    // codec's FIXED 48 kHz, the head's input rate is informational).
+    // Total samples come from the LAST page's granule position
+    // (PCM-sample domain for Vorbis; 48 kHz domain minus pre-skip
+    // for Opus) via a page-header walk — header-only metadata, no
+    // packet decode (the MP3 lossy boundary). Bit depth is null
+    // (lossy). Truncated/foreign id headers → nulls; a broken page
+    // chain nulls only n_frames.
+    if (tag(b, 0, "OggS")) {
+      if (b.length < 28) return row("ogg", null, null, null, null)
+      val nsegs = b(26) & 0xFF
+      val bodyOff = 27 + nsegs
+      if (bodyOff > b.length) return row("ogg", null, null, null, null)
+      if (bodyOff + 7 <= b.length && b(bodyOff) == 1 &&
+          tag(b, bodyOff + 1, "vorbis")) {
+        // \x01vorbis, version u32le, channels u8, rate u32le
+        if (bodyOff + 16 > b.length)
+          return row("ogg-vorbis", null, null, null, null)
+        val ch = b(bodyOff + 11) & 0xFF
+        val rate = le32(b, bodyOff + 12).toInt
+        return row("ogg-vorbis", rate, ch, null, oggLastGranule(b))
+      }
+      if (bodyOff + 8 <= b.length && tag(b, bodyOff, "OpusHead")) {
+        if (bodyOff + 12 > b.length)
+          return row("ogg-opus", null, null, null, null)
+        val ch = b(bodyOff + 9) & 0xFF
+        val preSkip = le16(b, bodyOff + 10)
+        val g = oggLastGranule(b)
+        val frames: Any = g match {
+          case gl: java.lang.Long if gl.longValue >= preSkip =>
+            java.lang.Long.valueOf(gl.longValue - preSkip)
+          case _ => null
+        }
+        return row("ogg-opus", 48000, ch, null, frames)
+      }
+      return row("ogg", null, null, null, null)
+    }
     // MP3: an optional ID3v2 tag (10-byte header, 28-bit syncsafe
     // size) followed by an MPEG audio frame header — 11 sync bits,
     // then version (V1/V2/V2.5 select the sample-rate table), layer,
@@ -201,6 +243,31 @@ object AudioMeta {
       }
     }
     row("unknown", null, null, null, null)
+  }
+
+  /** Walk every OGG page header (27 bytes + lacing table + the laced
+    * body) and return the last COMPLETE page's granule position
+    * (s64le at +6), or null when the chain breaks mid-file — a
+    * truncated stream keeps rate/channels but loses duration,
+    * matching the WAV missing-chunk convention. -1 granules ("no
+    * packet completes on this page") are skipped. */
+  private def oggLastGranule(b: Array[Byte]): Any = {
+    var i = 0
+    var last: Any = null
+    while (i + 27 <= b.length && tag(b, i, "OggS")) {
+      val nsegs = b(i + 26) & 0xFF
+      if (i + 27 + nsegs > b.length) return null // truncated lacing
+      var body = 0
+      var s = 0
+      while (s < nsegs) { body += b(i + 27 + s) & 0xFF; s += 1 }
+      if (i + 27 + nsegs + body > b.length) return null // truncated body
+      var g = 0L
+      var k = 7
+      while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xFFL); k -= 1 }
+      if (g >= 0) last = java.lang.Long.valueOf(g)
+      i += 27 + nsegs + body
+    }
+    if (i != b.length) null else last // trailing junk: not a clean chain
   }
 }
 

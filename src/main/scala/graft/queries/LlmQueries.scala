@@ -788,6 +788,30 @@ object LlmQueries {
           col("subject"), col("producer"))
     }),
 
+    // MacRomanEncoding simple fonts — the pre-2005 Mac-authored PDF
+    // default (Appendix D's third table). The title line exercises
+    // the high half where MacRoman DIVERGES from WinAnsi (é at 0x8E
+    // not 0xE9, em-dash at 0xD1, the fi ligature, ÷, ƒ, and ¤ at
+    // 0xDB — the slot Mac OS Roman later gave to €): a WinAnsi
+    // table applied to these bytes produces different characters
+    // and breaks the hash.
+    "q295_pdf_macroman" -> ((s, d) => {
+      import graft.llm.PdfText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PdfText.fixture(
+            Seq(Seq(s"Résumé — ﬁn ÷ ƒ ¤ doc $id", r.getString(1))),
+            encoding = "MacRomanEncoding"))
+        }.toSeq
+      PdfText.extract(rows.toDF("doc_id", "pdf"), "doc_id", "pdf")
+        .select(col("id").as("doc_id"), col("n_pages"), col("text"))
+    }),
+
     // Crawl-delay surfacing: the de-facto scheduler directive,
     // group-scoped with the SAME named-beats-* selection as the
     // rules — a named group without a delay yields null, never a
@@ -857,6 +881,112 @@ object LlmQueries {
         }.toSeq
       DocxText.extract(rows.toDF("doc_id", "docx"), "doc_id", "docx")
         .select(col("id").as("doc_id"), col("n_paragraphs"), col("text"))
+    }),
+
+    // PPTX slide-deck extraction: fixture decks built from REAL
+    // document text (two slides — title+body then a CJK/symbol
+    // slide — each paragraph split into two a:r runs the reader
+    // must rejoin), walked back through the one-pass zip + DOM
+    // path. Slides are numbered and stored in REVERSE zip order;
+    // part-number ordering is spec-gated with 12-slide decks. The
+    // oracle reconstructs every slide symbolically.
+    "q292_pptx_extract" -> ((s, d) => {
+      import graft.llm.PptxText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, PptxText.fixture(Seq(
+            Seq(s"deck $id", r.getString(1)),
+            Seq("汉字 — café ☃ fin"))))
+        }.toSeq
+      PptxText.extract(rows.toDF("doc_id", "pptx"), "doc_id", "pptx")
+        .select(col("id").as("doc_id"), col("n_slides"), col("text"))
+    }),
+
+    // EPUB book extraction: container.xml → nested OPF → spine
+    // reading order (chapters stored in REVERSE zip order; a spine
+    // cover image and a linear="no" notes item must skip), each
+    // XHTML chapter through the HtmlText pipeline. The oracle
+    // replays both chapters with the whitespace-collapse convention.
+    "q294_epub_extract" -> ((s, d) => {
+      import graft.llm.EpubText
+      val sess = s
+      import sess.implicits._
+      val rows = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, EpubText.fixture(Seq(
+            Seq(s"book $id", r.getString(1)),
+            Seq("fin — café ☃"))))
+        }.toSeq
+      EpubText.extract(rows.toDF("doc_id", "epub"), "doc_id", "epub")
+        .select(col("id").as("doc_id"), col("n_chapters"), col("text"))
+    }),
+
+    // The intake's content-type dispatch, FOUR ways: one WARC
+    // archive carrying text/html, application/pdf, and BOTH OOXML
+    // document types (wordprocessing + presentation); one record
+    // walk, dispatch inside it. Oracle replays all four branches.
+    "q293_crawl_branch4" -> ((s, d) => {
+      import graft.sources.Warc
+      import graft.llm.{DocxText, HtmlText, PdfText, PptxText}
+      val sess = s
+      import sess.implicits._
+      val DocxType = "application/vnd.openxmlformats-officedocument" +
+        ".wordprocessingml.document"
+      val PptxType = "application/vnd.openxmlformats-officedocument" +
+        ".presentationml.presentation"
+      val pages = documents(s, d).filter(col("doc_id") < 80)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          (id % 4) match {
+            case 0 =>
+              Warc.RawPage(s"http://example.com/doc$id.pdf",
+                PdfText.fixture(Seq(Seq(s"doc $id", r.getString(1)))),
+                contentType = "application/pdf")
+            case 1 =>
+              val enc = r.getString(1).replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              Warc.RawPage(s"http://example.com/doc$id.html",
+                s"<html><body><p>$enc</p></body></html>"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                contentType = "text/html; charset=utf-8")
+            case 2 =>
+              Warc.RawPage(s"http://example.com/doc$id.docx",
+                DocxText.fixture(Seq(s"doc $id", r.getString(1))),
+                contentType = DocxType)
+            case _ =>
+              Warc.RawPage(s"http://example.com/doc$id.pptx",
+                PptxText.fixture(Seq(Seq(s"doc $id", r.getString(1)))),
+                contentType = PptxType)
+          }
+        }.toSeq
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      Seq(("mixed4.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) =>
+          Warc.responses(n, new java.io.ByteArrayInputStream(b)).map { r =>
+            val (kind, text) =
+              if (r.contentType.startsWith("text/html"))
+                ("html", HtmlText.extractText(r.body))
+              else if (r.contentType == DocxType)
+                ("docx", DocxText.extractText(r.bodyBytes))
+              else if (r.contentType == PptxType)
+                ("pptx", PptxText.extractText(r.bodyBytes))
+              else ("pdf", PdfText.extractText(r.bodyBytes))
+            (r.targetUri, kind, text)
+          }
+        }
+        .toDF("uri", "kind", "text")
+        .select(regexp_extract(col("uri"), "/doc(\\d+)\\.", 1)
+          .cast("long").as("doc_id"), col("kind"), col("text"))
     }),
 
     // Crawl content-type branch, THREE ways: one WARC archive
@@ -964,6 +1094,29 @@ object LlmQueries {
       htmlSide.unionByName(pdfSide)
     }),
 
+    // Syndication feeds as sitemaps (sitemaps.org's third format
+    // family): RSS 2.0 <item><link> and Atom <entry><link href>
+    // both parse to url entries — rel="self" plumbing links skip
+    // (absent rel defaults to alternate per RFC 4287), linkless
+    // items drop, pubDate/updated surface verbatim as lastmod.
+    // Even ids ship RSS, odd ids Atom; the oracle replays every
+    // entry symbolically.
+    "q291_feed_sitemap" -> ((s, d) => {
+      import graft.sources.Sitemap
+      val sess = s
+      import sess.implicits._
+      val docs = (0 until 30).map { i =>
+        val urls = (0 until 5).map { j =>
+          (s"http://h$i.com/post/${i * 10 + j}",
+           if (j % 2 == 0) Some(f"2026-03-${j + 1}%02d") else None)
+        }
+        (i.toLong,
+         if (i % 2 == 0) Sitemap.rssFixture(urls)
+         else Sitemap.atomFixture(urls))
+      }
+      Sitemap.entries(docs.toDF("id", "xml"), "id", "xml")
+    }),
+
     // Crawl-frontier composition: robots Sitemap: directives seed a
     // sitemapindex walk (child urlsets, a self-referencing cycle cut
     // by the visited set, an unfetched child dropped, a GZIPPED
@@ -977,10 +1130,11 @@ object LlmQueries {
       import graft.sources.{Frontier, Sitemap}
       val sess = s
       import sess.implicits._
-      val aRobots = "User-agent: *\nDisallow: /sec3\n" +
+      val aRobots = "User-agent: *\nDisallow: /sec3\nCrawl-delay: 1.5\n" +
         "Sitemap: http://a.com/smi.xml\n"
-      val bRobots = "User-agent: graftbot\nDisallow: /sec1\n\n" +
-        "User-agent: *\nDisallow: /\n" +
+      val bRobots = "User-agent: graftbot\nDisallow: /sec1\n" +
+        "Crawl-delay: 0.5\n\n" +
+        "User-agent: *\nDisallow: /\nCrawl-delay: 99\n" +
         "Sitemap: http://b.com/sm0.xml\n"
       val robots = Seq(("a.com", aRobots), ("b.com", bRobots))
         .toDF("rhost", "content")
@@ -1002,9 +1156,19 @@ object LlmQueries {
         ("http://a.com/sm1.xml", None, None, None),
         ("http://a.com/sm2.xml", None, None, None),
         ("http://a.com/sm3.xml.gz", None, None, None), // gzipped child
+        ("http://a.com/feed.xml", None, None, None), // RSS child
         ("http://a.com/smi.xml", None, None, None), // cycle: must be cut
         ("http://a.com/missing.xml", None, None, None)), // never fetched
         index = true)
+      // sitemaps.org permits syndication feeds as sitemap formats:
+      // this child is RSS 2.0 — <item><link> locations, <pubDate>
+      // as lastmod, no priority, plus a linkless item the parser
+      // must drop
+      val feed = Sitemap.rssFixture(
+        (140 until 160).map { id =>
+          (s"http://a.com/sec${id % 7}/doc$id",
+           if (id % 4 != 1) Some(f"2026-02-${id % 28 + 1}%02d") else None)
+        })
       // sm2 carries pages 40-79, re-lists pages 0-9 under noisy
       // spellings (www. prefix, :80 port, a utm param AND a click
       // id — the canonical dedup must fold those onto sm1's rows),
@@ -1031,13 +1195,14 @@ object LlmQueries {
         ("http://a.com/sm1.xml", urlset(0 until 40, "a.com")),
         ("http://a.com/sm2.xml", sm2),
         ("http://a.com/sm3.xml.gz", sm3),
+        ("http://a.com/feed.xml", feed),
         ("http://b.com/sm0.xml", bareset(80 until 120, "b.com")))
         .toDF("url", "xml")
       Frontier.build(robots, "rhost", "content",
           fetched, "url", "xml", "graftbot")
         .select(col("host"), col("url"), col("canonical_url"),
           col("source_sitemap"), col("lastmod"), col("priority"),
-          col("allowed"))
+          col("allowed"), col("crawl_delay"))
     }),
 
     // The crawl pipeline END-TO-END in one plan: documents → WARC
@@ -1245,6 +1410,46 @@ object LlmQueries {
           col("warcType").as("warc_type"),
           col("payloadDigest").as("payload_digest"),
           length(col("body")).as("n_body_chars"))
+    }),
+
+    // HTTP wire encodings inside the WARC walker: raw Heritrix/wget
+    // archives keep the wire bytes, so the reader must de-chunk and
+    // inflate Content-Encoding BEFORE the charset ladder — without
+    // it a gzip-encoded page surfaces as mojibake "text" (the
+    // silent-wrong path this closes; br refuses loudly, spec-gated).
+    // id % 5 routes identity / gzip / deflate / chunked /
+    // chunked+gzip; every body must round-trip byte-exact.
+    "q290_warc_wire_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Warc
+      val pages = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (ce, ch) = (id % 5) match {
+            case 0 => ("", false)
+            case 1 => ("gzip", false)
+            case 2 => ("deflate", false)
+            case 3 => ("", true)
+            case _ => ("gzip", true)
+          }
+          Warc.RawPage(s"http://example.com/doc/$id", bytes,
+            contentType = "text/plain; charset=utf-8",
+            contentEncoding = ce, chunked = ch)
+        }.toSeq
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      Seq(("wire.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("body"))
+        .withColumn("wire", element_at(
+          array(lit("identity"), lit("gzip"), lit("deflate"),
+            lit("chunked"), lit("chunked+gzip")),
+          (col("doc_id") % 5 + 1).cast("int")))
+        .select(col("doc_id"), col("wire"), col("body"))
     }),
 
     // WARC → HTML → training text, composed end-to-end: parse the
@@ -1503,10 +1708,13 @@ object LlmQueries {
     }),
 
     // Audio sibling of q88: WAV (RIFF chunk walk, incl. a skipped
-    // odd-sized LIST chunk) and FLAC (STREAMINFO packed bit fields)
-    // header metadata from raw bytes by the dependency-free AudioMeta
-    // expression; duration derives from frames/rate in BOTH engines,
-    // proving the parsed numbers compose.
+    // odd-sized LIST chunk), FLAC (STREAMINFO packed bit fields),
+    // MP3/AIFF/AU headers, and OGG (Vorbis/Opus identification
+    // headers + final-page granule for total samples — page-header
+    // walk, no packet decode; Opus granules are 48 kHz minus
+    // pre-skip) — all from raw bytes by the dependency-free
+    // AudioMeta expression; duration derives from frames/rate in
+    // BOTH engines, proving the parsed numbers compose.
     "q92_audio_meta" -> ((s, d) => {
       import s.implicits._
       val df = AudioFixtures.all.toDF("audio_id", "bytes")
@@ -2612,6 +2820,15 @@ object LlmQueries {
         |  'graft' AS producer
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
+    // q295: the MacRoman title replays via chr() — é(233),
+    // em-dash(8212), ﬁ(64257), ÷(247), ƒ(402), ¤(164).
+    "q295_pdf_macroman" ->
+      """SELECT doc_id, CAST(1 AS INT) AS n_pages,
+        |  'R' || chr(233) || 'sum' || chr(233) || ' ' || chr(8212) ||
+        |  ' ' || chr(64257) || 'n ' || chr(247) || ' ' || chr(402) ||
+        |  ' ' || chr(164) || ' doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
     // q287: the per-host delay replays the i % 4 branch — named
     // group's own value, * fallback, named-without-delay null (no
     // fall-through), junk null.
@@ -2643,6 +2860,50 @@ object LlmQueries {
         |  chr(233) || ' ' || chr(9731) || ' fin' AS text
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
+    // q292: two slides — "deck N" + verbatim text paragraphs joined
+    // with chr(10), a blank line between slides, then the CJK/symbol
+    // slide via chr() — 汉(27721) 字(23383) em-dash(8212) é(233)
+    // snowman(9731).
+    "q292_pptx_extract" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_slides,
+        |  'deck ' || doc_id || chr(10) || text || chr(10) || chr(10) ||
+        |  chr(27721) || chr(23383) || ' ' || chr(8212) || ' caf' ||
+        |  chr(233) || ' ' || chr(9731) || ' fin' AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q294: two chapters in spine order, each through the HtmlText
+    // whitespace-collapse (title word "ch" + paragraphs), a blank
+    // line between chapters; the cover image and the linear="no"
+    // notes item contribute text ONLY if a spine guard fails —
+    // which would break the hash.
+    "q294_epub_extract" ->
+      """SELECT doc_id, CAST(2 AS INT) AS n_chapters,
+        |  trim(regexp_replace('ch book ' || doc_id || ' ' || text,
+        |    '[ \t\r\n]+', ' ', 'g')) || chr(10) || chr(10) ||
+        |  'ch fin ' || chr(8212) || ' caf' || chr(233) || ' ' ||
+        |  chr(9731) AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q293: id % 4 routed pdf / html / docx / pptx; pdf, docx and
+    // pptx replay the title-line + raw-text shape, html the entity
+    // round-trip (whitespace-collapsed).
+    "q293_crawl_branch4" ->
+      """SELECT doc_id, 'pdf' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 80 AND doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, 'html' AS kind,
+        |  trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
+        |FROM documents WHERE doc_id < 80 AND doc_id % 4 = 1
+        |UNION ALL
+        |SELECT doc_id, 'docx' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 80 AND doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, 'pptx' AS kind,
+        |  'doc ' || doc_id || chr(10) || text AS text
+        |FROM documents WHERE doc_id < 80 AND doc_id % 4 = 3""".stripMargin,
+
     // q284: id % 3 routed pdf / html / docx; pdf and docx replay the
     // title-line + raw-text shape, html the entity round-trip
     // (whitespace-collapsed).
@@ -2670,17 +2931,34 @@ object LlmQueries {
         |  trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS text
         |FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1""".stripMargin,
 
+    // q291: both feed dialects replay from the (i, j) grid — same
+    // links/timestamps whether the wire form was RSS or Atom.
+    "q291_feed_sitemap" ->
+      """WITH g AS (SELECT i, j FROM unnest(range(30)) AS t(i),
+        |                          unnest(range(5)) AS u(j))
+        |SELECT i AS id, 'url' AS kind,
+        |  'http://h' || i || '.com/post/' || (i * 10 + j) AS loc,
+        |  CASE WHEN j % 2 = 0
+        |       THEN '2026-03-' || lpad(CAST(j + 1 AS VARCHAR), 2, '0')
+        |  END AS lastmod,
+        |  CAST(NULL AS VARCHAR) AS changefreq,
+        |  CAST(NULL AS DOUBLE) AS priority
+        |FROM g""".stripMargin,
+
     // q277: the frontier reconstructs entirely from the id formulas —
     // a.com ids 0-79 with query strings (ids 0-9's noisy re-listings
     // fold onto sm1's rows: min-(url,source) keeper) plus BARE ids
-    // 120-139 from the gzipped child, b.com ids 80-119; canonical =
-    // utm/click-id params stripped + params sorted; allowed replays
-    // the * group for a.com (graftbot unnamed there) and the named
-    // group for b.com. The cycle, the unfetched child and the
-    // relative loc contribute rows ONLY if a guard fails — which
-    // would break the hash.
+    // 120-139 from the gzipped child and 140-159 from the RSS feed
+    // child (pubDate → lastmod, no priority), b.com ids 80-119;
+    // canonical = utm/click-id params stripped + params sorted;
+    // allowed replays the * group for a.com (graftbot unnamed there)
+    // and the named group for b.com; crawl_delay rides along under
+    // the same group selection (a.com * 1.5, b.com named 0.5 — the
+    // * group's 99 must NOT leak through). The cycle, the unfetched
+    // child, the relative loc and the linkless feed item contribute
+    // rows ONLY if a guard fails — which would break the hash.
     "q277_crawl_frontier" ->
-      """WITH ids AS (SELECT unnest(range(140)) AS id)
+      """WITH ids AS (SELECT unnest(range(160)) AS id)
         |SELECT 'a.com' AS host,
         |  'http://a.com/sec' || (id % 7) || '/doc' || id ||
         |    (CASE WHEN id < 80 THEN '?b=2&a=1&utm_x=1' ELSE '' END) AS url,
@@ -2689,12 +2967,15 @@ object LlmQueries {
         |    AS canonical_url,
         |  CASE WHEN id < 40 THEN 'http://a.com/sm1.xml'
         |       WHEN id < 80 THEN 'http://a.com/sm2.xml'
-        |       ELSE 'http://a.com/sm3.xml.gz' END AS source_sitemap,
+        |       WHEN id < 140 THEN 'http://a.com/sm3.xml.gz'
+        |       ELSE 'http://a.com/feed.xml' END AS source_sitemap,
         |  CASE WHEN id % 4 != 1
         |       THEN '2026-02-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
         |  END AS lastmod,
-        |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
-        |  (id % 7) != 3 AS allowed
+        |  CASE WHEN id % 5 != 0 AND id < 140 THEN (id % 10) / 10.0
+        |  END AS priority,
+        |  (id % 7) != 3 AS allowed,
+        |  1.5 AS crawl_delay
         |FROM ids WHERE id < 80 OR id >= 120
         |UNION ALL
         |SELECT 'b.com' AS host,
@@ -2705,7 +2986,8 @@ object LlmQueries {
         |       THEN '2026-02-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
         |  END AS lastmod,
         |  CASE WHEN id % 5 != 0 THEN (id % 10) / 10.0 END AS priority,
-        |  (id % 7) != 1 AS allowed
+        |  (id % 7) != 1 AS allowed,
+        |  0.5 AS crawl_delay
         |FROM ids WHERE id >= 80 AND id < 120""".stripMargin,
 
     // q276: the chain recomputed symbolically — extraction length
@@ -2825,6 +3107,18 @@ object LlmQueries {
         |  'md5:' || md5(o.body) AS payload_digest,
         |  CAST(0 AS INT) AS n_body_chars
         |FROM x o WHERE o.doc_id % 2 = 0 AND o.doc_id + 1 < 40""".stripMargin,
+
+    // q290: each body must round-trip byte-exact through its wire
+    // encoding (identity/gzip/deflate/chunked/chunked+gzip by
+    // doc_id % 5) — any inflate, de-chunk or ordering bug breaks
+    // the hash on 4/5 of the rows.
+    "q290_warc_wire_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+        |       WHEN 2 THEN 'deflate' WHEN 3 THEN 'chunked'
+        |       ELSE 'chunked+gzip' END AS wire,
+        |  text AS body
+        |FROM documents WHERE doc_id < 60""".stripMargin,
 
     // q268: the extraction must return the ORIGINAL text (the
     // entity round-trip), prefixed by the title word, followed by
@@ -3136,7 +3430,11 @@ object LlmQueries {
         |  (11, 'aiff', 22050, 2, 16, 25),
         |  (12, 'aiff', 48000, 1, 16, 12),
         |  (13, 'au', 8000, 1, 16, 30),
-        |  (14, 'au', 44100, 2, 8, 25)
+        |  (14, 'au', 44100, 2, 8, 25),
+        |  (15, 'ogg-vorbis', 44100, 2, NULL, 88200),
+        |  (16, 'ogg-vorbis', 8000, 1, NULL, 4000),
+        |  (17, 'ogg-opus', 48000, 2, NULL, 96000),
+        |  (18, 'ogg-vorbis', 32000, 2, NULL, NULL)
         |) AS t(audio_id, format, sample_rate, channels, bits_per_sample, n_frames)""".stripMargin,
 
     // The q47-verified chunk kernel with stride == size; duplication is

@@ -28,10 +28,20 @@ import graft.llm.{RobotsTxt, UrlCanon}
 object Frontier {
 
   /** (host, url, canonical_url, source_sitemap, lastmod, priority,
-    * allowed) — one row per canonically-distinct discovered URL;
-    * the keeper among duplicate spellings is the min (url,
-    * source_sitemap) pair, the dedup family's deterministic-survivor
-    * convention.
+    * allowed, crawl_delay) — one row per canonically-distinct
+    * discovered URL; the keeper among duplicate spellings is the min
+    * (url, source_sitemap) pair, the dedup family's
+    * deterministic-survivor convention. `crawl_delay` is the host's
+    * robots `Crawl-delay` under the same named-beats-`*` group
+    * selection as `allowed` (null where none), so a fetch scheduler
+    * consumes ONE frame.
+    *
+    * Failure observability: malformed/hostile sitemap documents
+    * contribute nothing (per-document Try), but each failure bumps
+    * the `frontier.sitemap_parse_failures` long accumulator —
+    * visible in the Spark UI / `sc.statusStore` — so a
+    * silently-empty subtree (e.g. a UTF-8-mangled `.xml.gz` payload
+    * in a string column) is observable instead of invisible.
     *
     * `xmlCol` may be a STRING column (decoded sitemap text) or a
     * BINARY column (raw crawl payload — gunzipped by magic, so
@@ -55,6 +65,8 @@ object Frontier {
     val xmlIsBinary = fetched.schema(xmlCol).dataType ==
       org.apache.spark.sql.types.BinaryType
     val docs = fetched.select(col(urlCol).as("__url"), col(xmlCol).as("__xml"))
+    val parseFailed =
+      spark.sparkContext.longAccumulator("frontier.sitemap_parse_failures")
 
     // one level's (host, parent, entry…) rows; the parse carries a
     // per-document failure domain — crawled sitemap documents lie,
@@ -69,7 +81,8 @@ object Frontier {
         if (xmlIsBinary)
           joined.as[(String, String, Array[Byte])]
             .flatMap { case (h, parent, bytes) =>
-              scala.util.Try(Sitemap.parseBytes(bytes)).getOrElse(Seq.empty)
+              scala.util.Try(Sitemap.parseBytes(bytes))
+                .fold(_ => { parseFailed.add(1); Seq.empty }, identity)
                 .map(e => (h, parent, e.kind, e.loc, e.lastmod, e.priority))
             }
         else
@@ -81,7 +94,7 @@ object Frontier {
                   Sitemap.parseBytes(xml.getBytes(
                     java.nio.charset.StandardCharsets.ISO_8859_1))
                 else Sitemap.parse(xml)
-              }.getOrElse(Seq.empty)
+              }.fold(_ => { parseFailed.add(1); Seq.empty }, identity)
                 .map(e => (h, parent, e.kind, e.loc, e.lastmod, e.priority))
             }
       parsed
@@ -148,8 +161,14 @@ object Frontier {
           "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1) === "", lit("/"))
         .otherwise(regexp_extract(col("url"),
           "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)))
+    // the host's Crawl-delay rides along (same named-beats-* group
+    // selection as the rules) — broadcastable per-host metadata, so
+    // a fetch scheduler consumes one frame instead of re-joining
+    val delays = RobotsTxt.crawlDelayFrame(
+      robots, robotsHostCol, contentCol, agent)
     RobotsTxt.withAllowed(withPath, "host", "__path", robots,
         robotsHostCol, contentCol, agent)
       .drop("__path")
+      .join(broadcast(delays), Seq("host"), "left")
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** sitemaps.org protocol parser — the crawl-frontier complement to
   * robots.txt: sites publish `<urlset>` documents of `<url>` entries
   * (loc, lastmod, changefreq, priority) and `<sitemapindex>`
-  * documents of child `<sitemap>` locations.
+  * documents of child `<sitemap>` locations; the protocol also
+  * permits syndication feeds (RSS 2.0 `<rss>` and Atom `<feed>`) as
+  * sitemap formats, and both parse to url entries here.
   *
   * Parsing uses the JDK's DOM with XXE hardened off (external
   * general/parameter entities and DOCTYPE declarations disabled —
@@ -85,6 +87,12 @@ object Sitemap {
     val (container, child) = root.getLocalName match {
       case "urlset" => ("urlset", "url")
       case "sitemapindex" => ("sitemapindex", "sitemap")
+      // sitemaps.org explicitly permits syndication feeds as sitemap
+      // formats, and real robots `Sitemap:` lines point at them —
+      // without these branches a feed sitemap throws and the
+      // frontier's per-document Try silently drops the host's walk
+      case "rss" => return parseRss(root)
+      case "feed" => return parseAtom(root)
       case other =>
         throw new IllegalArgumentException(s"not a sitemap root: $other")
     }
@@ -112,6 +120,51 @@ object Sitemap {
     }
   }
 
+  private def elementKids(n: org.w3c.dom.Node,
+                          name: String): Seq[org.w3c.dom.Node] = {
+    val kids = n.getChildNodes
+    (0 until kids.getLength).map(kids.item(_)).filter(k =>
+      k.getNodeType == org.w3c.dom.Node.ELEMENT_NODE &&
+        k.getLocalName == name)
+  }
+
+  private def childText(n: org.w3c.dom.Node, name: String): String =
+    elementKids(n, name).headOption.map(_.getTextContent.trim).orNull
+
+  /** RSS 2.0 as a sitemap (sitemaps.org "Syndication feed" format):
+    * `<rss><channel><item>` → url entries; `<link>` is the location,
+    * `<pubDate>` surfaces as lastmod verbatim (RFC 822 form — the
+    * feed's own timestamp convention). Items without a link drop,
+    * like url entries without a loc. */
+  private def parseRss(root: org.w3c.dom.Element): Seq[Entry] =
+    elementKids(root, "channel").flatMap(ch =>
+      elementKids(ch, "item").flatMap { item =>
+        val link = childText(item, "link")
+        if (link == null || link.isEmpty) None
+        else Some(Entry("url", link, childText(item, "pubDate"),
+          null, None))
+      })
+
+  /** Atom (RFC 4287) as a sitemap: `<feed><entry>` → url entries;
+    * the location is the first `<link>` whose `rel` is absent or
+    * "alternate" (RFC 4287 §4.2.7.2 — absent defaults to alternate;
+    * `self`/`edit` links are feed plumbing, not page URLs),
+    * `<updated>` surfaces as lastmod verbatim (RFC 3339). */
+  private def parseAtom(root: org.w3c.dom.Element): Seq[Entry] =
+    elementKids(root, "entry").flatMap { entry =>
+      val href = elementKids(entry, "link").collectFirst {
+        case l: org.w3c.dom.Element
+            if {
+              val rel = l.getAttribute("rel")
+              rel == null || rel.isEmpty || rel == "alternate"
+            } && l.getAttribute("href") != null &&
+              l.getAttribute("href").nonEmpty =>
+          l.getAttribute("href").trim
+      }
+      href.map(h => Entry("url", h, childText(entry, "updated"),
+        null, None))
+    }
+
   /** (id, kind, loc, lastmod, changefreq, priority) — one row per
     * entry, narrow flatMap. */
   def entries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
@@ -133,6 +186,44 @@ object Sitemap {
     gz.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     gz.close()
     bos.toByteArray
+  }
+
+  private def escXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Fixture writer: an RSS 2.0 feed of (link, pubDate) items —
+    * the syndication form real sites list in robots `Sitemap:`
+    * lines. One item ships linkless (the reader must drop it). */
+  def rssFixture(items: Seq[(String, Option[String])]): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<rss version=\"2.0\"><channel><title>feed</title>\n"
+    items.foreach { case (link, pubDate) =>
+      sb ++= s"  <item><title>t</title><link>${escXml(link)}</link>"
+      pubDate.foreach(v => sb ++= s"<pubDate>$v</pubDate>")
+      sb ++= "</item>\n"
+    }
+    sb ++= "  <item><title>no link: dropped</title></item>\n"
+    sb ++= "</channel></rss>\n"
+    sb.toString
+  }
+
+  /** Fixture writer: an Atom feed of (href, updated) entries. Each
+    * entry carries a `rel="self"` link FIRST (feed plumbing the
+    * reader must skip) before the bare alternate link. */
+  def atomFixture(entries: Seq[(String, Option[String])]): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<title>feed</title>\n"
+    entries.foreach { case (href, updated) =>
+      sb ++= "  <entry><link rel=\"self\" href=\"http://x.invalid/self\"/>"
+      sb ++= s"<link href=\"${escXml(href)}\"/>"
+      updated.foreach(v => sb ++= s"<updated>$v</updated>")
+      sb ++= "</entry>\n"
+    }
+    sb ++= "</feed>\n"
+    sb.toString
   }
 
   /** Fixture writer: a namespaced urlset (or index) with optional

@@ -280,7 +280,20 @@ object Warc {
     * is bounded by the record: a body that looks like HTTP but never
     * terminates its header block inside the record (it would have
     * run into the NEXT record under an unbounded scan) comes back as
-    * non-HTTP — status 0 with the raw body, like resource records. */
+    * non-HTTP — status 0 with the raw body, like resource records.
+    *
+    * Wire encodings are UNDONE here (RFC 9112 §7.1 / RFC 9110
+    * §8.4.1): Common Crawl stores decoded payloads, but raw
+    * Heritrix/wget/webrecorder WARCs keep the wire bytes — without
+    * this, a `Content-Encoding: gzip` HTML page would flow through
+    * the charset ladder as compressed bytes and come out as mojibake
+    * "text", the one silent-WRONG shape the refuse-loudly convention
+    * forbids. `Transfer-Encoding: chunked` de-chunks (trailers
+    * dropped), gzip/x-gzip and deflate (zlib-wrapped, with the
+    * raw-stream fallback misconfigured servers actually send)
+    * inflate under [[MaxHttpBody]]; `br`/unknown codings REFUSE
+    * loudly — no JDK decoder exists, and passing the bytes through
+    * would be the exact mojibake path this closes. */
   private[graft] def splitHttp(rec: Array[Byte]): (Int, String, Array[Byte]) = {
     if (rec.length < 12 || !(rec(0) == 'H' && rec(1) == 'T' &&
         rec(2) == 'T' && rec(3) == 'P'))
@@ -294,8 +307,163 @@ object Warc {
         parts(1).toInt
       case _ => 0
     }
-    (status, headers.getOrElse("content-type", ""),
-      java.util.Arrays.copyOfRange(rec, term + 4, rec.length))
+    val raw = java.util.Arrays.copyOfRange(rec, term + 4, rec.length)
+    val payload = decodeWire(raw,
+      headers.getOrElse("transfer-encoding", ""),
+      headers.getOrElse("content-encoding", ""))
+    (status, headers.getOrElse("content-type", ""), payload)
+  }
+
+  /** Per-record cap on the DECODED HTTP body. The record's stored
+    * bytes are already bounded (Content-Length ≤ Int.MaxValue, file
+    * expansion ≤ [[MaxExpansion]]); this bounds the second-stage
+    * amplification a crafted `Content-Encoding: gzip` body opens —
+    * 1 GiB passes any legitimate page with orders of magnitude to
+    * spare while a million-x bomb dies loudly. */
+  private[graft] val MaxHttpBody: Long = 1L << 30
+
+  /** Undo transfer-encoding then content-encoding. Token lists apply
+    * newest-last on the wire, so decoding walks them right-to-left.
+    * An EMPTY payload skips decoding regardless of headers — revisit
+    * records legitimately carry the original's headers and no body. */
+  private def decodeWire(payload: Array[Byte], transferEnc: String,
+                         contentEnc: String): Array[Byte] = {
+    if (payload.isEmpty) return payload
+    def tokens(v: String): Seq[String] =
+      v.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(t => t.nonEmpty && t != "identity").toSeq
+    var out = payload
+    val te = tokens(transferEnc)
+    if (te.nonEmpty) {
+      // RFC 9112 §6.1: chunked, when present, MUST be the final coding
+      require(te.last == "chunked" || !te.contains("chunked"),
+        s"HTTP Transfer-Encoding '$transferEnc' lists chunked before " +
+          "other codings (malformed message)")
+      val rest = if (te.last == "chunked") { out = dechunk(out); te.init }
+                 else te
+      rest.reverse.foreach(c => out = decodeCoding(out, c, "Transfer"))
+    }
+    tokens(contentEnc).reverse.foreach(c =>
+      out = decodeCoding(out, c, "Content"))
+    out
+  }
+
+  private def decodeCoding(data: Array[Byte], coding: String,
+                           kind: String): Array[Byte] = coding match {
+    case "gzip" | "x-gzip" =>
+      try inflateCapped(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(data), 65536), "gzip")
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"malformed gzip $kind-Encoding body: ${e.getMessage}")
+      }
+    case "deflate" =>
+      // RFC 9110 says zlib-wrapped; a long tail of servers send a raw
+      // deflate stream under the same token — try the spec form, fall
+      // back to raw (both verified by the inflater's own checksum /
+      // framing, so a wrong guess fails loudly rather than mis-decoding)
+      try inflateBytes(data, raw = false)
+      catch {
+        case _: IllegalArgumentException =>
+          try inflateBytes(data, raw = true)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"malformed deflate $kind-Encoding body: ${e.getMessage}")
+          }
+      }
+    case other => throw new IllegalArgumentException(
+      s"HTTP $kind-Encoding '$other' unsupported (no JDK decoder — " +
+        "refusing, not mis-decoding)")
+  }
+
+  private def inflateCapped(in: java.io.InputStream,
+                            what: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](65536)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      require(total <= MaxHttpBody,
+        s"HTTP $what body inflates past $MaxHttpBody bytes " +
+          "(decompression bomb?)")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  private def inflateBytes(data: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](65536)
+      var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"deflate stream invalid: ${e.getMessage}")
+          }
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("deflate stream truncated")
+        total += n
+        require(total <= MaxHttpBody,
+          s"HTTP deflate body inflates past $MaxHttpBody bytes " +
+            "(decompression bomb?)")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** RFC 9112 §7.1 chunked decoding: hex-size line (extensions after
+    * `;` dropped), chunk data, CRLF, …, a zero chunk, then optional
+    * trailer fields to a blank line. Every structural violation
+    * refuses loudly — a declared-chunked body that doesn't parse is
+    * a corrupt record, not text. */
+  private[graft] def dechunk(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i + 1 < data.length &&
+             !(data(i) == '\r' && data(i + 1) == '\n')) i += 1
+      require(i + 1 < data.length, "chunked body truncated mid-line")
+      val s = new String(data, start, i - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      i += 2
+      s
+    }
+    var total = 0L
+    while (true) {
+      val sizeTok = line().takeWhile(_ != ';').trim
+      require(sizeTok.nonEmpty && sizeTok.length <= 8 &&
+        sizeTok.forall(c => Character.digit(c, 16) >= 0),
+        s"chunked body has malformed chunk size '$sizeTok'")
+      val size = java.lang.Long.parseLong(sizeTok, 16)
+      if (size == 0L) {
+        // trailer section: header lines to a blank terminator, dropped
+        var t = line()
+        while (t.nonEmpty) t = line()
+        return out.toByteArray
+      }
+      total += size
+      require(total <= MaxHttpBody,
+        s"chunked body exceeds $MaxHttpBody bytes")
+      require(i + size + 2 <= data.length,
+        "chunked body truncated mid-chunk")
+      out.write(data, i, size.toInt)
+      i += size.toInt
+      require(data(i) == '\r' && data(i + 1) == '\n',
+        "chunk data not CRLF-terminated")
+      i += 2
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Offset of the `\r\n\r\n` header terminator, or -1. */
@@ -394,10 +562,15 @@ object Warc {
     * types (application/pdf, …). `revisit = true` emits a
     * `WARC-Type: revisit` record instead: headers + digest of
     * `payload` (the unchanged original's bytes) but NO body — the
-    * Common Crawl dedup shape. */
+    * Common Crawl dedup shape. `contentEncoding` (a comma list of
+    * gzip/deflate/identity, applied left-to-right on the wire) and
+    * `chunked` write the RAW-wire shapes Heritrix/wget archives
+    * keep — the reader must undo them. */
   case class RawPage(uri: String, payload: Array[Byte], status: Int = 200,
                      contentType: String = "application/octet-stream",
-                     revisit: Boolean = false)
+                     revisit: Boolean = false,
+                     contentEncoding: String = "",
+                     chunked: Boolean = false)
 
   /** `md5:<hex>` over the payload — the fixture's digest scheme
     * (symbolically replayable in the SQL oracle, unlike base32
@@ -463,10 +636,32 @@ object Warc {
           "WARC-Record-ID" -> f"<urn:uuid:rvst-$i%08d>"),
           http)
       } else {
+        // wire-encode as declared: content codings left-to-right,
+        // chunking last (the outermost wire layer)
+        var body = pg.payload
+        val ceHeader =
+          if (pg.contentEncoding.isEmpty) ""
+          else {
+            pg.contentEncoding.split(',').map(_.trim).filter(_.nonEmpty)
+              .foreach { c =>
+                body = c.toLowerCase(java.util.Locale.ROOT) match {
+                  case "gzip" | "x-gzip" => gzipBytes(body)
+                  case "deflate" => deflateZlib(body)
+                  case "identity" => body
+                  case other => throw new IllegalArgumentException(
+                    s"fixture content coding $other")
+                }
+              }
+            s"Content-Encoding: ${pg.contentEncoding}\r\n"
+          }
+        val framing =
+          if (pg.chunked) { body = chunkify(body)
+            "Transfer-Encoding: chunked\r\n" }
+          else s"Content-Length: ${body.length}\r\n"
         val http = (s"HTTP/1.1 ${pg.status} $reason\r\n" +
           s"Content-Type: ${pg.contentType}\r\n" +
-          s"Content-Length: ${pg.payload.length}\r\n\r\n")
-          .getBytes("US-ASCII") ++ pg.payload
+          ceHeader + framing + "\r\n")
+          .getBytes("US-ASCII") ++ body
         recs += record(Seq(
           "WARC-Type" -> "response",
           "WARC-Target-URI" -> pg.uri,
@@ -483,5 +678,50 @@ object Warc {
       gz.write(r); gz.close()
       bos.toByteArray
     }
+  }
+
+  private[graft] def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  private[graft] def deflateZlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // zlib-wrapped, the RFC form
+    d.setInput(raw); d.finish()
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Chunked-wire form: varying chunk sizes (1 B up to ~300 B so
+    * boundary handling is exercised), one chunk carrying an
+    * extension the reader must drop, mixed-case hex, and a trailer
+    * field after the zero chunk. */
+  private[graft] def chunkify(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length + 64)
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0,
+        s.length)
+    val sizes = Seq(1, 47, 300, 8, 111)
+    var i = 0
+    var k = 0
+    while (i < raw.length) {
+      val n = math.min(sizes(k % sizes.length), raw.length - i)
+      val hex = if (k % 2 == 0) n.toHexString else
+        n.toHexString.toUpperCase(java.util.Locale.ROOT)
+      w(if (k == 1) s"$hex;graft=ext\r\n" else s"$hex\r\n")
+      bos.write(raw, i, n)
+      w("\r\n")
+      i += n
+      k += 1
+    }
+    w("0\r\n")
+    w("X-Graft-Trailer: dropped\r\n")
+    w("\r\n")
+    bos.toByteArray
   }
 }

@@ -96,6 +96,17 @@ object StreamingWarcIntake {
               // truncated zip, bomb-capped part — all drop)
               scala.util.Try(graft.llm.DocxText.extractText(r.bodyBytes))
                 .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
+            else if (r.contentType.startsWith(
+                "application/vnd.openxmlformats-officedocument" +
+                  ".presentationml"))
+              // slide decks: the third OOXML branch, same domain
+              scala.util.Try(graft.llm.PptxText.extractText(r.bodyBytes))
+                .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
+            else if (r.contentType.startsWith("application/epub"))
+              // books: container walk + spine-ordered chapters (DRM
+              // and hostile zips drop in the same Try domain)
+              scala.util.Try(graft.llm.EpubText.extractText(r.bodyBytes))
+                .toOption.map(t => (r.targetUri, r.warcDate, t, 0.0))
             else None
           }
       }

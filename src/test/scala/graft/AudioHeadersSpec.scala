@@ -92,6 +92,32 @@ class AudioHeadersSpec extends SparkSpec {
       (("au", Some(8000), Some(1), None, None)))
   }
 
+  test("ogg: Vorbis/Opus id headers, last-page granule, truncation") {
+    import graft.llm.AudioFixtures.{oggOpus, oggTruncated, oggVorbis}
+    // Vorbis: channels/rate from the \x01vorbis header; total PCM
+    // samples from the EOS page's granule position
+    assert(parsed(oggVorbis(44100, 2, 88200L)) ===
+      (("ogg-vorbis", Some(44100), Some(2), None, Some(88200L))))
+    assert(parsed(oggVorbis(8000, 1, 4000L)) ===
+      (("ogg-vorbis", Some(8000), Some(1), None, Some(4000L))))
+    // Opus: output rate is the codec's FIXED 48 kHz; the EOS granule
+    // carries pre-skip the reader must subtract
+    assert(parsed(oggOpus(2, 312, 96000L)) ===
+      (("ogg-opus", Some(48000), Some(2), None, Some(96000L))))
+    assert(parsed(oggOpus(1, 0, 480L)) ===
+      (("ogg-opus", Some(48000), Some(1), None, Some(480L))))
+    // a truncated page chain keeps the id-header fields, nulls the
+    // duration (the WAV missing-chunk convention)
+    assert(parsed(oggTruncated) ===
+      (("ogg-vorbis", Some(32000), Some(2), None, None)))
+    // an OGG wrapping an unknown codec is "ogg" with nulls — never
+    // a guess
+    val page = oggVorbis(1, 1, 1L).take(28 + 2) // header + partial body
+    assert(parsed("OggS".getBytes("US-ASCII")) ===
+      (("ogg", None, None, None, None)))
+    assert(parsed(page)._1.startsWith("ogg"))
+  }
+
   test("dataframe path (codegen) agrees with the static parser, null-safe") {
     val rows = AudioFixtures.all
     val df = rows.toDF("audio_id", "bytes")

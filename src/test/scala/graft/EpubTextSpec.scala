@@ -1,0 +1,113 @@
+package graft
+
+import graft.llm.EpubText
+
+/** EPUB extraction: container → nested OPF → spine reading order
+  * (reverse zip order must not matter; spine images and linear="no"
+  * items skip), href resolution relative to the OPF directory with
+  * `..` traversal guarded, and the loud refusals (DRM encryption,
+  * non-zip, missing container/OPF/chapter). */
+class EpubTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixture round-trip: spine order from reverse zip order") {
+    val epub = EpubText.fixture(Seq(
+      Seq("first chapter text"),
+      Seq("second chapter", "with two paragraphs"),
+      Seq("third — café ☃")))
+    val got = EpubText.chapters(epub)
+    // each chapter: title word "ch" + whitespace-collapsed paragraphs
+    assert(got == Seq(
+      "ch first chapter text",
+      "ch second chapter with two paragraphs",
+      "ch third — café ☃"))
+    assert(EpubText.extractText(epub) == got.mkString("\n\n"))
+    // the spine cover image and the linear="no" notes item are gone
+    assert(!EpubText.extractText(epub).contains("NON-LINEAR"))
+  }
+
+  test("DRM refuses loudly") {
+    val drm = EpubText.fixture(Seq(Seq("chapter")), drm = true)
+    val e = intercept[IllegalArgumentException] { EpubText.chapters(drm) }
+    assert(e.getMessage.contains("DRM"))
+  }
+
+  test("refusals: non-zip, missing container, missing OPF, missing chapter") {
+    intercept[IllegalArgumentException] {
+      EpubText.chapters("not a zip".getBytes("UTF-8"))
+    }
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq("mimetype" -> "application/epub+zip")))
+    }.getMessage.contains("container"))
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq(
+        "META-INF/container.xml" -> container("missing.opf"))))
+    }.getMessage.contains("missing package document"))
+    // OPF whose spine names a chapter that is not in the archive
+    val opf = """<?xml version="1.0"?>
+      |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+      |<manifest><item id="c1" href="gone.xhtml" media-type="application/xhtml+xml"/></manifest>
+      |<spine><itemref idref="c1"/></spine></package>""".stripMargin
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq(
+        "META-INF/container.xml" -> container("book.opf"),
+        "book.opf" -> opf)))
+    }.getMessage.contains("missing chapter"))
+    // spine itemref with no manifest entry
+    val dangling = opf.replace("idref=\"c1\"", "idref=\"nope\"")
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq(
+        "META-INF/container.xml" -> container("book.opf"),
+        "book.opf" -> dangling)))
+    }.getMessage.contains("missing from the manifest"))
+  }
+
+  test("hrefs resolve relative to the OPF dir; traversal is guarded") {
+    // OPF in a nested dir with an ../ href back toward the root
+    val opf = """<?xml version="1.0"?>
+      |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+      |<manifest><item id="c1" href="../shared/ch.xhtml" media-type="application/xhtml+xml"/></manifest>
+      |<spine><itemref idref="c1"/></spine></package>""".stripMargin
+    val epub = zipOf(Seq(
+      "META-INF/container.xml" -> container("pkg/book.opf"),
+      "pkg/book.opf" -> opf,
+      "shared/ch.xhtml" ->
+        "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body><p>hello</p></body></html>"))
+    assert(EpubText.chapters(epub) == Seq("hello"))
+    // an href escaping the archive root refuses
+    val escape = opf.replace("../shared", "../../etc")
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq(
+        "META-INF/container.xml" -> container("pkg/book.opf"),
+        "pkg/book.opf" -> escape)))
+    }.getMessage.contains("escapes"))
+  }
+
+  test("extract(): narrow per-row frame") {
+    val df = Seq(
+      (1L, EpubText.fixture(Seq(Seq("a"), Seq("b")))),
+      (2L, EpubText.fixture(Seq(Seq("only one"))))).toDF("id", "bytes")
+    val got = EpubText.extract(df, "id", "bytes")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 2, "ch a\n\nch b"), (2L, 1, "ch only one")))
+  }
+
+  private def container(opfPath: String): String =
+    """<?xml version="1.0"?>""" +
+      """<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+      s"""<rootfiles><rootfile full-path="$opfPath" media-type="application/oebps-package+xml"/>""" +
+      """</rootfiles></container>"""
+
+  private def zipOf(parts: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+}

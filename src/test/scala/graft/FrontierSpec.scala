@@ -176,6 +176,39 @@ class FrontierSpec extends SparkSpec {
     assert(got.head.getAs[Boolean]("allowed"))
   }
 
+  test("feed children walk, crawl_delay rides along, broken docs drop") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n" +
+        "Sitemap: http://a.com/idx.xml\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n" +
+        "Sitemap: http://b.com/feed.atom\n")).toDF("rhost", "content")
+    val idx = Sitemap.fixture(Seq(
+      ("http://a.com/feed.xml", None, None, None), // RSS child
+      ("http://a.com/broken.xml", None, None, None)), index = true)
+    val feed = Sitemap.rssFixture(Seq(
+      ("http://a.com/p1", Some("2026-01-02")),
+      ("http://a.com/x/p2", None)))
+    val atom = Sitemap.atomFixture(Seq(("http://b.com/q1", None)))
+    val fetched = Seq(
+      ("http://a.com/idx.xml", idx),
+      ("http://a.com/feed.xml", feed),
+      // malformed document: contributes nothing, bumps the
+      // frontier.sitemap_parse_failures accumulator (UI-observable)
+      ("http://a.com/broken.xml", "this is not xml at all"),
+      ("http://b.com/feed.atom", atom)).toDF("url", "xml")
+    val got = Frontier.build(robots, "rhost", "content",
+      fetched, "url", "xml", "bot").orderBy("url").collect()
+    assert(got.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://a.com/p1", "http://a.com/x/p2", "http://b.com/q1"))
+    assert(got(0).getAs[Boolean]("allowed"))
+    assert(!got(1).getAs[Boolean]("allowed")) // /x prefix disallowed
+    assert(!got(2).getAs[Boolean]("allowed")) // b.com disallows all
+    assert(got(0).getAs[String]("lastmod") == "2026-01-02")
+    assert(got(0).getAs[Double]("crawl_delay") == 2.5)
+    assert(got(1).getAs[Double]("crawl_delay") == 2.5)
+    assert(got(2).isNullAt(got(2).fieldIndex("crawl_delay")))
+  }
+
   test("plan shape: level joins broadcast, rule frame broadcasts") {
     val robots = Seq(("a.com",
       "User-agent: *\nDisallow: /x\nSitemap: http://a.com/s.xml\n"))

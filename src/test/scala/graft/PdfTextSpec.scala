@@ -7,7 +7,7 @@ import graft.llm.PdfText
   * operator contract (Td, TD, T-star, Tm, quote ops, TJ, hex
   * strings), /Differences
   * encodings, and the loud refusals (encryption, xref streams,
-  * non-Flate filters, Type0, MacRoman). */
+  * non-Flate filters, Type0; MacRoman now decodes). */
 class PdfTextSpec extends SparkSpec {
   import spark.implicits._
 
@@ -96,7 +96,7 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extractText(diff) == "é— �")
   }
 
-  test("refusals: encryption, xref streams, filters, Type0, MacRoman") {
+  test("refusals: encryption, xref streams, filters, Type0") {
     val enc = intercept[IllegalArgumentException] {
       PdfText.extractText(rawPdf("BT (x) Tj ET",
         trailerExtra = "/Encrypt 5 0 R "))
@@ -128,15 +128,39 @@ class PdfTextSpec extends SparkSpec {
           "/Encoding /UniJIS-UCS2-H >>"))
     }
     assert(t0v.getMessage.contains("Identity-H"))
-    val mac = intercept[IllegalArgumentException] {
-      PdfText.extractText(rawPdf("BT /F1 12 Tf (x) Tj ET",
-        fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-          "/Encoding /MacRomanEncoding >>"))
-    }
-    assert(mac.getMessage.contains("MacRoman"))
     intercept[IllegalArgumentException] {
       PdfText.extractText("not a pdf".getBytes("US-ASCII"))
     }
+  }
+
+  test("MacRomanEncoding: Appendix D table, divergent high half") {
+    // bytes where MacRoman and WinAnsi DISAGREE: 0x8E é (WinAnsi Ž),
+    // 0xD1 — (WinAnsi Ñ), 0xDE fi-ligature (WinAnsi Þ), 0xD6 ÷
+    // (WinAnsi Ö), 0xC4 ƒ (WinAnsi Ä), 0xDB ¤ (the PDF table keeps
+    // currency where Mac OS Roman later put €; WinAnsi has Û)
+    val mac = PdfText.extractText(rawPdf(
+      "BT /F1 12 Tf (\\216 \\321 \\336 \\326 \\304 \\333) Tj ET",
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /MacRomanEncoding >>"))
+    assert(mac == "é — ﬁ ÷ ƒ ¤")
+    // an unmapped slot (0xB0: infinity is NOT in the Adobe Latin
+    // set) decodes as loud U+FFFD, the /Differences policy
+    val unmapped = PdfText.extractText(rawPdf(
+      "BT /F1 12 Tf (\\260) Tj ET",
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /MacRomanEncoding >>"))
+    assert(unmapped == "�")
+    // as /BaseEncoding under /Differences
+    val diff = PdfText.extractText(rawPdf(
+      "BT /F1 12 Tf (\\216\\101) Tj ET",
+      fontDict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /BaseEncoding /MacRomanEncoding " +
+        "/Differences [ 65 /emdash ] >> >>"))
+    assert(diff == "é—")
+    // fixture round-trip through the writer's MacRoman escape
+    val fx = PdfText.fixture(Seq(Seq("Résumé — ﬁn ÷ ƒ ¤", "plain")),
+      encoding = "MacRomanEncoding")
+    assert(PdfText.extractText(fx) == "Résumé — ﬁn ÷ ƒ ¤\nplain")
   }
 
   test("PDF 1.5 layout: xref stream + object stream + PNG-Up predictor") {
@@ -376,6 +400,45 @@ class PdfTextSpec extends SparkSpec {
     assert(exb.getMessage.contains("invocations"))
   }
 
+  test("Form resources fall back per NAME to the caller's") {
+    // a Form shipping a PARTIAL /Font dict (/F2 only) whose content
+    // ALSO names the page-level /F1: both must decode through their
+    // own tables — the old all-or-nothing map swap left /F1 a miss
+    // and decoded its bytes through stale F2 (Standard's 0xE9 is Ø,
+    // WinAnsi's is é — the silent-wrong-text shape)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(num: Int, body: String): Unit = {
+      offs += sb.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 5 0 R >> /XObject << /XF 7 0 R >> >> " +
+      "/Contents 4 0 R >>")
+    val outer = "BT /F1 12 Tf (\\351) Tj ET /XF Do"
+    obj(4, s"<< /Length ${outer.length} >>\nstream\n$outer\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    obj(6, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding /StandardEncoding >>")
+    val form = "BT /F2 12 Tf 0 -14 Td (\\047) Tj " +
+      "/F1 12 Tf 0 -14 Td (\\351) Tj ET"
+    obj(7, "<< /Type /XObject /Subtype /Form /BBox [ 0 0 1 1 ] " +
+      "/Resources << /Font << /F2 6 0 R >> >> " +
+      s"/Length ${form.length} >>\nstream\n$form\nendstream")
+    val xref = sb.length
+    sb.append(s"xref\n0 ${offs.size + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offs.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    val pdf = sb.toString.getBytes("ISO-8859-1")
+    // page é; form: ’ under its OWN Standard F2, then é under the
+    // page's WinAnsi F1 resolved through the per-name fallback
+    assert(PdfText.extractText(pdf) == "é\n’\né")
+  }
+
   test("/Info metadata: UTF-16BE titles, ASCII strings, FFFD high bytes") {
     val pdf = PdfText.fixtureWithInfo(
       Seq(Seq("body text")),
@@ -405,6 +468,11 @@ class PdfTextSpec extends SparkSpec {
     val utf = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
       "A😀".getBytes("UTF-16BE")
     assert(PdfText.decodeTextString(utf) == "A😀")
+    // PDF 2.0 UTF-8 BOM path (§7.9.2.2): modern writers' /Info
+    // strings decode correctly instead of FFFD-laced PDFDocEncoding
+    val utf8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "café 😀".getBytes("UTF-8")
+    assert(PdfText.decodeTextString(utf8) == "café 😀")
   }
 
   test("extract(): narrow dataframe path") {

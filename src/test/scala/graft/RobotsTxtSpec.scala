@@ -67,6 +67,39 @@ class RobotsTxtSpec extends SparkSpec {
       Seq(RobotsTxt.Rule(false, "/x")))
   }
 
+  test("RFC 9309 §2.2.1: groups sharing a user-agent token merge") {
+    // two 'User-agent: graftbot' groups — rules combine, and a delay
+    // carried by only the SECOND group is still found
+    val twoGroups =
+      """User-agent: graftbot
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 4
+        |Disallow: /b
+        |
+        |User-agent: *
+        |Crawl-delay: 60
+        |Disallow: /
+        |""".stripMargin
+    assert(RobotsTxt.rulesFor(twoGroups, "graftbot") ==
+      Seq(Rule(false, "/a"), Rule(false, "/b")))
+    assert(RobotsTxt.crawlDelay(twoGroups, "graftbot") == Some(4.0))
+    assert(RobotsTxt.isAllowed(
+      RobotsTxt.rulesFor(twoGroups, "graftbot"), "/b/x") == false)
+    // same for split * groups on the fallback path
+    val twoStars = "User-agent: *\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    assert(RobotsTxt.crawlDelay(twoStars, "anybot") == Some(2.0))
+    assert(RobotsTxt.rulesFor(twoStars, "anybot") == Seq(Rule(false, "/x")))
+    // ANY named group existing suppresses * entirely — even when the
+    // named groups carry no delay at all
+    val namedNoDelay = "User-agent: graftbot\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nDisallow: /b\n\n" +
+      "User-agent: *\nCrawl-delay: 9\n"
+    assert(RobotsTxt.crawlDelay(namedNoDelay, "graftbot").isEmpty)
+  }
+
   test("longest-match decisions, wildcards, anchors, Allow tie-break") {
     val r = RobotsTxt.rulesFor(robots, "otherbot")
     assert(RobotsTxt.isAllowed(r, "/index.html"))

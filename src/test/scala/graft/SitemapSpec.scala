@@ -63,6 +63,41 @@ class SitemapSpec extends SparkSpec {
     assert(ex.getMessage.contains("50 MB"))
   }
 
+  test("RSS 2.0 parses as a sitemap: item links, pubDate as lastmod") {
+    val rss = Sitemap.rssFixture(Seq(
+      ("http://x/a", Some("Mon, 02 Mar 2026 10:00:00 GMT")),
+      ("http://x/b", None)))
+    val got = Sitemap.parse(rss)
+    assert(got.map(_.kind).distinct == Seq("url"))
+    // the linkless item the fixture always appends must drop
+    assert(got.map(_.loc) == Seq("http://x/a", "http://x/b"))
+    assert(got.head.lastmod == "Mon, 02 Mar 2026 10:00:00 GMT")
+    assert(got(1).lastmod == null)
+    assert(got.forall(e => e.changefreq == null && e.priority.isEmpty))
+    // bytes path too (feeds arrive as crawl payloads like any sitemap)
+    assert(Sitemap.parseBytes(rss.getBytes("UTF-8")) == got)
+  }
+
+  test("Atom parses as a sitemap: alternate links only, updated as lastmod") {
+    val atom = Sitemap.atomFixture(Seq(
+      ("http://x/p1", Some("2026-03-02T10:00:00Z")),
+      ("http://x/p2", None)))
+    val got = Sitemap.parse(atom)
+    // every fixture entry leads with a rel="self" link that must be
+    // SKIPPED — self links are feed plumbing, not page URLs
+    assert(got.map(_.loc) == Seq("http://x/p1", "http://x/p2"))
+    assert(got.head.lastmod == "2026-03-02T10:00:00Z")
+    // explicit rel="alternate" is equivalent to absent rel
+    val explicit = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<entry><link rel=\"alternate\" href=\"http://x/alt\"/></entry></feed>"
+    assert(Sitemap.parse(explicit).map(_.loc) == Seq("http://x/alt"))
+    // an entry with ONLY plumbing links contributes nothing
+    val plumbing = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<entry><link rel=\"self\" href=\"http://x/self\"/>" +
+      "<link rel=\"edit\" href=\"http://x/edit\"/></entry></feed>"
+    assert(Sitemap.parse(plumbing).isEmpty)
+  }
+
   test("entries(): one narrow row per entry") {
     val df = Seq(
       (1L, Sitemap.fixture(Seq(("http://x/a", Some("2026-01-01"), None,
