@@ -73,7 +73,7 @@ object DocxText {
         "(refusing, not mis-decoding)")
     require(isZip(docx), "not a DOCX (missing zip magic)")
     val part = documentPart(docx)
-    val doc = builder().parse(new java.io.ByteArrayInputStream(part))
+    val doc = graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(part))
     val out = scala.collection.mutable.ArrayBuffer[String]()
     walk(doc.getDocumentElement, out)
     out.toSeq
@@ -92,7 +92,7 @@ object DocxText {
     require(isZip(docx), "not a DOCX (missing zip magic)")
     Seq("word/footnotes.xml", "word/endnotes.xml").flatMap { part =>
       partBytes(docx, part).toSeq.flatMap { bytes =>
-        val doc = builder().parse(new java.io.ByteArrayInputStream(bytes))
+        val doc = graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(bytes))
         val root = doc.getDocumentElement
         val kids = root.getChildNodes
         (0 until kids.getLength).flatMap { i =>
@@ -138,35 +138,13 @@ object DocxText {
       throw new IllegalArgumentException(
         "not a DOCX (no word/document.xml in the archive)"))
 
-  /** One named part's inflated bytes, bomb-capped. Walks the local
-    * stream (ZipInputStream — no temp file for crawl bytes). */
+  /** One named part's inflated bytes, bomb-capped via the shared
+    * [[graft.util.ZipParts]] walk (early exit at the found part). */
   private def partBytes(docx: Array[Byte],
-                        name: String): Option[Array[Byte]] = {
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(docx))
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (e.getName == name) {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](65536)
-          var total = 0L
-          var n = zin.read(buf)
-          while (n >= 0) {
-            total += n
-            require(total <= MaxPartBytes,
-              s"$name inflates past $MaxPartBytes bytes " +
-                "(decompression bomb?)")
-            out.write(buf, 0, n)
-            n = zin.read(buf)
-          }
-          return Some(out.toByteArray)
-        }
-        e = zin.getNextEntry
-      }
-      None
-    } finally zin.close()
-  }
+                        name: String): Option[Array[Byte]] =
+    graft.util.ZipParts.collect(docx, keep = _ == name,
+      maxTotalBytes = MaxPartBytes, stopAfterFirst = true)
+      .headOption.map(_._2)
 
   /** Depth-first: each w:p contributes one line; containers (body,
     * tables, content controls) recurse, depth-capped. Elements
@@ -226,19 +204,6 @@ object DocxText {
       }
       i += 1
     }
-  }
-
-  private def builder() = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setFeature(
-      "http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature(
-      "http://xml.org/sax/features/external-parameter-entities", false)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(true)
-    f.newDocumentBuilder()
   }
 
   // ------------------------------------------------------------ fixture

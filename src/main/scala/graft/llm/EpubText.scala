@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Non-XHTML spine items (images in the spine are legal) skip;
   * `linear="no"` auxiliary items skip too — they are not the book's
-  * reading flow. REFUSES loudly: DRM (`META-INF/encryption.xml`
-  * present — mis-decoding encrypted chapters would be silent
-  * garbage), non-zip payloads, OLE containers, packages missing
-  * container.xml / the OPF / a spine chapter, hostile entry counts,
-  * and cumulative inflation past the bomb cap. XML parsing is
-  * XXE-hardened like [[graft.sources.Sitemap]].
+  * reading flow. REFUSES loudly: DRM (a SPINE CHAPTER listed in
+  * `META-INF/encryption.xml` — mis-decoding encrypted chapters
+  * would be silent garbage; font-obfuscation-only entries, which
+  * DRM-free InDesign books routinely carry, pass), an unparseable
+  * encryption manifest, non-zip payloads, OLE containers, packages
+  * missing container.xml / the OPF / a spine chapter, hostile entry
+  * counts, and cumulative inflation past the bomb cap. XML parsing
+  * is XXE-hardened like [[graft.sources.Sitemap]].
   *
   * Scale shape: [[extract]] is a narrow per-row map (bytes in, text
   * out) — the crawl-intake shape shared by [[PdfText]]/[[DocxText]]/
@@ -37,9 +39,6 @@ object EpubText {
   /** One string per spine chapter, spine order. */
   def chapters(epub: Array[Byte]): Seq[String] = {
     val parts = readParts(epub)
-    require(!parts.contains("META-INF/encryption.xml"),
-      "DRM-protected EPUB (META-INF/encryption.xml present) " +
-        "unsupported (refusing, not mis-decoding)")
     val container = parts.getOrElse("META-INF/container.xml",
       throw new IllegalArgumentException(
         "not an EPUB (no META-INF/container.xml)"))
@@ -51,8 +50,21 @@ object EpubText {
       val c = opfPath.lastIndexOf('/')
       if (c >= 0) opfPath.substring(0, c + 1) else ""
     }
-    spineHrefs(opf).map { href =>
-      val path = normalize(opfDir + href)
+    val chapterPaths = spineHrefs(opf).map(h => normalize(opfDir + h))
+    // META-INF/encryption.xml also ships in DRM-FREE books for IDPF/
+    // Adobe FONT obfuscation — presence alone must not refuse a
+    // fully readable EPUB. Refuse only when a SPINE CHAPTER is among
+    // the encrypted resources (that text genuinely cannot be
+    // extracted), or when the manifest is unparseable (can't prove
+    // the chapters are clean).
+    parts.get("META-INF/encryption.xml").foreach { enc =>
+      val encrypted = encryptedUris(enc).map(u => normalize(u)).toSet
+      val hit = chapterPaths.find(encrypted.contains)
+      require(hit.isEmpty,
+        s"DRM-protected EPUB: spine chapter '${hit.get}' is encrypted " +
+          "(refusing, not mis-decoding)")
+    }
+    chapterPaths.map { path =>
       val bytes = parts.getOrElse(path,
         throw new IllegalArgumentException(
           s"EPUB spine names missing chapter '$path'"))
@@ -60,6 +72,23 @@ object EpubText {
       // mandates UTF-8 and EPUB 2 overwhelmingly ships it
       HtmlText.extractText(
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** CipherReference URIs (package-root-relative) out of
+    * META-INF/encryption.xml; an unparseable manifest refuses —
+    * without it the chapters cannot be proven unencrypted. */
+  private def encryptedUris(enc: Array[Byte]): Seq[String] = {
+    val doc =
+      try graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(enc))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"EPUB encryption.xml unparseable: ${e.getMessage}")
+      }
+    val refs = doc.getElementsByTagNameNS("*", "CipherReference")
+    (0 until refs.getLength).map(refs.item(_)).collect {
+      case e: org.w3c.dom.Element if e.getAttribute("URI").nonEmpty =>
+        e.getAttribute("URI")
     }
   }
 
@@ -82,46 +111,21 @@ object EpubText {
       .toDF("id", "n_chapters", "text")
   }
 
-  /** ONE zip pass → name → inflated bytes, bomb- and count-capped. */
+  /** ONE zip pass → name → inflated bytes, bomb- and count-capped
+    * via the shared [[graft.util.ZipParts]] walk. */
   private def readParts(epub: Array[Byte]): Map[String, Array[Byte]] = {
     require(!DocxText.isOle(epub),
       "OLE container unsupported (refusing, not mis-decoding)")
     require(DocxText.isZip(epub), "not an EPUB (missing zip magic)")
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(epub))
-    val m = Map.newBuilder[String, Array[Byte]]
-    var count = 0
-    var total = 0L
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        count += 1
-        require(count <= MaxEntries, s"EPUB entry count exceeds $MaxEntries")
-        if (!e.isDirectory) {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](65536)
-          var n = zin.read(buf)
-          while (n >= 0) {
-            total += n
-            require(total <= MaxTotalBytes,
-              s"EPUB inflates past $MaxTotalBytes bytes " +
-                "(decompression bomb?)")
-            out.write(buf, 0, n)
-            n = zin.read(buf)
-          }
-          m += e.getName -> out.toByteArray
-        }
-        e = zin.getNextEntry
-      }
-    } finally zin.close()
-    m.result()
+    graft.util.ZipParts.collect(epub, keep = _ => true,
+      maxTotalBytes = MaxTotalBytes, maxEntries = MaxEntries).toMap
   }
 
   /** container.xml → the first package-document rootfile's
     * full-path (OCF §3.5.2.1: the first rootfile is the default
     * rendition). */
   private def rootfilePath(container: Array[Byte]): String = {
-    val doc = builder().parse(new java.io.ByteArrayInputStream(container))
+    val doc = graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(container))
     val nodes = doc.getElementsByTagNameNS("*", "rootfile")
     val hit = (0 until nodes.getLength).map(nodes.item(_)).collectFirst {
       case e: org.w3c.dom.Element
@@ -138,7 +142,7 @@ object EpubText {
     * media-type), spine itemrefs resolve through it; non-XHTML and
     * linear="no" items skip. */
   private def spineHrefs(opf: Array[Byte]): Seq[String] = {
-    val doc = builder().parse(new java.io.ByteArrayInputStream(opf))
+    val doc = graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(opf))
     val items = doc.getElementsByTagNameNS("*", "item")
     val manifest = (0 until items.getLength).map(items.item(_)).collect {
       case e: org.w3c.dom.Element if e.getAttribute("id").nonEmpty =>
@@ -177,28 +181,7 @@ object EpubText {
     out.mkString("/")
   }
 
-  private def builder() = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setFeature(
-      "http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature(
-      "http://xml.org/sax/features/external-parameter-entities", false)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(true)
-    f.newDocumentBuilder()
-  }
-
   // ------------------------------------------------------------ fixture
-
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
 
   /** Minimal-but-real .epub writer: mimetype (stored first, the OCF
     * convention), container.xml pointing at a NESTED OPF
@@ -226,8 +209,15 @@ object EpubText {
       """<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>""" +
       """</rootfiles></container>""")
     if (drm)
+      // a real DRM shape: the FIRST spine chapter is listed as an
+      // encrypted resource (the reader must refuse — its text is
+      // unrecoverable)
       part("META-INF/encryption.xml",
-        """<?xml version="1.0"?><encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:container"/>""")
+        """<?xml version="1.0"?>""" +
+        """<encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:container" xmlns:enc="http://www.w3.org/2001/04/xmlenc#">""" +
+        """<enc:EncryptedData><enc:CipherData>""" +
+        """<enc:CipherReference URI="OEBPS/text/ch1.xhtml"/>""" +
+        """</enc:CipherData></enc:EncryptedData></encryption>""")
     val manifest = (1 to n).map(i =>
       s"""<item id="ch$i" href="text/ch$i.xhtml" media-type="application/xhtml+xml"/>""")
       .mkString +
@@ -257,6 +247,6 @@ object EpubText {
     """<?xml version="1.0" encoding="UTF-8"?>""" +
       "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>" +
       "<title>ch</title></head><body>" +
-      paras.map(p => s"<p>${xmlEscape(p)}</p>").mkString +
+      paras.map(p => s"<p>${graft.util.SecureXml.escape(p)}</p>").mkString +
       "</body></html>"
 }

@@ -80,10 +80,11 @@ object PptxText {
       .toDF("id", "n_slides", "text")
   }
 
-  /** ONE pass over the zip: inflate every entry whose name the
-    * partial function numbers, return bodies sorted by that number.
-    * Refusals (OLE, non-zip, no presentation part) live here so both
-    * slide and notes walks share them. */
+  /** ONE pass over the zip ([[graft.util.ZipParts]] — the shared
+    * bomb-capped walk): inflate every entry whose name the partial
+    * function numbers, return bodies sorted by that number. Refusals
+    * (OLE, non-zip, no presentation part) live here so both slide
+    * and notes walks share them. */
   private def collectParts(pptx: Array[Byte])
                           (num: PartialFunction[String, Int])
       : Seq[Array[Byte]] = {
@@ -91,37 +92,16 @@ object PptxText {
       "OLE container (legacy .ppt or encrypted OOXML) unsupported " +
         "(refusing, not mis-decoding)")
     require(DocxText.isZip(pptx), "not a PPTX (missing zip magic)")
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(pptx))
-    val found = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
     var sawPresentation = false
-    var total = 0L
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (e.getName == "ppt/presentation.xml") sawPresentation = true
-        if (num.isDefinedAt(e.getName)) {
-          require(found.size < MaxSlides,
-            s"PPTX part count exceeds $MaxSlides")
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](65536)
-          var n = zin.read(buf)
-          while (n >= 0) {
-            total += n
-            require(total <= MaxPartBytes,
-              s"PPTX parts inflate past $MaxPartBytes bytes " +
-                "(decompression bomb?)")
-            out.write(buf, 0, n)
-            n = zin.read(buf)
-          }
-          found += num(e.getName) -> out.toByteArray
-        }
-        e = zin.getNextEntry
-      }
-    } finally zin.close()
+    val found = graft.util.ZipParts.collect(pptx,
+      keep = num.isDefinedAt,
+      maxTotalBytes = MaxPartBytes, maxEntries = 100000,
+      onEntry = n => if (n == "ppt/presentation.xml") sawPresentation = true)
+    require(found.size <= MaxSlides, s"PPTX part count exceeds $MaxSlides")
     require(sawPresentation,
       "not a PPTX (no ppt/presentation.xml in the archive)")
-    found.sortBy(_._1).map(_._2).toSeq
+    found.map { case (name, bytes) => num(name) -> bytes }
+      .sortBy(_._1).map(_._2)
   }
 
   /** Paragraph lines of one slide/notes part: every `a:p` in
@@ -129,7 +109,7 @@ object PptxText {
     * newline within the line. Property bags (`a:pPr`, `a:rPr`,
     * `a:endParaRPr`) are layout, not text. */
   private def slideText(part: Array[Byte]): String = {
-    val doc = builder().parse(new java.io.ByteArrayInputStream(part))
+    val doc = graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(part))
     val out = scala.collection.mutable.ArrayBuffer[String]()
     walk(doc.getDocumentElement, out)
     out.mkString("\n")
@@ -184,28 +164,7 @@ object PptxText {
     }
   }
 
-  private def builder() = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setFeature(
-      "http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature(
-      "http://xml.org/sax/features/external-parameter-entities", false)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(true)
-    f.newDocumentBuilder()
-  }
-
   // ------------------------------------------------------------ fixture
-
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
 
   private val A = "http://schemas.openxmlformats.org/drawingml/2006/main"
   private val P =
@@ -229,7 +188,7 @@ object PptxText {
       sb ++= "<a:p><a:pPr/>"
       Seq(x, y).filter(_.nonEmpty).foreach { seg =>
         sb ++= "<a:r><a:rPr lang=\"en-US\"/><a:t>"
-        sb ++= xmlEscape(seg)
+        sb ++= graft.util.SecureXml.escape(seg)
         sb ++= "</a:t></a:r>"
       }
       sb ++= "<a:endParaRPr/></a:p>"

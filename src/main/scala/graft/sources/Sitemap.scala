@@ -28,19 +28,6 @@ object Sitemap {
                    loc: String, lastmod: String,
                    changefreq: String, priority: Option[Double])
 
-  private def builder() = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setFeature(
-      "http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature(
-      "http://xml.org/sax/features/external-parameter-entities", false)
-    f.setXIncludeAware(false)
-    f.setExpandEntityReferences(false)
-    f.setNamespaceAware(true)
-    f.newDocumentBuilder()
-  }
-
   private val MaxBytes = 52428800L // the protocol's own 50 MB cap
 
   /** Raw crawl payload: sitemaps.org explicitly allows gzipped
@@ -71,14 +58,14 @@ object Sitemap {
       } else content
     require(bytes.length <= MaxBytes,
       s"sitemap document ${bytes.length} bytes exceeds the 50 MB limit")
-    parseDom(builder().parse(new java.io.ByteArrayInputStream(bytes)))
+    parseDom(graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(bytes)))
   }
 
   def parse(xml: String): Seq[Entry] = {
     require(xml != null && xml.trim.nonEmpty, "empty sitemap document")
     require(xml.length <= 52428800, // the protocol's own 50 MB cap
       s"sitemap document ${xml.length} chars exceeds the 50 MB limit")
-    parseDom(builder().parse(new java.io.ByteArrayInputStream(
+    parseDom(graft.util.SecureXml.builder().parse(new java.io.ByteArrayInputStream(
       xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
   }
 
@@ -134,14 +121,20 @@ object Sitemap {
   /** RSS 2.0 as a sitemap (sitemaps.org "Syndication feed" format):
     * `<rss><channel><item>` → url entries; `<link>` is the location,
     * `<pubDate>` surfaces as lastmod verbatim (RFC 822 form — the
-    * feed's own timestamp convention). Items without a link drop,
-    * like url entries without a loc. */
+    * feed's own timestamp convention). RSS 2.0 core elements are
+    * NON-namespaced, so only namespace-free `<link>` children count —
+    * real feeds interleave `<atom:link rel="self"/>` (empty text)
+    * that must not shadow the item's actual link. Items without a
+    * link drop, like url entries without a loc. */
   private def parseRss(root: org.w3c.dom.Element): Seq[Entry] =
     elementKids(root, "channel").flatMap(ch =>
       elementKids(ch, "item").flatMap { item =>
-        val link = childText(item, "link")
-        if (link == null || link.isEmpty) None
-        else Some(Entry("url", link, childText(item, "pubDate"),
+        val link = elementKids(item, "link")
+          .filter(k => k.getNamespaceURI == null ||
+            k.getNamespaceURI.isEmpty)
+          .map(_.getTextContent.trim)
+          .find(_.nonEmpty)
+        link.map(l => Entry("url", l, childText(item, "pubDate"),
           null, None))
       })
 

@@ -46,13 +46,26 @@ object Warc {
     * re-storing an unchanged page); `payloadDigest` surfaces
     * `WARC-Payload-Digest` verbatim (`""` when absent) so consumers
     * can dedup on the ARCHIVE'S own digests instead of re-hashing
-    * gigabytes of body bytes. */
+    * gigabytes of body bytes.
+    *
+    * `decodeFailure` (`""` when clean) is the per-RECORD wire-decode
+    * failure domain: a body whose declared Content-/Transfer-
+    * Encoding cannot be undone (`br` — no JDK decoder; a truncated
+    * gzip under the crawler's size cap — WARC-Truncated records are
+    * routine; a malformed chunk stream) surfaces with this message
+    * set, `body` null and `bodyBytes` the RAW undecoded payload.
+    * Loud at record grain without losing the other records in a
+    * gigabyte segment: structural WARC violations still throw (a
+    * corrupt archive is not a per-record condition), and the decoded
+    * text of a failed record is never fabricated — the mojibake
+    * path stays closed. */
   case class WarcResponse(file: String, ordinal: Int, targetUri: String,
                           warcDate: String, httpStatus: Int,
                           contentType: String, body: String,
                           bodyBytes: Array[Byte],
                           warcType: String = "response",
-                          payloadDigest: String = "")
+                          payloadDigest: String = "",
+                          decodeFailure: String = "")
 
   /** Default cumulative decompressed-byte cap per file. With the
     * streaming walker, memory is O(record) regardless of file size,
@@ -172,8 +185,15 @@ object Warc {
           val uri = headers.getOrElse("warc-target-uri", "")
           val date = headers.getOrElse("warc-date", "")
           val digest = headers.getOrElse("warc-payload-digest", "")
-          val (status, ctype, payload) = splitHttp(rec)
-          if (isTextual(ctype))
+          val (status, ctype, payload, decodeFail) = splitHttp(rec)
+          if (decodeFail.nonEmpty)
+            // undecodable wire body: surface the record with its RAW
+            // bytes and the failure message; NEVER run the charset
+            // ladder over compressed bytes (mojibake), never abort
+            // the whole archive walk over one record
+            nextResp = WarcResponse(name, ordinal, uri, date, status,
+              ctype, null, payload, wtype, digest, decodeFail)
+          else if (isTextual(ctype))
             // charset-aware decode (BOM > header param > meta prescan
             // > strict-UTF-8 sniff > windows-1252) — graft.llm.Charsets
             nextResp = WarcResponse(name, ordinal, uri, date, status,
@@ -291,15 +311,20 @@ object Warc {
     * forbids. `Transfer-Encoding: chunked` de-chunks (trailers
     * dropped), gzip/x-gzip and deflate (zlib-wrapped, with the
     * raw-stream fallback misconfigured servers actually send)
-    * inflate under [[MaxHttpBody]]; `br`/unknown codings REFUSE
-    * loudly — no JDK decoder exists, and passing the bytes through
-    * would be the exact mojibake path this closes. */
-  private[graft] def splitHttp(rec: Array[Byte]): (Int, String, Array[Byte]) = {
+    * inflate under [[MaxHttpBody]]; `br`/unknown codings and
+    * malformed/truncated encoded bodies come back with the FOURTH
+    * element set (the decode-failure message) and the raw payload —
+    * per-record conditions (Brotli is ubiquitous; crawler size caps
+    * truncate bodies routinely) must not abort a whole segment, and
+    * passing undecoded bytes through as text would be the exact
+    * mojibake path this closes. */
+  private[graft] def splitHttp(rec: Array[Byte])
+      : (Int, String, Array[Byte], String) = {
     if (rec.length < 12 || !(rec(0) == 'H' && rec(1) == 'T' &&
         rec(2) == 'T' && rec(3) == 'P'))
-      return (0, "", rec)
+      return (0, "", rec, "")
     val term = blankLineAt(rec)
-    if (term < 0) return (0, "", rec)
+    if (term < 0) return (0, "", rec, "")
     val headers = parseHttpHeaders(rec, term)
     val status = headers.getOrElse("__version", "").split(' ') match {
       case parts if parts.length >= 2 && parts(1).nonEmpty &&
@@ -307,11 +332,15 @@ object Warc {
         parts(1).toInt
       case _ => 0
     }
+    val ctype = headers.getOrElse("content-type", "")
     val raw = java.util.Arrays.copyOfRange(rec, term + 4, rec.length)
-    val payload = decodeWire(raw,
+    try (status, ctype, decodeWire(raw,
       headers.getOrElse("transfer-encoding", ""),
-      headers.getOrElse("content-encoding", ""))
-    (status, headers.getOrElse("content-type", ""), payload)
+      headers.getOrElse("content-encoding", "")), "")
+    catch {
+      case e: IllegalArgumentException =>
+        (status, ctype, raw, e.getMessage)
+    }
   }
 
   /** Per-record cap on the DECODED HTTP body. The record's stored
@@ -409,8 +438,16 @@ object Warc {
               throw new IllegalArgumentException(
                 s"deflate stream invalid: ${e.getMessage}")
           }
+        // a zlib header with FDICT set makes inflate() return 0 with
+        // needsDictionary() — without this check the loop would spin
+        // forever (needsInput() stays false while input remains)
+        if (n == 0 && inf.needsDictionary())
+          throw new IllegalArgumentException(
+            "deflate stream requires a preset dictionary (FDICT)")
         if (n == 0 && inf.needsInput())
           throw new IllegalArgumentException("deflate stream truncated")
+        if (n == 0 && !inf.finished())
+          throw new IllegalArgumentException("deflate stream stalled")
         total += n
         require(total <= MaxHttpBody,
           s"HTTP deflate body inflates past $MaxHttpBody bytes " +
@@ -442,10 +479,17 @@ object Warc {
     var total = 0L
     while (true) {
       val sizeTok = line().takeWhile(_ != ';').trim
-      require(sizeTok.nonEmpty && sizeTok.length <= 8 &&
+      require(sizeTok.nonEmpty &&
         sizeTok.forall(c => Character.digit(c, 16) >= 0),
         s"chunked body has malformed chunk size '$sizeTok'")
-      val size = java.lang.Long.parseLong(sizeTok, 16)
+      // RFC 9112 §7.1 chunk-size is 1*HEXDIG: servers legally emit
+      // fixed-width sizes with leading zeros — bound the VALUE, not
+      // the token length
+      val digits = sizeTok.dropWhile(_ == '0')
+      require(digits.length <= 8,
+        s"chunked body declares an oversized chunk '$sizeTok'")
+      val size =
+        if (digits.isEmpty) 0L else java.lang.Long.parseLong(digits, 16)
       if (size == 0L) {
         // trailer section: header lines to a blank terminator, dropped
         var t = line()

@@ -26,10 +26,48 @@ class EpubTextSpec extends SparkSpec {
     assert(!EpubText.extractText(epub).contains("NON-LINEAR"))
   }
 
-  test("DRM refuses loudly") {
+  test("DRM refuses loudly; font obfuscation alone does NOT") {
+    // encryption.xml listing a SPINE CHAPTER → genuine DRM, refuse
     val drm = EpubText.fixture(Seq(Seq("chapter")), drm = true)
     val e = intercept[IllegalArgumentException] { EpubText.chapters(drm) }
     assert(e.getMessage.contains("DRM"))
+    // encryption.xml listing only FONT resources (the IDPF/Adobe
+    // obfuscation DRM-free InDesign books routinely carry) must NOT
+    // refuse a fully readable book
+    def withEncryption(encXml: String): Array[Byte] = {
+      val base = EpubText.fixture(Seq(Seq("readable text")))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(base))
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(entry.getName))
+        val buf = new Array[Byte](65536)
+        var n = zin.read(buf)
+        while (n >= 0) { zos.write(buf, 0, n); n = zin.read(buf) }
+        zos.closeEntry()
+        entry = zin.getNextEntry
+      }
+      zos.putNextEntry(new java.util.zip.ZipEntry("META-INF/encryption.xml"))
+      zos.write(encXml.getBytes("UTF-8"))
+      zos.closeEntry()
+      zos.close()
+      bos.toByteArray
+    }
+    val fontOnly = withEncryption(
+      """<?xml version="1.0"?>""" +
+      """<encryption xmlns="urn:oasis:names:tc:opendocument:xmlns:container" xmlns:enc="http://www.w3.org/2001/04/xmlenc#">""" +
+      """<enc:EncryptedData><enc:CipherData>""" +
+      """<enc:CipherReference URI="OEBPS/fonts/body.otf"/>""" +
+      """</enc:CipherData></enc:EncryptedData></encryption>""")
+    assert(EpubText.chapters(fontOnly) == Seq("ch readable text"))
+    // an UNPARSEABLE encryption manifest refuses — the chapters
+    // cannot be proven clean
+    val broken = withEncryption("this is not xml")
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(broken)
+    }.getMessage.contains("unparseable"))
   }
 
   test("refusals: non-zip, missing container, missing OPF, missing chapter") {

@@ -76,6 +76,15 @@ class SitemapSpec extends SparkSpec {
     assert(got.forall(e => e.changefreq == null && e.priority.isEmpty))
     // bytes path too (feeds arrive as crawl payloads like any sitemap)
     assert(Sitemap.parseBytes(rss.getBytes("UTF-8")) == got)
+    // real feeds interleave <atom:link rel="self"/> (namespaced,
+    // empty text) BEFORE the item's actual <link> — it must not
+    // shadow it (RSS 2.0 core elements are non-namespaced)
+    val withAtom =
+      """<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">""" +
+      "<channel><item>" +
+      """<atom:link rel="self" href="http://x/self"/>""" +
+      "<link>http://x/real</link></item></channel></rss>"
+    assert(Sitemap.parse(withAtom).map(_.loc) == Seq("http://x/real"))
   }
 
   test("Atom parses as a sitemap: alternate links only, updated as lastmod") {
