@@ -50,7 +50,8 @@ object EpubText {
       val c = opfPath.lastIndexOf('/')
       if (c >= 0) opfPath.substring(0, c + 1) else ""
     }
-    val chapterPaths = spineHrefs(opf).map(h => normalize(opfDir + h))
+    val chapterPaths =
+      spineHrefs(opf).map(h => normalize(opfDir + decodeHref(h)))
     // META-INF/encryption.xml also ships in DRM-FREE books for IDPF/
     // Adobe FONT obfuscation — presence alone must not refuse a
     // fully readable EPUB. Refuse only when a SPINE CHAPTER is among
@@ -164,6 +165,45 @@ object EpubText {
         Some(href)
       else None
     }
+  }
+
+  /** OPF hrefs are relative URIs, not raw zip paths: percent-encoded
+    * octets decode (books with spaces ship `ch%201.xhtml` for the
+    * zip entry `ch 1.xhtml` — real InDesign output), a fragment or
+    * query suffix strips (`chapter.xhtml#s1` targets the whole
+    * part). `+` stays literal — that's form encoding, not path
+    * encoding. Malformed escapes refuse loudly. */
+  private def decodeHref(href: String): String = {
+    val frag = href.indexWhere(c => c == '#' || c == '?')
+    val path = if (frag >= 0) href.substring(0, frag) else href
+    if (!path.contains('%')) return path
+    val out = new java.io.ByteArrayOutputStream(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%') {
+        require(i + 2 < path.length &&
+          Character.digit(path.charAt(i + 1), 16) >= 0 &&
+          Character.digit(path.charAt(i + 2), 16) >= 0,
+          s"EPUB href '$href' has a malformed percent escape")
+        out.write(Character.digit(path.charAt(i + 1), 16) * 16 +
+          Character.digit(path.charAt(i + 2), 16))
+        i += 3
+      } else if (Character.isHighSurrogate(c) && i + 1 < path.length &&
+          Character.isLowSurrogate(path.charAt(i + 1))) {
+        // astral chars: encode the PAIR together (a lone surrogate
+        // through getBytes would corrupt to '?')
+        out.write(path.substring(i, i + 2).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        i += 2
+      } else {
+        // non-ASCII chars in the raw href pass through as UTF-8
+        out.write(c.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Resolve `./` and `a/../b` segments — OPF hrefs are relative

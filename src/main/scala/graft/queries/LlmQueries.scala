@@ -1452,6 +1452,36 @@ object LlmQueries {
         .select(col("doc_id"), col("wire"), col("body"))
     }),
 
+    // Per-RECORD wire-decode failure domain: a body whose declared
+    // coding cannot be undone (br — no JDK decoder) surfaces with
+    // decodeFailure set, body null and the RAW bytes retained —
+    // loud at record grain WITHOUT losing the rest of the archive
+    // (the other half of the records must still extract). Oracle
+    // replays both halves.
+    "q296_warc_decode_failure" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.Warc
+      val pages = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          Warc.RawPage(s"http://example.com/doc/$id",
+            r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            contentType = "text/plain; charset=utf-8",
+            contentEncoding = if (id % 2 == 1) "br" else "")
+        }.toSeq
+      val warc = Warc.fixtureRaw(pages, gzipPerRecord = true)
+      Seq(("brmix.warc.gz", warc)).toDS()
+        .flatMap { case (n, b) => Warc.parseFile(n, b) }.toDF()
+        .select(regexp_extract(col("targetUri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          (col("decodeFailure") =!= "").as("failed"),
+          col("body"),
+          length(col("bodyBytes")).as("n_raw_bytes"))
+    }),
+
     // WARC → HTML → training text, composed end-to-end: parse the
     // q267 archive, strip boilerplate (script subtree, comment,
     // block tags), decode entities back to the ORIGINAL document
@@ -3119,6 +3149,19 @@ object LlmQueries {
         |       ELSE 'chunked+gzip' END AS wire,
         |  text AS body
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    // q296: odd ids declared br (unrecoverable → failed, null body,
+    // raw bytes retained = the UTF-8 byte length of the text); even
+    // ids decode normally. octet_length on the oracle side matches
+    // Spark's length() over the binary column.
+    "q296_warc_decode_failure" ->
+      """SELECT doc_id,
+        |  (doc_id % 2 = 1) AS failed,
+        |  CASE WHEN doc_id % 2 = 0 THEN text END AS body,
+        |  CASE WHEN doc_id % 2 = 1
+        |       THEN CAST(octet_length(CAST(text AS BLOB)) AS INT)
+        |  END AS n_raw_bytes
+        |FROM documents WHERE doc_id < 40""".stripMargin,
 
     // q268: the extraction must return the ORIGINAL text (the
     // entity round-trip), prefixed by the title word, followed by

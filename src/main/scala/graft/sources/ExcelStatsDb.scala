@@ -3,8 +3,6 @@ package graft.sources
 import java.io.{BufferedOutputStream, ByteArrayInputStream, File, FileOutputStream}
 import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
 
-import javax.xml.parsers.DocumentBuilderFactory
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -132,19 +130,11 @@ object ExcelStatsDb {
     try {
       def bytes(name: String): Option[Array[Byte]] =
         Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
-      def parse(b: Array[Byte]) = {
+      def parse(b: Array[Byte]) =
         // Hardened: workbooks come from outside this process
-        // (pandas/openpyxl artifacts), so DTDs and external entities
-        // are disabled — a crafted sheet XML must not be able to read
-        // local files (XXE) or blow up entity expansion.
-        val dbf = DocumentBuilderFactory.newInstance()
-        dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-        dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
-        dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-        dbf.setXIncludeAware(false)
-        dbf.setExpandEntityReferences(false)
-        dbf.newDocumentBuilder().parse(new ByteArrayInputStream(b))
-      }
+        // (pandas/openpyxl artifacts) — the shared XXE-off builder
+        // (graft.util.SecureXml) refuses DTDs and external entities.
+        graft.util.SecureXml.builder().parse(new ByteArrayInputStream(b))
       // shared-strings table (pandas/openpyxl write strings this way)
       val shared: IndexedSeq[String] = bytes("xl/sharedStrings.xml").map { b =>
         val sis = parse(b).getElementsByTagName("si")

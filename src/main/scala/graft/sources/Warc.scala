@@ -692,6 +692,10 @@ object Warc {
                   case "gzip" | "x-gzip" => gzipBytes(body)
                   case "deflate" => deflateZlib(body)
                   case "identity" => body
+                  // declared-but-unencodable: the HEADER is the test
+                  // subject (the reader must fail the record on the
+                  // token, never inspect the bytes)
+                  case "br" => body
                   case other => throw new IllegalArgumentException(
                     s"fixture content coding $other")
                 }

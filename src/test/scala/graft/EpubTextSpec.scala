@@ -121,6 +121,34 @@ class EpubTextSpec extends SparkSpec {
     }.getMessage.contains("escapes"))
   }
 
+  test("OPF hrefs are URIs: percent escapes decode, fragments strip") {
+    // a chapter filename WITH A SPACE, referenced percent-encoded
+    // (the InDesign shape), plus a fragment-targeted href
+    val opf = """<?xml version="1.0"?>
+      |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+      |<manifest>
+      |<item id="c1" href="ch%20one.xhtml" media-type="application/xhtml+xml"/>
+      |<item id="c2" href="two.xhtml#sec1" media-type="application/xhtml+xml"/>
+      |</manifest>
+      |<spine><itemref idref="c1"/><itemref idref="c2"/></spine>
+      |</package>""".stripMargin
+    def ch(t: String) =
+      s"""<html xmlns="http://www.w3.org/1999/xhtml"><body><p>$t</p></body></html>"""
+    val epub = zipOf(Seq(
+      "META-INF/container.xml" -> container("book.opf"),
+      "book.opf" -> opf,
+      "ch one.xhtml" -> ch("spaced"),
+      "two.xhtml" -> ch("fragmented")))
+    assert(EpubText.chapters(epub) == Seq("spaced", "fragmented"))
+    // malformed escapes refuse loudly
+    val bad = opf.replace("ch%20one.xhtml", "ch%2")
+    assert(intercept[IllegalArgumentException] {
+      EpubText.chapters(zipOf(Seq(
+        "META-INF/container.xml" -> container("book.opf"),
+        "book.opf" -> bad)))
+    }.getMessage.contains("percent"))
+  }
+
   test("extract(): narrow per-row frame") {
     val df = Seq(
       (1L, EpubText.fixture(Seq(Seq("a"), Seq("b")))),

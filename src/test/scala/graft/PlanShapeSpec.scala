@@ -46,7 +46,7 @@ class PlanShapeSpec extends SparkSpec {
   test("full registry: no corpus-scale single-partition ordered pass anywhere") {
     graft.Graft.init(spark)
     val names = SparkEntry.queries.keys.toSeq.sortBy(qNum)
-    assert(names.size >= 295) // registry shrinkage is loud
+    assert(names.size >= 296) // registry shrinkage is loud
     val offenders = names.filterNot(boundedGlobalSort.contains).flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString

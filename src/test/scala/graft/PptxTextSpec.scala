@@ -52,6 +52,25 @@ class PptxTextSpec extends SparkSpec {
     assert(PptxText.slides(pptx) == Seq("one\ntwo"))
   }
 
+  test("table cells (a:tbl graphicFrame) contribute their paragraphs") {
+    // DrawingML tables nest txBody under tr/tc inside a
+    // graphicFrame — the generic walk must surface each cell's a:p
+    // as a line in document order
+    val xml =
+      """<?xml version="1.0"?><p:sld
+        | xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+        | xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
+        |<p:cSld><p:spTree>
+        |<p:sp><p:txBody><a:p><a:r><a:t>before table</a:t></a:r></a:p></p:txBody></p:sp>
+        |<p:graphicFrame><a:graphic><a:graphicData><a:tbl>
+        |<a:tr><a:tc><a:txBody><a:p><a:r><a:t>cell A</a:t></a:r></a:p></a:txBody></a:tc>
+        |<a:tc><a:txBody><a:p><a:r><a:t>cell B</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        |</a:tbl></a:graphicData></a:graphic></p:graphicFrame>
+        |</p:spTree></p:cSld></p:sld>""".stripMargin
+    val pptx = pptxOf(Seq("ppt/slides/slide1.xml" -> xml))
+    assert(PptxText.slides(pptx) == Seq("before table\ncell A\ncell B"))
+  }
+
   test("refusals: OLE, non-zip, no presentation part, hostile nesting") {
     val ole = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ Array.fill[Byte](24)(0)
