@@ -361,6 +361,17 @@ object AudioFixtures {
         0x6F70, 1, 4)
   }
 
+  /** Multiplexed shape: the Vorbis stream's pages followed by a
+    * SECOND logical stream (different serial) whose final page
+    * carries a huge foreign granule — duration must come from the
+    * FIRST stream's own last granule, not the physically-last
+    * page. */
+  def oggMultiplexed(sampleRate: Int, channels: Int,
+                     totalSamples: Long): Array[Byte] =
+    oggVorbis(sampleRate, channels, totalSamples) ++
+      oggPage(Array.fill[Byte](16)(0x11), 999999999L, 0x7EAD, 0, 2) ++
+      oggPage(Array.fill[Byte](16)(0x11), 1999999999L, 0x7EAD, 1, 4)
+
   /** BOS page truncated mid-body: rate/channels survive, duration
     * nulls (the broken-chain convention). */
   def oggTruncated: Array[Byte] = {

@@ -33,7 +33,15 @@ object RobotsTxt {
   private[graft] case class Group(agents: Seq[String], rules: Seq[Rule],
                                   crawlDelay: Option[Double] = None)
 
-  private[graft] def parseGroups(content: String): Seq[Group] = {
+  /** Robots files routinely open with a UTF-8 BOM (saved from
+    * Windows editors); without stripping it the first line's field
+    * name parses as BOM+"user-agent" and the whole leading group
+    * silently disappears. */
+  private def stripBom(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
+  private[graft] def parseGroups(raw: String): Seq[Group] = {
+    val content = stripBom(raw)
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = scala.collection.mutable.ArrayBuffer[String]()
     var rules = scala.collection.mutable.ArrayBuffer[Rule]()
@@ -121,7 +129,7 @@ object RobotsTxt {
     * the crawl-frontier walk (see [[graft.sources.Frontier]]);
     * hostile-length values are skipped like oversized rules. */
   def sitemaps(content: String): Seq[String] =
-    content.split("\n").toSeq.flatMap { raw =>
+    stripBom(content).split("\n").toSeq.flatMap { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {

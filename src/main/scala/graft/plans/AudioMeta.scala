@@ -247,13 +247,19 @@ object AudioMeta {
 
   /** Walk every OGG page header (27 bytes + lacing table + the laced
     * body) and return the last COMPLETE page's granule position
-    * (s64le at +6), or null when the chain breaks mid-file — a
-    * truncated stream keeps rate/channels but loses duration,
-    * matching the WAV missing-chunk convention. -1 granules ("no
-    * packet completes on this page") are skipped. */
+    * (s64le at +6) FOR THE FIRST page's logical stream — multiplexed
+    * A/V files interleave pages of several serial numbers, and the
+    * physically-last page can belong to another stream (the id
+    * header parsed is the first BOS stream's, so its granule domain
+    * is the one that composes with rate). Null when the chain breaks
+    * mid-file — a truncated stream keeps rate/channels but loses
+    * duration, matching the WAV missing-chunk convention. -1
+    * granules ("no packet completes on this page") are skipped. */
   private def oggLastGranule(b: Array[Byte]): Any = {
     var i = 0
     var last: Any = null
+    var serial = 0L
+    var haveSerial = false
     while (i + 27 <= b.length && tag(b, i, "OggS")) {
       val nsegs = b(i + 26) & 0xFF
       if (i + 27 + nsegs > b.length) return null // truncated lacing
@@ -261,10 +267,14 @@ object AudioMeta {
       var s = 0
       while (s < nsegs) { body += b(i + 27 + s) & 0xFF; s += 1 }
       if (i + 27 + nsegs + body > b.length) return null // truncated body
-      var g = 0L
-      var k = 7
-      while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xFFL); k -= 1 }
-      if (g >= 0) last = java.lang.Long.valueOf(g)
+      val pageSerial = le32(b, i + 14)
+      if (!haveSerial) { serial = pageSerial; haveSerial = true }
+      if (pageSerial == serial) {
+        var g = 0L
+        var k = 7
+        while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xFFL); k -= 1 }
+        if (g >= 0) last = java.lang.Long.valueOf(g)
+      }
       i += 27 + nsegs + body
     }
     if (i != b.length) null else last // trailing junk: not a clean chain

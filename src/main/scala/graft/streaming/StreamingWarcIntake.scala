@@ -82,6 +82,11 @@ object StreamingWarcIntake {
             // empty documents and poison the store with md5(""))
             if (r.warcType != "response") None
             else if (r.httpStatus != 200) None
+            else if (r.decodeFailure.nonEmpty) None
+            // ^ undecodable wire body (br, truncated gzip): the
+            // walker kept the raw bytes but there is no TEXT to
+            // extract — dropping here is the explicit policy, not
+            // an accident of a downstream parse failure
             else if (r.contentType.startsWith("text/html")) {
               val (text, density) = HtmlText.extractWithDensity(r.body)
               Some((r.targetUri, r.warcDate, text, density))

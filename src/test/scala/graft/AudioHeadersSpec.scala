@@ -110,6 +110,12 @@ class AudioHeadersSpec extends SparkSpec {
     // duration (the WAV missing-chunk convention)
     assert(parsed(oggTruncated) ===
       (("ogg-vorbis", Some(32000), Some(2), None, None)))
+    // multiplexed A/V: a second logical stream's physically-LAST
+    // page carries a huge foreign granule — duration must track the
+    // FIRST stream's serial
+    import graft.llm.AudioFixtures.oggMultiplexed
+    assert(parsed(oggMultiplexed(44100, 2, 88200L)) ===
+      (("ogg-vorbis", Some(44100), Some(2), None, Some(88200L))))
     // an OGG wrapping an unknown codec is "ogg" with nulls — never
     // a guess
     val page = oggVorbis(1, 1, 1L).take(28 + 2) // header + partial body

@@ -67,6 +67,16 @@ class RobotsTxtSpec extends SparkSpec {
       Seq(RobotsTxt.Rule(false, "/x")))
   }
 
+  test("UTF-8 BOM strips: the leading group must not silently vanish") {
+    // Windows editors save robots.txt with a BOM; without stripping
+    // it the first field name is BOM+"user-agent" and the whole
+    // leading group disappears
+    val bom = "\uFEFF" + "User-agent: graftbot\nDisallow: /x\n" +
+      "Sitemap: http://a.com/s.xml\n"
+    assert(RobotsTxt.rulesFor(bom, "graftbot") == Seq(Rule(false, "/x")))
+    assert(RobotsTxt.sitemaps(bom) == Seq("http://a.com/s.xml"))
+  }
+
   test("RFC 9309 §2.2.1: groups sharing a user-agent token merge") {
     // two 'User-agent: graftbot' groups — rules combine, and a delay
     // carried by only the SECOND group is still found

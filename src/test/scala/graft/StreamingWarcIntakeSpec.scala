@@ -132,4 +132,25 @@ class StreamingWarcIntakeSpec extends SparkSpec {
       .select("uri").as[String].collect().toSeq
     assert(got == Seq("http://w/live"), s"got $got")
   }
+
+  test("undecodable wire bodies drop explicitly, never as mojibake text") {
+    import spark.implicits._
+    val archive = Warc.fixtureRaw(Seq(
+      Warc.RawPage("http://w/ok", html("clean page text here")
+          .getBytes("UTF-8"),
+        contentType = "text/html; charset=utf-8"),
+      // a br-declared response: the walker surfaces it with
+      // decodeFailure set and NO text — the intake's explicit guard
+      // drops it (without the guard, compressed bytes would reach
+      // the extractor as garbage "html")
+      Warc.RawPage("http://w/br", html("unreachable text")
+          .getBytes("UTF-8"),
+        contentType = "text/html; charset=utf-8",
+        contentEncoding = "br")), gzipPerRecord = true)
+    val files = Seq(("mem2.warc.gz", archive)).toDF("path", "content")
+    val got = StreamingWarcIntake.extractBatch(files, minChars = 0,
+        maxChars = 1000000, maxLinkDensity = 1.0)
+      .select("uri").as[String].collect().toSeq
+    assert(got == Seq("http://w/ok"), s"got $got")
+  }
 }
