@@ -101,8 +101,15 @@ object Components {
       val prop = sym
         .join(labels.withColumnRenamed("node", "__n"), col("nbr") === col("__n"))
         .groupBy(col("node")).agg(min(col("label")).as("nbr_label"))
+      // Pin the propagated labels BEFORE the pointer-jump self-join:
+      // both join sides would otherwise re-evaluate the whole
+      // edge-join + aggregation (two extra edge-bounded shuffles per
+      // round, and a broadcast-build job that replays them again).
+      // The pinned frame is the node-label frame — the loop's own
+      // working set, already materialized once per round below.
       val stepped = labels.join(prop, Seq("node"))
         .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint()
       // Pointer jump: follow the label's own label (labels are node
       // ids and only decrease, so label(label(x)) <= label(x)).
       val (next, curSum) = checkpointWithSum(

@@ -113,6 +113,15 @@ object NearDup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** [[jaccard]] for SORTED distinct arrays — the verify-stage hot
+    * path. One native merge pass, zero allocation (see
+    * [[graft.plans.SortedJaccard]]; bit-identical values, the spec
+    * cross-checks both forms). Callers sort ONCE per document, not
+    * per pair. */
+  def sortedJaccard(spark: org.apache.spark.sql.SparkSession,
+                    a: Column, b: Column): Column =
+    graft.plans.SortedJaccardNative.sortedJaccard(spark, a, b)
+
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, then
     * exact-Jaccard verification at `threshold`. Shingle strings are
     * hashed ONCE; both the banding minima and the Jaccard verification
@@ -123,13 +132,20 @@ object NearDup {
                    shingleSize: Int = 3, threshold: Double = 0.7,
                    numBands: Int = 16, rowsPerBand: Int = 4,
                    maxBucket: Int = 1000): DataFrame = {
+    // Hash arrays are SORTED once per document: the signature minima
+    // are order-invariant, and the candidate verify then runs the
+    // allocation-free sorted-merge Jaccard per PAIR (the hot loop —
+    // candidates outnumber documents by orders) instead of a hash-set
+    // build + intersect/union materialization per pair.
     val hs = df.select(col(idCol).as("id"),
-      hashedShingles(shingles(col(textCol), shingleSize)).as("hs"))
+      array_sort(hashedShingles(shingles(col(textCol), shingleSize))).as("hs"))
     val cands = lshCandidatePairs(hs, "id", col("hs"), numBands, rowsPerBand, maxBucket)
     cands
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+              sortedJaccard(df.sparkSession, col("hs_a"), col("hs_b"))
+                .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -156,7 +172,9 @@ object NearDup {
                                textCol: String,
                                threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    // sorted once per doc for the native merge-Jaccard verify below
+    val toks = df.select(col(idCol).as("id"),
+        array_sort(tokenSet(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
     val ranks = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -184,7 +202,8 @@ object NearDup {
       .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-              jaccard(col("t_a"), col("t_b")).as("jaccard"))
+              sortedJaccard(df.sparkSession, col("t_a"), col("t_b"))
+                .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -203,8 +222,12 @@ object NearDup {
                            threshold: Double, numBands: Int = 8,
                            rowsPerBand: Int = 4, maxBucket: Int = 300): DataFrame = {
     val P = 2147483647L
+    // toks sorted ONCE per document: the affine-permutation minima are
+    // order-invariant, and the verify below then uses the native
+    // sorted-merge Jaccard per pair (see nearDupPairs).
     val base = df
-      .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+              array_sort(tokenSet(col(textCol))).as("toks"))
       .select(col("id"), col("toks"),
         transform(col("toks"),
           t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % P).as("hs"))
@@ -230,7 +253,9 @@ object NearDup {
     cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("t_a"), col("t_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+              sortedJaccard(df.sparkSession, col("t_a"), col("t_b"))
+                .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -40,8 +40,9 @@ object TextClassify {
   def naiveBayesModel(docs: DataFrame, textCol: String, labelCol: String,
                       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"TextClassify.naiveBayesModel: alpha > 0, got $alpha")
-    val toks = docs.select(col(labelCol).as("lang"),
-      explode(TextStats.tokens(col(textCol))).as("token"))
+    val toks = graft.Tables.spreadSmall(
+        docs.select(col(labelCol).as("lang"), col(textCol).as("__t")))
+      .select(col("lang"), explode(TextStats.tokens(col("__t"))).as("token"))
       .filter(length(col("token")) > 0)
     val counts = toks.groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("c"))
@@ -86,8 +87,11 @@ object TextClassify {
                          labelCol: String, alpha: Double = 1.0): DataFrame = {
     val model = naiveBayesModel(docs, textCol, labelCol, alpha)
       .withColumnRenamed("lang", "__cls")
-    val toks = docs.select(col(idCol), col(labelCol).as("__true"),
-      explode(TextStats.tokens(col(textCol))).as("token"))
+    val toks = graft.Tables.spreadSmall(
+        docs.select(col(idCol), col(labelCol).as("__true"),
+                    col(textCol).as("__t")))
+      .select(col(idCol), col("__true"),
+        explode(TextStats.tokens(col("__t"))).as("token"))
       .filter(length(col("token")) > 0)
     val scored = toks
       .join(broadcast(model), Seq("token"))
@@ -95,16 +99,22 @@ object TextClassify {
       .agg(round(
         sum(col("loglik").cast(org.apache.spark.sql.types.DecimalType(38, 9)))
           .cast("double") + first(col("logprior")), 6).as("__score"))
-    val best = scored.groupBy(col(idCol))
-      .agg(max(col("__score")).as("__m"))
-    scored.join(best, Seq(idCol))
-      .filter(col("__score") === col("__m"))
-      .groupBy(col(idCol))
-      .agg(first(col("__true")).as("lang"),
-        min(col("__cls")).as("predicted"),
-        first(col("__m")).as("score"))
-      .select(col(idCol), col("lang"), col("predicted"), col("score"),
-        (col("predicted") === col("lang")).as("correct"))
+    // Argmax in ONE pass over the (doc × class) frame: min over
+    // struct(−score, class, score) picks the max score with ties to
+    // the lexicographically smallest class — the identical winner the
+    // previous max-then-filter two-pass selected, without evaluating
+    // the corpus-wide scoring subtree twice (the join-back's probe
+    // side replayed tokenize+join+agg in full). `+ 0.0` canonicalizes
+    // a −0.0 score before negation so signed-zero ordering matches the
+    // old `===`-tie semantics; the winner's own score rides the struct
+    // so the reported value is bit-identical, not re-derived.
+    val key = struct(negate(col("__score") + lit(0.0)).as("k"),
+                     col("__cls").as("c"), col("__score").as("s"))
+    scored.groupBy(col(idCol))
+      .agg(first(col("__true")).as("lang"), min(key).as("__b"))
+      .select(col(idCol), col("lang"),
+        col("__b.c").as("predicted"), col("__b.s").as("score"),
+        (col("__b.c") === col("lang")).as("correct"))
   }
 
   /** Chi-square token feature selection — for every vocabulary token,

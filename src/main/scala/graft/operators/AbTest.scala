@@ -146,7 +146,10 @@ object AbTest {
     require(b >= 8 && b <= 4096, s"AbTest.permutationTest: b in [8, 4096]")
     import org.apache.spark.sql.types.DecimalType
     import graft.util.Exact
-    val rows = df.filter(col(valueCol).isNotNull)
+    // spread: the x64 replicate explode + LCG + per-rep sums are the
+    // hot loop; a sub-split input runs it on one core otherwise
+    // (Tables.spreadSmall, self-disabling at scale; q203 3.6 -> 1.0)
+    val rows = graft.Tables.spreadSmall(df).filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
               round(col(valueCol).cast("double") * 1e6, 0).cast("long")
                 .as("xq"),
@@ -199,7 +202,9 @@ object AbTest {
                          groupCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.util.Exact
-    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    // spread: two quantized-decimal corpus passes (q209 3.2 -> 1.2)
+    val rows = graft.Tables.spreadSmall(df)
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         round(col(valueCol).cast("double") * 1e6, 0)
           .cast(DecimalType(19, 0)).as("xq"))
@@ -210,11 +215,16 @@ object AbTest {
     def dsum(c: Column) =
       sum(round(c, 9).cast(DecimalType(38, 9))).cast("double")
     val z = col("xq").cast("double") / 1e6 - col("mj")
+    // Pin the k-row per-group frame: it feeds the totals broadcast AND
+    // the closing aggregation — unpinned, each consumer replayed the
+    // second corpus pass (join + |z| sums), so "two passes" ran as
+    // three. k rows — free to materialize.
     val grp = rows.join(broadcast(means), Seq("g"))
       .groupBy(col("g"), col("nj"))
       .agg(dsum(abs(z)).as("szj"), dsum(abs(z) * abs(z)).as("szzj"))
       .withColumn("zbarj",
         round(col("szj") / col("nj").cast("double"), 9))
+      .localCheckpoint()
     val tot = grp.agg(sum(col("nj")).as("nn"), count(lit(1)).as("k"),
       dsum(col("szj")).as("sz"))
     grp.crossJoin(broadcast(tot))
@@ -260,6 +270,11 @@ object AbTest {
       .select(col(aCol).cast("string").as("__a"),
               col(bCol).cast("string").as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      // Pin the r×c contingency frame: four consumers (both marginal
+      // broadcasts, the totals broadcast, and the closing aggregation)
+      // would otherwise each replay the corpus fold. Bounded by
+      // |cat_a|×|cat_b| — free to materialize.
+      .localCheckpoint()
     val rowm = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ri"))
     val colm = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__cj"))
     val tot = cells.agg(sum(col("__nij")).as("__n"),

@@ -38,10 +38,19 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
+    // Pin the loop's static frames once: the edge list is joined every
+    // iteration and the degree frame both seeds init and closes every
+    // round — unpinned, the fold's unrolled plan re-ran the upstream
+    // edge pipeline (corpus scan + distinct) once per iteration per
+    // consumer. Both frames are the operator's own bounded units
+    // (edges / nodes), the same discipline labelPropagation/bfsLayers
+    // already apply.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("__n"))
 
     // pr0 = 1/N for every node
@@ -58,12 +67,16 @@ object Graph {
                   .cast("decimal(38,0)").as("__q"))
         .groupBy(col("node"))
         .agg(sum(col("__q")).as("__inflow"))
+      // flatten lineage per round (the labelPropagation discipline):
+      // without this the final plan nests `iterations` copies of the
+      // round subtree and optimizer time alone grows superlinearly
       deg.join(contrib, Seq("node"))
         .crossJoin(n)
         .select(col("node"), col("degree"),
                 (lit((1.0 - damping)) / col("__n").cast("double") +
                   lit(damping) * (col("__inflow").cast("double") / quantum))
                   .as("pr"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("degree"), round(col("pr"), 6).as("pagerank"))
   }
@@ -225,8 +238,12 @@ object Graph {
                            iterations: Int,
                            damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "needs at least one iteration")
+    // Same loop-frame pinning as [[pageRank]]: sym is joined every
+    // iteration, tele both seeds init and closes every round — both
+    // are the operator's bounded units (edges / nodes).
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
@@ -242,6 +259,7 @@ object Graph {
               when(col("__isSeed"),
                    lit(1.0) / col("__ns").cast("double"))
                 .otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint()
     val init = tele.withColumn("pr", col("tele"))
     val quantum = 1e15
     val ranks = (1 to iterations).foldLeft(init) { case (prev, _) =>
@@ -258,6 +276,7 @@ object Graph {
                   lit(damping) *
                   (coalesce(col("__inflow"), lit(0L).cast("decimal(38,0)"))
                      .cast("double") / quantum)).as("pr"))
+        .localCheckpoint() // flatten lineage per round (pageRank note)
     }
     ranks.select(col("node"), col("degree"), round(col("pr"), 6).as("ppr"))
   }
@@ -355,13 +374,20 @@ object Graph {
     require(iterations >= 1 && iterations <= 50,
       s"Graph.hits: iterations in [1, 50], got $iterations")
     import org.apache.spark.sql.types.DecimalType
+    // Pin the edge list: it is joined twice per iteration, and the
+    // caller's upstream (a corpus scan + distinct) would otherwise
+    // replay per half-step. Edge frame = the operator's bounded unit.
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     def q15(c: Column) = round(c * lit(1e15), 0).cast(DecimalType(38, 0))
-    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+    def normalized(rawIn: DataFrame, vCol: String): DataFrame = {
+      // raw is consumed twice (max aggregate + the join back); pin the
+      // ≤|nodes|-row half-step frame so the edge join runs once.
+      val raw = rawIn.localCheckpoint()
       val mx = raw.agg(max(col(vCol)).as("__mx"))
       nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
         .select(col("node"),

@@ -50,8 +50,17 @@ object OrderedStats {
                       nBuckets: Int = 1024,
                       logScale: Boolean = false): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
+    // The input frame appears in three downstream subtrees (min/max
+    // broadcast, bucket totals, final join). Those subtrees stay
+    // byte-identical, so AQE exchange reuse already shares the
+    // caller's aggregation exchange across them — measured r15: a
+    // localCheckpoint here ADDED a full materialization of the
+    // distinct-value frame without removing any work (q193 2.5 s →
+    // 3.4 s) and was reverted. Only `totals` below is pinned: its
+    // SELF-join sits under a broadcast build where reuse cannot fire.
+    val d0 = df
     val s = col(sortCol).cast("double")
-    val stats = df.agg(min(s).as("__lo"), max(s).as("__hi"))
+    val stats = d0.agg(min(s).as("__lo"), max(s).as("__hi"))
 
     // Monotone bucket id in [0, nBuckets); degenerate range (all rows
     // share one sort value) collapses to bucket 0, which is exactly
@@ -65,10 +74,14 @@ object OrderedStats {
       .otherwise(least(floor(pos / span * nBuckets).cast("int"),
                        lit(nBuckets - 1)))
 
-    val withB = df.crossJoin(broadcast(stats)).withColumn("__b", bucket)
+    val withB = d0.crossJoin(broadcast(stats)).withColumn("__b", bucket)
       .drop("__lo", "__hi")
 
     // Phase 1/2: per-bucket totals → exclusive offsets, windows-free.
+    // (totals is self-joined below, but both sides are byte-identical
+    // subtrees: AQE exchange reuse shares the aggregation; a
+    // localCheckpoint here splits executions and forces the input
+    // aggregation to run twice — measured r15, reverted.)
     val totals = withB.groupBy(col("__b")).agg(sum(col(valueCol)).as("__bv"))
     val offsets = totals.select(col("__b"), col("__bv"))
       .join(broadcast(totals.select(col("__b").as("__b2"), col("__bv").as("__bv2"))),

@@ -57,7 +57,9 @@ object Regression {
                x2Col: String): DataFrame = {
     def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
       .cast(DecimalType(19, 0))
-    val d = df
+    // spread: the 9 decimal moment products are the hot loop
+    // (Tables.spreadSmall, self-disabling at scale; q191 1.5 -> 0.9)
+    val d = graft.Tables.spreadSmall(df)
       .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
       .select(q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
@@ -136,7 +138,8 @@ object Regression {
                       x2Col: String, lambda: Double): DataFrame = {
     def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
       .cast(DecimalType(19, 0))
-    val d = df
+    // spread: same moment-product shape as olsStats (q201 1.5 -> 0.8)
+    val d = graft.Tables.spreadSmall(df)
       .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
       .select(q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
@@ -190,13 +193,20 @@ object Regression {
     require(k >= 2 && k <= 1000, s"Regression.cvOls: k in [2, 1000], got $k")
     def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
       .cast(DecimalType(19, 0))
-    val d = df
+    // spread: per-fold moments + residual pass are both CPU-bound
+    // decimal work (Tables.spreadSmall; q202 3.8 -> 2.9)
+    val d = graft.Tables.spreadSmall(df)
       .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
       .select(pmod(col(idCol).cast("long"), lit(k.toLong)).as("fold"),
               q(yCol).as("y"), q(x1Col).as("x1"), q(x2Col).as("x2"))
       // (no checkpoint: the projected scan is cheaper to re-evaluate)
     def d38(c: Column) = c.cast(DecimalType(38, 0))
+    // Pin the k-row fold-moment frame: it feeds THREE subtrees (the
+    // global-sum broadcast, the train/betas derivation, and — through
+    // betas' broadcast build — the final residual join). Unpinned,
+    // each consumer replayed the full corpus moments pass, so "two
+    // passes" executed as four. k rows — free to materialize.
     val perFold = d.groupBy(col("fold")).agg(
       count(lit(1)).as("cn"),
       sum(d38(col("x1"))).as("c1"), sum(d38(col("x2"))).as("c2"),
@@ -207,6 +217,7 @@ object Regression {
       sum(col("x1") * col("y")).as("c1y"),
       sum(col("x2") * col("y")).as("c2y"),
       sum(col("y") * col("y")).as("cyy"))
+      .localCheckpoint()
     val g = perFold.agg(
       sum(col("cn")).as("gn"), sum(col("c1")).as("g1"),
       sum(col("c2")).as("g2"), sum(col("cy")).as("gy"),
@@ -274,7 +285,8 @@ object Regression {
       s"Regression.olsInfluence: topK in [1, 100000], got $topK")
     def q(c: String) = round(col(c).cast("double") * 1000000.0, 0)
       .cast(DecimalType(19, 0))
-    val rows = df
+    // spread: moments pass + per-row leverage/Cook pass (q206 2.6 -> 1.2)
+    val rows = graft.Tables.spreadSmall(df)
       .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
       .select(col(idCol).cast("long").as("rid"),

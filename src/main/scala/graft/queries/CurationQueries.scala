@@ -265,6 +265,9 @@ object CurationQueries {
     // chain per row; the oracle derives each word type's merged
     // token count from the SAME recursion's final vocabulary.
     "q175_bpe_compress" -> ((s, d) => {
+      // (no spread: learnMerges re-evaluates its word frame per merge
+      // round — an input exchange replays per round and nets negative,
+      // measured r15)
       val docs = documents(s, d)
       val merges = graft.llm.BpeTrain
         .learnMerges(docs, "text", nMerges = 6)
@@ -593,7 +596,9 @@ object CurationQueries {
       val base = documents(s, d).select(col("doc_id"), col("text"))
       val twins = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("XX "), col("text")).as("text"))
-      graft.llm.SpanDedup.cdcChunkStats(base.unionByName(twins),
+      // spread: the per-character rolling-hash chunker is the hot loop
+      graft.llm.SpanDedup.cdcChunkStats(
+        graft.Tables.spreadSmall(base.unionByName(twins)),
         "doc_id", "text")
     }),
 
@@ -662,7 +667,9 @@ object CurationQueries {
     // reference): clipped n-gram precisions with Lin-Och +1 smoothing
     // on n>=2 and the brevity penalty - the checkpoint-eval metric.
     "q235_bleu" -> ((s, d) => {
-      val docs = documents(s, d)
+      // spread: clipped n-gram counting runs on the broadcast join's
+      // STREAM side, which is otherwise the 1-task scan
+      val docs = graft.Tables.spreadSmall(documents(s, d))
       val cand = docs.filter(col("doc_id") % 2 === 0)
         .select(shiftright(col("doc_id"), 1).as("pair_id"),
                 col("text").as("cand"))
@@ -675,6 +682,8 @@ object CurationQueries {
 
     // ROUGE-1/-2 recall/precision/F1 over the same pairs, long form.
     "q236_rouge" -> ((s, d) => {
+      // (no spread: maxN=2 counting is too light to amortize the
+      // exchange — measured r15; q235's maxN=4 pays for it)
       val docs = documents(s, d)
       val cand = docs.filter(col("doc_id") % 2 === 0)
         .select(shiftright(col("doc_id"), 1).as("pair_id"),

@@ -103,18 +103,27 @@ object LlmQueries {
       // 1% either way). The cap stays the production default on
       // nearDupPairs — it is a skew GUARD, not a sampler, and the
       // recall invariant is only meaningful where it is inactive.
+      // Pin both pair frames and the token frame: `portable` feeds TWO
+      // consumers (the recall left-join and the count aggregate),
+      // `toks` both sides of the true-Jaccard join-back — unpinned,
+      // each consumer re-ran a full LSH pipeline (shingle → signature
+      // → banding → bucket join → verify), 28 parquet scans in the r14
+      // plan. Pair frames are bounded by near-dup density (the q70
+      // checkpoint precedent); at any scale they are tiny vs the
+      // corpus.
       val native = NearDup.nearDupPairs(docs, "doc_id", "text",
         shingleSize = 1, threshold = 0.8, numBands = 8, rowsPerBand = 4,
-        maxBucket = 100000)
+        maxBucket = 100000).localCheckpoint()
       val portable = NearDup.portableNearDupPairs(docs, "doc_id", "text",
-        threshold = 0.8, maxBucket = 100000)
+        threshold = 0.8, maxBucket = 100000).localCheckpoint()
       val toks = docs.select(col("doc_id").as("id"),
-        NearDup.tokenSet(col("text")).as("toks"))
+        array_sort(NearDup.tokenSet(col("text"))).as("toks"))
+        .localCheckpoint()
       val trueJac = native
         .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
         .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          NearDup.jaccard(col("t_a"), col("t_b")).as("true_jac"))
+          NearDup.sortedJaccard(s, col("t_a"), col("t_b")).as("true_jac"))
       val p = portable.select(col("id_a"), col("id_b"))
       val nativeAgg = trueJac
         .join(p.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
@@ -143,7 +152,10 @@ object LlmQueries {
     // twin can't see.
     "q29_simhash" -> ((s, d) => {
       val base = documents(s, d).filter(col("doc_id") < 500)
-      val docs = base.select(col("doc_id"),
+      // spread only the simhash input (the 64-bit vote folds are the
+      // CPU-heavy part); the portable pair pipeline below keeps its
+      // native partitioning (Tables.spreadSmall scaladoc)
+      val docs = graft.Tables.spreadSmall(base).select(col("doc_id"),
         NearDup.tokenSet(col("text")).as("toks"))
       val nat = NearDup.simhash64(docs, "doc_id", col("toks"))
       val ref = NearDup.simhash64Hof(docs, "doc_id", col("toks"))
@@ -291,7 +303,7 @@ object LlmQueries {
     // row (inlining them into every metric measured 27.8 s vs 1.5 s on
     // this query at sf0.1 — same results, 18× the work).
     "q74_repetition" -> ((s, d) => {
-      val withTokens = documents(s, d)
+      val withTokens = graft.Tables.spreadSmall(documents(s, d))
         .select(col("doc_id"), TextStats.tokens(col("text")).as("ws"))
       val withGrams = withTokens.select(
         col("doc_id"), col("ws"),

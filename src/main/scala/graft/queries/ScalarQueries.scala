@@ -62,7 +62,7 @@ object ScalarQueries {
     // F9: percent-string → fraction.
     "q16_percent_parse" -> ((s, d) => {
       val pct = concat(col("l_quantity").cast("int").cast("string"), lit("%"))
-      lineitem(s, d)
+      graft.Tables.spreadSmall(lineitem(s, d))
         .select(col("l_returnflag"), Cleaning.percentToDouble(pct).as("frac"))
         .groupBy(col("l_returnflag"))
         .agg(count(col("frac")).as("n"), exactSum(col("frac")).as("sum_frac"))

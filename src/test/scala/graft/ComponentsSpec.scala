@@ -120,8 +120,14 @@ class ComponentsSpec extends SparkSpec {
         val cur = execs.get
         if (cur == last) settled += 1 else { settled = 0; last = cur }
       }
-      // round-0 checkpoint + one checkpoint per convergence round
-      assert(execs.get <= rounds + 2,
+      // round-0 checkpoint + TWO checkpoints per convergence round:
+      // the propagated-labels pin (r15 — materializing `stepped` once
+      // halves the edge-join count the pointer-jump self-join would
+      // otherwise pay, measured q180 4.9 vs 7.6 s unpinned) and the
+      // observed post-jump checkpoint carrying the convergence sum.
+      // The guarded regression is unchanged: no SEPARATE convergence-
+      // check aggregation job beyond the checkpoints themselves.
+      assert(execs.get <= 2 * rounds + 2,
         s"${execs.get} actions for $rounds rounds: a per-round action crept in")
     } finally spark.listenerManager.unregister(ql)
   }
